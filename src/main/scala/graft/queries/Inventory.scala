@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator inventory (SURVEY §2.3 "delegated" categories).
+  *
+  * The reference delegates scans/filters/joins/aggregates/windows/sorts/
+  * set-ops/scalar functions to DataFusion unchanged; the Spark-native
+  * equivalent is the stock DataFrame API, declared here so Catalyst keeps
+  * full pushdown/pruning/codegen. Each query is written scale-first:
+  *  - aggregation uses partial (map-side) combine automatically;
+  *  - small dimension tables are `broadcast(...)` so the fact table never
+  *    shuffles for the join;
+  *  - sums over binary doubles go through DECIMAL so results are exact and
+  *    shuffle-order-independent (a 1000-executor sum must not depend on
+  *    reduction order);
+  *  - top-k uses sort+limit which Spark executes as TakeOrderedAndProject
+  *    (per-partition top-k then merge — no global sort at scale);
+  *  - ties are always broken by a unique key so results are deterministic
+  *    under any parallelism.
+  */
+object Inventory {
+  import Tables._
+
+  /** exact, order-independent money sum: double -> decimal before SUM */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation: hash agg, partial+final, multiple fns (TPC-H Q1 shape)
+    "q_agg_pricing" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+    // ---- aggregation: exact distinct
+    "q_agg_distinct" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("distinct_orders"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+    }),
+    // ---- join: broadcast dim -> fact, 3-way, then agg
+    "q_join_revenue" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // ---- join: left semi (EXISTS)
+    "q_join_semi" -> ((s, d) => {
+      val o = orders(s, d)
+      val l = lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+    // ---- join: left anti (NOT EXISTS)
+    "q_join_anti" -> ((s, d) => {
+      val c = customer(s, d)
+      val big = orders(s, d).filter(col("o_totalprice") > 300000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    // ---- join: left outer with null-side aggregation
+    "q_join_outer" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+    // ---- window: ranking within partition, deterministic tie-break
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+    // ---- window: analytic (running sum / lag) over unique ordering
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("run_cnt",
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "run_cnt", "prev_order")
+    }),
+    // ---- sort + limit = distributed top-k (TakeOrderedAndProject)
+    "q_topk_orders" -> ((s, d) => {
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+    // ---- set ops: union all + distinct-agg
+    "q_set_union" -> ((s, d) => {
+      val a = orders(s, d).select(col("o_custkey").as("custkey"))
+      val b = customer(s, d).select(col("c_custkey").as("custkey"))
+      a.unionByName(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+    }),
+    // ---- set ops: except (distinct semantics)
+    "q_set_except" -> ((s, d) => {
+      val bigSpenders = orders(s, d).filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("custkey"))
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(bigSpenders)
+    }),
+    // ---- scalar functions: string family
+    "q_scalar_string" -> ((s, d) => {
+      customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("prefix"),
+        concat_ws("_", col("c_mktsegment"), col("c_name")).as("tagged"))
+    }),
+    // ---- scalar functions: date + math family
+    "q_scalar_datemath" -> ((s, d) => {
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        abs(col("o_totalprice") - lit(100000.0)).as("dist"))
+    }),
+    // ---- grouping sets (rollup)
+    "q_agg_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+         min(l_extendedprice) AS min_price,
+         max(l_extendedprice) AS max_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS distinct_orders,
+         count(DISTINCT l_suppkey) AS distinct_supps,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1""",
+    "q_join_revenue" ->
+      """SELECT c_mktsegment,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000.0)""",
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+           lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order
+         FROM orders""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_set_union" ->
+      """SELECT custkey, count(*) AS n FROM (
+           SELECT o_custkey AS custkey FROM orders
+           UNION ALL
+           SELECT c_custkey AS custkey FROM customer) t
+         GROUP BY 1""",
+    "q_set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders
+         WHERE o_totalprice > 250000.0""",
+    "q_scalar_string" ->
+      """SELECT c_custkey,
+           upper(c_name) AS uname,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 5) AS prefix,
+           concat_ws('_', c_mktsegment, c_name) AS tagged
+         FROM customer""",
+    "q_scalar_datemath" ->
+      """SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           date_trunc('month', o_orderdate) AS mon,
+           floor(o_totalprice) AS price_floor,
+           ceil(o_totalprice) AS price_ceil,
+           abs(o_totalprice - 100000.0) AS dist
+         FROM orders""",
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+  )
+}
