@@ -1,0 +1,66 @@
+package graft
+
+import graft.cache.QueryCache
+import graft.log.{CacheLog, NoOpLog}
+
+/** Configuration for the incremental aggregation cache
+  * (reference: QueryCacheConfig, src/lib.rs:21-72).
+  *
+  * @param cache                 state store (reference src/lib.rs:28)
+  * @param defaultTemporalColumn temporal column assumed when the group-by
+  *                              doesn't name one (src/lib.rs:22,31-38)
+  * @param temporalColumns       additional allowed temporal columns
+  *                              (src/lib.rs:23,40-45); matching is
+  *                              case-insensitive on the column name
+  * @param groupByFunctions      bucketing functions recognized in GROUP BY
+  *                              (src/lib.rs:25,52-56; demo registers
+  *                              date_trunc, examples/demo.rs:78). `window`
+  *                              covers Spark's native tumbling windows.
+  * @param overrideNowMicros     frozen "now" for tests/replays
+  *                              (src/lib.rs:47-50, examples/demo.rs:77-79)
+  * @param strictUpperBound      OFF mirrors the reference contract
+  *                              (README.md:23 + SURVEY §2.4 S1): the
+  *                              caching run scans with NO upper bound and
+  *                              future-dated rows would be double-counted.
+  *                              ON additionally filters `ts < now` on every
+  *                              caching scan, making cold+appends exact for
+  *                              any row with a sane timestamp.
+  * @param log                   decision log (src/log.rs)
+  */
+final case class QueryCacheConfig(
+    cache: QueryCache,
+    defaultTemporalColumn: String,
+    temporalColumns: Set[String] = Set.empty,
+    groupByFunctions: Set[String] = Set("date_trunc", "window"),
+    overrideNowMicros: Option[Long] = None,
+    strictUpperBound: Boolean = false,
+    log: CacheLog = NoOpLog) {
+
+  def withTemporalColumn(col: String): QueryCacheConfig =
+    copy(temporalColumns = temporalColumns + col)
+
+  def withGroupByFunction(fn: String): QueryCacheConfig =
+    copy(groupByFunctions = groupByFunctions + fn.toLowerCase)
+
+  def withOverrideNowMicros(us: Long): QueryCacheConfig =
+    copy(overrideNowMicros = Some(us))
+
+  def withStrictUpperBound: QueryCacheConfig = copy(strictUpperBound = true)
+
+  /** reference: allow_temporal_column, src/lib.rs:63-71 */
+  def allowTemporalColumn(name: String): Boolean = {
+    val n = name.toLowerCase
+    n == defaultTemporalColumn.toLowerCase ||
+      temporalColumns.exists(_.toLowerCase == n)
+  }
+
+  /** reference: allow_group_by_function, src/lib.rs:58-61 */
+  def allowGroupByFunction(name: String): Boolean =
+    groupByFunctions.contains(name.toLowerCase)
+
+  /** Query start time: frozen override or wall clock, epoch micros
+    * (reference uses epoch nanos, src/aggregate.rs:375-382; Spark
+    * timestamps are micros so we stay in micros throughout). */
+  def nowMicros(): Long =
+    overrideNowMicros.getOrElse(System.currentTimeMillis() * 1000L)
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.exec.IncrementalAggExecutor
+
+/** User-facing facade (reference: with_query_cache on a
+  * SessionStateBuilder, src/lib.rs:74-87, examples/demo.rs:68-84).
+  *
+  * {{{
+  * val qcs = QueryCacheSession(spark,
+  *   QueryCacheConfig(new MemoryQueryCache(), defaultTemporalColumn = "ts"))
+  * val out = qcs.sql("SELECT avg(value), count(*) FROM events WHERE value > 1")
+  * }}}
+  *
+  * Every query runs through the caching decision procedure; queries that
+  * don't qualify execute vanilla (the decision is in `config.log`).
+  */
+final class QueryCacheSession(val spark: SparkSession, val config: QueryCacheConfig) {
+  private val executor = new IncrementalAggExecutor(config)
+
+  def sql(sqlText: String): DataFrame = run(spark.sql(sqlText))
+
+  def run(df: DataFrame): DataFrame = executor.run(df)
+}
+
+object QueryCacheSession {
+  def apply(spark: SparkSession, config: QueryCacheConfig): QueryCacheSession =
+    new QueryCacheSession(spark, config)
+}

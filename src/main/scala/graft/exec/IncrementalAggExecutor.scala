@@ -1,0 +1,261 @@
+package graft.exec
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+import graft.QueryCacheConfig
+import graft.analysis.{Fingerprint, Stability, TemporalGroupBy}
+import graft.cache.CacheCapacityExceeded
+import graft.rewrite.Decompose
+import graft.rewrite.Decompose.Decomposed
+
+/** Driver-side incremental aggregation executor — the Spark-native port of
+  * the reference's planner hook + custom execs
+  * (QCAggregateExecPlanner src/aggregate.rs:317-411,
+  * CacheUpdateAggregateExec :499-601, CachedAggregateExec :603-688),
+  * done with public DataFrame ops per SURVEY §7.1(A):
+  *
+  *   final agg        -> merge aggregation over state columns
+  *   CacheUpdate      -> cache.put(fingerprint, now, mergedState)
+  *   Union            -> cachedState.unionByName(newPartialState)
+  *   partial agg      -> groupBy(group cols).agg(decomposed state cols)
+  *   watermark filter -> childDF.filter(ts >= lastRunTime)
+  *
+  * Execution properties at scale: the partial aggregation over appended
+  * rows keeps Spark's map-side combine and whole-stage codegen; the merge
+  * aggregation shuffles only state rows (≤ one per group); a Parquet cache
+  * reads/writes state fully distributed, so nothing here funnels through
+  * the driver (the reference coalesces to 1 partition instead,
+  * src/aggregate.rs:392 — its state is equally tiny).
+  *
+  * A query that fails any decision branch runs vanilla, with the reason
+  * logged (reference decision points, src/aggregate.rs:97-203).
+  */
+final class IncrementalAggExecutor(config: QueryCacheConfig) {
+
+  /** Everything decided statically before touching the cache. */
+  private final case class Cacheable(
+      agg: Aggregate,
+      fingerprint: String,
+      temporalAttr: Attribute,
+      aggExprs: Seq[AggregateExpression],
+      decomps: Seq[Decomposed])
+
+  def run(df: DataFrame): DataFrame = {
+    val analyzed = Shims.queryExecution(df).analyzed
+    decide(analyzed) match {
+      case Left((fp, reason)) =>
+        config.log.info(fp, s"not caching: $reason")
+        df
+      case Right(c) =>
+        config.log.info(c.fingerprint,
+          s"query valid for caching, temporal column ${c.temporalAttr.name}")
+        try execute(df.sparkSession, analyzed, c)
+        catch {
+          case e: CacheCapacityExceeded =>
+            config.log.warn(c.fingerprint, s"state too large, running uncached: ${e.getMessage}")
+            df
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------- decide
+
+  private def decide(analyzed: LogicalPlan): Either[(String, String), Cacheable] = {
+    val aggs = analyzed.collect { case a: Aggregate => a }
+    if (aggs.isEmpty) return Left(("-", "no aggregate in plan"))
+    if (aggs.size > 1) return Left(("-", "nested aggregates not supported"))
+    val agg = aggs.head
+    val fp = Fingerprint.of(agg)
+    def bail(msg: String) = Left((fp, msg))
+
+    // temporal group-bys: at most one (reference src/aggregate.rs:97-104)
+    val temporalGroups = TemporalGroupBy.findAll(agg.groupingExpressions, config)
+    if (temporalGroups.size > 1)
+      return bail(s"multiple temporal group-bys: ${temporalGroups.map(_.name).mkString(", ")}")
+    if (!agg.groupingExpressions.forall(_.deterministic))
+      return bail("non-deterministic group expression")
+
+    val needles: Set[String] = temporalGroups.headOption
+      .map(a => Set(a.name.toLowerCase))
+      .getOrElse(config.temporalColumns.map(_.toLowerCase) +
+        config.defaultTemporalColumn.toLowerCase)
+
+    // input shape: Filter/Project chain over a scan leaf, every filter
+    // stable (reference src/aggregate.rs:106-135; we additionally reject
+    // joins under the aggregate in the group-by case — appending fact rows
+    // says nothing about dimension-side changes)
+    var shapeErr: Option[String] = None
+    def walk(p: LogicalPlan): Unit = if (shapeErr.isEmpty) p match {
+      case Filter(cond, child) =>
+        Stability.find(cond, needles) match {
+          case Stability.Abandon =>
+            shapeErr = Some(s"filter expression is not stable: ${cond.sql}")
+          case Stability.Found(b) =>
+            shapeErr = Some(s"dynamic lower bound not yet supported: ${b.sql}")
+          case Stability.FoundNow =>
+            shapeErr = Some(s"now() inside filter not yet supported: ${cond.sql}")
+          case Stability.Stable => walk(child)
+        }
+      case Project(exprs, child) =>
+        if (!exprs.forall(_.deterministic))
+          shapeErr = Some("non-deterministic projection under aggregate")
+        else walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case v: View => walk(v.child)
+      case leaf if Shims.isScanLeaf(leaf) => ()
+      case other =>
+        shapeErr = Some(s"input ${other.nodeName} beyond scan/filter/project — not cacheable")
+    }
+    walk(agg.child)
+    shapeErr.foreach(e => return bail(e))
+
+    // temporal column: the group-by one, else the configured default
+    // present in the aggregate input (reference src/aggregate.rs:136-155)
+    val temporalAttr: Attribute = temporalGroups.headOption.orElse {
+      agg.child.output.find(a => config.allowTemporalColumn(a.name))
+    } match {
+      case Some(a) => a
+      case None =>
+        return bail(s"temporal column ${config.defaultTemporalColumn} not found in input")
+    }
+    if (temporalAttr.dataType != TimestampType)
+      return bail(s"temporal column ${temporalAttr.name} is ${temporalAttr.dataType.simpleString}, not timestamp")
+
+    // aggregate whitelist (SURVEY §7.1A; the reference instead inherits
+    // DataFusion's generic partial state, README.md:34)
+    val aggExprs = distinctAggExprs(agg.aggregateExpressions)
+    val decomps = new ArrayBuffer[Decomposed]
+    aggExprs.zipWithIndex.foreach { case (ae, i) =>
+      Decompose.decompose(i, ae) match {
+        case Some(d) => decomps += d
+        case None =>
+          return bail(s"aggregate not incrementally mergeable: ${ae.sql}")
+      }
+    }
+    if (!agg.aggregateExpressions.forall(_.deterministic))
+      return bail("non-deterministic output expression")
+
+    Right(Cacheable(agg, fp, temporalAttr, aggExprs, decomps.toSeq))
+  }
+
+  private def distinctAggExprs(outputs: Seq[NamedExpression]): Seq[AggregateExpression] = {
+    val found = ArrayBuffer.empty[AggregateExpression]
+    outputs.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        if (!found.exists(_.semanticEquals(ae))) found += ae
+      case _ => ()
+    })
+    found.toSeq
+  }
+
+  // --------------------------------------------------------------- execute
+
+  private def execute(spark: SparkSession, analyzed: LogicalPlan,
+      c: Cacheable): DataFrame = {
+    val now = config.nowMicros()
+    val tsCol = Shims.column(c.temporalAttr)
+    val childDF0 = Shims.ofRows(spark, c.agg.child)
+    // S1 strict mode: bound the caching scan above by `now` so future-dated
+    // rows can't be double-counted on the next run (SURVEY §2.4 S1)
+    val childDF =
+      if (config.strictUpperBound) childDF0.filter(tsCol < timestamp_micros(lit(now)))
+      else childDF0
+
+    val groupCols = c.agg.groupingExpressions.zipWithIndex.map {
+      case (e, j) => Shims.column(e).as(s"_g$j")
+    }
+    val stateSpecs = c.decomps.flatMap(_.state)
+    val partialCols = stateSpecs.map(s => s.partial.as(s.name))
+
+    def partialState(src: DataFrame): DataFrame =
+      if (groupCols.isEmpty) src.agg(partialCols.head, partialCols.tail: _*)
+      else src.groupBy(groupCols: _*).agg(partialCols.head, partialCols.tail: _*)
+
+    // analysis-only: the state schema this plan produces (validates cached
+    // state; mirrors CachedAggregateExec taking the partial plan's schema,
+    // src/aggregate.rs:616-623)
+    val stateSchema = partialState(childDF0.limit(0)).schema
+
+    val entry = config.cache.get(c.fingerprint) match {
+      case Some(cs) if !schemaCompatible(cs.schema, stateSchema) =>
+        config.log.warn(c.fingerprint,
+          "cached state schema mismatch — treating as miss")
+        None
+      case other => other
+    }
+
+    val state = entry match {
+      case Some(cs) =>
+        config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
+        val newData = childDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
+        cs.read(spark).unionByName(partialState(newData))
+      case None =>
+        config.log.info(c.fingerprint, "cache miss")
+        partialState(childDF)
+    }
+
+    val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
+    val merged =
+      if (groupCols.isEmpty) state.agg(mergeCols.head, mergeCols.tail: _*)
+      else state.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
+        .agg(mergeCols.head, mergeCols.tail: _*)
+
+    // store merged state stamped with this run's start time — hit or miss
+    // (reference src/aggregate.rs:397-399); the returned frame replays
+    // exactly what was stored, so the final answer is computed once from
+    // the stored state (CachedAggregateExec replay, src/aggregate.rs:680-688)
+    val stored = config.cache.put(c.fingerprint, now, merged)
+
+    // finalize: original output expressions with aggregate functions
+    // replaced by their finalize form over state columns, and group
+    // expressions replaced by their state column
+    val finalizers: Seq[Expression] = c.decomps.map(Decompose.finalizeExpr)
+    def rewrite(e: Expression): Expression = {
+      val gIdx = c.agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (gIdx >= 0) UnresolvedAttribute(Seq(s"_g$gIdx"))
+      else e match {
+        case ae: AggregateExpression =>
+          val i = c.aggExprs.indexWhere(_.semanticEquals(ae))
+          require(i >= 0, s"unmapped aggregate ${ae.sql}")
+          finalizers(i)
+        case _ => e.withNewChildren(e.children.map(rewrite))
+      }
+    }
+    val outCols: Seq[Column] = c.agg.aggregateExpressions.map { o =>
+      val core = o match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      Shims.column(rewrite(core)).as(o.name)
+    }
+    val finalCore = stored.select(outCols: _*)
+
+    // splice back under whatever sat above the aggregate, preserving the
+    // original output exprIds so parents (HAVING/ORDER BY/projections)
+    // resolve unchanged
+    val finalPlan = Shims.queryExecution(finalCore).analyzed
+    val aligned = Project(
+      finalPlan.output.zip(c.agg.output).map { case (na, oo) =>
+        Alias(na, oo.name)(exprId = oo.exprId)
+      }, finalPlan)
+    val newRoot = analyzed.transformUp {
+      case n if n eq c.agg => aligned
+    }
+    Shims.ofRows(spark, newRoot)
+  }
+
+  private def schemaCompatible(a: StructType, b: StructType): Boolean =
+    a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType
+    }
+}

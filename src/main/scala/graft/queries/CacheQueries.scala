@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryCacheConfig, QueryCacheSession}
+import graft.cache.MemoryQueryCache
+import graft.sources.Tables
+
+/** Incremental-aggregation-cache scenarios as driver-checkable queries.
+  *
+  * Each entry replays the reference demo's cold → append → warm cycle
+  * (examples/demo.rs:17-41) against a private working copy of `events`:
+  * rows before the 60th time percentile are written, the query runs cold
+  * (miss → state stored, stamped with overrideNow = split point), the
+  * remaining rows are appended, and the query runs warm (hit → only
+  * `ts >= watermark` rows are re-aggregated, merged with cached state).
+  * The returned warm result must equal the same SQL over the FULL table —
+  * which is exactly what the DuckDB oracle checks.
+  *
+  * Aggregates here are chosen exact (counts, decimal sums, min/max) so the
+  * oracle hash-match is bit-exact regardless of partitioning order.
+  */
+object CacheQueries {
+
+  /** cold → append → warm; returns the warm result */
+  def coldAppendWarm(spark: SparkSession, sfDir: String, tag: String)(
+      q: DataFrame => DataFrame): DataFrame = {
+    val ev = Tables.events(spark, sfDir).cache()
+    val splitMicros = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+
+    val sfTag = new java.io.File(sfDir).getName
+    val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/$tag"
+    val workPath = new Path(work)
+    val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(workPath)) fs.delete(workPath, true)
+
+    val splitTs = timestamp_micros(lit(splitMicros))
+    ev.filter(col("ts") < splitTs).write.mode("overwrite").parquet(work)
+
+    val cache = new MemoryQueryCache()
+    val cold = QueryCacheSession(spark,
+      QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = Some(splitMicros)))
+    cold.run(q(spark.read.parquet(work))).collect()
+
+    ev.filter(col("ts") >= splitTs).write.mode("append").parquet(work)
+    ev.unpersist()
+
+    val warm = QueryCacheSession(spark,
+      QueryCacheConfig(cache, defaultTemporalColumn = "ts"))
+    warm.run(q(spark.read.parquet(work)))
+  }
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // no-group-by path (reference README feature 2; demo.rs:26 shape)
+    "qc_incr_total" -> ((s, d) =>
+      coldAppendWarm(s, d, "total") { df =>
+        df.filter(col("value") > 1)
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+      }),
+    // GROUP BY date_trunc path (reference README feature 1; demo.rs:24)
+    "qc_incr_hourly" -> ((s, d) =>
+      coldAppendWarm(s, d, "hourly") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"),
+            max(col("value")).as("max_value"))
+      }),
+    // stable non-temporal predicate + non-temporal + temporal group mix
+    "qc_incr_by_type" -> ((s, d) =>
+      coldAppendWarm(s, d, "by_type") { df =>
+        df.filter(col("event_type").isin("click", "view", "error"))
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"))
+      })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qc_incr_total" ->
+      """SELECT count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1""",
+    "qc_incr_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_by_type" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events WHERE event_type IN ('click', 'view', 'error')
+         GROUP BY 1, 2"""
+  )
+}

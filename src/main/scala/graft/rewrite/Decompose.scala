@@ -1,0 +1,99 @@
+package graft.rewrite
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, DecimalType, StructType}
+
+/** Mergeable decomposition of aggregate functions (SURVEY §7.1 choice A).
+  *
+  * DataFusion hands the reference its Partial/Final split for free
+  * (README.md:49-76, src/aggregate.rs:384): partial state for ANY
+  * aggregate is mergeable by construction. Spark performs the same split
+  * internally but exposes no stable API for it, so we decompose each
+  * supported aggregate into explicit state columns:
+  *
+  *   count(..)   -> [cnt]        merge: sum          final: cnt
+  *   sum(x)      -> [sum]        merge: sum          final: sum
+  *   min(x)      -> [min]        merge: min          final: min
+  *   max(x)      -> [max]        merge: max          final: max
+  *   avg(x)      -> [sum, cnt]   merge: [sum, sum]   final: sum / cnt
+  *
+  * An aggregate outside the whitelist makes the query uncacheable (it
+  * just runs vanilla) — the same graceful degradation as the reference's
+  * bail-out branches. The merge expressions cast back to the state's
+  * stored type so the state schema is a fixed point under merging (a
+  * decimal SUM would otherwise widen by 10 digits per run).
+  */
+object Decompose {
+
+  sealed trait MergeOp
+  case object MSum extends MergeOp
+  case object MMin extends MergeOp
+  case object MMax extends MergeOp
+
+  /** One stored state column: `partial` computes it from raw rows,
+    * `merge` recombines previously-stored copies of it. */
+  final case class StateSpec(name: String, partial: Column, merge: MergeOp)
+
+  /** Decomposition of one AggregateExpression: its state columns plus the
+    * finalize expression phrased over `col(stateName)` references. */
+  final case class Decomposed(state: Seq[StateSpec], finalizeCol: Column)
+
+  /** None ⇒ this aggregate is not incrementally mergeable here. */
+  def decompose(i: Int, agg: AggregateExpression): Option[Decomposed] = {
+    if (agg.isDistinct || agg.filter.isDefined) return None
+    if (!agg.deterministic) return None
+    val asCol = Shims.column(agg)
+    agg.aggregateFunction match {
+      case _: Count =>
+        val n = s"_s${i}_cnt"
+        Some(Decomposed(
+          Seq(StateSpec(n, asCol, MSum)),
+          col(n).cast(agg.dataType)))
+      case _: Sum =>
+        val n = s"_s${i}_sum"
+        Some(Decomposed(
+          Seq(StateSpec(n, asCol, MSum)),
+          col(n).cast(agg.dataType)))
+      case _: Min =>
+        val n = s"_s${i}_min"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MMin)), col(n)))
+      case _: Max =>
+        val n = s"_s${i}_max"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MMax)), col(n)))
+      case a: Average if !a.child.dataType.isInstanceOf[DecimalType] =>
+        // double-typed running sum matches Spark's own Average buffer for
+        // non-decimal inputs; decimal avg needs exact decimal state and is
+        // left uncached in v1.
+        val child = Shims.column(a.child)
+        val sn = s"_s${i}_sum"
+        val cn = s"_s${i}_cnt"
+        Some(Decomposed(
+          Seq(
+            StateSpec(sn, sum(child.cast("double")), MSum),
+            StateSpec(cn, count(child), MSum)),
+          (col(sn) / col(cn)).cast(agg.dataType)))
+      case _ => None
+    }
+  }
+
+  /** Merge aggregation for a state column, given the stored state schema
+    * (casts the re-aggregated value back to the stored type so the schema
+    * is stable across arbitrarily many merge generations). */
+  def mergeColumn(spec: StateSpec, stateSchema: StructType): Column = {
+    val storedType: DataType = stateSchema(spec.name).dataType
+    val merged = spec.merge match {
+      case MSum => sum(col(spec.name))
+      case MMin => min(col(spec.name))
+      case MMax => max(col(spec.name))
+    }
+    merged.cast(storedType).as(spec.name)
+  }
+
+  /** Finalize column as a Catalyst expression (for substitution back into
+    * the query's output expression tree). */
+  def finalizeExpr(d: Decomposed): Expression = Shims.expression(d.finalizeCol)
+}

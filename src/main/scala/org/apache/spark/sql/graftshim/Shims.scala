@@ -32,4 +32,28 @@ object Shims {
   /** QueryExecution of a DataFrame (analyzed plan access). */
   def queryExecution(df: DataFrame): QueryExecution =
     df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]].queryExecution
+
+  /** Source locations feeding a plan — file-relation root paths (v1 data
+    * sources) plus v2 relation identifiers. Canonical plan strings omit
+    * these, so fingerprints must append them (two tables with the same
+    * schema must not share cache state). */
+  def sourcePaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case other => Seq(other.toString)
+      }
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      Seq(d.name)
+  }.flatten
+
+  /** Is this plan node a scan leaf the cache rewrite may sit on top of?
+    * (file relation, v2 relation, or in-memory rows for tests) */
+  def isScanLeaf(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    case _ => false
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.{CacheCapacityExceeded, MemoryQueryCache, ParquetQueryCache}
+import graft.sources.Tables
+
+/** Cache SPI contract (reference src/cache.rs): vacant miss, occupied
+  * hit, overwrite-on-put, replay fidelity, invalidate — for both the
+  * in-memory and the durable parquet store. */
+class CacheSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  private def stateDF = Tables.events(spark, sf0001)
+    .groupBy(col("event_type").as("_g0"))
+    .agg(count(lit(1)).as("_s0_cnt"), sum("value").as("_s1_sum"))
+
+  private def roundTrip(cache: graft.cache.QueryCache): Unit = {
+    assert(cache.get("fp1").isEmpty) // vacant
+    val df = stateDF
+    val expect = df.collect().map(_.toString).sorted.toSeq
+    val stored = cache.put("fp1", 1000L, df)
+    assert(stored.collect().map(_.toString).sorted.toSeq == expect)
+    val hit = cache.get("fp1").get
+    assert(hit.timestampMicros == 1000L)
+    assert(hit.read(spark).collect().map(_.toString).sorted.toSeq == expect)
+    assert(hit.schema.fieldNames.toSeq == Seq("_g0", "_s0_cnt", "_s1_sum"))
+    // overwrite (reference src/cache.rs:109-114)
+    cache.put("fp1", 2000L, df.limit(1))
+    val hit2 = cache.get("fp1").get
+    assert(hit2.timestampMicros == 2000L)
+    assert(hit2.read(spark).count() == 1)
+    cache.invalidate("fp1")
+    assert(cache.get("fp1").isEmpty)
+  }
+
+  test("MemoryQueryCache contract")(roundTrip(new MemoryQueryCache()))
+
+  test("ParquetQueryCache contract")(
+    roundTrip(new ParquetQueryCache(tmpDir("pqcache"))))
+
+  test("MemoryQueryCache capacity guard") {
+    val cache = new MemoryQueryCache(maxStateRows = 2)
+    intercept[CacheCapacityExceeded](cache.put("fp", 1L, stateDF))
+    assert(cache.get("fp").isEmpty)
+  }
+
+  test("ParquetQueryCache survives a new reader (durable)") {
+    val dir = tmpDir("pqdur")
+    val c1 = new ParquetQueryCache(dir)
+    c1.put("fpX", 42L, stateDF)
+    val c2 = new ParquetQueryCache(dir) // fresh instance, same directory
+    val hit = c2.get("fpX").get
+    assert(hit.timestampMicros == 42L)
+    assert(hit.read(spark).count() == stateDF.count())
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.MemoryQueryCache
+import graft.log.RecordingLog
+import graft.sources.Tables
+
+/** Differential correctness of the incremental aggregation cache:
+  * cold → append → warm must equal vanilla Spark on the full data
+  * (automates the reference demo's manual three-way diff,
+  * examples/demo.rs:28-50), plus decision-procedure bail-outs. */
+class IncrementalAggSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  private def eventsFull: DataFrame = Tables.events(spark, sf0001)
+
+  /** split events at the 60th time percentile into (early, late, splitUs) */
+  private def split(): (DataFrame, DataFrame, Long) = {
+    val ev = eventsFull
+    val s = ev.selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    (ev.filter(col("ts") < timestamp_micros(lit(s))),
+      ev.filter(col("ts") >= timestamp_micros(lit(s))), s)
+  }
+
+  /** run q cold on early data, append, run warm on full; return
+    * (warmResult, log) */
+  private def coldAppendWarm(tag: String)(q: DataFrame => DataFrame)
+      : (DataFrame, RecordingLog) = {
+    val (early, late, splitUs) = split()
+    val work = tmpDir(tag)
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    val cold = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs), log = log))
+    cold.run(q(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    (warm.run(q(spark.read.parquet(work))), log)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, tol: Double = 1e-9): Unit = {
+    val (ra, rb) = (a.collect(), b.collect())
+    assert(ra.length == rb.length, s"row counts: ${ra.length} vs ${rb.length}")
+    def k(r: Row) = r.toSeq.map {
+      case d: Double => f"$d%.6f"
+      case x => String.valueOf(x)
+    }.mkString("|")
+    val (sa, sb) = (ra.sortBy(k), rb.sortBy(k))
+    sa.zip(sb).foreach { case (x, y) =>
+      x.toSeq.zip(y.toSeq).foreach {
+        case (u: Double, v: Double) =>
+          assert(math.abs(u - v) <= tol * math.max(1.0, math.abs(v)),
+            s"$u != $v in rows $x vs $y")
+        case (u, v) => assert(String.valueOf(u) == String.valueOf(v),
+          s"$u != $v in rows $x vs $y")
+      }
+    }
+  }
+
+  test("no-group-by: warm equals vanilla on full data, and actually hits") {
+    def q(df: DataFrame) = df.filter(col("value") > 1).agg(
+      round(avg("value"), 2).as("avg_value"),
+      count(lit(1)).as("cnt"),
+      sum("value").as("sum_value"),
+      min("value").as("min_value"),
+      max("value").as("max_value"))
+    val (warmDF, log) = coldAppendWarm("nogroup")(q)
+    assertSameRows(warmDF, q(eventsFull))
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
+  test("group-by date_trunc: warm equals vanilla, hits") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), avg("value").as("avg_value"))
+    val (warmDF, log) = coldAppendWarm("hourly")(q)
+    assertSameRows(warmDF, q(eventsFull))
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
+  test("order by + having above the aggregate survive the rewrite") {
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 2)
+      .orderBy(col("cnt").desc, col("hour").asc)
+      .limit(20)
+    val (warmDF, log) = coldAppendWarm("sorted")(q)
+    // ordered compare: no sorting before compare
+    val got = warmDF.collect().toSeq
+    val want = q(eventsFull).collect().toSeq
+    assert(got == want)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
+  test("sql facade: same query text twice hits across sessions sharing a cache") {
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    val ev = eventsFull
+    ev.createOrReplaceTempView("events_v")
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    val sql = "SELECT count(*) AS cnt, sum(value) AS sv FROM events_v WHERE value > 10"
+    val r1 = qcs.sql(sql).collect()
+    val r2 = qcs.sql(sql).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
+  test("bail: joins under the aggregate are not cached") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    val ev = eventsFull
+    val joined = ev.as("a").join(ev.as("b"), "event_id")
+      .agg(count(lit(1)).as("cnt"))
+    val out = qcs.run(joined)
+    assert(out.collect().head.getLong(0) > 0)
+    assert(log.messages.exists(_.contains("not cacheable")), log.messages)
+  }
+
+  test("bail: count distinct is not mergeable") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    qcs.run(eventsFull.agg(countDistinct("user_id").as("u"))).collect()
+    assert(log.messages.exists(_.contains("not incrementally mergeable")), log.messages)
+  }
+
+  test("bail: non-deterministic filter") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    qcs.run(eventsFull.filter(rand() > 0.5).agg(count(lit(1)).as("c"))).collect()
+    assert(log.messages.exists(_.contains("not stable")), log.messages)
+  }
+
+  test("bail: dynamic lower bound (ts >= now() - interval)") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    val df = eventsFull
+      .filter(col("ts") >= (current_timestamp() - expr("INTERVAL 1 DAY")))
+      .agg(count(lit(1)).as("c"))
+    qcs.run(df).collect()
+    assert(log.messages.exists(m =>
+      m.contains("dynamic lower bound") || m.contains("now() inside filter")),
+      log.messages)
+  }
+
+  test("bail: temporal column missing from input") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "no_such_col", log = log))
+    qcs.run(eventsFull.select("value").agg(sum("value").as("s"))).collect()
+    assert(log.messages.exists(_.contains("not found in input")), log.messages)
+  }
+
+  test("fallback: state larger than maxStateRows runs uncached but correct") {
+    val log = new RecordingLog
+    val cache = new MemoryQueryCache(maxStateRows = 3)
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    // group by event_id -> ~1000 groups > 3
+    val df = eventsFull.groupBy(col("event_id"), col("ts"))
+      .agg(sum("value").as("s"))
+    val out = qcs.run(df)
+    assert(out.count() == eventsFull.count())
+    assert(log.messages.exists(_.contains("state too large")), log.messages)
+    assert(cache.size == 0)
+  }
+
+  test("strict upper bound: future-dated rows are not double counted") {
+    // craft: one row dated AFTER the cold run's now; reference contract S1
+    // double-counts it; strict mode must not.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val nowUs = 1700000000000000L
+    val rows = Seq(
+      Row(t(nowUs - 2000000L), 1L),
+      Row(t(nowUs - 1000000L), 10L),
+      Row(t(nowUs + 5000000L), 100L)) // future-dated
+    val work = tmpDir("strict")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val cfg = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+      overrideNowMicros = Some(nowUs), strictUpperBound = true)
+    val qcs = QueryCacheSession(spark, cfg)
+    def q() = spark.read.parquet(work).agg(sum("v").as("s"))
+    assert(qcs.run(q()).collect().head.getLong(0) == 11L) // future row excluded
+    // second run, "later": now covers the future row; count it exactly once
+    val qcs2 = QueryCacheSession(spark, cfg.copy(
+      overrideNowMicros = Some(nowUs + 10000000L)))
+    assert(qcs2.run(q()).collect().head.getLong(0) == 111L)
+  }
+}
