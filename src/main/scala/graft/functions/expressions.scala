@@ -1,0 +1,399 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodegenFallback, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the pipeline operators — scalar hot-path
+  * functions where a Scala UDF would break whole-stage codegen and pay
+  * serialization per row (builder-prompt preference order: built-ins >
+  * native Expression > UDF).
+  */
+
+/** Cosine similarity between two float/double array columns.
+  *
+  * Generates a tight primitive loop inside whole-stage codegen — at
+  * brute-force ANN scale (rows × dims multiply-adds) this is the entire
+  * cost, so no lambda-functional `aggregate`/`zip_with` chain (which
+  * allocates per element) and no UDF (which deserializes both arrays per
+  * row). Null or zero-norm input yields null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var i = 0
+    while (i < n) {
+      val u = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val v = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += u * v; nx += u * u; ny += v * v
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double u = (double) $x.$lGet($i);
+          double v = (double) $y.$rGet($i);
+          $dot += u * v; $nx += u * u; $ny += v * v;
+        }
+        if ($nx == 0.0 || $ny == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+object Hash64 {
+  /** FNV-1a 64-bit over UTF-8 bytes, with a seed mixed in — deterministic
+    * across JVMs/executors (no dependence on JVM hashCode). */
+  def apply(s: UTF8String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // final avalanche (splitmix64 tail) to decorrelate low bits
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+}
+
+/** 64-bit SimHash over an array<string> of tokens: each token hashes to 64
+  * bits; bit b of the result is the sign of Σ_tokens (±1 at bit b).
+  * Near-duplicate documents land within a small Hamming distance, so
+  * candidate pairs reduce to an equi-join on 16-bit sub-bands (see
+  * graft.operators.Dedup.simHashPairs). Null tokens are skipped; a null
+  * array yields null.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hash64(arr.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $counts = new int[64];
+        for (int $i = 0; $i < $x.numElements(); $i++) {
+          if (!$x.isNullAt($i)) {
+            long $h = graft.functions.Hash64.apply($x.getUTF8String($i), 0L);
+            for (int $b = 0; $b < 64; $b++) {
+              if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($counts[$b] > 0) $out |= (1L << $b);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Deterministic 64-bit hash of a string with an integer seed — the hash
+  * family behind MinHash signatures (k independent permutations ≈ k seeds).
+  */
+case class SeededHash64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any, seed: Any): Any =
+    Hash64(s.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, seed) =>
+      s"graft.functions.Hash64.apply($s, $seed)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** Sign-bit hyperplane sketch of a float/double array: bit p of the
+  * result is `sign(dot(v, planes(p)))`. One native node instead of a
+  * per-plane lambda-chain (which explodes the Catalyst tree and analyzer
+  * time at 12+ planes); the plane matrix rides along as a plan-time
+  * constant, referenced directly from generated code.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    var out = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(plane.length, v.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += plane(i) * (if (isF) v.getFloat(i).toDouble else v.getDouble(i))
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      s"""
+        long $out = 0L;
+        for (int $p = 0; $p < $planesRef.length; $p++) {
+          double[] plane = $planesRef[$p];
+          int $n = java.lang.Math.min(plane.length, $v.numElements());
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += plane[$i] * (double) $v.$get($i);
+          }
+          if ($dot >= 0) $out |= (1L << $p);
+        }
+        ${ev.value} = $out;
+      """
+    })
+  }
+
+  // plane matrices are plan-time constants derived from (dim, planes,
+  // seed); compare by content so canonicalization stays meaningful
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBucket =>
+      child == h.child &&
+        planes.length == h.planes.length &&
+        planes.zip(h.planes).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a string (split on whitespace).
+  *
+  * One native node: nested `transform`/`slice`/`concat_ws` lambdas
+  * re-evaluate their inlined children per element (Catalyst does no CSE
+  * through lambda functions and CollapseProject re-inlines projected
+  * subexpressions), which turns shingling into O(words²) regex splits per
+  * row. Here: one split, one pass, insertion-ordered dedup.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[String]()
+    if (words.length < n) {
+      out.add(words.mkString(" "))
+    } else {
+      var i = 0
+      while (i <= words.length - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** MinHash signature: element j is min over shingles of hash(shingle, j). */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = Hash64(s, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sig.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** LSH band hashes straight from shingles: the k-seed MinHash signature
+  * split into `bands` groups of k/bands values, each group FNV-folded to
+  * one long. Computing signature and banding in one node means each is
+  * evaluated exactly once per row no matter how the projection collapses.
+  */
+case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = MinHashSignature(child, k).nullSafeEval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    val rows = k / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var j = 0
+      while (j < rows) {
+        var v = sig.getLong(b * rows + j)
+        var byteIdx = 0
+        while (byteIdx < 8) {
+          h ^= (v & 0xffL); h *= 0x100000001b3L
+          v >>>= 8; byteIdx += 1
+        }
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Column-level entry points. */
+object functions {
+  def hyperplane_bucket(emb: Column, planes: Array[Array[Double]]): Column =
+    Shims.column(HyperplaneBucket(Shims.expression(emb), planes))
+
+  def word_shingles(text: Column, n: Int): Column =
+    Shims.column(WordShingles(Shims.expression(text), n))
+
+  def minhash_signature(shingles: Column, k: Int): Column =
+    Shims.column(MinHashSignature(Shims.expression(shingles), k))
+
+  def minhash_band_hashes(shingles: Column, k: Int, bands: Int): Column =
+    Shims.column(MinHashBandHashes(Shims.expression(shingles), k, bands))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
+
+  def simhash64(tokens: Column): Column =
+    Shims.column(SimHash64(Shims.expression(tokens)))
+
+  def seeded_hash64(s: Column, seed: Column): Column =
+    Shims.column(SeededHash64(Shims.expression(s), Shims.expression(seed)))
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftshim.Shims
+
+import graft.functions.functions.{minhash_band_hashes, minhash_signature, simhash64, word_shingles}
+
+/** Deduplication operators for training-data pipelines, each designed so
+  * the expensive step is an equi-join/aggregation Spark can shuffle by
+  * key — never an all-pairs comparison:
+  *
+  *  - exact:     hash-groupBy on content
+  *  - MinHash:   shingle → k-seed min-hash signature → band hash →
+  *               bucket equi-join → exact Jaccard verify on candidates
+  *  - SimHash:   64-bit signature → 16-bit sub-band equi-join (any pair
+  *               within Hamming distance 3 shares ≥1 of 4 bands) →
+  *               Hamming verify
+  *  - n-gram Jaccard: inverted-index self-join on shingles (exact, but
+  *               only pairs sharing ≥1 shingle are ever materialized)
+  *  - embedding: random-hyperplane bucket join + exact cosine verify
+  *
+  * All signatures are computed by deterministic native expressions
+  * (graft.functions) inside whole-stage codegen.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** One surviving doc_id per exact content: min(id) per text.
+    * Scale note: group key is the content itself so the comparison is
+    * exact; Spark hash-partitions on the key, so 100 TB dedups with one
+    * shuffle. If typical documents are large, pre-hash to
+    * (hash, min_id) and rejoin — same shape, smaller shuffle. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ----------------------------------------------------------- shingles
+
+  /** distinct word n-gram shingles per document (native single-pass
+    * expression — see graft.functions.WordShingles) */
+  def shingles(text: Column, n: Int = 3): Column = word_shingles(text, n)
+
+  // ------------------------------------------------------------ minhash
+
+  /** k-element MinHash signature of a shingle array (native) */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    minhash_signature(shingleCol, k)
+
+  /** Near-duplicate pairs by MinHash+LSH, verified with exact Jaccard
+    * over the shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val sig = sh.withColumn("bands", minhash_band_hashes(col("sh"), k, bands))
+    val buckets = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** exact Jaccard for candidate id pairs given (id, sh) shingle sets */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** Near-duplicate pairs by 64-bit SimHash: pairs within `maxHamming`
+    * bit flips. With 4 sub-bands of 16 bits, any pair with Hamming ≤ 3
+    * shares at least one exact band (pigeonhole) — so candidates come
+    * from 4 equi-joins, not an all-pairs scan. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash64(split(lower(col(textCol)), "\\s+")).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => Shims.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+          Shims.expression(col("sig")), Shims.expression((b * lit(16)).cast("int")))).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard pairs via inverted index: explode shingles,
+    * self-join on the shingle, count shared, derive |union| from set
+    * sizes. Only pairs sharing ≥1 shingle are generated; a hot shingle
+    * (stopword trigram) fans out quadratically, so extremely frequent
+    * shingles can be dropped first at scale (df-style cutoff). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val shared = inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

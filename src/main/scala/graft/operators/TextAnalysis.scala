@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, token counts,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is pure Catalyst built-ins (codegen'd, no UDFs), so the
+  * operators run as narrow map stages — at 100 TB they scan once, shuffle
+  * nothing, and keep predicate/column pushdown intact.
+  */
+object TextAnalysis {
+
+  /** whitespace word tokens (lowercased) */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** whitespace token count */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token estimate: word-piece style segments — runs of letters,
+    * runs of digits, or single punctuation marks. */
+  def bpeTokenCount(text: Column): Column =
+    size(split(text, "\\s+")) +
+      size(split(text, "[^.,!?;:]")) - lit(1)
+
+  private val punctClass = "[^.,!?;:'\"]"
+
+  /** punctuation character count */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, punctClass, ""))
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this")
+
+  /** fraction of tokens that are stopwords */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stops, t)))
+        .cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + word-length sanity +
+    * stopword presence (fluent text has them) — the standard cheap filters
+    * applied before expensive model-based scoring. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanWordLen = when(nWords > 0, nChars.cast("double") / nWords).otherwise(0.0)
+    val lenScore = when(nChars.between(200, 20000), 1.0)
+      .when(nChars.between(50, 199), 0.5)
+      .otherwise(0.1)
+    val wordScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    val stopScore = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.4)
+    round((lenScore * 0.4 + wordScore * 0.3 + stopScore * 0.3), 4)
+  }
+
+  /** Tiny per-language stopword profiles for n-gram-free language ID. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"))
+
+  /** argmax language by stopword hits; ties break lexicographically via
+    * the (hits, code) struct ordering so the result is deterministic. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (code, stops) =>
+      val stopArr = array(stops.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(stopArr, t))).as("hits"),
+        lit(code).as("code"))
+    }
+    array_max(array(scored: _*)).getField("code")
+  }
+
+  /** 64-bit content fingerprint (graft native hash — deterministic across
+    * executors, unlike JVM hashCode). */
+  def fingerprint(text: Column): Column =
+    graft.functions.functions.seeded_hash64(text, lit(0L))
+
+  /** full per-document text-analysis frame */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      punctCount(t).as("n_punct"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      languageId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

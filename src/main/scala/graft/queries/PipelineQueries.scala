@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-data-pipeline operator inventory: dedup family, similarity search,
+  * text analysis, multimodal plumbing, as-of/range joins. Oracles are
+  * provided wherever the computation is exactly expressible in DuckDB SQL
+  * (integer/string logic, shared double arithmetic); hash-family-based
+  * operators (minhash/simhash/LSH) are deterministic but not
+  * SQL-expressible, so they get rows-only checks.
+  */
+object PipelineQueries {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------ text analysis
+    "q_text_stats" -> ((s, d) => {
+      val t = col("text")
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.punctCount(t).as("n_punct"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+        TextAnalysis.languageId(t).as("lang_pred"))
+    }),
+    "q_text_quality" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+    // custom 64-bit content hash: deterministic but not SQL-expressible
+    "q_text_fingerprint" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+    // ------------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d)).select("doc_id", "text", "n_copies")),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), threshold = 0.5)),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(documents(s, d), maxHamming = 3)),
+    // -------------------------------------------------------- similarity
+    "q_ann_bruteforce" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      // round(.,4): DuckDB's list_cosine_similarity accumulates in float32,
+      // ~1e-8 off the double-precision value
+      Similarity.bruteForceTopK(embeddings(s, d), q, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      Similarity.lshTopK(embeddings(s, d), q, k = 10,
+        probeRadius = 3, planes = 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.nearDuplicatePairs(embeddings(s, d), threshold = 0.4,
+        bands = 24, planesPerBand = 12)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    // -------------------------------------------------- as-of / range join
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select("event_id", "user_id", "ts")
+      // right side unique per (key, time): keep the max orderkey per day
+      val ord = orders(s, d).groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("last_orderkey"))
+      AsOfJoin.backward(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payloadCols = Seq("last_orderkey"))
+    }),
+    "q_range_join" -> ((s, d) => {
+      val ev = events(s, d).select("user_id", "ts")
+      // o_orderdate is TIMESTAMP_NTZ in parquet; align with events.ts
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_start"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 3 DAYS")).as("o_end"))
+      RangeJoin.byBucket(
+          ev, ord, col("ts"), col("o_start"), col("o_end"),
+          bucketWidthMicros = 86400L * 1000000L)
+        .filter(col("user_id") === col("o_custkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+    // -------------------------------------------------------- multimodal
+    "q_media_features" -> ((s, d) => {
+      Multimodal.decodeFeatures(Multimodal.asMedia(documents(s, d)))
+        .toDF().select("doc_id", "mime", "n_bytes", "checksum", "width", "height")
+    }),
+    "q_media_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(Multimodal.asMedia(documents(s, d)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), sum("frame_bytes").as("total_bytes"))
+    }),
+    // --------------------------------------------- sketch aggregate (HLL)
+    "q_sketch_distinct" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+    // ------------------------------------- source/sink round trips (csv/json)
+    "q_source_csv" -> ((s, d) => {
+      val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/csv"
+      events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(work)
+      s.read.option("header", "true")
+        .schema("event_id LONG, event_type STRING, value DOUBLE").csv(work)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .as("sum_value"))
+    }),
+    "q_source_json" -> ((s, d) => {
+      val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/json"
+      events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(work)
+      s.read.schema("event_id LONG, event_type STRING, value DOUBLE").json(work)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          max(col("value")).as("max_value"))
+    })
+  )
+
+  // DuckDB mirrors. Doubles appear only where both engines perform the
+  // identical IEEE op sequence (single division / same-order small sums).
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(regexp_replace(text, '[^.,!?;:''\"]', '', 'g')) AS n_punct,
+           round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks,
+               t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                          'on','for','with','as','at','by','from','that','this')))
+               AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+           CASE
+             WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+             WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+             WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+             ELSE 'de' END AS lang_pred
+         FROM (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('the','and','of','to','in','is','that','it','for','with'))) AS h_en,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('el','la','de','que','y','en','un','los','del','por'))) AS h_es,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('le','la','de','et','les','des','en','un','du','que'))) AS h_fr,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('der','die','und','das','von','zu','mit','den','ist','im'))) AS h_de
+           FROM documents) t""",
+    "q_text_quality" ->
+      """SELECT doc_id, round(
+           (CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
+                 WHEN length(text) BETWEEN 50 AND 199 THEN 0.5 ELSE 0.1 END) * 0.4 +
+           (CASE WHEN len(string_split(lower(text),' ')) > 0
+                  AND (CAST(length(text) AS DOUBLE) / len(string_split(lower(text),' ')))
+                      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+           (CASE WHEN (CASE WHEN len(string_split(lower(text),' ')) > 0
+             THEN CAST(len(list_filter(string_split(lower(text),' '),
+               t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                          'on','for','with','as','at','by','from','that','this')))
+               AS DOUBLE) / len(string_split(lower(text),' '))
+             ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.4 END) * 0.3, 4) AS quality
+         FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+    "q_dedup_ngram" ->
+      """WITH sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents),
+         sizes AS (SELECT id, len(sh) AS sz FROM sh),
+         inv AS (SELECT id, unnest(sh) AS s FROM sh),
+         shared AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+           FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""",
+    "q_ann_bruteforce" ->
+      """SELECT vec_id,
+           round(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine
+         FROM embeddings
+         ORDER BY list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+           vec_id ASC
+         LIMIT 10""",
+    "q_asof_join" ->
+      """WITH ord AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+           FROM orders GROUP BY 1, 2)
+         SELECT event_id, user_id, ts, last_orderkey
+         FROM events ASOF LEFT JOIN ord
+           ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate""",
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_events
+         FROM orders JOIN events
+           ON events.user_id = orders.o_custkey
+          AND events.ts >= orders.o_orderdate
+          AND events.ts < orders.o_orderdate + INTERVAL 3 DAY
+         GROUP BY 1""",
+    // closed form of "ceil(len/32) frames, keep every 4th, last frame may
+    // be partial": n_sampled = floor((nf-1)/4)+1; the last sampled frame
+    // is short iff it is the final frame (index nf-1)
+    "q_media_frames" ->
+      """SELECT doc_id,
+           CAST(((nf - 1) // 4) + 1 AS BIGINT) AS n_frames,
+           CAST(32 * (((nf - 1) // 4) + 1)
+             - (CASE WHEN ((nf - 1) // 4) * 4 = nf - 1
+                     THEN 32 * nf - len ELSE 0 END) AS BIGINT) AS total_bytes
+         FROM (SELECT doc_id, length(text) AS len,
+                 greatest(CAST(ceil(CAST(length(text) AS DOUBLE) / 32) AS BIGINT), 1) AS nf
+               FROM documents) t""",
+    "q_source_csv" ->
+      """SELECT event_type, count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events GROUP BY 1""",
+    "q_source_json" ->
+      """SELECT event_type, count(*) AS cnt, max(value) AS max_value
+         FROM events GROUP BY 1"""
+  )
+}

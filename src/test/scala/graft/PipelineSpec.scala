@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Pipeline operator semantics: recall/precision relationships between the
+  * approximate and exact dedup paths, native expression correctness
+  * against reference computations, and as-of join vs the naive quadratic
+  * definition. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  private def docs = Tables.documents(spark, sf0001)
+  private def emb = Tables.embeddings(spark, sf0001)
+
+  test("shingles: correct trigrams, distinct, short-text fallback") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "a b c d"), Row(2L, "x y")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val got = df.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) == Set("a b c", "b c d"))
+    assert(got(2L) == Set("x y"))
+  }
+
+  test("minhash+LSH finds every high-jaccard pair the exact method finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // verification step makes LSH precise; banding (16x4) makes recall at
+    // jaccard 0.7+ effectively 1 - (1-0.7^4)^16 ≈ 0.99
+    assert(lsh == exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash pairs overlap the planted near-dups and hamming is symmetric-safe") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getInt(2) <= 3))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b })
+  }
+
+  test("cosine expression matches manual computation and brute-force topk is exact") {
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = rows(0L)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.toSeq.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = Similarity.bruteForceTopK(emb, q.toSeq, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got.zip(want).foreach { case ((gi, gc), (wi, wc)) =>
+      assert(gi == wi)
+      assert(math.abs(gc - wc) < 1e-12)
+    }
+  }
+
+  test("lsh topk returns a subset ranking consistent with brute force") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, q, k = 10, probeRadius = 3, planes = 10)
+      .collect().map(_.getLong(0))
+    assert(lsh.nonEmpty)
+    assert(lsh.head == 0L) // the query vector itself always survives probing
+  }
+
+  test("asof join equals the naive quadratic definition") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+      .limit(200)
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("last_orderkey"))
+    val got = AsOfJoin.backward(ev, ord, "user_id", "o_custkey", "ts",
+        "o_orderdate", Seq("last_orderkey"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    // naive: for each event, max orderkey among orders at the max
+    // qualifying date
+    val events = ev.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val orders = ord.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    events.foreach { case (eid, uid, ts) =>
+      val cand = orders.filter(o => o._1 == uid && !o._2.after(ts))
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(o => (o._2.getTime, o._3))._3)
+      assert(got(eid) == want, s"event $eid")
+    }
+  }
+
+  test("text analysis columns are sane") {
+    val r = TextAnalysis.analyze(docs).collect()
+    assert(r.length == docs.count())
+    assert(r.forall(_.getInt(1) > 0)) // n_tokens
+    assert(r.forall(x => x.getDouble(3) >= 0 && x.getDouble(3) <= 1))
+    assert(r.forall(x => x.getDouble(4) >= 0 && x.getDouble(4) <= 1))
+    val langs = r.map(_.getString(5)).distinct
+    assert(langs.contains("en")) // corpus is english word-salad
+  }
+
+  test("multimodal decode is deterministic and frame sampling adds up") {
+    val media = Multimodal.asMedia(docs.limit(50))
+    val f1 = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f.checksum).toMap
+    val f2 = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f.checksum).toMap
+    assert(f1 == f2)
+    val frames = Multimodal.sampleFrames(media)
+      .groupBy("doc_id").agg(sum("frame_bytes").as("b")).collect()
+    assert(frames.forall(_.getLong(1) > 0))
+  }
+}
