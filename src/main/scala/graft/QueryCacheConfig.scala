@@ -25,6 +25,17 @@ import graft.log.{CacheLog, NoOpLog}
   *                              ON additionally filters `ts < now` on every
   *                              caching scan, making cold+appends exact for
   *                              any row with a sane timestamp.
+  * @param dynamicBoundBucketGranularity opt-in support for the dynamic
+  *                              lower bounds the reference rejects
+  *                              (`ts >= now() - INTERVAL`, src/aggregate.rs
+  *                              :191-193, README.md:131). Requires a
+  *                              temporal GROUP-BY bucket; the cache stores
+  *                              unbounded state and answers with buckets
+  *                              whose START is at/after the bound — i.e.
+  *                              bucket granularity, the README's sketched
+  *                              semantics. A bucket straddling the cutoff
+  *                              is excluded, where a vanilla run would
+  *                              return it partially — hence opt-in.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -34,7 +45,11 @@ final case class QueryCacheConfig(
     groupByFunctions: Set[String] = Set("date_trunc", "window"),
     overrideNowMicros: Option[Long] = None,
     strictUpperBound: Boolean = false,
+    dynamicBoundBucketGranularity: Boolean = false,
     log: CacheLog = NoOpLog) {
+
+  def withDynamicBounds: QueryCacheConfig =
+    copy(dynamicBoundBucketGranularity = true)
 
   def withTemporalColumn(col: String): QueryCacheConfig =
     copy(temporalColumns = temporalColumns + col)

@@ -5,12 +5,13 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, Expression, NamedExpression}
+  Alias, And, Attribute, CurrentDate, CurrentTimestamp, Expression, Literal,
+  NamedExpression, Now}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
 import org.apache.spark.sql.graftshim.Shims
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{DateType, StructType, TimestampType}
 
 import graft.QueryCacheConfig
 import graft.analysis.{Fingerprint, Stability, TemporalGroupBy}
@@ -42,28 +43,45 @@ import graft.rewrite.Decompose.Decomposed
   */
 final class IncrementalAggExecutor(config: QueryCacheConfig) {
 
-  /** Everything decided statically before touching the cache. */
+  /** Everything decided statically before touching the cache.
+    * `dynamicBound` is a `ts >(=) f(now())` predicate to strip from the
+    * scan and re-apply at bucket granularity over the merged state. */
   private final case class Cacheable(
       agg: Aggregate,
       fingerprint: String,
       temporalAttr: Attribute,
       aggExprs: Seq[AggregateExpression],
-      decomps: Seq[Decomposed])
+      decomps: Seq[Decomposed],
+      dynamicBound: Option[Expression],
+      temporalGroupIdx: Option[Int],
+      /** agg.child, possibly projection-widened to re-expose the pruned
+        * temporal column (reference src/aggregate.rs:136-181) */
+      child: LogicalPlan)
 
   def run(df: DataFrame): DataFrame = {
     val analyzed = Shims.queryExecution(df).analyzed
+    rewritePlan(df.sparkSession, analyzed) match {
+      case Some(newPlan) => Shims.ofRows(df.sparkSession, newPlan)
+      case None => df
+    }
+  }
+
+  /** Plan-level entry (shared by the facade and the transparent optimizer
+    * rule): Some(replacement plan) when the query was cache-rewritten,
+    * None to run vanilla. */
+  def rewritePlan(spark: SparkSession, analyzed: LogicalPlan): Option[LogicalPlan] = {
     decide(analyzed) match {
       case Left((fp, reason)) =>
         config.log.info(fp, s"not caching: $reason")
-        df
+        None
       case Right(c) =>
         config.log.info(c.fingerprint,
           s"query valid for caching, temporal column ${c.temporalAttr.name}")
-        try execute(df.sparkSession, analyzed, c)
+        try Some(execute(spark, analyzed, c))
         catch {
           case e: CacheCapacityExceeded =>
             config.log.warn(c.fingerprint, s"state too large, running uncached: ${e.getMessage}")
-            df
+            None
         }
     }
   }
@@ -95,13 +113,21 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
     // joins under the aggregate in the group-by case — appending fact rows
     // says nothing about dimension-side changes)
     var shapeErr: Option[String] = None
+    var dynamicBound: Option[Expression] = None
     def walk(p: LogicalPlan): Unit = if (shapeErr.isEmpty) p match {
       case Filter(cond, child) =>
         Stability.find(cond, needles) match {
           case Stability.Abandon =>
             shapeErr = Some(s"filter expression is not stable: ${cond.sql}")
           case Stability.Found(b) =>
-            shapeErr = Some(s"dynamic lower bound not yet supported: ${b.sql}")
+            if (config.dynamicBoundBucketGranularity && temporalGroups.nonEmpty &&
+                dynamicBound.isEmpty)
+              { dynamicBound = Some(b); walk(child) }
+            else if (config.dynamicBoundBucketGranularity && temporalGroups.isEmpty)
+              shapeErr = Some("dynamic lower bound requires a temporal group-by bucket")
+            else
+              shapeErr = Some(s"dynamic lower bound not yet supported: ${b.sql}" +
+                " (enable dynamicBoundBucketGranularity)")
           case Stability.FoundNow =>
             shapeErr = Some(s"now() inside filter not yet supported: ${cond.sql}")
           case Stability.Stable => walk(child)
@@ -119,10 +145,23 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
     walk(agg.child)
     shapeErr.foreach(e => return bail(e))
 
-    // temporal column: the group-by one, else the configured default
-    // present in the aggregate input (reference src/aggregate.rs:136-155)
+    // temporal column: the group-by one, else the configured default in
+    // the aggregate input — re-exposed through pruned projections when
+    // the optimizer dropped it (reference widens the scan projection the
+    // same way, src/aggregate.rs:136-181)
+    var child: LogicalPlan = agg.child
     val temporalAttr: Attribute = temporalGroups.headOption.orElse {
       agg.child.output.find(a => config.allowTemporalColumn(a.name))
+    }.orElse {
+      agg.child.collectLeaves().flatMap(_.output)
+        .find(a => config.allowTemporalColumn(a.name) &&
+          a.dataType == TimestampType)
+        .flatMap { leafAttr =>
+          widen(agg.child, leafAttr).map { widened =>
+            child = widened
+            leafAttr
+          }
+        }
     } match {
       case Some(a) => a
       case None =>
@@ -145,8 +184,33 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
     if (!agg.aggregateExpressions.forall(_.deterministic))
       return bail("non-deterministic output expression")
 
-    Right(Cacheable(agg, fp, temporalAttr, aggExprs, decomps.toSeq))
+    val temporalGroupIdx = temporalGroups.headOption.map { a =>
+      agg.groupingExpressions.indexWhere(_.references.toSeq == Seq(a))
+    }.filter(_ >= 0).orElse {
+      // fall back: index of the group expression referencing the temporal col
+      temporalGroups.headOption.map { a =>
+        agg.groupingExpressions.indexWhere(_.references.exists(_.semanticEquals(a)))
+      }.filter(_ >= 0)
+    }
+
+    Right(Cacheable(agg, fp, temporalAttr, aggExprs, decomps.toSeq,
+      dynamicBound, temporalGroupIdx, child))
   }
+
+  /** Rebuild the Filter/Project chain so `attr` (present on a scan leaf)
+    * survives up to the aggregate input. None if the chain is something
+    * we can't widen. */
+  private def widen(plan: LogicalPlan, attr: Attribute): Option[LogicalPlan] =
+    plan match {
+      case p @ Project(list, ch) =>
+        if (p.outputSet.contains(attr)) Some(p)
+        else widen(ch, attr).map(nc => Project(list :+ attr, nc))
+      case Filter(cond, ch) => widen(ch, attr).map(nc => Filter(cond, nc))
+      case SubqueryAlias(id, ch) => widen(ch, attr).map(nc => SubqueryAlias(id, nc))
+      case v: View => widen(v.child, attr)
+      case leaf if leaf.outputSet.contains(attr) => Some(leaf)
+      case _ => None
+    }
 
   private def distinctAggExprs(outputs: Seq[NamedExpression]): Seq[AggregateExpression] = {
     val found = ArrayBuffer.empty[AggregateExpression]
@@ -161,10 +225,16 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
   // --------------------------------------------------------------- execute
 
   private def execute(spark: SparkSession, analyzed: LogicalPlan,
-      c: Cacheable): DataFrame = {
+      c: Cacheable): LogicalPlan = {
     val now = config.nowMicros()
     val tsCol = Shims.column(c.temporalAttr)
-    val childDF0 = Shims.ofRows(spark, c.agg.child)
+    // dynamic bound: state is computed UNBOUNDED (stripped scan) and the
+    // bound is re-applied over bucket starts at answer time (README.md:131)
+    val effectiveChild = c.dynamicBound match {
+      case Some(b) => stripConjunct(c.child, b)
+      case None => c.child
+    }
+    val childDF0 = Shims.ofRows(spark, effectiveChild)
     // S1 strict mode: bound the caching scan above by `now` so future-dated
     // rows can't be double-counted on the next run (SURVEY §2.4 S1)
     val childDF =
@@ -238,7 +308,23 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
       }
       Shims.column(rewrite(core)).as(o.name)
     }
-    val finalCore = stored.select(outCols: _*)
+    // answer-time dynamic bound: temporal col -> its bucket column, now()
+    // leaves -> this run's frozen timestamp (Catalyst's ComputeCurrentTime
+    // trick applied by hand). Bucket-granularity semantics: a bucket
+    // qualifies iff its START satisfies the bound.
+    val bounded = c.dynamicBound match {
+      case Some(b) =>
+        val gName = s"_g${c.temporalGroupIdx.get}"
+        val rewrittenBound = b.transform {
+          case a: Attribute if a.semanticEquals(c.temporalAttr) =>
+            UnresolvedAttribute(Seq(gName))
+          case _: CurrentTimestamp | _: Now => Literal(now, TimestampType)
+          case _: CurrentDate => Literal((now / 86400000000L).toInt, DateType)
+        }
+        stored.filter(Shims.column(rewrittenBound))
+      case None => stored
+    }
+    val finalCore = bounded.select(outCols: _*)
 
     // splice back under whatever sat above the aggregate, preserving the
     // original output exprIds so parents (HAVING/ORDER BY/projections)
@@ -248,11 +334,23 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
       finalPlan.output.zip(c.agg.output).map { case (na, oo) =>
         Alias(na, oo.name)(exprId = oo.exprId)
       }, finalPlan)
-    val newRoot = analyzed.transformUp {
+    analyzed.transformUp {
       case n if n eq c.agg => aligned
     }
-    Shims.ofRows(spark, newRoot)
   }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  /** remove one conjunct (the dynamic bound) from every Filter carrying it */
+  private def stripConjunct(plan: LogicalPlan, bound: Expression): LogicalPlan =
+    plan.transformUp {
+      case Filter(cond, ch) if splitConj(cond).exists(_.fastEquals(bound)) =>
+        val rest = splitConj(cond).filterNot(_.fastEquals(bound))
+        if (rest.isEmpty) ch else Filter(rest.reduce(And(_, _)), ch)
+    }
 
   private def schemaCompatible(a: StructType, b: StructType): Boolean =
     a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>

@@ -33,6 +33,10 @@ object Decompose {
   case object MSum extends MergeOp
   case object MMin extends MergeOp
   case object MMax extends MergeOp
+  /** DataSketches HLL union over binary sketch state */
+  case object MHllUnion extends MergeOp
+  /** set union: array_distinct(flatten(collect_list(state))) */
+  case object MSetUnion extends MergeOp
 
   /** One stored state column: `partial` computes it from raw rows,
     * `merge` recombines previously-stored copies of it. */
@@ -76,6 +80,22 @@ object Decompose {
             StateSpec(sn, sum(child.cast("double")), MSum),
             StateSpec(cn, count(child), MSum)),
           (col(sn) / col(cn)).cast(agg.dataType)))
+      case h: HyperLogLogPlusPlus =>
+        // approx distinct: state = DataSketches HLL sketch (binary),
+        // merged with hll_union_agg. NOTE the estimator therefore differs
+        // from the vanilla HLL++ one — both are approximate counts with
+        // similar error, but cached and uncached runs can disagree within
+        // that error band (SURVEY §7.4: fidelity to the engine's own HLL
+        // isn't required, mergeability is).
+        val n = s"_s${i}_hll"
+        Some(Decomposed(
+          Seq(StateSpec(n, hll_sketch_agg(Shims.column(h.child)), MHllUnion)),
+          hll_sketch_estimate(col(n)).cast(agg.dataType)))
+      case c: CollectSet =>
+        val n = s"_s${i}_set"
+        Some(Decomposed(
+          Seq(StateSpec(n, collect_set(Shims.column(c.child)), MSetUnion)),
+          col(n)))
       case _ => None
     }
   }
@@ -89,6 +109,8 @@ object Decompose {
       case MSum => sum(col(spec.name))
       case MMin => min(col(spec.name))
       case MMax => max(col(spec.name))
+      case MHllUnion => hll_union_agg(col(spec.name))
+      case MSetUnion => array_distinct(flatten(collect_list(col(spec.name))))
     }
     merged.cast(storedType).as(spec.name)
   }

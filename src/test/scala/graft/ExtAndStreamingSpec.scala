@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.MemoryQueryCache
+import graft.ext.QueryCacheTransparent
+import graft.log.RecordingLog
+import graft.sources.Tables
+import graft.streaming.StreamingAgg
+
+/** Transparent optimizer-rule mode + Structured Streaming analog. */
+class ExtAndStreamingSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  test("transparent mode: plain DataFrame actions hit the cache") {
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheTransparent.enable(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    try {
+      // plain micros-timestamp source (the transparent path widens pruned
+      // projections; the nanos->micros conversion alias of the raw events
+      // table can't be reconstructed post-pruning, so materialize first)
+      val work = tmpDir("transparent")
+      Tables.events(spark, sf0001).write.mode("overwrite").parquet(work)
+      val ev = spark.read.parquet(work)
+      def q() = ev.filter(col("value") > 3)
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      val r1 = q().collect()
+      val r2 = q().collect()
+      assert(r1.toSeq == r2.toSeq)
+      assert(log.messages.exists(_.startsWith("cache miss")), log.messages)
+      assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+      // vanilla comparison with the rule disabled
+      QueryCacheTransparent.disable(spark)
+      assert(q().collect().toSeq == r1.toSeq)
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
+  test("transparent mode: non-cacheable query runs vanilla untouched") {
+    val log = new RecordingLog
+    QueryCacheTransparent.enable(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    try {
+      val li = Tables.lineitem(spark, sf0001)
+      val n = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("d")).count()
+      assert(n == 3)
+      // the optimizer has already expanded count(distinct) into nested
+      // aggregates by the time the rule runs — either bail message is fine
+      assert(log.messages.exists(_.startsWith("not caching")), log.messages)
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
+  test("streaming windowed agg equals batch windowed agg (no late data)") {
+    val work = tmpDir("stream")
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(work)
+    val schema = spark.read.parquet(work).schema
+
+    val stream = spark.readStream.schema(schema).parquet(work)
+    val agg = StreamingAgg.windowedAgg(stream, "ts", "1 hour", "10 minutes",
+      groupCols = Seq(col("event_type")),
+      aggCols = Seq(count(lit(1)).as("cnt"), sum("value").as("sv")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.sql(
+      "SELECT window.start AS ws, event_type, cnt, sv FROM stream_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    val want = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .select(col("window.start"), col("event_type"), col("cnt"), col("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    assert(got == want)
+  }
+}

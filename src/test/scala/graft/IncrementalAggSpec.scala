@@ -177,6 +177,60 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(cache.size == 0)
   }
 
+  test("hll sketch distinct: warm estimate within error band of vanilla") {
+    def q(df: DataFrame) = df.agg(approx_count_distinct("user_id").as("u"))
+    val (warmDF, log) = coldAppendWarm("hll")(q)
+    val got = warmDF.collect().head.getLong(0)
+    val want = q(eventsFull).collect().head.getLong(0)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // different estimators (DataSketches HLL vs HLL++): compare loosely
+    assert(math.abs(got - want) <= math.max(3.0, 0.1 * want), s"$got vs $want")
+  }
+
+  test("collect_set: warm equals vanilla as a set") {
+    def q(df: DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(collect_set(col("user_id")).as("users"))
+    val (warmDF, log) = coldAppendWarm("cset")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    def toMap(rows: Array[Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(toMap(warmDF.collect()) == toMap(q(eventsFull).collect()))
+  }
+
+  test("dynamic lower bound: bucket-granularity answers match aligned vanilla") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("dyn")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    // "now" frozen at the split; bound = now() - 2 hours
+    def q(df: DataFrame) = df
+      .filter(col("value") > 1 &&
+        col("ts") >= (current_timestamp() - expr("INTERVAL 2 HOURS")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    val cfgCold = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+      overrideNowMicros = Some(splitUs), log = log,
+      dynamicBoundBucketGranularity = true)
+    QueryCacheSession(spark, cfgCold).run(q(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val warmNow = eventsFull.selectExpr("max(unix_micros(ts))").first().getLong(0) + 1
+    val warm = QueryCacheSession(spark,
+      cfgCold.copy(overrideNowMicros = Some(warmNow)))
+      .run(q(spark.read.parquet(work)))
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // expected: vanilla with the bound rounded UP to the next hour bucket
+    val boundUs = warmNow - 2L * 3600L * 1000000L
+    val alignedUs = ((boundUs + 3599999999L) / 3600000000L) * 3600000000L
+    val want = eventsFull
+      .filter(col("value") > 1 &&
+        col("ts") >= timestamp_micros(lit(alignedUs)))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    assertSameRows(warm, want)
+  }
+
   test("strict upper bound: future-dated rows are not double counted") {
     // craft: one row dated AFTER the cold run's now; reference contract S1
     // double-counts it; strict mode must not.
