@@ -24,9 +24,14 @@ import graft.sources.Tables
   */
 object CacheQueries {
 
-  /** cold → append → warm; returns the warm result */
-  def coldAppendWarm(spark: SparkSession, sfDir: String, tag: String)(
-      q: DataFrame => DataFrame): DataFrame = {
+  /** cold → append → warm; returns the warm result. `cacheFactory` builds
+    * the state store once, shared by the cold and warm sessions — for the
+    * durable scenario a FRESH handle is taken for the warm run to prove
+    * the state round-trips through storage. */
+  def coldAppendWarm(spark: SparkSession, sfDir: String, tag: String,
+      cacheFactory: () => graft.cache.QueryCache = {
+        val shared = new MemoryQueryCache(); () => shared
+      })(q: DataFrame => DataFrame): DataFrame = {
     val ev = Tables.events(spark, sfDir).cache()
     val splitMicros = ev
       .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
@@ -41,9 +46,8 @@ object CacheQueries {
     val splitTs = timestamp_micros(lit(splitMicros))
     ev.filter(col("ts") < splitTs).write.mode("overwrite").parquet(work)
 
-    val cache = new MemoryQueryCache()
     val cold = QueryCacheSession(spark,
-      QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+      QueryCacheConfig(cacheFactory(), defaultTemporalColumn = "ts",
         overrideNowMicros = Some(splitMicros)))
     cold.run(q(spark.read.parquet(work))).collect()
 
@@ -51,7 +55,7 @@ object CacheQueries {
     ev.unpersist()
 
     val warm = QueryCacheSession(spark,
-      QueryCacheConfig(cache, defaultTemporalColumn = "ts"))
+      QueryCacheConfig(cacheFactory(), defaultTemporalColumn = "ts"))
     warm.run(q(spark.read.parquet(work)))
   }
 
@@ -79,6 +83,21 @@ object CacheQueries {
             dsum(col("value")).as("sum_value"),
             max(col("value")).as("max_value"))
       }),
+    // durable parquet-backed state store through the same cycle: state is
+    // written/read as distributed parquet, survives a fresh cache handle
+    "qc_incr_durable" -> ((s, d) => {
+      val cacheDir =
+        s"${sys.props("java.io.tmpdir")}/graft_qc_cache/${new java.io.File(d).getName}"
+      val p = new Path(cacheDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      coldAppendWarm(s, d, "durable",
+        cacheFactory = () => new graft.cache.ParquetQueryCache(cacheDir)) { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
+      }
+    }),
     // stable non-temporal predicate + non-temporal + temporal group mix
     "qc_incr_by_type" -> ((s, d) =>
       coldAppendWarm(s, d, "by_type") { df =>
@@ -103,6 +122,12 @@ object CacheQueries {
            count(*) AS cnt,
            sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
            max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_durable" ->
+      """SELECT date_trunc('day', ts) AS day,
+           count(*) AS cnt,
+           min(value) AS min_value
          FROM events WHERE value > 1
          GROUP BY 1""",
     "qc_incr_by_type" ->

@@ -118,6 +118,22 @@ object PipelineQueries {
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
             .as("sum_value"))
     }),
+    "q_source_orc" -> ((s, d) => {
+      val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/orc"
+      lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(work)
+      s.read.orc(work)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+    }),
+    // exact interpolated percentiles (sort-based agg family)
+    "q_agg_percentile" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+    }),
     "q_source_json" -> ((s, d) => {
       val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/json"
       events(s, d).select("event_id", "event_type", "value")
@@ -234,6 +250,15 @@ object PipelineQueries {
          FROM events GROUP BY 1""",
     "q_source_json" ->
       """SELECT event_type, count(*) AS cnt, max(value) AS max_value
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q_source_orc" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY 1""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS med_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+         FROM lineitem GROUP BY 1"""
   )
 }

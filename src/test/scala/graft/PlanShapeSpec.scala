@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.MemoryQueryCache
+import graft.log.RecordingLog
+import graft.queries.Inventory
+import graft.sources.Tables
+
+/** Physical plan shape assertions — the plans must be the ones a
+  * 1000-executor deployment needs, not merely correct ones (SURVEY §6 /
+  * mirrors the reference's EXPLAIN ANALYZE usage, examples/demo.rs:52-63).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = planOf(Inventory.queries("q_join_revenue")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregation is partial+final hash agg (map-side combine)") {
+    val plan = planOf(Inventory.queries("q_agg_pricing")(spark, sf0001))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial before the exchange, final after
+    assert("HashAggregate.*Exchange.*HashAggregate".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Inventory.queries("q_topk_orders")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  test("warm incremental scan pushes the watermark filter to parquet") {
+    val work = tmpDir("planshape")
+    val ev = Tables.events(spark, sf0001)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    val cfg = QueryCacheConfig(cache, defaultTemporalColumn = "ts", log = log)
+    val qcs = QueryCacheSession(spark, cfg)
+    def q() = spark.read.parquet(work).filter(col("value") > 1)
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    qcs.run(q()).collect()
+    // warm run: capture the plan of the merge-side scan via the decision
+    // log + explain of an equivalent filtered read
+    val wm = cache.get(
+      graft.analysis.Fingerprint.of(
+        org.apache.spark.sql.graftshim.Shims.queryExecution(q())
+          .analyzed.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }.get)).get.timestampMicros
+    val warmScan = spark.read.parquet(work)
+      .filter(col("value") > 1 && col("ts") >= timestamp_micros(lit(wm)))
+    val plan = planOf(warmScan)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts,"), plan)
+  }
+
+  test("cosine similarity runs inside whole-stage codegen") {
+    val q = Seq.fill(64)(0.1f)
+    val df = graft.operators.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf0001), q, k = 5)
+    val plan = planOf(df)
+    // "*(n)" marks a whole-stage-codegen stage; the cosine projection must
+    // be inside one, not in an interpreted fallback Project
+    assert("""\*\(\d+\) Project \[.*cosinesimilarity""".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
+  }
+
+  test("asof join is a single shuffle (one Exchange), no nested loop") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("od"),
+        col("o_orderkey"))
+      .groupBy("o_custkey", "od").agg(max("o_orderkey").as("ok"))
+    val df = graft.operators.AsOfJoin.backward(ev, ord,
+      "user_id", "o_custkey", "ts", "od", Seq("ok"))
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
