@@ -43,6 +43,12 @@ import graft.rewrite.Decompose.Decomposed
   */
 final class IncrementalAggExecutor(config: QueryCacheConfig) {
 
+  /** state-schema per fingerprint — saves one full plan analysis per warm
+    * run (the schema of a fingerprint's partial state never changes; a
+    * stale entry after library upgrade just causes a logged miss) */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
   /** Everything decided statically before touching the cache.
     * `dynamicBound` is a `ts >(=) f(now())` predicate to strip from the
     * scan and re-apply at bucket granularity over the merged state. */
@@ -254,7 +260,8 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
     // analysis-only: the state schema this plan produces (validates cached
     // state; mirrors CachedAggregateExec taking the partial plan's schema,
     // src/aggregate.rs:616-623)
-    val stateSchema = partialState(childDF0.limit(0)).schema
+    val stateSchema = schemaMemo.getOrElseUpdate(c.fingerprint,
+      partialState(childDF0.limit(0)).schema)
 
     val entry = config.cache.get(c.fingerprint) match {
       case Some(cs) if !schemaCompatible(cs.schema, stateSchema) =>

@@ -126,6 +126,34 @@ object PipelineQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
     }),
+    // skew-resistant two-stage aggregation over the hottest possible keys
+    // (3 values across the whole table) — must equal the plain GROUP BY
+    "q_agg_salted" -> ((s, d) => {
+      import graft.rewrite.Decompose._
+      graft.operators.Salting.saltedAgg(
+        lineitem(s, d), keys = Seq(col("l_returnflag")), buckets = 16,
+        specs = Seq(
+          StateSpec("cnt", count(lit(1)), MSum),
+          StateSpec("sum_price",
+            sum(col("l_extendedprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))), MSum),
+          StateSpec("max_qty", max(col("l_quantity")), MMax)))
+        .select(col("l_returnflag"), col("cnt"),
+          col("sum_price").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_price"),
+          col("max_qty"))
+    }),
+    // grouping sets: cube over two dimensions
+    "q_agg_cube" -> ((s, d) => {
+      lineitem(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+    }),
+    // json scalar functions over the events payload
+    "q_scalar_json" -> ((s, d) => {
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
     // exact interpolated percentiles (sort-based agg family)
     "q_agg_percentile" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag")
@@ -254,6 +282,19 @@ object PipelineQueries {
     "q_source_orc" ->
       """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY 1""",
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY 1""",
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_scalar_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
     "q_agg_percentile" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS med_qty,
