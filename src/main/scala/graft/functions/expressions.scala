@@ -374,10 +374,76 @@ case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
     copy(child = c)
 }
 
+/** Index of the nearest centroid (by cosine) for a float/double array —
+  * the IVF assignment step as one native node; the centroid matrix is a
+  * plan-time constant like [[HyperplaneBucket]]'s planes.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    var nx = 0.0
+    while (i < n) {
+      x(i) = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      nx += x(i) * x(i)
+      i += 1
+    }
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = cen0(c)
+      var dot = 0.0
+      var j = 0
+      val m = math.min(n, cen.length)
+      while (j < m) { dot += x(j) * cen(j); j += 1 }
+      val score = if (nx == 0.0) 0.0 else dot / math.sqrt(nx) // centroids pre-normalized
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  @transient private lazy val normalized: Array[Array[Double]] =
+    centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+  private def cen0(i: Int): Array[Double] = normalized(i)
+
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroid =>
+      child == o.child && centroids.length == o.centroids.length &&
+        centroids.zip(o.centroids).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b)
+        }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object functions {
   def hyperplane_bucket(emb: Column, planes: Array[Array[Double]]): Column =
     Shims.column(HyperplaneBucket(Shims.expression(emb), planes))
+
+  def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    Shims.column(NearestCentroid(Shims.expression(emb), centroids))
 
   def word_shingles(text: Column, n: Int): Column =
     Shims.column(WordShingles(Shims.expression(text), n))

@@ -63,6 +63,16 @@ object PipelineQueries {
         probeRadius = 3, planes = 10)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
+    // IVF index: train on sample, assign cells, probe nearest cells only
+    "q_ann_ivf" -> ((s, d) => {
+      import graft.operators.IVF
+      val emb = embeddings(s, d)
+      val model = IVF.fit(emb, k = 32, sampleN = 1024, iters = 6)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      IVF.search(IVF.index(emb, model), model, q, k = 10, nProbe = 8)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     "q_embed_neardup" -> ((s, d) =>
       Similarity.nearDuplicatePairs(embeddings(s, d), threshold = 0.4,
         bands = 24, planesPerBand = 12)

@@ -53,6 +53,52 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("ivf search: deterministic, subset of corpus, finds the query vector") {
+    import graft.operators.{IVF, Similarity}
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = IVF.fit(emb, k = 16, sampleN = 500, iters = 5)
+    assert(model.k == 16)
+    val indexed = IVF.index(emb, model)
+    // every vector lands in exactly one cell, cells cover the corpus
+    assert(indexed.where(col("ivf_cell").isNull).count() == 0)
+    assert(indexed.select("ivf_cell").distinct().count() <= 16)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .first().getSeq[Float](0)
+    val got = IVF.search(indexed, model, q, k = 10, nProbe = 4)
+      .collect().map(_.getLong(0))
+    // the query's own vector is its nearest neighbor and its cell is
+    // always probed first
+    assert(got.head == 7L)
+    // deterministic across runs
+    val again = IVF.search(IVF.index(emb, IVF.fit(emb, 16, 500, 5)), model, q,
+      k = 10, nProbe = 4).collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq)
+    // recall against brute force (random corpus: partial recall expected,
+    // probing 4/16 cells)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.count(brute.contains) >= 3, s"recall too low: $got vs $brute")
+  }
+
+  test("streaming stateful dedup keeps exactly the first doc per content") {
+    import graft.streaming.StreamingDedup
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // plant exact duplicates with higher ids
+    val dups = docs.limit(40).withColumn("doc_id", col("doc_id") + 10000)
+    val work = tmpDir("sdedup")
+    docs.unionByName(dups).write.mode("overwrite").parquet(work)
+    val schema = spark.read.parquet(work).schema
+    val stream = spark.readStream.schema(schema).parquet(work)
+    val out = StreamingDedup.firstSeen(stream)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.sql("SELECT doc_id FROM dedup_out")
+      .collect().map(_.getLong(0))
+    assert(kept.length == docs.count()) // one per distinct text
+    assert(kept.forall(_ < 10000)) // always the FIRST (lowest) id
+  }
+
   test("streaming windowed agg equals batch windowed agg (no late data)") {
     val work = tmpDir("stream")
     val ev = Tables.events(spark, sf0001)
