@@ -20,12 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** @param toleranceMicros only match right rows within
+    *        `leftTime - toleranceMicros <= rightTime <= leftTime`
+    *        (None = unbounded lookback) */
   def backward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payload = struct(payloadCols.map(col): _*)
+    // carry the right time inside the payload so tolerance can be
+    // re-checked after the window pass
+    val payload = struct(
+      (col(rightTime).as("_rt") +: payloadCols.map(col)): _*)
 
     val l = left
       .withColumn("_k", col(leftKey))
@@ -49,9 +56,18 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = unioned
+    val matched0 = unioned
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_is_left") === 1)
+    // tolerance: null out matches older than the lookback window
+    val matched = toleranceMicros match {
+      case Some(tol) =>
+        matched0.withColumn("_match",
+          when(col("_match").isNotNull &&
+            unix_micros(col("_t")) - unix_micros(col("_match").getField("_rt")) <= tol,
+            col("_match")))
+      case None => matched0
+    }
 
     payloadCols.foldLeft(matched) { (df, c) =>
         df.withColumn(c, col("_match").getField(c))

@@ -108,6 +108,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join with tolerance drops matches older than the window") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+      .limit(200)
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("od"),
+        col("o_orderkey"))
+      .groupBy("o_custkey", "od").agg(max("o_orderkey").as("ok"))
+    val tol = 30L * 86400L * 1000000L // 30 days
+    val got = AsOfJoin.backward(ev, ord, "user_id", "o_custkey", "ts", "od",
+        Seq("ok"), toleranceMicros = Some(tol))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    val events = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val orders = ord.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    events.foreach { case (eid, uid, ts) =>
+      val cand = orders.filter(o => o._1 == uid && !o._2.after(ts) &&
+        (ts.getTime - o._2.getTime) * 1000L <= tol)
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(o => (o._2.getTime, o._3))._3)
+      assert(got(eid) == want, s"event $eid")
+    }
+    // sanity: the tolerance actually binds somewhere in this corpus
+    val unbounded = AsOfJoin.backward(ev, ord, "user_id", "o_custkey", "ts",
+      "od", Seq("ok")).where(col("ok").isNotNull).count()
+    val bounded = got.values.count(_.isDefined)
+    assert(bounded < unbounded, s"tolerance never binds ($bounded vs $unbounded)")
+  }
+
   test("text analysis columns are sane") {
     val r = TextAnalysis.analyze(docs).collect()
     assert(r.length == docs.count())
