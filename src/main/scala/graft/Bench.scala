@@ -132,11 +132,14 @@ object Bench {
       if w > 0
     } yield c / w
 
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def fmt(pairs: Iterable[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      pairs.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def opt(d: Option[Double]) = d.map(x => f"$x%.2f").getOrElse("null")
+    def opt(d: Option[Double]) = d.map(x =>
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))).getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -111,7 +111,11 @@ object Stability {
       needles: Set[String]): Stability =
     find(boundSide, needles) match {
       case Stable => Stable // static bound; part of the fingerprint
-      case FoundNow => Found(whole) // ts >(=) f(now())
+      // ts >(=) f(now()) — but only if f is a pure function of now()
+      // (a bound like `other_col + now()` can't be re-applied over the
+      // merged state, which has only bucket/state columns)
+      case FoundNow if boundSide.references.isEmpty => Found(whole)
+      case FoundNow => Abandon
       case _ => Abandon
     }
 }

@@ -72,10 +72,13 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
 
   override def put(fingerprint: String, timestampMicros: Long,
       state: DataFrame): DataFrame = {
-    val rows = state.collect()
+    // limit-probe BEFORE materializing on the driver: an over-limit state
+    // must throw CacheCapacityExceeded, not OOM the driver first
+    val probeLimit = math.min(maxStateRows + 1, Int.MaxValue.toLong).toInt
+    val rows = state.limit(probeLimit).collect()
     if (rows.length > maxStateRows)
       throw new CacheCapacityExceeded(
-        s"state has ${rows.length} rows > maxStateRows=$maxStateRows")
+        s"state exceeds maxStateRows=$maxStateRows")
     entries.put(fingerprint, (timestampMicros, state.schema, rows))
     state.sparkSession.createDataFrame(rows.toSeq.asJava, state.schema)
   }
@@ -102,17 +105,28 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
 final class ParquetQueryCache(rootDir: String) extends QueryCache {
   import ParquetQueryCache._
 
+  /** Latest committed meta version in `dir`. Meta files are immutable and
+    * versioned (`meta-<v>.json`, appearing atomically via temp+rename), so
+    * a reader always sees SOME complete version — there is no
+    * delete-then-replace window. */
+  private def latestMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[Meta] = {
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("meta-").stripSuffix(".json").toLongOption)
+    if (versions.isEmpty) None
+    else Some(readMeta(fs, new Path(dir, s"meta-${versions.max}.json")))
+  }
+
   override def get(fingerprint: String): Option[CachedState] = {
     val spark = SparkSession.active
     val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaPath = new Path(dir, "meta.json")
-    if (!fs.exists(metaPath)) None
-    else {
-      val meta = readMeta(fs, metaPath)
+    latestMeta(fs, dir).map { meta =>
       val dataPath = new Path(dir, meta.dataDir).toString
-      Some(CachedState(meta.timestampMicros, meta.schema,
-        s => s.read.schema(meta.schema).parquet(dataPath)))
+      CachedState(meta.timestampMicros, meta.schema,
+        s => s.read.schema(meta.schema).parquet(dataPath))
     }
   }
 
@@ -121,15 +135,19 @@ final class ParquetQueryCache(rootDir: String) extends QueryCache {
     val spark = state.sparkSession
     val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataDir = s"data-$timestampMicros"
+    val old = latestMeta(fs, dir)
+    val version = math.max(timestampMicros, old.map(_.version + 1).getOrElse(0L))
+    val dataDir = s"data-$version"
     val dataPath = new Path(dir, dataDir)
     state.write.mode("overwrite").parquet(dataPath.toString)
-    val metaPath = new Path(dir, "meta.json")
-    val old = if (fs.exists(metaPath)) Some(readMeta(fs, metaPath)) else None
-    writeMetaAtomic(fs, dir, Meta(timestampMicros, dataDir, state.schema))
-    // best-effort cleanup of the superseded version
+    writeMetaAtomic(fs, dir, Meta(timestampMicros, dataDir, state.schema), version)
+    // best-effort cleanup of superseded versions (new readers already
+    // resolve to the latest meta)
     old.filter(_.dataDir != dataDir).foreach { m =>
-      try fs.delete(new Path(dir, m.dataDir), true) catch { case _: Exception => () }
+      try {
+        fs.delete(new Path(dir, m.dataDir), true)
+        fs.delete(new Path(dir, s"meta-${m.version}.json"), false)
+      } catch { case _: Exception => () }
     }
     spark.read.schema(state.schema).parquet(dataPath.toString)
   }
@@ -143,7 +161,11 @@ final class ParquetQueryCache(rootDir: String) extends QueryCache {
 }
 
 object ParquetQueryCache {
-  final case class Meta(timestampMicros: Long, dataDir: String, schema: StructType)
+  final case class Meta(timestampMicros: Long, dataDir: String,
+      schema: StructType) {
+    /** version = numeric suffix of the data dir */
+    def version: Long = dataDir.stripPrefix("data-").toLong
+  }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, p: Path): Meta = {
     val in = fs.open(p)
@@ -180,7 +202,7 @@ object ParquetQueryCache {
   }
 
   private def writeMetaAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      meta: Meta): Unit = {
+      meta: Meta, version: Long): Unit = {
     def esc(x: String): String =
       x.flatMap {
         case '"' => "\\\""
@@ -190,11 +212,11 @@ object ParquetQueryCache {
       }
     val json =
       s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}"}"""
-    val tmp = new Path(dir, s"meta.json.tmp-${meta.timestampMicros}")
+    val tmp = new Path(dir, s".meta-$version.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val target = new Path(dir, "meta.json")
-    if (fs.exists(target)) fs.delete(target, false)
+    val target = new Path(dir, s"meta-$version.json")
+    if (fs.exists(target)) fs.delete(target, false) // same-version rewrite
     require(fs.rename(tmp, target), s"atomic meta commit failed for $dir")
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Attribute, CurrentDate, CurrentTimestamp, Expression, Literal,
-  NamedExpression, Now}
+  LocalTimestamp, NamedExpression, Now}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
@@ -41,7 +41,7 @@ import graft.rewrite.Decompose.Decomposed
   * A query that fails any decision branch runs vanilla, with the reason
   * logged (reference decision points, src/aggregate.rs:97-203).
   */
-final class IncrementalAggExecutor(config: QueryCacheConfig) {
+final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
   /** state-schema per fingerprint — saves one full plan analysis per warm
     * run (the schema of a fingerprint's partial state never changes; a
@@ -87,6 +87,13 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
         catch {
           case e: CacheCapacityExceeded =>
             config.log.warn(c.fingerprint, s"state too large, running uncached: ${e.getMessage}")
+            None
+          case scala.util.control.NonFatal(e) =>
+            // the cache layer must never break a query: fall back to the
+            // vanilla plan (if the query itself is broken, vanilla
+            // execution raises the real error to the caller)
+            config.log.warn(c.fingerprint,
+              s"cache rewrite failed, running uncached: ${e.getMessage}")
             None
         }
     }
@@ -326,6 +333,8 @@ final class IncrementalAggExecutor(config: QueryCacheConfig) {
           case a: Attribute if a.semanticEquals(c.temporalAttr) =>
             UnresolvedAttribute(Seq(gName))
           case _: CurrentTimestamp | _: Now => Literal(now, TimestampType)
+          case _: LocalTimestamp =>
+            Literal(now, org.apache.spark.sql.types.TimestampNTZType)
           case _: CurrentDate => Literal((now / 86400000000L).toInt, DateType)
         }
         stored.filter(Shims.column(rewrittenBound))

@@ -25,14 +25,26 @@ import graft.exec.IncrementalAggExecutor
   * src/aggregate.rs:367). A thread-local guards the rule against firing
   * on its own internal queries; every action is one cache "run", exactly
   * like one `ctx.sql().collect()` in the reference.
+  *
+  * KNOWN LIMIT: by the time this rule runs, Catalyst's ComputeCurrentTime
+  * has already frozen `now()`/`current_timestamp()` to per-run literals,
+  * so a now()-relative filter fingerprints DIFFERENTLY on every run —
+  * such queries always miss here (and each run writes a fresh state
+  * entry). Use the [[graft.QueryCacheSession]] facade for now()-relative
+  * bounds (it sees the pre-freeze plan and handles them at bucket
+  * granularity); transparent mode is for static-bound/unbounded queries.
   */
 object QueryCacheTransparent {
-  @volatile private[ext] var config: Option[QueryCacheConfig] = None
+  @volatile private[ext] var executor: Option[IncrementalAggExecutor] = None
+  private[ext] def config: Option[QueryCacheConfig] = executor.map(_.config)
   private[ext] val inRewrite: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
-  /** register the shared config (used by both entry paths) */
-  def configure(cfg: QueryCacheConfig): Unit = { config = Some(cfg) }
+  /** register the shared config (used by both entry paths); one executor
+    * per config so its per-fingerprint schema memo survives across runs */
+  def configure(cfg: QueryCacheConfig): Unit = {
+    executor = Some(new IncrementalAggExecutor(cfg))
+  }
 
   /** enable on an already-running session */
   def enable(spark: SparkSession, cfg: QueryCacheConfig): Unit = {
@@ -45,7 +57,7 @@ object QueryCacheTransparent {
   def disable(spark: SparkSession): Unit = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[QueryCacheRule])
-    config = None
+    executor = None
   }
 }
 
@@ -62,15 +74,16 @@ final class QueryCacheRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    config match {
-      case Some(cfg) if !inRewrite.get() &&
+    executor match {
+      case Some(exec) if !inRewrite.get() &&
           plan.exists(_.isInstanceOf[Aggregate]) && !looksInternal(plan) =>
         inRewrite.set(true)
         try {
-          new IncrementalAggExecutor(cfg).rewritePlan(spark, plan).getOrElse(plan)
+          exec.rewritePlan(spark, plan).getOrElse(plan)
         } catch {
           case e: Exception =>
-            cfg.log.warn("-", s"transparent rewrite failed, running vanilla: ${e.getMessage}")
+            exec.config.log.warn("-",
+              s"transparent rewrite failed, running vanilla: ${e.getMessage}")
             plan
         } finally inRewrite.set(false)
       case _ => plan

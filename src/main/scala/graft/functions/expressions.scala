@@ -276,7 +276,9 @@ case class WordShingles(child: Expression, n: Int)
       .toLowerCase.split("\\s+").filter(_.nonEmpty)
     val out = new java.util.LinkedHashSet[String]()
     if (words.length < n) {
-      out.add(words.mkString(" "))
+      // no shingles for sub-n documents (SQL mirrors compute
+      // range(len - (n-1)) = empty; an "" fallback shingle would pair
+      // every short/empty doc with jaccard 1.0)
     } else {
       var i = 0
       while (i <= words.length - n) {

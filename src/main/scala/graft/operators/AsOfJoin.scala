@@ -40,7 +40,10 @@ object AsOfJoin {
       .withColumn("_is_left", lit(1))
       .withColumn("_payload", lit(null).cast(
         right.select(payload).schema.head.dataType))
+    // join semantics: NULL keys never match (Window.partitionBy would
+    // otherwise group null-keyed rows together and "match" them)
     val r = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(col(rightKey).as("_k"), col(rightTime).as("_t"),
         payload.as("_payload"))
       .withColumn("_is_left", lit(0))

@@ -57,6 +57,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0) // sub-n docs have no signature
     val sig = sh.withColumn("bands", minhash_band_hashes(col("sh"), k, bands))
     val buckets = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

@@ -18,11 +18,11 @@ object TextAnalysis {
   /** whitespace token count */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
-  /** BPE-ish token estimate: word-piece style segments — runs of letters,
-    * runs of digits, or single punctuation marks. */
+  /** BPE-ish token estimate: whitespace words plus punctuation marks each
+    * counted as their own token (subword splitting proper needs a
+    * vocabulary; words + punctuation is the standard cheap proxy). */
   def bpeTokenCount(text: Column): Column =
-    size(split(text, "\\s+")) +
-      size(split(text, "[^.,!?;:]")) - lit(1)
+    size(split(text, "\\s+")) + punctCount(text)
 
   private val punctClass = "[^.,!?;:'\"]"
 

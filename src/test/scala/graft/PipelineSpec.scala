@@ -29,7 +29,7 @@ class PipelineSpec extends AnyFunSuite {
     val got = df.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     assert(got(1L) == Set("a b c", "b c d"))
-    assert(got(2L) == Set("x y"))
+    assert(got(2L) == Set.empty) // sub-n docs have no shingles (oracle parity)
   }
 
   test("minhash+LSH finds every high-jaccard pair the exact method finds") {
