@@ -151,6 +151,16 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         else walk(child)
       case SubqueryAlias(_, child) => walk(child)
       case v: View => walk(v.child)
+      // grouping sets (cube/rollup): Expand replicates each input row per
+      // grouping set, nulling only the GROUP-EXPRESSION slots — the raw
+      // temporal column rides through every projection unchanged, so the
+      // watermark filter applied above Expand is equivalent to applying
+      // it on the scan. State = one row per (grouping set × key), merged
+      // like any other group.
+      case e: Expand =>
+        if (!e.projections.forall(_.forall(_.deterministic)))
+          shapeErr = Some("non-deterministic expand projection")
+        else walk(e.child)
       case leaf if Shims.isScanLeaf(leaf) => ()
       case other =>
         shapeErr = Some(s"input ${other.nodeName} beyond scan/filter/project — not cacheable")

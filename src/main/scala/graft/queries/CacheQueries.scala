@@ -98,6 +98,13 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
       }
     }),
+    // grouping sets: ROLLUP cached through the same cycle (state = one
+    // row per grouping-set × key; the reference never handles these)
+    "qc_incr_rollup" -> ((s, d) =>
+      coldAppendWarm(s, d, "rollup") { df =>
+        df.rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      }),
     // stable non-temporal predicate + non-temporal + temporal group mix
     "qc_incr_by_type" -> ((s, d) =>
       coldAppendWarm(s, d, "by_type") { df =>
@@ -130,6 +137,12 @@ object CacheQueries {
            min(value) AS min_value
          FROM events WHERE value > 1
          GROUP BY 1""",
+    "qc_incr_rollup" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events
+         GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
     "qc_incr_by_type" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
            count(*) AS cnt,

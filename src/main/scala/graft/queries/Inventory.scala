@@ -106,6 +106,29 @@ object Inventory {
         .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
         .select("o_custkey", "o_orderkey", "run_cnt", "prev_order")
     }),
+    // ---- window: RANGE frame over event-time (30-day trailing sum)
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-2592000L, Window.currentRow)
+      orders(s, d)
+        .withColumn("epoch_s",
+          unix_timestamp(col("o_orderdate").cast("timestamp")))
+        .withColumn("sum30d",
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w))
+        .select("o_orderkey", "sum30d")
+    }),
+    // ---- scalar functions: array family
+    "q_scalar_array" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        element_at(words, 1).as("w1"),
+        element_at(words, 5).as("w5"),
+        array_contains(split(lower(col("text")), " "), "spark").as("has_spark"),
+        size(array_distinct(words)).as("n_distinct"))
+    }),
     // ---- sort + limit = distributed top-k (TakeOrderedAndProject)
     "q_topk_orders" -> ((s, d) => {
       orders(s, d)
@@ -205,6 +228,19 @@ object Inventory {
            lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
                           ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order
          FROM orders""",
+    "q_window_range" ->
+      """SELECT o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS sum30d
+         FROM orders""",
+    "q_scalar_array" ->
+      """SELECT doc_id,
+           string_split(text, ' ')[1] AS w1,
+           string_split(text, ' ')[5] AS w5,
+           list_contains(string_split(lower(text), ' '), 'spark') AS has_spark,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+         FROM documents""",
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

