@@ -98,6 +98,14 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
       }
     }),
+    // exact COUNT(DISTINCT) via set-union state — mergeable across runs
+    // where the engine's expand-rewrite is not
+    "qc_incr_distinct" -> ((s, d) =>
+      coldAppendWarm(s, d, "distinct") { df =>
+        df.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("distinct_users"),
+            count(lit(1)).as("cnt"))
+      }),
     // grouping sets: ROLLUP cached through the same cycle (state = one
     // row per grouping-set × key; the reference never handles these)
     "qc_incr_rollup" -> ((s, d) =>
@@ -137,6 +145,11 @@ object CacheQueries {
            min(value) AS min_value
          FROM events WHERE value > 1
          GROUP BY 1""",
+    "qc_incr_distinct" ->
+      """SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS cnt
+         FROM events GROUP BY 1""",
     "qc_incr_rollup" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
            count(*) AS cnt,

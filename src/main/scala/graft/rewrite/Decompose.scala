@@ -48,8 +48,23 @@ object Decompose {
 
   /** None ⇒ this aggregate is not incrementally mergeable here. */
   def decompose(i: Int, agg: AggregateExpression): Option[Decomposed] = {
-    if (agg.isDistinct || agg.filter.isDefined) return None
+    if (agg.filter.isDefined) return None
     if (!agg.deterministic) return None
+    if (agg.isDistinct) {
+      // exact COUNT(DISTINCT x): state = the distinct value set itself,
+      // merged by set union — mergeable where the engine-side rewrite
+      // (expand + two-level agg) is not. State grows with the number of
+      // distinct values per group; the cache's maxStateRows guard is the
+      // backstop, approx_count_distinct the constant-size alternative.
+      return agg.aggregateFunction match {
+        case Count(Seq(child)) =>
+          val n = s"_s${i}_dset"
+          Some(Decomposed(
+            Seq(StateSpec(n, collect_set(Shims.column(child)), MSetUnion)),
+            size(col(n)).cast(agg.dataType)))
+        case _ => None
+      }
+    }
     val asCol = Shims.column(agg)
     agg.aggregateFunction match {
       case _: Count =>

@@ -126,11 +126,20 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.contains("not cacheable")), log.messages)
   }
 
-  test("bail: count distinct is not mergeable") {
+  test("exact count distinct caches via set-union state") {
+    def q(df: DataFrame) = df.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("u"),
+      count(lit(1)).as("cnt"))
+    val (warmDF, log) = coldAppendWarm("cdistinct")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull))
+  }
+
+  test("bail: non-mergeable aggregate (percentile) runs vanilla") {
     val log = new RecordingLog
     val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
       defaultTemporalColumn = "ts", log = log))
-    qcs.run(eventsFull.agg(countDistinct("user_id").as("u"))).collect()
+    qcs.run(eventsFull.agg(expr("percentile(value, 0.5)").as("p"))).collect()
     assert(log.messages.exists(_.contains("not incrementally mergeable")), log.messages)
   }
 
@@ -185,6 +194,16 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
     // different estimators (DataSketches HLL vs HLL++): compare loosely
     assert(math.abs(got - want) <= math.max(3.0, 0.1 * want), s"$got vs $want")
+  }
+
+  test("native window() bucketing caches via the default temporal column") {
+    def q(df: DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sv"))
+    val (warmDF, log) = coldAppendWarm("twindow")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull))
   }
 
   test("rollup/cube grouping sets: warm equals vanilla, hits") {
