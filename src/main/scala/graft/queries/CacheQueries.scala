@@ -98,6 +98,39 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
       }
     }),
+    // transparent optimizer-rule mode: plain DataFrame actions, no facade
+    // call — the warm result is materialized before the rule is removed
+    "qc_incr_transparent" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/transparent"
+      val wp = new Path(work)
+      val fs = wp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wp)) fs.delete(wp, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      ev.filter(col("ts") < splitTs).write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def q() = s.read.parquet(work)
+        .filter(col("event_type") =!= "error")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      import graft.ext.QueryCacheTransparent
+      try {
+        QueryCacheTransparent.enable(s, graft.QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = Some(splitMicros)))
+        q().collect() // cold, through the injected rule
+        ev.filter(col("ts") >= splitTs).write.mode("append").parquet(work)
+        ev.unpersist()
+        QueryCacheTransparent.configure(graft.QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts"))
+        val warmRows = q().collect() // warm hit, still transparent
+        s.createDataFrame(
+          java.util.Arrays.asList(warmRows: _*), q().schema)
+      } finally QueryCacheTransparent.disable(s)
+    }),
     // exact COUNT(DISTINCT) via set-union state — mergeable across runs
     // where the engine's expand-rewrite is not
     "qc_incr_distinct" -> ((s, d) =>
@@ -144,6 +177,12 @@ object CacheQueries {
            count(*) AS cnt,
            min(value) AS min_value
          FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_transparent" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events WHERE event_type <> 'error'
          GROUP BY 1""",
     "qc_incr_distinct" ->
       """SELECT event_type,
