@@ -83,16 +83,20 @@ object Decompose {
       case _: Max =>
         val n = s"_s${i}_max"
         Some(Decomposed(Seq(StateSpec(n, asCol, MMax)), col(n)))
-      case a: Average if !a.child.dataType.isInstanceOf[DecimalType] =>
-        // double-typed running sum matches Spark's own Average buffer for
-        // non-decimal inputs; decimal avg needs exact decimal state and is
-        // left uncached in v1.
+      case a: Average =>
+        // state carries (sum, count). Non-decimal input sums as double —
+        // the same buffer type Spark's Average uses; decimal input keeps
+        // the exact decimal sum and the final division casts to the
+        // exact avg output type.
         val child = Shims.column(a.child)
+        val sumState =
+          if (a.child.dataType.isInstanceOf[DecimalType]) sum(child)
+          else sum(child.cast("double"))
         val sn = s"_s${i}_sum"
         val cn = s"_s${i}_cnt"
         Some(Decomposed(
           Seq(
-            StateSpec(sn, sum(child.cast("double")), MSum),
+            StateSpec(sn, sumState, MSum),
             StateSpec(cn, count(child), MSum)),
           (col(sn) / col(cn)).cast(agg.dataType)))
       case h: HyperLogLogPlusPlus =>
@@ -111,6 +115,29 @@ object Decompose {
         Some(Decomposed(
           Seq(StateSpec(n, collect_set(Shims.column(c.child)), MSetUnion)),
           col(n)))
+      case m: MaxBy =>
+        // state = max(struct(ordering, value)): struct ordering is
+        // lexicographic, so the max carries the value at the max ordering.
+        // Ties on the ordering resolve to the largest value — Spark's own
+        // max_by is nondeterministic on ties, this is a deterministic
+        // refinement of it.
+        val n = s"_s${i}_maxby"
+        Some(Decomposed(
+          Seq(StateSpec(n,
+            // null ordering rows are skipped (null STRUCT is ignored by
+            // max; a struct with a null field would not be)
+            max(when(Shims.column(m.orderingExpr).isNotNull,
+              struct(Shims.column(m.orderingExpr).as("o"),
+                Shims.column(m.valueExpr).as("v")))), MMax)),
+          col(n).getField("v").cast(agg.dataType)))
+      case m: MinBy =>
+        val n = s"_s${i}_minby"
+        Some(Decomposed(
+          Seq(StateSpec(n,
+            min(when(Shims.column(m.orderingExpr).isNotNull,
+              struct(Shims.column(m.orderingExpr).as("o"),
+                Shims.column(m.valueExpr).as("v")))), MMin)),
+          col(n).getField("v").cast(agg.dataType)))
       case m: CentralMomentAgg
           if m.isInstanceOf[VarianceSamp] || m.isInstanceOf[VariancePop] ||
             m.isInstanceOf[StddevSamp] || m.isInstanceOf[StddevPop] =>

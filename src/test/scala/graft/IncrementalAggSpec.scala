@@ -222,6 +222,17 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmCube, qc(eventsFull))
   }
 
+  test("max_by / min_by cache via struct-extrema state") {
+    // unique ordering key (ts) so vanilla comparison is deterministic
+    def q(df: DataFrame) = df.groupBy(col("event_type")).agg(
+      max_by(col("event_id"), col("ts")).as("latest_event"),
+      min_by(col("event_id"), col("ts")).as("earliest_event"),
+      count(lit(1)).as("cnt"))
+    val (warmDF, log) = coldAppendWarm("maxby")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull))
+  }
+
   test("variance family: warm equals vanilla within numerical tolerance") {
     def q(df: DataFrame) = df.groupBy(col("event_type")).agg(
       stddev_samp(col("value")).as("sd"),
