@@ -169,6 +169,38 @@ object Inventory {
         ceil(col("o_totalprice")).as("price_ceil"),
         abs(col("o_totalprice") - lit(100000.0)).as("dist"))
     }),
+    // ---- aggregate + HAVING + ORDER BY chain
+    "q_agg_having" -> ((s, d) => {
+      orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+    }),
+    // ---- IN-subquery (Catalyst plans it as a left-semi join)
+    "q_subquery_in" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders_v
+               WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                                   WHERE c_mktsegment = 'BUILDING')""")
+    }),
+    // ---- pivot (conditional aggregation to columns)
+    "q_agg_pivot" -> ((s, d) => {
+      events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "click" -> "n_click", "view" -> "n_view", "purchase" -> "n_purchase"))
+    }),
+    // ---- set ops: intersect (distinct semantics)
+    "q_set_intersect" -> ((s, d) => {
+      val buyers = orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("custkey"))
+      val eventUsers = events(s, d).select(col("user_id").as("custkey"))
+      buyers.intersect(eventUsers)
+    }),
     // ---- grouping sets (rollup)
     "q_agg_rollup" -> ((s, d) => {
       lineitem(s, d)
@@ -271,6 +303,25 @@ object Inventory {
            ceil(o_totalprice) AS price_ceil,
            abs(o_totalprice - 100000.0) AS dist
          FROM orders""",
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+         FROM orders GROUP BY 1
+         HAVING count(*) >= 12""",
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')""",
+    "q_agg_pivot" ->
+      """SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+         FROM events GROUP BY 1""",
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+         INTERSECT
+         SELECT user_id AS custkey FROM events""",
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty, count(*) AS cnt
