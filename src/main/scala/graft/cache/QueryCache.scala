@@ -72,6 +72,22 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
 
   override def put(fingerprint: String, timestampMicros: Long,
       state: DataFrame): DataFrame = {
+    // set-valued state (collect_set / exact count-distinct) packs the
+    // whole value set into ONE row per group, so a row-count probe alone
+    // would materialize arbitrarily large arrays on the driver — bound
+    // total elements with a cheap aggregation first
+    import org.apache.spark.sql.functions.{coalesce, lit, size => asize, sum => asum}
+    val arrayCols = state.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    if (arrayCols.nonEmpty) {
+      val sums = arrayCols.map(f =>
+        coalesce(asum(asize(org.apache.spark.sql.functions.col(f.name))), lit(0L)))
+      val total = state.select(sums.reduce(_ + _).as("n"))
+        .collect().head.getLong(0)
+      if (total > maxStateRows)
+        throw new CacheCapacityExceeded(
+          s"set-state holds $total elements > maxStateRows=$maxStateRows")
+    }
     // limit-probe BEFORE materializing on the driver: an over-limit state
     // must throw CacheCapacityExceeded, not OOM the driver first
     val probeLimit = math.min(maxStateRows + 1, Int.MaxValue.toLong).toInt

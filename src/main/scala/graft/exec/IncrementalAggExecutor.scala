@@ -193,6 +193,21 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     if (temporalAttr.dataType != TimestampType)
       return bail(s"temporal column ${temporalAttr.name} is ${temporalAttr.dataType.simpleString}, not timestamp")
 
+    // grouping sets: the watermark filter sits ABOVE Expand, so the
+    // temporal attr must be a pass-through slot (identical attribute in
+    // every projection). A grouping-set slot is NULLED in subtotal
+    // projections — filtering on it would silently drop appended rows
+    // from the subtotal/grand-total state.
+    val expandNodes = agg.child.collect { case e: Expand => e }
+    val temporalNulledByExpand = expandNodes.exists { e =>
+      val idx = e.output.indexWhere(_.semanticEquals(temporalAttr))
+      idx >= 0 && !e.projections.forall { proj =>
+        proj(idx).isInstanceOf[Attribute]
+      }
+    }
+    if (temporalNulledByExpand)
+      return bail(s"temporal column ${temporalAttr.name} is a grouping-set slot (nulled per set) — not cacheable")
+
     // aggregate whitelist (SURVEY §7.1A; the reference instead inherits
     // DataFusion's generic partial state, README.md:34)
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)

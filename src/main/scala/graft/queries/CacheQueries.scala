@@ -28,32 +28,38 @@ object CacheQueries {
     * the state store once, shared by the cold and warm sessions — for the
     * durable scenario a FRESH handle is taken for the warm run to prove
     * the state round-trips through storage. */
-  def coldAppendWarm(spark: SparkSession, sfDir: String, tag: String,
-      cacheFactory: () => graft.cache.QueryCache = {
-        val shared = new MemoryQueryCache(); () => shared
-      })(q: DataFrame => DataFrame): DataFrame = {
+  /** events split at the 60th time percentile written to a fresh work
+    * dir; `appendRest()` appends the remainder (one shared scaffold for
+    * every cold/append/warm scenario) */
+  def splitWrite(spark: SparkSession, sfDir: String, tag: String)
+      : (String, Long, () => Unit) = {
     val ev = Tables.events(spark, sfDir).cache()
     val splitMicros = ev
       .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
       .first().getLong(0)
-
     val sfTag = new java.io.File(sfDir).getName
     val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/$tag"
     val workPath = new Path(work)
     val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(workPath)) fs.delete(workPath, true)
-
     val splitTs = timestamp_micros(lit(splitMicros))
     ev.filter(col("ts") < splitTs).write.mode("overwrite").parquet(work)
+    (work, splitMicros, () => {
+      ev.filter(col("ts") >= splitTs).write.mode("append").parquet(work)
+      ev.unpersist()
+    })
+  }
 
+  def coldAppendWarm(spark: SparkSession, sfDir: String, tag: String,
+      cacheFactory: () => graft.cache.QueryCache = {
+        val shared = new MemoryQueryCache(); () => shared
+      })(q: DataFrame => DataFrame): DataFrame = {
+    val (work, splitMicros, appendRest) = splitWrite(spark, sfDir, tag)
     val cold = QueryCacheSession(spark,
       QueryCacheConfig(cacheFactory(), defaultTemporalColumn = "ts",
         overrideNowMicros = Some(splitMicros)))
     cold.run(q(spark.read.parquet(work))).collect()
-
-    ev.filter(col("ts") >= splitTs).write.mode("append").parquet(work)
-    ev.unpersist()
-
+    appendRest()
     val warm = QueryCacheSession(spark,
       QueryCacheConfig(cacheFactory(), defaultTemporalColumn = "ts"))
     warm.run(q(spark.read.parquet(work)))
@@ -101,17 +107,7 @@ object CacheQueries {
     // transparent optimizer-rule mode: plain DataFrame actions, no facade
     // call — the warm result is materialized before the rule is removed
     "qc_incr_transparent" -> ((s, d) => {
-      val ev = Tables.events(s, d).cache()
-      val splitMicros = ev
-        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
-        .first().getLong(0)
-      val sfTag = new java.io.File(d).getName
-      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/transparent"
-      val wp = new Path(work)
-      val fs = wp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(wp)) fs.delete(wp, true)
-      val splitTs = timestamp_micros(lit(splitMicros))
-      ev.filter(col("ts") < splitTs).write.mode("overwrite").parquet(work)
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "transparent")
       val cache = new MemoryQueryCache()
       def q() = s.read.parquet(work)
         .filter(col("event_type") =!= "error")
@@ -122,8 +118,7 @@ object CacheQueries {
         QueryCacheTransparent.enable(s, graft.QueryCacheConfig(cache,
           defaultTemporalColumn = "ts", overrideNowMicros = Some(splitMicros)))
         q().collect() // cold, through the injected rule
-        ev.filter(col("ts") >= splitTs).write.mode("append").parquet(work)
-        ev.unpersist()
+        appendRest()
         QueryCacheTransparent.configure(graft.QueryCacheConfig(cache,
           defaultTemporalColumn = "ts"))
         val warmRows = q().collect() // warm hit, still transparent

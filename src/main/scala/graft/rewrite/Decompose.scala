@@ -151,7 +151,10 @@ object Decompose {
         val s1 = s"_s${i}_sum"
         val s2 = s"_s${i}_sumsq"
         val n = col(nn).cast("double")
-        val m2 = col(s2) - col(s1) * col(s1) / n // Σ(x-μ)²
+        // clamp: catastrophic cancellation can drive the raw-sums form a
+        // hair negative for (near-)constant groups, where sqrt would give
+        // NaN while Spark's central-moment buffer gives exactly 0.0
+        val m2 = greatest(col(s2) - col(s1) * col(s1) / n, lit(0.0)) // Σ(x-μ)²
         val variance = m match {
           case _: VarianceSamp | _: StddevSamp =>
             when(col(nn) === 0, lit(null))

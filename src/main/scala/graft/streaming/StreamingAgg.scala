@@ -38,6 +38,21 @@ object StreamingAgg {
       .groupBy(window(col(tsCol), windowWidth) +: groupCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
 
+  /** Session windows: activity bursts per key separated by `gap` of
+    * silence — the stateful window shape date_trunc buckets can't express
+    * (session extents depend on the data, not the clock). */
+  def sessionAgg(
+      stream: DataFrame,
+      tsCol: String,
+      gap: String,
+      watermarkDelay: String,
+      keyCols: Seq[Column],
+      aggCols: Seq[Column]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+
   /** The demo-equivalent query (examples/demo.rs:24) as a stream:
     * per-hour count/sum/avg over events with late data admitted up to
     * `watermarkDelay`. */

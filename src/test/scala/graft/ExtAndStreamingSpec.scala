@@ -99,6 +99,30 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     assert(kept.forall(_ < 10000)) // always the FIRST (lowest) id
   }
 
+  test("streaming session windows equal batch session windows") {
+    val work = tmpDir("session")
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(work)
+    val schema = spark.read.parquet(work).schema
+    val stream = spark.readStream.schema(schema).parquet(work)
+    val agg = StreamingAgg.sessionAgg(stream, "ts", "10 minutes", "1 minute",
+      keyCols = Seq(col("user_id")),
+      aggCols = Seq(count(lit(1)).as("cnt")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql(
+      "SELECT session_window.start AS s, user_id, cnt FROM session_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val want = ev
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start"), col("user_id"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming windowed agg equals batch windowed agg (no late data)") {
     val work = tmpDir("stream")
     val ev = Tables.events(spark, sf0001)

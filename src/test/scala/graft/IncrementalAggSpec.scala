@@ -244,6 +244,37 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull), tol = 1e-9)
   }
 
+  test("variance of a constant group is ~0, never NaN (cancellation clamp)") {
+    // value -> constant 0.1: the raw-sums m2 cancels to a tiny float of
+    // EITHER sign; unclamped, a negative residue under sqrt gave NaN.
+    // Spark's central-moment buffer yields exactly 0.0; the raw-sums form
+    // keeps a ~1e-9 stddev residue — the documented precision trade-off.
+    def q(df: DataFrame) = df.groupBy(col("event_type")).agg(
+      stddev_samp(lit(0.1) + col("value") * 0).as("sd"))
+    val (warmDF, log) = coldAppendWarm("varconst")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    warmDF.collect().foreach { r =>
+      assert(!r.getDouble(1).isNaN && r.getDouble(1) >= 0.0 &&
+        r.getDouble(1) < 1e-6, r)
+    }
+  }
+
+  test("bail: rollup over the bare temporal column (nulled grouping slot)") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    // ts is BOTH the temporal column and a grouping-set slot Expand nulls
+    // in the grand-total projection — filtering the delta on that slot
+    // would silently undercount subtotals, so it must run vanilla
+    val out = qcs.run(eventsFull
+      .rollup(col("ts"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")))
+    val vanilla = eventsFull.rollup(col("ts"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(out.count() == vanilla.count())
+    assert(log.messages.exists(_.contains("grouping-set slot")), log.messages)
+  }
+
   test("collect_set: warm equals vanilla as a set") {
     def q(df: DataFrame) = df
       .groupBy(col("event_type"))
