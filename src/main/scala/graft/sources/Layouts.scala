@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IVF
+
+/** Physical table layouts that make the engine's access patterns prune at
+  * scale. Correctness never depends on these; cost does — a 100 TB scan
+  * that cannot skip files pays for all 100 TB.
+  *
+  *  - [[writeTimeSeries]]: range-partition by the temporal column and
+  *    sort within partitions, with TIMESTAMP_MICROS output (INT96, the
+  *    default, stores no usable stats and defeats predicate pushdown).
+  *    Parquet row-group min/max become tight time ranges, so the
+  *    incremental cache's warm `ts >= watermark` filter skips history
+  *    physically (Bench measures ~99× fewer records read at 1% append).
+  *  - [[writeIvfIndexed]]: `partitionBy(ivf_cell)` so an ANN probe of
+  *    nProbe cells reads only those directories — partition pruning
+  *    turns query cost into O(cells probed / k), independent of corpus
+  *    size.
+  */
+object Layouts {
+
+  /** write an append-friendly time-ordered table */
+  def writeTimeSeries(df: DataFrame, path: String, tsCol: String = "ts",
+      buckets: Int = 16, mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      df.repartitionByRange(buckets, col(tsCol))
+        .sortWithinPartitions(tsCol)
+        .write.mode(mode).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  /** write an embedding table partitioned by IVF cell */
+  def writeIvfIndexed(emb: DataFrame, model: IVF.Model, path: String,
+      embCol: String = "embedding", mode: String = "overwrite"): Unit =
+    IVF.index(emb, model, embCol)
+      .write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+  /** read an IVF-partitioned table (ivf_cell comes back as a partition
+    * column; filters on it prune whole directories) */
+  def readIvfIndexed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
