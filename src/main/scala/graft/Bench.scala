@@ -57,13 +57,11 @@ object Bench {
     val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(workPath)) fs.delete(workPath, true)
     val splitTs = timestamp_micros(lit(splitUs))
-    // time-ordered layout (range partition + sort): parquet row-group
-    // min/max stats become tight, so the warm run's pushed `ts >= wm`
-    // filter skips the history physically — the layout any real
-    // append-only timeseries table has
-    base.filter(col("ts") < splitTs)
-      .repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(work)
+    // time-ordered layout: tight row-group stats let the warm run's
+    // pushed `ts >= wm` filter skip the history physically (see
+    // graft.sources.Layouts)
+    graft.sources.Layouts.writeTimeSeries(
+      base.filter(col("ts") < splitTs), work, "ts", buckets = 16)
 
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("cnt"))
@@ -74,9 +72,9 @@ object Bench {
     val (coldSec, coldRows) = timedScan(
       cold.run(q(spark.read.parquet(work))).collect())
 
-    base.filter(col("ts") >= splitTs)
-      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-      .write.mode("append").parquet(work)
+    graft.sources.Layouts.writeTimeSeries(
+      base.filter(col("ts") >= splitTs), work, "ts", buckets = 4,
+      mode = "append")
 
     val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
       defaultTemporalColumn = "ts"))

@@ -109,6 +109,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- cluster & survive
+
+  /** Connected components over near-duplicate pairs → one canonical
+    * (minimum-id) survivor per cluster.
+    *
+    * Distributed min-label propagation: every doc starts labeled with its
+    * own id; each round both endpoints of every edge adopt the smaller
+    * label; converged when no label changes. Rounds needed =
+    * O(log(longest path)) with the symmetric edge set — near-dup clusters
+    * are shallow in practice, and `maxIters` bounds the work. Each round
+    * is one join + one aggregation (all shuffles on id), nothing driver-
+    * side, so it holds at corpus scale.
+    *
+    * @param pairs (id_a, id_b) near-duplicate edges (from minhashPairs /
+    *              simhashPairs / ngramJaccardPairs / embedding pairs)
+    * @return (id, cluster_id) for every id that appears in a pair;
+    *         cluster_id = min id of its component
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.label") =!= col("l.label")).limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Drop all but the canonical doc of every near-duplicate cluster:
+    * the end-to-end dedup pipelines chain to (candidate pairs -> clusters
+    * -> anti-join). */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val toDrop = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(toDrop, Seq(idCol), "left_anti")
+  }
+
   // ----------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard pairs via inverted index: explode shingles,

@@ -43,6 +43,14 @@ object PipelineQueries {
       Dedup.exact(documents(s, d)).select("doc_id", "text", "n_copies")),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), threshold = 0.5)),
+    // end-to-end near-dup removal: candidate pairs -> connected
+    // components -> keep the min-id survivor of every cluster
+    "q_dedup_survivors" -> ((s, d) => {
+      val docsDF = documents(s, d)
+      Dedup.dropNearDuplicates(docsDF,
+          Dedup.ngramJaccardPairs(docsDF, threshold = 0.5))
+        .select("doc_id", "n_chars")
+    }),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
     "q_dedup_simhash" -> ((s, d) =>

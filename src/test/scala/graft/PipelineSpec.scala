@@ -135,6 +135,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(bounded < unbounded, s"tolerance never binds ($bounded vs $unbounded)")
   }
 
+  test("near-dup clustering matches driver-side union-find; survivors keep min id") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // survivors: everything except non-canonical cluster members
+    val survivors = Dedup.dropNearDuplicates(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = want.filter { case (id, c) => id != c }.keySet
+    assert(survivors == docs.collect().map(_.getLong(0)).toSet -- dropped)
+  }
+
   test("text analysis columns are sane") {
     val r = TextAnalysis.analyze(docs).collect()
     assert(r.length == docs.count())
