@@ -127,7 +127,8 @@ object Dedup {
     * @return (id, cluster_id) for every id that appears in a pair;
     *         cluster_id = min id of its component
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 20,
+      requireConverged: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -142,18 +143,32 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      // the changed flag rides in the SAME projection that builds the
+      // round's labels, so detecting convergence is a near-free scan of
+      // the materialized round — not a second join job; localCheckpoint
+      // every 3rd round truncates the otherwise round-deep lineage
+      val joined = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.label") =!= col("l.label")).limit(1).count() > 0
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("_chg"))
+      val updated =
+        if (i % 3 == 2) joined.localCheckpoint() else joined.cache()
+      val changed =
+        updated.filter(col("_chg")).limit(1).count() > 0
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("_chg")
       converged = !changed
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // min-label propagation needs O(component diameter) rounds; a chain
+      // longer than maxIters would otherwise silently split one component
+      val msg = s"label propagation did not converge within $maxIters rounds — " +
+        "cluster_ids may split long chains (raise maxIters)"
+      if (requireConverged) throw new IllegalStateException(msg)
+      System.err.println(s"[graft.Dedup.clusters] WARN: $msg")
+    }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -170,26 +185,42 @@ object Dedup {
 
   // ----------------------------------------------------- n-gram Jaccard
 
-  /** Exact n-gram Jaccard pairs via inverted index: explode shingles,
-    * self-join on the shingle, count shared, derive |union| from set
-    * sizes. Only pairs sharing ≥1 shingle are generated; a hot shingle
-    * (stopword trigram) fans out quadratically, so extremely frequent
-    * shingles can be dropped first at scale (df-style cutoff). */
+  /** Exact n-gram Jaccard pairs via a PREFIX-FILTERED inverted index.
+    *
+    * Plain inverted-index joins fan out quadratically on hot shingles (a
+    * stopword trigram shared by every doc). Prefix filtering (PPJoin
+    * family) fixes that WITHOUT losing recall: order all shingles by
+    * (document frequency asc, shingle asc) — a global total order with
+    * the rarest first — and index only each doc's first
+    * ⌊(1-t)·|sh|⌋+1 shingles under that order. Any pair with
+    * Jaccard ≥ t must share at least one prefix shingle (if all shared
+    * shingles sat beyond both prefixes, the intersection would be
+    * < t/(1+t)·(|A|+|B|), forcing J < t), so candidate generation is
+    * exact — and a hot shingle lands at the END of the order, where it
+    * is almost never part of a prefix. Candidates are then verified with
+    * the true Jaccard over the full shingle sets.
+    *
+    * Cost at scale: one df-count aggregation + a per-doc sort of its own
+    * shingles (window-free: done with array functions after a map-side
+    * join of df onto the exploded index), then an equi-join whose fan-out
+    * per shingle is bounded by that shingle's PREFIX df, not its raw df. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val shared = inv.as("x").join(inv.as("y"),
+    val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rank each doc's shingles by (df asc, shingle asc); keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv.join(df, "shingle")
+      .withColumn("_rk", row_number().over(w))
+      .join(sh.select(col("id"), size(col("sh")).as("sz")), "id")
+      .filter(col("_rk") <= floor(lit(1.0 - threshold) * col("sz")).cast("int") + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("sz_a") + col("sz_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
 }

@@ -70,27 +70,34 @@ object Similarity {
     * `bands` independent sketches of `planesPerBand` bits each; a pair is
     * a candidate if it collides in ANY band (recall ≈
     * 1-(1-p^planesPerBand)^bands with p = 1 - θ/π), then verified with
-    * exact cosine. More planes per band ⇒ smaller buckets ⇒ fewer false
-    * candidates (cost), fewer bands ⇒ lower recall — tune per corpus.
-    * Never materializes the all-pairs product. */
+    * exact cosine. Tune the banding to the threshold: high thresholds
+    * (0.95) afford many planes per band (small buckets, cheap); low
+    * thresholds (0.4 ⇒ p ≈ 0.63) need few planes and many bands for
+    * recall — 3×64 gives ≈1-1e-8 at 0.4 at the cost of coarser buckets.
+    * Never materializes the all-pairs product.
+    *
+    * Shuffle discipline: the band self-join carries (id, band) ONLY —
+    * embedding vectors are re-joined just for the surviving candidate
+    * pairs, so the wide payload never rides the bands× exchange. */
   def nearDuplicatePairs(emb: DataFrame, threshold: Double = 0.95,
       bands: Int = 16, planesPerBand: Int = 12, dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val withBands = emb.select(
-      Seq(col(idCol).as("id"), col(embCol).as("e")) ++
-        (0 until bands).map(b =>
-          bucketExpr(col(embCol), dim, planesPerBand, seed + b * 7919L)
-            .as(s"_b$b")): _*)
-    val banded = withBands.select(col("id"), col("e"),
-      posexplode(array((0 until bands).map(b => col(s"_b$b")): _*))
+    val vecs = emb.select(col(idCol).as("id"), col(embCol).as("e"))
+    val banded = vecs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        bucketExpr(col("e"), dim, planesPerBand, seed + b * 7919L)): _*))
         .as(Seq("band_idx", "band_val")))
-    banded.as("x").join(banded.as("y"),
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        cosine_similarity(col("x.e"), col("y.e")).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("e").as("e_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("e").as("e_b")), "id_b")
+      .withColumn("cosine", cosine_similarity(col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

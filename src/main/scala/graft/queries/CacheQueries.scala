@@ -65,8 +65,13 @@ object CacheQueries {
     warm.run(q(spark.read.parquet(work)))
   }
 
+  /** exact decimal sum, widened to DuckDB's SUM output type DECIMAL(38,4)
+    * so the oracle compare is type-identical; the cache rewrite preserves
+    * the outer cast (it wraps the aggregate, the finalize expression is
+    * substituted underneath it) */
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 4))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // no-group-by path (reference README feature 2; demo.rs:26 shape)
@@ -168,7 +173,7 @@ object CacheQueries {
          FROM events WHERE value > 1
          GROUP BY 1""",
     "qc_incr_durable" ->
-      """SELECT date_trunc('day', ts) AS day,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,
            min(value) AS min_value
          FROM events WHERE value > 1
@@ -185,13 +190,13 @@ object CacheQueries {
            count(*) AS cnt
          FROM events GROUP BY 1""",
     "qc_incr_rollup" ->
-      """SELECT date_trunc('day', ts) AS day, event_type,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            count(*) AS cnt,
            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
     "qc_incr_by_type" ->
-      """SELECT event_type, date_trunc('day', ts) AS day,
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,
            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
          FROM events WHERE event_type IN ('click', 'view', 'error')

