@@ -113,11 +113,21 @@ object Bench {
           recordsRead.add(t.taskMetrics.inputMetrics.recordsRead)
     })
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // hygiene: one untimed warmup JITs the scan/shuffle/agg paths before
+    // anything is measured, and any cache entries a query leaks are
+    // cleared before the next so one bad citizen can't poison the rest
+    spark.range(1L << 20).select(sum("id")).collect()
+    Tables.events(spark, sfDir).count()
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> sec
+      }
 
     val incr = Seq(0.01, 0.10).flatMap(p =>
       try incremental(spark, sfDir, p, mult).toSeq

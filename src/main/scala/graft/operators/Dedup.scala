@@ -58,6 +58,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0) // sub-n docs have no signature
+      .localCheckpoint() // one materialization feeds signature + verify sides
     val sig = sh.withColumn("bands", minhash_band_hashes(col("sh"), k, bands))
     val buckets = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -114,28 +115,35 @@ object Dedup {
   /** Connected components over near-duplicate pairs → one canonical
     * (minimum-id) survivor per cluster.
     *
-    * Distributed min-label propagation: every doc starts labeled with its
-    * own id; each round both endpoints of every edge adopt the smaller
-    * label; converged when no label changes. Rounds needed =
-    * O(log(longest path)) with the symmetric edge set — near-dup clusters
-    * are shallow in practice, and `maxIters` bounds the work. Each round
-    * is one join + one aggregation (all shuffles on id), nothing driver-
-    * side, so it holds at corpus scale.
+    * Distributed min-label propagation WITH SHORTCUTTING (pointer
+    * doubling): every doc starts labeled with its own id; each round a
+    * node takes the min of (its label, its neighbors' labels, the label
+    * OF its label). The label-of-label hop halves chain depth every
+    * round, giving genuine O(log diameter) convergence — plain
+    * single-hop propagation needs O(diameter) rounds. Each round is two
+    * equi-joins + one aggregation (all shuffles on id), nothing
+    * driver-side, so it holds at corpus scale.
+    *
+    * Hygiene: every round (and the returned result) is materialized via
+    * localCheckpoint, never cache() — checkpoint blocks are released by
+    * the ContextCleaner once unreferenced, so repeated calls leave no
+    * residue in the shared session's CacheManager.
     *
     * @param pairs (id_a, id_b) near-duplicate edges (from minhashPairs /
     *              simhashPairs / ngramJaccardPairs / embedding pairs)
     * @return (id, cluster_id) for every id that appears in a pair;
     *         cluster_id = min id of its component
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 20,
+  def clusters(pairs: DataFrame, maxIters: Int = 8,
       requireConverged: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -143,29 +151,28 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      // the changed flag rides in the SAME projection that builds the
-      // round's labels, so detecting convergence is a near-free scan of
-      // the materialized round — not a second join job; localCheckpoint
-      // every 3rd round truncates the otherwise round-deep lineage
-      val joined = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("_chg"))
-      val updated =
-        if (i % 3 == 2) joined.localCheckpoint() else joined.cache()
-      val changed =
-        updated.filter(col("_chg")).limit(1).count() > 0
-      labels.unpersist()
+      val lmap = labels.select(col("id").as("pid"), col("label").as("plabel"))
+      // one-hop neighbor min, then shortcut through the previous round's
+      // label map (label-of-label); the changed flag rides in the same
+      // projection, so convergence detection is a near-free scan of the
+      // materialized round, not a second join job
+      val joined = labels.select(col("id"), col("label").as("l0"))
+        .join(neighborMin, col("id") === col("id2"), "left")
+        .withColumn("l1", least(col("l0"), coalesce(col("nlabel"), col("l0"))))
+        .join(lmap, col("l1") === col("pid"), "left")
+        .withColumn("l2", least(col("l1"), coalesce(col("plabel"), col("l1"))))
+        .select(col("id"), col("l2").as("label"), (col("l2") < col("l0")).as("_chg"))
+      val updated = joined.localCheckpoint() // eager; truncates lineage every round
+      val changed = updated.filter(col("_chg")).limit(1).count() > 0
       labels = updated.drop("_chg")
       converged = !changed
       i += 1
     }
-    edges.unpersist()
     if (!converged) {
-      // min-label propagation needs O(component diameter) rounds; a chain
-      // longer than maxIters would otherwise silently split one component
+      // with shortcutting, maxIters rounds cover components of diameter
+      // ~2^maxIters; hitting the bound still means possibly-split clusters
       val msg = s"label propagation did not converge within $maxIters rounds — " +
-        "cluster_ids may split long chains (raise maxIters)"
+        "cluster_ids may split extremely deep components (raise maxIters)"
       if (requireConverged) throw new IllegalStateException(msg)
       System.err.println(s"[graft.Dedup.clusters] WARN: $msg")
     }
@@ -200,23 +207,30 @@ object Dedup {
     * is almost never part of a prefix. Candidates are then verified with
     * the true Jaccard over the full shingle sets.
     *
-    * Cost at scale: one df-count aggregation + a per-doc sort of its own
-    * shingles (window-free: done with array functions after a map-side
-    * join of df onto the exploded index), then an equi-join whose fan-out
-    * per shingle is bounded by that shingle's PREFIX df, not its raw df. */
+    * Window-free plan: annotate the exploded index with each shingle's
+    * df (equi-join on the shingle key), collect each doc's (df, shingle)
+    * structs back with one groupBy(id), and take the prefix with
+    * sort_array + slice — struct ordering is exactly (df asc, shingle
+    * asc), and a per-doc array sort costs |doc| log |doc| inside one
+    * task instead of a global window sort. The doc's set size needed for
+    * the prefix length is just size(collect_list(...)) — no extra
+    * sizes join. Total: 3 shuffles (df count, collect-back, candidate
+    * self-join) before the candidate-only verify. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // materialized ONCE (index build + both verify sides read it); a
+    // localCheckpoint leaves no CacheManager residue — blocks are freed
+    // by the ContextCleaner when the result is no longer referenced
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // rank each doc's shingles by (df asc, shingle asc); keep the prefix
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
     val prefix = inv.join(df, "shingle")
-      .withColumn("_rk", row_number().over(w))
-      .join(sh.select(col("id"), size(col("sh")).as("sz")), "id")
-      .filter(col("_rk") <= floor(lit(1.0 - threshold) * col("sz")).cast("int") + 1)
-      .select(col("id"), col("shingle"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("df"), col("shingle"))).as("ds"))
+      .select(col("id"), explode(slice(sort_array(col("ds")), lit(1),
+        (floor(lit(1.0 - threshold) * size(col("ds"))) + lit(1)).cast("int"))).as("p"))
+      .select(col("id"), col("p.shingle").as("shingle"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -70,11 +70,16 @@ object Similarity {
     * `bands` independent sketches of `planesPerBand` bits each; a pair is
     * a candidate if it collides in ANY band (recall ≈
     * 1-(1-p^planesPerBand)^bands with p = 1 - θ/π), then verified with
-    * exact cosine. Tune the banding to the threshold: high thresholds
-    * (0.95) afford many planes per band (small buckets, cheap); low
-    * thresholds (0.4 ⇒ p ≈ 0.63) need few planes and many bands for
-    * recall — 3×64 gives ≈1-1e-8 at 0.4 at the cost of coarser buckets.
-    * Never materializes the all-pairs product.
+    * exact cosine.
+    *
+    * ONLY for genuinely high thresholds (≥ ~0.85), where a collision
+    * probability p close to 1 lets many planes per band keep buckets
+    * small AND recall high. At low thresholds (p ≈ 0.63 at 0.4) no
+    * banding is simultaneously cheap and complete — few planes per band
+    * means each band's buckets self-join ~(N/2^planes)² pairs, i.e. the
+    * candidate set EXCEEDS the all-pairs product. For a low-threshold
+    * sweep, or whenever the corpus has no similarity gap above the
+    * threshold, use [[exactPairs]] instead.
     *
     * Shuffle discipline: the band self-join carries (id, band) ONLY —
     * embedding vectors are re-joined just for the surviving candidate
@@ -96,6 +101,67 @@ object Similarity {
     cand
       .join(vecs.select(col("id").as("id_a"), col("e").as("e_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("e").as("e_b")), "id_b")
+      .withColumn("cosine", cosine_similarity(col("e_a"), col("e_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** EXACT cosine-threshold pairs via IVF-cell blocking with a
+    * centroid-angle pruning bound. Complete at ANY threshold — unlike
+    * LSH banding, which needs a similarity gap for recall 1.
+    *
+    * Each vector is assigned to its nearest of `cells` spherical-k-means
+    * centroids (graft.operators.IVF). For cells c1, c2 with angular radii
+    * r1, r2 (max member-to-centroid angle), the triangle inequality on
+    * the sphere gives: any pair (a ∈ c1, b ∈ c2) with angle(a,b) ≤
+    * acos(threshold) must satisfy angle(cen1,cen2) ≤ acos(threshold) +
+    * r1 + r2 — so cell pairs violating that bound are pruned with zero
+    * recall loss. Surviving cell pairs are paired exactly (equi-join on
+    * the cell key, cosine verify in the same codegen stage; the N²-ish
+    * join OUTPUT is filtered where it is produced and never shuffled).
+    *
+    * Scale: with a selective threshold (or clustered data) the bound
+    * prunes most of the `cells²` block matrix, so cost ≈ matching blocks
+    * only; in the worst case (low threshold over isotropic data, where
+    * the OUTPUT itself is Ω(N²/const)) it degrades to a well-partitioned
+    * exact all-pairs — never worse, unlike banding which multiplies the
+    * all-pairs cost by a constant (r2 verdict: 64×3 banding = ~4N²). */
+  def exactPairs(emb: DataFrame, threshold: Double, cells: Int = 32,
+      seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val model = IVF.fit(emb, k = cells, seed = seed, idCol = idCol, embCol = embCol)
+    val assigned = IVF.index(emb, model, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("ivf_cell").as("cell"))
+    val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    // per-cell angular radius: one narrow aggregation, `cells` rows collected
+    val radii: Map[Int, Double] = assigned
+      .groupBy("cell")
+      .agg(min(cosine_similarity(col("e"), element_at(centsLit, col("cell") + 1))).as("mc"))
+      .collect()
+      .map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
+      .toMap
+    val tAngle = math.acos(clamp(threshold))
+    def centAngle(i: Int, j: Int): Double = {
+      val (a, b) = (model.centroids(i), model.centroids(j))
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < a.length) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }
+      if (na == 0 || nb == 0) 0.0 else math.acos(clamp(dot / math.sqrt(na * nb)))
+    }
+    // ordered cell pairs (both directions; the id_a < id_b join residual
+    // then yields each unordered vector pair exactly once — no distinct)
+    val keep = for {
+      i <- 0 until model.k; j <- 0 until model.k
+      ri <- radii.get(i); rj <- radii.get(j) // cells with no members pair with nothing
+      if i == j || centAngle(i, j) <= tAngle + ri + rj
+    } yield (i, j)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cellPairs = keep.toDF("ca", "cb")
+    val x = assigned.select(col("id").as("id_a"), col("e").as("e_a"), col("cell").as("ca"))
+    val y = assigned.select(col("id").as("id_b"), col("e").as("e_b"), col("cell").as("cb"))
+    val xp = x.join(broadcast(cellPairs), Seq("ca"))
+    xp.join(y, xp("cb") === y("cb") && col("id_a") < col("id_b"))
       .withColumn("cosine", cosine_similarity(col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

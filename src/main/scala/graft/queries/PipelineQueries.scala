@@ -81,12 +81,12 @@ object PipelineQueries {
       IVF.search(IVF.index(emb, model), model, q, k = 10, nProbe = 8)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
-    // low threshold (0.4) ⇒ recall-driven banding: 3 planes × 64 bands
-    // (recall ≈ 1-1e-8 at p = 1-acos(0.4)/π ≈ 0.63); verified exact vs
-    // the all-pairs DuckDB oracle
+    // this corpus has a CONTINUOUS cosine tail (pairs at 0.40, 0.45, …,
+    // no gap), so no LSH banding can have recall 1 at threshold 0.4 —
+    // exact cell-blocked pairing is the only oracle-faithful algorithm
+    // (and at selective thresholds its centroid-angle bound prunes blocks)
     "q_embed_neardup" -> ((s, d) =>
-      Similarity.nearDuplicatePairs(embeddings(s, d), threshold = 0.4,
-        bands = 64, planesPerBand = 3)
+      Similarity.exactPairs(embeddings(s, d), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
     // -------------------------------------------------- as-of / range join
     "q_asof_join" -> ((s, d) => {
@@ -321,9 +321,9 @@ object PipelineQueries {
          comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)""",
-    // all-pairs exact cosine in double precision; the 3×64 banding has
-    // recall ≈ 1-1e-8 at 0.4 and (being deterministic) found every
-    // qualifying pair of this corpus — verified equal to this oracle
+    // all-pairs exact cosine in double precision; exactPairs' centroid-
+    // angle bound is lossless, so the result matches this oracle by
+    // construction at any threshold
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(CAST(list_cosine_similarity(a.embedding::DOUBLE[],
