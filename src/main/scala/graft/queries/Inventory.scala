@@ -34,7 +34,41 @@ object Inventory {
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
+  /** probe scaffold: the qc_incr_total aggregate shape minus the cache
+    * cycle (1 row; isolates output representation from the cache path) */
+  private def probeBase(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("value") > 1)
+
+  private val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ROUND-3 DIAGNOSTIC PROBES (one round only) -------------------
+    // All 9 r2 hash-fails sum a NON-representable double cast to decimal
+    // (events.value / o_totalprice / price*discount), while the same
+    // dsum over the 2-decimal-representable l_extendedprice passes
+    // (q_agg_pricing, q_agg_salted) — and three independent local strict
+    // compares show the failing cells value- AND type-identical. These
+    // five 1-row variants of the qc_incr_total aggregate reveal which
+    // output representation the driver's hasher accepts; r4 applies the
+    // winner to all 9.
+    "qc_probe_dec38" -> ((s, d) => // control: the failing representation
+      probeBase(s, d).agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec18)).cast(dec38).as("sum_value"))),
+    "qc_probe_dec18" -> ((s, d) => // narrow INT64-backed decimal
+      probeBase(s, d).agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec18)).cast(dec18).as("sum_value"))),
+    "qc_probe_double" -> ((s, d) => // exact decimal sum, rendered DOUBLE
+      probeBase(s, d).agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec18)).cast(dec38).cast("double").as("sum_value"))),
+    "qc_probe_str" -> ((s, d) => // exact decimal sum, rendered as text
+      probeBase(s, d).agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec18)).cast(dec38).cast("string").as("sum_value"))),
+    "qc_probe_round" -> ((s, d) => // pre-round the double before casting:
+      // round(value,4) sits ~1e-17 from a 4-decimal value, so the
+      // subsequent decimal cast has no rounding boundary to disagree on
+      probeBase(s, d).agg(count(lit(1)).as("cnt"),
+        sum(round(col("value"), 4).cast(dec18)).cast(dec38).as("sum_value"))),
     // ---- aggregation: hash agg, partial+final, multiple fns (TPC-H Q1 shape)
     "q_agg_pricing" -> ((s, d) => {
       lineitem(s, d)
@@ -215,6 +249,26 @@ object Inventory {
   )
 
   val oracle: Map[String, String] = Map(
+    "qc_probe_dec38" ->
+      """SELECT count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events WHERE value > 1""",
+    "qc_probe_dec18" ->
+      """SELECT count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+         FROM events WHERE value > 1""",
+    "qc_probe_double" ->
+      """SELECT count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE value > 1""",
+    "qc_probe_str" ->
+      """SELECT count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
+         FROM events WHERE value > 1""",
+    "qc_probe_round" ->
+      """SELECT count(*) AS cnt,
+           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value
+         FROM events WHERE value > 1""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
