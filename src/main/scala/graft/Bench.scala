@@ -40,11 +40,47 @@ object Bench {
     (sec, recordsRead.sum())
   }
 
+  /** Equalize I/O state before each timed incremental run: at the scale
+    * this cache targets, no run finds its table in a page cache — a
+    * measurement where cold happens to re-read what the writer just
+    * cached (or vanilla pays the eviction another run caused) measures
+    * the OS, not the plan. Root-only; silently best-effort elsewhere. */
+  private def dropOsPageCache(): Unit =
+    try {
+      new ProcessBuilder("sync").start().waitFor()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+      ()
+    } catch { case _: Throwable => () }
+
+  /** JIT the whole cache code path (decide/decompose/put/replay) on a
+    * throwaway 2-row table so the timed runs below measure scan+plan
+    * work, not first-call class loading and interpreter warmup. */
+  private def warmupCachePath(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val work = s"${sys.props("java.io.tmpdir")}/graft_bench/jit"
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.5),
+      (java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2.5))
+      .toDF("ts", "value").write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def q() = spark.read.parquet(work).filter(col("value") > 1)
+      .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("cnt"))
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts")).run(q()).collect()
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts")).run(q()).collect()
+  }
+
   /** cold/warm/vanilla seconds + scan row counts for one append fraction */
   private def incremental(spark: SparkSession, sfDir: String, pct: Double,
       mult: Int): Map[String, Double] = {
     val tag = (pct * 100).toInt
+    // range-partition the SMALL source before the ×mult explode: each
+    // partition's explode output stays time-ordered with disjoint ranges,
+    // so the multiplied history writes in parallel WITHOUT shuffling the
+    // multiplied rows (the source table is verified time-ordered)
     val base = Tables.events(spark, sfDir)
+      .repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
       .withColumn("_i", explode(sequence(lit(0), lit(mult - 1))))
       .withColumn("event_id", col("event_id") * mult + col("_i"))
       .withColumn("value", col("value") + col("_i") * 0.001)
@@ -59,43 +95,68 @@ object Bench {
     val splitTs = timestamp_micros(lit(splitUs))
     // time-ordered layout: tight row-group stats let the warm run's
     // pushed `ts >= wm` filter skip the history physically (see
-    // graft.sources.Layouts)
-    graft.sources.Layouts.writeTimeSeries(
-      base.filter(col("ts") < splitTs), work, "ts", buckets = 16)
+    // graft.sources.Layouts); order-preserving fast path — the range
+    // shuffle of the multiplied rows would dominate setup
+    graft.sources.Layouts.writeTimeSeriesPresorted(
+      base.filter(col("ts") < splitTs), work)
 
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("cnt"))
 
-    val cache = new MemoryQueryCache()
-    val cold = QueryCacheSession(spark, QueryCacheConfig(cache,
-      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
-    val (coldSec, coldRows) = timedScan(
-      cold.run(q(spark.read.parquet(work))).collect())
+    // untimed primer JITs the decode/agg path for this schema; the page
+    // cache it populates is dropped again before every timed run
+    val workSchema = spark.read.parquet(work).schema
+    def readWork() = spark.read.schema(workSchema).parquet(work)
+    readWork().agg(max(col("ts")), sum(col("value"))).collect()
+
+    // median of 3 independent repetitions per measurement: single-shot
+    // numbers at this size are dominated by disk/page-cache noise (the
+    // same run varies 3-5× shot to shot). Each repetition gets its own
+    // cache so every cold is a true cold and every warm replays the same
+    // cold-state + 1% append transition.
+    val reps = 3
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val caches = Vector.fill(reps)(new MemoryQueryCache())
+
+    val colds = caches.map { cache =>
+      val cold = QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+      dropOsPageCache()
+      timedScan(cold.run(q(readWork())).collect())
+    }
 
     graft.sources.Layouts.writeTimeSeries(
       base.filter(col("ts") >= splitTs), work, "ts", buckets = 4,
       mode = "append")
 
-    val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
-      defaultTemporalColumn = "ts"))
-    val (warmSec, warmRows) = timedScan(
-      warm.run(q(spark.read.parquet(work))).collect())
-    val (vanillaSec, vanillaRows) = timedScan(
-      q(spark.read.parquet(work)).collect())
+    val warms = caches.map { cache =>
+      val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts"))
+      dropOsPageCache()
+      timedScan(warm.run(q(readWork())).collect())
+    }
+    val vanillas = (1 to reps).map { _ =>
+      dropOsPageCache()
+      timedScan(q(readWork()).collect())
+    }
 
     Map(
-      s"cold_${tag}pct_sec" -> coldSec,
-      s"warm_${tag}pct_sec" -> warmSec,
-      s"vanilla_${tag}pct_sec" -> vanillaSec,
-      s"cold_${tag}pct_rows" -> coldRows.toDouble,
-      s"warm_${tag}pct_rows" -> warmRows.toDouble,
-      s"vanilla_${tag}pct_rows" -> vanillaRows.toDouble)
+      s"cold_${tag}pct_sec" -> median(colds.map(_._1)),
+      s"warm_${tag}pct_sec" -> median(warms.map(_._1)),
+      s"vanilla_${tag}pct_sec" -> median(vanillas.map(_._1)),
+      s"cold_${tag}pct_rows" -> colds.head._2.toDouble,
+      s"warm_${tag}pct_rows" -> warms.head._2.toDouble,
+      s"vanilla_${tag}pct_rows" -> vanillas.head._2.toDouble)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "64").toInt
+    // ×8192 ⇒ ~800M event rows: the full-history scan then costs seconds
+    // while a 1% warm scan costs tens of ms — the regime the cache exists
+    // for. At ×64 every run was dominated by the constant ~0.3s of job
+    // scheduling + planning, which says nothing about scan savings.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "8192").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -129,6 +190,7 @@ object Bench {
         name -> sec
       }
 
+    try warmupCachePath(spark) catch { case _: Throwable => () }
     val incr = Seq(0.01, 0.10).flatMap(p =>
       try incremental(spark, sfDir, p, mult).toSeq
       catch { case _: Throwable => Seq.empty }).toMap

@@ -92,6 +92,14 @@ object Stability {
     // which must stay detectable as a bound side)
     case c: Cast => find(c.child, needles)
 
+    // subqueries: a PlanExpression's `deterministic` flag only describes
+    // its OUTER references, not the nested plan's data — `k IN (SELECT …)`
+    // would otherwise be classified Stable, get cached, and silently serve
+    // stale results when the subquery's table changes (the watermark only
+    // rescans the fact side; the subquery's sources aren't even part of
+    // the fingerprint). Bail out.
+    case e if e.exists(_.isInstanceOf[PlanExpression[_]]) => Abandon
+
     // generic fallback: deterministic expressions are stable across runs
     // unless they contain a now() leaf somewhere (Catalyst marks
     // current_timestamp deterministic because ComputeCurrentTime freezes

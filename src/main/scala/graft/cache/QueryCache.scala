@@ -72,29 +72,31 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
 
   override def put(fingerprint: String, timestampMicros: Long,
       state: DataFrame): DataFrame = {
+    // ONE job: a limit-probe before the collect looks safer but runs
+    // CollectLimitExec.executeTake's sequential partition waves (1, 4,
+    // 16, … partitions = several scheduled jobs) precisely when the state
+    // is small — the common case — multiplying warm-path latency. The
+    // driver-OOM guard is Spark's own spark.driver.maxResultSize, whose
+    // abort surfaces as a SparkException and falls back to an uncached
+    // run; the row/element bounds below keep the CacheCapacityExceeded
+    // semantics for everything that fits through that guard.
+    val rows = state.collect()
+    if (rows.length > maxStateRows)
+      throw new CacheCapacityExceeded(
+        s"state exceeds maxStateRows=$maxStateRows")
     // set-valued state (collect_set / exact count-distinct) packs the
-    // whole value set into ONE row per group, so a row-count probe alone
-    // would materialize arbitrarily large arrays on the driver — bound
-    // total elements with a cheap aggregation first
-    import org.apache.spark.sql.functions.{coalesce, lit, size => asize, sum => asum}
-    val arrayCols = state.schema.fields
-      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-    if (arrayCols.nonEmpty) {
-      val sums = arrayCols.map(f =>
-        coalesce(asum(asize(org.apache.spark.sql.functions.col(f.name))), lit(0L)))
-      val total = state.select(sums.reduce(_ + _).as("n"))
-        .collect().head.getLong(0)
+    // whole value set into ONE row per group — bound total elements too
+    val arrayIdx = state.schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => i }
+    if (arrayIdx.nonEmpty) {
+      var total = 0L
+      rows.foreach { r =>
+        arrayIdx.foreach(i => if (!r.isNullAt(i)) total += r.getSeq[Any](i).length)
+      }
       if (total > maxStateRows)
         throw new CacheCapacityExceeded(
           s"set-state holds $total elements > maxStateRows=$maxStateRows")
     }
-    // limit-probe BEFORE materializing on the driver: an over-limit state
-    // must throw CacheCapacityExceeded, not OOM the driver first
-    val probeLimit = math.min(maxStateRows + 1, Int.MaxValue.toLong).toInt
-    val rows = state.limit(probeLimit).collect()
-    if (rows.length > maxStateRows)
-      throw new CacheCapacityExceeded(
-        s"state exceeds maxStateRows=$maxStateRows")
     entries.put(fingerprint, (timestampMicros, state.schema, rows))
     state.sparkSession.createDataFrame(rows.toSeq.asJava, state.schema)
   }
@@ -118,7 +120,9 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
   * parallel parquet write and the warm read is a parallel parquet scan
   * that unions straight into the partial-merge aggregation.
   */
-final class ParquetQueryCache(rootDir: String) extends QueryCache {
+final class ParquetQueryCache(rootDir: String,
+    keepVersions: Int = 2,
+    graceMs: Long = 10L * 60 * 1000) extends QueryCache {
   import ParquetQueryCache._
 
   /** Latest committed meta version in `dir`. Meta files are immutable and
@@ -153,19 +157,60 @@ final class ParquetQueryCache(rootDir: String) extends QueryCache {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = latestMeta(fs, dir)
     val version = math.max(timestampMicros, old.map(_.version + 1).getOrElse(0L))
-    val dataDir = s"data-$version"
+    // unique per-writer suffix: two concurrent puts that compute the same
+    // version can never collide on a data directory (one meta rename wins;
+    // the loser's directory becomes an orphan collected by cleanup below)
+    val dataDir = s"data-$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataPath = new Path(dir, dataDir)
     state.write.mode("overwrite").parquet(dataPath.toString)
     writeMetaAtomic(fs, dir, Meta(timestampMicros, dataDir, state.schema), version)
-    // best-effort cleanup of superseded versions (new readers already
-    // resolve to the latest meta)
-    old.filter(_.dataDir != dataDir).foreach { m =>
-      try {
-        fs.delete(new Path(dir, m.dataDir), true)
-        fs.delete(new Path(dir, s"meta-${m.version}.json"), false)
-      } catch { case _: Exception => () }
-    }
+    // DEFERRED cleanup: a reader that resolved the previous meta — or a
+    // long warm scan still streaming an older data-<v> — must not get
+    // FileNotFound mid-read. Superseded versions stay on disk until they
+    // are ≥ keepVersions behind the head AND older than graceMs; only
+    // then are their meta + data (and any orphaned data dirs) deleted.
+    try cleanup(fs, dir) catch { case _: Exception => () }
     spark.read.schema(state.schema).parquet(dataPath.toString)
+  }
+
+  /** delete superseded/orphaned versions past the retention window */
+  private def cleanup(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val entries = fs.listStatus(dir)
+    val metas = entries
+      .filter(e => e.getPath.getName.startsWith("meta-") &&
+        e.getPath.getName.endsWith(".json"))
+      .flatMap(e => e.getPath.getName.stripPrefix("meta-")
+        .stripSuffix(".json").toLongOption.map(v => (v, e)))
+      .sortBy(-_._1)
+    val keptMetas = metas.take(math.max(1, keepVersions))
+    val liveDataDirs: Set[String] =
+      keptMetas.flatMap(m =>
+        try Some(readMeta(fs, m._2.getPath).dataDir)
+        catch { case _: Exception => None }).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    metas.drop(math.max(1, keepVersions)).foreach { case (v, e) =>
+      if (e.getModificationTime < cutoff) {
+        try {
+          val m = readMeta(fs, e.getPath)
+          if (!liveDataDirs.contains(m.dataDir))
+            fs.delete(new Path(dir, m.dataDir), true)
+          fs.delete(e.getPath, false)
+        } catch { case _: Exception => () }
+      }
+    }
+    // orphaned data dirs (losers of concurrent same-version puts): not
+    // referenced by any retained meta and past the grace period
+    entries.filter(e => e.isDirectory && e.getPath.getName.startsWith("data-"))
+      .foreach { e =>
+        val name = e.getPath.getName
+        val referenced = liveDataDirs.contains(name) ||
+          metas.exists { case (_, me) =>
+            try readMeta(fs, me.getPath).dataDir == name
+            catch { case _: Exception => false }
+          }
+        if (!referenced && e.getModificationTime < cutoff)
+          try fs.delete(e.getPath, true) catch { case _: Exception => () }
+      }
   }
 
   override def invalidate(fingerprint: String): Unit = {
@@ -179,8 +224,10 @@ final class ParquetQueryCache(rootDir: String) extends QueryCache {
 object ParquetQueryCache {
   final case class Meta(timestampMicros: Long, dataDir: String,
       schema: StructType) {
-    /** version = numeric suffix of the data dir */
-    def version: Long = dataDir.stripPrefix("data-").toLong
+    /** version = leading numeric component of the data dir name
+      * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
+    def version: Long =
+      dataDir.stripPrefix("data-").takeWhile(_.isDigit).toLong
   }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, p: Path): Meta = {

@@ -64,6 +64,19 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         * temporal column (reference src/aggregate.rs:136-181) */
       child: LogicalPlan)
 
+  /** dev-only phase timing (SPARK_GRAFT_TIMING=1): attributes warm-path
+    * wall-clock to decide/schema/put/splice without a profiler attached */
+  private val timing = sys.env.contains("SPARK_GRAFT_TIMING")
+  private def phase[A](tag: String)(f: => A): A =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[qc-timing] $tag%-18s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+      r
+    }
+
   def run(df: DataFrame): DataFrame = {
     val analyzed = Shims.queryExecution(df).analyzed
     rewritePlan(df.sparkSession, analyzed) match {
@@ -76,7 +89,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * rule): Some(replacement plan) when the query was cache-rewritten,
     * None to run vanilla. */
   def rewritePlan(spark: SparkSession, analyzed: LogicalPlan): Option[LogicalPlan] = {
-    decide(analyzed) match {
+    phase("decide")(decide(analyzed)) match {
       case Left((fp, reason)) =>
         config.log.info(fp, s"not caching: $reason")
         None
@@ -108,6 +121,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val agg = aggs.head
     val fp = Fingerprint.of(agg)
     def bail(msg: String) = Left((fp, msg))
+
+    // subqueries anywhere in the cached subtree's expressions make the
+    // entry unsound: a PlanExpression's deterministic flag ignores the
+    // nested plan's DATA, and its source tables are absent from the
+    // fingerprint — the watermark would never rescan them (parents ABOVE
+    // the aggregate are spliced back on top and re-run, so subqueries
+    // there remain fine)
+    def hasSubquery(es: Seq[Expression]): Boolean =
+      es.exists(_.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    if (hasSubquery(agg.aggregateExpressions) || hasSubquery(agg.groupingExpressions))
+      return bail("subquery inside aggregate — not cacheable")
 
     // temporal group-bys: at most one (reference src/aggregate.rs:97-104)
     val temporalGroups = TemporalGroupBy.findAll(agg.groupingExpressions, config)
@@ -148,6 +172,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case Project(exprs, child) =>
         if (!exprs.forall(_.deterministic))
           shapeErr = Some("non-deterministic projection under aggregate")
+        else if (hasSubquery(exprs))
+          shapeErr = Some("subquery in projection under aggregate — not cacheable")
         else walk(child)
       case SubqueryAlias(_, child) => walk(child)
       case v: View => walk(v.child)
@@ -292,8 +318,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // analysis-only: the state schema this plan produces (validates cached
     // state; mirrors CachedAggregateExec taking the partial plan's schema,
     // src/aggregate.rs:616-623)
-    val stateSchema = schemaMemo.getOrElseUpdate(c.fingerprint,
-      partialState(childDF0.limit(0)).schema)
+    val stateSchema = phase("stateSchema")(schemaMemo.getOrElseUpdate(c.fingerprint,
+      partialState(childDF0.limit(0)).schema))
 
     val entry = config.cache.get(c.fingerprint) match {
       case Some(cs) if !schemaCompatible(cs.schema, stateSchema) =>
@@ -303,27 +329,53 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case other => other
     }
 
-    val state = entry match {
+    val merged = entry match {
       case Some(cs) =>
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
         val newData = childDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
-        cs.read(spark).unionByName(partialState(newData))
+        // when every state column has a per-row unit form, appended rows
+        // feed the merge aggregation DIRECTLY (projected to state shape),
+        // skipping the separate partial-aggregate exchange+stage; merge
+        // over units equals merge over partials by the StateSpec.unit
+        // contract. HLL states have no unit form and take the 2-agg path.
+        val state =
+          if (stateSpecs.forall(_.unit.isDefined)) {
+            val unitCols = groupCols ++ stateSpecs.map(s =>
+              s.unit.get.cast(stateSchema(s.name).dataType).as(s.name))
+            cs.read(spark).unionByName(newData.select(unitCols: _*))
+          } else cs.read(spark).unionByName(partialState(newData))
+        val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
+        if (groupCols.isEmpty) state.agg(mergeCols.head, mergeCols.tail: _*)
+        else state.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
+          .agg(mergeCols.head, mergeCols.tail: _*)
       case None =>
         config.log.info(c.fingerprint, "cache miss")
+        // the partial aggregation already yields exactly one state row per
+        // group, and every merge op is identity on a single row — the
+        // miss path skips the merge exchange+aggregation entirely
         partialState(childDF)
     }
-
-    val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
-    val merged =
-      if (groupCols.isEmpty) state.agg(mergeCols.head, mergeCols.tail: _*)
-      else state.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
-        .agg(mergeCols.head, mergeCols.tail: _*)
 
     // store merged state stamped with this run's start time — hit or miss
     // (reference src/aggregate.rs:397-399); the returned frame replays
     // exactly what was stored, so the final answer is computed once from
-    // the stored state (CachedAggregateExec replay, src/aggregate.rs:680-688)
-    val stored = config.cache.put(c.fingerprint, now, merged)
+    // the stored state (CachedAggregateExec replay, src/aggregate.rs:680-688).
+    // WARM-run state-job latency tuning (cold runs scan the full history
+    // and keep every session default): AQE's per-shuffle-stage sub-jobs
+    // only add scheduling latency to a job whose output is ≤ one row per
+    // group, and the mostly-pruned scan packs into fewer tasks when tiny
+    // files aren't padded apart (openCost=0) and splits follow real bytes.
+    val stateConfs =
+      if (entry.isDefined)
+        Seq(
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.files.openCostInBytes" -> "0",
+          "spark.sql.files.minPartitionNum" -> "1",
+          "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString)
+      else Seq.empty
+    val stored = phase("cache.put")(
+      Shims.withSQLConf(spark, stateConfs: _*)(
+        config.cache.put(c.fingerprint, now, merged)))
 
     // finalize: original output expressions with aggregate functions
     // replaced by their finalize form over state columns, and group
@@ -354,13 +406,25 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val bounded = c.dynamicBound match {
       case Some(b) =>
         val gName = s"_g${c.temporalGroupIdx.get}"
+        // freeze now() leaves the way ComputeCurrentTime does: current_date
+        // and localtimestamp are WALL-CLOCK values in the session time
+        // zone, not UTC — a UTC-derived day literal would shift the bound
+        // by the zone offset (wrong day near midnight) in non-UTC sessions
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        val localNow = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(now / 1000000L, (now % 1000000L) * 1000L),
+          zone)
+        val localNowMicros =
+          localNow.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            localNow.getNano / 1000L
         val rewrittenBound = b.transform {
           case a: Attribute if a.semanticEquals(c.temporalAttr) =>
             UnresolvedAttribute(Seq(gName))
           case _: CurrentTimestamp | _: Now => Literal(now, TimestampType)
           case _: LocalTimestamp =>
-            Literal(now, org.apache.spark.sql.types.TimestampNTZType)
-          case _: CurrentDate => Literal((now / 86400000000L).toInt, DateType)
+            Literal(localNowMicros, org.apache.spark.sql.types.TimestampNTZType)
+          case _: CurrentDate =>
+            Literal(localNow.toLocalDate.toEpochDay.toInt, DateType)
         }
         stored.filter(Shims.column(rewrittenBound))
       case None => stored
@@ -370,7 +434,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // splice back under whatever sat above the aggregate, preserving the
     // original output exprIds so parents (HAVING/ORDER BY/projections)
     // resolve unchanged
-    val finalPlan = Shims.queryExecution(finalCore).analyzed
+    val finalPlan = phase("splice-analyze")(Shims.queryExecution(finalCore).analyzed)
     val aligned = Project(
       finalPlan.output.zip(c.agg.output).map { case (na, oo) =>
         Alias(na, oo.name)(exprId = oo.exprId)

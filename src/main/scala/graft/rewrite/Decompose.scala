@@ -39,8 +39,14 @@ object Decompose {
   case object MSetUnion extends MergeOp
 
   /** One stored state column: `partial` computes it from raw rows,
-    * `merge` recombines previously-stored copies of it. */
-  final case class StateSpec(name: String, partial: Column, merge: MergeOp)
+    * `merge` recombines previously-stored copies of it, and `unit`
+    * (when defined) is a PER-ROW expression whose merge equals the
+    * partial — i.e. merge(unit(row₁..rowₙ)) == partial(row₁..rowₙ).
+    * A defined unit lets the warm path feed appended rows STRAIGHT into
+    * the merge aggregation (union of state rows and unit rows), skipping
+    * one whole exchange+aggregate stage. */
+  final case class StateSpec(name: String, partial: Column, merge: MergeOp,
+      unit: Option[Column] = None)
 
   /** Decomposition of one AggregateExpression: its state columns plus the
     * finalize expression phrased over `col(stateName)` references. */
@@ -59,30 +65,40 @@ object Decompose {
       return agg.aggregateFunction match {
         case Count(Seq(child)) =>
           val n = s"_s${i}_dset"
+          val c = Shims.column(child)
           Some(Decomposed(
-            Seq(StateSpec(n, collect_set(Shims.column(child)), MSetUnion)),
+            Seq(StateSpec(n, collect_set(c), MSetUnion,
+              unit = Some(when(c.isNotNull, array(c)).otherwise(array())))),
             size(col(n)).cast(agg.dataType)))
         case _ => None
       }
     }
     val asCol = Shims.column(agg)
     agg.aggregateFunction match {
-      case _: Count =>
+      case c: Count =>
         val n = s"_s${i}_cnt"
+        // unit: 1 iff every counted child is non-null (count(*)'s literal
+        // child is never null, so its unit is constantly 1)
+        val allNotNull = c.children
+          .map(ch => Shims.column(ch).isNotNull)
+          .reduceOption(_ && _).getOrElse(lit(true))
         Some(Decomposed(
-          Seq(StateSpec(n, asCol, MSum)),
+          Seq(StateSpec(n, asCol, MSum,
+            unit = Some(when(allNotNull, lit(1L)).otherwise(lit(0L))))),
           col(n).cast(agg.dataType)))
-      case _: Sum =>
+      case sm: Sum =>
         val n = s"_s${i}_sum"
         Some(Decomposed(
-          Seq(StateSpec(n, asCol, MSum)),
+          Seq(StateSpec(n, asCol, MSum, unit = Some(Shims.column(sm.child)))),
           col(n).cast(agg.dataType)))
-      case _: Min =>
+      case mn: Min =>
         val n = s"_s${i}_min"
-        Some(Decomposed(Seq(StateSpec(n, asCol, MMin)), col(n)))
-      case _: Max =>
+        Some(Decomposed(Seq(StateSpec(n, asCol, MMin,
+          unit = Some(Shims.column(mn.child)))), col(n)))
+      case mx: Max =>
         val n = s"_s${i}_max"
-        Some(Decomposed(Seq(StateSpec(n, asCol, MMax)), col(n)))
+        Some(Decomposed(Seq(StateSpec(n, asCol, MMax,
+          unit = Some(Shims.column(mx.child)))), col(n)))
       case a: Average =>
         // state carries (sum, count). Non-decimal input sums as double —
         // the same buffer type Spark's Average uses; decimal input keeps
@@ -94,10 +110,14 @@ object Decompose {
           else sum(child.cast("double"))
         val sn = s"_s${i}_sum"
         val cn = s"_s${i}_cnt"
+        val sumUnit =
+          if (a.child.dataType.isInstanceOf[DecimalType]) child
+          else child.cast("double")
         Some(Decomposed(
           Seq(
-            StateSpec(sn, sumState, MSum),
-            StateSpec(cn, count(child), MSum)),
+            StateSpec(sn, sumState, MSum, unit = Some(sumUnit)),
+            StateSpec(cn, count(child), MSum,
+              unit = Some(when(child.isNotNull, lit(1L)).otherwise(lit(0L))))),
           (col(sn) / col(cn)).cast(agg.dataType)))
       case h: HyperLogLogPlusPlus =>
         // approx distinct: state = DataSketches HLL sketch (binary),
@@ -112,8 +132,10 @@ object Decompose {
           hll_sketch_estimate(col(n)).cast(agg.dataType)))
       case c: CollectSet =>
         val n = s"_s${i}_set"
+        val cc = Shims.column(c.child)
         Some(Decomposed(
-          Seq(StateSpec(n, collect_set(Shims.column(c.child)), MSetUnion)),
+          Seq(StateSpec(n, collect_set(cc), MSetUnion,
+            unit = Some(when(cc.isNotNull, array(cc)).otherwise(array())))),
           col(n)))
       case m: MaxBy =>
         // state = max(struct(ordering, value)): struct ordering is
@@ -122,21 +144,22 @@ object Decompose {
         // max_by is nondeterministic on ties, this is a deterministic
         // refinement of it.
         val n = s"_s${i}_maxby"
+        val mbUnit = when(Shims.column(m.orderingExpr).isNotNull,
+          struct(Shims.column(m.orderingExpr).as("o"),
+            Shims.column(m.valueExpr).as("v")))
         Some(Decomposed(
           Seq(StateSpec(n,
             // null ordering rows are skipped (null STRUCT is ignored by
             // max; a struct with a null field would not be)
-            max(when(Shims.column(m.orderingExpr).isNotNull,
-              struct(Shims.column(m.orderingExpr).as("o"),
-                Shims.column(m.valueExpr).as("v")))), MMax)),
+            max(mbUnit), MMax, unit = Some(mbUnit))),
           col(n).getField("v").cast(agg.dataType)))
       case m: MinBy =>
         val n = s"_s${i}_minby"
+        val mnUnit = when(Shims.column(m.orderingExpr).isNotNull,
+          struct(Shims.column(m.orderingExpr).as("o"),
+            Shims.column(m.valueExpr).as("v")))
         Some(Decomposed(
-          Seq(StateSpec(n,
-            min(when(Shims.column(m.orderingExpr).isNotNull,
-              struct(Shims.column(m.orderingExpr).as("o"),
-                Shims.column(m.valueExpr).as("v")))), MMin)),
+          Seq(StateSpec(n, min(mnUnit), MMin, unit = Some(mnUnit))),
           col(n).getField("v").cast(agg.dataType)))
       case m: CentralMomentAgg
           if m.isInstanceOf[VarianceSamp] || m.isInstanceOf[VariancePop] ||
@@ -169,9 +192,10 @@ object Decompose {
         }
         Some(Decomposed(
           Seq(
-            StateSpec(nn, count(child), MSum),
-            StateSpec(s1, sum(child), MSum),
-            StateSpec(s2, sum(child * child), MSum)),
+            StateSpec(nn, count(child), MSum,
+              unit = Some(when(child.isNotNull, lit(1L)).otherwise(lit(0L)))),
+            StateSpec(s1, sum(child), MSum, unit = Some(child)),
+            StateSpec(s2, sum(child * child), MSum, unit = Some(child * child))),
           finalCol.cast(agg.dataType)))
       case _ => None
     }

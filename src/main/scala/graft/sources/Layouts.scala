@@ -38,6 +38,25 @@ object Layouts {
     }
   }
 
+  /** Order-preserving fast path of [[writeTimeSeries]] for input that is
+    * ALREADY time-ordered within each partition with disjoint ranges
+    * across partitions (an append stream, or a derivation that preserves
+    * source order). Skips the range shuffle — on a 100 TB backfill that
+    * shuffle costs more than the write itself — while row-group stats
+    * stay tight because order is preserved. Caller owns the ordering
+    * guarantee; correctness never depends on it, only scan pruning. */
+  def writeTimeSeriesPresorted(df: DataFrame, path: String,
+      mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.write.mode(mode).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   /** write an embedding table partitioned by IVF cell */
   def writeIvfIndexed(emb: DataFrame, model: IVF.Model, path: String,
       embCol: String = "embedding", mode: String = "overwrite"): Unit =

@@ -48,6 +48,24 @@ object Shims {
       Seq(d.name)
   }.flatten
 
+  /** Run `f` with SQL confs temporarily set on the session (restored in
+    * finally). A thread-local SQLConf override does NOT survive
+    * SQLExecution.withNewExecutionId's conf propagation, so this is the
+    * only lever that actually reaches physical planning. The cache
+    * executor is driver-side and brief; a concurrent query planned in the
+    * same instant would see the overrides — acceptable for the state
+    * jobs' latency win, and documented on the caller. */
+  def withSQLConf[A](spark: SparkSession, kv: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val saved = kv.map { case (k, _) => k -> conf.getOption(k) }
+    kv.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   /** Is this plan node a scan leaf the cache rewrite may sit on top of?
     * (file relation, v2 relation, or in-memory rows for tests) */
   def isScanLeaf(p: LogicalPlan): Boolean = p match {

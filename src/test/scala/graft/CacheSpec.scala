@@ -46,6 +46,32 @@ class CacheSpec extends AnyFunSuite {
     assert(cache.get("fp").isEmpty)
   }
 
+  test("ParquetQueryCache defers deletion of superseded versions") {
+    val dir = tmpDir("pqdefer")
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, graft.cache.QueryCache.keyHash("fp")))
+      .map(_.getPath.getName).filter(_.startsWith("data-")).toSet
+
+    // within the retention window (default grace), an in-flight reader of
+    // the superseded version must still find its files (ADVICE r2)
+    val c = new ParquetQueryCache(dir)
+    c.put("fp", 1L, stateDF)
+    val v1 = c.get("fp").get
+    c.put("fp", 2L, stateDF.limit(2))
+    assert(dataDirs().size == 2, s"superseded version deleted eagerly: ${dataDirs()}")
+    assert(v1.read(spark).count() == stateDF.count()) // old handle still readable
+    assert(c.get("fp").get.timestampMicros == 2L)
+
+    // past the window (grace 0, keep 1) old versions are collected
+    val tight = new ParquetQueryCache(dir, keepVersions = 1, graceMs = 0L)
+    tight.put("fp", 3L, stateDF.limit(1))
+    tight.put("fp", 4L, stateDF.limit(1))
+    assert(dataDirs().size <= 2, s"cleanup never ran: ${dataDirs()}")
+    assert(tight.get("fp").get.timestampMicros == 4L)
+  }
+
   test("ParquetQueryCache survives a new reader (durable)") {
     val dir = tmpDir("pqdur")
     val c1 = new ParquetQueryCache(dir)

@@ -135,6 +135,37 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull))
   }
 
+  test("bail: IN-subquery filter is not cached (stale-subquery hazard)") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    val ev = eventsFull
+    ev.createOrReplaceTempView("ev_sub")
+    // subquery table can change without moving the fact watermark — a
+    // cached entry would silently serve stale results (ADVICE r2, high)
+    val df = spark.sql(
+      """SELECT count(*) AS c FROM ev_sub
+         WHERE user_id IN (SELECT user_id FROM ev_sub WHERE value > 40)
+         """)
+    val out = qcs.run(df)
+    assert(out.collect().head.getLong(0) >= 0)
+    assert(log.messages.exists(m =>
+      m.contains("not stable") || m.contains("subquery")), log.messages)
+  }
+
+  test("bail: scalar subquery inside aggregate expressions is not cached") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    eventsFull.createOrReplaceTempView("ev_sub2")
+    val df = spark.sql(
+      """SELECT sum(value) AS s,
+                (SELECT max(value) FROM ev_sub2) AS mx
+         FROM ev_sub2""")
+    qcs.run(df).collect()
+    assert(log.messages.exists(_.contains("subquery")), log.messages)
+  }
+
   test("bail: non-mergeable aggregate (percentile) runs vanilla") {
     val log = new RecordingLog
     val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
