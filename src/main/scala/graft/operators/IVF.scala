@@ -91,4 +91,55 @@ object IVF {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** EXACT top-k cosine search with IVF-cell pruning — provably equal to
+    * brute force, unlike [[search]]'s fixed-nProbe recall gamble.
+    *
+    * For a cell with centroid angle α to the query and angular radius r
+    * (max member-to-centroid angle), no member can beat
+    * cos(max(0, α − r)) — the spherical triangle inequality. Probe the
+    * best-bounded cell first to establish the running k-th cosine, then
+    * scan only cells whose bound still reaches it. On clustered data the
+    * bound prunes most cells (cost ≈ matching cells, like a 100 TB
+    * partition-pruned read of the ivf_cell layout); on isotropic data it
+    * degrades to a full scan — never returns less than the true top-k. */
+  def searchExact(indexed: DataFrame, model: Model, query: Seq[Float],
+      k: Int = 10, idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    val q = array(query.map(lit): _*)
+    val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
+    val radii: Map[Int, Double] = indexed
+      .groupBy("ivf_cell")
+      .agg(min(cosine_similarity(col(embCol),
+        element_at(centsLit, col("ivf_cell") + 1))).as("mc"))
+      .collect()
+      .map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
+      .toMap
+    val qa = query.map(_.toDouble).toArray
+    val qNorm = math.sqrt(qa.map(x => x * x).sum)
+    val qAngle: Map[Int, Double] = model.centroids.indices.map { i =>
+      val c = model.centroids(i)
+      val dot = c.zip(qa).map { case (a, b) => a * b }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      i -> math.acos(clamp(if (cn == 0 || qNorm == 0) 0.0 else dot / (cn * qNorm)))
+    }.toMap
+    def bound(i: Int): Double =
+      radii.get(i).map(r => math.cos(math.max(0.0, qAngle(i) - r)))
+        .getOrElse(-2.0) // empty cell: nothing to probe
+    val ordered = model.centroids.indices.filter(radii.contains).sortBy(i => -bound(i))
+    val best = ordered.head
+    val bestTop = indexed.filter(col("ivf_cell") === best)
+      .select(cosine_similarity(col(embCol), q).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc).limit(k).collect()
+    // running k-th best; if the first cell holds fewer than k vectors the
+    // bound can't prune anything yet (kth = -∞ probes every cell)
+    val kth = if (bestTop.length < k) -2.0 else bestTop.last.getDouble(0)
+    val probes = ordered.filter(i => i == best || bound(i) >= kth)
+    indexed.filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), cosine_similarity(col(embCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

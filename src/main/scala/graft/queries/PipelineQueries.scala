@@ -71,14 +71,17 @@ object PipelineQueries {
         probeRadius = 3, planes = 10)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
-    // IVF index: train on sample, assign cells, probe nearest cells only
+    // IVF index with EXACT pruned search: probe cells in centroid-bound
+    // order, prune cells that provably can't reach the running k-th
+    // cosine — output equals brute force (oracle-checked), cost scales
+    // with matching cells on clustered data
     "q_ann_ivf" -> ((s, d) => {
       import graft.operators.IVF
       val emb = embeddings(s, d)
       val model = IVF.fit(emb, k = 32, sampleN = 1024, iters = 6)
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
-      IVF.search(IVF.index(emb, model), model, q, k = 10, nProbe = 8)
+      IVF.searchExact(IVF.index(emb, model), model, q, k = 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
     // this corpus has a CONTINUOUS cosine tail (pairs at 0.40, 0.45, …,
@@ -208,7 +211,110 @@ object PipelineQueries {
 
   // DuckDB mirrors. Doubles appear only where both engines perform the
   // identical IEEE op sequence (single division / same-order small sums).
+
+  /** graft.functions.Hash64 (FNV-1a 64 + splitmix64 avalanche, seed 0)
+    * re-expressed over DuckDB HUGEINT mod-2^64 arithmetic. The avalanche
+    * multiplications would overflow signed 128-bit, so they split the
+    * operand at 2^32: a*K mod 2^64 = (lo(a)*K + (hi(a)*K mod 2^32)<<32)
+    * mod 2^64 — every intermediate < 2^97. Documents are pure ASCII, so
+    * ord(codepoint) == the UTF-8 byte. */
+  private val fnvAvalancheStages: Seq[String] = Seq(
+    // raw FNV-1a over bytes (seed 0 ⇒ initial = FNV offset basis)
+    """list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         list_transform(range(1, length(%IN%)+1),
+           i -> ord(substr(%IN%, i, 1))::HUGEINT)),
+         (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+           % 18446744073709551616::HUGEINT)""",
+    "xor(%IN%, %IN% // 1073741824::HUGEINT)", // h ^= h >>> 30
+    """((%IN% % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+         % 18446744073709551616::HUGEINT
+       + ((%IN% // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+         % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+       % 18446744073709551616::HUGEINT""", // h *= 0xbf58476d1ce4e5b9
+    "xor(%IN%, %IN% // 134217728::HUGEINT)", // h ^= h >>> 27
+    """((%IN% % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+         % 18446744073709551616::HUGEINT
+       + ((%IN% // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+         % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+       % 18446744073709551616::HUGEINT""", // h *= 0x94d049bb133111eb
+    "xor(%IN%, %IN% // 2147483648::HUGEINT)") // h ^= h >>> 31
+
+  /** unsigned-HUGEINT → signed BIGINT two's-complement wrap */
+  private def toSigned(in: String): String =
+    s"""CAST(CASE WHEN $in >= 9223372036854775808::HUGEINT
+        THEN $in - 18446744073709551616::HUGEINT ELSE $in END AS BIGINT)"""
+
+  /** Hash64 of a scalar string column as chained subqueries over
+    * `documents` (lateral aliases keep each stage's SQL linear-sized). */
+  private def hash64Sql(textExpr: String): String = {
+    val stages = fnvAvalancheStages.zipWithIndex.map { case (tpl, i) =>
+      val in = if (i == 0) textExpr else s"x${i - 1}"
+      s"${tpl.replace("%IN%", in)} AS x$i"
+    }
+    s"SELECT doc_id, ${stages.mkString(",\n")} FROM documents"
+  }
+
   val oracle: Map[String, String] = Map(
+    // exact pruned IVF search returns exactly the brute-force top-k
+    "q_ann_ivf" ->
+      """SELECT vec_id,
+           round(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine
+         FROM embeddings
+         ORDER BY list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+           vec_id ASC
+         LIMIT 10""",
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, ${toSigned("x5")} AS fingerprint
+          FROM (${hash64Sql("text")}) t""",
+    // SimHash recomputed from scratch: per-token Hash64 (staged list
+    // transforms), 64 majority-vote bits, then ALL-PAIRS Hamming ≤ 3 —
+    // the Spark side's 16-bit band join is candidate generation only and
+    // is lossless to Hamming 3 by pigeonhole, so the result sets match.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id AS id, string_split_regex(lower(text), '\s+') AS ts
+           FROM documents),
+         h0 AS (SELECT id, list_transform(ts, t ->
+             list_reduce(list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(t)+1),
+                 i -> ord(substr(t, i, 1))::HUGEINT)),
+               (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT)) AS hs
+           FROM toks),
+         h1 AS (SELECT id, list_transform(hs,
+             h -> xor(h, h // 1073741824::HUGEINT)) AS hs FROM h0),
+         h2 AS (SELECT id, list_transform(hs, h ->
+             ((h % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                % 18446744073709551616::HUGEINT
+              + ((h // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS hs FROM h1),
+         h3 AS (SELECT id, list_transform(hs,
+             h -> xor(h, h // 134217728::HUGEINT)) AS hs FROM h2),
+         h4 AS (SELECT id, list_transform(hs, h ->
+             ((h % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                % 18446744073709551616::HUGEINT
+              + ((h // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS hs FROM h3),
+         h5 AS (SELECT id, list_transform(hs,
+             h -> xor(h, h // 2147483648::HUGEINT)) AS hs FROM h4),
+         sigs AS (
+           SELECT id,
+             CAST(CASE WHEN sig >= 9223372036854775808::HUGEINT
+               THEN sig - 18446744073709551616::HUGEINT ELSE sig END AS BIGINT) AS sig
+           FROM (
+             SELECT id, list_sum(list_transform(range(0, 64), b -> CASE
+                 WHEN 2 * len(list_filter(hs, h -> (h // (1::HUGEINT << b)) % 2 = 1))
+                      > len(hs)
+                 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS sig
+             FROM h5) t)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM sigs a JOIN sigs b ON a.id < b.id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
     "q_text_stats" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -83,6 +83,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.head == 0L) // the query vector itself always survives probing
   }
 
+  test("IVF searchExact equals brute force (pruning is lossless)") {
+    import graft.operators.IVF
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val model = IVF.fit(emb, k = 16, sampleN = 512, iters = 4)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val exact = IVF.searchExact(IVF.index(emb, model), model, q, k = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(exact == brute)
+  }
+
   test("asof join equals the naive quadratic definition") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
       .limit(200)
