@@ -373,9 +373,19 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           "spark.sql.files.minPartitionNum" -> "1",
           "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString)
       else Seq.empty
-    val stored = phase("cache.put")(
+    val stored0 = phase("cache.put")(
       Shims.withSQLConf(spark, stateConfs: _*)(
         config.cache.put(c.fingerprint, now, merged)))
+    // EXPLAIN/metrics visibility (reference DisplayAs + BaselineMetrics,
+    // src/aggregate.rs:530-537,583-585): the replay of the stored state is
+    // wrapped in a marker node so df.explain() names the cache, its
+    // hit/miss status and watermark, and an SQLMetric counts replayed rows
+    graft.plans.CacheReplayStrategy.register(spark)
+    val stored = Shims.ofRows(spark,
+      graft.plans.CacheReplayMarker(
+        Shims.queryExecution(stored0).analyzed, c.fingerprint,
+        hit = entry.isDefined,
+        watermarkMicros = entry.map(_.timestampMicros)))
 
     // finalize: original output expressions with aggregate functions
     // replaced by their finalize form over state columns, and group

@@ -73,6 +73,36 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("GreaterThanOrEqual(ts,"), plan)
   }
 
+  test("cache replay is visible in EXPLAIN with hit status and row metric") {
+    val work = tmpDir("planshape_replay")
+    val ev = Tables.events(spark, sf0001)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev.write.mode("overwrite").parquet(work)
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts"))
+    def q() = spark.read.parquet(work).filter(col("value") > 1)
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    // cold: the marker reports a miss
+    val coldDF = qcs.run(q())
+    val coldPlan = planOf(coldDF)
+    assert(coldPlan.contains("QueryCacheReplay(miss, fp="), coldPlan)
+    coldDF.collect()
+    // warm: hit + watermark surface in the node name (reference's
+    // EXPLAIN ANALYZE story, examples/demo.rs:52-63)
+    val warmDF = qcs.run(q())
+    val warmPlan = planOf(warmDF)
+    assert(warmPlan.contains("QueryCacheReplay(hit, fp="), warmPlan)
+    assert(warmPlan.contains("wm="), warmPlan)
+    warmDF.collect()
+    // the replay metric counted the state rows (1 group here)
+    val exec = org.apache.spark.sql.graftshim.Shims.queryExecution(warmDF)
+      .executedPlan.collectFirst {
+        case e: graft.plans.CacheReplayExec => e
+      }
+    assert(exec.isDefined, warmPlan)
+    assert(exec.get.metrics("numReplayedRows").value == 1L)
+  }
+
   test("cosine similarity runs inside whole-stage codegen") {
     val q = Seq.fill(64)(0.1f)
     val df = graft.operators.Similarity.bruteForceTopK(
