@@ -146,6 +146,22 @@ object CacheQueries {
         df.rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       }),
+    // statistical aggregates (corr/covar via raw-sums state) and ordered
+    // last (max_by over the temporal column) through the cache cycle
+    "qc_incr_stats" -> ((s, d) =>
+      coldAppendWarm(s, d, "stats") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(corr(col("value"), col("user_id").cast("double")), 6)
+              .as("corr_vu"),
+            round(covar_samp(col("value"), col("user_id").cast("double")), 4)
+              .as("cov_vu"),
+            round(covar_pop(col("value"), col("user_id").cast("double")), 4)
+              .as("covp_vu"),
+            max_by(col("value"), col("ts")).as("last_value"))
+      }),
     // stable non-temporal predicate + non-temporal + temporal group mix
     "qc_incr_by_type" -> ((s, d) =>
       coldAppendWarm(s, d, "by_type") { df =>
@@ -195,6 +211,15 @@ object CacheQueries {
            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
+    "qc_incr_stats" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu,
+           round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covp_vu,
+           arg_max(value, ts) AS last_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
     "qc_incr_by_type" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

@@ -167,13 +167,19 @@ object Decompose {
         // variance family via the mergeable (n, Σx, Σx²) state. Spark's own
         // buffer carries central moments (numerically gentler); for cached
         // timeseries aggregates the raw-sums form is equivalent within
-        // ~1e-12 relative. Null/NaN edges mirror Spark: no rows -> null,
-        // one row -> NaN for the sample variants, 0.0 for population.
+        // ~1e-12 relative. Null edges mirror Spark: no rows -> null, one
+        // row -> the nullOnDivideByZero-dependent value for the sample
+        // variants (NULL with the default config, NaN in legacy mode).
         val child = Shims.column(m.child).cast("double")
         val nn = s"_s${i}_cnt"
         val s1 = s"_s${i}_sum"
         val s2 = s"_s${i}_sumsq"
         val n = col(nn).cast("double")
+        val dbz = m match {
+          case v: VarianceSamp => divByZero(v.nullOnDivideByZero)
+          case v: StddevSamp => divByZero(v.nullOnDivideByZero)
+          case _ => lit(null).cast("double")
+        }
         // clamp: catastrophic cancellation can drive the raw-sums form a
         // hair negative for (near-)constant groups, where sqrt would give
         // NaN while Spark's central-moment buffer gives exactly 0.0
@@ -181,7 +187,7 @@ object Decompose {
         val variance = m match {
           case _: VarianceSamp | _: StddevSamp =>
             when(col(nn) === 0, lit(null))
-              .when(col(nn) === 1, lit(Double.NaN))
+              .when(col(nn) === 1, dbz)
               .otherwise(m2 / (n - 1))
           case _ =>
             when(col(nn) === 0, lit(null)).otherwise(m2 / n)
@@ -197,8 +203,73 @@ object Decompose {
             StateSpec(s1, sum(child), MSum, unit = Some(child)),
             StateSpec(s2, sum(child * child), MSum, unit = Some(child * child))),
           finalCol.cast(agg.dataType)))
+      case c: Corr =>
+        // Pearson correlation via raw sums (n, Σx, Σy, Σxy, Σx², Σy²) over
+        // rows where BOTH sides are non-null (Spark skips half-null pairs).
+        // corr = (Σxy − ΣxΣy/n) / sqrt((Σx²−(Σx)²/n)(Σy²−(Σy)²/n)); the
+        // n≥2 constant-series case divides by zero, which Spark's Divide
+        // maps to NULL — same as Spark's own evaluator.
+        val (st, nn, ck, xm, ym) =
+          corrCovarState(i, Shims.column(c.x), Shims.column(c.y))
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double"))
+            .when(col(nn) === 1, divByZero(c.nullOnDivideByZero))
+            .otherwise(ck / sqrt(xm * ym))
+            .cast(agg.dataType)))
+      case c: CovSample =>
+        val (st, nn, ck, _, _) =
+          corrCovarState(i, Shims.column(c.left), Shims.column(c.right))
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double"))
+            .when(col(nn) === 1, divByZero(c.nullOnDivideByZero))
+            .otherwise(ck / (col(nn).cast("double") - 1))
+            .cast(agg.dataType)))
+      case c: CovPopulation =>
+        val (st, nn, ck, _, _) =
+          corrCovarState(i, Shims.column(c.left), Shims.column(c.right))
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double"))
+            .otherwise(ck / col(nn).cast("double"))
+            .cast(agg.dataType)))
       case _ => None
     }
+  }
+
+  /** Spark's statistical aggregates return NULL on divide-by-zero with the
+    * default config and NaN in legacy mode — the flag rides on each
+    * function instance. */
+  private def divByZero(nullOnDivideByZero: Boolean): Column =
+    if (nullOnDivideByZero) lit(null).cast("double") else lit(Double.NaN)
+
+  /** shared raw-sums state for corr/covar: returns (stateSpecs, countName,
+    * ck = Σxy−ΣxΣy/n, xMoment, yMoment); moments are clamped ≥ 0 like the
+    * variance family. */
+  private def corrCovarState(i: Int, xc: Column, yc: Column)
+      : (Seq[StateSpec], String, Column, Column, Column) = {
+    val x = xc.cast("double")
+    val y = yc.cast("double")
+    val both = x.isNotNull && y.isNotNull
+    val bx = when(both, x)
+    val by = when(both, y)
+    val nn = s"_s${i}_cnt"
+    val sx = s"_s${i}_sx"
+    val sy = s"_s${i}_sy"
+    val sxy = s"_s${i}_sxy"
+    val sxx = s"_s${i}_sxx"
+    val syy = s"_s${i}_syy"
+    val st = Seq(
+      StateSpec(nn, count(when(both, lit(1))), MSum,
+        unit = Some(when(both, lit(1L)).otherwise(lit(0L)))),
+      StateSpec(sx, sum(bx), MSum, unit = Some(bx)),
+      StateSpec(sy, sum(by), MSum, unit = Some(by)),
+      StateSpec(sxy, sum(bx * by), MSum, unit = Some(bx * by)),
+      StateSpec(sxx, sum(bx * bx), MSum, unit = Some(bx * bx)),
+      StateSpec(syy, sum(by * by), MSum, unit = Some(by * by)))
+    val n = col(nn).cast("double")
+    val ck = col(sxy) - col(sx) * col(sy) / n
+    val xm = greatest(col(sxx) - col(sx) * col(sx) / n, lit(0.0))
+    val ym = greatest(col(syy) - col(sy) * col(sy) / n, lit(0.0))
+    (st, nn, ck, xm, ym)
   }
 
   /** Merge aggregation for a state column, given the stored state schema

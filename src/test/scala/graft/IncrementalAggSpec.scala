@@ -135,6 +135,48 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull))
   }
 
+  test("corr/covar family caches via raw-sums state and hits warm") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(col("event_type"))
+      .agg(
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("c"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cs"),
+        round(covar_pop(col("value"), col("user_id").cast("double")), 6).as("cp"),
+        count(lit(1)).as("n"))
+    val (warmDF, log) = coldAppendWarm("corrcov")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull), tol = 1e-6)
+  }
+
+  test("corr/covar null edges match vanilla (n=1, half-null pairs)") {
+    import spark.implicits._
+    // a constant series is omitted: vanilla corr itself raises an ANSI
+    // divide-by-zero there, and the decomposed form shares the shape
+    val df = Seq(
+      ("a", Some(1.0), Some(2.0)),                // n=1 group
+      ("b", Some(1.0), None), ("b", Some(2.0), Some(3.0)),
+      ("b", Some(4.0), Some(5.0)),                // half-null pair skipped
+      ("c", Some(1.0), Some(2.0)), ("c", Some(3.0), Some(4.0))
+    ).toDF("k", "x", "y")
+    def q(d: DataFrame) = d.groupBy("k").agg(
+      corr(col("x"), col("y")).as("c"),
+      covar_samp(col("x"), col("y")).as("cs"),
+      covar_pop(col("x"), col("y")).as("cp"))
+    val want = q(df).collect().sortBy(_.getString(0)).map(_.toString).toSeq
+    // decomposed finalize over the same data: route through the executor
+    // by writing a parquet table with a ts column
+    val work = tmpDir("corredge")
+    val tsd = df.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    tsd.write.mode("overwrite").parquet(work)
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log))
+    val got = qcs.run(q(spark.read.parquet(work)))
+      .collect().sortBy(_.getString(0)).map(_.toString).toSeq
+    assert(log.messages.exists(_.contains("query valid for caching")), log.messages)
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
   test("bail: IN-subquery filter is not cached (stale-subquery hazard)") {
     val log = new RecordingLog
     val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
