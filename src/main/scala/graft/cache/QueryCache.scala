@@ -3,7 +3,6 @@ package graft.cache
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
@@ -60,14 +59,43 @@ object QueryCache {
   * `maxStateRows` guards against high-cardinality group keys: beyond it
   * the put throws [[CacheCapacityExceeded]] and the query simply runs
   * uncached. Durable/distributed state belongs in [[ParquetQueryCache]].
+  *
+  * Session lifetime bounds (the reference's HashMap grows forever,
+  * src/cache.rs:54): at most `maxEntries` distinct fingerprints are
+  * retained, evicting the least-recently-USED entry beyond that — an
+  * evicted query just re-runs cold on its next appearance. `ttlMs > 0`
+  * additionally expires entries not written for that long (get treats
+  * them as a miss and drops them), so a long-lived session's memory is
+  * bounded by live queries, not by everything ever cached.
   */
-final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
-  private val entries = TrieMap.empty[String, (Long, StructType, Array[Row])]
+final class MemoryQueryCache(maxStateRows: Long = 4000000L,
+    maxEntries: Int = 256,
+    ttlMs: Long = 0L) extends QueryCache {
+  private final case class Entry(timestampMicros: Long, schema: StructType,
+      rows: Array[Row], storedAtMs: Long)
+
+  // access-ordered LRU; all access synchronized on the map itself
+  private val entries = new java.util.LinkedHashMap[String, Entry](
+      16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Entry]): Boolean =
+      size() > math.max(1, maxEntries)
+  }
+
+  private def expired(e: Entry): Boolean =
+    ttlMs > 0 && System.currentTimeMillis() - e.storedAtMs > ttlMs
 
   override def get(fingerprint: String): Option[CachedState] =
-    entries.get(fingerprint).map { case (ts, schema, rows) =>
-      CachedState(ts, schema,
-        spark => spark.createDataFrame(rows.toSeq.asJava, schema))
+    entries.synchronized {
+      Option(entries.get(fingerprint)) match {
+        case Some(e) if expired(e) =>
+          entries.remove(fingerprint)
+          None
+        case other => other
+      }
+    }.map { e =>
+      CachedState(e.timestampMicros, e.schema,
+        spark => spark.createDataFrame(e.rows.toSeq.asJava, e.schema))
     }
 
   override def put(fingerprint: String, timestampMicros: Long,
@@ -97,14 +125,17 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L) extends QueryCache {
         throw new CacheCapacityExceeded(
           s"set-state holds $total elements > maxStateRows=$maxStateRows")
     }
-    entries.put(fingerprint, (timestampMicros, state.schema, rows))
+    entries.synchronized {
+      entries.put(fingerprint,
+        Entry(timestampMicros, state.schema, rows, System.currentTimeMillis()))
+    }
     state.sparkSession.createDataFrame(rows.toSeq.asJava, state.schema)
   }
 
   override def invalidate(fingerprint: String): Unit =
-    entries.remove(fingerprint)
+    entries.synchronized { entries.remove(fingerprint); () }
 
-  def size: Int = entries.size
+  def size: Int = entries.synchronized(entries.size)
 }
 
 /** Durable cache over a (local/HDFS/object-store) directory — the

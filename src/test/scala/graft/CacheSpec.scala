@@ -46,6 +46,32 @@ class CacheSpec extends AnyFunSuite {
     assert(cache.get("fp").isEmpty)
   }
 
+  test("MemoryQueryCache bounds entry count via LRU eviction") {
+    val cache = new MemoryQueryCache(maxEntries = 3)
+    val one = stateDF.limit(1)
+    (1 to 5).foreach(i => cache.put(s"fp$i", i.toLong, one))
+    assert(cache.size == 3, s"session grew past maxEntries: ${cache.size}")
+    // oldest evicted, newest retained
+    assert(cache.get("fp1").isEmpty && cache.get("fp2").isEmpty)
+    assert(cache.get("fp5").nonEmpty)
+    // recently-USED survives the next eviction (access order, not insert)
+    assert(cache.get("fp3").nonEmpty)
+    cache.put("fp6", 6L, one) // evicts fp4 (LRU), not the just-read fp3
+    assert(cache.get("fp3").nonEmpty && cache.get("fp4").isEmpty)
+  }
+
+  test("MemoryQueryCache expires entries past the TTL") {
+    val cache = new MemoryQueryCache(ttlMs = 1L)
+    cache.put("fp", 1L, stateDF.limit(1))
+    Thread.sleep(10)
+    assert(cache.get("fp").isEmpty, "TTL-expired entry still served")
+    assert(cache.size <= 1)
+    val forever = new MemoryQueryCache() // ttl disabled by default
+    forever.put("fp", 1L, stateDF.limit(1))
+    Thread.sleep(10)
+    assert(forever.get("fp").nonEmpty)
+  }
+
   test("ParquetQueryCache defers deletion of superseded versions") {
     val dir = tmpDir("pqdefer")
     val fsPath = new org.apache.hadoop.fs.Path(dir)
