@@ -65,6 +65,9 @@ object Stability {
     case _: Literal => Stable
     case _: Attribute => Stable
     case e if isNowLeaf(e) => FoundNow
+    // transparent-mode pre-freeze capture (NowBoundWrapRule): behaves as
+    // its hidden now()-derived payload — containsNow can't see inside
+    case _: FrozenNowBound => FoundNow
 
     // ts >(=) rhs  — candidate dynamic lower bound (src/aggregate.rs:731-744)
     case b @ GreaterThan(l, r) if isNeedle(l, needles) => boundFrom(b, r, needles)

@@ -1,6 +1,7 @@
 package graft.analysis
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
 
 import graft.QueryCacheConfig
 
@@ -32,4 +33,25 @@ object TemporalGroupBy {
     * (reference bails at src/aggregate.rs:97-104). */
   def findAll(groupExprs: Seq[Expression], config: QueryCacheConfig): Seq[Attribute] =
     groupExprs.flatMap(find(_, config))
+
+  /** Optimizer-stage plans (transparent mode) have had
+    * PullOutGroupingExpressions replace complex grouping expressions with
+    * `_groupingexpression` attributes computed in a Project directly below
+    * the Aggregate — resolve such an attribute back to its defining
+    * expression so the bucket stays recognizable. Analyzed plans (facade)
+    * pass through unchanged. */
+  def resolveThroughChild(e: Expression, child: LogicalPlan): Expression =
+    e match {
+      case a: Attribute =>
+        def lookup(p: LogicalPlan): Option[Expression] = p match {
+          case Project(list, _) =>
+            list.collectFirst {
+              case al: Alias if al.exprId == a.exprId => al.child
+            }
+          case SubqueryAlias(_, ch) => lookup(ch)
+          case _ => None
+        }
+        lookup(child).getOrElse(a)
+      case other => other
+    }
 }

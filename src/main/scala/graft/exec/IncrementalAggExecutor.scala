@@ -5,13 +5,12 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Attribute, CurrentDate, CurrentTimestamp, Expression, Literal,
-  LocalTimestamp, NamedExpression, Now}
+  Alias, And, Attribute, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
 import org.apache.spark.sql.graftshim.Shims
-import org.apache.spark.sql.types.{DateType, StructType, TimestampType}
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 import graft.QueryCacheConfig
 import graft.analysis.{Fingerprint, Stability, TemporalGroupBy}
@@ -133,8 +132,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     if (hasSubquery(agg.aggregateExpressions) || hasSubquery(agg.groupingExpressions))
       return bail("subquery inside aggregate — not cacheable")
 
-    // temporal group-bys: at most one (reference src/aggregate.rs:97-104)
-    val temporalGroups = TemporalGroupBy.findAll(agg.groupingExpressions, config)
+    // temporal group-bys: at most one (reference src/aggregate.rs:97-104).
+    // Optimizer-stage plans hide the bucket behind a pulled-out
+    // `_groupingexpression` attribute — resolve through the child Project.
+    val effectiveGroupExprs = agg.groupingExpressions.map(
+      TemporalGroupBy.resolveThroughChild(_, agg.child))
+    val temporalGroups = TemporalGroupBy.findAll(effectiveGroupExprs, config)
     if (temporalGroups.size > 1)
       return bail(s"multiple temporal group-bys: ${temporalGroups.map(_.name).mkString(", ")}")
     if (!agg.groupingExpressions.forall(_.deterministic))
@@ -218,6 +221,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
     if (temporalAttr.dataType != TimestampType)
       return bail(s"temporal column ${temporalAttr.name} is ${temporalAttr.dataType.simpleString}, not timestamp")
+    // a group-by bucket's underlying column can be pruned from the
+    // aggregate input (it only feeds the pulled-out bucket projection) —
+    // the watermark filter needs it exposed
+    if (!child.outputSet.contains(temporalAttr))
+      widen(child, temporalAttr) match {
+        case Some(w) => child = w
+        case None =>
+          return bail(s"temporal column ${temporalAttr.name} not exposable through input chain")
+      }
 
     // grouping sets: the watermark filter sits ABOVE Expand, so the
     // temporal attr must be a pass-through slot (identical attribute in
@@ -249,11 +261,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       return bail("non-deterministic output expression")
 
     val temporalGroupIdx = temporalGroups.headOption.map { a =>
-      agg.groupingExpressions.indexWhere(_.references.toSeq == Seq(a))
+      effectiveGroupExprs.indexWhere(_.references.toSeq == Seq(a))
     }.filter(_ >= 0).orElse {
       // fall back: index of the group expression referencing the temporal col
       temporalGroups.headOption.map { a =>
-        agg.groupingExpressions.indexWhere(_.references.exists(_.semanticEquals(a)))
+        effectiveGroupExprs.indexWhere(_.references.exists(_.semanticEquals(a)))
       }.filter(_ >= 0)
     }
 
@@ -416,26 +428,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val bounded = c.dynamicBound match {
       case Some(b) =>
         val gName = s"_g${c.temporalGroupIdx.get}"
-        // freeze now() leaves the way ComputeCurrentTime does: current_date
-        // and localtimestamp are WALL-CLOCK values in the session time
-        // zone, not UTC — a UTC-derived day literal would shift the bound
-        // by the zone offset (wrong day near midnight) in non-UTC sessions
-        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        val localNow = java.time.LocalDateTime.ofInstant(
-          java.time.Instant.ofEpochSecond(now / 1000000L, (now % 1000000L) * 1000L),
-          zone)
-        val localNowMicros =
-          localNow.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-            localNow.getNano / 1000L
-        val rewrittenBound = b.transform {
-          case a: Attribute if a.semanticEquals(c.temporalAttr) =>
-            UnresolvedAttribute(Seq(gName))
-          case _: CurrentTimestamp | _: Now => Literal(now, TimestampType)
-          case _: LocalTimestamp =>
-            Literal(localNowMicros, org.apache.spark.sql.types.TimestampNTZType)
-          case _: CurrentDate =>
-            Literal(localNow.toLocalDate.toEpochDay.toInt, DateType)
-        }
+        // freeze now() leaves the way ComputeCurrentTime does (session-
+        // timezone wall clock for current_date/localtimestamp); transparent
+        // mode's pre-freeze wrappers carry their payload through here
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val rewrittenBound = graft.analysis.NowBounds.freeze(
+          b.transform {
+            case a: Attribute if a.semanticEquals(c.temporalAttr) =>
+              UnresolvedAttribute(Seq(gName))
+            case fb: graft.analysis.FrozenNowBound =>
+              graft.analysis.NowBounds.freezeFold(fb.orig, now, tz)
+          }, now, tz)
         stored.filter(Shims.column(rewrittenBound))
       case None => stored
     }

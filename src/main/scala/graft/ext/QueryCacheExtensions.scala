@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.QueryCacheConfig
+import graft.analysis.NowBounds
 import graft.exec.IncrementalAggExecutor
 
 /** Transparent mode (reference: with_query_cache registering a planner +
@@ -26,13 +27,20 @@ import graft.exec.IncrementalAggExecutor
   * on its own internal queries; every action is one cache "run", exactly
   * like one `ctx.sql().collect()` in the reference.
   *
-  * KNOWN LIMIT: by the time this rule runs, Catalyst's ComputeCurrentTime
-  * has already frozen `now()`/`current_timestamp()` to per-run literals,
-  * so a now()-relative filter fingerprints DIFFERENTLY on every run —
-  * such queries always miss here (and each run writes a fresh state
-  * entry). Use the [[graft.QueryCacheSession]] facade for now()-relative
-  * bounds (it sees the pre-freeze plan and handles them at bucket
-  * granularity); transparent mode is for static-bound/unbounded queries.
+  * now()-relative bounds: Catalyst's ComputeCurrentTime freezes
+  * `now()`/`current_timestamp()` to per-run literals before any injected
+  * OPTIMIZER rule runs, which would make such filters fingerprint
+  * differently on every run (never hit, one state entry per run). The
+  * extensions entry point therefore also injects [[NowBoundWrapRule]] at
+  * ANALYSIS time (post-hoc resolution, pre-freeze): it hides pure-now()
+  * bound sides inside [[graft.analysis.FrozenNowBound]] leaves that
+  * ComputeCurrentTime cannot rewrite, so the cache rule sees the stable
+  * shape — same fingerprint every run — and either consumes the bound at
+  * bucket granularity (dynamicBoundBucketGranularity) or restores this
+  * run's frozen literal before execution. KNOWN LIMIT: the runtime
+  * `enable()` path cannot inject analyzer rules into a running session,
+  * so now()-relative filters still always-miss there — use the
+  * extensions config or the [[graft.QueryCacheSession]] facade.
   */
 object QueryCacheTransparent {
   @volatile private[ext] var executor: Option[IncrementalAggExecutor] = None
@@ -74,7 +82,7 @@ final class QueryCacheRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    executor match {
+    val rewritten = executor match {
       case Some(exec) if !inRewrite.get() &&
           plan.exists(_.isInstanceOf[Aggregate]) && !looksInternal(plan) =>
         inRewrite.set(true)
@@ -88,11 +96,44 @@ final class QueryCacheRule(spark: SparkSession) extends Rule[LogicalPlan] {
         } finally inRewrite.set(false)
       case _ => plan
     }
+    // any pre-freeze wrapper the rewrite did not consume (bail path,
+    // non-aggregate plan, executor deconfigured) must become this run's
+    // frozen literal — an Unevaluable leaf must never reach execution
+    NowBounds.restoreAll(rewritten,
+      executor.map(_.config.nowMicros())
+        .getOrElse(System.currentTimeMillis() * 1000L),
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** Analysis-time (post-hoc resolution) companion to [[QueryCacheRule]]:
+  * wraps pure-now() temporal bounds BEFORE ComputeCurrentTime can freeze
+  * them, preserving the run-stable plan shape the fingerprint needs.
+  * Only active when a transparent executor with dynamic-bound support is
+  * configured; plain plan surgery — no jobs, no cache I/O. */
+final class NowBoundWrapRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import QueryCacheTransparent._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = executor match {
+    case Some(exec) if exec.config.dynamicBoundBucketGranularity &&
+        !inRewrite.get() && plan.exists(_.isInstanceOf[Aggregate]) =>
+      NowBounds.wrap(plan, exec.config)
+    case _ => plan
+  }
+}
+
+/** `spark.sql.extensions` entry point.
+  *
+  * The cache rule is injected PRE-CBO, not into the operator-optimization
+  * batch: that batch is a fixed point that would fire the rule several
+  * times per query on partially-optimized plans — an early fire can bail
+  * (plan shape not yet recognizable), and its restore-to-literal would
+  * destroy the pre-freeze wrapper before the real fire sees it. Pre-CBO
+  * runs exactly once, after operator optimization, so the rule sees the
+  * final shape and the restore safety-net can't race a later fire. */
 class QueryCacheExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(session => new QueryCacheRule(session))
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(session => new NowBoundWrapRule(session))
+    ext.injectPreCBORule(session => new QueryCacheRule(session))
+  }
 }

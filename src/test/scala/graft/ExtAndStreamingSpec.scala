@@ -38,6 +38,65 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("extensions session: now()-relative transparent bound hits on second run") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force base session/context creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.ext.QueryCacheExtensions)
+      .getOrCreate()
+    try {
+      assert(ext ne base)
+      val cache = new MemoryQueryCache()
+      val log = new RecordingLog
+      QueryCacheTransparent.configure(QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = log).withDynamicBounds)
+
+      val nowMs = System.currentTimeMillis()
+      import ext.implicits._
+      val rows = Seq(
+        (new java.sql.Timestamp(nowMs - 1L * 3600 * 1000), 5.0),
+        (new java.sql.Timestamp(nowMs - 10L * 3600 * 1000), 7.0),
+        (new java.sql.Timestamp(nowMs - 10L * 3600 * 1000 + 300000), 9.0),
+        (new java.sql.Timestamp(nowMs - 100L * 3600 * 1000), 11.0))
+      val work = tmpDir("extnow")
+      rows.toDF("ts", "v").write.mode("overwrite").parquet(work)
+      ext.read.parquet(work).createOrReplaceTempView("evx")
+
+      def run() = ext.sql(
+        """SELECT date_trunc('HOUR', ts) AS h, sum(v) AS sv FROM evx
+           WHERE ts >= now() - INTERVAL 48 HOURS
+           GROUP BY date_trunc('HOUR', ts)""").collect()
+          .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
+
+      val r1 = run()
+      val r2 = run() // same shape -> same fingerprint -> warm hit
+      assert(r1.toSeq == r2.toSeq)
+      assert(r1.map(_._2).toSeq == Seq(16.0, 5.0), r1.toSeq) // 100h-old row excluded
+      val misses = log.history.filter(_.msg.startsWith("cache miss"))
+      val hits = log.history.filter(_.msg.startsWith("cache hit"))
+      assert(misses.nonEmpty && hits.nonEmpty,
+        s"expected miss then hit, got: ${log.messages}")
+      assert(hits.head.fingerprint == misses.head.fingerprint,
+        "now()-relative runs produced different fingerprints")
+
+      // non-bucketed aggregate with a now() bound: decide() bails, the
+      // restore path must freeze the wrapper back to vanilla semantics
+      val n = ext.sql(
+        """SELECT count(*) AS c FROM evx
+           WHERE ts >= now() - INTERVAL 48 HOURS""").collect()(0).getLong(0)
+      assert(n == 3L)
+    } finally {
+      QueryCacheTransparent.disable(ext)
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("transparent mode: non-cacheable query runs vanilla untouched") {
     val log = new RecordingLog
     QueryCacheTransparent.enable(spark, QueryCacheConfig(new MemoryQueryCache(),
