@@ -133,6 +133,12 @@ object PipelineQueries {
       lineitem(s, d).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
+    // KMV distinct sketch: unlike HLL++'s opaque registers, every step is
+    // relational algebra over the library's documented hash — the DuckDB
+    // oracle recomputes the whole sketch from scratch
+    "q_sketch_kmv" -> ((s, d) =>
+      graft.operators.Sketches.kmvDistinct(lineitem(s, d),
+        groupBy = Seq("l_returnflag"), key = col("l_orderkey"), k = 256)),
     // ------------------------------------- source/sink round trips (csv/json)
     "q_source_csv" -> ((s, d) => {
       val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/csv"
@@ -244,14 +250,16 @@ object PipelineQueries {
     s"""CAST(CASE WHEN $in >= 9223372036854775808::HUGEINT
         THEN $in - 18446744073709551616::HUGEINT ELSE $in END AS BIGINT)"""
 
-  /** Hash64 of a scalar string column as chained subqueries over
-    * `documents` (lateral aliases keep each stage's SQL linear-sized). */
-  private def hash64Sql(textExpr: String): String = {
+  /** Hash64 of a scalar string expression as chained subqueries
+    * (lateral aliases keep each stage's SQL linear-sized); `carry`
+    * columns ride along unchanged. */
+  private def hash64Sql(textExpr: String, from: String = "documents",
+      carry: String = "doc_id"): String = {
     val stages = fnvAvalancheStages.zipWithIndex.map { case (tpl, i) =>
       val in = if (i == 0) textExpr else s"x${i - 1}"
       s"${tpl.replace("%IN%", in)} AS x$i"
     }
-    s"SELECT doc_id, ${stages.mkString(",\n")} FROM documents"
+    s"SELECT $carry, ${stages.mkString(",\n")} FROM $from"
   }
 
   val oracle: Map[String, String] = Map(
@@ -268,6 +276,25 @@ object PipelineQueries {
     "q_text_fingerprint" ->
       s"""SELECT doc_id, ${toSigned("x5")} AS fingerprint
           FROM (${hash64Sql("text")}) t""",
+    // KMV recomputed from scratch: distinct (flag, key) -> staged Hash64
+    // -> per-flag k smallest -> (k-1)/u_k with the identical IEEE op
+    // sequence as the Spark side (all scaling constants are powers of 2)
+    "q_sketch_kmv" ->
+      s"""WITH hashed AS (
+            SELECT g, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("t",
+              from = """(SELECT DISTINCT l_returnflag AS g,
+                 CAST(l_orderkey AS VARCHAR) AS t FROM lineitem)""",
+              carry = "g")}) s),
+          ranked AS (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashed)
+          SELECT g AS l_returnflag, count(*) AS n_kmv,
+            CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                 ELSE round(255.0 / ((CAST(max(h) AS DOUBLE)
+                     + 9223372036854775808.0) / 18446744073709551616.0), 4)
+            END AS est_distinct
+          FROM ranked WHERE rn <= 256 GROUP BY g""",
     // SimHash recomputed from scratch: per-token Hash64 (staged list
     // transforms), 64 majority-vote bits, then ALL-PAIRS Hamming ≤ 3 —
     // the Spark side's 16-bit band join is candidate generation only and

@@ -76,11 +76,50 @@ class PipelineSpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").first().getSeq[Float](0)
     val brute = Similarity.bruteForceTopK(emb, q, k = 50)
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val lsh = Similarity.lshTopK(emb, q, k = 10, probeRadius = 3, planes = 10)
-      .collect().map(_.getLong(0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(lsh.nonEmpty)
-    assert(lsh.head == 0L) // the query vector itself always survives probing
+    assert(lsh.head._1 == 0L) // the query vector itself always survives probing
+    // per-row value check: every returned cosine is the EXACT cosine of
+    // that id (approximation lives only in the candidate set, never the
+    // scores) — and the returned list is sorted like the brute ranking
+    val exactById = brute.toMap
+    lsh.foreach { case (id, c) =>
+      assert(exactById.contains(id), s"lsh returned id $id outside brute top-50")
+      assert(math.abs(c - exactById(id)) < 1e-9, s"wrong cosine for id $id")
+    }
+    assert(lsh.map(-_._2).sorted == lsh.map(-_._2).toSeq, "lsh output not ranked")
+    // recall floor on this corpus/setting (radius 3 of 10 planes): the
+    // probed fraction is ~17% yet must retain at least half the true
+    // top-10 — catches silent bucket-function or probe-mask regressions
+    val recall = lsh.map(_._1).count(brute.take(10).map(_._1).toSet) / 10.0
+    assert(recall >= 0.5, s"lsh recall degraded: $recall")
+  }
+
+  test("kmv distinct sketch: exact under k, within rel-error bound over k") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k=256: estimate path (each flag has >256 distinct orderkeys here)
+    val est = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_orderkey"), k = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(est.map(_._1).toSet == exact.keySet)
+    est.foreach { case (flag, nKmv, e) =>
+      val d = exact(flag).toDouble
+      assert(nKmv == 256L, s"$flag retained $nKmv hashes, expected full k")
+      // KMV std-err ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+      assert(math.abs(e - d) / d < 0.25, s"$flag est=$e exact=$d")
+    }
+    // k larger than any group's distinct count -> exact answers
+    val exactPath = Sketches.kmvDistinct(li, Seq("l_returnflag"),
+        col("l_orderkey"), k = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    exact.foreach { case (flag, d) =>
+      assert(exactPath(flag) == d.toDouble, s"$flag sub-k path not exact")
+    }
   }
 
   test("IVF searchExact equals brute force (pruning is lossless)") {
