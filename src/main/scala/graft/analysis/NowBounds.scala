@@ -54,24 +54,32 @@ object NowBounds {
     case _ => false
   }
 
-  /** Wrap every `ts >(=) f(now())` / mirrored `f(now()) <(=) ts` conjunct
-    * (ts a configured temporal column) so the pre-freeze shape survives
-    * into the optimizer. Idempotent: a wrapped side has no now() leaves. */
+  /** Wrap every `ts >(=) f(now())` / mirrored `f(now()) <(=) ts` TOP-LEVEL
+    * conjunct (ts a configured temporal column) so the pre-freeze shape
+    * survives into the optimizer. Only And-chain conjuncts are wrapped —
+    * that is exactly the shape Stability/stripConjunct can consume as a
+    * dynamic bound; a bound nested under OR/NOT would classify Stable
+    * with its now() hidden and take the crash-then-fallback path instead
+    * of clean vanilla execution. Idempotent: a wrapped side has no now()
+    * leaves. */
   def wrap(plan: LogicalPlan, config: QueryCacheConfig): LogicalPlan = {
     val needles = config.temporalColumns.map(_.toLowerCase) +
       config.defaultTemporalColumn.toLowerCase
+    def wrapConjunct(e: Expression): Expression = e match {
+      case And(l, r) => And(wrapConjunct(l), wrapConjunct(r))
+      case b @ GreaterThan(l, r) if isNeedle(l, needles) && pureNowBound(r) =>
+        b.copy(right = FrozenNowBound(r))
+      case b @ GreaterThanOrEqual(l, r) if isNeedle(l, needles) && pureNowBound(r) =>
+        b.copy(right = FrozenNowBound(r))
+      case b @ LessThan(l, r) if isNeedle(r, needles) && pureNowBound(l) =>
+        b.copy(left = FrozenNowBound(l))
+      case b @ LessThanOrEqual(l, r) if isNeedle(r, needles) && pureNowBound(l) =>
+        b.copy(left = FrozenNowBound(l))
+      case other => other
+    }
     plan.transformUp {
       case f @ Filter(cond, child) if containsNow(cond) =>
-        val wrapped = cond.transformUp {
-          case b @ GreaterThan(l, r) if isNeedle(l, needles) && pureNowBound(r) =>
-            b.copy(right = FrozenNowBound(r))
-          case b @ GreaterThanOrEqual(l, r) if isNeedle(l, needles) && pureNowBound(r) =>
-            b.copy(right = FrozenNowBound(r))
-          case b @ LessThan(l, r) if isNeedle(r, needles) && pureNowBound(l) =>
-            b.copy(left = FrozenNowBound(l))
-          case b @ LessThanOrEqual(l, r) if isNeedle(r, needles) && pureNowBound(l) =>
-            b.copy(left = FrozenNowBound(l))
-        }
+        val wrapped = wrapConjunct(cond)
         if (wrapped fastEquals cond) f else Filter(wrapped, child)
     }
   }

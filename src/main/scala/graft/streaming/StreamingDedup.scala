@@ -27,6 +27,22 @@ object StreamingDedup {
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
 
+  /** Watermark-bounded dedup: duplicates are suppressed only within the
+    * watermark horizon, and — unlike plain `dropDuplicates` with a
+    * watermark column in the key — state for expired fingerprints is
+    * dropped, so state size is O(distinct docs per horizon), not
+    * O(distinct docs ever). The 100 TB-stream shape: unbounded corpora
+    * can't keep every fingerprint forever; near-in-time duplicates (the
+    * common crawl/feed case) are caught with bounded state.
+    *
+    * `tsCol` must be an event-time timestamp column. */
+  def byFingerprintWithinWatermark(docs: DataFrame, horizon: String,
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class Doc(doc_id: Long, text: String, fingerprint: Long)
   final case class SeenState(firstId: Long, nCopies: Long)
 

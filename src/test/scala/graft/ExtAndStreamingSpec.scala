@@ -90,6 +90,13 @@ class ExtAndStreamingSpec extends AnyFunSuite {
         """SELECT count(*) AS c FROM evx
            WHERE ts >= now() - INTERVAL 48 HOURS""").collect()(0).getLong(0)
       assert(n == 3L)
+      // a now() bound under OR is NOT a strippable conjunct: the wrap rule
+      // must leave it for ComputeCurrentTime and the result stays vanilla
+      val m = ext.sql(
+        """SELECT count(*) AS c FROM evx
+           WHERE ts >= now() - INTERVAL 48 HOURS OR v > 10.0""")
+        .collect()(0).getLong(0)
+      assert(m == 4L) // 3 recent rows + the 100h-old v=11.0 row
     } finally {
       QueryCacheTransparent.disable(ext)
       SparkSession.setDefaultSession(base)
@@ -156,6 +163,37 @@ class ExtAndStreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(kept.length == docs.count()) // one per distinct text
     assert(kept.forall(_ < 10000)) // always the FIRST (lowest) id
+  }
+
+  test("watermark-bounded streaming dedup evicts expired fingerprints") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingDedup.byFingerprintWithinWatermark(df, "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    try {
+      mem.addData((1L, "alpha", t(0)), (2L, "alpha", t(1)), (3L, "beta", t(0)))
+      q.processAllAvailable()
+      mem.addData((4L, "alpha", t(5))) // duplicate within the horizon
+      q.processAllAvailable()
+      mem.addData((5L, "gamma", t(60))) // advances watermark past alpha+10m
+      q.processAllAvailable()
+      mem.addData((6L, "alpha", t(61))) // same content, state expired
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.sql("SELECT doc_id FROM wmdedup")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 3L, 5L).subsetOf(ids), s"firsts missing: $ids")
+    assert(!ids.contains(2L) && !ids.contains(4L),
+      s"within-horizon duplicate emitted: $ids")
+    assert(ids.contains(6L),
+      s"fingerprint state not evicted after the watermark passed: $ids")
   }
 
   test("streaming session windows equal batch session windows") {
