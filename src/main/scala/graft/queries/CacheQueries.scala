@@ -139,6 +139,25 @@ object CacheQueries {
           .agg(countDistinct(col("user_id")).as("distinct_users"),
             count(lit(1)).as("cnt"))
       }),
+    // sum/avg(DISTINCT) via the same set-union state as exact
+    // count-distinct, summed at finalize. Exact-typed columns only: the
+    // distinct sets here are integers/decimals, so the finalize fold is
+    // order-independent and the oracle hash is bit-exact.
+    "qc_incr_distinct_sums" -> ((s, d) =>
+      coldAppendWarm(s, d, "distinct_sums") { df =>
+        df.groupBy(col("event_type"))
+          .agg(
+            sum_distinct(col("user_id"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .as("sum_users"),
+            round(expr("avg(DISTINCT CAST(user_id AS DOUBLE))"), 6)
+              .as("avg_user"),
+            sum_distinct(col("value")
+                .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+              .as("sum_distinct_values"),
+            count(lit(1)).as("cnt"))
+      }),
     // grouping sets: ROLLUP cached through the same cycle (state = one
     // row per grouping-set × key; the reference never handles these)
     "qc_incr_rollup" -> ((s, d) =>
@@ -203,6 +222,13 @@ object CacheQueries {
     "qc_incr_distinct" ->
       """SELECT event_type,
            count(DISTINCT user_id) AS distinct_users,
+           count(*) AS cnt
+         FROM events GROUP BY 1""",
+    "qc_incr_distinct_sums" ->
+      """SELECT event_type,
+           CAST(sum(DISTINCT user_id) AS DECIMAL(38,0)) AS sum_users,
+           round(avg(DISTINCT CAST(user_id AS DOUBLE)), 6) AS avg_user,
+           sum(DISTINCT CAST(value AS DECIMAL(18,4))) AS sum_distinct_values,
            count(*) AS cnt
          FROM events GROUP BY 1""",
     "qc_incr_rollup" ->

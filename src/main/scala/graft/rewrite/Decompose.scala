@@ -62,14 +62,40 @@ object Decompose {
       // (expand + two-level agg) is not. State grows with the number of
       // distinct values per group; the cache's maxStateRows guard is the
       // backstop, approx_count_distinct the constant-size alternative.
+      // shared by every distinct aggregate: the distinct value set
+      def dsetSpec(child: Expression): (String, StateSpec) = {
+        val n = s"_s${i}_dset"
+        val c = Shims.column(child)
+        (n, StateSpec(n, collect_set(c), MSetUnion,
+          unit = Some(when(c.isNotNull, array(c)).otherwise(array()))))
+      }
+      // fold the stored set through +, starting from NULL so an empty
+      // set (all-null group) finalizes to NULL exactly like the vanilla
+      // aggregate; every step re-casts to the target sum type because
+      // decimal addition widens precision and functions.aggregate
+      // requires the merge result to keep the accumulator's type
+      def sumOfSet(n: String, sumT: org.apache.spark.sql.types.DataType): Column =
+        aggregate(col(n), lit(null).cast(sumT),
+          (acc, x) => coalesce(acc + x.cast(sumT), x.cast(sumT), acc).cast(sumT))
       return agg.aggregateFunction match {
         case Count(Seq(child)) =>
-          val n = s"_s${i}_dset"
-          val c = Shims.column(child)
-          Some(Decomposed(
-            Seq(StateSpec(n, collect_set(c), MSetUnion,
-              unit = Some(when(c.isNotNull, array(c)).otherwise(array())))),
-            size(col(n)).cast(agg.dataType)))
+          val (n, spec) = dsetSpec(child)
+          Some(Decomposed(Seq(spec), size(col(n)).cast(agg.dataType)))
+        // sum(DISTINCT)/avg(DISTINCT): same set state, summed at
+        // finalize. State is the distinct set per group — bounded by the
+        // cache's maxStateRows element guard, like exact count-distinct.
+        case sm: Sum =>
+          val (n, spec) = dsetSpec(sm.child)
+          Some(Decomposed(Seq(spec), sumOfSet(n, agg.dataType)))
+        case a: Average =>
+          val (n, spec) = dsetSpec(a.child)
+          val sumT =
+            if (a.child.dataType.isInstanceOf[DecimalType]) a.sumDataType
+            else org.apache.spark.sql.types.DoubleType
+          Some(Decomposed(Seq(spec),
+            when(size(col(n)) === 0, lit(null))
+              .otherwise(sumOfSet(n, sumT) / size(col(n)))
+              .cast(agg.dataType)))
         case _ => None
       }
     }

@@ -135,6 +135,39 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull))
   }
 
+  test("sum/avg(DISTINCT) cache via set-union state and hit warm") {
+    def q(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(
+        sum_distinct(col("user_id")).as("su"),
+        round(expr("avg(DISTINCT CAST(user_id AS DOUBLE))"), 6).as("au"),
+        sum_distinct(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("sv"),
+        countDistinct(col("user_id")).as("du"))
+    val (warmDF, log) = coldAppendWarm("sumdistinct")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull), tol = 1e-9)
+  }
+
+  test("avg(DISTINCT) of an all-null group finalizes to NULL like vanilla") {
+    import spark.implicits._
+    val work = tmpDir("dnull")
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "a", Option(5L)),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "b", Option.empty[Long]))
+      .toDF("ts", "k", "v").write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def q(df: DataFrame) = df.groupBy("k").agg(
+      expr("sum(DISTINCT v)").as("sd"), expr("avg(DISTINCT v)").as("ad"))
+    val out = QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts"))
+      .run(q(spark.read.parquet(work)))
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    val want = q(spark.read.parquet(work))
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out == want)
+    assert(out("b") == (None, None), s"all-null group not NULL: $out")
+  }
+
   test("corr/covar family caches via raw-sums state and hits warm") {
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .groupBy(col("event_type"))
