@@ -376,6 +376,60 @@ case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
     copy(child = c)
 }
 
+/** Index of the nearest codeword by RAW L2 distance — the product-
+  * quantization assignment step ([[graft.operators.PQ]]). Unlike
+  * [[NearestCentroid]] (cosine over pre-normalized centroids, the IVF
+  * assigner), codeword magnitudes are meaningful here: quantization
+  * error is ||p − c||², not an angle. */
+case class NearestCodeword(child: Expression, codebook: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < codebook.length) {
+      val cen = codebook(c)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, cen.length)
+      while (j < m) { val t = x(j) - cen(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCodeword =>
+      child == o.child && codebook.length == o.codebook.length &&
+        codebook.zip(o.codebook).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b)
+        }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + codebook.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Index of the nearest centroid (by cosine) for a float/double array —
   * the IVF assignment step as one native node; the centroid matrix is a
   * plan-time constant like [[HyperplaneBucket]]'s planes.
@@ -443,6 +497,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 object functions {
   def hyperplane_bucket(emb: Column, planes: Array[Array[Double]]): Column =
     Shims.column(HyperplaneBucket(Shims.expression(emb), planes))
+
+  def nearest_codeword(emb: Column, codebook: Array[Array[Double]]): Column =
+    Shims.column(NearestCodeword(Shims.expression(emb), codebook))
 
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
     Shims.column(NearestCentroid(Shims.expression(emb), centroids))

@@ -84,6 +84,23 @@ object PipelineQueries {
       IVF.searchExact(IVF.index(emb, model), model, q, k = 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    // product quantization with exact rerank: the ADC scan reads ONLY the
+    // 8-byte code column (32x smaller than the embeddings — the memory-
+    // bounded path at 100 TB), then the top-256 shortlist is re-scored
+    // with exact cosines. Oracle = brute force: verified at sf0.001/0.01/
+    // 0.1 that the 256-deep ADC shortlist contains the true top-10, so
+    // the reranked result IS the exact top-10 (same empirical-recall
+    // argument as the q_dedup_minhash oracle)
+    "q_ann_pq" -> ((s, d) => {
+      import graft.operators.PQ
+      val emb = embeddings(s, d)
+      val model = PQ.fit(emb, m = 8, k = 64, sampleN = 1024, iters = 6)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      PQ.searchADC(PQ.encode(emb, model), model, q, k = 10, rerank = 256,
+          original = emb)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     // this corpus has a CONTINUOUS cosine tail (pairs at 0.40, 0.45, …,
     // no gap), so no LSH banding can have recall 1 at threshold 0.4 —
     // exact cell-blocked pairing is the only oracle-faithful algorithm
@@ -263,6 +280,17 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // PQ + 256-deep exact rerank returns exactly the brute-force top-k
+    // on this corpus (shortlist ⊇ true top-10 verified at every SF)
+    "q_ann_pq" ->
+      """SELECT vec_id,
+           round(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine
+         FROM embeddings
+         ORDER BY list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+           vec_id ASC
+         LIMIT 10""",
     // exact pruned IVF search returns exactly the brute-force top-k
     "q_ann_ivf" ->
       """SELECT vec_id,

@@ -122,6 +122,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: adc recall floor, exact rerank, deterministic codes") {
+    import graft.operators.{PQ, Similarity}
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val model = PQ.fit(emb, m = 8, k = 64, sampleN = 1024, iters = 6)
+    assert(model.m == 8 && model.dsub == q.length / 8)
+    val encoded = PQ.encode(emb, model)
+    // codes are compact and deterministic
+    val codes = encoded.select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 64)))
+    val codes2 = PQ.encode(emb, model).select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == codes2)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // ADC-only: approximate ranking from codes alone — the query vector
+    // itself must rank first and recall@10 of the top-30 shortlist must
+    // clear a floor even on this near-isotropic corpus
+    val adc30 = PQ.searchADC(encoded, model, q, k = 30)
+      .collect().map(_.getLong(0))
+    assert(adc30.head == 0L, "query vector not ranked first by ADC")
+    val recall = brute.map(_._1).count(adc30.toSet) / 10.0
+    assert(recall >= 0.5, s"ADC shortlist recall too low: $recall")
+    // rerank path returns EXACT cosines for whatever it returns, ranked
+    val reranked = PQ.searchADC(encoded, model, q, k = 10, rerank = 100,
+        original = emb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exactById = Similarity.bruteForceTopK(emb, q, k = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    reranked.foreach { case (id, c) =>
+      assert(math.abs(c - exactById(id)) < 1e-9, s"rerank cosine wrong for $id")
+    }
+    assert(reranked.map(-_._2).sorted.toSeq == reranked.map(-_._2).toSeq)
+    assert(reranked.head._1 == 0L)
+  }
+
   test("IVF searchExact equals brute force (pruning is lossless)") {
     import graft.operators.IVF
     val q = emb.filter(col("vec_id") === 0)
