@@ -114,6 +114,24 @@ class PlanShapeSpec extends AnyFunSuite {
       .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
   }
 
+  test("pq adc scan reads only id + code columns, never the embeddings") {
+    import graft.operators.PQ
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = PQ.fit(emb, m = 8, k = 16, sampleN = 256, iters = 3)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    // persist the encoded table (the deployment shape: codes written once,
+    // scanned by every query) and search from the parquet scan
+    val work = tmpDir("pqcodes")
+    PQ.encode(emb, model).select("vec_id", "pq_code", "embedding")
+      .write.mode("overwrite").parquet(work)
+    val plan = planOf(
+      PQ.searchADC(spark.read.parquet(work), model, q, k = 10))
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,pq_code:array<int>>"),
+      plan)
+    assert(!plan.contains("embedding:"), plan)
+  }
+
   test("asof join is a single shuffle (one Exchange), no nested loop") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
     val ord = Tables.orders(spark, sf0001)
