@@ -97,6 +97,20 @@ class ExtAndStreamingSpec extends AnyFunSuite {
            WHERE ts >= now() - INTERVAL 48 HOURS OR v > 10.0""")
         .collect()(0).getLong(0)
       assert(m == 4L) // 3 recent rows + the 100h-old v=11.0 row
+
+      // a DIFFERENT offset is a different bound expression — it must NOT
+      // share state with the 48h query (FrozenNowBound prints its payload
+      // into the fingerprint)
+      log.clear()
+      val r24 = ext.sql(
+        """SELECT date_trunc('HOUR', ts) AS h, sum(v) AS sv FROM evx
+           WHERE ts >= now() - INTERVAL 24 HOURS
+           GROUP BY date_trunc('HOUR', ts)""").collect()
+      assert(r24.map(_.getDouble(1)).sorted.toSeq == Seq(5.0, 16.0), r24.toSeq)
+      val miss24 = log.history.filter(_.msg.startsWith("cache miss"))
+      assert(miss24.nonEmpty, s"24h variant should cold-miss: ${log.messages}")
+      assert(miss24.head.fingerprint != misses.head.fingerprint,
+        "different now() offsets must not share a fingerprint")
     } finally {
       QueryCacheTransparent.disable(ext)
       SparkSession.setDefaultSession(base)
