@@ -269,7 +269,17 @@ object Decompose {
 
   /** shared raw-sums state for corr/covar: returns (stateSpecs, countName,
     * ck = Σxy−ΣxΣy/n, xMoment, yMoment); moments are clamped ≥ 0 like the
-    * variance family. */
+    * variance family.
+    *
+    * NUMERIC CONTRACT: the derived co-moment's absolute error is
+    * ~n·|μx·μy|·1e-16 (cancellation of Σxy against ΣxΣy/n), where
+    * Spark's vanilla central-moment buffer stays ~1e-12 RELATIVE. The
+    * two agree to ~10 significant digits minus log10(|μ|/σ) per input —
+    * indistinguishable for regressors whose mean is within a few orders
+    * of their spread, but a raw epoch-seconds regressor (μ≈1.6e9,
+    * σ≈minutes) measurably diverges in the trailing digits. Center such
+    * columns before correlating (subtract any constant — corr is shift-
+    * invariant; the cache fingerprints the shifted plan consistently). */
   private def corrCovarState(i: Int, xc: Column, yc: Column)
       : (Seq[StateSpec], String, Column, Column, Column) = {
     val x = xc.cast("double")

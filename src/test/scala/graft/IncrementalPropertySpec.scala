@@ -36,7 +36,7 @@ class IncrementalPropertySpec extends AnyFunSuite {
     vals <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
     svc <- Gen.listOfN(n, Gen.choose(0, services.size - 1))
     splitIdx <- Gen.choose(1, n - 1)
-    q <- Gen.choose(0, 2)
+    q <- Gen.choose(0, nQueries - 1)
   } yield {
     val ts = steps.scanLeft(baseUs)((acc, s) => acc + s * 1000000L).tail
     Case(ts.lazyZip(svc).lazyZip(vals).map((t, s, v) => (t, services(s), v)),
@@ -51,14 +51,34 @@ class IncrementalPropertySpec extends AnyFunSuite {
       }.asJava, schema)
   }
 
+  private val nQueries = 5
+
   private def query(i: Int)(df: DataFrame): DataFrame = i match {
     case 0 => df.agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
       min("value").as("mn"), max("value").as("mx"))
     case 1 => df.filter(col("value") > 0)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("cnt"), avg("value").as("av"))
-    case _ => df.groupBy(col("service"))
+    case 2 => df.groupBy(col("service"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    // raw-sums stats family (corr/covar/variance share the state
+    // machinery). The time regressor is CENTERED per the documented
+    // numeric contract (Decompose.corrCovarState): a raw epoch-seconds
+    // column has |mean| >> spread and loses trailing digits to
+    // cancellation in ANY sums-based form.
+    case 3 =>
+      val tsC = col("ts").cast("double") - lit(1.65e9)
+      df.groupBy(col("service")).agg(
+        round(corr(col("value"), tsC), 6).as("co"),
+        round(covar_samp(col("value"), tsC), 6).as("cs"),
+        round(covar_pop(col("value"), tsC), 6).as("cp"),
+        round(stddev_samp(col("value")), 6).as("sd"))
+    // distinct family over the set-union state
+    case _ => df.groupBy(col("service")).agg(
+      countDistinct(col("value")).as("dv"),
+      sum_distinct(col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sdv"),
+      expr("avg(DISTINCT CAST(value AS DECIMAL(18,6)))").as("adv"))
   }
 
   test("incremental == full recompute for random tables, splits, queries") {
@@ -83,17 +103,58 @@ class IncrementalPropertySpec extends AnyFunSuite {
         defaultTemporalColumn = "ts", log = log))
       val got = warm.run(query(c.q)(spark.read.parquet(work)))
         .collect().map(_.toSeq.map {
-          case d: Double => f"$d%.6f"
+          case d: Double => f"${d + 0.0}%.6e" // 6 SIG digits; +0.0 folds -0.0
           case x => String.valueOf(x)
         }).map(_.mkString("|")).sorted.toSeq
       val want = query(c.q)(toDF(sorted))
         .collect().map(_.toSeq.map {
-          case d: Double => f"$d%.6f"
+          case d: Double => f"${d + 0.0}%.6e" // 6 SIG digits; +0.0 folds -0.0
           case x => String.valueOf(x)
         }).map(_.mkString("|")).sorted.toSeq
       assert(got == want, s"query ${c.q} split ${c.splitIdx}: $got vs $want; " +
         s"log=${log.messages}")
       assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    }
+  }
+
+  test("state converges across a 4-run append chain (every run a hit)") {
+    val params = Gen.Parameters.default
+    (1 to 3).foreach { caseNo =>
+      val c = genCase.pureApply(params, Seed(4242L + caseNo))
+      val sorted = c.rows.sortBy(_._1).toVector
+      val n = sorted.length
+      val cuts = Seq(n / 4, n / 2, 3 * n / 4).distinct.filter(i => i > 0 && i < n)
+      val chunks = (Seq(0) ++ cuts ++ Seq(n)).sliding(2)
+        .map { case Seq(a, b) => sorted.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val work = tmpDir(s"chain$caseNo")
+      val cache = new MemoryQueryCache()
+      val log = new RecordingLog
+      var written = Vector.empty[(Long, String, Double)]
+      chunks.zipWithIndex.foreach { case (chunk, k) =>
+        toDF(chunk).write.mode(if (k == 0) "overwrite" else "append").parquet(work)
+        written ++= chunk
+        // this run's "now": the next chunk's first timestamp (all present
+        // rows are below it, all future rows at/after it); wall clock
+        // suffices for the final run
+        val now = chunks.lift(k + 1).map(_.head._1)
+        val sess = QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = now, log = log))
+        val got = sess.run(query(c.q)(spark.read.parquet(work)))
+          .collect().map(_.toSeq.map {
+            case d: Double => f"${d + 0.0}%.6e" // 6 SIG digits; +0.0 folds -0.0
+            case x => String.valueOf(x)
+          }).map(_.mkString("|")).sorted.toSeq
+        val want = query(c.q)(toDF(written))
+          .collect().map(_.toSeq.map {
+            case d: Double => f"${d + 0.0}%.6e" // 6 SIG digits; +0.0 folds -0.0
+            case x => String.valueOf(x)
+          }).map(_.mkString("|")).sorted.toSeq
+        assert(got == want,
+          s"query ${c.q} chain step $k: $got vs $want; log=${log.messages}")
+      }
+      val hits = log.messages.count(_.startsWith("cache hit"))
+      assert(hits >= chunks.length - 1,
+        s"expected ${chunks.length - 1} warm hits, got $hits: ${log.messages}")
     }
   }
 }
