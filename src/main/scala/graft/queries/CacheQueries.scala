@@ -53,15 +53,19 @@ object CacheQueries {
   def coldAppendWarm(spark: SparkSession, sfDir: String, tag: String,
       cacheFactory: () => graft.cache.QueryCache = {
         val shared = new MemoryQueryCache(); () => shared
-      })(q: DataFrame => DataFrame): DataFrame = {
+      },
+      dynamicBounds: Boolean = false,
+      warmNowMicros: Option[Long] = None)(q: DataFrame => DataFrame): DataFrame = {
     val (work, splitMicros, appendRest) = splitWrite(spark, sfDir, tag)
-    val cold = QueryCacheSession(spark,
-      QueryCacheConfig(cacheFactory(), defaultTemporalColumn = "ts",
-        overrideNowMicros = Some(splitMicros)))
+    def cfg(cache: graft.cache.QueryCache, now: Option[Long]) = {
+      val base = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = now)
+      if (dynamicBounds) base.withDynamicBounds else base
+    }
+    val cold = QueryCacheSession(spark, cfg(cacheFactory(), Some(splitMicros)))
     cold.run(q(spark.read.parquet(work))).collect()
     appendRest()
-    val warm = QueryCacheSession(spark,
-      QueryCacheConfig(cacheFactory(), defaultTemporalColumn = "ts"))
+    val warm = QueryCacheSession(spark, cfg(cacheFactory(), warmNowMicros))
     warm.run(q(spark.read.parquet(work)))
   }
 
@@ -139,6 +143,24 @@ object CacheQueries {
           .agg(countDistinct(col("user_id")).as("distinct_users"),
             count(lit(1)).as("cnt"))
       }),
+    // dynamic lower bound (`ts >= now() - INTERVAL …`) — the feature the
+    // reference DETECTS then rejects (src/aggregate.rs:191-193,
+    // README.md:131): state is cached unbounded, the bound re-applies
+    // over day-bucket STARTS at answer time with now() frozen to the
+    // run's (overridden) start. Both runs' nows are pinned so the warm
+    // bound is a computable static timestamp the DuckDB oracle mirrors:
+    // warm now = max(ts)+1s, bound = now - 20 days (mid-data, below the
+    // 60% split — warm replays cached buckets it never rescanned).
+    "qc_incr_dynbound" -> ((s, d) => {
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      coldAppendWarm(s, d, "dynbound", dynamicBounds = true,
+        warmNowMicros = Some(maxUs + 1000000L)) { df =>
+        df.filter(col("ts") >= expr("now() - INTERVAL 20 DAYS"))
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      }
+    }),
     // sum/avg(DISTINCT) via the same set-union state as exact
     // count-distinct, summed at finalize. Exact-typed columns only: the
     // distinct sets here are integers/decimals, so the finalize fold is
@@ -224,6 +246,16 @@ object CacheQueries {
            count(DISTINCT user_id) AS distinct_users,
            count(*) AS cnt
          FROM events GROUP BY 1""",
+    // the warm run's frozen now is max(ts)+1s, so the bucket-granularity
+    // bound is the static timestamp below — buckets qualify by their START
+    "qc_incr_dynbound" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events
+         WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) >=
+           (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
+         GROUP BY 1""",
     "qc_incr_distinct_sums" ->
       """SELECT event_type,
            CAST(sum(DISTINCT user_id) AS DECIMAL(38,0)) AS sum_users,
