@@ -60,8 +60,16 @@ object NowBounds {
     * that is exactly the shape Stability/stripConjunct can consume as a
     * dynamic bound; a bound nested under OR/NOT would classify Stable
     * with its now() hidden and take the crash-then-fallback path instead
-    * of clean vanilla execution. Idempotent: a wrapped side has no now()
-    * leaves. */
+    * of clean vanilla execution.
+    *
+    * ALL-OR-NOTHING: if any now() leaf would remain UNwrapped anywhere
+    * in the plan (an upper bound `ts < now()`, now() in a projection, a
+    * bound under OR), nothing is wrapped. ComputeCurrentTime freezes
+    * unwrapped leaves at optimization time while a wrapper is frozen
+    * later (answer time, or the restore safety net) — mixing the two
+    * would give one query two DIFFERENT now() instants, breaking
+    * Spark's all-now()s-agree guarantee. Idempotent: a wrapped side has
+    * no now() leaves. */
   def wrap(plan: LogicalPlan, config: QueryCacheConfig): LogicalPlan = {
     val needles = config.temporalColumns.map(_.toLowerCase) +
       config.defaultTemporalColumn.toLowerCase
@@ -77,11 +85,14 @@ object NowBounds {
         b.copy(left = FrozenNowBound(l))
       case other => other
     }
-    plan.transformUp {
+    val wrapped = plan.transformUp {
       case f @ Filter(cond, child) if containsNow(cond) =>
-        val wrapped = wrapConjunct(cond)
-        if (wrapped fastEquals cond) f else Filter(wrapped, child)
+        val w = wrapConjunct(cond)
+        if (w fastEquals cond) f else Filter(w, child)
     }
+    val nowLeft = wrapped.exists(_.expressions.exists(containsNow)) ||
+      wrapped.subqueriesAll.exists(_.exists(_.expressions.exists(containsNow)))
+    if (nowLeft) plan else wrapped
   }
 
   /** Replace now() leaves with this run's literals, exactly the way

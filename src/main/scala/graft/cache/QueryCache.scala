@@ -100,14 +100,16 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
 
   override def put(fingerprint: String, timestampMicros: Long,
       state: DataFrame): DataFrame = {
-    // ONE job: a limit-probe before the collect looks safer but runs
-    // CollectLimitExec.executeTake's sequential partition waves (1, 4,
-    // 16, … partitions = several scheduled jobs) precisely when the state
-    // is small — the common case — multiplying warm-path latency. The
-    // driver-OOM guard is Spark's own spark.driver.maxResultSize, whose
-    // abort surfaces as a SparkException and falls back to an uncached
-    // run; the row/element bounds below keep the CacheCapacityExceeded
-    // semantics for everything that fits through that guard.
+    // ONE plain collect: every limit-based cap was MEASURED slower on
+    // the paths that matter — a separate limit-probe ran executeTake's
+    // sequential partition waves on small states (r2), and capping this
+    // collect itself with limit(max+1) doubled the cold put at sf0.1
+    // even with limit.initialNumPartitions raised (r3 A/B). The
+    // row/element checks below keep CacheCapacityExceeded semantics
+    // (vanilla fallback) for states that FIT through the driver;
+    // the byte-level guard against a runaway group-by cardinality is
+    // Spark's own spark.driver.maxResultSize (default 1g) — keep it set
+    // on sessions that cache; its abort also falls back to vanilla.
     val rows = state.collect()
     if (rows.length > maxStateRows)
       throw new CacheCapacityExceeded(
@@ -153,7 +155,8 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
   */
 final class ParquetQueryCache(rootDir: String,
     keepVersions: Int = 2,
-    graceMs: Long = 10L * 60 * 1000) extends QueryCache {
+    graceMs: Long = 10L * 60 * 1000,
+    abandonedMs: Long = 24L * 3600 * 1000) extends QueryCache {
   import ParquetQueryCache._
 
   /** Latest committed meta version in `dir`. Meta files are immutable and
@@ -213,33 +216,41 @@ final class ParquetQueryCache(rootDir: String,
       .flatMap(e => e.getPath.getName.stripPrefix("meta-")
         .stripSuffix(".json").toLongOption.map(v => (v, e)))
       .sortBy(-_._1)
+    // ONE read per meta file (on an object store each read is a remote
+    // GET; the orphan pass below reuses this map instead of re-reading)
+    val metaDataDir: Map[Long, String] = metas.flatMap { case (v, e) =>
+      try Some(v -> readMeta(fs, e.getPath).dataDir)
+      catch { case _: Exception => None }
+    }.toMap
     val keptMetas = metas.take(math.max(1, keepVersions))
     val liveDataDirs: Set[String] =
-      keptMetas.flatMap(m =>
-        try Some(readMeta(fs, m._2.getPath).dataDir)
-        catch { case _: Exception => None }).toSet
+      keptMetas.flatMap(m => metaDataDir.get(m._1)).toSet
+    val referencedDirs: Set[String] = metaDataDir.values.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     metas.drop(math.max(1, keepVersions)).foreach { case (v, e) =>
       if (e.getModificationTime < cutoff) {
         try {
-          val m = readMeta(fs, e.getPath)
-          if (!liveDataDirs.contains(m.dataDir))
-            fs.delete(new Path(dir, m.dataDir), true)
+          metaDataDir.get(v).filterNot(liveDataDirs.contains)
+            .foreach(d => fs.delete(new Path(dir, d), true))
           fs.delete(e.getPath, false)
         } catch { case _: Exception => () }
       }
     }
-    // orphaned data dirs (losers of concurrent same-version puts): not
-    // referenced by any retained meta and past the grace period
+    // Orphaned data dirs: not referenced by ANY meta and past the grace
+    // period. A writer's meta lands only AFTER its parquet write, so an
+    // unreferenced dir may be an IN-FLIGHT write, not garbage — only
+    // reap it once its write visibly completed (_SUCCESS present: a
+    // loser of a concurrent same-version race) or after `abandonedMs`
+    // (crashed writer).
     entries.filter(e => e.isDirectory && e.getPath.getName.startsWith("data-"))
       .foreach { e =>
         val name = e.getPath.getName
-        val referenced = liveDataDirs.contains(name) ||
-          metas.exists { case (_, me) =>
-            try readMeta(fs, me.getPath).dataDir == name
-            catch { case _: Exception => false }
-          }
-        if (!referenced && e.getModificationTime < cutoff)
+        val age = System.currentTimeMillis() - e.getModificationTime
+        lazy val completed =
+          try fs.exists(new Path(e.getPath, "_SUCCESS"))
+          catch { case _: Exception => false }
+        if (!referencedDirs.contains(name) && age > graceMs &&
+            (completed || age > abandonedMs))
           try fs.delete(e.getPath, true) catch { case _: Exception => () }
       }
   }

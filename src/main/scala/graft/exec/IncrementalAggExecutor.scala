@@ -385,9 +385,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           "spark.sql.files.minPartitionNum" -> "1",
           "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString)
       else Seq.empty
+    // confs go on a CLONED session (never mutate the user's session —
+    // a save/restore races concurrent queries); rebind the state plan
     val stored0 = phase("cache.put")(
-      Shims.withSQLConf(spark, stateConfs: _*)(
-        config.cache.put(c.fingerprint, now, merged)))
+      Shims.withIsolatedConf(spark, stateConfs: _*) { s =>
+        val state =
+          if (s eq spark) merged
+          else Shims.ofRows(s, Shims.queryExecution(merged).analyzed)
+        config.cache.put(c.fingerprint, now, state)
+      })
     // EXPLAIN/metrics visibility (reference DisplayAs + BaselineMetrics,
     // src/aggregate.rs:530-537,583-585): the replay of the stored state is
     // wrapped in a marker node so df.explain() names the cache, its

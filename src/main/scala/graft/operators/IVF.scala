@@ -128,6 +128,9 @@ object IVF {
       radii.get(i).map(r => math.cos(math.max(0.0, qAngle(i) - r)))
         .getOrElse(-2.0) // empty cell: nothing to probe
     val ordered = model.centroids.indices.filter(radii.contains).sortBy(i => -bound(i))
+    if (ordered.isEmpty) // empty corpus: no cells, nothing to probe
+      return indexed.limit(0)
+        .select(col(idCol), lit(0.0d).as("cosine"))
     val best = ordered.head
     val bestTop = indexed.filter(col("ivf_cell") === best)
       .select(cosine_similarity(col(embCol), q).as("cosine"))

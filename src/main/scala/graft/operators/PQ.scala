@@ -90,10 +90,14 @@ object PQ {
 
   /** the L2-normalized embedding as a column (norm computed once as its
     * own column upstream would also work; inside one projection the
-    * aggregate runs once per row) */
+    * aggregate runs once per row). A zero vector stays zero — dividing
+    * by its 0 norm would produce NaNs, NearestCodeword would see
+    * all-NaN distances and emit -1, and the ADC lookup would crash on
+    * index 0; zeros instead assign to the codeword nearest the origin. */
   private def normalized(e: Column): Column = {
     val n = sqrt(aggregate(e, lit(0.0d), (acc, x) => acc + x * x))
-    transform(e, x => x / n)
+    val safeN = when(n === 0.0d, lit(1.0d)).otherwise(n)
+    transform(e, x => x / safeN)
   }
 
   /** Adds `pq_code: array<int>` (m codes): per subspace, the argmin-L2

@@ -31,6 +31,8 @@ object Sketches {
     *
     * Output: group columns + `n_kmv` (retained hash count, < k means the
     * group's true distinct count is exact) + `est_distinct` (double).
+    * NULL keys are ignored (count(DISTINCT) semantics); a group whose
+    * keys are ALL null yields no output row.
     * Both engines compute the estimate with the identical IEEE op
     * sequence — (k-1) / ((h_k + 2^63) / 2^64), all constants powers of
     * two — so results are bit-comparable after a defensive round(4). */
@@ -39,9 +41,13 @@ object Sketches {
     require(k >= 3, s"KMV needs k >= 3, got $k")
     val g = groupBy.map(col)
     // distinct (group, hash): same key always produces the same hash, so
-    // duplicates collapse in the map-side combine before the shuffle
+    // duplicates collapse in the map-side combine before the shuffle.
+    // NULL keys hash to a null row — dropped, because count(DISTINCT)
+    // ignores nulls and a null _h would otherwise rank first (NULLS
+    // FIRST) and count toward n_kmv while never being the k-th maximum.
     val hashed = df
       .select(g :+ seeded_hash64(key.cast("string"), lit(0L)).as("_h"): _*)
+      .filter(col("_h").isNotNull)
       .distinct()
     val w = Window.partitionBy(g: _*).orderBy(col("_h"))
     // u_k maps the signed 64-bit k-th minimum onto (0,1): (h + 2^63)/2^64

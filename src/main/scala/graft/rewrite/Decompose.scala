@@ -69,14 +69,21 @@ object Decompose {
         (n, StateSpec(n, collect_set(c), MSetUnion,
           unit = Some(when(c.isNotNull, array(c)).otherwise(array()))))
       }
-      // fold the stored set through +, starting from NULL so an empty
-      // set (all-null group) finalizes to NULL exactly like the vanilla
-      // aggregate; every step re-casts to the target sum type because
-      // decimal addition widens precision and functions.aggregate
-      // requires the merge result to keep the accumulator's type
+      // fold the stored set through + behind a (started, value) struct:
+      // an empty set (all-null group) finalizes to NULL like the vanilla
+      // aggregate, while a null that appears MID-fold (non-ANSI decimal
+      // overflow) stays NULL — a bare coalesce fallback would silently
+      // restart the sum from the overflowing element instead. Every step
+      // re-casts to the target sum type because decimal addition widens
+      // precision and functions.aggregate keeps the accumulator's type.
       def sumOfSet(n: String, sumT: org.apache.spark.sql.types.DataType): Column =
-        aggregate(col(n), lit(null).cast(sumT),
-          (acc, x) => coalesce(acc + x.cast(sumT), x.cast(sumT), acc).cast(sumT))
+        aggregate(col(n),
+          struct(lit(false).as("s"), lit(null).cast(sumT).as("v")),
+          (acc, x) => struct(lit(true).as("s"),
+            when(acc.getField("s"),
+                (acc.getField("v") + x.cast(sumT)).cast(sumT))
+              .otherwise(x.cast(sumT)).as("v")),
+          acc => acc.getField("v"))
       return agg.aggregateFunction match {
         case Count(Seq(child)) =>
           val (n, spec) = dsetSpec(child)

@@ -48,23 +48,24 @@ object Shims {
       Seq(d.name)
   }.flatten
 
-  /** Run `f` with SQL confs temporarily set on the session (restored in
-    * finally). A thread-local SQLConf override does NOT survive
-    * SQLExecution.withNewExecutionId's conf propagation, so this is the
-    * only lever that actually reaches physical planning. The cache
-    * executor is driver-side and brief; a concurrent query planned in the
-    * same instant would see the overrides — acceptable for the state
-    * jobs' latency win, and documented on the caller. */
-  def withSQLConf[A](spark: SparkSession, kv: (String, String)*)(f: => A): A = {
-    val conf = spark.conf
-    val saved = kv.map { case (k, _) => k -> conf.getOption(k) }
-    kv.foreach { case (k, v) => conf.set(k, v) }
-    try f
-    finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
+  /** Run `f` against a session whose SQL confs include `kv` — WITHOUT
+    * mutating the caller's session. A thread-local SQLConf override does
+    * not survive SQLExecution.withNewExecutionId's conf propagation, and
+    * a set/restore on the shared session races concurrent queries (two
+    * interleaved save/restores can permanently corrupt a conf), so the
+    * overrides go on a CLONED session: same SparkContext, shared state,
+    * and a full copy of the runtime conf/temp views (cloneSession, the
+    * same mechanism Spark's own AQE/streaming use for isolated conf
+    * views). `f` receives the clone; rebind plans with [[ofRows]]. With
+    * no overrides the original session is passed straight through. */
+  def withIsolatedConf[A](spark: SparkSession, kv: (String, String)*)(
+      f: SparkSession => A): A =
+    if (kv.isEmpty) f(spark)
+    else {
+      val cloned = spark.asInstanceOf[ClassicSparkSession].cloneSession()
+      kv.foreach { case (k, v) => cloned.conf.set(k, v) }
+      f(cloned)
     }
-  }
 
   /** Is this plan node a scan leaf the cache rewrite may sit on top of?
     * (file relation, v2 relation, or in-memory rows for tests) */
