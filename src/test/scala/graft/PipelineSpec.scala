@@ -159,6 +159,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(reranked.head._1 == 0L)
   }
 
+  test("edge cases: zero vector PQ-encodes, empty corpus searches, null KMV keys") {
+    import graft.operators.{IVF, PQ, Sketches}
+    import spark.implicits._
+    // zero embedding: encode must not emit -1 codes / crash the ADC scan
+    val model = PQ.fit(emb, m = 8, k = 16, sampleN = 256, iters = 2)
+    val withZero = emb.limit(5)
+      .withColumn("embedding",
+        when(col("vec_id") === col("vec_id"), // every row: constant zero vec
+          array((0 until 64).map(_ => lit(0.0f)): _*)))
+    val codes = PQ.encode(withZero, model).select("pq_code")
+      .collect().flatMap(_.getSeq[Int](0))
+    assert(codes.forall(c => c >= 0 && c < 16), s"invalid codes: ${codes.toSeq}")
+    // empty corpus: exact IVF search returns empty, not an exception
+    val ivfModel = IVF.fit(emb, k = 8, sampleN = 64, iters = 2)
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(IVF.searchExact(IVF.index(empty, ivfModel), ivfModel,
+      Seq.fill(64)(0.1f), k = 5).count() == 0)
+    // null keys are ignored like count(DISTINCT); all-null group drops out
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", None)).toDF("g", "k")
+    val kmv = Sketches.kmvDistinct(df, Seq("g"), col("k"), k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kmv == Map("a" -> 2L), s"null-key handling diverged: $kmv")
+  }
+
   test("IVF searchExact equals brute force (pruning is lossless)") {
     import graft.operators.IVF
     val q = emb.filter(col("vec_id") === 0)
