@@ -23,6 +23,7 @@ object PipelineQueries {
       documents(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(t).as("n_tokens_bpe"),
         TextAnalysis.punctCount(t).as("n_punct"),
         round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
         TextAnalysis.languageId(t).as("lang_pred"))
@@ -373,6 +374,9 @@ object PipelineQueries {
     "q_text_stats" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(string_split_regex(text, '\s+'))
+             + length(regexp_replace(text, '[^.,!?;:''\"]', '', 'g'))
+             AS INTEGER) AS n_tokens_bpe,
            CAST(length(regexp_replace(text, '[^.,!?;:''\"]', '', 'g')) AS INTEGER) AS n_punct,
            round(CASE WHEN len(toks) > 0
              THEN CAST(len(list_filter(toks,
