@@ -93,11 +93,14 @@ object Bench {
     val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(workPath)) fs.delete(workPath, true)
     val splitTs = timestamp_micros(lit(splitUs))
-    // time-ordered layout: tight row-group stats let the warm run's
-    // pushed `ts >= wm` filter skip the history physically (see
-    // graft.sources.Layouts); order-preserving fast path — the range
-    // shuffle of the multiplied rows would dominate setup
-    graft.sources.Layouts.writeTimeSeriesPresorted(
+    // date-partitioned time-series layout: the warm run's derived
+    // `ts_day >= date(wm)` conjunct prunes history DIRECTORIES at
+    // planning (graft.sources.Layouts.writeTimeSeriesPartitioned +
+    // QueryCacheConfig.temporalPartitionColumn), so warm task count
+    // follows the append, not the history; row-group stats handle the
+    // boundary day. Input is range-partitioned by ts, so each write task
+    // covers few dates and file counts stay bounded.
+    graft.sources.Layouts.writeTimeSeriesPartitioned(
       base.filter(col("ts") < splitTs), work)
 
     def q(df: DataFrame) = df.filter(col("value") > 1)
@@ -125,13 +128,17 @@ object Bench {
       timedScan(cold.run(q(readWork())).collect())
     }
 
-    graft.sources.Layouts.writeTimeSeries(
-      base.filter(col("ts") >= splitTs), work, "ts", buckets = 4,
-      mode = "append")
+    // append written 8-way range-partitioned: a real append stream arrives
+    // from many writers as several files — and the warm scan's decode
+    // parallelism follows the append's file/row-group count
+    graft.sources.Layouts.writeTimeSeriesPartitioned(
+      base.filter(col("ts") >= splitTs).repartitionByRange(8, col("ts")),
+      work, mode = "append")
 
     val warms = caches.map { cache =>
       val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
-        defaultTemporalColumn = "ts"))
+        defaultTemporalColumn = "ts")
+        .withTemporalPartitioning("ts_day"))
       dropOsPageCache()
       timedScan(warm.run(q(readWork())).collect())
     }
@@ -193,7 +200,11 @@ object Bench {
     try warmupCachePath(spark) catch { case _: Throwable => () }
     val incr = Seq(0.01, 0.10).flatMap(p =>
       try incremental(spark, sfDir, p, mult).toSeq
-      catch { case _: Throwable => Seq.empty }).toMap
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] incremental($p) failed: $e")
+        e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
+        Seq.empty
+      }).toMap
     val speedup = for {
       c <- incr.get("cold_1pct_sec"); w <- incr.get("warm_1pct_sec")
     } yield c / w

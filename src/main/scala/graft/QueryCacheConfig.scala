@@ -36,6 +36,22 @@ import graft.log.{CacheLog, NoOpLog}
   *                              semantics. A bucket straddling the cutoff
   *                              is excluded, where a vanilla run would
   *                              return it partially — hence opt-in.
+  * @param temporalPartitionColumn name of a Hive-style partition column
+  *                              that equals `CAST(<temporal column> AS
+  *                              DATE)` (evaluated in the session time zone
+  *                              — write and query in the same zone), as
+  *                              written by [[graft.sources.Layouts
+  *                              .writeTimeSeriesPartitioned]]. When set and
+  *                              present in the scan output, the warm path
+  *                              adds the implied `part >= date(watermark)`
+  *                              conjunct, so history files are pruned at
+  *                              PLANNING time (directory-level partition
+  *                              pruning) instead of each task opening a
+  *                              footer just to skip its row groups. On a
+  *                              100 TB table the warm scan's task count
+  *                              must follow the appended data, not the
+  *                              history size — row-group stats alone
+  *                              cannot do that.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -46,7 +62,11 @@ final case class QueryCacheConfig(
     overrideNowMicros: Option[Long] = None,
     strictUpperBound: Boolean = false,
     dynamicBoundBucketGranularity: Boolean = false,
+    temporalPartitionColumn: Option[String] = None,
     log: CacheLog = NoOpLog) {
+
+  def withTemporalPartitioning(partitionCol: String): QueryCacheConfig =
+    copy(temporalPartitionColumn = Some(partitionCol))
 
   def withDynamicBounds: QueryCacheConfig =
     copy(dynamicBoundBucketGranularity = true)

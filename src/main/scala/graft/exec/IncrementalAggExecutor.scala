@@ -42,12 +42,6 @@ import graft.rewrite.Decompose.Decomposed
   */
 final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
-  /** state-schema per fingerprint — saves one full plan analysis per warm
-    * run (the schema of a fingerprint's partial state never changes; a
-    * stale entry after library upgrade just causes a logged miss) */
-  private val schemaMemo =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
-
   /** Everything decided statically before touching the cache.
     * `dynamicBound` is a `ts >(=) f(now())` predicate to strip from the
     * scan and re-apply at bucket granularity over the merged state. */
@@ -330,8 +324,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // analysis-only: the state schema this plan produces (validates cached
     // state; mirrors CachedAggregateExec taking the partial plan's schema,
     // src/aggregate.rs:616-623)
-    val stateSchema = phase("stateSchema")(schemaMemo.getOrElseUpdate(c.fingerprint,
-      partialState(childDF0.limit(0)).schema))
+    val stateSchema = phase("stateSchema")(IncrementalAggExecutor.memoGet(
+      c.fingerprint, partialState(childDF0.limit(0)).schema))
 
     val entry = config.cache.get(c.fingerprint) match {
       case Some(cs) if !schemaCompatible(cs.schema, stateSchema) =>
@@ -344,7 +338,20 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val merged = entry match {
       case Some(cs) =>
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
-        val newData = childDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
+        val newData0 = childDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
+        // derived partition predicate: with a declared DATE partition
+        // column (= CAST(ts AS DATE), see Layouts.writeTimeSeriesPartitioned)
+        // the watermark bound implies part >= date(wm) — date() is monotone
+        // — which Catalyst turns into directory-level partition pruning, so
+        // planning never even lists the history files' splits. Skipped when
+        // a projection pruned the column (correct, just less prunable).
+        val newData = config.temporalPartitionColumn match {
+          case Some(pc) if childDF.columns.exists(_.equalsIgnoreCase(pc)) =>
+            newData0.filter(col(pc) >=
+              org.apache.spark.sql.functions.to_date(
+                timestamp_micros(lit(cs.timestampMicros))))
+          case _ => newData0
+        }
         // when every state column has a per-row unit form, appended rows
         // feed the merge aggregation DIRECTLY (projected to state shape),
         // skipping the separate partial-aggregate exchange+stage; merge
@@ -375,15 +382,18 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // WARM-run state-job latency tuning (cold runs scan the full history
     // and keep every session default): AQE's per-shuffle-stage sub-jobs
     // only add scheduling latency to a job whose output is ≤ one row per
-    // group, and the mostly-pruned scan packs into fewer tasks when tiny
-    // files aren't padded apart (openCost=0) and splits follow real bytes.
+    // group, and tiny files pack together when not padded apart
+    // (openCost=0). maxPartitionBytes is LOWERED for the warm scan: after
+    // partition/row-group pruning the live bytes are ~the append, which
+    // often sits in a handful of files — 32 MB splits keep its decode
+    // parallel instead of serializing 1% of the table onto 1-2 tasks.
     val stateConfs =
       if (entry.isDefined)
         Seq(
           "spark.sql.adaptive.enabled" -> "false",
           "spark.sql.files.openCostInBytes" -> "0",
           "spark.sql.files.minPartitionNum" -> "1",
-          "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString)
+          "spark.sql.files.maxPartitionBytes" -> (32L << 20).toString)
       else Seq.empty
     // confs go on a CLONED session (never mutate the user's session —
     // a save/restore races concurrent queries); rebind the state plan
@@ -394,16 +404,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           else Shims.ofRows(s, Shims.queryExecution(merged).analyzed)
         config.cache.put(c.fingerprint, now, state)
       })
-    // EXPLAIN/metrics visibility (reference DisplayAs + BaselineMetrics,
-    // src/aggregate.rs:530-537,583-585): the replay of the stored state is
-    // wrapped in a marker node so df.explain() names the cache, its
-    // hit/miss status and watermark, and an SQLMetric counts replayed rows
     graft.plans.CacheReplayStrategy.register(spark)
-    val stored = Shims.ofRows(spark,
-      graft.plans.CacheReplayMarker(
-        Shims.queryExecution(stored0).analyzed, c.fingerprint,
-        hit = entry.isDefined,
-        watermarkMicros = entry.map(_.timestampMicros)))
+    val stored = stored0
 
     // finalize: original output expressions with aggregate functions
     // replaced by their finalize form over state columns, and group
@@ -458,8 +460,20 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       finalPlan.output.zip(c.agg.output).map { case (na, oo) =>
         Alias(na, oo.name)(exprId = oo.exprId)
       }, finalPlan)
+    // EXPLAIN/metrics visibility (reference DisplayAs + BaselineMetrics,
+    // src/aggregate.rs:530-537,583-585): the whole cache-answered subtree
+    // is wrapped in a marker node so df.explain() names the cache, its
+    // hit/miss status and watermark, and an SQLMetric counts answered
+    // rows. The marker sits ON TOP of the finalize projection: everything
+    // under it is Project/Filter over the stored state, which — for a
+    // driver-held state (LocalRelation) — ConvertToLocalRelation folds to
+    // a LocalRelation at optimization time, and CacheReplayExec then
+    // answers collect() without launching a Spark job at all.
+    val marked = graft.plans.CacheReplayMarker(aligned, c.fingerprint,
+      hit = entry.isDefined,
+      watermarkMicros = entry.map(_.timestampMicros))
     analyzed.transformUp {
-      case n if n eq c.agg => aligned
+      case n if n eq c.agg => marked
     }
   }
 
@@ -480,4 +494,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
       x.name == y.name && x.dataType == y.dataType
     }
+}
+
+object IncrementalAggExecutor {
+  /** state-schema per plan fingerprint, shared across executor instances
+    * (a facade session builds a fresh executor per run) — saves one full
+    * plan analysis per warm run. The schema of a fingerprint's partial
+    * state is a pure function of the plan, so process-wide sharing is
+    * sound; a stale entry after a library upgrade just causes a logged
+    * miss. Bounded: cleared wholesale past 4096 fingerprints (re-deriving
+    * a schema costs one analysis, not a cold run). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def memoGet(fp: String, compute: => StructType): StructType = {
+    val hit = schemaMemo.get(fp)
+    if (hit != null) hit
+    else {
+      if (schemaMemo.size > 4096) schemaMemo.clear()
+      val v = compute
+      schemaMemo.put(fp, v)
+      v
+    }
+  }
 }

@@ -57,7 +57,7 @@ final case class CacheReplayExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numReplayedRows" -> SQLMetrics.createMetric(sparkContext,
-      "state rows replayed from cache"))
+      "rows answered from cache state"))
 
   override def nodeName: String = {
     val status = if (hit) "hit" else "miss"
@@ -76,6 +76,20 @@ final case class CacheReplayExec(
     child.execute().mapPartitions { it =>
       it.map { row => replayed += 1; row }
     }
+  }
+
+  /** No-job fast path: the executor puts this marker on top of the
+    * finalize projection, so when the stored state lives on the driver
+    * the optimizer folds the whole child to a LocalRelation — answering
+    * collect() is then a local array copy, not a Spark job. Falls through
+    * to the default (job-launching) path for any other child shape
+    * (e.g. durable parquet-backed state). */
+  override def executeCollect(): Array[InternalRow] = child match {
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      val rows = l.executeCollect()
+      longMetric("numReplayedRows") += rows.length
+      rows
+    case _ => super.executeCollect()
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

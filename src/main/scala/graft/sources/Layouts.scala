@@ -57,6 +57,32 @@ object Layouts {
     }
   }
 
+  /** Time-series layout with Hive-style DATE partitioning: each row lands
+    * in `<path>/<partCol>=<date(ts)>/`, where `date(ts)` is evaluated in
+    * the writing session's time zone. A reader filtering on `partCol`
+    * prunes whole directories at PLANNING time — the incremental cache's
+    * warm run derives exactly that filter from its watermark (see
+    * [[graft.QueryCacheConfig.temporalPartitionColumn]]), so the warm
+    * scan's task count follows the appended data, not the history size.
+    * Row-group stats stay tight inside each partition (input ordering is
+    * preserved per task), covering intra-day pruning.
+    *
+    * Appends compose: `mode = "append"` adds files only under the dates
+    * the new rows touch. */
+  def writeTimeSeriesPartitioned(df: DataFrame, path: String,
+      tsCol: String = "ts", partCol: String = "ts_day",
+      mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.withColumn(partCol, to_date(col(tsCol)))
+      .write.partitionBy(partCol).mode(mode).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   /** write an embedding table partitioned by IVF cell */
   def writeIvfIndexed(emb: DataFrame, model: IVF.Model, path: String,
       embCol: String = "embedding", mode: String = "overwrite"): Unit =

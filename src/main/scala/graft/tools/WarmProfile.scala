@@ -65,8 +65,8 @@ object WarmProfile {
     val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(workPath)) fs.delete(workPath, true)
     val splitTs = timestamp_micros(lit(splitUs))
-    graft.sources.Layouts.writeTimeSeries(
-      base.filter(col("ts") < splitTs), work, "ts", buckets = 16)
+    graft.sources.Layouts.writeTimeSeriesPartitioned(
+      base.filter(col("ts") < splitTs), work)
 
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .agg(round(avg("value"), 2).as("avg_value"), count(lit(1)).as("cnt"))
@@ -76,13 +76,13 @@ object WarmProfile {
       defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
     ms("cold total")(cold.run(q(spark.read.parquet(work))).collect())
 
-    graft.sources.Layouts.writeTimeSeries(
-      base.filter(col("ts") >= splitTs), work, "ts", buckets = 4,
-      mode = "append")
+    graft.sources.Layouts.writeTimeSeriesPartitioned(
+      base.filter(col("ts") >= splitTs).repartitionByRange(8, col("ts")),
+      work, mode = "append")
 
     for (round <- 1 to 3) {
       val ex = new IncrementalAggExecutor(QueryCacheConfig(cache,
-        defaultTemporalColumn = "ts"))
+        defaultTemporalColumn = "ts").withTemporalPartitioning("ts_day"))
       val df = ms(s"r$round build df")(q(spark.read.parquet(work)))
       val analyzed = ms(s"r$round analyze")(Shims.queryExecution(df).analyzed)
       val ctr = new Counter
