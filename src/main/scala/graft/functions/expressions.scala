@@ -304,7 +304,15 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
-/** MinHash signature: element j is min over shingles of hash(shingle, j). */
+/** MinHash signature: element j is min over shingles of h_j(shingle),
+  * where h_j = splitmix64(base ^ j·φ) over the shingle's base FNV-1a
+  * hash. The shingle's bytes are walked ONCE; the k per-seed values are
+  * constant-time mixes of the base hash (the standard "one hash, k
+  * cheap derived permutations" MinHash construction) — at 64 seeds this
+  * removes 64 byte-walks per shingle from the hot path. Each h_j is a
+  * bijection of a well-avalanched base, so the family is min-wise
+  * independent enough for LSH banding; correctness never depends on the
+  * scheme (candidates are verified with exact Jaccard). */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -318,10 +326,14 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val base = Hash64(arr.getUTF8String(i), 0L)
         var j = 0
         while (j < k) {
-          val h = Hash64(s, j.toLong)
+          // splitmix64 of (base ^ j·φ): distinct bijections per seed
+          var h = base ^ (j.toLong * 0x9e3779b97f4a7c15L)
+          h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+          h ^= h >>> 27; h *= 0x94d049bb133111ebL
+          h ^= h >>> 31
           if (h < sig(j)) sig(j) = h
           j += 1
         }

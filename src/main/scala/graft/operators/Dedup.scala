@@ -215,13 +215,23 @@ object Dedup {
     * task instead of a global window sort. The doc's set size needed for
     * the prefix length is just size(collect_list(...)) — no extra
     * sizes join. Total: 3 shuffles (df count, collect-back, candidate
-    * self-join) before the candidate-only verify. */
+    * self-join) before the candidate-only verify.
+    *
+    * Shingles are hashed to int64 (xxhash64) up front: every downstream
+    * shuffle/sort/join keys on 8 bytes instead of ~25-byte strings, and
+    * the verify intersects long arrays. Jaccard over hashed sets equals
+    * Jaccard over the strings unless two distinct shingles of a compared
+    * pair collide in 64 bits (~|union|²/2⁶⁴ per pair — negligible), and
+    * the hash is deterministic, so results are stable run to run. The
+    * prefix order becomes (df asc, hash asc); recall does not depend on
+    * the tie-break, only on SOME global total order. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // materialized ONCE (index build + both verify sides read it); a
     // localCheckpoint leaves no CacheManager residue — blocks are freed
     // by the ContextCleaner when the result is no longer referenced
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
       .localCheckpoint()
     val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val df = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
