@@ -52,6 +52,23 @@ import graft.log.{CacheLog, NoOpLog}
   *                              must follow the appended data, not the
   *                              history size — row-group stats alone
   *                              cannot do that.
+  * @param staticDimensionTables opt-in aggregate-over-join caching: tables
+  *                              the USER DECLARES append-free (dimension
+  *                              tables in a star schema). An aggregate over
+  *                              `fact JOIN dim` is cacheable when every
+  *                              non-fact side reads only declared tables —
+  *                              appended FACT rows join the unchanged dims
+  *                              and merge into state exactly like bare fact
+  *                              rows. A dim that DOES change makes cached
+  *                              answers stale until invalidation — that is
+  *                              the declaration's contract (the reference
+  *                              wraps whatever sits under the group-by
+  *                              aggregate including joins with no check at
+  *                              all, src/aggregate.rs:130-135; we require
+  *                              the opt-in). Matching is case-insensitive
+  *                              on the full source path, its basename, or
+  *                              its basename without extension
+  *                              ("customer" matches ".../customer.parquet").
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -63,7 +80,21 @@ final case class QueryCacheConfig(
     strictUpperBound: Boolean = false,
     dynamicBoundBucketGranularity: Boolean = false,
     temporalPartitionColumn: Option[String] = None,
+    staticDimensionTables: Set[String] = Set.empty,
     log: CacheLog = NoOpLog) {
+
+  def withStaticDimensions(tables: String*): QueryCacheConfig =
+    copy(staticDimensionTables = staticDimensionTables ++ tables)
+
+  /** is every source path of this set declared static? (path, basename,
+    * and extension-less basename all match case-insensitively) */
+  def isDeclaredStatic(sourcePaths: Seq[String]): Boolean =
+    sourcePaths.nonEmpty && sourcePaths.forall { p =>
+      val base = p.stripSuffix("/").split('/').last
+      val noExt = base.takeWhile(_ != '.')
+      Seq(p, base, noExt).exists(s =>
+        staticDimensionTables.exists(_.equalsIgnoreCase(s)))
+    }
 
   def withTemporalPartitioning(partitionCol: String): QueryCacheConfig =
     copy(temporalPartitionColumn = Some(partitionCol))

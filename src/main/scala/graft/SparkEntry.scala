@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Inventory.queries ++
       graft.queries.CacheQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Inventory.oracle ++
       graft.queries.CacheQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

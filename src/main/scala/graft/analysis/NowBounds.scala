@@ -35,12 +35,12 @@ final case class FrozenNowBound(orig: Expression) extends LeafExpression
 
 object NowBounds {
 
-  private[analysis] def isNowLeaf(e: Expression): Boolean = e match {
+  private[graft] def isNowLeaf(e: Expression): Boolean = e match {
     case _: CurrentTimestamp | _: Now | _: CurrentDate | _: LocalTimestamp => true
     case _ => false
   }
 
-  private[analysis] def containsNow(e: Expression): Boolean =
+  private[graft] def containsNow(e: Expression): Boolean =
     isNowLeaf(e) || e.children.exists(containsNow)
 
   /** a bound side that is a pure function of now(): no column references,

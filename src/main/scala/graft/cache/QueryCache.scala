@@ -85,6 +85,12 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
   private def expired(e: Entry): Boolean =
     ttlMs > 0 && System.currentTimeMillis() - e.storedAtMs > ttlMs
 
+  // The replay closure is built OUTSIDE the critical section on an
+  // immutable Entry snapshot — a concurrent invalidate+put can hand a
+  // replay of the just-evicted state to a run that then stores a merged
+  // state stamped with the new now. That is a benign lost update (the
+  // next run re-merges from the newer entry), accepted in exchange for
+  // never holding the map lock across DataFrame construction.
   override def get(fingerprint: String): Option[CachedState] =
     entries.synchronized {
       Option(entries.get(fingerprint)) match {
@@ -110,7 +116,9 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
     // the byte-level guard against a runaway group-by cardinality is
     // Spark's own spark.driver.maxResultSize (default 1g) — keep it set
     // on sessions that cache; its abort also falls back to vanilla.
-    val rows = state.collect()
+    graft.util.Timing.phase("put.planPhysical")(
+      org.apache.spark.sql.graftshim.Shims.queryExecution(state).executedPlan)
+    val rows = graft.util.Timing.phase("put.collect")(state.collect())
     if (rows.length > maxStateRows)
       throw new CacheCapacityExceeded(
         s"state exceeds maxStateRows=$maxStateRows")

@@ -59,16 +59,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
   /** dev-only phase timing (SPARK_GRAFT_TIMING=1): attributes warm-path
     * wall-clock to decide/schema/put/splice without a profiler attached */
-  private val timing = sys.env.contains("SPARK_GRAFT_TIMING")
-  private def phase[A](tag: String)(f: => A): A =
-    if (!timing) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      System.err.println(
-        f"[qc-timing] $tag%-18s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
-      r
-    }
+  private def phase[A](tag: String)(f: => A): A = graft.util.Timing.phase(tag)(f)
 
   def run(df: DataFrame): DataFrame = {
     val analyzed = Shims.queryExecution(df).analyzed
@@ -143,11 +134,32 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         config.defaultTemporalColumn.toLowerCase)
 
     // input shape: Filter/Project chain over a scan leaf, every filter
-    // stable (reference src/aggregate.rs:106-135; we additionally reject
-    // joins under the aggregate in the group-by case — appending fact rows
-    // says nothing about dimension-side changes)
+    // stable (reference src/aggregate.rs:106-135). Joins are accepted ONLY
+    // when every non-fact side reads tables the user DECLARED static
+    // (config.staticDimensionTables): appended fact rows then join the
+    // unchanged dims and merge like bare fact rows. Without the opt-in we
+    // reject joins outright — appending fact rows says nothing about
+    // dimension-side changes (the reference wraps joins blindly,
+    // src/aggregate.rs:130-135).
     var shapeErr: Option[String] = None
     var dynamicBound: Option[Expression] = None
+    var staticOutputs = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    // a declared-static side: every leaf is a LocalRelation (immutable,
+    // content-fingerprinted) or a scan over declared tables, and every
+    // expression in the subtree is deterministic, subquery-free and free
+    // of now() leaves (a dim filtered by now() re-evaluates differently
+    // on the next run — not static in the sense the state needs)
+    def isStaticSide(side: LogicalPlan): Boolean = {
+      val leavesOk = side.collectLeaves().forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case l if Shims.isScanLeaf(l) =>
+          config.isDeclaredStatic(Shims.sourcePaths(l))
+        case _ => false
+      }
+      leavesOk && side.collect { case n => n }.forall(_.expressions.forall(e =>
+        e.deterministic && !hasSubquery(Seq(e)) &&
+          !graft.analysis.NowBounds.containsNow(e)))
+    }
     def walk(p: LogicalPlan): Unit = if (shapeErr.isEmpty) p match {
       case Filter(cond, child) =>
         Stability.find(cond, needles) match {
@@ -184,6 +196,27 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         if (!e.projections.forall(_.forall(_.deterministic)))
           shapeErr = Some("non-deterministic expand projection")
         else walk(e.child)
+      case j: Join =>
+        if (config.staticDimensionTables.isEmpty)
+          shapeErr = Some("join under aggregate — not cacheable (declare " +
+            "staticDimensionTables to cache aggregates over static-dimension joins)")
+        else if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+          shapeErr = Some(s"${j.joinType.sql} join over static dimensions not " +
+            "supported — inner only (outer-side null rows of an appended fact " +
+            "row could retract previously emitted dim-side rows)")
+        else if (!j.condition.forall(_.deterministic) || hasSubquery(j.condition.toSeq))
+          shapeErr = Some("non-deterministic or subquery join condition — not cacheable")
+        else {
+          val leftStatic = isStaticSide(j.left)
+          val rightStatic = isStaticSide(j.right)
+          if (leftStatic && rightStatic)
+            shapeErr = Some("every join side is a declared-static table — " +
+              "nothing to watermark (cache is for append-mostly fact inputs)")
+          else if (leftStatic) { staticOutputs ++= j.left.outputSet; walk(j.right) }
+          else if (rightStatic) { staticOutputs ++= j.right.outputSet; walk(j.left) }
+          else
+            shapeErr = Some("join side reads tables not declared static — not cacheable")
+        }
       case leaf if Shims.isScanLeaf(leaf) => ()
       case other =>
         shapeErr = Some(s"input ${other.nodeName} beyond scan/filter/project — not cacheable")
@@ -215,6 +248,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
     if (temporalAttr.dataType != TimestampType)
       return bail(s"temporal column ${temporalAttr.name} is ${temporalAttr.dataType.simpleString}, not timestamp")
+    // static-join mode: the watermark must bound the FACT side — a
+    // temporal column sourced from a declared-static dimension would
+    // filter the unchanged dim instead of the appended rows
+    if (staticOutputs.contains(temporalAttr))
+      return bail(s"temporal column ${temporalAttr.name} comes from a " +
+        "declared-static dimension side — the watermark must bound the fact side")
     // a group-by bucket's underlying column can be pruned from the
     // aggregate input (it only feeds the pulled-out bucket projection) —
     // the watermark filter needs it exposed
@@ -279,6 +318,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case SubqueryAlias(id, ch) => widen(ch, attr).map(nc => SubqueryAlias(id, nc))
       case v: View => widen(v.child, attr)
       case leaf if leaf.outputSet.contains(attr) => Some(leaf)
+      // static-join mode: re-expose through whichever join side holds the
+      // attribute (join output = left.output ++ right.output, so a widened
+      // side widens the join output automatically)
+      case j: Join if j.left.collectLeaves().exists(_.outputSet.contains(attr)) =>
+        widen(j.left, attr).map(nl => j.copy(left = nl))
+      case j: Join if j.right.collectLeaves().exists(_.outputSet.contains(attr)) =>
+        widen(j.right, attr).map(nr => j.copy(right = nr))
       case _ => None
     }
 
@@ -391,18 +437,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       if (entry.isDefined)
         Seq(
           "spark.sql.adaptive.enabled" -> "false",
-          "spark.sql.files.openCostInBytes" -> "0",
-          "spark.sql.files.minPartitionNum" -> "1",
+          // ONE split per append file, not one split per append: with
+          // openCost=0 every small append file bin-packs into a single
+          // split whose lone task OPENS THEM SEQUENTIALLY — cold-read
+          // open+footer latency × files was the measured bulk of the warm
+          // fixed cost. The default 4 MB open padding keeps small files in
+          // separate splits (parallel opens) while minPartitionNum floors
+          // the split size so a multi-MB append still fans out; 32 MB max
+          // keeps a big backfill append from under-parallelizing.
+          "spark.sql.files.minPartitionNum" ->
+            spark.sparkContext.defaultParallelism.toString,
           "spark.sql.files.maxPartitionBytes" -> (32L << 20).toString)
       else Seq.empty
     // confs go on a CLONED session (never mutate the user's session —
     // a save/restore races concurrent queries); rebind the state plan
     val stored0 = phase("cache.put")(
       Shims.withIsolatedConf(spark, stateConfs: _*) { s =>
-        val state =
+        val state = phase("put.rebind")(
           if (s eq spark) merged
-          else Shims.ofRows(s, Shims.queryExecution(merged).analyzed)
-        config.cache.put(c.fingerprint, now, state)
+          else Shims.ofRows(s, Shims.queryExecution(merged).analyzed))
+        phase("put.store")(config.cache.put(c.fingerprint, now, state))
       })
     graft.plans.CacheReplayStrategy.register(spark)
     val stored = stored0

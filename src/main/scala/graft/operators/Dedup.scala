@@ -106,8 +106,12 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the dedup shuffle: a pair sharing several
+      // bands is emitted once per shared band, but filtering first means
+      // the distinct() exchange carries only true near-dup pairs (rare)
+      // instead of every banding candidate
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------- cluster & survive

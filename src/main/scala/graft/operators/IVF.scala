@@ -23,6 +23,50 @@ object IVF {
     def k: Int = centroids.length
   }
 
+  /** Process-wide memo for per-corpus ANN statistics (fit models and
+    * per-cell angular radii), so repeated calls — the ANN-as-a-service
+    * shape, many queries against one indexed corpus — skip the sample
+    * collect / radii aggregation jobs after the first call.
+    *
+    * Key = corpus fingerprint: the canonicalized plan fingerprint
+    * (source paths + schema + in-memory data hashes, graft.analysis
+    * .Fingerprint) extended with the CURRENT input file list, so an
+    * append to the same directory is a different corpus and recomputes.
+    * (An in-place rewrite that keeps every file path is not detected —
+    * parquet files are immutable in every real layout.) Bounded: cleared
+    * wholesale past 256 entries; recomputing costs one aggregation. */
+  private object StatsMemo {
+    private val models =
+      new java.util.concurrent.ConcurrentHashMap[String, Model]()
+    private val radii =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
+
+    def corpusKey(df: DataFrame, extra: String): String = {
+      val analyzed =
+        org.apache.spark.sql.graftshim.Shims.queryExecution(df).analyzed
+      val files = df.inputFiles
+      graft.cache.QueryCache.keyHash(
+        graft.analysis.Fingerprint.of(analyzed) +
+          s":files=${files.length}:${files.toSeq.hashCode}:$extra")
+    }
+
+    private def memoGet[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
+        key: String, compute: => V): V = {
+      val hit = m.get(key)
+      if (hit != null) hit
+      else {
+        if (m.size > 256) m.clear()
+        val v = compute
+        m.put(key, v)
+        v
+      }
+    }
+    def model(key: String, compute: => Model): Model =
+      memoGet(models, key, compute)
+    def radiiMap(key: String, compute: => Map[Int, Double]): Map[Int, Double] =
+      memoGet(radii, key, compute)
+  }
+
   /** spherical k-means on a deterministic sample (collected to driver —
     * sampleN × dim doubles, bounded regardless of corpus size) */
   def fit(emb: DataFrame, k: Int = 32, sampleN: Int = 2048, iters: Int = 8,
@@ -62,6 +106,38 @@ object IVF {
       }
     }
     Model(centroids)
+  }
+
+  /** [[fit]] with the model memoized per (corpus, hyper-parameters):
+    * the second fit over an unchanged corpus launches no sample job */
+  def fitCached(emb: DataFrame, k: Int = 32, sampleN: Int = 2048,
+      iters: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
+      embCol: String = "embedding"): Model =
+    StatsMemo.model(
+      StatsMemo.corpusKey(emb, s"fit:$k:$sampleN:$iters:$seed:$idCol:$embCol"),
+      fit(emb, k, sampleN, iters, seed, idCol, embCol))
+
+  /** Per-cell angular radius (max member-to-centroid angle), memoized per
+    * (corpus, model): the repeated-call path — every exactPairs /
+    * searchExact against an unchanged indexed corpus after the first —
+    * launches no radii aggregation job. One narrow aggregation otherwise;
+    * `cells` rows collected. */
+  def cellRadii(assigned: DataFrame, model: Model, cellCol: String,
+      embCol: String): Map[Int, Double] = {
+    val modelHash = java.util.Arrays.deepHashCode(
+      model.centroids.asInstanceOf[Array[AnyRef]])
+    StatsMemo.radiiMap(
+      StatsMemo.corpusKey(assigned, s"radii:$cellCol:$embCol:$modelHash"), {
+        def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+        val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
+        assigned
+          .groupBy(cellCol)
+          .agg(min(cosine_similarity(col(embCol),
+            element_at(centsLit, col(cellCol) + 1))).as("mc"))
+          .collect()
+          .map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
+          .toMap
+      })
   }
 
   /** add the cell assignment column (write with partitionBy("ivf_cell")
@@ -108,14 +184,7 @@ object IVF {
       : DataFrame = {
     def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
     val q = array(query.map(lit): _*)
-    val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
-    val radii: Map[Int, Double] = indexed
-      .groupBy("ivf_cell")
-      .agg(min(cosine_similarity(col(embCol),
-        element_at(centsLit, col("ivf_cell") + 1))).as("mc"))
-      .collect()
-      .map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
-      .toMap
+    val radii = cellRadii(indexed, model, "ivf_cell", embCol)
     val qa = query.map(_.toDouble).toArray
     val qNorm = math.sqrt(qa.map(x => x * x).sum)
     val qAngle: Map[Int, Double] = model.centroids.indices.map { i =>

@@ -129,18 +129,14 @@ object Similarity {
   def exactPairs(emb: DataFrame, threshold: Double, cells: Int = 32,
       seed: Long = 42L,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val model = IVF.fit(emb, k = cells, seed = seed, idCol = idCol, embCol = embCol)
+    // model + per-cell radii are memoized per corpus (IVF.StatsMemo):
+    // a repeated sweep over an unchanged corpus launches neither the
+    // sample-collect nor the radii aggregation job
+    val model = IVF.fitCached(emb, k = cells, seed = seed, idCol = idCol, embCol = embCol)
     val assigned = IVF.index(emb, model, embCol)
       .select(col(idCol).as("id"), col(embCol).as("e"), col("ivf_cell").as("cell"))
-    val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
     def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
-    // per-cell angular radius: one narrow aggregation, `cells` rows collected
-    val radii: Map[Int, Double] = assigned
-      .groupBy("cell")
-      .agg(min(cosine_similarity(col("e"), element_at(centsLit, col("cell") + 1))).as("mc"))
-      .collect()
-      .map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
-      .toMap
+    val radii = IVF.cellRadii(assigned, model, "cell", "e")
     val tAngle = math.acos(clamp(threshold))
     def centAngle(i: Int, j: Int): Double = {
       val (a, b) = (model.centroids(i), model.centroids(j))

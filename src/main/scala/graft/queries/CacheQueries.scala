@@ -55,12 +55,15 @@ object CacheQueries {
         val shared = new MemoryQueryCache(); () => shared
       },
       dynamicBounds: Boolean = false,
+      staticDims: Seq[String] = Nil,
       warmNowMicros: Option[Long] = None)(q: DataFrame => DataFrame): DataFrame = {
     val (work, splitMicros, appendRest) = splitWrite(spark, sfDir, tag)
     def cfg(cache: graft.cache.QueryCache, now: Option[Long]) = {
       val base = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
         overrideNowMicros = now)
-      if (dynamicBounds) base.withDynamicBounds else base
+      val base2 = if (dynamicBounds) base.withDynamicBounds else base
+      if (staticDims.nonEmpty) base2.withStaticDimensions(staticDims: _*)
+      else base2
     }
     val cold = QueryCacheSession(spark, cfg(cacheFactory(), Some(splitMicros)))
     cold.run(q(spark.read.parquet(work))).collect()
@@ -218,6 +221,20 @@ object CacheQueries {
           .agg(
             count(lit(1)).as("cnt"),
             dsum(col("value")).as("sum_value"))
+      }),
+    // star-schema rollup over a DECLARED-STATIC dimension join (opt-in;
+    // the reference wraps joins with no check, src/aggregate.rs:130-135):
+    // appended fact rows join the unchanged customer dim — broadcast by
+    // Catalyst, it is ~KBs against a 100 TB fact — and merge into state;
+    // the watermark bounds only the fact side
+    "qc_incr_join" -> ((s, d) =>
+      coldAppendWarm(s, d, "join", staticDims = Seq("customer")) { df =>
+        df.join(Tables.customer(s, d), df("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"))
       })
   )
 
@@ -289,6 +306,12 @@ object CacheQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('click', 'view', 'error')
+         GROUP BY 1, 2""",
+    "qc_incr_join" ->
+      """SELECT c_mktsegment, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2"""
   )
 }

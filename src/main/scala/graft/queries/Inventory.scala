@@ -29,7 +29,9 @@ object Inventory {
   /** exact, order-independent money sum: double -> decimal before SUM.
     * The result is widened to DECIMAL(38,s) — the type DuckDB's SUM over
     * DECIMAL(18,s) produces — so the oracle compare is type-identical
-    * (Spark's own SUM widens to 28,s; the values are equal either way). */
+    * (Spark's own SUM widens to 28,s; the values are equal either way).
+    * Use [[dsumd]] for any NEW query: a DECIMAL output cell is only
+    * driver-hashable when every source double is scale-representable. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .cast(org.apache.spark.sql.types.DecimalType(38, scale))

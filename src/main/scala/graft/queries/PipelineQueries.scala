@@ -79,7 +79,7 @@ object PipelineQueries {
     "q_ann_ivf" -> ((s, d) => {
       import graft.operators.IVF
       val emb = embeddings(s, d)
-      val model = IVF.fit(emb, k = 32, sampleN = 1024, iters = 6)
+      val model = IVF.fitCached(emb, k = 32, sampleN = 1024, iters = 6)
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
       IVF.searchExact(IVF.index(emb, model), model, q, k = 10)

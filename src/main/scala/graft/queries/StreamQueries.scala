@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.{StreamingAgg, StreamingDedup}
+
+/** Structured Streaming scenarios as driver-checkable queries (SURVEY
+  * §7.6 mode (b)): each runs a real `readStream → writeStream` pipeline
+  * with `Trigger.AvailableNow` over the static test parquet, then returns
+  * the sink's final table — which a plain batch SQL oracle over the same
+  * parquet must reproduce exactly (the reference's demo differential,
+  * examples/demo.rs:28-50, applied to the streaming mode).
+  *
+  * AvailableNow processes exactly the files present at start and
+  * terminates, so the streaming result over a static table is the batch
+  * answer — same contract as the batch cache's cold run. At scale the
+  * identical pipeline tails an append-only directory with the default
+  * continuous trigger; nothing below is test-only plumbing.
+  */
+object StreamQueries {
+
+  /** stable per-(query, sf) memory-sink name: re-runnable in one session
+    * (a finished AvailableNow query releases its name; the sink table is
+    * replaced on restart) */
+  private def sinkName(tag: String, sfDir: String): String =
+    s"graft_stream_${tag}_${new java.io.File(sfDir).getName.replace('.', '_')}"
+
+  /** events as an unbounded source: the static raw schema (ts is parquet
+    * TIMESTAMP(NANOS) = long under the legacy conf, see Tables.events)
+    * feeds `readStream`, converted to microsecond timestamps exactly like
+    * the batch reader so stream and oracle agree. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(raw)
+      .parquet(Tables.streamableDir(spark, sfDir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToCompletion(df: DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** exact decimal sum rendered as double — the driver-hashable
+    * representation (see CacheQueries.dsum) */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+      .cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // windowed streaming aggregation (StreamingAgg.windowedAgg): per-hour
+    // per-type counts/sums with a watermark, complete-mode sink. Complete
+    // mode emits every window at termination — over a static table that
+    // is exactly the batch GROUP BY date_trunc('hour') answer.
+    "q_stream_hourly" -> ((s, d) => {
+      val name = sinkName("hourly", d)
+      val agg = StreamingAgg.windowedAgg(
+        eventsStream(s, d), "ts", "1 hour", watermarkDelay = "10 minutes",
+        groupCols = Seq(col("event_type")),
+        aggCols = Seq(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value")))
+      runToCompletion(agg, name, mode = "complete")
+      s.table(name).select(
+        col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"), col("max_value"))
+    }),
+
+    // stateful streaming dedup (StreamingDedup.byFingerprint): exact
+    // dedup state over the document stream, append-mode sink. The sink
+    // holds one survivor per distinct content; survivors' text is
+    // identical within a duplicate group, so aggregating over TEXT is
+    // deterministic regardless of which copy the stream saw first —
+    // and equals batch SELECT DISTINCT text.
+    "q_stream_dedup" -> ((s, d) => {
+      val name = sinkName("dedup", d)
+      val deduped = StreamingDedup.byFingerprint(Tables.documentsStream(s, d))
+      runToCompletion(deduped.select("doc_id", "text"), name, mode = "append")
+      val len = length(col("text")).cast("long")
+      s.table(name).agg(
+        count(lit(1)).as("n_unique"),
+        sum(len).as("total_chars"),
+        min(len).as("min_chars"),
+        max(len).as("max_chars"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events GROUP BY 1, 2""",
+    "q_stream_dedup" ->
+      """SELECT count(*) AS n_unique,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(length(text)) AS BIGINT) AS min_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars
+         FROM (SELECT DISTINCT text FROM documents)"""
+  )
+}

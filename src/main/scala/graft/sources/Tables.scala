@@ -39,5 +39,32 @@ object Tables {
         "timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  /** documents as an unbounded file-stream source (static schema probed
+    * from the batch reader; AvailableNow over the same path yields the
+    * batch contents — the streaming-scenario scaffold, StreamQueries) */
+  def documentsStream(spark: SparkSession, d: String): DataFrame = {
+    val raw = spark.read.parquet(s"$d/documents.parquet").schema
+    spark.readStream.schema(raw).parquet(streamableDir(spark, d, "documents"))
+  }
+
+  /** The file-stream source requires a DIRECTORY (it forces its own
+    * `basePath` to the stream path), but the test tables are single
+    * parquet files — stage a copy under a per-(sf, table) temp dir once.
+    * Real deployments stream append-only directories; this shim exists
+    * only because the fixtures are single files. */
+  private[graft] def streamableDir(spark: SparkSession, d: String,
+      name: String): String = {
+    val sfTag = new java.io.File(d).getName
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream", sfTag, name)
+    val target = dir.resolve(s"$name.parquet")
+    if (!java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, s"$name.parquet"), target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -454,4 +454,68 @@ class IncrementalAggSpec extends AnyFunSuite {
       overrideNowMicros = Some(nowUs + 10000000L)))
     assert(qcs2.run(q()).collect().head.getLong(0) == 111L)
   }
+
+  // ---------------------------------------- declared-static dimension joins
+
+  private def joinQ(df: DataFrame): DataFrame =
+    df.join(Tables.customer(spark, sf0001),
+        df("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+
+  test("static-dim join: warm equals vanilla on full data, and hits") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("statjoin")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withStaticDimensions("customer")
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(joinQ(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(joinQ(spark.read.parquet(work)))
+    assertSameRows(warmDF, joinQ(eventsFull))
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
+  test("bail: static-join needs the declaration to cover every dim table") {
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log)
+      .withStaticDimensions("nation")) // declared, but customer is not
+    qcs.run(joinQ(eventsFull)).collect()
+    assert(log.messages.exists(_.contains("not declared static")), log.messages)
+  }
+
+  test("bail: temporal column from the static side is rejected") {
+    // dim side carries its own ts; fact side (lineitem) has none — the
+    // only temporal candidate comes from the declared-static side
+    val log = new RecordingLog
+    val li = Tables.lineitem(spark, sf0001)
+    val joined = eventsFull.as("dim")
+      .join(li, col("dim.event_id") === col("l_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log)
+      .withStaticDimensions("events"))
+    qcs.run(joined).collect()
+    assert(log.messages.exists(_.contains("static dimension side")), log.messages)
+  }
+
+  test("bail: outer join over a static dim is rejected") {
+    val log = new RecordingLog
+    val ev = eventsFull
+    val joined = ev.join(Tables.customer(spark, sf0001),
+        ev("user_id") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log)
+      .withStaticDimensions("customer"))
+    qcs.run(joined).collect()
+    assert(log.messages.exists(_.contains("inner only")), log.messages)
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.StreamQueries
+import graft.sources.Tables
+
+/** The streaming scenarios must equal their batch oracles (the driver
+  * checks the same equivalence via DuckDB at sf0.01). */
+class StreamQueriesSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  test("q_stream_hourly equals the batch hourly aggregate") {
+    val streamed = StreamQueries.queries("q_stream_hourly")(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sum_value"),
+        max(col("value")).as("max_value"))
+    val s = streamed.orderBy("hour", "event_type").collect()
+    val b = batch.orderBy("hour", "event_type").collect()
+    assert(s.length == b.length && s.length > 0, s"${s.length} vs ${b.length}")
+    s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
+  test("q_stream_dedup equals batch distinct-text stats") {
+    val streamed = StreamQueries.queries("q_stream_dedup")(spark, sf0001)
+    val len = length(col("text")).cast("long")
+    val batch = Tables.documents(spark, sf0001).select("text").distinct()
+      .agg(count(lit(1)).as("n_unique"), sum(len).as("total_chars"),
+        min(len).as("min_chars"), max(len).as("max_chars"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}
