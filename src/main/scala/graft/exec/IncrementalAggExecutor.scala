@@ -200,22 +200,36 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         if (config.staticDimensionTables.isEmpty)
           shapeErr = Some("join under aggregate — not cacheable (declare " +
             "staticDimensionTables to cache aggregates over static-dimension joins)")
-        else if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-          shapeErr = Some(s"${j.joinType.sql} join over static dimensions not " +
-            "supported — inner only (outer-side null rows of an appended fact " +
-            "row could retract previously emitted dim-side rows)")
         else if (!j.condition.forall(_.deterministic) || hasSubquery(j.condition.toSeq))
           shapeErr = Some("non-deterministic or subquery join condition — not cacheable")
         else {
           val leftStatic = isStaticSide(j.left)
           val rightStatic = isStaticSide(j.right)
+          // merge-safety per join type: an appended FACT row may only ADD
+          // output rows. That holds when the fact side is the streamed/
+          // outer side and the static dim is the inner side (inner, fact-
+          // outer LEFT/RIGHT, semi, anti). A dim on the OUTER side is
+          // unsound: an appended fact row can match a previously
+          // UNMATCHED dim row, retracting its null-extended output.
+          import org.apache.spark.sql.catalyst.plans._
+          def accept(static: LogicalPlan, fact: LogicalPlan): Unit = {
+            staticOutputs ++= static.outputSet; walk(fact)
+          }
           if (leftStatic && rightStatic)
             shapeErr = Some("every join side is a declared-static table — " +
               "nothing to watermark (cache is for append-mostly fact inputs)")
-          else if (leftStatic) { staticOutputs ++= j.left.outputSet; walk(j.right) }
-          else if (rightStatic) { staticOutputs ++= j.right.outputSet; walk(j.left) }
-          else
+          else if (!leftStatic && !rightStatic)
             shapeErr = Some("join side reads tables not declared static — not cacheable")
+          else (j.joinType, leftStatic) match {
+            case (Inner, true) => accept(j.left, j.right)
+            case (Inner, false) => accept(j.right, j.left)
+            case (LeftOuter | LeftSemi | LeftAnti, false) => accept(j.right, j.left)
+            case (RightOuter, true) => accept(j.left, j.right)
+            case (jt, _) =>
+              shapeErr = Some(s"${jt.sql} join with the static table on the " +
+                "outer side not supported — inner only there (an appended fact " +
+                "row could retract a previously emitted null-extended dim row)")
+          }
         }
       case leaf if Shims.isScanLeaf(leaf) => ()
       case other =>

@@ -506,16 +506,42 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.contains("static dimension side")), log.messages)
   }
 
-  test("bail: outer join over a static dim is rejected") {
+  test("static-dim LEFT join (fact outer): warm equals vanilla, hits") {
+    // left outer keeps fact rows with no dim match (null-extended) —
+    // merge-safe because appended fact rows only ADD output rows
+    def q(df: DataFrame) = df.join(Tables.customer(spark, sf0001),
+        df("user_id") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    val (early, late, splitUs) = split()
+    val work = tmpDir("statjoinleft")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withStaticDimensions("customer")
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(warmDF, q(eventsFull))
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
+  test("bail: static dim on the OUTER side is rejected") {
+    // right_outer with the static dim on the right = dim is the outer
+    // side; an appended fact row could retract a null-extended dim row
     val log = new RecordingLog
     val ev = eventsFull
     val joined = ev.join(Tables.customer(spark, sf0001),
-        ev("user_id") === col("c_custkey"), "left_outer")
+        ev("user_id") === col("c_custkey"), "right_outer")
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
     val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
       defaultTemporalColumn = "ts", log = log)
       .withStaticDimensions("customer"))
     qcs.run(joined).collect()
-    assert(log.messages.exists(_.contains("inner only")), log.messages)
+    assert(log.messages.exists(_.contains("outer side not supported")), log.messages)
   }
 }
