@@ -167,18 +167,26 @@ object Bench {
     val warms = posts.map(_._1)
     val vanPosts = posts.map(_._2)
 
-    // headline ratios: per-rep, max discarded (the rep most likely hit by
-    // a background stall), LOWER median of the rest — conservative on both
-    // counts. cold_i/warm_i share rep index (same cache lineage);
+    // Headline ratios: per-rep, with the rep discarded on the metric's
+    // FAVORABLE-looking side and the median taken from the UNfavorable
+    // side — conservative for each metric's own failure direction.
+    // speedup/warmVsVanilla (higher = better): drop max, lower median.
+    // overhead (higher = worse): drop MIN, upper median — dropping the
+    // max there would hide exactly the stalled rep a regression shows
+    // up in. cold_i/warm_i share rep index (same cache lineage);
     // cold_i/vanPre_i and vanPost_i/warm_i are back-to-back run pairs.
-    def robustRatio(rs: Seq[Double]): Double = {
+    def conservativeLow(rs: Seq[Double]): Double = {
       val kept = rs.sorted.dropRight(1)
       if (kept.isEmpty) rs.head else median(kept)
     }
-    val speedup = robustRatio(colds.zip(warms).map { case (c, w) => c._1 / w._1 })
-    val overhead = robustRatio(colds.zip(vanPres).map { case (c, v) => c._1 / v._1 })
+    def conservativeHigh(rs: Seq[Double]): Double = {
+      val kept = rs.sorted.drop(1)
+      if (kept.isEmpty) rs.head else kept(kept.size / 2)
+    }
+    val speedup = conservativeLow(colds.zip(warms).map { case (c, w) => c._1 / w._1 })
+    val overhead = conservativeHigh(colds.zip(vanPres).map { case (c, v) => c._1 / v._1 })
     val warmVsVanilla =
-      robustRatio(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
+      conservativeLow(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
 
     Map(
       s"cold_${tag}pct_sec" -> median(colds.map(_._1)),

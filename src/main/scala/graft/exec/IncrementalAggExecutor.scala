@@ -55,7 +55,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       temporalGroupIdx: Option[Int],
       /** agg.child, possibly projection-widened to re-expose the pruned
         * temporal column (reference src/aggregate.rs:136-181) */
-      child: LogicalPlan)
+      child: LogicalPlan,
+      /** attributes sourced from declared-static join sides — the warm
+        * path must never apply fact-side delta predicates to these */
+      staticOuts: org.apache.spark.sql.catalyst.expressions.AttributeSet)
 
   /** dev-only phase timing (SPARK_GRAFT_TIMING=1): attributes warm-path
     * wall-clock to decide/schema/put/splice without a profiler attached */
@@ -202,6 +205,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             "staticDimensionTables to cache aggregates over static-dimension joins)")
         else if (!j.condition.forall(_.deterministic) || hasSubquery(j.condition.toSeq))
           shapeErr = Some("non-deterministic or subquery join condition — not cacheable")
+        // Catalyst marks now()/current_date deterministic (frozen per
+        // query) but per RUN they vary: a now()-dependent join condition
+        // would make cached state run-time-dependent while fingerprinting
+        // identically — the same hazard Stability.FoundNow bails on for
+        // filters
+        else if (j.condition.exists(graft.analysis.NowBounds.containsNow))
+          shapeErr = Some("now() inside join condition — not cacheable")
         else {
           val leftStatic = isStaticSide(j.left)
           val rightStatic = isStaticSide(j.right)
@@ -213,7 +223,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           // UNMATCHED dim row, retracting its null-extended output.
           import org.apache.spark.sql.catalyst.plans._
           def accept(static: LogicalPlan, fact: LogicalPlan): Unit = {
-            staticOutputs ++= static.outputSet; walk(fact)
+            // leaf outputs too, not just the subtree's (possibly pruned)
+            // root output: the temporal-column fallback searches LEAVES
+            // and widen() could re-expose a dim-side ts a static-side
+            // Project had pruned — the later from-static-side bail must
+            // see those attributes as static as well
+            staticOutputs ++= static.outputSet
+            staticOutputs ++= org.apache.spark.sql.catalyst.expressions
+              .AttributeSet(static.collectLeaves().flatMap(_.output))
+            walk(fact)
           }
           if (leftStatic && rightStatic)
             shapeErr = Some("every join side is a declared-static table — " +
@@ -317,7 +335,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
 
     Right(Cacheable(agg, fp, temporalAttr, aggExprs, decomps.toSeq,
-      dynamicBound, temporalGroupIdx, child))
+      dynamicBound, temporalGroupIdx, child, staticOutputs))
   }
 
   /** Rebuild the Filter/Project chain so `attr` (present on a scan leaf)
@@ -405,12 +423,19 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // — which Catalyst turns into directory-level partition pruning, so
         // planning never even lists the history files' splits. Skipped when
         // a projection pruned the column (correct, just less prunable).
-        val newData = config.temporalPartitionColumn match {
-          case Some(pc) if childDF.columns.exists(_.equalsIgnoreCase(pc)) =>
-            newData0.filter(col(pc) >=
+        // resolve the partition column to a concrete FACT-side attribute:
+        // by-name col(pc) could bind to (or be ambiguous with) a declared-
+        // static dim column of the same name, silently filtering the dim
+        // side of the delta instead of the appended fact rows
+        val newData = config.temporalPartitionColumn.flatMap { pc =>
+          effectiveChild.output.find(a => a.name.equalsIgnoreCase(pc) &&
+            !c.staticOuts.contains(a))
+        } match {
+          case Some(pcAttr) =>
+            newData0.filter(Shims.column(pcAttr) >=
               org.apache.spark.sql.functions.to_date(
                 timestamp_micros(lit(cs.timestampMicros))))
-          case _ => newData0
+          case None => newData0
         }
         // when every state column has a per-row unit form, appended rows
         // feed the merge aggregation DIRECTLY (projected to state shape),

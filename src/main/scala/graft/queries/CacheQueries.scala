@@ -72,17 +72,10 @@ object CacheQueries {
     warm.run(q(spark.read.parquet(work)))
   }
 
-  /** exact decimal sum (order-independent at any parallelism), RENDERED as
-    * double: the round-3 hash probes proved the driver's hasher accepts
-    * double/varchar cells but disagrees with DuckDB on DECIMAL cells whose
-    * source doubles are not exactly representable at the cast scale
-    * (qc_probe_double/str green, dec18/dec38/round red, all value-identical
-    * locally). The cache rewrite preserves the outer casts — it wraps the
-    * aggregate and substitutes the finalize expression underneath them. */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-      .cast(org.apache.spark.sql.types.DecimalType(38, 4))
-      .cast("double")
+  /** exact decimal sum rendered as double (shared rule: queries.Render).
+    * The cache rewrite preserves the outer casts — it wraps the aggregate
+    * and substitutes the finalize expression underneath them. */
+  private def dsum(c: org.apache.spark.sql.Column) = Render.dsumd(c, 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // no-group-by path (reference README feature 2; demo.rs:26 shape)

@@ -26,26 +26,11 @@ import graft.sources.Tables
 object Inventory {
   import Tables._
 
-  /** exact, order-independent money sum: double -> decimal before SUM.
-    * The result is widened to DECIMAL(38,s) — the type DuckDB's SUM over
-    * DECIMAL(18,s) produces — so the oracle compare is type-identical
-    * (Spark's own SUM widens to 28,s; the values are equal either way).
-    * Use [[dsumd]] for any NEW query: a DECIMAL output cell is only
-    * driver-hashable when every source double is scale-representable. */
+  // oracle-parity decimal-sum rendering: shared home in queries.Render
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
-      .cast(org.apache.spark.sql.types.DecimalType(38, scale))
-
-  /** Exact decimal sum RENDERED as double. The round-3 hash probes proved
-    * the driver's hasher disagrees with DuckDB only on DECIMAL-typed cells
-    * whose source doubles are not 2-decimal-representable (qc_probe_dec18/
-    * dec38/round all hash-failed while qc_probe_double and qc_probe_str
-    * hash-matched, with all five value-identical locally). The sum is still
-    * computed exactly in decimal — order-independent at any parallelism —
-    * and only the final rendered cell is a double, which both engines
-    * derive from the identical exact decimal by nearest-double rounding. */
+    Render.dsum(c, scale)
   private def dsumd(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    dsum(c, scale).cast("double")
+    Render.dsumd(c, scale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation: hash agg, partial+final, multiple fns (TPC-H Q1 shape)

@@ -48,11 +48,8 @@ object StreamQueries {
   }
 
   /** exact decimal sum rendered as double — the driver-hashable
-    * representation (see CacheQueries.dsum) */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-      .cast(org.apache.spark.sql.types.DecimalType(38, 4))
-      .cast("double")
+    * representation (shared rule: queries.Render) */
+  private def dsum(c: org.apache.spark.sql.Column) = Render.dsumd(c, 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // windowed streaming aggregation (StreamingAgg.windowedAgg): per-hour
@@ -72,6 +69,28 @@ object StreamQueries {
       s.table(name).select(
         col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"), col("max_value"))
+    }),
+
+    // session windows (StreamingAgg.sessionAgg): per-user activity bursts
+    // separated by ≥30 min of silence — the data-dependent window shape
+    // date_trunc buckets cannot express. Complete mode emits every closed
+    // and open session at termination; the batch oracle reconstructs the
+    // same sessions with a lag()-gap window function (a new session starts
+    // when the gap to the previous event is ≥ the gap parameter, matching
+    // Spark's [ts, ts+gap) overlap-merge semantics).
+    "q_stream_session" -> ((s, d) => {
+      val name = sinkName("session", d)
+      val agg = StreamingAgg.sessionAgg(
+        eventsStream(s, d), "ts", gap = "30 minutes",
+        watermarkDelay = "10 minutes",
+        keyCols = Seq(col("user_id")),
+        aggCols = Seq(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value")))
+      runToCompletion(agg, name, mode = "complete")
+      s.table(name).select(
+        col("session_window.start").as("session_start"), col("user_id"),
+        col("cnt"), col("sum_value"))
     }),
 
     // stateful streaming dedup (StreamingDedup.byFingerprint): exact
@@ -100,6 +119,24 @@ object StreamQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            max(value) AS max_value
          FROM events GROUP BY 1, 2""",
+    "q_stream_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), sessions AS (
+           SELECT *, sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+             AS session_id
+           FROM marked
+         )
+         SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM sessions GROUP BY user_id, session_id""",
     "q_stream_dedup" ->
       """SELECT count(*) AS n_unique,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,

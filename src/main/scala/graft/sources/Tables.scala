@@ -57,12 +57,20 @@ object Tables {
     val sfTag = new java.io.File(d).getName
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream", sfTag, name)
+    val source = java.nio.file.Paths.get(d, s"$name.parquet")
     val target = dir.resolve(s"$name.parquet")
-    if (!java.nio.file.Files.exists(target)) {
+    // staleness guard: re-copy when the fixture was regenerated (size or
+    // mtime drift), or streaming queries would silently read old data
+    // while batch/oracle read the new file
+    val fresh = java.nio.file.Files.exists(target) &&
+      java.nio.file.Files.size(target) == java.nio.file.Files.size(source) &&
+      java.nio.file.Files.getLastModifiedTime(target)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) >= 0
+    if (!fresh) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(d, s"$name.parquet"), target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.copy(source, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     }
     dir.toString
   }

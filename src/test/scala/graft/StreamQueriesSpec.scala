@@ -26,6 +26,22 @@ class StreamQueriesSpec extends AnyFunSuite {
     s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("q_stream_session equals batch session_window aggregation") {
+    val streamed = StreamQueries.queries("q_stream_session")(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("cnt"), col("sum_value"))
+    val s = streamed.orderBy("user_id", "session_start").collect()
+    val b = batch.orderBy("user_id", "session_start").collect()
+    assert(s.length == b.length && s.length > 0, s"${s.length} vs ${b.length}")
+    s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("q_stream_dedup equals batch distinct-text stats") {
     val streamed = StreamQueries.queries("q_stream_dedup")(spark, sf0001)
     val len = length(col("text")).cast("long")
