@@ -58,7 +58,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       child: LogicalPlan,
       /** attributes sourced from declared-static join sides — the warm
         * path must never apply fact-side delta predicates to these */
-      staticOuts: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      staticOuts: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      /** declared-static Union branches (by reference into `child`): with
+        * no strict upper bound, the warm delta replaces them with empty
+        * relations — their rows are fully captured by the cold state */
+      staticUnionBranches: Seq[LogicalPlan])
 
   /** dev-only phase timing (SPARK_GRAFT_TIMING=1): attributes warm-path
     * wall-clock to decide/schema/put/splice without a profiler attached */
@@ -147,6 +151,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     var shapeErr: Option[String] = None
     var dynamicBound: Option[Expression] = None
     var staticOutputs = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    val staticUnionBranches = ArrayBuffer.empty[LogicalPlan]
     // a declared-static side: every leaf is a LocalRelation (immutable,
     // content-fingerprinted) or a scan over declared tables, and every
     // expression in the subtree is deterministic, subquery-free and free
@@ -249,6 +254,42 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 "row could retract a previously emitted null-extended dim row)")
           }
         }
+      // UNION ALL with declared-static branches: a union of the appending
+      // fact input with append-free backfill/snapshot tables. Union is
+      // merge-safe by construction (appended rows only ADD output rows);
+      // the declaration is needed so rows below the watermark provably
+      // never change. Semantics per strictUpperBound (see execute()):
+      //  - strict ON: no special handling — the S1 contract applies
+      //    uniformly (any branch's rows with ts >= run-now are excluded
+      //    from that run's state and picked up by the next delta scan);
+      //  - strict OFF: the cold state captured static branches IN FULL
+      //    (no upper bound), so the warm delta must replace them with
+      //    empty relations or any static row at/above the watermark
+      //    would be double-counted.
+      case u: Union =>
+        if (config.staticDimensionTables.isEmpty)
+          shapeErr = Some("union under aggregate — not cacheable (declare " +
+            "staticDimensionTables to cache aggregates over static-branch unions)")
+        else if (u.byName)
+          shapeErr = Some("by-name union not resolved positionally — not cacheable")
+        else {
+          val (staticCh, factCh) = u.children.partition(isStaticSide)
+          if (factCh.isEmpty)
+            shapeErr = Some("every union branch is a declared-static table — " +
+              "nothing to watermark (cache is for append-mostly fact inputs)")
+          else if (factCh.size > 1)
+            shapeErr = Some("more than one union branch reads non-declared-static " +
+              "tables — the watermark can only bound a single appending input")
+          else {
+            // NOTE: union outputs are NOT added to staticOutputs — a
+            // union-output temporal column spans every branch positionally,
+            // so filtering it is sound for all branches (unlike a join's
+            // dim-side column). widen() has no Union case, so a temporal
+            // column found only inside a branch bails naturally.
+            staticUnionBranches ++= staticCh
+            walk(factCh.head)
+          }
+        }
       case leaf if Shims.isScanLeaf(leaf) => ()
       case other =>
         shapeErr = Some(s"input ${other.nodeName} beyond scan/filter/project — not cacheable")
@@ -335,7 +376,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
 
     Right(Cacheable(agg, fp, temporalAttr, aggExprs, decomps.toSeq,
-      dynamicBound, temporalGroupIdx, child, staticOutputs))
+      dynamicBound, temporalGroupIdx, child, staticOutputs,
+      staticUnionBranches.toSeq))
   }
 
   /** Rebuild the Filter/Project chain so `attr` (present on a scan leaf)
@@ -416,7 +458,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val merged = entry match {
       case Some(cs) =>
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
-        val newData0 = childDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
+        // static union branches were captured IN FULL by the cold state
+        // when no strict upper bound trimmed them — replace them with
+        // empty relations in the delta scan (same output attributes, so
+        // the union shape and exprIds are untouched). Under strict mode
+        // they stay: the S1 ts-band contract covers every branch equally,
+        // and parquet stats prune an all-historical static branch to zero
+        // row groups anyway.
+        val deltaDF =
+          if (c.staticUnionBranches.nonEmpty && !config.strictUpperBound) {
+            val pruned = effectiveChild.transformUp {
+              case u: Union if u.children.exists(ch =>
+                  c.staticUnionBranches.exists(_ eq ch)) =>
+                u.withNewChildren(u.children.map(ch =>
+                  if (c.staticUnionBranches.exists(_ eq ch))
+                    LocalRelation(ch.output)
+                  else ch))
+            }
+            Shims.ofRows(spark, pruned)
+          } else childDF
+        val newData0 = deltaDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
         // derived partition predicate: with a declared DATE partition
         // column (= CAST(ts AS DATE), see Layouts.writeTimeSeriesPartitioned)
         // the watermark bound implies part >= date(wm) — date() is monotone

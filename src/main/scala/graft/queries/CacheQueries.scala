@@ -228,6 +228,23 @@ object CacheQueries {
           .agg(
             count(lit(1)).as("cnt"),
             dsum(col("value")).as("sum_value"))
+      }),
+    // UNION ALL of the appending fact stream with a DECLARED-STATIC
+    // backfill table (orders as a historical snapshot): the cold state
+    // captures the static branch in full, appended fact rows merge
+    // through the watermark band, and the warm delta replaces the static
+    // branch with an empty relation — at 100 TB the warm run re-reads
+    // only the appended fact files, never the backfill
+    "qc_incr_union" -> ((s, d) =>
+      coldAppendWarm(s, d, "union", staticDims = Seq("orders")) { df =>
+        df.select(col("ts"), col("value"))
+          .union(Tables.orders(s, d).select(
+            col("o_orderdate").cast("timestamp").as("ts"),
+            col("o_totalprice").as("value")))
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"))
       })
   )
 
@@ -305,6 +322,17 @@ object CacheQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "qc_incr_union" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT ts, value FROM events
+           UNION ALL
+           SELECT CAST(o_orderdate AS TIMESTAMP) AS ts,
+                  o_totalprice AS value FROM orders
+         ) u
+         GROUP BY 1"""
   )
 }

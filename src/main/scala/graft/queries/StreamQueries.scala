@@ -93,6 +93,27 @@ object StreamQueries {
         col("cnt"), col("sum_value"))
     }),
 
+    // watermark-bounded built-in dedup (StreamingDedup
+    // .byFingerprintWithinWatermark → dropDuplicatesWithinWatermark):
+    // state for expired keys is dropped, so state size is O(keys per
+    // horizon) — the unbounded-stream shape. Over a static table under
+    // AvailableNow everything lands in one batch (the watermark only
+    // advances at its end), so exactly one row per distinct key is
+    // emitted. WHICH copy wins depends on arrival order, so the sink
+    // aggregation touches only KEY-derived columns — per-type distinct
+    // user counts — which the batch oracle reproduces exactly.
+    "q_stream_dedup_wm" -> ((s, d) => {
+      val name = sinkName("dedupwm", d)
+      val keyed = eventsStream(s, d).withColumn("text",
+        concat_ws("|", col("event_type"), col("user_id")))
+      val deduped = StreamingDedup.byFingerprintWithinWatermark(
+        keyed, horizon = "1 hour")
+      runToCompletion(deduped.select("event_type", "user_id"), name,
+        mode = "append")
+      s.table(name).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // stateful streaming dedup (StreamingDedup.byFingerprint): exact
     // dedup state over the document stream, append-mode sink. The sink
     // holds one survivor per distinct content; survivors' text is
@@ -137,6 +158,9 @@ object StreamQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM sessions GROUP BY user_id, session_id""",
+    "q_stream_dedup_wm" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
     "q_stream_dedup" ->
       """SELECT count(*) AS n_unique,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,

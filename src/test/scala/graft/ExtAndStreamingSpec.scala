@@ -133,6 +133,40 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("transparent rule: non-cacheable plans pay sub-millisecond analysis overhead") {
+    // the injected rule runs on EVERY optimization of every plan in the
+    // session — its bail path must be noise, not a planning-time tax.
+    // Timed directly against rule.apply (pure plan work, no jobs):
+    //  - a non-aggregate plan exits on the structural pre-check;
+    //  - an aggregate-over-join plan pays decide()'s fingerprint + bail.
+    import org.apache.spark.sql.graftshim.Shims
+    QueryCacheTransparent.configure(QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts"))
+    try {
+      val rule = new graft.ext.QueryCacheRule(spark)
+      val li = Tables.lineitem(spark, sf0001)
+      val noAgg = Shims.queryExecution(
+        li.filter(col("l_quantity") > 10).select("l_orderkey")).analyzed
+      val aggBail = Shims.queryExecution(
+        li.as("a").join(li.as("b"), "l_orderkey")
+          .agg(count(lit(1)).as("c"))).analyzed
+      def medianMicros(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Double = {
+        (1 to 50).foreach(_ => rule.apply(plan)) // JIT warmup
+        val times = (1 to 200).map { _ =>
+          val t0 = System.nanoTime()
+          rule.apply(plan)
+          (System.nanoTime() - t0) / 1e3
+        }
+        times.sorted.apply(times.size / 2)
+      }
+      val us1 = medianMicros(noAgg)
+      val us2 = medianMicros(aggBail)
+      info(f"non-aggregate bail: $us1%.1f us; aggregate-over-join bail: $us2%.1f us")
+      assert(us1 < 1000.0, s"non-aggregate pre-check took $us1 us (>= 1ms)")
+      assert(us2 < 1000.0, s"aggregate bail took $us2 us (>= 1ms)")
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
   test("ivf search: deterministic, subset of corpus, finds the query vector") {
     import graft.operators.{IVF, Similarity}
     val emb = Tables.embeddings(spark, sf0001)

@@ -544,4 +544,114 @@ class IncrementalAggSpec extends AnyFunSuite {
     qcs.run(joined).collect()
     assert(log.messages.exists(_.contains("outer side not supported")), log.messages)
   }
+
+  // ---------------------------------------- declared-static union branches
+
+  import java.sql.Timestamp
+
+  /** static backfill parquet whose rows straddle the split point — the
+    * above-watermark rows are the double-count hazard the warm delta's
+    * branch pruning must avoid */
+  private def writeBackfill(splitUs: Long): String = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def t(us: Long) = new Timestamp(us / 1000)
+    val rows: Seq[Row] = Seq(
+      Row(t(splitUs - 7200000000L), 500.0),  // 2h below the watermark
+      Row(t(splitUs + 3600000000L), 1000.0), // 1h ABOVE the watermark
+      Row(t(splitUs + 7200000000L), 2000.0))
+    val dir = tmpDir("unionbackfill")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def unionQ(fact: DataFrame, backfillDir: String): DataFrame =
+    fact.select(col("ts"), col("value"))
+      // projection over the static branch mirrors the qc_incr_union
+      // scenario's cast-projection shape (isStaticSide must walk it)
+      .union(spark.read.parquet(backfillDir)
+        .select(col("ts").cast("timestamp").as("ts"), col("value")))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+
+  test("static-branch union: warm equals vanilla (static branch not re-counted)") {
+    // default (non-strict) contract: the cold state captured the static
+    // branch IN FULL, including its above-watermark rows — a warm delta
+    // that rescanned the branch would double-count them, so equality
+    // with vanilla proves the delta pruned it to an empty relation
+    val (early, late, splitUs) = split()
+    val work = tmpDir("statunion")
+    early.write.mode("overwrite").parquet(work)
+    val backfill = writeBackfill(splitUs)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withStaticDimensions(new java.io.File(backfill).getName)
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(unionQ(spark.read.parquet(work), backfill)).collect()
+    late.write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(unionQ(spark.read.parquet(work), backfill))
+    assertSameRows(warmDF, unionQ(eventsFull, backfill))
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
+  test("static-branch union under strict mode: S1 band counts static rows once") {
+    // strict mode: cold excludes EVERY branch's rows at/above its pinned
+    // now; the warm delta's ts-band picks them up exactly once — no
+    // branch pruning involved, the S1 contract covers static branches
+    val (early, late, splitUs) = split()
+    val work = tmpDir("statunionstrict")
+    early.write.mode("overwrite").parquet(work)
+    val backfill = writeBackfill(splitUs)
+    val warmNow = eventsFull.agg(max(unix_micros(col("ts"))))
+      .first().getLong(0) + 86400000000L // above every fact AND static ts
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Long) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(now),
+      strictUpperBound = true, log = log)
+      .withStaticDimensions(new java.io.File(backfill).getName)
+    QueryCacheSession(spark, cfg(splitUs))
+      .run(unionQ(spark.read.parquet(work), backfill)).collect()
+    late.write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(warmNow))
+      .run(unionQ(spark.read.parquet(work), backfill))
+    assertSameRows(warmDF, unionQ(eventsFull, backfill))
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
+  test("bail: union needs the declaration; two appending branches rejected") {
+    val log = new RecordingLog
+    val ev = eventsFull.select(col("ts"), col("value"))
+    val undeclared = QueryCacheSession(spark, QueryCacheConfig(
+      new MemoryQueryCache(), defaultTemporalColumn = "ts", log = log))
+    undeclared.run(ev.union(ev).agg(count(lit(1)).as("cnt"))).collect()
+    assert(log.messages.exists(_.contains("union under aggregate")), log.messages)
+
+    val log2 = new RecordingLog
+    val declared = QueryCacheSession(spark, QueryCacheConfig(
+      new MemoryQueryCache(), defaultTemporalColumn = "ts", log = log2)
+      .withStaticDimensions("customer")) // declared, but neither branch is it
+    declared.run(ev.union(ev).agg(count(lit(1)).as("cnt"))).collect()
+    assert(log2.messages.exists(_.contains("more than one union branch")), log2.messages)
+  }
+
+  test("bail: union of only declared-static branches has nothing to watermark") {
+    val log = new RecordingLog
+    val c = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log)
+      .withStaticDimensions("customer"))
+    qcs.run(c.union(c).agg(count(lit(1)).as("cnt"))).collect()
+    assert(log.messages.exists(_.contains("every union branch is a declared-static")),
+      log.messages)
+  }
 }
