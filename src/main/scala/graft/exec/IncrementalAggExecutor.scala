@@ -547,7 +547,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           // keeps a big backfill append from under-parallelizing.
           "spark.sql.files.minPartitionNum" ->
             spark.sparkContext.defaultParallelism.toString,
-          "spark.sql.files.maxPartitionBytes" -> (32L << 20).toString)
+          "spark.sql.files.maxPartitionBytes" -> (32L << 20).toString,
+          // the merge exchange carries AT MOST one partial-state row per
+          // group — session-default reducer counts (one per core) are pure
+          // scheduling latency on a near-empty shuffle. Scaled, not flat:
+          // a 1000-executor cluster still fans its (bigger) state out.
+          "spark.sql.shuffle.partitions" ->
+            math.max(4, spark.sparkContext.defaultParallelism / 8).toString)
       else Seq.empty
     // confs go on a CLONED session (never mutate the user's session —
     // a save/restore races concurrent queries); rebind the state plan
