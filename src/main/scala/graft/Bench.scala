@@ -188,7 +188,15 @@ object Bench {
     val warmVsVanilla =
       conservativeLow(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
 
-    Map(
+    // per-rep raw seconds ride along (cold_1pct_rep0…) so a reader can
+    // audit the run-to-run variance behind every median directly from the
+    // artifact — one background stall is then visible, not hidden
+    val perRep =
+      (colds.zipWithIndex.map { case (c, i) => s"cold_${tag}pct_rep$i" -> c._1 } ++
+        warms.zipWithIndex.map { case (w, i) => s"warm_${tag}pct_rep$i" -> w._1 } ++
+        vanPres.zipWithIndex.map { case (v, i) => s"vanilla_pre_${tag}pct_rep$i" -> v._1 } ++
+        vanPosts.zipWithIndex.map { case (v, i) => s"vanilla_${tag}pct_rep$i" -> v._1 }).toMap
+    perRep ++ Map(
       s"cold_${tag}pct_sec" -> median(colds.map(_._1)),
       s"warm_${tag}pct_sec" -> median(warms.map(_._1)),
       s"vanilla_${tag}pct_sec" -> median(vanPosts.map(_._1)),
