@@ -138,17 +138,64 @@ object Dedup {
     * the ContextCleaner once unreferenced, so repeated calls leave no
     * residue in the shared session's CacheManager.
     *
+    * Small-graph fast path (broadcast-join spirit): near-duplicate EDGES
+    * are sparse relative to corpus size — most corpora yield a pair set
+    * orders of magnitude smaller than the document count. When the
+    * deduplicated edge list fits comfortably on the driver
+    * (≤ `maxDriverEdges`, ~16 MB of longs at the default), a single
+    * collect + union-find replaces O(log diameter) rounds of join JOBS,
+    * exactly the size-gated strategy choice a broadcast join makes; the
+    * distributed propagation below remains the path for genuinely large
+    * edge sets. The count that gates it scans the already-checkpointed
+    * edge blocks, not the candidate pipeline. Both paths return
+    * identical labels (union always roots at the smaller id, so every
+    * root is its component's minimum).
+    *
     * @param pairs (id_a, id_b) near-duplicate edges (from minhashPairs /
     *              simhashPairs / ngramJaccardPairs / embedding pairs)
     * @return (id, cluster_id) for every id that appears in a pair;
     *         cluster_id = min id of its component
     */
   def clusters(pairs: DataFrame, maxIters: Int = 8,
-      requireConverged: Boolean = false): DataFrame = {
+      requireConverged: Boolean = false,
+      maxDriverEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
+    val idsAreIntegral = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (idsAreIntegral && edges.count() <= 2 * maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      def getL(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+        case l: java.lang.Long => l
+        case n: java.lang.Integer => n.toLong
+        case other => throw new IllegalStateException(s"non-integral id $other")
+      }
+      val undirected = edges.filter(col("src") < col("dst")).collect()
+      undirected.foreach { r =>
+        val (a, b) = (getL(r, 0), getL(r, 1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = undirected.iterator.flatMap(r => Iterator(getL(r, 0), getL(r, 1)))
+        .toArray.distinct
+      val idType = edges.schema.fields.head.dataType
+      return ids.sorted.map(i => (i, find(i))).toSeq.toDF("id", "cluster_id")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))

@@ -266,6 +266,11 @@ class PipelineSpec extends AnyFunSuite {
     val got = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+    // maxDriverEdges = 0 forces the distributed label-propagation path —
+    // it must agree with the driver fast path label for label
+    val gotDistributed = Dedup.clusters(pairs, maxDriverEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDistributed == want)
     // survivors: everything except non-canonical cluster members
     val survivors = Dedup.dropNearDuplicates(docs, pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
