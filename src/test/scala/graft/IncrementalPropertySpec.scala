@@ -117,6 +117,63 @@ class IncrementalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental == full recompute with a declared-static union branch") {
+    // randomized version of IncrementalAggSpec's static-union tests: the
+    // static branch's rows span the WHOLE time range INCLUDING above the
+    // watermark — the double-count hazard for the non-strict delta prune
+    // and the pick-up-once band for strict mode — across random tables,
+    // splits, and both strictUpperBound settings
+    val params = Gen.Parameters.default
+    (1 to 6).foreach { caseNo =>
+      val c = genCase.pureApply(params, Seed(777L + caseNo))
+      val strict = caseNo % 2 == 0
+      val sorted = c.rows.sortBy(_._1)
+      val (early, late) = sorted.splitAt(c.splitIdx)
+      val splitUs = late.head._1
+      val rng = new scala.util.Random(9000 + caseNo)
+      val (lo, hi) = (sorted.head._1, sorted.last._1)
+      val staticRows = (1 to 20).map { _ =>
+        ((lo + rng.nextDouble() * (hi - lo + 1000000L)).toLong / 1000000L * 1000000L,
+          services(rng.nextInt(services.size)),
+          math.rint(rng.nextDouble() * 100))
+      }
+      val statDir = tmpDir(s"propstatic$caseNo")
+      toDF(staticRows).write.mode("overwrite").parquet(statDir)
+      val work = tmpDir(s"propunion$caseNo")
+      toDF(early).write.mode("overwrite").parquet(work)
+      def q(df: DataFrame) = df.select(col("ts"), col("value"))
+        .union(spark.read.parquet(statDir).select(col("ts"), col("value")))
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      val cache = new MemoryQueryCache()
+      val log = new RecordingLog
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now,
+        strictUpperBound = strict, log = log)
+        .withStaticDimensions(new java.io.File(statDir).getName)
+      QueryCacheSession(spark, cfg(Some(splitUs)))
+        .run(q(spark.read.parquet(work))).collect()
+      toDF(late).write.mode("append").parquet(work)
+      // strict mode answers reflect rows with ts < now — pin the warm now
+      // above every fact AND static timestamp so it equals the full table
+      val warmNow = math.max(hi, staticRows.map(_._1).max) + 2000000L
+      val got = QueryCacheSession(spark, cfg(Some(warmNow)))
+        .run(q(spark.read.parquet(work)))
+        .collect().map(_.toSeq.map {
+          case d: Double => f"${d + 0.0}%.6e"
+          case x => String.valueOf(x)
+        }).map(_.mkString("|")).sorted.toSeq
+      val want = q(toDF(sorted))
+        .collect().map(_.toSeq.map {
+          case d: Double => f"${d + 0.0}%.6e"
+          case x => String.valueOf(x)
+        }).map(_.mkString("|")).sorted.toSeq
+      assert(got == want,
+        s"strict=$strict split ${c.splitIdx}: $got vs $want; log=${log.messages}")
+      assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    }
+  }
+
   test("state converges across a 4-run append chain (every run a hit)") {
     val params = Gen.Parameters.default
     (1 to 3).foreach { caseNo =>
