@@ -93,6 +93,34 @@ object StreamQueries {
         col("cnt"), col("sum_value"))
     }),
 
+    // stream-static enrichment join: the unbounded event stream joined to
+    // a batch dimension table (stateless per-row enrichment — THE join
+    // shape of a streaming ingest pipeline; the dim is re-read per batch,
+    // broadcast by Catalyst), aggregated in complete mode. Over a static
+    // table the final sink equals the batch join+aggregate.
+    "q_stream_join" -> ((s, d) => {
+      val name = sinkName("join", d)
+      val joined = eventsStream(s, d)
+        .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      runToCompletion(joined, name, mode = "complete")
+      s.table(name).select(col("c_mktsegment"), col("cnt"), col("sum_value"))
+    }),
+
+    // custom keyed state (flatMapGroupsWithState): emit only the FIRST
+    // document per content fingerprint. The single-file fixture arrives
+    // as ONE micro-batch, and firstSeen picks min(doc_id) within a batch,
+    // so the emitted set is deterministic: exactly the batch
+    // min-id-per-distinct-text survivors.
+    "q_stream_first" -> ((s, d) => {
+      val name = sinkName("first", d)
+      val first = StreamingDedup.firstSeen(Tables.documentsStream(s, d))
+      runToCompletion(first.toDF().select("doc_id", "text"), name,
+        mode = "append")
+      s.table(name).select(col("doc_id"), col("text"))
+    }),
+
     // watermark-bounded built-in dedup (StreamingDedup
     // .byFingerprintWithinWatermark → dropDuplicatesWithinWatermark):
     // state for expired keys is dropped, so state size is O(keys per
@@ -158,6 +186,13 @@ object StreamQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM sessions GROUP BY user_id, session_id""",
+    "q_stream_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    "q_stream_first" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",
     "q_stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1""",
