@@ -241,10 +241,11 @@ object Bench {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           starts.put(j.jobId, j.time)
-        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = starts.remove(j.jobId)
-          System.err.println(s"[qc-timing] job ${j.jobId}: ${j.time - t0} ms")
-        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          // start event may be dropped by the async listener bus — a null
+          // would unbox to 0 and print epoch millis as the duration
+          Option(starts.remove(j.jobId)).foreach(t0 =>
+            System.err.println(s"[qc-timing] job ${j.jobId}: ${j.time - t0} ms"))
       })
     }
 

@@ -69,6 +69,12 @@ import graft.log.{CacheLog, NoOpLog}
   *                              on the full source path, its basename, or
   *                              its basename without extension
   *                              ("customer" matches ".../customer.parquet").
+  *                              CAUTION: a short declared name matches ANY
+  *                              path with that basename — if an appending
+  *                              fact table happens to live at a colliding
+  *                              path it would be frozen as static and warm
+  *                              answers would go stale. Declare full paths
+  *                              when basenames are ambiguous.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(

@@ -557,7 +557,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       else Seq.empty
     // confs go on a CLONED session (never mutate the user's session —
     // a save/restore races concurrent queries); rebind the state plan
-    val stored0 = phase("cache.put")(
+    val stored = phase("cache.put")(
       Shims.withIsolatedConf(spark, stateConfs: _*) { s =>
         val state = phase("put.rebind")(
           if (s eq spark) merged
@@ -565,7 +565,6 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         phase("put.store")(config.cache.put(c.fingerprint, now, state))
       })
     graft.plans.CacheReplayStrategy.register(spark)
-    val stored = stored0
 
     // finalize: original output expressions with aggregate functions
     // replaced by their finalize form over state columns, and group

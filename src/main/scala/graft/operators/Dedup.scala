@@ -142,7 +142,9 @@ object Dedup {
     * are sparse relative to corpus size — most corpora yield a pair set
     * orders of magnitude smaller than the document count. When the
     * deduplicated edge list fits comfortably on the driver
-    * (≤ `maxDriverEdges`, ~16 MB of longs at the default), a single
+    * (≤ `maxDriverEdges`; the default admits ~262k collected Rows,
+    * ~30-40 MB transient with boxing — sized for a modest driver, raise
+    * it on a large one), a single
     * collect + union-find replaces O(log diameter) rounds of join JOBS,
     * exactly the size-gated strategy choice a broadcast join makes; the
     * distributed propagation below remains the path for genuinely large
@@ -158,7 +160,7 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIters: Int = 8,
       requireConverged: Boolean = false,
-      maxDriverEdges: Long = 1L << 20): DataFrame = {
+      maxDriverEdges: Long = 1L << 18): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -183,7 +185,10 @@ object Dedup {
         case n: java.lang.Integer => n.toLong
         case other => throw new IllegalStateException(s"non-integral id $other")
       }
-      val undirected = edges.filter(col("src") < col("dst")).collect()
+      // <= keeps self-pairs (id_a == id_b): the distributed path labels
+      // every id in the edge set, including self-edge-only ids — both
+      // paths must agree on membership
+      val undirected = edges.filter(col("src") <= col("dst")).collect()
       undirected.foreach { r =>
         val (a, b) = (getL(r, 0), getL(r, 1))
         val (ra, rb) = (find(a), find(b))

@@ -45,9 +45,17 @@ object IVF {
       val analyzed =
         org.apache.spark.sql.graftshim.Shims.queryExecution(df).analyzed
       val files = df.inputFiles
+      // RDD-backed leaves (localCheckpoint / createDataset) have no file
+      // paths and canonicalize identically for same-schema corpora — the
+      // RDD id is their data identity (same checkpoint = same data), and
+      // without it two such corpora would share a memo entry
+      val rddIds = analyzed.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
       graft.cache.QueryCache.keyHash(
         graft.analysis.Fingerprint.of(analyzed) +
-          s":files=${files.length}:${files.toSeq.hashCode}:$extra")
+          s":files=${files.length}:${files.toSeq.hashCode}" +
+          s":rdds=${rddIds.mkString(",")}:$extra")
     }
 
     private def memoGet[V](m: java.util.concurrent.ConcurrentHashMap[String, V],

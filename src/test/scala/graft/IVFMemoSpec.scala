@@ -71,4 +71,18 @@ class IVFMemoSpec extends AnyFunSuite {
     }
     assert(jobs > 0, "distinct corpus must not hit the memo")
   }
+
+  test("memo key distinguishes RDD-backed corpora with identical schemas") {
+    // localCheckpoint leaves have no file paths and canonicalize
+    // identically for same-schema inputs — the RDD id must disambiguate
+    // or the second corpus would silently reuse the first one's model
+    val a = Tables.embeddings(spark, sf0001).limit(96).localCheckpoint()
+    val b = Tables.embeddings(spark, sf0001).limit(64).localCheckpoint()
+    val ma = IVF.fitCached(a, k = 4, sampleN = 48, iters = 2, seed = 17L)
+    val jobs = countJobs {
+      val mb = IVF.fitCached(b, k = 4, sampleN = 48, iters = 2, seed = 17L)
+      assert(!(ma eq mb), "distinct checkpointed corpora shared a memo entry")
+    }
+    assert(jobs > 0, "distinct RDD-backed corpus must not hit the memo")
+  }
 }

@@ -271,6 +271,15 @@ class PipelineSpec extends AnyFunSuite {
     val gotDistributed = Dedup.clusters(pairs, maxDriverEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotDistributed == want)
+    // self-pairs (id_a == id_b) from external callers: the id is still a
+    // member, labeled with itself — identical on both paths
+    import spark.implicits._
+    val withSelf = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val expectSelf = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    assert(Dedup.clusters(withSelf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expectSelf)
+    assert(Dedup.clusters(withSelf, maxDriverEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expectSelf)
     // survivors: everything except non-canonical cluster members
     val survivors = Dedup.dropNearDuplicates(docs, pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
