@@ -141,7 +141,7 @@ object Bench {
       val v = timedScan(q(tableCold).collect())
       (c, v)
     }
-    val colds = pres.map(_._1)
+    val coldPres = pres.map(_._1)
     val vanPres = pres.map(_._2)
 
     // append written 8-way range-partitioned: a real append stream arrives
@@ -152,41 +152,51 @@ object Bench {
       work, mode = "append")
 
     val tableWarm = readWork()
-    // post-append: warm (cache hit, scans only the append) paired with a
-    // full-rescan vanilla on the now-complete table
+    // post-append: every rep measures an ADJACENT cold/warm/vanilla
+    // triplet on the SAME post-append table, seconds apart — a background
+    // load spike then lands on all three legs of a rep and cancels out of
+    // that rep's RATIOS, instead of poisoning one whole block (the
+    // pre-append colds above run minutes before the warms; a spike
+    // arriving during the append write used to hit every warm and no
+    // cold). The cold leg is a FRESH-cache miss on the full table — the
+    // honest "cold at N% append": what an uncached engine pays for this
+    // exact query right now.
     val posts = caches.map { cache =>
       val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
         defaultTemporalColumn = "ts")
         .withTemporalPartitioning("ts_day"))
+      val coldFull = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts"))
+      dropOsPageCache()
+      val c = timedScan(coldFull.run(q(tableWarm)).collect())
       dropOsPageCache()
       val w = timedScan(warm.run(q(tableWarm)).collect())
       dropOsPageCache()
       val v = timedScan(q(tableWarm).collect())
-      (w, v)
+      (c, w, v)
     }
-    val warms = posts.map(_._1)
-    val vanPosts = posts.map(_._2)
+    val colds = posts.map(_._1)
+    val warms = posts.map(_._2)
+    val vanPosts = posts.map(_._3)
 
-    // Headline ratios: per-rep, with the rep discarded on the metric's
-    // FAVORABLE-looking side and the median taken from the UNfavorable
-    // side — conservative for each metric's own failure direction.
-    // speedup/warmVsVanilla (higher = better): drop max, lower median.
-    // overhead (higher = worse): drop MIN, upper median — dropping the
-    // max there would hide exactly the stalled rep a regression shows
-    // up in. cold_i/warm_i share rep index (same cache lineage);
-    // cold_i/vanPre_i and vanPost_i/warm_i are back-to-back run pairs.
-    def conservativeLow(rs: Seq[Double]): Double = {
-      val kept = rs.sorted.dropRight(1)
-      if (kept.isEmpty) rs.head else median(kept)
-    }
+    // Headline ratios = median of PER-REP ratios between adjacent legs.
+    // speedup/warmVsVanilla use the PLAIN median: an additive stall can
+    // land on either leg of a rep, and it distorts the SHORT leg's time
+    // far more (a +4 s stall doubles a 4 s cold but 10×es a 0.5 s warm),
+    // so stalls bias per-rep ratios DOWN as often as up — a symmetric
+    // median is the unbiased robust estimator, while drop-the-max would
+    // systematically discard the cleanest rep under warm-side stalls.
+    // overhead (higher = worse) keeps the one-sided conservative form:
+    // drop MIN, upper median — never hide the stalled rep a cache-side
+    // regression would look like.
     def conservativeHigh(rs: Seq[Double]): Double = {
       val kept = rs.sorted.drop(1)
       if (kept.isEmpty) rs.head else kept(kept.size / 2)
     }
-    val speedup = conservativeLow(colds.zip(warms).map { case (c, w) => c._1 / w._1 })
-    val overhead = conservativeHigh(colds.zip(vanPres).map { case (c, v) => c._1 / v._1 })
+    val speedup = median(colds.zip(warms).map { case (c, w) => c._1 / w._1 })
+    val overhead = conservativeHigh(coldPres.zip(vanPres).map { case (c, v) => c._1 / v._1 })
     val warmVsVanilla =
-      conservativeLow(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
+      median(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
 
     // per-rep raw seconds ride along (cold_1pct_rep0…) so a reader can
     // audit the run-to-run variance behind every median directly from the
@@ -194,12 +204,14 @@ object Bench {
     val perRep =
       (colds.zipWithIndex.map { case (c, i) => s"cold_${tag}pct_rep$i" -> c._1 } ++
         warms.zipWithIndex.map { case (w, i) => s"warm_${tag}pct_rep$i" -> w._1 } ++
+        coldPres.zipWithIndex.map { case (c, i) => s"cold_pre_${tag}pct_rep$i" -> c._1 } ++
         vanPres.zipWithIndex.map { case (v, i) => s"vanilla_pre_${tag}pct_rep$i" -> v._1 } ++
         vanPosts.zipWithIndex.map { case (v, i) => s"vanilla_${tag}pct_rep$i" -> v._1 }).toMap
     perRep ++ Map(
       s"cold_${tag}pct_sec" -> median(colds.map(_._1)),
       s"warm_${tag}pct_sec" -> median(warms.map(_._1)),
       s"vanilla_${tag}pct_sec" -> median(vanPosts.map(_._1)),
+      s"cold_pre_${tag}pct_sec" -> median(coldPres.map(_._1)),
       s"vanilla_pre_${tag}pct_sec" -> median(vanPres.map(_._1)),
       s"warm_speedup_${tag}pct_paired" -> speedup,
       s"cold_overhead_${tag}pct_paired" -> overhead,
