@@ -229,6 +229,23 @@ object CacheQueries {
             count(lit(1)).as("cnt"),
             dsum(col("value")).as("sum_value"))
       }),
+    // LEFT join with the fact on the outer side: unmatched fact rows keep
+    // a NULL-extended dim (grouped under the NULL segment) — merge-safe
+    // because an appended fact row only ADDS output rows; the dim on the
+    // outer side is the rejected direction (see IncrementalAggSpec)
+    "qc_incr_leftjoin" -> ((s, d) =>
+      coldAppendWarm(s, d, "leftjoin", staticDims = Seq("customer")) { df =>
+        // dim restricted to even keys so odd-user fact rows are genuinely
+        // unmatched — the NULL-extended segment group is part of the
+        // oracle-checked result, not a vacuous branch
+        df.join(Tables.customer(s, d).filter(col("c_custkey") % 2 === 0),
+            df("user_id") === col("c_custkey"), "left_outer")
+          .groupBy(col("c_mktsegment"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"))
+      }),
     // UNION ALL of the appending fact stream with a DECLARED-STATIC
     // backfill table (orders as a historical snapshot): the cold state
     // captures the static branch in full, appended fact rows merge
@@ -322,6 +339,13 @@ object CacheQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
+    "qc_incr_leftjoin" ->
+      """SELECT c_mktsegment, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+           ON user_id = c_custkey
          GROUP BY 1, 2""",
     "qc_incr_union" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

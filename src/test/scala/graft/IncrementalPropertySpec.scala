@@ -174,6 +174,60 @@ class IncrementalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("static-join state converges across a 4-run append chain") {
+    // repeated warm merges over a declared-static dimension join: every
+    // run after the first is a hit, and each must equal the vanilla
+    // join+aggregate over everything written so far. The dim maps the
+    // service key to a region with one service left UNMATCHED, so the
+    // left join's null-extended group is exercised through the chain.
+    import scala.jdk.CollectionConverters._
+    val params = Gen.Parameters.default
+    (1 to 3).foreach { caseNo =>
+      val c = genCase.pureApply(params, Seed(31337L + caseNo))
+      val dimSchema = StructType(Seq(
+        StructField("svc", StringType),
+        StructField("region", StringType)))
+      val dimRows: Seq[Row] = services.dropRight(1).zipWithIndex.map {
+        case (s, i) => Row(s, s"r${i % 2}")
+      }
+      val dimDir = tmpDir(s"chaindim$caseNo")
+      spark.createDataFrame(dimRows.asJava, dimSchema)
+        .write.mode("overwrite").parquet(dimDir)
+      def q(df: DataFrame) = df
+        .join(spark.read.parquet(dimDir), df("service") === col("svc"),
+          "left_outer")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      val sorted = c.rows.sortBy(_._1).toVector
+      val n = sorted.length
+      val cuts = Seq(n / 4, n / 2, 3 * n / 4).distinct.filter(i => i > 0 && i < n)
+      val chunks = (Seq(0) ++ cuts ++ Seq(n)).sliding(2)
+        .map { case Seq(a, b) => sorted.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val work = tmpDir(s"chainjoin$caseNo")
+      val cache = new MemoryQueryCache()
+      val log = new RecordingLog
+      var written = Vector.empty[(Long, String, Double)]
+      chunks.zipWithIndex.foreach { case (chunk, k) =>
+        toDF(chunk).write.mode(if (k == 0) "overwrite" else "append").parquet(work)
+        written ++= chunk
+        val now = chunks.lift(k + 1).map(_.head._1)
+        val sess = QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+          .withStaticDimensions(new java.io.File(dimDir).getName))
+        def render(df: DataFrame) = df.collect().map(_.toSeq.map {
+          case d: Double => f"${d + 0.0}%.6e"
+          case x => String.valueOf(x)
+        }).map(_.mkString("|")).sorted.toSeq
+        val got = render(sess.run(q(spark.read.parquet(work))))
+        val want = render(q(toDF(written)))
+        assert(got == want, s"chain step $k: $got vs $want; log=${log.messages}")
+      }
+      val hits = log.messages.count(_.startsWith("cache hit"))
+      assert(hits >= chunks.length - 1,
+        s"expected ${chunks.length - 1} warm hits, got $hits: ${log.messages}")
+    }
+  }
+
   test("state converges across a 4-run append chain (every run a hit)") {
     val params = Gen.Parameters.default
     (1 to 3).foreach { caseNo =>
