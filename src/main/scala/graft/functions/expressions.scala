@@ -253,6 +253,11 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   override def hashCode(): Int =
     31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
 
+  // value-based rendering: the canonical plan string feeds fingerprints
+  // (see NearestCentroid.stringArgs)
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    "planes#" + planes.map(java.util.Arrays.hashCode).toSeq.hashCode())
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -438,6 +443,11 @@ case class NearestCodeword(child: Expression, codebook: Array[Array[Double]])
   override def hashCode(): Int =
     31 * child.hashCode() + codebook.map(java.util.Arrays.hashCode).toSeq.hashCode()
 
+  // value-based rendering: the canonical plan string feeds fingerprints
+  // (see NearestCentroid.stringArgs)
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    "codebook#" + codebook.map(java.util.Arrays.hashCode).toSeq.hashCode())
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -500,6 +510,13 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
   override def hashCode(): Int =
     31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  // the canonical plan STRING feeds fingerprints (query-cache keys, the
+  // ANN stats memo): a raw array argument renders as its JVM identity
+  // ([[D@...), so two value-identical models — e.g. one durably reloaded
+  // after a restart — would fingerprint differently and never share state
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    "centroids#" + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode())
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -34,7 +34,15 @@ object IVF {
     * append to the same directory is a different corpus and recomputes.
     * (An in-place rewrite that keeps every file path is not detected —
     * parquet files are immutable in every real layout.) Bounded: cleared
-    * wholesale past 256 entries; recomputing costs one aggregation. */
+    * wholesale past 256 entries; recomputing costs one aggregation.
+    *
+    * Durable layer (opt-in, [[IVF.enableDurableStats]]): a directory —
+    * any Hadoop-visible filesystem — holding one small binary file per
+    * memo key, consulted on in-process miss and written on compute, so a
+    * restarted service (the fit is deterministic but costs a sample
+    * collect + k-means, the radii a full corpus aggregation) re-loads
+    * stats instead of re-deriving them. Files are written to a temp name
+    * and renamed, and a stale/corrupt file is treated as a miss. */
   private object StatsMemo {
     private val models =
       new java.util.concurrent.ConcurrentHashMap[String, Model]()
@@ -58,22 +66,112 @@ object IVF {
           s":rdds=${rddIds.mkString(",")}:$extra")
     }
 
+    @volatile private var durableDir: Option[String] = None
+    def setDurable(dir: Option[String]): Unit = { durableDir = dir }
+    /** test hook: simulate a process restart (durable layer untouched) */
+    private[graft] def clearProcessMemo(): Unit = { models.clear(); radii.clear() }
+
+    private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** best-effort durable write: temp file + rename; failures are
+      * swallowed (the durable layer can only ever save work, not gate it) */
+    private def writeDurable(spark: SparkSession, key: String)(
+        write: java.io.DataOutputStream => Unit): Unit =
+      durableDir.foreach { d =>
+        try {
+          val dir = new org.apache.hadoop.fs.Path(d)
+          val f = hadoopFs(spark, dir)
+          f.mkdirs(dir)
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s"$key.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+          val out = new java.io.DataOutputStream(f.create(tmp, true))
+          try write(out) finally out.close()
+          val dest = new org.apache.hadoop.fs.Path(dir, key)
+          if (f.exists(dest)) f.delete(dest, false)
+          f.rename(tmp, dest)
+          ()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+
+    private def readDurable[V](spark: SparkSession, key: String)(
+        read: java.io.DataInputStream => V): Option[V] =
+      durableDir.flatMap { d =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(d), key)
+          val f = hadoopFs(spark, p)
+          if (!f.exists(p)) None
+          else {
+            val in = new java.io.DataInputStream(f.open(p))
+            try Some(read(in)) finally in.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => None } // corrupt = miss
+      }
+
+    private val MagicModel = 0x49564631 // "IVF1"
+    private val MagicRadii = 0x49565231 // "IVR1"
+
     private def memoGet[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
-        key: String, compute: => V): V = {
+        key: String, load: => Option[V], compute: => V): V = {
       val hit = m.get(key)
       if (hit != null) hit
       else {
         if (m.size > 256) m.clear()
-        val v = compute
+        val v = load.getOrElse(compute) // compute persists durably itself
         m.put(key, v)
         v
       }
     }
-    def model(key: String, compute: => Model): Model =
-      memoGet(models, key, compute)
-    def radiiMap(key: String, compute: => Map[Int, Double]): Map[Int, Double] =
-      memoGet(radii, key, compute)
+
+    def model(spark: SparkSession, key: String, compute: => Model): Model =
+      memoGet[Model](models, key,
+        load = readDurable(spark, s"$key.model") { in =>
+          require(in.readInt() == MagicModel, "bad model file")
+          val k = in.readInt(); val dim = in.readInt()
+          Model(Array.fill(k)(Array.fill(dim)(in.readDouble())))
+        },
+        compute = {
+          val m = compute
+          writeDurable(spark, s"$key.model") { out =>
+            out.writeInt(MagicModel)
+            out.writeInt(m.k)
+            out.writeInt(if (m.k == 0) 0 else m.centroids.head.length)
+            m.centroids.foreach(_.foreach(out.writeDouble))
+          }
+          m
+        })
+
+    def radiiMap(spark: SparkSession, key: String,
+        compute: => Map[Int, Double]): Map[Int, Double] =
+      memoGet[Map[Int, Double]](radii, key,
+        load = readDurable(spark, s"$key.radii") { in =>
+          require(in.readInt() == MagicRadii, "bad radii file")
+          val n = in.readInt()
+          (0 until n).map(_ => in.readInt() -> in.readDouble()).toMap
+        },
+        compute = {
+          val r = compute
+          writeDurable(spark, s"$key.radii") { out =>
+            out.writeInt(MagicRadii)
+            out.writeInt(r.size)
+            r.foreach { case (c, v) => out.writeInt(c); out.writeDouble(v) }
+          }
+          r
+        })
   }
+
+  /** Opt-in durable layer for the per-corpus stats memo: persist fit
+    * models and cell radii as small binary files under `dir` (any
+    * Hadoop-visible filesystem), so a RESTARTED service re-loads them
+    * instead of re-running the sample collect / k-means / radii
+    * aggregation. Best-effort: unreadable or corrupt files count as
+    * misses and are rewritten. */
+  def enableDurableStats(dir: String): Unit =
+    StatsMemo.setDurable(Some(dir))
+  def disableDurableStats(): Unit = StatsMemo.setDurable(None)
+
+  /** test hook: drop the in-process memo (durable files untouched) */
+  private[graft] def clearStatsForTest(): Unit = StatsMemo.clearProcessMemo()
 
   /** spherical k-means on a deterministic sample (collected to driver —
     * sampleN × dim doubles, bounded regardless of corpus size) */
@@ -121,7 +219,7 @@ object IVF {
   def fitCached(emb: DataFrame, k: Int = 32, sampleN: Int = 2048,
       iters: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
       embCol: String = "embedding"): Model =
-    StatsMemo.model(
+    StatsMemo.model(emb.sparkSession,
       StatsMemo.corpusKey(emb, s"fit:$k:$sampleN:$iters:$seed:$idCol:$embCol"),
       fit(emb, k, sampleN, iters, seed, idCol, embCol))
 
@@ -134,7 +232,7 @@ object IVF {
       embCol: String): Map[Int, Double] = {
     val modelHash = java.util.Arrays.deepHashCode(
       model.centroids.asInstanceOf[Array[AnyRef]])
-    StatsMemo.radiiMap(
+    StatsMemo.radiiMap(assigned.sparkSession,
       StatsMemo.corpusKey(assigned, s"radii:$cellCol:$embCol:$modelHash"), {
         def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
         val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)

@@ -72,6 +72,30 @@ class IVFMemoSpec extends AnyFunSuite {
     assert(jobs > 0, "distinct corpus must not hit the memo")
   }
 
+  test("durable stats survive a simulated restart: reload is job-free and identical") {
+    val dir = tmpDir("ivfdurable")
+    IVF.enableDurableStats(dir)
+    try {
+      val emb = Tables.embeddings(spark, sf0001)
+      val m1 = IVF.fitCached(emb, k = 6, sampleN = 96, iters = 3, seed = 23L)
+      val indexed = IVF.index(emb, m1)
+      val r1 = IVF.cellRadii(indexed, m1, "ivf_cell", "embedding")
+      IVF.clearStatsForTest() // "restart": in-process memo gone, files remain
+      var m2: IVF.Model = null
+      var r2: Map[Int, Double] = null
+      val j1 = countJobs {
+        m2 = IVF.fitCached(emb, k = 6, sampleN = 96, iters = 3, seed = 23L)
+      }
+      val j2 = countJobs {
+        r2 = IVF.cellRadii(IVF.index(emb, m2), m2, "ivf_cell", "embedding")
+      }
+      info(s"reload jobs: fit=$j1 radii=$j2")
+      assert(j1 + j2 == 0, s"durable reload launched ${j1 + j2} jobs")
+      assert(m2.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
+      assert(r2 == r1)
+    } finally IVF.disableDurableStats()
+  }
+
   test("memo key distinguishes RDD-backed corpora with identical schemas") {
     // localCheckpoint leaves have no file paths and canonicalize
     // identically for same-schema inputs — the RDD id must disambiguate
