@@ -183,6 +183,28 @@ case class SeededHash64(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Stable value digest of a double matrix for canonical-plan rendering:
+  * the canonical plan STRING feeds fingerprints (query-cache keys, the
+  * ANN stats memo), so a matrix argument must render by VALUE — and with
+  * collision resistance a 32-bit hash can't give (a false fingerprint
+  * match would silently merge state computed under a different model).
+  * SHA-256 over the raw bit patterns, truncated to 128 bits. */
+private[functions] object MatrixDigest {
+  def of(m: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    m.foreach { row =>
+      row.foreach { d =>
+        buf.clear()
+        buf.putLong(java.lang.Double.doubleToLongBits(d))
+        md.update(buf.array())
+      }
+      md.update(0x3b.toByte) // row separator: [[1],[2]] must differ from [[1,2]]
+    }
+    md.digest().take(16).map("%02x".format(_)).mkString
+  }
+}
+
 /** Sign-bit hyperplane sketch of a float/double array: bit p of the
   * result is `sign(dot(v, planes(p)))`. One native node instead of a
   * per-plane lambda-chain (which explodes the Catalyst tree and analyzer
@@ -253,10 +275,10 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   override def hashCode(): Int =
     31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
 
-  // value-based rendering: the canonical plan string feeds fingerprints
-  // (see NearestCentroid.stringArgs)
-  override protected def stringArgs: Iterator[Any] = Iterator(child,
-    "planes#" + planes.map(java.util.Arrays.hashCode).toSeq.hashCode())
+  @transient private lazy val planesDigest = MatrixDigest.of(planes)
+  // value-based rendering: see MatrixDigest
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"planes#$planesDigest")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -443,10 +465,10 @@ case class NearestCodeword(child: Expression, codebook: Array[Array[Double]])
   override def hashCode(): Int =
     31 * child.hashCode() + codebook.map(java.util.Arrays.hashCode).toSeq.hashCode()
 
-  // value-based rendering: the canonical plan string feeds fingerprints
-  // (see NearestCentroid.stringArgs)
-  override protected def stringArgs: Iterator[Any] = Iterator(child,
-    "codebook#" + codebook.map(java.util.Arrays.hashCode).toSeq.hashCode())
+  @transient private lazy val codebookDigest = MatrixDigest.of(codebook)
+  // value-based rendering: see MatrixDigest
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"codebook#$codebookDigest")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -515,8 +537,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   // ANN stats memo): a raw array argument renders as its JVM identity
   // ([[D@...), so two value-identical models — e.g. one durably reloaded
   // after a restart — would fingerprint differently and never share state
-  override protected def stringArgs: Iterator[Any] = Iterator(child,
-    "centroids#" + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode())
+  @transient private lazy val centroidsDigest = MatrixDigest.of(centroids)
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"centroids#$centroidsDigest")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

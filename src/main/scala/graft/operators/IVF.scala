@@ -89,7 +89,9 @@ object IVF {
           try write(out) finally out.close()
           val dest = new org.apache.hadoop.fs.Path(dir, key)
           if (f.exists(dest)) f.delete(dest, false)
-          f.rename(tmp, dest)
+          // a lost rename race (concurrent writer recreated dest) must not
+          // leak the temp file into the shared directory
+          if (!f.rename(tmp, dest)) f.delete(tmp, false)
           ()
         } catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -128,6 +130,13 @@ object IVF {
         load = readDurable(spark, s"$key.model") { in =>
           require(in.readInt() == MagicModel, "bad model file")
           val k = in.readInt(); val dim = in.readInt()
+          // an intact magic does not prove an intact header: bound k×dim
+          // before allocating, or a bit-flipped count turns "corrupt =
+          // miss" into an allocation error the NonFatal handler can't
+          // catch (centroid matrices are small by construction)
+          require(k >= 0 && dim >= 0 && k <= (1 << 20) &&
+            dim <= (1 << 16) && k.toLong * dim <= (1L << 24),
+            s"implausible model header k=$k dim=$dim")
           Model(Array.fill(k)(Array.fill(dim)(in.readDouble())))
         },
         compute = {
@@ -147,6 +156,7 @@ object IVF {
         load = readDurable(spark, s"$key.radii") { in =>
           require(in.readInt() == MagicRadii, "bad radii file")
           val n = in.readInt()
+          require(n >= 0 && n <= (1 << 22), s"implausible radii count $n")
           (0 until n).map(_ => in.readInt() -> in.readDouble()).toMap
         },
         compute = {
@@ -165,7 +175,10 @@ object IVF {
     * Hadoop-visible filesystem), so a RESTARTED service re-loads them
     * instead of re-running the sample collect / k-means / radii
     * aggregation. Best-effort: unreadable or corrupt files count as
-    * misses and are rewritten. */
+    * misses and are rewritten. RETENTION is the operator's: every corpus
+    * version (file-list change) gets fresh keys and old files are never
+    * deleted here — point `dir` at a location with a TTL/lifecycle rule
+    * if corpora churn. */
   def enableDurableStats(dir: String): Unit =
     StatsMemo.setDurable(Some(dir))
   def disableDurableStats(): Unit = StatsMemo.setDurable(None)
