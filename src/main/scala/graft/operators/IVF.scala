@@ -42,14 +42,24 @@ object IVF {
     * restarted service (the fit is deterministic but costs a sample
     * collect + k-means, the radii a full corpus aggregation) re-loads
     * stats instead of re-deriving them. Files are written to a temp name
-    * and renamed, and a stale/corrupt file is treated as a miss. */
+    * and renamed, and a stale/corrupt file is treated as a miss.
+    * RDD-backed corpora (localCheckpoint / createDataset) never touch
+    * the durable layer: their memo key embeds process-local RDD ids,
+    * which reset on restart, so a persisted entry could be reloaded for
+    * a DIFFERENT corpus that happens to reuse the same id. */
   private object StatsMemo {
     private val models =
       new java.util.concurrent.ConcurrentHashMap[String, Model]()
     private val radii =
       new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
 
-    def corpusKey(df: DataFrame, extra: String): String = {
+    /** memo key + durable eligibility. RDD ids are process-local (small
+      * sequential ints that reset on restart) and same-schema LogicalRDD
+      * leaves canonicalize identically, so a key containing `rdds=` from a
+      * PREVIOUS process could collide with a DIFFERENT corpus in this one
+      * — RDD-backed corpora therefore stay in the in-process memo only
+      * (durable = false), where the id IS the data identity. */
+    def corpusKey(df: DataFrame, extra: String): (String, Boolean) = {
       val analyzed =
         org.apache.spark.sql.graftshim.Shims.queryExecution(df).analyzed
       val files = df.inputFiles
@@ -60,10 +70,11 @@ object IVF {
       val rddIds = analyzed.collectLeaves().collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }
-      graft.cache.QueryCache.keyHash(
+      val key = graft.cache.QueryCache.keyHash(
         graft.analysis.Fingerprint.of(analyzed) +
           s":files=${files.length}:${files.toSeq.hashCode}" +
           s":rdds=${rddIds.mkString(",")}:$extra")
+      (key, rddIds.isEmpty)
     }
 
     @volatile private var durableDir: Option[String] = None
@@ -125,8 +136,10 @@ object IVF {
       }
     }
 
-    def model(spark: SparkSession, key: String, compute: => Model): Model =
-      memoGet[Model](models, key,
+    def model(spark: SparkSession, key: String, durable: Boolean,
+        compute: => Model): Model =
+      if (!durable) memoGet[Model](models, key, load = None, compute = compute)
+      else memoGet[Model](models, key,
         load = readDurable(spark, s"$key.model") { in =>
           require(in.readInt() == MagicModel, "bad model file")
           val k = in.readInt(); val dim = in.readInt()
@@ -150,9 +163,11 @@ object IVF {
           m
         })
 
-    def radiiMap(spark: SparkSession, key: String,
+    def radiiMap(spark: SparkSession, key: String, durable: Boolean,
         compute: => Map[Int, Double]): Map[Int, Double] =
-      memoGet[Map[Int, Double]](radii, key,
+      if (!durable)
+        memoGet[Map[Int, Double]](radii, key, load = None, compute = compute)
+      else memoGet[Map[Int, Double]](radii, key,
         load = readDurable(spark, s"$key.radii") { in =>
           require(in.readInt() == MagicRadii, "bad radii file")
           val n = in.readInt()
@@ -231,10 +246,12 @@ object IVF {
     * the second fit over an unchanged corpus launches no sample job */
   def fitCached(emb: DataFrame, k: Int = 32, sampleN: Int = 2048,
       iters: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
-      embCol: String = "embedding"): Model =
-    StatsMemo.model(emb.sparkSession,
-      StatsMemo.corpusKey(emb, s"fit:$k:$sampleN:$iters:$seed:$idCol:$embCol"),
+      embCol: String = "embedding"): Model = {
+    val (key, durableOk) =
+      StatsMemo.corpusKey(emb, s"fit:$k:$sampleN:$iters:$seed:$idCol:$embCol")
+    StatsMemo.model(emb.sparkSession, key, durableOk,
       fit(emb, k, sampleN, iters, seed, idCol, embCol))
+  }
 
   /** Per-cell angular radius (max member-to-centroid angle), memoized per
     * (corpus, model): the repeated-call path — every exactPairs /
@@ -245,8 +262,9 @@ object IVF {
       embCol: String): Map[Int, Double] = {
     val modelHash = java.util.Arrays.deepHashCode(
       model.centroids.asInstanceOf[Array[AnyRef]])
-    StatsMemo.radiiMap(assigned.sparkSession,
-      StatsMemo.corpusKey(assigned, s"radii:$cellCol:$embCol:$modelHash"), {
+    val (key, durableOk) =
+      StatsMemo.corpusKey(assigned, s"radii:$cellCol:$embCol:$modelHash")
+    StatsMemo.radiiMap(assigned.sparkSession, key, durableOk, {
         def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
         val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
         assigned

@@ -109,4 +109,25 @@ class IVFMemoSpec extends AnyFunSuite {
     }
     assert(jobs > 0, "distinct RDD-backed corpus must not hit the memo")
   }
+
+  test("RDD-backed corpora never touch the durable layer (id collision guard)") {
+    // RDD ids reset per process; a durable entry keyed by one could be
+    // reloaded for a DIFFERENT corpus after a restart. The guard: keys
+    // containing rdds= skip the durable read AND write entirely.
+    val dir = tmpDir("ivfdurable-rdd")
+    IVF.enableDurableStats(dir)
+    try {
+      val emb = Tables.embeddings(spark, sf0001).limit(80).localCheckpoint()
+      IVF.fitCached(emb, k = 4, sampleN = 48, iters = 2, seed = 29L)
+      val files = new java.io.File(dir).listFiles()
+      assert(files == null || files.isEmpty,
+        s"RDD-backed fit wrote durable files: ${files.map(_.getName).mkString(",")}")
+      // and a simulated restart recomputes (no durable reload possible)
+      IVF.clearStatsForTest()
+      val jobs = countJobs {
+        IVF.fitCached(emb, k = 4, sampleN = 48, iters = 2, seed = 29L)
+      }
+      assert(jobs > 0, "RDD-backed corpus must recompute after restart")
+    } finally IVF.disableDurableStats()
+  }
 }
