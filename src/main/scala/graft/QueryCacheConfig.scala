@@ -24,7 +24,11 @@ import graft.log.{CacheLog, NoOpLog}
   *                              future-dated rows would be double-counted.
   *                              ON additionally filters `ts < now` on every
   *                              caching scan, making cold+appends exact for
-  *                              any row with a sane timestamp.
+  *                              any row with a sane timestamp. The mode is
+  *                              part of the cache fingerprint: state
+  *                              captured under one mode is never replayed
+  *                              under the other (flipping the flag against
+  *                              a live cache is a miss, not a wrong band).
   * @param dynamicBoundBucketGranularity opt-in support for the dynamic
   *                              lower bounds the reference rejects
   *                              (`ts >= now() - INTERVAL`, src/aggregate.rs

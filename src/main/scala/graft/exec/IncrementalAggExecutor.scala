@@ -110,7 +110,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     if (aggs.isEmpty) return Left(("-", "no aggregate in plan"))
     if (aggs.size > 1) return Left(("-", "nested aggregates not supported"))
     val agg = aggs.head
-    val fp = Fingerprint.of(agg)
+    // the capture mode is part of the state's identity: strict-mode state
+    // covers [-inf, capture_now) while default-mode state covers every row
+    // present at capture (including future-dated ones), and the static-
+    // union replay prunes branches only in default mode. Re-using one
+    // mode's state under the other double-counts (OFF state + ON delta
+    // re-reads rows in [wm, now); ON state + OFF pruned static branch
+    // loses static rows >= wm) — so a flipped flag must be a cache MISS,
+    // not a hit with the wrong band.
+    val fp = Fingerprint.of(agg) + (if (config.strictUpperBound) ":s1" else "")
     def bail(msg: String) = Left((fp, msg))
 
     // subqueries anywhere in the cached subtree's expressions make the

@@ -455,6 +455,50 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(qcs2.run(q()).collect().head.getLong(0) == 111L)
   }
 
+  test("flipping strictUpperBound against a live cache is a miss, not a wrong band") {
+    // the capture mode is folded into the fingerprint (ADVICE r5 #2):
+    // default-mode state captures future-dated rows in full, so replaying
+    // it under strict mode would re-count every row in [wm, now) — here
+    // the future-dated row would be counted twice (211 instead of 111)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val nowUs = 1700000000000000L
+    val rows = Seq(
+      Row(t(nowUs - 2000000L), 1L),
+      Row(t(nowUs - 1000000L), 10L),
+      Row(t(nowUs + 5000000L), 100L)) // future-dated at cold time
+    val work = tmpDir("strictflip")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def q() = spark.read.parquet(work).agg(sum("v").as("s"))
+    // cold under the DEFAULT (reference) contract: captures all rows
+    val off = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+      overrideNowMicros = Some(nowUs), log = log)
+    assert(QueryCacheSession(spark, off).run(q()).collect().head.getLong(0) == 111L)
+    // flip to strict against the SAME cache: must be a miss with the
+    // exact answer, not a hit that re-counts the future-dated row
+    val on = off.copy(strictUpperBound = true,
+      overrideNowMicros = Some(nowUs + 10000000L))
+    val hitsBefore = log.messages.count(_.startsWith("cache hit"))
+    assert(QueryCacheSession(spark, on).run(q()).collect().head.getLong(0) == 111L)
+    assert(log.messages.count(_.startsWith("cache hit")) == hitsBefore,
+      s"strict run hit default-mode state: ${log.messages}")
+    // and back: the default-mode run hits its OWN entry (not the strict
+    // one) — answer 211 is the documented reference-contract double count
+    // of the future-dated row (S1), present with or without this fix
+    val off2 = off.copy(overrideNowMicros = Some(nowUs + 20000000L))
+    assert(QueryCacheSession(spark, off2).run(q()).collect().head.getLong(0) == 211L)
+    assert(log.messages.count(_.startsWith("cache hit")) == hitsBefore + 1,
+      s"expected the second default-mode run to hit its own entry: ${log.messages}")
+  }
+
   // ---------------------------------------- declared-static dimension joins
 
   private def joinQ(df: DataFrame): DataFrame =
