@@ -28,12 +28,29 @@ object StreamQueries {
   private def sinkName(tag: String, sfDir: String): String =
     s"graft_stream_${tag}_${new java.io.File(sfDir).getName.replace('.', '_')}"
 
+  /** Run `f` with the legacy nanos conf set, restoring the caller's
+    * value (or unset state) after — stream scenarios must not leave a
+    * persistent conf mutation on the SHARED session (VERDICT r5 #5).
+    * The conf must hold for the whole region from `readStream` through
+    * query completion: the parquet→catalyst conversion happens per file
+    * at scan time, not just at schema inference. */
+  private def withNanosConf[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** events as an unbounded source: the static raw schema (ts is parquet
     * TIMESTAMP(NANOS) = long under the legacy conf, see Tables.events)
     * feeds `readStream`, converted to microsecond timestamps exactly like
-    * the batch reader so stream and oracle agree. */
+    * the batch reader so stream and oracle agree. Callers must hold
+    * [[withNanosConf]] around both this call and the stream's run. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(raw)
       .parquet(Tables.streamableDir(spark, sfDir, "events"))
@@ -56,7 +73,7 @@ object StreamQueries {
     // per-type counts/sums with a watermark, complete-mode sink. Complete
     // mode emits every window at termination — over a static table that
     // is exactly the batch GROUP BY date_trunc('hour') answer.
-    "q_stream_hourly" -> ((s, d) => {
+    "q_stream_hourly" -> ((s, d) => withNanosConf(s) {
       val name = sinkName("hourly", d)
       val agg = StreamingAgg.windowedAgg(
         eventsStream(s, d), "ts", "1 hour", watermarkDelay = "10 minutes",
@@ -78,7 +95,7 @@ object StreamQueries {
     // same sessions with a lag()-gap window function (a new session starts
     // when the gap to the previous event is ≥ the gap parameter, matching
     // Spark's [ts, ts+gap) overlap-merge semantics).
-    "q_stream_session" -> ((s, d) => {
+    "q_stream_session" -> ((s, d) => withNanosConf(s) {
       val name = sinkName("session", d)
       val agg = StreamingAgg.sessionAgg(
         eventsStream(s, d), "ts", gap = "30 minutes",
@@ -98,7 +115,7 @@ object StreamQueries {
     // shape of a streaming ingest pipeline; the dim is re-read per batch,
     // broadcast by Catalyst), aggregated in complete mode. Over a static
     // table the final sink equals the batch join+aggregate.
-    "q_stream_join" -> ((s, d) => {
+    "q_stream_join" -> ((s, d) => withNanosConf(s) {
       val name = sinkName("join", d)
       val joined = eventsStream(s, d)
         .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
@@ -130,7 +147,7 @@ object StreamQueries {
     // emitted. WHICH copy wins depends on arrival order, so the sink
     // aggregation touches only KEY-derived columns — per-type distinct
     // user counts — which the batch oracle reproduces exactly.
-    "q_stream_dedup_wm" -> ((s, d) => {
+    "q_stream_dedup_wm" -> ((s, d) => withNanosConf(s) {
       val name = sinkName("dedupwm", d)
       val keyed = eventsStream(s, d).withColumn("text",
         concat_ws("|", col("event_type"), col("user_id")))

@@ -50,4 +50,20 @@ class StreamQueriesSpec extends AnyFunSuite {
         min(len).as("min_chars"), max(len).as("max_chars"))
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("stream queries leave no persistent conf mutation on the shared session") {
+    // VERDICT r5 #5: eventsStream used to set nanosAsLong session-wide;
+    // it must now be scoped to the stream's run and restored after
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val before = spark.conf.getOption(key) // the conf default, Some(false)
+    StreamQueries.queries("q_stream_hourly")(spark, sf0001).collect()
+    assert(spark.conf.getOption(key) == before,
+      s"q_stream_hourly left $key=${spark.conf.getOption(key)} (was $before)")
+    // and a pre-set value survives untouched
+    spark.conf.set(key, "true")
+    StreamQueries.queries("q_stream_join")(spark, sf0001).collect()
+    assert(spark.conf.getOption(key).contains("true"))
+    spark.conf.unset(key)
+  }
 }
