@@ -78,7 +78,13 @@ import graft.log.{CacheLog, NoOpLog}
   *                              fact table happens to live at a colliding
   *                              path it would be frozen as static and warm
   *                              answers would go stale. Declare full paths
-  *                              when basenames are ambiguous.
+  *                              when basenames are ambiguous. When a
+  *                              declared dim DOES change, the one-call
+  *                              remedy is `cache.invalidateForTable(path)`
+  *                              (same matching rules — and the same
+  *                              basename-collision caveat): every entry
+  *                              whose plan read that table is dropped and
+  *                              the next run is a clean cold miss.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(

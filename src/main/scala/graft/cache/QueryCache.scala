@@ -42,6 +42,42 @@ trait QueryCache {
   def put(fingerprint: String, timestampMicros: Long, state: DataFrame): DataFrame
 
   def invalidate(fingerprint: String): Unit
+
+  // ------------------------------------------------- source-path remedy
+
+  /** fingerprint → source table paths of the entry's plan, recorded by
+    * the executor at put time (it already derives them for the
+    * fingerprint). Process-local; [[ParquetQueryCache]] additionally
+    * persists the paths in its meta so the remedy survives restarts. */
+  private val sourceIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private[graft] def recordSourcePaths(fingerprint: String,
+      paths: Seq[String]): Unit =
+    if (paths.nonEmpty) { sourceIndex.put(fingerprint, paths.toSet); () }
+
+  private[graft] def recordedSourcePaths(fingerprint: String): Set[String] =
+    Option(sourceIndex.get(fingerprint)).getOrElse(Set.empty)
+
+  /** Invalidate every entry whose source tables include `table` — the
+    * one-call remedy after updating a table declared in
+    * `staticDimensionTables` (whose contract makes cached answers stale
+    * until invalidation). Matching mirrors the declaration rules: `table`
+    * matches a recorded source path, its basename, or its extension-less
+    * basename, case-insensitively — and inherits the same caveat: a bare
+    * name like "customer" hits EVERY entry reading any path with that
+    * basename. Returns the number of entries invalidated. */
+  def invalidateForTable(table: String): Int = {
+    var n = 0
+    sourceIndex.forEach { (fp, paths) =>
+      if (paths.exists(p => QueryCache.pathMatches(table, p))) {
+        invalidate(fp)
+        sourceIndex.remove(fp)
+        n += 1
+      }
+    }
+    n
+  }
 }
 
 object QueryCache {
@@ -50,6 +86,24 @@ object QueryCache {
     MessageDigest.getInstance("SHA-256")
       .digest(fingerprint.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(32)
+
+  /** does the user-supplied `table` designate source path `p`? Same rules
+    * as QueryCacheConfig.isDeclaredStatic: full path, basename, or
+    * extension-less basename, case-insensitive. Recorded plan paths carry
+    * a URI scheme (file:/…, hdfs://…) the user's path usually omits —
+    * compare the full path scheme-blind. */
+  private[graft] def pathMatches(table: String, p: String): Boolean = {
+    def deScheme(x: String): String = {
+      val i = x.indexOf(':')
+      if (i > 0 && x.take(i).forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+        x.drop(i + 1).dropWhile(_ == '/') match { case r => "/" + r }
+      else x
+    }
+    val base = p.stripSuffix("/").split('/').last
+    val noExt = base.takeWhile(_ != '.')
+    Seq(p, base, noExt).exists(_.equalsIgnoreCase(table)) ||
+      deScheme(p).equalsIgnoreCase(deScheme(table))
+  }
 }
 
 /** In-memory cache (reference MemoryQueryCache, src/cache.rs:52-136).
@@ -205,7 +259,18 @@ final class ParquetQueryCache(rootDir: String,
     val dataDir = s"data-$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataPath = new Path(dir, dataDir)
     state.write.mode("overwrite").parquet(dataPath.toString)
-    writeMetaAtomic(fs, dir, Meta(timestampMicros, dataDir, state.schema), version)
+    // source tables persisted in the meta: invalidateForTable then works
+    // from ANY process, not just the writer's (the state plan reads the
+    // source table on both cold and warm runs; the cache's own replay
+    // scan under rootDir is excluded)
+    val srcPaths = try {
+      val rootStr = new Path(rootDir).toUri.getPath
+      org.apache.spark.sql.graftshim.Shims.sourcePaths(
+        org.apache.spark.sql.graftshim.Shims.queryExecution(state).analyzed)
+        .filterNot(p => rootStr.nonEmpty && p.contains(rootStr)).distinct
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    writeMetaAtomic(fs, dir,
+      Meta(timestampMicros, dataDir, state.schema, srcPaths), version)
     // DEFERRED cleanup: a reader that resolved the previous meta — or a
     // long warm scan still streaming an older data-<v> — must not get
     // FileNotFound mid-read. Superseded versions stay on disk until they
@@ -269,11 +334,32 @@ final class ParquetQueryCache(rootDir: String,
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
   }
+
+  /** In addition to the in-process index, scan every entry's latest meta
+    * for the table — entries written by OTHER processes (their source
+    * paths ride in the meta) are invalidated too. One meta read per
+    * entry; invalidation is a rare administrative action. */
+  override def invalidateForTable(table: String): Int = {
+    var n = super.invalidateForTable(table)
+    val spark = SparkSession.active
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+      try latestMeta(fs, d.getPath) match {
+        case Some(m)
+            if m.sourcePaths.exists(p => QueryCache.pathMatches(table, p)) =>
+          fs.delete(d.getPath, true)
+          n += 1
+        case _ => ()
+      } catch { case _: Exception => () }
+    }
+    n
+  }
 }
 
 object ParquetQueryCache {
   final case class Meta(timestampMicros: Long, dataDir: String,
-      schema: StructType) {
+      schema: StructType, sourcePaths: Seq[String] = Seq.empty) {
     /** version = leading numeric component of the data dir name
       * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
     def version: Long =
@@ -290,28 +376,40 @@ object ParquetQueryCache {
       out.toByteArray
     } finally in.close()
     val s = new String(bytes, StandardCharsets.UTF_8)
-    // minimal parser for our own 3-field json
-    def field(name: String): String = {
+    // minimal parser for our own flat json
+    def fieldOpt(name: String): Option[String] = {
       val i = s.indexOf("\"" + name + "\":")
-      require(i >= 0, s"missing $name in meta.json")
+      if (i < 0) return None
       val rest = s.substring(i + name.length + 3).trim
-      if (rest.startsWith("\"")) {
+      Some(if (rest.startsWith("\"")) {
         // string value: schema json is itself escaped
         val sb = new StringBuilder
         var j = 1
         var done = false
         while (!done) {
           rest.charAt(j) match {
-            case '\\' => sb.append(rest.charAt(j + 1)); j += 2
+            case '\\' =>
+              val e = rest.charAt(j + 1)
+              sb.append(if (e == 'n') '\n' else e) // invert esc's \n
+              j += 2
             case '"' => done = true
             case c => sb.append(c); j += 1
           }
         }
         sb.toString
-      } else rest.takeWhile(c => c.isDigit || c == '-')
+      } else rest.takeWhile(c => c.isDigit || c == '-'))
+    }
+    def field(name: String): String = {
+      val v = fieldOpt(name)
+      require(v.isDefined, s"missing $name in meta.json")
+      v.get
     }
     Meta(field("timestampMicros").toLong, field("dataDir"),
-      DataType.fromJson(field("schema")).asInstanceOf[StructType])
+      DataType.fromJson(field("schema")).asInstanceOf[StructType],
+      // newline-joined; absent in metas written before r6 (treated as
+      // "unknown sources" — invalidateForTable skips those entries)
+      fieldOpt("sourcePaths").map(_.split('\n').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
 
   private def writeMetaAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
@@ -324,7 +422,7 @@ object ParquetQueryCache {
         case c => c.toString
       }
     val json =
-      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}"}"""
+      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}"}"""
     val tmp = new Path(dir, s".meta-$version.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()

@@ -572,6 +572,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           else Shims.ofRows(s, Shims.queryExecution(merged).analyzed))
         phase("put.store")(config.cache.put(c.fingerprint, now, state))
       })
+    // index the entry by its source tables — the cache SPI's
+    // invalidateForTable(path) remedy for declared-static dims that DID
+    // change (recorded only after a successful put; a capacity-rejected
+    // state leaves no entry to invalidate)
+    config.cache.recordSourcePaths(c.fingerprint, Shims.sourcePaths(c.child))
     graft.plans.CacheReplayStrategy.register(spark)
 
     // finalize: original output expressions with aggregate functions

@@ -107,4 +107,35 @@ class CacheSpec extends AnyFunSuite {
     assert(hit.timestampMicros == 42L)
     assert(hit.read(spark).count() == stateDF.count())
   }
+
+  test("invalidateForTable drops only entries that read the table") {
+    val cache = new MemoryQueryCache()
+    val one = stateDF.limit(1)
+    cache.put("fpA", 1L, one)
+    cache.recordSourcePaths("fpA", Seq("file:/data/dims/customer.parquet"))
+    cache.put("fpB", 1L, one)
+    cache.recordSourcePaths("fpB", Seq("file:/data/facts/events"))
+    // matches by basename / extension-less basename, case-insensitively —
+    // the same rules staticDimensionTables declarations use
+    assert(cache.invalidateForTable("CUSTOMER") == 1)
+    assert(cache.get("fpA").isEmpty, "entry reading the table survived")
+    assert(cache.get("fpB").nonEmpty, "unrelated entry was dropped")
+    assert(cache.invalidateForTable("customer") == 0) // idempotent
+    assert(cache.invalidateForTable("/data/facts/events") == 1) // full path
+    assert(cache.get("fpB").nonEmpty == false)
+  }
+
+  test("ParquetQueryCache invalidateForTable works cross-process via meta") {
+    val dir = tmpDir("pqinv")
+    val writer = new ParquetQueryCache(dir)
+    writer.put("fpSrc", 1L, stateDF) // state plan reads sf0.001 events
+    // a FRESH instance has no in-process source index — the remedy must
+    // resolve the table from the source paths persisted in meta.json
+    val other = new ParquetQueryCache(dir)
+    assert(other.get("fpSrc").nonEmpty)
+    assert(other.invalidateForTable("events") == 1)
+    assert(other.get("fpSrc").isEmpty)
+    assert(writer.get("fpSrc").isEmpty, "writer still sees the dropped entry")
+    assert(other.invalidateForTable("events") == 0)
+  }
 }

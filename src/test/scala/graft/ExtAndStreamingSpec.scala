@@ -56,7 +56,11 @@ class ExtAndStreamingSpec extends AnyFunSuite {
       QueryCacheTransparent.configure(QueryCacheConfig(cache,
         defaultTemporalColumn = "ts", log = log).withDynamicBounds)
 
-      val nowMs = System.currentTimeMillis()
+      // hour-align the base so the -10h and -10h+5min rows land in the
+      // SAME hour bucket regardless of wall-clock minute (at :56, un-
+      // aligned -10h and -10h+5min straddle an hour boundary → 3 groups)
+      val nowMs0 = System.currentTimeMillis()
+      val nowMs = nowMs0 - (nowMs0 % (3600L * 1000))
       import ext.implicits._
       val rows = Seq(
         (new java.sql.Timestamp(nowMs - 1L * 3600 * 1000), 5.0),

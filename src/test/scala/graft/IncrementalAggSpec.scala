@@ -574,6 +574,41 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
   }
 
+  test("invalidateForTable: updated static dim has a one-call remedy") {
+    // staticDimensionTables' contract: a dim that DOES change leaves warm
+    // answers stale until invalidation. This is the documented remedy —
+    // cache.invalidateForTable(dim) → next run is a clean cold miss
+    // computed against the UPDATED dim.
+    val (early, late, splitUs) = split()
+    val work = tmpDir("statjoininv")
+    val dimDir = tmpDir("dimcopy")
+    Tables.customer(spark, sf0001).write.mode("overwrite").parquet(dimDir)
+    def q(df: DataFrame) = df.join(spark.read.parquet(dimDir),
+        df("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    val dimName = new java.io.File(dimDir).getName
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withStaticDimensions(dimName)
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    // the dim CHANGES (violating its declaration): segments re-mapped
+    Tables.customer(spark, sf0001)
+      .withColumn("c_mktsegment", concat(lit("NEW_"), col("c_mktsegment")))
+      .write.mode("overwrite").parquet(dimDir)
+    assert(cache.invalidateForTable(dimName) == 1)
+    val freshDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(freshDF, q(eventsFull)) // vanilla over the NEW dim
+    assert(log.messages.count(_.startsWith("cache miss")) == 2, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 0, log.messages)
+  }
+
   test("bail: static dim on the OUTER side is rejected") {
     // right_outer with the static dim on the right = dim is the outer
     // side; an appended fact row could retract a null-extended dim row
