@@ -159,6 +159,60 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // append-RESUME: the cache's cold→append→warm cycle in engine form
+    // (the reference demo differential, examples/demo.rs:28-50). Trigger 1
+    // aggregates the first ~60% of events under a PERSISTENT checkpoint;
+    // the remaining files are appended; trigger 2 restarts from the same
+    // checkpoint — the FileStreamSource log skips the already-processed
+    // files and the state store supplies the prior partials, so only the
+    // appended rows are read (require()d below) yet the complete-mode
+    // sink equals batch SQL over the FULL table. Memory-sink checkpoint
+    // recovery is legal exactly in complete mode; at scale the same
+    // pipeline writes to a real sink in update mode with the identical
+    // checkpoint contract.
+    "q_stream_resume" -> ((s, d) => withNanosConf(s) {
+      val name = sinkName("resume", d)
+      val base = java.nio.file.Files.createTempDirectory("graft_resume_")
+      val work = base.resolve("events").toString
+      val chk = base.resolve("chk").toString
+      // under the nanos conf the raw read gives ts as LONG (nanos); the
+      // staged files keep that representation so both triggers re-read it
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val splitNs = raw.selectExpr("CAST(percentile_approx(ts, 0.6) AS LONG)")
+        .first().getLong(0)
+      val rawSchema = raw.schema
+      def agg() = StreamingAgg.windowedAgg(
+        s.readStream.schema(rawSchema).parquet(work)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        "ts", "1 hour", watermarkDelay = "10 minutes",
+        groupCols = Seq(col("event_type")),
+        aggCols = Seq(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value")))
+      def trigger(): Long = {
+        val q = agg().writeStream.format("memory").queryName(name)
+          .outputMode("complete").option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      raw.filter(col("ts") < splitNs).write.parquet(work)
+      trigger()
+      val partial = s.table(name).agg(sum(col("cnt"))).first().getLong(0)
+      raw.filter(col("ts") >= splitNs).write.mode("append").parquet(work)
+      val lateRows = raw.filter(col("ts") >= splitNs).count()
+      val resumedInput = trigger()
+      require(resumedInput == lateRows,
+        s"trigger 2 read $resumedInput rows, expected only the $lateRows " +
+          "appended rows — checkpointed state was not resumed")
+      val total = s.table(name).agg(sum(col("cnt"))).first().getLong(0)
+      require(partial < total,
+        s"trigger 1 state ($partial rows) not visible in final total $total")
+      s.table(name).select(
+        col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+    }),
+
     // stateful streaming dedup (StreamingDedup.byFingerprint): exact
     // dedup state over the document stream, append-mode sink. The sink
     // holds one survivor per distinct content; survivors' text is
@@ -210,6 +264,11 @@ object StreamQueries {
          GROUP BY 1""",
     "q_stream_first" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+    "q_stream_resume" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "q_stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1""",

@@ -51,6 +51,23 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("q_stream_resume merges checkpointed state across two triggers") {
+    // the query itself require()s that trigger 2 read ONLY the appended
+    // rows — reaching the oracle comparison at all proves resume, not
+    // reprocess. Here: final sink equals batch over the FULL table.
+    val streamed = StreamQueries.queries("q_stream_resume")(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sum_value"))
+    val s = streamed.orderBy("hour", "event_type").collect()
+    val b = batch.orderBy("hour", "event_type").collect()
+    assert(s.length == b.length && s.length > 0, s"${s.length} vs ${b.length}")
+    s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("stream queries leave no persistent conf mutation on the shared session") {
     // VERDICT r5 #5: eventsStream used to set nanosAsLong session-wide;
     // it must now be scoped to the stream's run and restored after
