@@ -62,6 +62,13 @@ object Dedup {
     val sig = sh.withColumn("bands", minhash_band_hashes(col("sh"), k, bands))
     val buckets = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // NOTE a singleton-bucket pre-filter (count ≥2 per (band_idx,
+    // band_hash) + AQE-broadcast semi-join before this self-join) was
+    // measured NEGATIVE at sf0.1 (r6: minhash 3.3→4.2 s, survivors
+    // 5.2→6.1 s): the synthetic corpus is template-shared, so nearly every
+    // bucket is multi-occupant and the extra aggregation prunes nothing.
+    // On a mostly-unique open-web corpus the filter is the standard win —
+    // revisit with a representative corpus before re-adding.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&

@@ -32,8 +32,9 @@ object Multimodal {
       height: Int,
       embedding: Array[Float]) // fake feature vector
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (??? markers are where libjpeg/ffmpeg/etc. would be driven). */
+  /** Decoder: header-real where a pure-JVM parse suffices (PNG/BMP/GIF
+    * dimensions), deterministic fake elsewhere (??? markers are where
+    * libjpeg/ffmpeg/etc. would be driven for pixel data). */
   object StubDecoder {
     def checksum(bytes: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
@@ -41,10 +42,40 @@ object Multimodal {
       while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
       h
     }
-    /** real impl: decode header → (width, height); here: derived fake */
-    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val h = checksum(bytes)
-      (64 + (h & 0x3f).toInt, 64 + ((h >>> 6) & 0x3f).toInt)
+    /** Decoded (width, height): REAL for PNG / BMP / GIF — their
+      * dimensions live in a fixed-offset pure-bytes header, no codec lib
+      * needed — and the deterministic fake for every other payload (the
+      * pixel-data formats a real deployment wires a codec in for). */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) =
+      parseHeaderDims(bytes).getOrElse {
+        val h = checksum(bytes)
+        (64 + (h & 0x3f).toInt, 64 + ((h >>> 6) & 0x3f).toInt)
+      }
+
+    /** Header-only dimension parse. Signatures are deliberately STRICT
+      * (full multi-byte magic, zeroed reserved fields, known DIB header
+      * sizes) so that text-bytes corpora cannot false-positive into the
+      * real-parse path and perturb deterministic fake features. */
+    def parseHeaderDims(b: Array[Byte]): Option[(Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      // PNG: 8-byte signature, then IHDR with width/height BE at 16/20
+      if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' &&
+          b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+          b(6) == 0x1a && b(7) == 0x0a)
+        Some((be32(16), be32(20)))
+      // GIF87a / GIF89a: logical screen LE uint16 at 6/8
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some((le16(6), le16(8)))
+      // BMP: "BM" + zeroed reserved dword + a known DIB header size
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(6) == 0 &&
+          Set(12, 40, 52, 56, 64, 108, 124).contains(le32(14))) {
+        if (le32(14) == 12) Some((le16(18), le16(20))) // BITMAPCOREHEADER
+        else Some((le32(18), math.abs(le32(22)))) // height<0 = top-down rows
+      } else None
     }
     /** real impl: model forward pass per batch; here: 8-dim byte histogram */
     def features(bytes: Array[Byte]): Array[Float] = {

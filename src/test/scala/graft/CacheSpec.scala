@@ -108,6 +108,51 @@ class CacheSpec extends AnyFunSuite {
     assert(hit.read(spark).count() == stateDF.count())
   }
 
+  test("ParquetQueryCache: concurrent same-fp writers with a live reader") {
+    // the versioned-meta + per-writer-data-dir + deferred-deletion design
+    // claims: two sessions putting the SAME fingerprint while a third
+    // reads can never hand the reader a torn or missing version. Writers
+    // alternate states of 1 vs 4 rows — any read observing a complete
+    // version counts exactly 1 or 4; anything else (0, FileNotFound,
+    // parse error) is a race defect.
+    val dir = tmpDir("pqrace")
+    val oneRow = stateDF.limit(1)
+    val fourRows = stateDF.limit(4)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    def submit(f: => Unit) = pool.submit(new Runnable {
+      def run(): Unit =
+        try f catch { case t: Throwable => errors.add(t.toString); () }
+    })
+    val iters = 6
+    val w1 = submit {
+      val c = new ParquetQueryCache(dir)
+      (0 until iters).foreach(i => c.put("fpR", 10L + i, oneRow))
+    }
+    val w2 = submit {
+      val c = new ParquetQueryCache(dir)
+      (0 until iters).foreach(i => c.put("fpR", 20L + i, fourRows))
+    }
+    val r = submit {
+      val c = new ParquetQueryCache(dir)
+      while (!(w1.isDone && w2.isDone)) {
+        c.get("fpR").foreach { hit =>
+          val n = hit.read(spark).count()
+          if (n != 1 && n != 4) errors.add(s"torn read: $n rows")
+          reads.incrementAndGet()
+        }
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"race defects: ${errors.toArray.mkString("; ")}")
+    assert(reads.get() > 0, "reader never observed an entry")
+    // the surviving head is one of the writers' final versions
+    val n = new ParquetQueryCache(dir).get("fpR").get.read(spark).count()
+    assert(n == 1 || n == 4, s"final state has $n rows")
+  }
+
   test("invalidateForTable drops only entries that read the table") {
     val cache = new MemoryQueryCache()
     val one = stateDF.limit(1)

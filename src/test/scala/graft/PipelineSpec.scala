@@ -308,4 +308,36 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy("doc_id").agg(sum("frame_bytes").as("b")).collect()
     assert(frames.forall(_.getLong(1) > 0))
   }
+
+  test("decodeDims parses real PNG/BMP/GIF headers, fakes the rest") {
+    import Multimodal.StubDecoder
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    // real PNG prefix: signature + IHDR length + "IHDR" + 641x480
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(641) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(StubDecoder.decodeDims(png) == ((641, 480)))
+
+    // BMP with BITMAPINFOHEADER (biSize=40), 320 x -200 (top-down)
+    val bmp = "BM".getBytes ++ le32(1000) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(320) ++ le32(-200) ++ le16(1) ++ le16(24)
+    assert(StubDecoder.decodeDims(bmp) == ((320, 200)))
+
+    // GIF89a logical screen 99x77
+    val gif = "GIF89a".getBytes ++ le16(99) ++ le16(77) ++ Array[Byte](0, 0, 0)
+    assert(StubDecoder.decodeDims(gif) == ((99, 77)))
+
+    // text bytes (incl. ones starting "BM"/"GIF") never hit the real
+    // parse: reserved/size guards reject them → deterministic fake
+    val text = "BMoth and GIFts of plain text content".getBytes
+    assert(StubDecoder.parseHeaderDims(text).isEmpty)
+    val h = StubDecoder.checksum(text)
+    assert(StubDecoder.decodeDims(text) ==
+      ((64 + (h & 0x3f).toInt, 64 + ((h >>> 6) & 0x3f).toInt)))
+  }
 }
