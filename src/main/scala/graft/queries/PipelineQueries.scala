@@ -54,6 +54,25 @@ object PipelineQueries {
     }),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
+    // composed CURATION pipeline — the chain a real training-data run
+    // strings together, as ONE declarative plan: exact dedup → quality
+    // gate → language bucket → token-budget accounting. One shuffle for
+    // the dedup, narrow fused maps for scoring, one partial+final agg;
+    // Catalyst pipelines the whole middle into a single codegen stage.
+    "q_pipeline_curate" -> ((s, d) => {
+      val t = col("text")
+      Dedup.exact(documents(s, d)).select(t)
+        .select(
+          TextAnalysis.languageId(t).as("lang_pred"),
+          TextAnalysis.qualityScore(t).as("quality"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"))
+        .filter(col("quality") >= 0.7)
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("quality")).as("max_quality"),
+          min(col("n_tokens")).as("min_tokens"))
+    }),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), maxHamming = 3)),
     // -------------------------------------------------------- similarity
@@ -418,6 +437,50 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
          FROM documents GROUP BY text""",
+    // composed curation chain: each stage's SQL is the already-proven
+    // oracle body of its standalone query (dedup_exact / text_stats /
+    // text_quality), composed via CTEs exactly as the Spark plan chains
+    // the operators
+    "q_pipeline_curate" ->
+      """WITH surv AS (SELECT DISTINCT text FROM documents),
+         base AS (
+           SELECT text, string_split(lower(text), ' ') AS toks,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('the','and','of','to','in','is','that','it','for','with'))) AS h_en,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('el','la','de','que','y','en','un','los','del','por'))) AS h_es,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('le','la','de','et','les','des','en','un','du','que'))) AS h_fr,
+             len(list_filter(string_split(lower(text),' '), t -> t IN
+               ('der','die','und','das','von','zu','mit','den','ist','im'))) AS h_de
+           FROM surv),
+         scored AS (
+           SELECT
+             CASE
+               WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+               WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+               WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+               ELSE 'de' END AS lang_pred,
+             CAST(round(
+               (CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
+                     WHEN length(text) BETWEEN 50 AND 199 THEN 0.5 ELSE 0.1 END) * 0.4 +
+               (CASE WHEN len(toks) > 0
+                      AND (CAST(length(text) AS DOUBLE) / len(toks))
+                          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+               (CASE WHEN (CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks,
+                   t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                              'on','for','with','as','at','by','from','that','this')))
+                   AS DOUBLE) / len(toks)
+                 ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.4 END) * 0.3, 4) AS DOUBLE)
+               AS quality,
+             len(string_split(text, ' ')) AS n_tokens
+           FROM base)
+         SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           max(quality) AS max_quality,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens
+         FROM scored WHERE quality >= 0.7 GROUP BY 1""",
     "q_dedup_ngram" ->
       """WITH sh AS (
            SELECT doc_id AS id, list_distinct(list_transform(
