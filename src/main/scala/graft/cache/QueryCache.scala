@@ -326,6 +326,13 @@ final class ParquetQueryCache(rootDir: String,
             (completed || age > abandonedMs))
           try fs.delete(e.getPath, true) catch { case _: Exception => () }
       }
+    // temp metas (per-writer unique names) left by crashed writers
+    entries.filter(e => !e.isDirectory && e.getPath.getName.startsWith(".meta-")
+        && e.getPath.getName.endsWith(".tmp"))
+      .foreach { e =>
+        if (System.currentTimeMillis() - e.getModificationTime > abandonedMs)
+          try fs.delete(e.getPath, false) catch { case _: Exception => () }
+      }
   }
 
   override def invalidate(fingerprint: String): Unit = {
@@ -423,11 +430,27 @@ object ParquetQueryCache {
       }
     val json =
       s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}"}"""
-    val tmp = new Path(dir, s".meta-$version.json.tmp")
+    // per-writer temp name: two concurrent puts that computed the SAME
+    // version (both read the same head) must not share a temp path — a
+    // shared `.meta-<v>.json.tmp` lets one writer's rename steal the
+    // other's in-flight file (observed as a chmod-on-missing-file failure
+    // in the CacheSpec race test). With unique temps, both renames target
+    // the same committed name and either complete meta winning is correct.
+    val tmp = new Path(dir,
+      s".meta-$version-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(dir, s"meta-$version.json")
-    if (fs.exists(target)) fs.delete(target, false) // same-version rewrite
-    require(fs.rename(tmp, target), s"atomic meta commit failed for $dir")
+    // NO delete-before-rename: a target can only pre-exist when a
+    // concurrent put computed the same version (sequential puts always
+    // bump past the head), and deleting it first opens a window where a
+    // reader of that version finds NO meta. POSIX rename atomically
+    // replaces (readers see old-complete or new-complete); an FS that
+    // refuses to clobber fails the rename — the other writer's meta is
+    // complete and equally valid, accept it and drop our temp.
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      require(fs.exists(target), s"atomic meta commit failed for $dir")
+    }
   }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (north-star pipeline mandate — no reference
+  * counterpart): flag / drop training documents that share word n-gram
+  * overlap with an evaluation set, so eval answers don't leak into
+  * training data.
+  *
+  * Plan shape: inverted-index equi-join of the corpus' shingles against
+  * the DISTINCT benchmark shingle set, then one count aggregation per
+  * doc. Shingles are 64-bit-hashed (xxhash64) so shuffle/join keys are
+  * 8 bytes, the same trick as [[Dedup.ngramJaccardPairs]] — and like
+  * there, counts over hashed shingles equal counts over the strings
+  * unless two distinct shingles collide in 64 bits (negligible, and
+  * deterministic run-to-run). The benchmark side is a distinct-shingle
+  * set typically orders of magnitude smaller than the corpus — AQE
+  * broadcasts it, leaving ONE real shuffle (the per-doc count).
+  */
+object Decontaminate {
+
+  /** Per-document overlap against the benchmark: number of distinct
+    * shared shingles, the doc's own shingle count, and their ratio.
+    * Documents with no overlap (or fewer than `n` words) are absent —
+    * callers treat absence as contamination 0. */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docSh = docs.select(col(idCol).as("id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(transform(Dedup.shingles(col(textCol), n),
+        s => xxhash64(s))).as("shingle"))
+      .distinct()
+    docSh.join(benchSh, "shingle")
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as(idCol), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
+  /** Training-set hygiene pass: drop every document whose contamination
+    * ratio reaches `maxContamination`. Anti-join keeps the corpus
+    * streaming — no wide rows move for clean documents. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      maxContamination: Double = 0.2, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bad = contaminationScores(docs, benchmark, n, idCol, textCol)
+      .filter(col("contamination") >= maxContamination)
+      .select(col(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory: dedup family, similarity search,
@@ -75,6 +75,27 @@ object PipelineQueries {
     }),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), maxHamming = 3)),
+    // ------------------------------------------- sampling / decontamination
+    // reproducible per-stratum quota draw (training-data mixing): at most
+    // 10 docs per source, selected by content-hash order — the same set
+    // on any cluster size / partitioning
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedTopN(documents(s, d), col("source"), col("doc_id"),
+          n = 10)
+        .select("doc_id", "source")),
+    // append-stable Bernoulli thinning: zero-shuffle codegen filter; a
+    // row's fate depends only on (key, seed)
+    "q_sample_bernoulli" -> ((s, d) =>
+      Sampling.bernoulli(events(s, d), col("event_id"), fraction = 0.1)
+        .select("event_id", "event_type", "value")),
+    // eval-set leakage scores: 5% of the corpus plays the benchmark, the
+    // rest is scored by shared-shingle overlap
+    "q_decontaminate" -> ((s, d) => {
+      val all = documents(s, d)
+      Decontaminate.contaminationScores(
+        all.filter(col("doc_id") % 20 =!= 0),
+        all.filter(col("doc_id") % 20 === 0))
+    }),
     // -------------------------------------------------------- similarity
     "q_ann_bruteforce" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
@@ -325,6 +346,49 @@ object PipelineQueries {
     "q_text_fingerprint" ->
       s"""SELECT doc_id, ${toSigned("x5")} AS fingerprint
           FROM (${hash64Sql("text")}) t""",
+    // stratified quota draw recomputed from scratch: staged Hash64 of the
+    // id, per-stratum row_number over (signed hash, id), keep rn <= 10
+    "q_sample_stratified" ->
+      s"""WITH hashed AS (
+            SELECT doc_id, source, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)",
+              carry = "doc_id, source")}) t),
+          ranked AS (
+            SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+            FROM hashed)
+          SELECT doc_id, source FROM ranked WHERE rn <= 10""",
+    // Bernoulli keep-filter with the identical IEEE normalization
+    // (constants are powers of two — exact in both engines)
+    "q_sample_bernoulli" ->
+      s"""SELECT event_id, event_type, value
+          FROM (
+            SELECT event_id, event_type, value, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("CAST(event_id AS VARCHAR)", from = "events",
+              carry = "event_id, event_type, value")}) t)
+          WHERE (CAST(h AS DOUBLE) + 9223372036854775808.0)
+                / 18446744073709551616.0 < 0.1""",
+    // contamination scores over raw string shingles — the Spark side
+    // joins on xxhash64(shingle) (8-byte keys), which is count-identical
+    // unless two distinct shingles collide in 64 bits (see
+    // Decontaminate.scala; q_dedup_ngram relies on the same argument)
+    "q_decontaminate" ->
+      """WITH bench AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' ')))) AS s
+           FROM documents WHERE doc_id % 20 = 0),
+         docsh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents WHERE doc_id % 20 <> 0),
+         inv AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM docsh)
+         SELECT doc_id, count(*) AS n_shared,
+           CAST(n_shingles AS INTEGER) AS n_shingles,
+           round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS contamination
+         FROM inv JOIN bench USING (s)
+         GROUP BY doc_id, n_shingles""",
     // KMV recomputed from scratch: distinct (flag, key) -> staged Hash64
     // -> per-flag k smallest -> (k-1)/u_k with the identical IEEE op
     // sequence as the Spark side (all scaling constants are powers of 2)

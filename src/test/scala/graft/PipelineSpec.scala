@@ -309,6 +309,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) > 0))
   }
 
+  test("stratified sample: quota respected, set invariant to partitioning") {
+    import graft.operators.Sampling
+    val base = docs.limit(200)
+    val s1 = Sampling.stratifiedTopN(base, col("source"), col("doc_id"), n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // per-stratum quota
+    val per = Sampling.stratifiedTopN(base, col("source"), col("doc_id"), n = 5)
+      .groupBy("source").count().collect()
+    assert(per.forall(_.getLong(1) <= 5), per.mkString(","))
+    // the SELECTED SET must not depend on physical layout — repartitioned
+    // input yields the identical sample (content hash, not row order)
+    val s2 = Sampling.stratifiedTopN(base.repartition(13), col("source"),
+      col("doc_id"), n = 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample set changed under repartitioning")
+    // a different seed redraws
+    val s3 = Sampling.stratifiedTopN(base, col("source"), col("doc_id"),
+      n = 5, seed = 7L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 != s3, "seed had no effect")
+  }
+
+  test("bernoulli sample: append-stable row fate, zero shuffles") {
+    import graft.operators.Sampling
+    val half = docs.filter(col("doc_id") < 250)
+    val kept1 = Sampling.bernoulli(half, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // growing the corpus never flips an existing row's fate
+    val kept2 = Sampling.bernoulli(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2.filter(_ < 250), "append changed an old row's fate")
+    // plan has no Exchange: pure scan + filter
+    val plan = Sampling.bernoulli(docs, col("doc_id"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("decontaminate drops leaked docs, keeps clean ones") {
+    import graft.operators.Decontaminate
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val scores = Decontaminate.contaminationScores(train, bench)
+    // identical-text leakage scores 1.0: score a benchmark doc's own text
+    val self = Decontaminate.contaminationScores(
+      bench.limit(1).withColumn("doc_id", lit(-1L)), bench)
+      .filter(col("doc_id") === -1L).collect()
+    assert(self.length == 1 && self.head.getAs[Double]("contamination") == 1.0)
+    // decontaminate = train minus (contamination >= threshold)
+    val thr = 0.5
+    val badIds = scores.filter(col("contamination") >= thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptIds = Decontaminate.decontaminate(train, bench,
+      maxContamination = thr).select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == allIds -- badIds)
+  }
+
   test("decodeDims parses real PNG/BMP/GIF headers, fakes the rest") {
     import Multimodal.StubDecoder
     def be32(v: Int) = Array[Byte](
