@@ -59,6 +59,14 @@ trait QueryCache {
   private[graft] def recordedSourcePaths(fingerprint: String): Set[String] =
     Option(sourceIndex.get(fingerprint)).getOrElse(Set.empty)
 
+  /** Forget the recorded paths of a dropped entry. Implementations MUST
+    * call this from every path that removes an entry (invalidate, LRU
+    * eviction, TTL expiry) — otherwise the index outlives the entries
+    * and grows with every fingerprint a long session ever cached. */
+  protected final def dropSourcePaths(fingerprint: String): Unit = {
+    sourceIndex.remove(fingerprint); ()
+  }
+
   /** Invalidate every entry whose source tables include `table` — the
     * one-call remedy after updating a table declared in
     * `staticDimensionTables` (whose contract makes cached answers stale
@@ -132,8 +140,11 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
   private val entries = new java.util.LinkedHashMap[String, Entry](
       16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Entry]): Boolean =
-      size() > math.max(1, maxEntries)
+        e: java.util.Map.Entry[String, Entry]): Boolean = {
+      val evict = size() > math.max(1, maxEntries)
+      if (evict) dropSourcePaths(e.getKey) // index follows the entry out
+      evict
+    }
   }
 
   private def expired(e: Entry): Boolean =
@@ -150,6 +161,7 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
       Option(entries.get(fingerprint)) match {
         case Some(e) if expired(e) =>
           entries.remove(fingerprint)
+          dropSourcePaths(fingerprint)
           None
         case other => other
       }
@@ -196,8 +208,10 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
     state.sparkSession.createDataFrame(rows.toSeq.asJava, state.schema)
   }
 
-  override def invalidate(fingerprint: String): Unit =
+  override def invalidate(fingerprint: String): Unit = {
     entries.synchronized { entries.remove(fingerprint); () }
+    dropSourcePaths(fingerprint)
+  }
 
   def size: Int = entries.synchronized(entries.size)
 }
@@ -340,6 +354,7 @@ final class ParquetQueryCache(rootDir: String,
     val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
+    dropSourcePaths(fingerprint)
   }
 
   /** In addition to the in-process index, scan every entry's latest meta

@@ -49,7 +49,20 @@ class CacheSpec extends AnyFunSuite {
   test("MemoryQueryCache bounds entry count via LRU eviction") {
     val cache = new MemoryQueryCache(maxEntries = 3)
     val one = stateDF.limit(1)
-    (1 to 5).foreach(i => cache.put(s"fp$i", i.toLong, one))
+    (1 to 5).foreach { i =>
+      cache.put(s"fp$i", i.toLong, one)
+      cache.recordSourcePaths(s"fp$i", Seq(s"/data/t$i"))
+    }
+    // the source-path index must follow evicted entries out — otherwise
+    // a long session's index grows with every fingerprint ever cached
+    assert(cache.recordedSourcePaths("fp1").isEmpty &&
+      cache.recordedSourcePaths("fp2").isEmpty,
+      "source index retained evicted entries")
+    assert(cache.recordedSourcePaths("fp5").nonEmpty)
+    cache.invalidate("fp5")
+    assert(cache.recordedSourcePaths("fp5").isEmpty,
+      "source index retained invalidated entry")
+    cache.put("fp5", 5L, one)
     assert(cache.size == 3, s"session grew past maxEntries: ${cache.size}")
     // oldest evicted, newest retained
     assert(cache.get("fp1").isEmpty && cache.get("fp2").isEmpty)
