@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory: dedup family, similarity search,
@@ -88,6 +88,15 @@ object PipelineQueries {
     "q_sample_bernoulli" -> ((s, d) =>
       Sampling.bernoulli(events(s, d), col("event_id"), fraction = 0.1)
         .select("event_id", "event_type", "value")),
+    // concat-and-slice sequence packing: per-source token stream sliced
+    // into 1024-token training sequences; each doc labeled with the pack
+    // it starts in + its offset — one window shuffle
+    "q_pack_sequences" -> ((s, d) =>
+      Packing.concatSlicePack(
+          documents(s, d).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
+        .select("doc_id", "source", "pack_seq", "pack_offset")),
     // eval-set leakage scores: 5% of the corpus plays the benchmark, the
     // rest is scored by shared-shingle overlap
     "q_decontaminate" -> ((s, d) => {
@@ -368,6 +377,19 @@ object PipelineQueries {
               carry = "event_id, event_type, value")}) t)
           WHERE (CAST(h AS DOUBLE) + 9223372036854775808.0)
                 / 18446744073709551616.0 < 0.1""",
+    // concat-and-slice packing: exclusive running token sum per source,
+    // intdiv/mod by the budget (exact integer arithmetic both sides)
+    "q_pack_sequences" ->
+      """SELECT doc_id, source,
+           before // 1024 AS pack_seq,
+           before % 1024 AS pack_offset
+         FROM (
+           SELECT doc_id, source,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents) t) u""",
     // contamination scores over raw string shingles — the Spark side
     // joins on xxhash64(shingle) (8-byte keys), which is count-identical
     // unless two distinct shingles collide in 64 bits (see

@@ -344,6 +344,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("concat-and-slice packing: exact hand-computed assignment") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // budget 10, one group; sizes 6,6,10,25,2 →
+    // exclusive cumsum 0,6,12,22,47 → pack 0,0,1,2,4; offset 0,6,2,2,7
+    val df = Seq((1L, 6L), (2L, 6L), (3L, 10L), (4L, 25L), (5L, 2L))
+      .toDF("id", "toks").withColumn("g", lit("a"))
+    val packed = Packing.concatSlicePack(df, col("g"), col("id"),
+        col("toks"), budget = 10)
+      .orderBy("id").select("pack_seq", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(packed == Seq((0L, 0L), (0L, 6L), (1L, 2L), (2L, 2L), (4L, 7L)))
+    // a second group packs independently from zero
+    val two = Packing.concatSlicePack(
+      df.union(Seq((9L, 4L)).toDF("id", "toks").withColumn("g", lit("b"))),
+      col("g"), col("id"), col("toks"), budget = 10)
+    val b = two.filter(col("g") === "b").select("pack_seq", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(b == Seq((0L, 0L)))
+  }
+
   test("decontaminate drops leaked docs, keeps clean ones") {
     import graft.operators.Decontaminate
     val bench = docs.filter(col("doc_id") % 20 === 0)
