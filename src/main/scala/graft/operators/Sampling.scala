@@ -57,4 +57,77 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
     df.filter(unitHash(key, seed) < fraction)
   }
+
+  /** Budget-driven domain MIXTURE sample: draw ~`budget` rows whose
+    * domain proportions follow `weights` (normalized internally).
+    * Per-domain keep fraction `f_d = min(1, budget·w_d / n_d)` — a
+    * domain with fewer rows than its quota is kept whole (capped, not
+    * re-allocated: re-allocation would make every domain's fate depend
+    * on every other's count, losing per-domain reproducibility).
+    * Domains absent from `weights` are dropped (weight 0).
+    *
+    * Plan shape: one map-side-combined count agg over the (few) domains
+    * + a broadcast join of the resulting fraction table back onto the
+    * corpus + the same zero-shuffle content-hash draw as [[bernoulli]].
+    * Unlike [[bernoulli]] this is a SNAPSHOT op — fractions depend on
+    * observed counts, so appended rows shift them; re-mixing a grown
+    * corpus is a new draw by design (the quota is the contract).
+    *
+    * All fraction arithmetic is plain IEEE double in a fixed op order
+    * (`(budget · w) / n`, weights normalized by their sum) so an
+    * external engine (the DuckDB oracle) reproduces the kept set
+    * bit-for-bit. */
+  def mixture(df: DataFrame, domain: Column, key: Column,
+      weights: Map[String, Double], budget: Long,
+      seed: Long = 0L): DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.values.sum
+    val wDf = weights.toSeq.sortBy(_._1)
+      .map { case (d, w) => (d, w / wSum) }
+      .toDF("_mix_domain", "_mix_w")
+    val counts = df.groupBy(domain.as("_mix_domain"))
+      .agg(count(lit(1)).as("_mix_n"))
+    val fracs = counts.join(wDf, "_mix_domain").withColumn("_mix_frac",
+      least(lit(1.0),
+        lit(budget.toDouble) * col("_mix_w") / col("_mix_n").cast("double")))
+    df.join(broadcast(fracs), domain === col("_mix_domain"))
+      .filter(unitHash(key, seed) < col("_mix_frac"))
+      .drop("_mix_domain", "_mix_w", "_mix_n", "_mix_frac")
+  }
+
+  /** Fractional epoch UPSAMPLING for training-data mixing: each row of
+    * domain `d` appears `floor(factor_d)` times plus one more with
+    * probability `frac(factor_d)` — the standard way to run a
+    * high-quality domain for 2.5 epochs while a bulk domain runs 0.5.
+    * The fractional extra is the same content-hash draw as
+    * [[bernoulli]], so the realized copy count of a row is a pure
+    * function of (key, seed, factor): reproducible across runs,
+    * cluster sizes, and corpus growth. Output adds `copy_idx`
+    * (0-based) so downstream shuffling/packing can tell copies apart.
+    *
+    * Plan shape: broadcast join of the tiny factor table + a map-side
+    * `explode(sequence)` — zero data shuffles; output size is the only
+    * cost, and it is exactly the training mixture's size. Domains
+    * absent from `factors` pass through with factor 1.0. */
+  def upsample(df: DataFrame, domain: Column, key: Column,
+      factors: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(factors.values.forall(f => f >= 0.0 && f.isFinite),
+      "factors must be finite and >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fDf = factors.toSeq.sortBy(_._1).toDF("_up_domain", "_up_f")
+    val f = coalesce(col("_up_f"), lit(1.0))
+    val copies = (floor(f).cast("long") +
+      when(unitHash(key, seed) < f - floor(f), 1L).otherwise(0L))
+    df.join(broadcast(fDf), domain === col("_up_domain"), "left")
+      .withColumn("_up_n", copies)
+      .filter(col("_up_n") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_up_n") - lit(1L))))
+      .drop("_up_domain", "_up_f", "_up_n")
+  }
 }

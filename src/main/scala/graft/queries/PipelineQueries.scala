@@ -88,6 +88,22 @@ object PipelineQueries {
     "q_sample_bernoulli" -> ((s, d) =>
       Sampling.bernoulli(events(s, d), col("event_id"), fraction = 0.1)
         .select("event_id", "event_type", "value")),
+    // budget-driven domain mixture: count agg + broadcast fraction join +
+    // zero-shuffle hash draw; weights 4:2:1:1 over four sources, the
+    // rest dropped (exact binary fractions so the oracle's doubles match)
+    "q_mix_domains" -> ((s, d) =>
+      Sampling.mixture(documents(s, d), col("source"), col("doc_id"),
+          weights = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0,
+            "src3" -> 1.0),
+          budget = 60)
+        .select("doc_id", "source")),
+    // fractional epoch upsampling: src0 runs 2.5 epochs, src1 0.5,
+    // src2 1.25, everything else passes through once; the .5/.25 extra
+    // copy is the deterministic content-hash draw
+    "q_sample_upsample" -> ((s, d) =>
+      Sampling.upsample(documents(s, d), col("source"), col("doc_id"),
+          factors = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.25))
+        .select("doc_id", "source", "copy_idx")),
     // concat-and-slice sequence packing: per-source token stream sliced
     // into 1024-token training sequences; each doc labeled with the pack
     // it starts in + its offset — one window shuffle
@@ -377,6 +393,45 @@ object PipelineQueries {
               carry = "event_id, event_type, value")}) t)
           WHERE (CAST(h AS DOUBLE) + 9223372036854775808.0)
                 / 18446744073709551616.0 < 0.1""",
+    // domain mixture: identical IEEE op order ((budget·w)/n, weights
+    // pre-normalized to exact binary fractions) ⇒ bit-equal kept set
+    "q_mix_domains" ->
+      s"""WITH hashed AS (
+            SELECT doc_id, source, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)",
+              carry = "doc_id, source")}) t),
+          fracs AS (
+            SELECT source AS dmn,
+              least(1.0, (60.0 * w) / CAST(count(*) AS DOUBLE)) AS f
+            FROM documents
+            JOIN (VALUES ('src0', 0.5), ('src1', 0.25),
+              ('src2', 0.125), ('src3', 0.125)) AS wt(wd, w)
+              ON source = wd
+            GROUP BY source, w)
+          SELECT doc_id, source
+          FROM hashed JOIN fracs ON source = dmn
+          WHERE (CAST(h AS DOUBLE) + 9223372036854775808.0)
+                / 18446744073709551616.0 < f""",
+    // fractional upsampling: floor(f) copies + one more iff the unit
+    // hash falls under frac(f); unlisted sources default to f = 1.0
+    "q_sample_upsample" ->
+      s"""WITH hashed AS (
+            SELECT doc_id, source, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)",
+              carry = "doc_id, source")}) t),
+          n_tbl AS (
+            SELECT doc_id, source,
+              CAST(floor(ff) AS BIGINT) +
+              CASE WHEN (CAST(h AS DOUBLE) + 9223372036854775808.0)
+                        / 18446744073709551616.0 < ff - floor(ff)
+                   THEN 1 ELSE 0 END AS n
+            FROM (SELECT doc_id, source, h, coalesce(w, 1.0) AS ff
+                  FROM hashed LEFT JOIN (VALUES ('src0', 2.5),
+                    ('src1', 0.5), ('src2', 1.25)) AS wt(wd, w)
+                    ON source = wd) u)
+          SELECT doc_id, source,
+            unnest(generate_series(0, n - 1)) AS copy_idx
+          FROM n_tbl WHERE n > 0""",
     // concat-and-slice packing: exclusive running token sum per source,
     // intdiv/mod by the budget (exact integer arithmetic both sides)
     "q_pack_sequences" ->

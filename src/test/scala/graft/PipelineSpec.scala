@@ -344,6 +344,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("mixture sample: quota-capped fractions, partition-invariant set") {
+    import graft.operators.Sampling
+    val w = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+    val mixed = Sampling.mixture(docs, col("source"), col("doc_id"), w,
+      budget = 60)
+    val per = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted domains are dropped entirely
+    assert(per.keySet.subsetOf(w.keySet), per.keySet.toString)
+    // n=25 per source at sf0.001 ⇒ src0's quota 60·0.5=30 > 25 caps at
+    // keep-all; src1 draws ~15 of 25, src2/src3 ~7.5 — bounds are loose
+    // (hash draw), the cap is exact
+    assert(per("src0") == 25, s"capped domain must keep all: $per")
+    assert(per.getOrElse("src1", 0L) < 25, s"uncapped domain kept all: $per")
+    // the kept SET is independent of physical layout
+    val s1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.mixture(docs.repartition(13), col("source"),
+        col("doc_id"), w, budget = 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "mixture set changed under repartitioning")
+  }
+
+  test("upsample: copy counts follow floor+fractional draw, default 1.0") {
+    import graft.operators.Sampling
+    val f = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.25)
+    val up = Sampling.upsample(docs, col("source"), col("doc_id"), f)
+    val per = up.groupBy("source", "doc_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    // every src0 row appears 2 or 3 times; src1 0 or 1 (0 ⇒ absent);
+    // src2 1 or 2; unlisted sources exactly once
+    assert(per.filter(_._1 == "src0").forall(c => c._2 == 2 || c._2 == 3))
+    assert(per.filter(_._1 == "src1").forall(_._2 == 1))
+    assert(per.filter(_._1 == "src2").forall(c => c._2 == 1 || c._2 == 2))
+    assert(per.filterNot(p => f.contains(p._1)).forall(_._2 == 1))
+    // copy_idx is dense 0..n-1 per row
+    val bad = up.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("m"))
+      .filter(col("m") =!= col("n") - 1).count()
+    assert(bad == 0, "copy_idx not dense")
+    // deterministic: two runs agree exactly
+    assert(up.collect().toSet ==
+      Sampling.upsample(docs, col("source"), col("doc_id"), f)
+        .collect().toSet)
+  }
+
   test("concat-and-slice packing: exact hand-computed assignment") {
     import graft.operators.Packing
     import spark.implicits._
