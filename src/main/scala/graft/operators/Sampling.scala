@@ -99,6 +99,33 @@ object Sampling {
       .drop("_mix_domain", "_mix_w", "_mix_n", "_mix_frac")
   }
 
+  /** Deterministic EPOCH SHUFFLE into `shards` output shards — the
+    * training-data writer step: every row gets a pseudorandom but fully
+    * reproducible (shard, position) so a downstream writer can emit S
+    * shard files whose concatenation is a shuffled epoch. `shard` is
+    * the content hash mod S (partition-invariant, append-stable);
+    * `shard_pos` is the dense 0-based rank within the shard by (hash,
+    * key) — changing `seed` produces an independent permutation for the
+    * next epoch.
+    *
+    * Plan shape: ONE shuffle (the window's hash-partition on shard) +
+    * an in-partition sort — exactly the repartition+sortWithinPartitions
+    * a shard writer pays anyway, so the op adds nothing beyond the
+    * write's own cost. Choose `shards` ≈ a few × cluster parallelism at
+    * the target scale: each shard is sorted within one task (spilling
+    * if large), and the global row order is (shard, shard_pos) without
+    * any single-partition stage. */
+  def epochShuffle(df: DataFrame, key: Column, shards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(shards > 0, s"shards=$shards")
+    val h = seeded_hash64(key.cast("string"), lit(seed))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_shuf_h"), key)
+    df.withColumn("_shuf_h", h)
+      .withColumn("shard", pmod(col("_shuf_h"), lit(shards.toLong)))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_shuf_h")
+  }
+
   /** Fractional epoch UPSAMPLING for training-data mixing: each row of
     * domain `d` appears `floor(factor_d)` times plus one more with
     * probability `frac(factor_d)` — the standard way to run a

@@ -104,6 +104,11 @@ object PipelineQueries {
       Sampling.upsample(documents(s, d), col("source"), col("doc_id"),
           factors = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.25))
         .select("doc_id", "source", "copy_idx")),
+    // deterministic epoch shuffle: content-hash shard + reproducible
+    // within-shard position — one shuffle, the shard writer's own cost
+    "q_shuffle_epoch" -> ((s, d) =>
+      Sampling.epochShuffle(documents(s, d), col("doc_id"), shards = 8)
+        .select("doc_id", "shard", "shard_pos")),
     // concat-and-slice sequence packing: per-source token stream sliced
     // into 1024-token training sequences; each doc labeled with the pack
     // it starts in + its offset — one window shuffle
@@ -432,6 +437,16 @@ object PipelineQueries {
           SELECT doc_id, source,
             unnest(generate_series(0, n - 1)) AS copy_idx
           FROM n_tbl WHERE n > 0""",
+    // epoch shuffle: positive mod of the signed hash + dense rank within
+    // the shard by (hash, key) — exact integer arithmetic both sides
+    "q_shuffle_epoch" ->
+      s"""WITH hashed AS (
+            SELECT doc_id, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)")}) t)
+          SELECT doc_id, ((h % 8) + 8) % 8 AS shard,
+            row_number() OVER (PARTITION BY ((h % 8) + 8) % 8
+              ORDER BY h, doc_id) - 1 AS shard_pos
+          FROM hashed""",
     // concat-and-slice packing: exclusive running token sum per source,
     // intdiv/mod by the budget (exact integer arithmetic both sides)
     "q_pack_sequences" ->

@@ -366,6 +366,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1 == s2, "mixture set changed under repartitioning")
   }
 
+  test("epoch shuffle: dense per-shard positions, invariant, one shuffle") {
+    import graft.operators.Sampling
+    val sh = Sampling.epochShuffle(docs, col("doc_id"), shards = 8)
+    val rows = sh.select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are dense 0..n_s-1 within each shard (a true permutation)
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // layout-invariant: repartitioned input yields the identical mapping
+    val again = Sampling.epochShuffle(docs.repartition(13), col("doc_id"),
+        shards = 8).select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == again, "epoch shuffle changed under repartitioning")
+    // a different seed is an independent permutation
+    val other = Sampling.epochShuffle(docs, col("doc_id"), shards = 8,
+        seed = 1L).select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet != other, "seed had no effect")
+    // exactly one Exchange: the window's shard partition
+    val plan = sh.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("upsample: copy counts follow floor+fractional draw, default 1.0") {
     import graft.operators.Sampling
     val f = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.25)
