@@ -144,4 +144,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("mixture sample broadcasts the fraction table onto the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = planOf(graft.operators.Sampling.mixture(docs, col("source"),
+      col("doc_id"), Map("src0" -> 1.0, "src1" -> 1.0), budget = 60))
+    // the corpus-side probe must be a broadcast join — a shuffled join
+    // here would re-exchange 100 TB to apply a 20-row fraction table
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("upsample is exchange-free on the data side (broadcast + explode)") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = graft.operators.Sampling.upsample(docs, col("source"),
+      col("doc_id"), Map("src0" -> 2.5))
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only Exchange allowed is the broadcast of the factor table;
+    // the corpus itself must never shuffle to be replicated
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
 }
