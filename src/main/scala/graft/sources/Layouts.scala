@@ -83,6 +83,25 @@ object Layouts {
     }
   }
 
+  /** Write a deterministically SHUFFLED training epoch as `shards`
+    * directories, each internally ordered by the reproducible shuffle
+    * position ([[graft.operators.Sampling.epochShuffle]]): a sequential
+    * reader of `<path>/shard=s/` streams that shard's rows in epoch
+    * order, and the shard set concatenated is the full shuffled epoch.
+    * One shuffle total: the shuffle position's window is already
+    * hash-partitioned by shard, so the write reuses that exchange — no
+    * `repartition` — and the explicit `sortWithinPartitions` (the
+    * write-order guarantee) runs over data the window already ordered
+    * as (shard, hash), costing a near-no-op merge pass.
+    *
+    * `shard_pos` is kept in the output: trainers resuming mid-shard seek
+    * by it, and [[LayoutSpec]] pins read-back order == shuffle order. */
+  def writeShuffledEpoch(df: DataFrame, path: String, keyCol: String,
+      shards: Int, seed: Long = 0L, mode: String = "overwrite"): Unit =
+    graft.operators.Sampling.epochShuffle(df, col(keyCol), shards, seed)
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.partitionBy("shard").mode(mode).parquet(path)
+
   /** write an embedding table partitioned by IVF cell */
   def writeIvfIndexed(emb: DataFrame, model: IVF.Model, path: String,
       embCol: String = "embedding", mode: String = "overwrite"): Unit =

@@ -101,6 +101,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(read < total / 2, s"warm read $read of $total rows")
   }
 
+  test("shuffled-epoch layout: shard dirs, file order == shuffle order") {
+    import graft.operators.Sampling
+    val work = tmpDir("layout-epoch")
+    val docs = Tables.documents(spark, sf0001)
+    Layouts.writeShuffledEpoch(docs, work, "doc_id", shards = 4)
+    // shard directories exist
+    val dirs = new java.io.File(work).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.sameElements((0 until 4).map(s => s"shard=$s")), dirs.toSeq)
+    // a sequential read of one shard streams rows in epoch order: the
+    // parquet row order inside the shard's files equals shard_pos order
+    val one = spark.read.parquet(s"$work/shard=0")
+      .select("doc_id", "shard_pos").collect()
+    assert(one.map(_.getLong(1)).toSeq == one.map(_.getLong(1)).sorted.toSeq,
+      "shard file order != shuffle order")
+    // read-back reproduces the in-memory shuffle mapping exactly
+    val back = spark.read.parquet(work)
+      .select(col("doc_id"), col("shard").cast("long"), col("shard_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = Sampling.epochShuffle(docs, col("doc_id"), 4)
+      .select("doc_id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == mem)
+    // one exchange total: the write plan reuses the window's partition
+    val plan = Sampling.epochShuffle(docs, col("doc_id"), 4)
+      .sortWithinPartitions("shard", "shard_pos")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("ivf layout: probing cells prunes partitions physically") {
     val work = tmpDir("layout-ivf")
     val emb = Tables.embeddings(spark, sf001) // 5k vectors
