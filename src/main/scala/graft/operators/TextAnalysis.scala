@@ -44,6 +44,26 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Sliding-window CHUNKS of `size` whitespace tokens with `overlap`
+    * tokens shared between consecutive chunks — the RAG / embedding-prep
+    * splitter. Returns an array of chunk strings; pair with
+    * `posexplode` for (chunk_idx, chunk_text) rows. Chunk starts are
+    * 0, stride, 2·stride, … (stride = size − overlap) while < n_tokens,
+    * so the final chunk may be short and a document shorter than `size`
+    * yields exactly one chunk. Pure Catalyst built-ins (sequence +
+    * transform + slice): a narrow codegen map stage — chunking 100 TB
+    * is one scan, zero shuffles, and the output explode is map-side. */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = split(text, " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)),
+      lit(stride))
+    transform(starts, s => array_join(slice(toks, s + 1, lit(size)), " "))
+  }
+
   /** Heuristic quality score in [0,1]: length band + word-length sanity +
     * stopword presence (fluent text has them) — the standard cheap filters
     * applied before expensive model-based scoring. */

@@ -104,6 +104,15 @@ object PipelineQueries {
       Sampling.upsample(documents(s, d), col("source"), col("doc_id"),
           factors = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.25))
         .select("doc_id", "source", "copy_idx")),
+    // sliding-window token chunking (RAG / embedding prep): 64-token
+    // chunks, 16-token overlap — a narrow codegen map stage, no shuffle
+    "q_text_chunks" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), size = 64,
+            overlap = 16)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk_text"))),
     // deterministic epoch shuffle: content-hash shard + reproducible
     // within-shard position — one shuffle, the shard writer's own cost
     "q_shuffle_epoch" -> ((s, d) =>
@@ -437,6 +446,14 @@ object PipelineQueries {
           SELECT doc_id, source,
             unnest(generate_series(0, n - 1)) AS copy_idx
           FROM n_tbl WHERE n > 0""",
+    // token chunking: identical start set (range exclusive-stop == Spark
+    // sequence inclusive n-1) and identical inclusive slice bounds
+    "q_text_chunks" ->
+      """SELECT doc_id, s // 48 AS chunk_idx,
+           array_to_string(toks[s+1 : s+64], ' ') AS chunk_text
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents) t,
+           unnest(range(0, greatest(len(toks), 1), 48)) AS u(s)""",
     // epoch shuffle: positive mod of the signed hash + dense rank within
     // the shard by (hash, key) — exact integer arithmetic both sides
     "q_shuffle_epoch" ->

@@ -344,6 +344,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("chunks: exact sliding windows, overlap, short-doc fallback") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, ""))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.chunks(col("text"), size = 4, overlap = 2).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // stride 2: starts 0,2,4,6 → windows of 4 tokens, last ones short
+    assert(got(1L) == Seq("a b c d", "c d e f", "e f g", "g"))
+    // shorter than size ⇒ exactly one chunk
+    assert(got(2L) == Seq("x y"))
+    // empty text ⇒ one empty chunk (split yields [""])
+    assert(got(3L) == Seq(""))
+    // a chunked corpus reassembles: stride-aligned prefix tokens of each
+    // chunk concatenated == the document
+    val doc = "a b c d e f g"
+    val rebuilt = got(1L).map(_.split(" ").take(2).mkString(" "))
+      .mkString(" ").split(" ").take(7).mkString(" ")
+    assert(rebuilt == doc, rebuilt)
+  }
+
   test("mixture sample: quota-capped fractions, partition-invariant set") {
     import graft.operators.Sampling
     val w = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
