@@ -103,12 +103,13 @@ final case class QueryCacheConfig(
     copy(staticDimensionTables = staticDimensionTables ++ tables)
 
   /** is every source path of this set declared static? (path, basename,
-    * and extension-less basename all match case-insensitively) */
+    * and extension-less basename all match case-insensitively — the one
+    * candidate-name rule, shared with `QueryCache.pathMatches` via
+    * [[QueryCacheConfig.pathCandidates]] so declaration-time and
+    * invalidation-time matching can never drift) */
   def isDeclaredStatic(sourcePaths: Seq[String]): Boolean =
     sourcePaths.nonEmpty && sourcePaths.forall { p =>
-      val base = p.stripSuffix("/").split('/').last
-      val noExt = base.takeWhile(_ != '.')
-      Seq(p, base, noExt).exists(s =>
+      QueryCacheConfig.pathCandidates(p).exists(s =>
         staticDimensionTables.exists(_.equalsIgnoreCase(s)))
     }
 
@@ -145,4 +146,16 @@ final case class QueryCacheConfig(
     * timestamps are micros so we stay in micros throughout). */
   def nowMicros(): Long =
     overrideNowMicros.getOrElse(System.currentTimeMillis() * 1000L)
+}
+
+object QueryCacheConfig {
+  /** The user-facing spellings of a source path: the path itself, its
+    * basename, and the extension-less basename. THE candidate-name rule
+    * for both static-dim declarations (`isDeclaredStatic`) and
+    * invalidation (`QueryCache.pathMatches`) — one definition so the two
+    * ends of the staleness contract can never disagree. */
+  private[graft] def pathCandidates(p: String): Seq[String] = {
+    val base = p.stripSuffix("/").split('/').last
+    Seq(p, base, base.takeWhile(_ != '.'))
+  }
 }

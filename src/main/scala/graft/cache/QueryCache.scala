@@ -101,15 +101,19 @@ object QueryCache {
     * a URI scheme (file:/…, hdfs://…) the user's path usually omits —
     * compare the full path scheme-blind. */
   private[graft] def pathMatches(table: String, p: String): Boolean = {
-    def deScheme(x: String): String = {
-      val i = x.indexOf(':')
-      if (i > 0 && x.take(i).forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
-        x.drop(i + 1).dropWhile(_ == '/') match { case r => "/" + r }
-      else x
-    }
-    val base = p.stripSuffix("/").split('/').last
-    val noExt = base.takeWhile(_ != '.')
-    Seq(p, base, noExt).exists(_.equalsIgnoreCase(table)) ||
+    // scheme- AND authority-blind path component: "hdfs://nn:8020/w/x"
+    // must match a user's "/w/x" (keeping the authority as a fake path
+    // segment would make the documented full-path disambiguation remedy
+    // unmatchable for any authority-bearing URI)
+    def deScheme(x: String): String =
+      try {
+        val u = new java.net.URI(x)
+        if (u.getScheme != null && u.getPath != null && u.getPath.nonEmpty)
+          u.getPath
+        else x
+      } catch { case _: Exception => x }
+    graft.QueryCacheConfig.pathCandidates(p)
+      .exists(_.equalsIgnoreCase(table)) ||
       deScheme(p).equalsIgnoreCase(deScheme(table))
   }
 }
@@ -278,10 +282,22 @@ final class ParquetQueryCache(rootDir: String,
     // source table on both cold and warm runs; the cache's own replay
     // scan under rootDir is excluded)
     val srcPaths = try {
-      val rootStr = new Path(rootDir).toUri.getPath
+      val rootStr = new Path(rootDir).toUri.getPath.stripSuffix("/")
+      // exclude only paths UNDER the cache root, on a path-component
+      // boundary — a substring test would also drop real source tables
+      // whose path merely starts with the root as a string prefix
+      // (root "/data/c" vs table "/data/corpus/docs"), silently breaking
+      // cross-process invalidateForTable for them
+      def underRoot(p: String): Boolean = {
+        val pp = try {
+          val u = new java.net.URI(p)
+          if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p
+        } catch { case _: Exception => p }
+        pp == rootStr || pp.startsWith(rootStr + "/")
+      }
       org.apache.spark.sql.graftshim.Shims.sourcePaths(
         org.apache.spark.sql.graftshim.Shims.queryExecution(state).analyzed)
-        .filterNot(p => rootStr.nonEmpty && p.contains(rootStr)).distinct
+        .filterNot(p => rootStr.nonEmpty && underRoot(p)).distinct
     } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
     writeMetaAtomic(fs, dir,
       Meta(timestampMicros, dataDir, state.schema, srcPaths), version)

@@ -66,9 +66,16 @@ object Multimodal {
           b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
           b(6) == 0x1a && b(7) == 0x0a)
         Some((be32(16), be32(20)))
-      // GIF87a / GIF89a: logical screen LE uint16 at 6/8
-      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
-          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      // GIF87a / GIF89a: logical screen LE uint16 at 6/8. The magic is
+      // 6 PRINTABLE chars, so unlike PNG (0x89 lead byte) and BMP (NUL
+      // reserved dword) plain text can start with it ("GIF89a is …");
+      // require a structural descriptor byte text can't produce: global-
+      // color-table flag set (bit 7, non-ASCII) or a zero aspect-ratio
+      // byte (NUL, absent from text). A real GCT-less GIF with a
+      // nonzero aspect byte falls back to the fake dims — conservative.
+      else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a' &&
+          ((u8(10) & 0x80) != 0 || u8(12) == 0))
         Some((le16(6), le16(8)))
       // BMP: "BM" + zeroed reserved dword + a known DIB header size
       else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(6) == 0 &&

@@ -20,11 +20,22 @@ import graft.functions.functions.seeded_hash64
   */
 object Sampling {
 
+  /** Per-operator draw: the OP TAG is mixed into the hash INPUT so that
+    * composing these operators (bernoulli → mixture → upsample, the
+    * advertised mixing pipeline) draws INDEPENDENTLY per stage. With a
+    * shared untagged draw the stages would be fully correlated — e.g.
+    * every bernoulli(0.4) survivor has unitHash < 0.4, so a downstream
+    * upsample(1.5) extra-copy test `unitHash < 0.5` would pass for ALL
+    * of them, realizing factor 2.0. Tag-in-input (not tag-in-seed)
+    * keeps the DuckDB oracles on the existing seed-0 Hash64 recompute. */
+  private def drawHash(key: Column, seed: Long, tag: String): Column =
+    seeded_hash64(concat(lit(tag), key.cast("string")), lit(seed))
+
   /** normalized hash in [0, 1): (h + 2⁶³) / 2⁶⁴ — both constants are
     * powers of two, so the IEEE op sequence is exactly reproducible in
     * any engine (the DuckDB oracle mirrors it bit-for-bit) */
-  private def unitHash(key: Column, seed: Long): Column =
-    (seeded_hash64(key.cast("string"), lit(seed)).cast("double") +
+  private def unitHash(key: Column, seed: Long, tag: String): Column =
+    (drawHash(key, seed, tag).cast("double") +
       lit(9.223372036854775808e18)) / lit(1.8446744073709551616e19)
 
   /** At most `n` rows per stratum, chosen by seeded-hash order — a
@@ -41,7 +52,7 @@ object Sampling {
   def stratifiedTopN(df: DataFrame, stratum: Column, key: Column, n: Int,
       seed: Long = 0L): DataFrame = {
     val rank = row_number().over(Window.partitionBy(stratum)
-      .orderBy(seeded_hash64(key.cast("string"), lit(seed)), key))
+      .orderBy(drawHash(key, seed, "st:"), key))
     df.withColumn("_sample_rank", rank)
       .filter(col("_sample_rank") <= n)
       .drop("_sample_rank")
@@ -55,7 +66,12 @@ object Sampling {
   def bernoulli(df: DataFrame, key: Column, fraction: Double,
       seed: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
-    df.filter(unitHash(key, seed) < fraction)
+    // fraction 1.0 keeps EVERY row unconditionally: unitHash can round
+    // to exactly 1.0 (longs within ~2⁹ of 2⁶³ cast to 2⁶³ in double),
+    // so `< 1.0` alone would drop ~1 row per 2⁵⁵ — a contract break,
+    // not noise, at 10¹²-row scale
+    if (fraction >= 1.0) df
+    else df.filter(unitHash(key, seed, "be:") < fraction)
   }
 
   /** Budget-driven domain MIXTURE sample: draw ~`budget` rows whose
@@ -68,7 +84,9 @@ object Sampling {
     *
     * Plan shape: one map-side-combined count agg over the (few) domains
     * + a broadcast join of the resulting fraction table back onto the
-    * corpus + the same zero-shuffle content-hash draw as [[bernoulli]].
+    * corpus + a zero-shuffle content-hash draw (independently tagged,
+    * see [[drawHash]], so composing with [[bernoulli]]/[[upsample]]
+    * draws fresh randomness per stage).
     * Unlike [[bernoulli]] this is a SNAPSHOT op — fractions depend on
     * observed counts, so appended rows shift them; re-mixing a grown
     * corpus is a new draw by design (the quota is the contract).
@@ -95,7 +113,10 @@ object Sampling {
       least(lit(1.0),
         lit(budget.toDouble) * col("_mix_w") / col("_mix_n").cast("double")))
     df.join(broadcast(fracs), domain === col("_mix_domain"))
-      .filter(unitHash(key, seed) < col("_mix_frac"))
+      // the >= 1.0 arm guarantees the documented keep-whole cap even for
+      // the ~2⁻⁵⁵ of keys whose unit hash rounds to exactly 1.0
+      .filter(col("_mix_frac") >= 1.0 ||
+        unitHash(key, seed, "mx:") < col("_mix_frac"))
       .drop("_mix_domain", "_mix_w", "_mix_n", "_mix_frac")
   }
 
@@ -118,7 +139,7 @@ object Sampling {
   def epochShuffle(df: DataFrame, key: Column, shards: Int,
       seed: Long = 0L): DataFrame = {
     require(shards > 0, s"shards=$shards")
-    val h = seeded_hash64(key.cast("string"), lit(seed))
+    val h = drawHash(key, seed, "sh:")
     val w = Window.partitionBy(col("shard")).orderBy(col("_shuf_h"), key)
     df.withColumn("_shuf_h", h)
       .withColumn("shard", pmod(col("_shuf_h"), lit(shards.toLong)))
@@ -130,8 +151,8 @@ object Sampling {
     * domain `d` appears `floor(factor_d)` times plus one more with
     * probability `frac(factor_d)` — the standard way to run a
     * high-quality domain for 2.5 epochs while a bulk domain runs 0.5.
-    * The fractional extra is the same content-hash draw as
-    * [[bernoulli]], so the realized copy count of a row is a pure
+    * The fractional extra is an independently-tagged content-hash draw
+    * (see [[drawHash]]), so the realized copy count of a row is a pure
     * function of (key, seed, factor): reproducible across runs,
     * cluster sizes, and corpus growth. Output adds `copy_idx`
     * (0-based) so downstream shuffling/packing can tell copies apart.
@@ -149,7 +170,7 @@ object Sampling {
     val fDf = factors.toSeq.sortBy(_._1).toDF("_up_domain", "_up_f")
     val f = coalesce(col("_up_f"), lit(1.0))
     val copies = (floor(f).cast("long") +
-      when(unitHash(key, seed) < f - floor(f), 1L).otherwise(0L))
+      when(unitHash(key, seed, "up:") < f - floor(f), 1L).otherwise(0L))
     df.join(broadcast(fDf), domain === col("_up_domain"), "left")
       .withColumn("_up_n", copies)
       .filter(col("_up_n") > 0)

@@ -390,7 +390,7 @@ object PipelineQueries {
     "q_sample_stratified" ->
       s"""WITH hashed AS (
             SELECT doc_id, source, ${toSigned("x5")} AS h
-            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)",
+            FROM (${hash64Sql("'st:' || CAST(doc_id AS VARCHAR)",
               carry = "doc_id, source")}) t),
           ranked AS (
             SELECT doc_id, source,
@@ -403,7 +403,8 @@ object PipelineQueries {
       s"""SELECT event_id, event_type, value
           FROM (
             SELECT event_id, event_type, value, ${toSigned("x5")} AS h
-            FROM (${hash64Sql("CAST(event_id AS VARCHAR)", from = "events",
+            FROM (${hash64Sql("'be:' || CAST(event_id AS VARCHAR)",
+              from = "events",
               carry = "event_id, event_type, value")}) t)
           WHERE (CAST(h AS DOUBLE) + 9223372036854775808.0)
                 / 18446744073709551616.0 < 0.1""",
@@ -412,7 +413,7 @@ object PipelineQueries {
     "q_mix_domains" ->
       s"""WITH hashed AS (
             SELECT doc_id, source, ${toSigned("x5")} AS h
-            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)",
+            FROM (${hash64Sql("'mx:' || CAST(doc_id AS VARCHAR)",
               carry = "doc_id, source")}) t),
           fracs AS (
             SELECT source AS dmn,
@@ -424,14 +425,14 @@ object PipelineQueries {
             GROUP BY source, w)
           SELECT doc_id, source
           FROM hashed JOIN fracs ON source = dmn
-          WHERE (CAST(h AS DOUBLE) + 9223372036854775808.0)
+          WHERE f >= 1.0 OR (CAST(h AS DOUBLE) + 9223372036854775808.0)
                 / 18446744073709551616.0 < f""",
     // fractional upsampling: floor(f) copies + one more iff the unit
     // hash falls under frac(f); unlisted sources default to f = 1.0
     "q_sample_upsample" ->
       s"""WITH hashed AS (
             SELECT doc_id, source, ${toSigned("x5")} AS h
-            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)",
+            FROM (${hash64Sql("'up:' || CAST(doc_id AS VARCHAR)",
               carry = "doc_id, source")}) t),
           n_tbl AS (
             SELECT doc_id, source,
@@ -459,7 +460,7 @@ object PipelineQueries {
     "q_shuffle_epoch" ->
       s"""WITH hashed AS (
             SELECT doc_id, ${toSigned("x5")} AS h
-            FROM (${hash64Sql("CAST(doc_id AS VARCHAR)")}) t)
+            FROM (${hash64Sql("'sh:' || CAST(doc_id AS VARCHAR)")}) t)
           SELECT doc_id, ((h % 8) + 8) % 8 AS shard,
             row_number() OVER (PARTITION BY ((h % 8) + 8) % 8
               ORDER BY h, doc_id) - 1 AS shard_pos

@@ -34,15 +34,17 @@ object StreamQueries {
     * The conf must hold for the whole region from `readStream` through
     * query completion: the parquet→catalyst conversion happens per file
     * at scan time, not just at schema inference. */
-  private def withNanosConf[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  private def withNanosConf[T](spark: SparkSession)(f: SparkSession => T): T = {
+    // an ISOLATED child session (own SQLConf, shared context): the
+    // caller's session is never mutated, and concurrent batch/stream
+    // work can neither observe the flag nor race a set/restore pair
+    // (interleaved save/restores on a shared session can corrupt the
+    // conf permanently — same reasoning as Shims.withIsolatedConf).
+    // The memory sink's temp view registers in the child, so results
+    // are read back through it.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    f(iso)
   }
 
   /** events as an unbounded source: the static raw schema (ts is parquet
@@ -73,17 +75,17 @@ object StreamQueries {
     // per-type counts/sums with a watermark, complete-mode sink. Complete
     // mode emits every window at termination — over a static table that
     // is exactly the batch GROUP BY date_trunc('hour') answer.
-    "q_stream_hourly" -> ((s, d) => withNanosConf(s) {
+    "q_stream_hourly" -> ((s, d) => withNanosConf(s) { iso =>
       val name = sinkName("hourly", d)
       val agg = StreamingAgg.windowedAgg(
-        eventsStream(s, d), "ts", "1 hour", watermarkDelay = "10 minutes",
+        eventsStream(iso, d), "ts", "1 hour", watermarkDelay = "10 minutes",
         groupCols = Seq(col("event_type")),
         aggCols = Seq(
           count(lit(1)).as("cnt"),
           dsum(col("value")).as("sum_value"),
           max(col("value")).as("max_value")))
       runToCompletion(agg, name, mode = "complete")
-      s.table(name).select(
+      iso.table(name).select(
         col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"), col("max_value"))
     }),
@@ -95,17 +97,17 @@ object StreamQueries {
     // same sessions with a lag()-gap window function (a new session starts
     // when the gap to the previous event is ≥ the gap parameter, matching
     // Spark's [ts, ts+gap) overlap-merge semantics).
-    "q_stream_session" -> ((s, d) => withNanosConf(s) {
+    "q_stream_session" -> ((s, d) => withNanosConf(s) { iso =>
       val name = sinkName("session", d)
       val agg = StreamingAgg.sessionAgg(
-        eventsStream(s, d), "ts", gap = "30 minutes",
+        eventsStream(iso, d), "ts", gap = "30 minutes",
         watermarkDelay = "10 minutes",
         keyCols = Seq(col("user_id")),
         aggCols = Seq(
           count(lit(1)).as("cnt"),
           dsum(col("value")).as("sum_value")))
       runToCompletion(agg, name, mode = "complete")
-      s.table(name).select(
+      iso.table(name).select(
         col("session_window.start").as("session_start"), col("user_id"),
         col("cnt"), col("sum_value"))
     }),
@@ -115,14 +117,14 @@ object StreamQueries {
     // shape of a streaming ingest pipeline; the dim is re-read per batch,
     // broadcast by Catalyst), aggregated in complete mode. Over a static
     // table the final sink equals the batch join+aggregate.
-    "q_stream_join" -> ((s, d) => withNanosConf(s) {
+    "q_stream_join" -> ((s, d) => withNanosConf(s) { iso =>
       val name = sinkName("join", d)
-      val joined = eventsStream(s, d)
-        .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      val joined = eventsStream(iso, d)
+        .join(Tables.customer(iso, d), col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       runToCompletion(joined, name, mode = "complete")
-      s.table(name).select(col("c_mktsegment"), col("cnt"), col("sum_value"))
+      iso.table(name).select(col("c_mktsegment"), col("cnt"), col("sum_value"))
     }),
 
     // custom keyed state (flatMapGroupsWithState): emit only the FIRST
@@ -147,15 +149,15 @@ object StreamQueries {
     // emitted. WHICH copy wins depends on arrival order, so the sink
     // aggregation touches only KEY-derived columns — per-type distinct
     // user counts — which the batch oracle reproduces exactly.
-    "q_stream_dedup_wm" -> ((s, d) => withNanosConf(s) {
+    "q_stream_dedup_wm" -> ((s, d) => withNanosConf(s) { iso =>
       val name = sinkName("dedupwm", d)
-      val keyed = eventsStream(s, d).withColumn("text",
+      val keyed = eventsStream(iso, d).withColumn("text",
         concat_ws("|", col("event_type"), col("user_id")))
       val deduped = StreamingDedup.byFingerprintWithinWatermark(
         keyed, horizon = "1 hour")
       runToCompletion(deduped.select("event_type", "user_id"), name,
         mode = "append")
-      s.table(name).groupBy(col("event_type"))
+      iso.table(name).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"))
     }),
 
@@ -170,19 +172,31 @@ object StreamQueries {
     // recovery is legal exactly in complete mode; at scale the same
     // pipeline writes to a real sink in update mode with the identical
     // checkpoint contract.
-    "q_stream_resume" -> ((s, d) => withNanosConf(s) {
+    "q_stream_resume" -> ((s, d) => withNanosConf(s) { iso =>
       val name = sinkName("resume", d)
-      val base = java.nio.file.Files.createTempDirectory("graft_resume_")
+      // deterministic per-sf staging root, WIPED at the start of each
+      // run: the scenario needs a fresh checkpoint every time, and a
+      // bounded dir (one copy per sf) instead of an accumulating
+      // createTempDirectory leak across bench reps
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_resume", new java.io.File(d).getName)
+      def wipe(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(base.toFile)
+      java.nio.file.Files.createDirectories(base)
       val work = base.resolve("events").toString
       val chk = base.resolve("chk").toString
       // under the nanos conf the raw read gives ts as LONG (nanos); the
       // staged files keep that representation so both triggers re-read it
-      val raw = s.read.parquet(s"$d/events.parquet")
+      val raw = iso.read.parquet(s"$d/events.parquet")
       val splitNs = raw.selectExpr("CAST(percentile_approx(ts, 0.6) AS LONG)")
         .first().getLong(0)
       val rawSchema = raw.schema
       def agg() = StreamingAgg.windowedAgg(
-        s.readStream.schema(rawSchema).parquet(work)
+        iso.readStream.schema(rawSchema).parquet(work)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
         "ts", "1 hour", watermarkDelay = "10 minutes",
         groupCols = Seq(col("event_type")),
@@ -198,17 +212,17 @@ object StreamQueries {
       }
       raw.filter(col("ts") < splitNs).write.parquet(work)
       trigger()
-      val partial = s.table(name).agg(sum(col("cnt"))).first().getLong(0)
+      val partial = iso.table(name).agg(sum(col("cnt"))).first().getLong(0)
       raw.filter(col("ts") >= splitNs).write.mode("append").parquet(work)
       val lateRows = raw.filter(col("ts") >= splitNs).count()
       val resumedInput = trigger()
       require(resumedInput == lateRows,
         s"trigger 2 read $resumedInput rows, expected only the $lateRows " +
           "appended rows — checkpointed state was not resumed")
-      val total = s.table(name).agg(sum(col("cnt"))).first().getLong(0)
+      val total = iso.table(name).agg(sum(col("cnt"))).first().getLong(0)
       require(partial < total,
         s"trigger 1 state ($partial rows) not visible in final total $total")
-      s.table(name).select(
+      iso.table(name).select(
         col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"))
     }),

@@ -181,6 +181,13 @@ class CacheSpec extends AnyFunSuite {
     assert(cache.invalidateForTable("customer") == 0) // idempotent
     assert(cache.invalidateForTable("/data/facts/events") == 1) // full path
     assert(cache.get("fpB").nonEmpty == false)
+    // authority-bearing URIs match by plain path: the documented
+    // full-path disambiguation remedy must work without the user
+    // spelling scheme+authority
+    cache.put("fpC", 1L, one)
+    cache.recordSourcePaths("fpC", Seq("hdfs://nn:8020/warehouse/customer"))
+    assert(cache.invalidateForTable("/warehouse/customer") == 1)
+    assert(cache.get("fpC").isEmpty)
   }
 
   test("ParquetQueryCache invalidateForTable works cross-process via meta") {

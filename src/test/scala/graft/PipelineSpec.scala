@@ -388,6 +388,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1 == s2, "mixture set changed under repartitioning")
   }
 
+  test("composed sampling draws are independent (per-operator tags)") {
+    import graft.operators.Sampling
+    // bernoulli(0.5) survivors fed to upsample(1.5): with a SHARED draw
+    // every survivor (unitHash < 0.5) would also win the extra-copy test
+    // (unitHash < 0.5) — realized factor 2.0. Tagged draws keep the
+    // extra-copy rate ~0.5 among survivors.
+    val kept = Sampling.bernoulli(docs, col("doc_id"), 0.5)
+    val factors = (0 until 20).map(i => s"src$i" -> 1.5).toMap
+    val up = Sampling.upsample(kept, col("source"), col("doc_id"), factors)
+    val n = kept.count().toDouble
+    val pExtra = up.count() / n - 1.0
+    assert(pExtra > 0.25 && pExtra < 0.75,
+      s"extra-copy rate $pExtra among bernoulli survivors — draws correlated")
+  }
+
   test("epoch shuffle: dense per-shard positions, invariant, one shuffle") {
     import graft.operators.Sampling
     val sh = Sampling.epochShuffle(docs, col("doc_id"), shards = 8)
@@ -505,6 +520,10 @@ class PipelineSpec extends AnyFunSuite {
     // parse: reserved/size guards reject them → deterministic fake
     val text = "BMoth and GIFts of plain text content".getBytes
     assert(StubDecoder.parseHeaderDims(text).isEmpty)
+    // even text that begins with the full printable GIF magic: the
+    // descriptor guard (GCT bit or NUL aspect byte) rejects ASCII
+    val gifText = "GIF89a is an image format from 1989".getBytes
+    assert(StubDecoder.parseHeaderDims(gifText).isEmpty)
     val h = StubDecoder.checksum(text)
     assert(StubDecoder.decodeDims(text) ==
       ((64 + (h & 0x3f).toInt, 64 + ((h >>> 6) & 0x3f).toInt)))

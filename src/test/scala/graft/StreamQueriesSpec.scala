@@ -70,7 +70,8 @@ class StreamQueriesSpec extends AnyFunSuite {
 
   test("stream queries leave no persistent conf mutation on the shared session") {
     // VERDICT r5 #5: eventsStream used to set nanosAsLong session-wide;
-    // it must now be scoped to the stream's run and restored after
+    // stream runs now use an isolated child session (newSession), so
+    // the shared session's conf is never touched at all
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
     val before = spark.conf.getOption(key) // the conf default, Some(false)
