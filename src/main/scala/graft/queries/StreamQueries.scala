@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.QueryCacheConfig
+import graft.cache.MemoryQueryCache
+import graft.log.RecordingLog
 import graft.sources.Tables
-import graft.streaming.{StreamingAgg, StreamingDedup}
+import graft.streaming.{CacheWarmer, StreamingAgg, StreamingDedup}
 
 /** Structured Streaming scenarios as driver-checkable queries (SURVEY
   * §7.6 mode (b)): each runs a real `readStream → writeStream` pipeline
@@ -227,6 +230,56 @@ object StreamQueries {
         col("cnt"), col("sum_value"))
     }),
 
+    // STREAM-WARMED CACHE (CacheWarmer): the bridge between the two
+    // halves of the library. A file stream over the fact directory is
+    // the change DETECTOR; each micro-batch tick re-runs the registered
+    // aggregate through the incremental cache at now = batch hwm + 1, so
+    // the warm path merges exactly the newly arrived band into state.
+    // The interactive query afterwards is a pure state replay (empty
+    // delta band) — at 100 TB it reads KBs of state, not fact data. The
+    // require()s pin the contract: tick 1 cold, tick 2 a watermark hit,
+    // the interactive answer another hit, and trigger 2's detector read
+    // only the appended files (file-source checkpoint resume).
+    "q_stream_cache_warm" -> ((s, d) => {
+      val (work, _, appendRest) = CacheQueries.splitWrite(s, d, "cachewarm")
+      val chk = work.stripSuffix("/") + "_chk"
+      val chkPath = new org.apache.hadoop.fs.Path(chk)
+      val fs = chkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(chkPath)) { fs.delete(chkPath, true); () }
+      val log = new RecordingLog
+      val cfg = QueryCacheConfig(new MemoryQueryCache,
+        defaultTemporalColumn = "ts", log = log)
+      def aggQ() = s.read.parquet(work)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      val warmer = new CacheWarmer(s, cfg, Seq(() => aggQ()))
+      def trigger(): Long = {
+        val q = warmer.attach(CacheWarmer.tickSource(s, work, "ts"), chk)
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      trigger()
+      require(log.messages.exists(_.contains("cache miss")),
+        "tick 1 should have run cold")
+      appendRest()
+      val appended = trigger()
+      val total = s.read.parquet(work).count()
+      require(appended > 0 && appended < total,
+        s"trigger 2 read $appended of $total rows — expected only the " +
+          "appended files (checkpoint resume) and at least one")
+      require(log.messages.exists(_.contains("cache hit")),
+        "tick 2 should have merged into cached state")
+      val hitsBefore = log.messages.count(_.contains("cache hit"))
+      val out = warmer.interactive(aggQ())
+      out.collect()
+      require(log.messages.count(_.contains("cache hit")) > hitsBefore,
+        "interactive query should answer from warmed state")
+      out
+    }),
+
     // stateful streaming dedup (StreamingDedup.byFingerprint): exact
     // dedup state over the document stream, append-mode sink. The sink
     // holds one survivor per distinct content; survivors' text is
@@ -278,6 +331,14 @@ object StreamQueries {
          GROUP BY 1""",
     "q_stream_first" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+    // the stream-warmed cache must answer exactly the batch aggregate
+    // over the FULL table (cold capture + streamed warm band + state
+    // replay == one-shot GROUP BY)
+    "q_stream_cache_warm" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events GROUP BY 1""",
     "q_stream_resume" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            event_type, count(*) AS cnt,

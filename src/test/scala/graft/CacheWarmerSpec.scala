@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.MemoryQueryCache
+import graft.log.RecordingLog
+import graft.streaming.CacheWarmer
+
+/** The stream-warmed cache's race and ordering contracts. The end-to-end
+  * stream scenario is q_stream_cache_warm (oracled); these tests drive
+  * `tick` directly to pin the cases a well-behaved stream never shows:
+  * a tick whose directory already holds MORE data than its batch, and a
+  * tick that arrives out of order.
+  */
+class CacheWarmerSpec extends AnyFunSuite {
+  import TestSparkSession._
+  import spark.implicits._
+
+  private def eventsDf(idFrom: Int, idUntil: Int) =
+    (idFrom until idUntil)
+      .map(i => (i.toLong, s"t${i % 3}", i * 1.5,
+        new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("event_id", "event_type", "value", "ts")
+
+  private def agg(work: String)(): DataFrame =
+    spark.read.parquet(work)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+
+  test("strict band: rows beyond the tick's batch are not double counted") {
+    val work = Files.createTempDirectory("graft_warmer_").toString
+    val log = new RecordingLog
+    val cfg = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts", log = log)
+    val warmer = new CacheWarmer(spark, cfg, Seq(agg(work) _))
+
+    // the directory ALREADY holds rows [0, 300) when tick 1's batch only
+    // covers [0, 100): the strict ts < hwm+1 band must keep the capture
+    // to the batch's horizon even though the scan sees all files
+    eventsDf(0, 300).write.mode("overwrite").parquet(work)
+    warmer.tick(eventsDf(0, 100).select("ts"))
+    assert(log.messages.exists(_.contains("cache miss")))
+
+    // tick 2 covers the rest; merge band is [hwm1+1, hwm2+1)
+    warmer.tick(eventsDf(100, 300).select("ts"))
+    assert(log.messages.exists(_.contains("cache hit")))
+
+    val got = warmer.interactive(agg(work)())
+      .orderBy("event_type").collect()
+    val want = agg(work)().orderBy("event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("out-of-order tick is a no-op (monotone high-water mark)") {
+    val work = Files.createTempDirectory("graft_warmer_").toString
+    val cfg = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts", log = new RecordingLog)
+    val warmer = new CacheWarmer(spark, cfg, Seq(agg(work) _))
+
+    eventsDf(0, 200).write.mode("overwrite").parquet(work)
+    warmer.tick(eventsDf(0, 200).select("ts"))
+    val hwm = warmer.lastHighWaterMicros.get
+
+    // a straggler tick whose hwm is BELOW the cached watermark: now must
+    // not regress, and the merged answer must not double-count [0, 50)
+    warmer.tick(eventsDf(0, 50).select("ts"))
+    assert(warmer.lastHighWaterMicros.get == hwm, "high-water mark regressed")
+
+    val got = warmer.interactive(agg(work)())
+      .orderBy("event_type").collect()
+    val want = agg(work)().orderBy("event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+}
