@@ -123,6 +123,19 @@ object Inventory {
             .cast("double"))
         .select("o_orderkey", "sum30d")
     }),
+    // ---- Z-order key: Morton interleave of two 16-bit codes, pure
+    // bitwise built-ins (whole-stage codegen) — the clustering key
+    // behind Layouts.writeZOrdered, recomputed bit-for-bit in DuckDB
+    "q_zorder_key" -> ((s, d) => {
+      import graft.functions.ZOrder
+      orders(s, d).select(
+        col("o_orderkey"),
+        ZOrder.interleave16(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          datediff(to_date(col("o_orderdate")),
+            lit("1992-01-01").cast("date")).cast("long")
+            .bitwiseAND(lit(65535L))).as("zkey"))
+    }),
     // ---- scalar functions: array family
     "q_scalar_array" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -270,6 +283,24 @@ object Inventory {
              PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum30d
          FROM orders""",
+    // the five shift/mask spread steps, both dimensions in lockstep;
+    // masks are 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555
+    "q_zorder_key" ->
+      """WITH s0 AS (
+           SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) & 65535 AS a,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) & 65535 AS b
+           FROM orders),
+         s1 AS (SELECT o_orderkey, (a | (a << 8)) & 16711935 AS a,
+                       (b | (b << 8)) & 16711935 AS b FROM s0),
+         s2 AS (SELECT o_orderkey, (a | (a << 4)) & 252645135 AS a,
+                       (b | (b << 4)) & 252645135 AS b FROM s1),
+         s3 AS (SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a,
+                       (b | (b << 2)) & 858993459 AS b FROM s2),
+         s4 AS (SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a,
+                       (b | (b << 1)) & 1431655765 AS b FROM s3)
+         SELECT o_orderkey, a | (b << 1) AS zkey FROM s4""",
     "q_scalar_array" ->
       """SELECT doc_id,
            string_split(text, ' ')[1] AS w1,

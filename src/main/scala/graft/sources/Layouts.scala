@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.IVF
@@ -101,6 +101,54 @@ object Layouts {
     graft.operators.Sampling.epochShuffle(df, col(keyCol), shards, seed)
       .sortWithinPartitions("shard", "shard_pos")
       .write.partitionBy("shard").mode(mode).parquet(path)
+
+  /** Z-ORDERED layout: cluster on TWO columns so parquet min/max stats
+    * prune files and row groups for predicates on EITHER column (a
+    * lexicographic sort only serves its leading key). Each column is
+    * rank-bucketed into 16-bit codes via `approxQuantile` boundaries —
+    * equi-depth, so skew cannot collapse the curve; the driver holds only
+    * `2 × buckets` doubles regardless of table size — then the Morton
+    * interleave ([[graft.functions.ZOrder]]) is range-partitioned and
+    * sorted. One shuffle, same cost shape as [[writeTimeSeries]]; the
+    * key column is dropped from the files (it is derivable).
+    *
+    * At 100 TB: `files` follows the target file size (~1 GB), the
+    * quantile pass is a single narrow scan of two columns, and every
+    * subsequent selective scan on either dimension reads a near-minimal
+    * file subset — the recurring-read workload this library optimizes
+    * pays the one-time shuffle back immediately.
+    *
+    * Temporal columns are accepted (bucketed on their epoch value), but
+    * note Spark's parquet reader does not row-group-skip on
+    * TIMESTAMP_NTZ statistics even though the predicate reaches
+    * PushedFilters (verified empirically) — cluster on numeric/LTZ
+    * columns for pruning, or pair with [[writeTimeSeriesPartitioned]]
+    * for the temporal dimension. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int = 16, buckets: Int = 255, mode: String = "overwrite"): Unit = {
+    import graft.functions.ZOrder
+    import org.apache.spark.sql.types._
+    // type-aware numeric view (temporal types don't cast to double)
+    def asDouble(c: String): Column = df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Seq(qa, qb) = Seq(colA, colB).map(c =>
+      df.select(asDouble(c).as(c))
+        .stat.approxQuantile(c, probs, 0.001).toSeq.distinct)
+    val z = ZOrder.interleave16(
+      ZOrder.rankBucket(asDouble(colA), qa),
+      ZOrder.rankBucket(asDouble(colB), qb))
+    df.withColumn("_zkey", z)
+      .repartitionByRange(files, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(mode).parquet(path)
+  }
 
   /** write an embedding table partitioned by IVF cell */
   def writeIvfIndexed(emb: DataFrame, model: IVF.Model, path: String,

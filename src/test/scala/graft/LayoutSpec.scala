@@ -155,4 +155,44 @@ class LayoutSpec extends AnyFunSuite {
       q, k = 5).collect().map(_.getLong(0))
     assert(got.head == 3L)
   }
+
+  test("z-ordered layout: selective scans prune on BOTH clustered columns") {
+    val work = tmpDir("layout-zorder")
+    val base = tmpDir("layout-zbase")
+    val od = Tables.orders(spark, sf001)
+    val total = od.count()
+    Layouts.writeZOrdered(od, work, "o_custkey", "o_totalprice", files = 64)
+    // contrast layout: lexicographic sort serves only its leading key
+    od.repartitionByRange(64, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(base)
+    // ~5%-selective slices on each dimension, bounds from the data
+    val Array(kLo, kHi) =
+      od.stat.approxQuantile("o_custkey", Array(0.45, 0.50), 0.0)
+    val Array(pLo, pHi) =
+      od.stat.approxQuantile("o_totalprice", Array(0.45, 0.50), 0.0)
+    def keySlice(dir: String) = measure {
+      spark.read.parquet(dir)
+        .filter(col("o_custkey").between(kLo.toLong, kHi.toLong))
+        .agg(count(lit(1))).collect()
+    }
+    def priceSlice(dir: String) = measure {
+      spark.read.parquet(dir)
+        .filter(col("o_totalprice").between(pLo, pHi))
+        .agg(count(lit(1))).collect()
+    }
+    val zKey = keySlice(work)
+    val zPrice = priceSlice(work)
+    val lexPrice = priceSlice(base)
+    // the z-layout prunes on BOTH dims (each file covers a small
+    // rectangle of the (custkey, price) plane, so row-group stats skip
+    // most files for either slice)…
+    assert(zKey < total / 2, s"custkey slice read $zKey of $total")
+    assert(zPrice < total / 2, s"price slice read $zPrice of $total")
+    // …while the single-key layout cannot prune its NON-leading dim:
+    // every file spans the full price range
+    assert(zPrice * 2 < lexPrice,
+      s"z-ordered price slice read $zPrice vs lexicographic $lexPrice — " +
+        "no multi-dim advantage")
+  }
 }
