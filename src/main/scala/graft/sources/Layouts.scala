@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -148,6 +149,47 @@ object Layouts {
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
       .write.mode(mode).parquet(path)
+  }
+
+  /** Compact a directory of small parquet files into ~`targetBytes`
+    * files — the operational fix for the small-files problem every
+    * long-running append pipeline (streaming sinks, incremental loads)
+    * accumulates: at 100 TB, listing and footer-opening costs scale with
+    * FILE COUNT, not data size, so a million 10 MB files tax every query
+    * before a row is read.
+    *
+    * Default path is shuffle-free: `coalesce` concatenates input splits
+    * into `ceil(totalBytes / targetBytes)` output tasks — a pure rewrite
+    * whose cost is one read+write of the data. Pass `clusterBy` to also
+    * re-cluster while paying for the rewrite anyway (a range shuffle +
+    * sort, restoring tight min/max stats that interleaved appends
+    * destroyed). Writes to `dest` (never in place — the swap is the
+    * caller's atomic rename/catalog update, so readers never see a
+    * half-compacted directory). Hive-partitioned tables compact
+    * per-partition directory. */
+  def compact(spark: SparkSession, src: String, dest: String,
+      targetBytes: Long = 1L << 30, clusterBy: Option[String] = None,
+      mode: String = "overwrite"): Int = {
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = {
+      val it = fs.listFiles(srcPath, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) sum += f.getLen
+      }
+      sum
+    }
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(src)
+    val out = clusterBy match {
+      case Some(c) =>
+        df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None => df.coalesce(nFiles)
+    }
+    out.write.mode(mode).parquet(dest)
+    nFiles
   }
 
   /** write an embedding table partitioned by IVF cell */
