@@ -189,6 +189,22 @@ object CacheQueries {
         df.rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       }),
+    // WINDOW over a cached aggregate: the splice replaces the Aggregate
+    // in place, so parents re-run over the replayed state — a lag()
+    // day-over-day delta (the standard dashboard shape) computes over
+    // the ~30 merged state rows, never the fact table. The window adds
+    // no state; only the aggregate underneath is cached.
+    "qc_incr_window" -> ((s, d) =>
+      coldAppendWarm(s, d, "window") { df =>
+        val aggDf = df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        aggDf
+          .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+          .withColumn("delta_cnt",
+            col("cnt") - coalesce(lag(col("cnt"), 1).over(w), lit(0L)))
+      }),
     // statistical aggregates (corr/covar via raw-sums state) and ordered
     // last (max_by over the temporal column) through the cache cycle
     "qc_incr_stats" -> ((s, d) =>
@@ -319,6 +335,16 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
+    "qc_incr_window" ->
+      """WITH a AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM events WHERE value > 1 GROUP BY 1)
+         SELECT day, cnt, sum_value,
+           lag(cnt, 1) OVER (ORDER BY day) AS prev_cnt,
+           cnt - COALESCE(lag(cnt, 1) OVER (ORDER BY day), 0) AS delta_cnt
+         FROM a""",
     "qc_incr_stats" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,
