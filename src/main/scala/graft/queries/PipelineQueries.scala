@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, TextClean}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory: dedup family, similarity search,
@@ -32,6 +32,27 @@ object PipelineQueries {
       documents(s, d).select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+    // cleaning pass: markup strip + control removal + whitespace
+    // collapse. The synthetic corpus has no markup, so both engines
+    // augment the text with the SAME deterministic HTML/control wrapper
+    // before cleaning — the operator is exercised on real constructs.
+    "q_text_clean" -> ((s, d) => {
+      val aug = concat(lit("<p class=\"body\">"), col("text"),
+        lit("</p>\n\t<a href='x'>link</a> \u0007tail  end"))
+      documents(s, d).select(
+        col("doc_id"), TextClean.cleanCol(aug).as("clean_text"))
+    }),
+    // PII masking: emails / IPv4 / +international phones, deterministic
+    // augmentation as above (doc_id-derived address, phone, and IP)
+    "q_text_redact" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"), lit(" contact user"), id,
+        lit("@example.com or +1 (555) 010-"), lpad(id, 4, "0"),
+        lit(" at 10.1."), (col("doc_id") % 256).cast("string"),
+        lit(".7 now"))
+      documents(s, d).select(
+        col("doc_id"), TextClean.redactCol(aug).as("redacted"))
     }),
     // custom 64-bit content hash: deterministic but not SQL-expressible
     "q_text_fingerprint" -> ((s, d) => {
@@ -565,6 +586,26 @@ object PipelineQueries {
            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          FROM sigs a JOIN sigs b ON a.id < b.id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+    // same deterministic augmentation as the Spark side (chr(10)=\n,
+    // chr(9)=\t, chr(7)=BEL), then the three portable regex passes
+    "q_text_clean" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+           '<p class="body">' || text || '</p>' || chr(10) || chr(9) ||
+             '<a href=''x''>link</a> ' || chr(7) || 'tail  end',
+           '<[^>]*>', ' ', 'g'),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+           '[ \t\r\n]+', ' ', 'g')) AS clean_text
+         FROM documents""",
+    "q_text_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1 (555) 010-' ||
+             lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+             ' at 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM documents""",
     "q_text_stats" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

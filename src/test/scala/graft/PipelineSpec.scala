@@ -528,4 +528,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(StubDecoder.decodeDims(text) ==
       ((64 + (h & 0x3f).toInt, 64 + ((h >>> 6) & 0x3f).toInt)))
   }
+
+  test("text clean strips markup/controls, redact masks pii exactly") {
+    import graft.operators.TextClean
+    import spark.implicits._
+    val rows = Seq(
+      "<div id=1>Hello <b>world</b></div>   spaced\t\nout ",
+      "no markup here",
+      "reach me at jane.doe+x@sub.example.org or +44 (20) 7946-0958, " +
+        "server 192.168.0.1 port 8080")
+      .toDF("text")
+    val cleaned = TextClean.clean(rows).select("clean_text")
+      .collect().map(_.getString(0))
+    assert(cleaned(0) == "Hello world spaced out", cleaned(0))
+    assert(cleaned(1) == "no markup here")
+    val redacted = TextClean.redactPii(rows).select("redacted")
+      .collect().map(_.getString(0))
+    assert(redacted(2) ==
+      "reach me at <EMAIL> or <PHONE>, server <IP> port 8080",
+      redacted(2))
+    // a bare digit run (the port, ids, years) is NOT a phone — the
+    // leading + requirement keeps ordinary numbers untouched
+    assert(redacted(2).endsWith("port 8080"))
+  }
 }
