@@ -82,7 +82,45 @@ object Multimodal {
           Set(12, 40, 52, 56, 64, 108, 124).contains(le32(14))) {
         if (le32(14) == 12) Some((le16(18), le16(20))) // BITMAPCOREHEADER
         else Some((le32(18), math.abs(le32(22)))) // height<0 = top-down rows
-      } else None
+      }
+      // JPEG: SOI (FF D8, non-ASCII — text can't false-positive), then
+      // walk marker segments to the first SOFn frame header (dimensions
+      // are not at a fixed offset; APPn/COM/DQT segments precede them)
+      else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8)
+        jpegDims(b)
+      else None
+    }
+
+    /** JPEG frame dimensions from the first SOFn segment: payload is
+      * [len16, precision8, height16, width16, …]. SOF markers are C0-CF
+      * minus C4 (DHT), C8 (JPG ext), CC (DAC). Any structural violation
+      * (lost sync, truncation, EOI/SOS before a SOF) falls back to the
+      * deterministic fake — never a garbage parse. */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      var i = 2
+      while (i + 1 < b.length) {
+        if (u8(i) != 0xFF) return None // lost marker sync
+        var m = i + 1
+        while (m < b.length && u8(m) == 0xFF) m += 1 // fill bytes
+        if (m >= b.length) return None
+        val marker = u8(m)
+        if (marker == 0xD9 || marker == 0xDA) return None // EOI / SOS
+        else if (marker >= 0xD0 && marker <= 0xD7) i = m + 1 // RSTn: bare
+        else {
+          if (m + 2 >= b.length) return None
+          val len = be16(m + 1)
+          if (len < 2) return None
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            if (m + 7 >= b.length || len < 7) return None
+            return Some((be16(m + 6), be16(m + 4))) // (width, height)
+          }
+          i = m + 1 + len
+        }
+      }
+      None
     }
     /** real impl: model forward pass per batch; here: 8-dim byte histogram */
     def features(bytes: Array[Byte]): Array[Float] = {

@@ -529,6 +529,24 @@ class PipelineSpec extends AnyFunSuite {
       ((64 + (h & 0x3f).toInt, 64 + ((h >>> 6) & 0x3f).toInt)))
   }
 
+  test("decodeDims parses JPEG SOF dimensions through leading segments") {
+    import graft.operators.Multimodal.StubDecoder
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    val app0 = seg(0xE0, "JFIF rest-of-app0".getBytes("ISO-8859-1"))
+    // SOF0: precision 8, height 256, width 128, 3 components
+    val sof0 = seg(0xC0, Array[Byte](8, 1, 0, 0, 0x80.toByte, 3))
+    val jpeg = soi ++ app0 ++ sof0 ++ Array(0xFF.toByte, 0xDA.toByte)
+    assert(StubDecoder.parseHeaderDims(jpeg).contains((128, 256)))
+    // truncated before any SOF: deterministic fake, not a garbage parse
+    assert(StubDecoder.parseHeaderDims(soi ++ app0).isEmpty)
+    // lost sync (non-FF where a marker must start): fake
+    assert(StubDecoder.parseHeaderDims(
+      soi ++ Array[Byte](0x00, 0x01, 0x02)).isEmpty)
+  }
+
   test("text clean strips markup/controls, redact masks pii exactly") {
     import graft.operators.TextClean
     import spark.implicits._

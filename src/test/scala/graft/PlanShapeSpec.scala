@@ -166,4 +166,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(plan.contains("Generate explode"), plan)
   }
+
+  test("z-order key is exchange-free whole-stage codegen over the scan") {
+    val plan = planOf(Inventory.queries("q_zorder_key")(spark, sf0001))
+    assert(!plan.contains("Exchange"), plan)
+    // "*(n)" marks a whole-stage-codegen stage
+    assert("""\*\(\d+\) Project \[.*shiftleft""".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
+    // the 3-column projection must prune the scan
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate"), plan)
+  }
+
+  test("text clean/redact run at scan speed: one stage, no exchange") {
+    val q = graft.queries.PipelineQueries.queries
+    Seq("q_text_clean", "q_text_redact").foreach { name =>
+      val plan = planOf(q(name)(spark, sf0001))
+      assert(!plan.contains("Exchange"), s"$name shuffled:\n$plan")
+      assert("""\*\(\d+\) Project \[.*regexp_replace""".r
+        .findFirstIn(plan.replaceAll("\n", " ")).isDefined,
+        s"$name not codegen:\n$plan")
+    }
+  }
+
+  test("warmed interactive query plans a cache replay, not a fact aggregate") {
+    import graft.streaming.CacheWarmer
+    val work = tmpDir("psw")
+    val ev = Tables.events(spark, sf0001)
+    ev.write.mode("overwrite").parquet(work)
+    val cfg = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts", log = new RecordingLog)
+    def q() = spark.read.parquet(work).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val warmer = new CacheWarmer(spark, cfg, Seq(() => q()))
+    warmer.tick(ev.select("ts"))
+    val plan = planOf(warmer.interactive(q()))
+    // the answer is a replay of cached state (marker visible in EXPLAIN);
+    // the delta band is empty so no partial aggregation of fact rows runs
+    assert(plan.contains("CacheReplay"), plan)
+  }
 }
