@@ -150,12 +150,22 @@ final case class QueryCacheConfig(
 
 object QueryCacheConfig {
   /** The user-facing spellings of a source path: the path itself, its
+    * scheme-less form (scans report `file:/…`/`hdfs://nn/…` where users
+    * declare `/…` — the declaration must not silently miss on that), its
     * basename, and the extension-less basename. THE candidate-name rule
     * for both static-dim declarations (`isDeclaredStatic`) and
     * invalidation (`QueryCache.pathMatches`) — one definition so the two
     * ends of the staleness contract can never disagree. */
   private[graft] def pathCandidates(p: String): Seq[String] = {
     val base = p.stripSuffix("/").split('/').last
-    Seq(p, base, base.takeWhile(_ != '.'))
+    val noScheme =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null && u.getPath != null && u.getPath.nonEmpty &&
+            u.getPath != p)
+          Seq(u.getPath)
+        else Seq.empty
+      } catch { case _: Exception => Seq.empty }
+    Seq(p, base, base.takeWhile(_ != '.')) ++ noScheme
   }
 }

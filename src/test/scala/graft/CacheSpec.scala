@@ -190,6 +190,19 @@ class CacheSpec extends AnyFunSuite {
     assert(cache.get("fpC").isEmpty)
   }
 
+  test("static-dim declarations match scan paths scheme-blind") {
+    val cfg = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts").withStaticDimensions("/data/dims/customer")
+    // scans report file:/hdfs: schemes where users declare bare paths
+    assert(cfg.isDeclaredStatic(Seq("file:/data/dims/customer")))
+    assert(cfg.isDeclaredStatic(Seq("hdfs://nn:8020/data/dims/customer")))
+    assert(!cfg.isDeclaredStatic(Seq("file:/data/dims/orders")))
+    // and basename declarations still work on scheme-bearing paths
+    val byName = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts").withStaticDimensions("customer")
+    assert(byName.isDeclaredStatic(Seq("file:/x/y/customer.parquet")))
+  }
+
   test("ParquetQueryCache invalidateForTable works cross-process via meta") {
     val dir = tmpDir("pqinv")
     val writer = new ParquetQueryCache(dir)

@@ -55,6 +55,41 @@ class CacheWarmerSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("warmer keeps a static-dim JOIN aggregate warm across 3 appends") {
+    val work = Files.createTempDirectory("graft_warmer_").toString
+    val dimDir = Files.createTempDirectory("graft_warmdim_").toString
+    // a small dimension keyed by event_type
+    Seq(("t0", "alpha"), ("t1", "beta"), ("t2", "gamma"))
+      .toDF("event_type", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val log = new RecordingLog
+    val cfg = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts", log = log)
+      // declared by ABSOLUTE PATH: the scan reports file:-scheme paths,
+      // and the candidate rule must match them scheme-blind
+      .withStaticDimensions(dimDir)
+    def q(): DataFrame = {
+      val dim = spark.read.parquet(dimDir)
+      spark.read.parquet(work).join(dim, "event_type")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+    }
+    val warmer = new CacheWarmer(spark, cfg, Seq(q _))
+    // batches arrive in 4 chunks; tick after each, check after each
+    val splits = Seq(0, 120, 240, 360, 480)
+    splits.sliding(2).foreach { case Seq(from, until) =>
+      eventsDf(from, until).write.mode("append").parquet(work)
+      warmer.tick(eventsDf(from, until).select("ts"))
+      val got = warmer.interactive(q()).orderBy("label").collect()
+      val want = q().orderBy("label").collect()
+      assert(got.toSeq == want.toSeq, s"divergence after append [$from,$until)")
+    }
+    // 1 cold miss, then every later tick and interactive run hits
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) >= splits.size - 2 + splits.size - 1,
+      log.messages)
+  }
+
   test("out-of-order tick is a no-op (monotone high-water mark)") {
     val work = Files.createTempDirectory("graft_warmer_").toString
     val cfg = QueryCacheConfig(new MemoryQueryCache,
