@@ -135,5 +135,6 @@ class QueryCacheExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new NowBoundWrapRule(session))
     ext.injectPreCBORule(session => new QueryCacheRule(session))
+    graft.functions.GraftFunctions.inject(ext)
   }
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the native codegen expressions, so `spark.sql`
+  * text queries get the same operators the Column API exposes:
+  *
+  * {{{
+  * SELECT graft_cosine(embedding, array(0.1, ...)) FROM embeddings
+  * SELECT graft_seeded_hash64(text, 0), graft_simhash64(text) FROM docs
+  * SELECT graft_shingles(text, 5) FROM docs
+  * }}}
+  *
+  * Register either at session build time (`spark.sql.extensions` →
+  * [[graft.ext.QueryCacheExtensions]] calls [[inject]]) or on a running
+  * session with [[register]]. The functions are thin builders over the
+  * expressions in [[graft.functions]] — whole-stage codegen, no UDF
+  * dispatch overhead, usable by BI tools that only speak SQL.
+  */
+object GraftFunctions {
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+
+  private def litInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: argument must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$name: literal integer expected, got $other")
+    }
+  }
+
+  /** (name, builder) for every SQL-registrable native expression */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> { args =>
+      arity("graft_cosine", args, 2); CosineSimilarity(args(0), args(1))
+    },
+    "graft_simhash64" -> { args =>
+      arity("graft_simhash64", args, 1); SimHash64(args(0))
+    },
+    "graft_seeded_hash64" -> { args =>
+      arity("graft_seeded_hash64", args, 2); SeededHash64(args(0), args(1))
+    },
+    "graft_shingles" -> { args =>
+      arity("graft_shingles", args, 2)
+      WordShingles(args(0), litInt("graft_shingles", args(1)))
+    })
+
+  private def info(name: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  /** build-time path: `spark.sql.extensions` */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+
+  /** runtime path: an already-running session */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder)
+    }
+}

@@ -547,6 +547,25 @@ class PipelineSpec extends AnyFunSuite {
       soi ++ Array[Byte](0x00, 0x01, 0x02)).isEmpty)
   }
 
+  test("sql-registered native functions match the column api") {
+    import graft.functions.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_seeded_hash64('abc', 5L) AS h,
+           graft_simhash64(split('alpha beta gamma', ' ')) AS s,
+           graft_cosine(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) AS c,
+           graft_shingles('a b c d', 3) AS g""").first()
+    val viaCol = spark.range(1).select(
+      seeded_hash64(lit("abc"), lit(5L)).as("h"),
+      simhash64(split(lit("alpha beta gamma"), " ")).as("s")).first()
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    assert(math.abs(viaSql.getDouble(2) - 1.0) < 1e-12)
+    assert(viaSql.getSeq[Any](3).length == 2) // "a b c", "b c d"
+    // arity errors surface at analysis, not as runtime surprises
+    intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0D))").first())
+  }
+
   test("text clean strips markup/controls, redact masks pii exactly") {
     import graft.operators.TextClean
     import spark.implicits._
