@@ -189,6 +189,18 @@ object CacheQueries {
         df.rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       }),
+    // boolean/bitwise mergeable folds (every/any, bit_and/or/xor) —
+    // self-decomposing states through the cold → append → warm cycle
+    "qc_incr_bits" -> ((s, d) =>
+      coldAppendWarm(s, d, "bits") { df =>
+        df.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            bool_and(col("value") > 50).as("all_gt50"),
+            bool_or(col("event_type") === "click").as("any_click"),
+            bit_and(col("user_id")).as("uid_and"),
+            bit_or(col("user_id")).as("uid_or"),
+            bit_xor(col("user_id")).as("uid_xor"))
+      }),
     // WINDOW over a cached aggregate: the splice replaces the Aggregate
     // in place, so parents re-run over the replayed state — a lag()
     // day-over-day delta (the standard dashboard shape) computes over
@@ -335,6 +347,14 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
+    "qc_incr_bits" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           bool_and(value > 50) AS all_gt50,
+           bool_or(event_type = 'click') AS any_click,
+           bit_and(user_id) AS uid_and,
+           bit_or(user_id) AS uid_or,
+           bit_xor(user_id) AS uid_xor
+         FROM events GROUP BY 1""",
     "qc_incr_window" ->
       """WITH a AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

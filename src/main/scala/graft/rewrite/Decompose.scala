@@ -37,6 +37,14 @@ object Decompose {
   case object MHllUnion extends MergeOp
   /** set union: array_distinct(flatten(collect_list(state))) */
   case object MSetUnion extends MergeOp
+  /** boolean conjunction/disjunction (every/any) */
+  case object MBoolAnd extends MergeOp
+  case object MBoolOr extends MergeOp
+  /** bitwise folds — associative+commutative, and each source row enters
+    * exactly one partial, so xor-of-partials is the xor-of-rows */
+  case object MBitAnd extends MergeOp
+  case object MBitOr extends MergeOp
+  case object MBitXor extends MergeOp
 
   /** One stored state column: `partial` computes it from raw rows,
     * `merge` recombines previously-stored copies of it, and `unit`
@@ -152,6 +160,29 @@ object Decompose {
             StateSpec(cn, count(child), MSum,
               unit = Some(when(child.isNotNull, lit(1L)).otherwise(lit(0L))))),
           (col(sn) / col(cn)).cast(agg.dataType)))
+      // boolean/bitwise folds: the aggregate IS its own mergeable state
+      // (self-decomposing — merge op == the aggregate), nulls ignored by
+      // both partial and merge so an all-null group stays NULL
+      case b: BoolAnd =>
+        val n = s"_s${i}_band"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MBoolAnd,
+          unit = Some(Shims.column(b.child)))), col(n)))
+      case b: BoolOr =>
+        val n = s"_s${i}_bor"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MBoolOr,
+          unit = Some(Shims.column(b.child)))), col(n)))
+      case b: BitAndAgg =>
+        val n = s"_s${i}_bitand"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MBitAnd,
+          unit = Some(Shims.column(b.child)))), col(n).cast(agg.dataType)))
+      case b: BitOrAgg =>
+        val n = s"_s${i}_bitor"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MBitOr,
+          unit = Some(Shims.column(b.child)))), col(n).cast(agg.dataType)))
+      case b: BitXorAgg =>
+        val n = s"_s${i}_bitxor"
+        Some(Decomposed(Seq(StateSpec(n, asCol, MBitXor,
+          unit = Some(Shims.column(b.child)))), col(n).cast(agg.dataType)))
       case h: HyperLogLogPlusPlus =>
         // approx distinct: state = DataSketches HLL sketch (binary),
         // merged with hll_union_agg. NOTE the estimator therefore differs
@@ -326,6 +357,11 @@ object Decompose {
       case MMax => max(col(spec.name))
       case MHllUnion => hll_union_agg(col(spec.name))
       case MSetUnion => array_distinct(flatten(collect_list(col(spec.name))))
+      case MBoolAnd => bool_and(col(spec.name))
+      case MBoolOr => bool_or(col(spec.name))
+      case MBitAnd => bit_and(col(spec.name))
+      case MBitOr => bit_or(col(spec.name))
+      case MBitXor => bit_xor(col(spec.name))
     }
     merged.cast(storedType).as(spec.name)
   }

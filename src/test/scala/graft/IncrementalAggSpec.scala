@@ -85,6 +85,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
+  test("boolean/bitwise folds merge through the cycle, hit") {
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        bool_and(col("value") > 50).as("all_gt50"),
+        bool_or(col("event_type") === "click").as("any_click"),
+        bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"))
+    val (warmDF, log) = coldAppendWarm("bits")(q)
+    assertSameRows(warmDF, q(eventsFull))
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
   test("window function above the aggregate runs over replayed state, hits") {
     def q(df: DataFrame) = {
       val aggDf = df.filter(col("value") > 1)
