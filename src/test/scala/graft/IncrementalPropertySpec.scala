@@ -51,7 +51,7 @@ class IncrementalPropertySpec extends AnyFunSuite {
       }.asJava, schema)
   }
 
-  private val nQueries = 5
+  private val nQueries = 6
 
   private def query(i: Int)(df: DataFrame): DataFrame = i match {
     case 0 => df.agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
@@ -74,11 +74,18 @@ class IncrementalPropertySpec extends AnyFunSuite {
         round(covar_pop(col("value"), tsC), 6).as("cp"),
         round(stddev_samp(col("value")), 6).as("sd"))
     // distinct family over the set-union state
-    case _ => df.groupBy(col("service")).agg(
+    case 4 => df.groupBy(col("service")).agg(
       countDistinct(col("value")).as("dv"),
       sum_distinct(col("value")
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sdv"),
       expr("avg(DISTINCT CAST(value AS DECIMAL(18,6)))").as("adv"))
+    // boolean/bitwise self-decomposing folds
+    case _ => df.groupBy(col("service")).agg(
+      bool_and(col("value") > 0).as("allp"),
+      bool_or(col("value") > 500).as("anyb"),
+      bit_and(col("value").cast("long")).as("ba"),
+      bit_or(col("value").cast("long")).as("bo"),
+      bit_xor(col("value").cast("long")).as("bx"))
   }
 
   test("incremental == full recompute for random tables, splits, queries") {
