@@ -35,11 +35,31 @@ object ZOrder {
   }
 
   /** Morton key of two 16-bit codes: bits of `a` on even positions, `b`
-    * on odd — a 32-bit non-negative long. More dimensions compose the
-    * same way (spread to every k-th bit); two is the common clustering
-    * arity and keeps the key in one long. */
+    * on odd — a 32-bit non-negative long. */
   def interleave16(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** spread the low 32 bits of `x` to the even positions 0,2,…,62 */
+  private def spread32(x: Column): Column = {
+    val a = x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val c = b.bitwiseOR(shiftleft(b, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val d = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x3333333333333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton key of FOUR 16-bit codes, by pairwise composition:
+    * `interleave32(interleave16(a,c), interleave16(b,d))` yields the bit
+    * sequence a₀b₀c₀d₀a₁b₁c₁d₁… — the exact 4-dimensional Morton order —
+    * in one 64-bit long. Same five-shift/mask cost profile, plain
+    * codegen arithmetic. NOTE: bit 63 is `d`'s top bit, so a key with
+    * d ≥ 2¹⁵ is negative under SIGNED ordering — sort by
+    * `z ^ Long.MinValue` for full-domain codes, or keep codes ≤ 2¹⁵−1
+    * ([[rankBucket]] with the writer's ≤ 255 buckets always does). */
+  def interleave16x4(a: Column, b: Column, c: Column, d: Column): Column =
+    spread32(interleave16(a, c))
+      .bitwiseOR(shiftleft(spread32(interleave16(b, d)), 1))
 
   /** Equi-depth bucket code in [0, boundaries.length]: the number of
     * `approxQuantile` boundaries at or below the value. O(B) per row as

@@ -547,6 +547,40 @@ class PipelineSpec extends AnyFunSuite {
       soi ++ Array[Byte](0x00, 0x01, 0x02)).isEmpty)
   }
 
+  test("4-dim morton interleave matches a bit-by-bit reference") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    def ref(a: Int, b: Int, c: Int, d: Int): Long = {
+      var z = 0L
+      for (bit <- 0 until 16) {
+        z |= ((a >> bit) & 1L) << (4 * bit)
+        z |= ((b >> bit) & 1L) << (4 * bit + 1)
+        z |= ((c >> bit) & 1L) << (4 * bit + 2)
+        z |= ((d >> bit) & 1L) << (4 * bit + 3)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0, 0, 0, 0), (65535, 65535, 65535, 65535), (1, 2, 4, 8)) ++
+      Seq.fill(50)((rnd.nextInt(65536), rnd.nextInt(65536),
+        rnd.nextInt(65536), rnd.nextInt(65536)))
+    val got = cases.toDF("a", "b", "c", "d")
+      .select(ZOrder.interleave16x4(col("a"), col("b"), col("c"), col("d")))
+      .collect().map(_.getLong(0))
+    val want = cases.map { case (a, b, c, d) => ref(a, b, c, d) }
+    got.zip(want).zip(cases).foreach { case ((g, w), in) =>
+      assert(g == w, s"$in: got $g want $w")
+    }
+    // bucket-code domain (≤ 2¹⁵−1 in the 4th dim — the writer's ≤ 255
+    // bucket codes are far inside it) keeps keys non-negative, so plain
+    // signed range partitioning preserves the curve order
+    val small = cases.filter(_._4 < 32768)
+    val gotSmall = small.toDF("a", "b", "c", "d")
+      .select(ZOrder.interleave16x4(col("a"), col("b"), col("c"), col("d")))
+      .collect().map(_.getLong(0))
+    assert(gotSmall.forall(_ >= 0L))
+  }
+
   test("sql-registered native functions match the column api") {
     import graft.functions.functions._
     graft.functions.GraftFunctions.register(spark)
