@@ -69,7 +69,10 @@ final class CacheWarmer(
       val now = math.max(r.getLong(0) + 1L, hwmMicros.getOrElse(Long.MinValue))
       hwmMicros = Some(now)
       val qcs = QueryCacheSession(spark, config(Some(now)))
-      queries.foreach { q => qcs.run(q()).collect(); () }
+      // run() alone warms: the executor stores merged state EAGERLY
+      // (cache.put inside the rewrite) — materializing the final answer
+      // here would be a second, redundant job per tick
+      queries.foreach { q => qcs.run(q()); () }
     }
   }
 
