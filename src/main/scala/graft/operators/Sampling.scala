@@ -161,6 +161,37 @@ object Sampling {
     * `explode(sequence)` — zero data shuffles; output size is the only
     * cost, and it is exactly the training mixture's size. Domains
     * absent from `factors` pass through with factor 1.0. */
+  /** Deterministic TRAIN/VAL/TEST split assignment: each row lands in the
+    * split whose cumulative-ratio interval contains its unit content hash
+    * (independently tagged, see [[drawHash]]). The assignment is a pure
+    * function of (key, seed) — append-stable (a document's split never
+    * changes when the corpus grows, so late-arriving data cannot leak a
+    * held-out document into train) and reproducible on any cluster size.
+    * The LAST split is the catch-all for the remainder of [0, 1), so
+    * ratios that sum slightly under 1.0 (or unit-hash values that round
+    * to 1.0 — see [[bernoulli]]) stretch the final split, never drop a
+    * row: a split is a partition of the corpus by contract.
+    *
+    * ZERO shuffles: a codegen'd CASE chain fused into the scan stage.
+    * Cumulative boundaries are computed once here and embedded as
+    * literals, so an external engine replaying the same boundary
+    * constants (the DuckDB oracle) assigns the identical split set. */
+  def splitAssign(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+      seed: Long = 0L): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split names")
+    require(splits.forall(_._2 > 0.0), "split ratios must be > 0")
+    val u = unitHash(key, seed, "sp:")
+    val bounds = splits.init.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val assigned = splits.init.zip(bounds).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), bound), rest) =>
+      when(u < bound, name).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   def upsample(df: DataFrame, domain: Column, key: Column,
       factors: Map[String, Double], seed: Long = 0L): DataFrame = {
     require(factors.values.forall(f => f >= 0.0 && f.isFinite),

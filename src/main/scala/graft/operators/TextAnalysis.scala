@@ -100,6 +100,62 @@ object TextAnalysis {
     array_max(array(scored: _*)).getField("code")
   }
 
+  /** Corpus VOCABULARY: the `topK` most frequent whitespace tokens
+    * (lowercased, empties dropped) with occurrence counts — the first
+    * step of tokenizer training and a standard corpus-drift probe.
+    *
+    * Scale shape: the explode is map-side; the count aggregates with a
+    * map-side partial combine whose state is vocabulary-sized (bounded
+    * by distinct tokens per partition, not rows); the top-k is
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a global sort. Total: one shuffle keyed on token.
+    * The (count desc, token asc) order is total, so the returned SET is
+    * deterministic even when counts tie at the k-th place. */
+  def vocabulary(docs: DataFrame, topK: Int = 100, textCol: String = "text")
+      : DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** Intra-document REPETITION signals (the Gopher-style quality
+    * filters): fraction of repeated words, repeated word bigrams, and
+    * repeated non-blank lines. High values flag boilerplate / generated
+    * spam that per-document length and stopword heuristics miss.
+    *
+    * Pure Catalyst built-ins over per-row arrays — a narrow codegen map
+    * stage, zero shuffles at any corpus size. Documents too short for a
+    * signal (no words / single word / no non-blank lines) score 0.0 by
+    * definition, not NULL, so downstream threshold filters need no null
+    * guards. The arithmetic is the shared IEEE shape `1 − distinct/total`
+    * (one divide, one subtract), reproducible bit-for-bit externally. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    def dupFrac(arr: Column): Column =
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr)
+    val words = filter(tokens(t), w => w =!= "")
+    val nWords = size(words)
+    // element_at is 1-based; sequence(1, n-1) pairs each word with its
+    // successor (guarded: sequence would COUNT DOWN for n < 2)
+    val bigrams = transform(sequence(lit(1), nWords - 1),
+      i => concat(element_at(words, i), lit(" "), element_at(words, i + 1)))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(when(nWords > 0, dupFrac(words)).otherwise(0.0), 6)
+        .as("dup_word_frac"),
+      round(when(nWords >= 2, dupFrac(bigrams)).otherwise(0.0), 6)
+        .as("dup_bigram_frac"),
+      round(when(size(lines) > 0, dupFrac(lines)).otherwise(0.0), 6)
+        .as("dup_line_frac"))
+  }
+
   /** 64-bit content fingerprint (graft native hash — deterministic across
     * executors, unlike JVM hashCode). */
   def fingerprint(text: Column): Column =

@@ -60,6 +60,23 @@ object PipelineQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
+    // corpus vocabulary: top-100 tokens by frequency — one shuffle keyed
+    // on token (map-side combine), TakeOrderedAndProject top-k, total
+    // (count desc, token asc) order so ties at the 100th place are
+    // deterministic
+    "q_text_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(documents(s, d), topK = 100)),
+    // Gopher-style intra-document repetition signals: dup word / bigram /
+    // line fractions — pure codegen map stage, zero shuffles
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(documents(s, d))),
+    // deterministic train/val/test assignment: append-stable content-hash
+    // split (exact binary boundaries 0.75 / 0.875 so the oracle's CASE
+    // replays bit-identically), zero shuffles
+    "q_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(
+        documents(s, d).select(col("doc_id"), col("source")), col("doc_id"),
+        splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))),
     // ------------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d)).select("doc_id", "text", "n_copies")),
@@ -468,6 +485,20 @@ object PipelineQueries {
           SELECT doc_id, source,
             unnest(generate_series(0, n - 1)) AS copy_idx
           FROM n_tbl WHERE n > 0""",
+    // train/val/test assignment: identical unit-hash normalization and
+    // the same 0.75 / 0.875 boundary literals (exact binary, and the
+    // 0.75 + 0.125 cumulative sum is exact in IEEE) ⇒ bit-equal splits
+    "q_split_assign" ->
+      s"""SELECT doc_id, source,
+            CASE WHEN u < 0.75 THEN 'train'
+                 WHEN u < 0.875 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id, source,
+              (CAST(${toSigned("x5")} AS DOUBLE) + 9223372036854775808.0)
+                / 18446744073709551616.0 AS u
+            FROM (${hash64Sql("'sp:' || CAST(doc_id AS VARCHAR)",
+              carry = "doc_id, source")}) t) v""",
     // token chunking: identical start set (range exclusive-stop == Spark
     // sequence inclusive n-1) and identical inclusive slice bounds
     "q_text_chunks" ->
@@ -649,6 +680,45 @@ object PipelineQueries {
                AS DOUBLE) / len(string_split(lower(text),' '))
              ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.4 END) * 0.3, 4) AS DOUBLE) AS quality
          FROM documents""",
+    // vocabulary: same \s+ tokenization (string_split_regex) + the same
+    // total (count desc, token asc) order, so the top-100 SET matches
+    // even with count ties at the boundary
+    "q_text_vocab" ->
+      """SELECT token, n_occurrences FROM (
+           SELECT tok AS token, count(*) AS n_occurrences
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                 FROM documents) u
+           WHERE tok <> ''
+           GROUP BY tok) g
+         ORDER BY n_occurrences DESC, token
+         LIMIT 100""",
+    // repetition signals: shared IEEE shape 1.0 − distinct/total per
+    // array; DuckDB range(1, n) is stop-exclusive = Spark
+    // sequence(1, n−1); lists are 1-based in both engines
+    "q_text_repetition" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '') AS words,
+             list_filter(list_transform(string_split(text, chr(10)),
+               l -> trim(l)), l -> l <> '') AS lines
+           FROM documents),
+         sized AS (
+           SELECT doc_id, words, lines, len(words) AS nw,
+             list_transform(range(1, len(words)),
+               i -> words[i] || ' ' || words[i+1]) AS bigrams
+           FROM base)
+         SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
+           round(CASE WHEN nw > 0
+             THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN nw >= 2
+             THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+           round(CASE WHEN len(lines) > 0
+             THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+             ELSE 0.0 END, 6) AS dup_line_frac
+         FROM sized""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
          FROM documents GROUP BY text""",

@@ -622,4 +622,82 @@ class PipelineSpec extends AnyFunSuite {
     // leading + requirement keeps ordinary numbers untouched
     assert(redacted(2).endsWith("port 8080"))
   }
+  test("vocabulary: exact counts, (count desc, token asc) order, top-k cut") {
+    import spark.implicits._
+    val df = Seq("b b a c", "a b C", "c a").toDF("text")
+    // lowercased: a=3 b=3 c=3  (C folds into c)
+    val all = TextAnalysis.vocabulary(df, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(all.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 3L)), all.toSeq)
+    // tie at the cut: top-2 of three count-3 tokens takes the
+    // lexicographically first two -- a total order, not a random subset
+    val top2 = TextAnalysis.vocabulary(df, topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("a", "b"), top2)
+    // corpus sanity: every count positive, ordered, no empty token
+    val corpus = TextAnalysis.vocabulary(docs, topK = 20).collect()
+    assert(corpus.length == 20)
+    assert(corpus.forall(r => r.getString(0).nonEmpty && r.getLong(1) > 0))
+    val counts = corpus.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "not ordered by count desc")
+  }
+
+  test("repetition signals: hand-computed fractions, short-doc zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),               // words 3 distinct 2; bigrams "a a","a b" distinct
+      (2L, "x y x y x"),           // words 5/2; bigrams: x y,y x,x y,y x -> 4/2
+      (3L, "solo"),                // single word: bigram signal is 0 by definition
+      (4L, ""),                    // empty: all zeros
+      (5L, "dup\ndup\n  \nkeep")  // lines: dup,dup,keep -> 3 distinct 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((3, 0.333333, 0.0, 0.0)), got(1L)) // round6(1 - 2/3)
+    assert(got(2L) == ((5, 0.6, 0.5, 0.0)), got(2L))
+    assert(got(3L) == ((1, 0.0, 0.0, 0.0)), got(3L))
+    assert(got(4L) == ((0, 0.0, 0.0, 0.0)), got(4L))
+    assert(got(5L)._1 == 3) // \\s+ merges the newline separators
+    assert(got(5L)._4 == 0.333333, got(5L)) // round6(1 - 2/3)
+    // repeated-template corpus rows never go negative / above 1
+    val bounds = TextAnalysis.repetitionSignals(docs).collect()
+    assert(bounds.forall { r =>
+      Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        .forall(v => v >= 0.0 && v <= 1.0)
+    })
+  }
+
+  test("split assign: partition of the corpus, append-stable, seed redraws") {
+    import graft.operators.Sampling
+    val assigned = Sampling.splitAssign(docs, col("doc_id"),
+      splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val byId = assigned.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == docs.count()) // exactly one split per row
+    val shares = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares.keySet == Set("train", "val", "test"))
+    // proportions near the ratios (binomial tolerance on ~600 docs)
+    val n = byId.size.toDouble
+    assert(math.abs(shares("train") / n - 0.75) < 0.08, shares)
+    // append-stability: the fate of a doc is identical when computed on
+    // any subset containing it
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val sub = Sampling.splitAssign(half, col("doc_id"),
+      splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(sub.forall { case (id, sp) => byId(id) == sp })
+    // a different seed reassigns some rows; zero exchanges in the plan
+    val reseeded = Sampling.splitAssign(docs, col("doc_id"),
+      splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      seed = 7L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.exists { case (id, sp) => reseeded(id) != sp })
+    val plan = Sampling.splitAssign(docs, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "splitAssign must not shuffle")
+  }
 }
+
