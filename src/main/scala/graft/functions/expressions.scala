@@ -284,6 +284,92 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Dense matrix-vector product of a float/double array column against a
+  * plan-time constant matrix: output element `j` is the dot product of
+  * `matrix(j)` with the input, accumulated STRICTLY left-to-right in
+  * double — the fold order is part of the contract, so an external
+  * engine replaying `Σ_i matrix(j)(i) · x(i)` with the same sequential
+  * fold (e.g. DuckDB `list_reduce`) reproduces every output bit.
+  *
+  * The workhorse of random-projection dimensionality reduction
+  * (Achlioptas/JL sign matrices — see `Similarity.projectSigns`): one
+  * native node computing the whole k×d product per row inside
+  * whole-stage codegen, instead of k lambda-`aggregate` chains that
+  * allocate per element and explode the Catalyst tree. Zero shuffles at
+  * any scale; the matrix rides along as a referenced constant.
+  */
+case class MatrixProject(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val out = new Array[Double](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val n = math.min(row.length, v.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += row(i) * (if (isF) v.getFloat(i).toDouble else v.getDouble(i))
+        i += 1
+      }
+      out(j) = dot
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val matRef = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val out = ctx.freshName("out")
+      val n = ctx.freshName("n"); val row = ctx.freshName("row")
+      s"""
+        double[] $out = new double[$matRef.length];
+        for (int $j = 0; $j < $matRef.length; $j++) {
+          double[] $row = $matRef[$j];
+          int $n = java.lang.Math.min($row.length, $v.numElements());
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += $row[$i] * (double) $v.$get($i);
+          }
+          $out[$j] = $dot;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  // the matrix is a plan-time constant derived from (dims, seed); compare
+  // by content so canonicalization and plan fingerprints stay meaningful
+  override def equals(other: Any): Boolean = other match {
+    case o: MatrixProject =>
+      child == o.child && matrix.length == o.matrix.length &&
+        matrix.zip(o.matrix).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + matrix.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  @transient private lazy val matrixDigest = MatrixDigest.of(matrix)
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"matrix#$matrixDigest")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Distinct word n-gram shingles of a string (split on whitespace).
   *
   * One native node: nested `transform`/`slice`/`concat_ws` lambdas
@@ -564,6 +650,9 @@ object functions {
 
   def minhash_band_hashes(shingles: Column, k: Int, bands: Int): Column =
     Shims.column(MinHashBandHashes(Shims.expression(shingles), k, bands))
+
+  def matrix_project(emb: Column, matrix: Array[Array[Double]]): Column =
+    Shims.column(MatrixProject(Shims.expression(emb), matrix))
 
   def cosine_similarity(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))

@@ -66,6 +66,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 sign matrix for random projection: entry (j, i) is
+    * the sign bit of the graft content hash of `"rp:j:i"` under `seed` —
+    * reproducible on any cluster AND in an external engine (the oracle
+    * regenerates the identical literals), unlike JVM-`Random` gaussians.
+    * A dense Rademacher matrix satisfies the JL lemma with the same
+    * distortion bound as gaussians (Achlioptas 2001, public result). */
+  def projectSigns(dim: Int, k: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(k, dim) { (j, i) =>
+      val h = graft.functions.Hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp:$j:$i"), seed)
+      if (h < 0L) -1.0 else 1.0
+    }
+
+  /** Johnson-Lindenstrauss random projection of the embedding column to
+    * `k` dimensions: output columns `proj_0..proj_{k-1}` are signed sums
+    * of the input coordinates under [[projectSigns]]. Cosine/distance
+    * structure is approximately preserved (scale-invariant uses need no
+    * 1/√k factor, so none is applied — the outputs stay exact signed
+    * sums, reproducible bit-for-bit by a sequential fold).
+    *
+    * Scale shape: a single native codegen node per row computes the
+    * whole k×d product (graft.functions.MatrixProject) — a narrow map
+    * stage, zero shuffles at any corpus size; downstream ANN over the
+    * projected vectors pays k/d of the brute-force flops and bytes. */
+  def randomProject(emb: DataFrame, k: Int, dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && dim >= 1, s"k=$k dim=$dim")
+    val proj = graft.functions.functions.matrix_project(
+      col(embCol), projectSigns(dim, k, seed))
+    // element_at fan-out of ONE array expression: whole-stage codegen
+    // subexpression elimination evaluates the product once per row
+    emb.select(col(idCol) +: (0 until k).map(j =>
+      element_at(proj, j + 1).as(s"proj_$j")): _*)
+  }
+
   /** Embedding near-duplicate pairs: OR-amplified hyperplane LSH.
     * `bands` independent sketches of `planesPerBand` bits each; a pair is
     * a candidate if it collides in ANY band (recall ≈

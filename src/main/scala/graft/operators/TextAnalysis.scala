@@ -156,6 +156,42 @@ object TextAnalysis {
         .as("dup_line_frac"))
   }
 
+  /** Per-document UNIGRAM COMMONNESS: the mean corpus probability of the
+    * document's tokens, `score = (Σ_t n_t) / (N_corpus · n_doc)` — the
+    * rational-arithmetic stand-in for unigram log-likelihood (same
+    * ordering intent: low = rare/garbled vocabulary, high = stopword
+    * soup; both tails are the standard quality-filter cuts). Keeping the
+    * numerator an INTEGER sum of corpus counts makes the score exactly
+    * one double division of exact operands — deterministic regardless of
+    * aggregation order, which a float log-prob sum is not.
+    *
+    * Scale shape: the vocabulary is capped at `topV` rows so the
+    * frequency table BROADCASTS (tokens outside it count 0 — rare-token
+    * mass is exactly what the low tail measures); the token explode is
+    * map-side; the per-doc sum aggregates with map-side partials on
+    * doc_id — one shuffle keyed on the document, none on the corpus-
+    * sized token stream. Documents with zero tokens are absent from the
+    * output (their commonness is undefined, not 0). */
+  def commonness(docs: DataFrame, topV: Int = 65536,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabulary(docs, topK = topV, textCol = textCol)
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("n_occurrences"), lit(0L))).as("s"))
+      .crossJoin(broadcast(nTotal))
+      .select(col(idCol), col("n_tokens"),
+        (col("s").cast("double") /
+          (col("n_total") * col("n_tokens")).cast("double"))
+          .as("commonness"))
+  }
+
   /** 64-bit content fingerprint (graft native hash — deterministic across
     * executors, unlike JVM hashCode). */
   def fingerprint(text: Column): Column =

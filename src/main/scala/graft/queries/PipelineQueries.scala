@@ -70,6 +70,11 @@ object PipelineQueries {
     // line fractions — pure codegen map stage, zero shuffles
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(documents(s, d))),
+    // unigram commonness quality score: integer corpus-count numerator /
+    // one exact double division — broadcast vocab join, one doc-keyed
+    // shuffle, none on the token stream
+    "q_text_commonness" -> ((s, d) =>
+      TextAnalysis.commonness(documents(s, d))),
     // deterministic train/val/test assignment: append-stable content-hash
     // split (exact binary boundaries 0.75 / 0.875 so the oracle's CASE
     // replays bit-identically), zero shuffles
@@ -174,6 +179,11 @@ object PipelineQueries {
         all.filter(col("doc_id") % 20 === 0))
     }),
     // -------------------------------------------------------- similarity
+    // JL random projection 64 -> 8 dims: one native MatrixProject node
+    // per row (codegen k×d product), zero shuffles; signs are hash-
+    // derived so the oracle regenerates the identical matrix
+    "q_embed_project" -> ((s, d) =>
+      Similarity.randomProject(embeddings(s, d), k = 8)),
     "q_ann_bruteforce" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
@@ -680,6 +690,26 @@ object PipelineQueries {
                AS DOUBLE) / len(string_split(lower(text),' '))
              ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.4 END) * 0.3, 4) AS DOUBLE) AS quality
          FROM documents""",
+    // commonness: integer Σ n_t numerator and long N·n denominator are
+    // exact in both engines; ONE double division (exact operands
+    // < 2^53) ⇒ bit-identical scores with no rounding
+    "q_text_commonness" ->
+      """WITH ne AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents) u
+           WHERE tok <> ''),
+         vocab AS (
+           SELECT tok, count(*) AS n_t FROM ne GROUP BY tok
+           ORDER BY n_t DESC, tok LIMIT 65536),
+         tot AS (SELECT count(*) AS n_total FROM ne)
+         SELECT ne.doc_id, count(*) AS n_tokens,
+           CAST(sum(coalesce(vocab.n_t, 0)) AS DOUBLE)
+             / CAST((SELECT n_total FROM tot) * count(*) AS DOUBLE)
+             AS commonness
+         FROM ne LEFT JOIN vocab ON ne.tok = vocab.tok
+         GROUP BY ne.doc_id""",
     // vocabulary: same \s+ tokenization (string_split_regex) + the same
     // total (count desc, token asc) order, so the top-100 SET matches
     // even with count ties at the boundary
@@ -864,6 +894,22 @@ object PipelineQueries {
                (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
                  % 18446744073709551616::HUGEINT) AS h
            FROM documents) t""",
+    // random projection: the SAME hash-derived ±1 matrix (regenerated
+    // here as literals) folded left-to-right — sign·x products are exact
+    // IEEE sign flips and the sequential fold order matches the native
+    // node's loop, so every output double is bit-identical
+    "q_embed_project" -> {
+      val signs = graft.operators.Similarity.projectSigns(dim = 64, k = 8)
+      val cols = (0 until 8).map { j =>
+        val lst = signs(j).map(s => if (s < 0) "-1.0" else "1.0")
+          .mkString("[", ", ", "]")
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])),
+             (acc, v) -> acc + v) AS proj_$j"""
+      }.mkString(",\n           ")
+      s"SELECT vec_id, $cols FROM embeddings"
+    },
     "q_ann_bruteforce" ->
       """SELECT vec_id,
            round(CAST(list_cosine_similarity(embedding,

@@ -622,6 +622,56 @@ class PipelineSpec extends AnyFunSuite {
     // leading + requirement keeps ordinary numbers untouched
     assert(redacted(2).endsWith("port 8080"))
   }
+  test("random projection: exact sequential-fold outputs, JL structure, no shuffle") {
+    val k = 8
+    val signs = Similarity.projectSigns(dim = 64, k = k)
+    // exactness: the native node must equal a strict left-to-right fold
+    val got = Similarity.randomProject(emb, k = k).collect()
+      .map(r => r.getLong(0) -> (1 to k).map(r.getDouble)).toMap
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val want = (0 until k).map { j =>
+        var dot = 0.0
+        for (i <- v.indices) dot += signs(j)(i) * v(i).toDouble
+        dot
+      }
+      assert(got(id) == want, s"vec $id")
+    }
+    // sign matrix is deterministic and ±1 only; different seeds differ
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    def flat(m: Array[Array[Double]]): Seq[Seq[Double]] = m.map(_.toSeq).toSeq
+    assert(flat(Similarity.projectSigns(64, k)) == flat(signs))
+    assert(flat(Similarity.projectSigns(64, k, seed = 7L)) != flat(signs))
+    // JL structure: projected cosines correlate with full-dim cosines
+    // (deterministic given the fixed seed — verified, not a flake risk)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // distortion shrinks as 1/sqrt(k): 64->8 is too lossy for a stable
+    // structure check, so assert it at k=32 (the scale-path setting)
+    val got32 = Similarity.randomProject(emb, k = 32).collect()
+      .map(r => r.getLong(0) -> (1 to 32).map(r.getDouble)).toMap
+    val q = rows(0L).map(_.toDouble).toSeq
+    val qp = got32(0L)
+    val pairs = rows.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      (cos(v.map(_.toDouble).toSeq, q), cos(got32(id), qp))
+    }
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val corr = cov / (sx * sy)
+    assert(corr > 0.6, s"projection destroyed similarity structure: corr=$corr")
+    // scale shape: a pure map stage — no Exchange in the plan
+    val plan = Similarity.randomProject(emb, k = k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "randomProject must not shuffle")
+  }
+
   test("vocabulary: exact counts, (count desc, token asc) order, top-k cut") {
     import spark.implicits._
     val df = Seq("b b a c", "a b C", "c a").toDF("text")
