@@ -50,16 +50,17 @@ object StreamQueries {
     f(iso)
   }
 
-  /** events as an unbounded source: the static raw schema (ts is parquet
-    * TIMESTAMP(NANOS) = long under the legacy conf, see Tables.events)
-    * feeds `readStream`, converted to microsecond timestamps exactly like
-    * the batch reader so stream and oracle agree. Callers must hold
-    * [[withNanosConf]] around both this call and the stream's run. */
+  /** events as an unbounded source: the static raw schema (probed from
+    * the batch reader — nanos LONG under the legacy conf, or NTZ micros
+    * on newer data) feeds `readStream`, normalized to microsecond
+    * timestamps exactly like the batch reader so stream and oracle agree
+    * (Tables.normalizeEventsTs). Callers must hold [[withNanosConf]]
+    * around both this call and the stream's run. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(raw)
-      .parquet(Tables.streamableDir(spark, sfDir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(raw)
+        .parquet(Tables.streamableDir(spark, sfDir, "events")))
   }
 
   private def runToCompletion(df: DataFrame, name: String,
@@ -192,15 +193,20 @@ object StreamQueries {
       java.nio.file.Files.createDirectories(base)
       val work = base.resolve("events").toString
       val chk = base.resolve("chk").toString
-      // under the nanos conf the raw read gives ts as LONG (nanos); the
-      // staged files keep that representation so both triggers re-read it
+      // the staged files keep the RAW ts representation (nanos LONG under
+      // the legacy conf, or NTZ micros) so both triggers re-read it; the
+      // 60th-percentile split is computed domain-agnostically on a long
+      // rendering of ts and filtered with the same expression
       val raw = iso.read.parquet(s"$d/events.parquet")
-      val splitNs = raw.selectExpr("CAST(percentile_approx(ts, 0.6) AS LONG)")
+      val rawTsLong =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) col("ts")
+        else unix_micros(col("ts").cast("timestamp"))
+      val splitNs = raw.select(
+          percentile_approx(rawTsLong, lit(0.6), lit(10000)).cast("long"))
         .first().getLong(0)
       val rawSchema = raw.schema
       def agg() = StreamingAgg.windowedAgg(
-        iso.readStream.schema(rawSchema).parquet(work)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        Tables.normalizeEventsTs(iso.readStream.schema(rawSchema).parquet(work)),
         "ts", "1 hour", watermarkDelay = "10 minutes",
         groupCols = Seq(col("event_type")),
         aggCols = Seq(
@@ -213,11 +219,11 @@ object StreamQueries {
         q.awaitTermination()
         q.recentProgress.map(_.numInputRows).sum
       }
-      raw.filter(col("ts") < splitNs).write.parquet(work)
+      raw.filter(rawTsLong < splitNs).write.parquet(work)
       trigger()
       val partial = iso.table(name).agg(sum(col("cnt"))).first().getLong(0)
-      raw.filter(col("ts") >= splitNs).write.mode("append").parquet(work)
-      val lateRows = raw.filter(col("ts") >= splitNs).count()
+      raw.filter(rawTsLong >= splitNs).write.mode("append").parquet(work)
+      val lateRows = raw.filter(rawTsLong >= splitNs).count()
       val resumedInput = trigger()
       require(resumedInput == lateRows,
         s"trigger 2 read $resumedInput rows, expected only the $lateRows " +

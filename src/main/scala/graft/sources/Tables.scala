@@ -26,17 +26,33 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark 4 vectorized reader rejects outright. Read nanos as raw longs
-    * (legacy conf) and convert to microsecond TimestampType — same
-    * truncation DuckDB applies, so oracle comparisons line up. The conf is
-    * session-dynamic, so setting it here covers driver-created sessions.
-    */
+  /** Normalize a raw events `ts` column to microsecond TimestampType
+    * whatever representation the files carry. Generated data has shipped
+    * `ts` as parquet TIMESTAMP(NANOS) — which the Spark 4 vectorized
+    * reader rejects unless the legacy conf maps it to a raw nanos LONG —
+    * and as TIMESTAMP(MICROS, NTZ). Keying off the DataFrame's own schema
+    * keeps every consumer (batch reader, file-stream source, staged work
+    * dirs) correct against either vintage; sessions here run in UTC, so
+    * the NTZ→LTZ cast preserves the wall-clock value DuckDB reads. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** events with `ts` as microsecond TimestampType (see
+    * [[normalizeEventsTs]]). The legacy nanos conf is session-dynamic and
+    * only consulted for TIMESTAMP(NANOS) files, so setting it here is a
+    * no-op on micros-vintage data. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(table(spark, d, "events"))
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   /** documents as an unbounded file-stream source (static schema probed
