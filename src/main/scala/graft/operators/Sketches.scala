@@ -36,6 +36,58 @@ object Sketches {
     * Both engines compute the estimate with the identical IEEE op
     * sequence — (k-1) / ((h_k + 2^63) / 2^64), all constants powers of
     * two — so results are bit-comparable after a defensive round(4). */
+  /** COUNT-MIN SKETCH frequency estimates for the corpus's exact top-k
+    * tokens: build a depth×width counter grid from the token stream, then
+    * estimate each token's count as the MIN over its `depth` cells.
+    * Estimates are ≥ the true count (collisions only ever ADD), with
+    * error ≤ ε·N at probability 1−δ for width = e/ε, depth = ln(1/δ).
+    *
+    * Why it matters at open-web scale (NOTES: the vocabulary-threshold
+    * question): an exact token count's map-side partial state is
+    * vocabulary-sized — fine until distinct-tokens-per-partition stops
+    * fitting the hash-aggregate map and partials spill. The CMS pass has
+    * partial state and shuffle width bounded by depth·width CELLS
+    * (constant, here 4×1024) regardless of vocabulary size, so frequency
+    * estimation over any corpus costs one scan plus a constant-width
+    * shuffle. The standard composition: CMS pass to find the heavy-hitter
+    * threshold cheaply, exact pass restricted to candidates.
+    *
+    * Each row of the grid uses the library hash with the depth index
+    * TAGGED INTO THE INPUT (`"cms<d>:" || token`, seed 0) — the same
+    * independent-draw idiom as Sampling — so every cell assignment is
+    * integer arithmetic an external engine replays exactly; the whole
+    * output (exact count, estimate) is integers, no rounding anywhere.
+    *
+    * Output: token, n_exact, est_count (≥ n_exact), ordered by
+    * (n_exact desc, token) — the same total order as [[TextAnalysis
+    * .vocabulary]]. */
+  def cmsTopTokenEstimates(docs: DataFrame, topK: Int = 20, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    def cellOf(d: Int): Column = pmod(
+      seeded_hash64(concat(lit(s"cms$d:"), col("token")), lit(0L)),
+      lit(width.toLong))
+    def cellStructs: Column = array((0 until depth).map(d =>
+      struct(lit(d).as("d"), cellOf(d).as("cell"))): _*)
+    // grid: count per (row, cell) — partial-agg state capped at
+    // depth·width entries per task, shuffle width depth·width keys
+    val cms = toks.select(explode(cellStructs).as("dc"))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = TextAnalysis.vocabulary(docs, topK, textCol)
+      .withColumnRenamed("n_occurrences", "n_exact")
+    top.select(col("token"), col("n_exact"), explode(cellStructs).as("dc"))
+      .select(col("token"), col("n_exact"), col("dc.d").as("d"),
+        col("dc.cell").as("cell"))
+      .join(broadcast(cms), Seq("d", "cell"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cnt")).as("est_count"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   def kmvDistinct(df: DataFrame, groupBy: Seq[String], key: Column,
       k: Int = 256): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3, got $k")

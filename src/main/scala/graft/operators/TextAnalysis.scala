@@ -192,6 +192,102 @@ object TextAnalysis {
           .as("commonness"))
   }
 
+  /** Per-document TF-IDF TOP TERMS: the `topK` highest-scoring tokens per
+    * document under smoothed idf (`idf = ln((N+1)/(df+1)) + 1`, the
+    * standard add-one smoothing so corpus-universal terms still score
+    * > 0) — the classic keyword/topic extraction step ahead of clustering
+    * or retrieval indexing.
+    *
+    * Scale shape: the explode is map-side; tf aggregates with map-side
+    * partials on (doc, token); df aggregates over the tf table (vocab-
+    * sized) and BROADCASTS back; the per-doc top-k is one window keyed on
+    * the document. Two data-sized shuffles total, none wider than the
+    * token stream. Ranking uses the ROUNDED score (4 dp) with a token
+    * tie-break, so the selected set is deterministic and independently
+    * reproducible — `ln` is the one non-exact step, and rounding absorbs
+    * any sub-ulp disagreement between math libraries.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val nd = tf.agg(count_distinct(col(idCol)).as("n_docs"))
+    val tfidf = round(
+      col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df_docs").cast("double") + lit(1.0))) + lit(1.0)), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf", tfidf)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("df_docs"), col("tfidf"))
+  }
+
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms — the retrieval scorer used to mine topical subsets out of a
+    * crawl (k1/b are the standard Robertson defaults). Returns the
+    * `topK` documents by score; documents matching NO query term are
+    * omitted (their score is identically 0).
+    *
+    * Determinism contract: per-term contributions follow one pinned IEEE
+    * op order (`idf · (tf·(k1+1)) / (tf + k1·((1−b) + b·(dl/avgdl)))`,
+    * avgdl = one division of exact integer sums), are rounded at 6 dp,
+    * and the ≤|terms| contributions per document are summed as FIXED
+    * columns in term order — never a float sum over a nondeterministic
+    * row order. An external engine replaying the same ops reproduces
+    * every score bit-for-bit (modulo sub-ulp `ln`, absorbed by the
+    * rounding).
+    *
+    * Scale shape: doc lengths and tf aggregate with map-side partials
+    * (tf only over rows matching a query term — the isin filter prunes
+    * the token stream before the shuffle); df and the corpus stats are
+    * tiny broadcasts; the final top-k is TakeOrderedAndProject. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms == queryTerms.distinct, "queryTerms must be distinct")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df_docs").cast("double")
+    val nD = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("avgdl")))
+    val contrib = round(idf * ((tfD * lit(k1 + 1.0)) / denom), 6)
+    val perTerm = tf.join(broadcast(dfT), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", contrib)
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("_c"))).as(s"_c$i")
+    }
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perTerm.groupBy(col(idCol))
+      .agg(termCols.head, termCols.tail: _*)
+      .select(col(idCol), round(total, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** 64-bit content fingerprint (graft native hash — deterministic across
     * executors, unlike JVM hashCode). */
   def fingerprint(text: Column): Column =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, TextClean}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis, TextClean}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory: dedup family, similarity search,
@@ -75,6 +75,22 @@ object PipelineQueries {
     // shuffle, none on the token stream
     "q_text_commonness" -> ((s, d) =>
       TextAnalysis.commonness(documents(s, d))),
+    // per-doc TF-IDF top terms: tf + broadcast df + one doc-keyed window;
+    // ranking on the ROUNDED score (token tie-break) so the selected set
+    // is reproducible across math libraries
+    "q_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(documents(s, d), topK = 3)),
+    // BM25 retrieval scoring against a fixed query bag: pinned IEEE op
+    // order + fixed-column term sum (never a float sum over row order),
+    // TakeOrderedAndProject top-k
+    "q_text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(documents(s, d),
+        queryTerms = Seq("spark", "hash", "window"), topK = 20)),
+    // count-min sketch frequency estimates for the exact top-20 tokens:
+    // constant-width (4×1024-cell) partial state and shuffle regardless
+    // of vocabulary size — all-integer output, no rounding anywhere
+    "q_freq_cms" -> ((s, d) =>
+      Sketches.cmsTopTokenEstimates(documents(s, d), topK = 20)),
     // deterministic train/val/test assignment: append-stable content-hash
     // split (exact binary boundaries 0.75 / 0.875 so the oracle's CASE
     // replays bit-identically), zero shuffles
@@ -390,6 +406,51 @@ object PipelineQueries {
          % 4294967296::HUGEINT) * 4294967296::HUGEINT)
        % 18446744073709551616::HUGEINT""", // h *= 0x94d049bb133111eb
     "xor(%IN%, %IN% // 2147483648::HUGEINT)") // h ^= h >>> 31
+
+  /** q_freq_cms oracle: re-derives the count-min grid and the top-20
+    * estimates from scratch — 4 tagged hash chains over the per-
+    * occurrence token stream for the grid, 4 more over the top-20 tokens
+    * for the probes, identical positive-mod cell mapping, min over the
+    * depth cells. Everything is integer arithmetic. */
+  private lazy val cmsOracleSql: String = {
+    val depth = 4
+    val w = 1024
+    def cellify(inner: String, carry: String): String =
+      s"""SELECT $carry, ((${toSigned("x5")} % $w) + $w) % $w AS cell
+          FROM ($inner) t"""
+    val cellCtes = (0 until depth).map { d =>
+      s"""c$d AS (${cellify(
+        hash64Sql(s"'cms$d:' || token", from = "ne", carry = "token"),
+        "token")})"""
+    }
+    val probeCtes = (0 until depth).map { d =>
+      s"""p$d AS (SELECT token, n_exact, $d AS d, cell
+          FROM (${cellify(
+        hash64Sql(s"'cms$d:' || token", from = "top",
+          carry = "token, n_exact"),
+        "token, n_exact")}) q)"""
+    }
+    val cmsUnion = (0 until depth)
+      .map(d => s"SELECT $d AS d, cell, count(*) AS cnt FROM c$d GROUP BY cell")
+      .mkString("\n  UNION ALL ")
+    val probesUnion = (0 until depth)
+      .map(d => s"SELECT * FROM p$d").mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+         SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+         FROM documents),
+       ne AS (SELECT token FROM toks WHERE token <> ''),
+       top AS (
+         SELECT token, count(*) AS n_exact FROM ne GROUP BY token
+         ORDER BY n_exact DESC, token LIMIT 20),
+       ${cellCtes.mkString(",\n")},
+       cms AS ($cmsUnion),
+       ${probeCtes.mkString(",\n")},
+       probes AS ($probesUnion)
+       SELECT token, n_exact, min(cnt) AS est_count
+       FROM probes JOIN cms USING (d, cell)
+       GROUP BY token, n_exact
+       ORDER BY n_exact DESC, token"""
+  }
 
   /** unsigned-HUGEINT → signed BIGINT two's-complement wrap */
   private def toSigned(in: String): String =
@@ -710,6 +771,74 @@ object PipelineQueries {
              AS commonness
          FROM ne LEFT JOIN vocab ON ne.tok = vocab.tok
          GROUP BY ne.doc_id""",
+    // TF-IDF: identical smoothed-idf op order (ints → double, one
+    // division, ln, +1.0, ×tf, round 4); ranking on the ROUNDED score
+    // with token tie-break matches the Spark window exactly
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM ne GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         scored AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df_docs,
+             round(CAST(tf.tf AS DOUBLE) *
+               (ln((CAST((SELECT n_docs FROM nd) AS DOUBLE) + 1.0)
+                   / (CAST(df.df_docs AS DOUBLE) + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN df ON tf.token = df.token)
+         SELECT doc_id, token, tf, df_docs, tfidf FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+           FROM scored) r
+         WHERE rn <= 3""",
+    // BM25: pinned op order (k1+1 = 2.2 and 1−b = 0.25 fold to the same
+    // doubles the literals parse to), contributions rounded at 6 then
+    // summed as FIXED CASE columns in term order, total rounded at 4
+    "q_text_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM ne GROUP BY 1),
+         stats AS (SELECT
+           (SELECT count(*) FROM documents) AS n_docs,
+           CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+             / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM ne
+                WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         per AS (
+           SELECT tf.doc_id, tf.token,
+             round(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                           - CAST(df.df_docs AS DOUBLE) + 0.5)
+                        / (CAST(df.df_docs AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / stats.avgdl)))), 6) AS c
+           FROM tf JOIN df ON tf.token = df.token
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats)
+         SELECT doc_id,
+           round(coalesce(c0, 0.0) + coalesce(c1, 0.0)
+                 + coalesce(c2, 0.0), 4) AS bm25
+         FROM (
+           SELECT doc_id,
+             sum(CASE WHEN token = 'spark' THEN c END) AS c0,
+             sum(CASE WHEN token = 'hash' THEN c END) AS c1,
+             sum(CASE WHEN token = 'window' THEN c END) AS c2
+           FROM per GROUP BY doc_id) g
+         ORDER BY bm25 DESC, doc_id
+         LIMIT 20""",
+    // count-min sketch: all-integer recompute — the 4 tagged hash chains
+    // ('cms<d>:' || token, seed 0) replay the library hash per
+    // occurrence, cells via the same positive-mod, estimate = min over
+    // the 4 cells
+    "q_freq_cms" -> cmsOracleSql,
     // vocabulary: same \s+ tokenization (string_split_regex) + the same
     // total (count desc, token asc) order, so the top-100 SET matches
     // even with count ties at the boundary

@@ -749,5 +749,81 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "splitAssign must not shuffle")
   }
-}
+  test("tfidf top terms: exact driver recompute of scores and per-doc top-3") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val tf = texts.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nDocs = tf.count(_._2.nonEmpty).toLong
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same JVM ⇒ Math.log here is bit-identical to Spark's log()
+    val expect: Map[Long, Seq[(String, Double)]] = tf.collect {
+      case (id, m) if m.nonEmpty =>
+        val scored = m.toSeq.map { case (tok, n) =>
+          tok -> r4(n.toDouble *
+            (math.log((nDocs + 1.0) / (dfm(tok) + 1.0)) + 1.0))
+        }
+        id -> scored.sortBy { case (tok, sc) => (-sc, tok) }.take(3)
+    }.toMap
+    val got = TextAnalysis.tfidfTopTerms(docs, topK = 3).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getDouble(4))).toSeq.sortBy {
+        case (tok, sc) => (-sc, tok)
+      }).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id") }
+    // df/tf columns are the exact counts
+    val one = TextAnalysis.tfidfTopTerms(docs, topK = 3).collect().head
+    assert(one.getLong(2) == tf(one.getLong(0))(one.getString(1)))
+    assert(one.getLong(3) == dfm(one.getString(1)))
+  }
 
+  test("bm25: exact driver recompute, ordering, absent-term docs omitted") {
+    val terms = Seq("spark", "hash", "window")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val nDocs = texts.size.toLong
+    val dl = texts.view.mapValues(t => toks(t).size.toLong).toMap
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    val tf = texts.map { case (id, t) =>
+      id -> toks(t).filter(terms.contains).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap }
+    val dfm = terms.map(t => t -> tf.values.count(_.contains(t)).toLong).toMap
+    def rN(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = tf.collect { case (id, m) if m.nonEmpty =>
+      val total = terms.map { t =>
+        m.get(t).fold(0.0) { n =>
+          val df = dfm(t).toDouble
+          val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+          rN(idf * ((n.toDouble * 2.2) /
+            (n.toDouble + 1.2 * (0.25 + 0.75 * (dl(id).toDouble / avgdl)))), 6)
+        }
+      }.reduceLeft(_ + _)
+      id -> rN(total, 4)
+    }.toMap
+    val expectTop = expect.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = TextAnalysis.bm25(docs, terms, topK = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == expectTop)
+  }
+
+  test("cms estimates: top-20 set matches vocabulary, estimate >= exact") {
+    import graft.operators.Sketches
+    val got = Sketches.cmsTopTokenEstimates(docs, topK = 20).collect()
+    assert(got.length == 20)
+    val vocab = TextAnalysis.vocabulary(docs, topK = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).toSeq == vocab.toSeq)
+    // CMS can only over-count: min over 4 tagged rows of a 1024-cell grid
+    assert(got.forall(r => r.getLong(2) >= r.getLong(1)),
+      got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).mkString(", "))
+  }
+}
