@@ -292,6 +292,105 @@ object IVF {
     }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
   }
 
+  /** Batched EXACT kNN JOIN: every row of `queries` gets its true top-k
+    * cosine neighbors from the indexed corpus — the retrieval-index /
+    * hard-negative-mining shape ([[searchExact]] is one query vector;
+    * this is a table of them, fully distributed, no driver loop).
+    *
+    * Same lossless pruning as [[searchExact]], vectorized: per query row
+    * a native [[graft.functions.MatrixProject]] node computes all
+    * centroid dot products inside codegen; each live cell's reachability
+    * bound `cos(max(0, angle(q, centroid_i) − radius_i))` (spherical
+    * triangle inequality — no member can beat it) becomes an element of
+    * a per-row bounds array. Phase 1 equi-joins each query to its
+    * best-bounded cell and takes the candidate top-k to learn the
+    * running k-th cosine; phase 2 explodes exactly the cells whose bound
+    * still reaches that k-th value and re-joins. Any vector beating the
+    * k-th lies in a cell whose bound ≥ its cosine, so phase 2's probe
+    * set provably contains the true top-k; a phase-1 cell holding fewer
+    * than k members sets the threshold to −∞, degrading to a full scan —
+    * never returning less than the truth (same contract as searchExact).
+    *
+    * Scale shape: both joins are EQUI-joins on `ivf_cell` (co-located
+    * with the `partitionBy("ivf_cell")` layout — at 100 TB a query
+    * touches its probed cells' files only); the per-query top-k windows
+    * shuffle candidate rows keyed on the query id — candidates, not the
+    * corpus, and on clustered data the bound prunes most cells. The
+    * query table never needs to fit anywhere special: bounds ride along
+    * as one array column of |live cells| doubles per row.
+    *
+    * `queries` must carry (`qidCol`, `qEmbCol`) with `qEmbCol` named
+    * differently from `embCol`. Output: (qid, vec_id, cosine, rank) with
+    * rank 1..k by (cosine desc, id asc) per query. */
+  def knnJoin(indexed: DataFrame, model: Model, queries: DataFrame,
+      k: Int = 10, qidCol: String = "qid", qEmbCol: String = "q_embedding",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k=$k")
+    require(qEmbCol != embCol,
+      s"query embedding column '$qEmbCol' must differ from corpus '$embCol'")
+    import graft.functions.functions.matrix_project
+    val radii = cellRadii(indexed, model, "ivf_cell", embCol)
+    val live = model.centroids.indices.filter(radii.contains).toArray
+    val out = Seq(qidCol, idCol, "cosine", "rank")
+    if (live.isEmpty) // empty corpus: empty result with the right schema
+      return queries.select(col(qidCol)).limit(0)
+        .crossJoin(indexed.select(col(idCol)).limit(0))
+        .withColumn("cosine", lit(0.0)).withColumn("rank", lit(1))
+        .select(out.map(col): _*)
+    val cnorms = model.centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cellIds = array(live.map(lit).toSeq: _*)
+    val cellNorms = array(live.map(i => lit(cnorms(i))).toSeq: _*)
+    val cellRads = array(live.map(i => lit(radii(i))).toSeq: _*)
+    // per-row: dots with live centroids (one codegen matrix product),
+    // query norm, then the per-cell (cell, bound) structs
+    val qe = col(qEmbCol)
+    val qn = sqrt(aggregate(
+      transform(qe, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    val withBounds = queries
+      .withColumn("_dots", matrix_project(qe, live.map(model.centroids)))
+      .withColumn("_qn", qn)
+      .withColumn("_bounds", transform(
+        sequence(lit(1), lit(live.length)),
+        i => struct(
+          element_at(cellIds, i).as("cell"),
+          cos(greatest(lit(0.0),
+            acos(least(lit(1.0), greatest(lit(-1.0),
+              when(col("_qn") === 0.0 ||
+                element_at(cellNorms, i) === 0.0, lit(0.0))
+                .otherwise(element_at(col("_dots"), i) /
+                  (element_at(cellNorms, i) * col("_qn"))))))
+            - element_at(cellRads, i))).as("bound"))))
+      .withColumn("_best", array_max(transform(col("_bounds"),
+        b => struct(b.getField("bound").as("b"), b.getField("cell").as("c"))))
+        .getField("c"))
+      .select(col(qidCol), qe, col("_bounds"), col("_best"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    def candidates(probes: DataFrame, cellCol: String): DataFrame =
+      probes.join(indexed, probes(cellCol) === indexed("ivf_cell"))
+        .select(col(qidCol), col(idCol),
+          cosine_similarity(col(embCol), col(qEmbCol)).as("cosine"))
+    // phase 1: best cell only → running k-th cosine per query (−∞ when
+    // the cell holds fewer than k members: the bound can't prune yet)
+    val kth = candidates(withBounds, "_best")
+      .withColumn("_rn", row_number().over(wq)).filter(col("_rn") <= k)
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("_n"), min(col("cosine")).as("_kc"))
+      .select(col(qidCol),
+        when(col("_n") < k, lit(-2.0)).otherwise(col("_kc")).as("_kth"))
+    // phase 2: exactly the cells whose bound reaches the k-th (>=, so
+    // boundary ties are kept; the best cell always re-qualifies)
+    val probes2 = withBounds.join(kth, Seq(qidCol))
+      .select(col(qidCol), col(qEmbCol),
+        explode(filter(col("_bounds"),
+          b => b.getField("bound") >= col("_kth"))).as("_pc"))
+      .select(col(qidCol), col(qEmbCol), col("_pc").getField("cell").as("_cell"))
+    candidates(probes2, "_cell")
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
+      .select(out.map(col): _*)
+  }
+
   /** top-k cosine search probing only the nearest cells */
   def search(indexed: DataFrame, model: Model, query: Seq[Float], k: Int = 10,
       nProbe: Int = 8, idCol: String = "vec_id", embCol: String = "embedding")

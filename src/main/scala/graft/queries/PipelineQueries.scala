@@ -228,6 +228,19 @@ object PipelineQueries {
       IVF.searchExact(IVF.index(emb, model), model, q, k = 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    // batched EXACT kNN join (every 400th vector as the query table):
+    // two ivf_cell equi-joins + per-query candidate windows, lossless
+    // cell-bound pruning — oracle = the full brute-force cross join
+    "q_knn_join" -> ((s, d) => {
+      import graft.operators.IVF
+      val emb = embeddings(s, d)
+      val model = IVF.fitCached(emb, k = 32, sampleN = 1024, iters = 6)
+      val queries = emb.filter(col("vec_id") % 400 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+      IVF.knnJoin(IVF.index(emb, model), model, queries, k = 5)
+        .select(col("qid"), col("vec_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
     // product quantization with exact rerank: the ADC scan reads ONLY the
     // 8-byte code column (32x smaller than the embeddings — the memory-
     // bounded path at 100 TB), then the top-256 shortlist is re-scored
@@ -491,6 +504,23 @@ object PipelineQueries {
              (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
            vec_id ASC
          LIMIT 10""",
+    // exact kNN join oracle: the full brute-force cross join — the
+    // cell-pruned two-phase join must return exactly this
+    "q_knn_join" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS q_embedding
+           FROM embeddings WHERE vec_id % 400 = 0),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding, q.q_embedding) AS c
+           FROM q, embeddings e)
+         SELECT qid, vec_id, round(CAST(c AS DOUBLE), 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+         FROM (
+           SELECT qid, vec_id, c, row_number() OVER (
+             PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+           FROM scored) r
+         WHERE rank <= 5""",
     "q_text_fingerprint" ->
       s"""SELECT doc_id, ${toSigned("x5")} AS fingerprint
           FROM (${hash64Sql("text")}) t""",

@@ -826,4 +826,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(2) >= r.getLong(1)),
       got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).mkString(", "))
   }
+
+  test("knn join: exact equality with per-query brute force, empty-corpus schema") {
+    import graft.operators.IVF
+    import org.apache.spark.sql.expressions.Window
+    val model = IVF.fitCached(emb, k = 16, sampleN = 512, iters = 4)
+    val indexed = IVF.index(emb, model)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+    val got = IVF.knnJoin(indexed, model, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    val expect = queries.crossJoin(emb)
+      .select(col("qid"), col("vec_id"),
+        graft.functions.functions.cosine_similarity(
+          col("embedding"), col("q_embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expect)
+    // each query's #1 neighbor is itself (query vectors come from the corpus)
+    val self = got.filter(_._3 == 1)
+    assert(self.nonEmpty && self.forall { case (q, v, _) => q == v })
+    // empty corpus: empty result, same four columns
+    val none = IVF.knnJoin(indexed.limit(0), model, queries, k = 5)
+    assert(none.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
+    assert(none.count() == 0)
+  }
 }
