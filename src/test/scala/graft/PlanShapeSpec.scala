@@ -204,4 +204,32 @@ class PlanShapeSpec extends AnyFunSuite {
     // the delta band is empty so no partial aggregation of fact rows runs
     assert(plan.contains("CacheReplay"), plan)
   }
+  test("cms grid aggregates partially before one constant-width exchange") {
+    val q = graft.queries.PipelineQueries.queries
+    val plan = planOf(q("q_freq_cms")(spark, sf0001))
+    // the token-stream side must combine map-side: a partial_count over
+    // (d, cell) BEFORE its exchange, so shuffle width is the 4x1024 grid,
+    // never the token stream
+    assert("""HashAggregate.*partial_count""".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tfidf joins df/ndocs by broadcast; no token-stream-wide join") {
+    val q = graft.queries.PipelineQueries.queries
+    val plan = planOf(q("q_text_tfidf")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("knn join plans equi-joins on ivf_cell, never a cartesian product") {
+    val q = graft.queries.PipelineQueries.queries
+    val plan = planOf(q("q_knn_join")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both candidate stages join queries->corpus on the cell id: hash
+    // joins (broadcast or shuffled) keyed on ivf_cell
+    assert("""(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*ivf_cell""".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
+  }
 }
