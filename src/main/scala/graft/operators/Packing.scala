@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 
 /** Sequence packing (north-star pipeline mandate — no reference
   * counterpart): assign documents to fixed-token-budget training
@@ -50,7 +52,13 @@ object Packing {
     val before = coalesce(
       sum(tokens.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
-    df.withColumn("pack_seq", floor(before / lit(budget.toLong)).cast("long"))
+    // Integer division, NOT floor(double divide): a double quotient is
+    // only exact below 2^53, and a 100 TB corpus's per-group running sum
+    // can't be trusted to stay there. IntegralDivide is the codegen'd
+    // long/long `div` (same operator as SQL `//`).
+    val seq = Shims.column(IntegralDivide(
+      Shims.expression(before), Shims.expression(lit(budget.toLong))))
+    df.withColumn("pack_seq", seq)
       .withColumn("pack_offset", before % lit(budget.toLong))
   }
 }

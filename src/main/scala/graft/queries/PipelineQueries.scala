@@ -619,15 +619,20 @@ object PipelineQueries {
               ORDER BY h, doc_id) - 1 AS shard_pos
           FROM hashed""",
     // concat-and-slice packing: exclusive running token sum per source,
-    // intdiv/mod by the budget (exact integer arithmetic both sides)
+    // intdiv/mod by the budget. DuckDB's windowed sum(BIGINT) is HUGEINT
+    // (r6 hash mismatch: HUGEINT renders as float64 downstream while
+    // Spark emits int64) — CAST the running sum back to BIGINT before
+    // the divide so both sides are int64 end to end.
     "q_pack_sequences" ->
       """SELECT doc_id, source,
            before // 1024 AS pack_seq,
            before % 1024 AS pack_offset
          FROM (
            SELECT doc_id, source,
-             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
            FROM (SELECT doc_id, source,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents) t) u""",

@@ -471,6 +471,16 @@ class PipelineSpec extends AnyFunSuite {
     val b = two.filter(col("g") === "b").select("pack_seq", "pack_offset")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(b == Seq((0L, 0L)))
+    // integer-exact past 2^53: before = 2^53+1 is NOT double-representable
+    // (rounds to 2^53), so floor(before / 3.0) would give ...330; the
+    // true integral quotient is 3002399751580331 (3 × it = 2^53+1).
+    val big = Seq((1L, 9007199254740993L), (2L, 5L)).toDF("id", "toks")
+      .withColumn("g", lit("a"))
+    val bigPack = Packing.concatSlicePack(big, col("g"), col("id"),
+        col("toks"), budget = 3)
+      .filter(col("id") === 2L).select("pack_seq", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bigPack == Seq((3002399751580331L, 0L)))
   }
 
   test("decontaminate drops leaked docs, keeps clean ones") {
