@@ -367,10 +367,16 @@ object IVF {
       .select(col(qidCol), qe, col("_bounds"), col("_best"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    // cosine_similarity is NULL for zero-norm vectors; drop those rows
+    // here (mirroring searchExact) so (a) phase 1's count counts only
+    // real candidates — a best cell padded with zero-norm members must
+    // not set a pruning threshold from fewer than k valid cosines — and
+    // (b) undefined-cosine rows never reach the output ranking.
     def candidates(probes: DataFrame, cellCol: String): DataFrame =
       probes.join(indexed, probes(cellCol) === indexed("ivf_cell"))
         .select(col(qidCol), col(idCol),
           cosine_similarity(col(embCol), col(qEmbCol)).as("cosine"))
+        .filter(col("cosine").isNotNull)
     // phase 1: best cell only → running k-th cosine per query (−∞ when
     // the cell holds fewer than k members: the bound can't prune yet)
     val kth = candidates(withBounds, "_best")
@@ -380,11 +386,14 @@ object IVF {
       .select(col(qidCol),
         when(col("_n") < k, lit(-2.0)).otherwise(col("_kc")).as("_kth"))
     // phase 2: exactly the cells whose bound reaches the k-th (>=, so
-    // boundary ties are kept; the best cell always re-qualifies)
-    val probes2 = withBounds.join(kth, Seq(qidCol))
+    // boundary ties are kept; the best cell always re-qualifies). LEFT
+    // join: a query whose best cell held only zero-norm members has no
+    // phase-1 row at all — it must probe every cell (kth = −∞), not
+    // silently vanish from the result.
+    val probes2 = withBounds.join(kth, Seq(qidCol), "left_outer")
       .select(col(qidCol), col(qEmbCol),
         explode(filter(col("_bounds"),
-          b => b.getField("bound") >= col("_kth"))).as("_pc"))
+          b => b.getField("bound") >= coalesce(col("_kth"), lit(-2.0)))).as("_pc"))
       .select(col(qidCol), col(qEmbCol), col("_pc").getField("cell").as("_cell"))
     candidates(probes2, "_cell")
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)

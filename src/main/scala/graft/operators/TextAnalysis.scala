@@ -206,6 +206,12 @@ object TextAnalysis {
     * tie-break, so the selected set is deterministic and independently
     * reproducible — `ln` is the one non-exact step, and rounding absorbs
     * any sub-ulp disagreement between math libraries.
+    *
+    * N (the idf numerator) counts documents with at least one non-empty
+    * token — empty/whitespace-only docs contribute no tf rows and are
+    * deliberately excluded, since they can't receive top terms anyway.
+    * Note [[bm25]] uses raw `count(*)` over `docs` instead; the two
+    * differ only when such empty documents exist.
     */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

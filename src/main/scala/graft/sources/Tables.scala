@@ -41,6 +41,14 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
+        // The NTZ→LTZ cast re-interprets the wall-clock value in the
+        // SESSION time zone; every entry point here pins UTC, but a
+        // future session that forgets would silently shift all event
+        // timestamps relative to the oracle — fail loudly instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventsTs requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): the NTZ cast would shift event wall-clock times")
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => df
     }

@@ -862,4 +862,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("qid", "vec_id", "cosine", "rank"))
     assert(none.count() == 0)
   }
+
+  test("knn join: zero-norm vectors never rank, zero-norm query yields nothing") {
+    import graft.operators.IVF
+    import org.apache.spark.sql.expressions.Window
+    // corpus = real embeddings + zero-norm rows (undefined cosine)
+    val zeros = spark.range(5).select(
+      (col("id") + 100000L).as("vec_id"),
+      array_repeat(lit(0.0f), 64).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(zeros)
+    val model = IVF.fitCached(corpus, k = 16, sampleN = 512, iters = 4)
+    val indexed = IVF.index(corpus, model)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+      .union(spark.range(1).select(lit(-1L).as("qid"),
+        array_repeat(lit(0.0f), 64).as("q_embedding")))
+    val got = IVF.knnJoin(indexed, model, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // zero-norm corpus rows never appear; zero-norm query returns no rows
+    assert(got.forall(_._2 < 100000L))
+    assert(!got.exists(_._1 == -1L))
+    // valid queries still exactly match brute force over VALID cosines
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    val expect = queries.filter(col("qid") =!= -1L).crossJoin(corpus)
+      .select(col("qid"), col("vec_id"),
+        graft.functions.functions.cosine_similarity(
+          col("embedding"), col("q_embedding")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expect)
+  }
 }

@@ -209,8 +209,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(q("q_freq_cms")(spark, sf0001))
     // the token-stream side must combine map-side: a partial_count over
     // (d, cell) BEFORE its exchange, so shuffle width is the 4x1024 grid,
-    // never the token stream
-    assert("""HashAggregate.*partial_count""".r
+    // never the token stream. Anchored on the GRID's grouping keys — the
+    // exact top-20 vocabulary branch also has a partial_count (over
+    // token), and must not satisfy this pin on its own. The grid keys
+    // appear as PullOutGroupingExpressions' _groupingexpression pair
+    // (struct-field extractions d/cell); the vocab branch keys stay the
+    // bare token attribute either way.
+    assert(("""HashAggregate\(keys=\[_groupingexpression#[^\]]*\]""" +
+      """[^)]*partial_count|""" +
+      """HashAggregate\(keys=\[d#[^\]]*\bcell#[^\]]*\][^)]*partial_count""").r
       .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
