@@ -22,11 +22,20 @@ import graft.functions.functions.cosine_similarity
   */
 object Similarity {
 
-  /** deterministic hyperplanes: `planes` rows of `dim` gaussians, seeded */
-  private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic Rademacher (±1) hyperplanes: entry (p, i) is the sign
+    * bit of the library content hash of `"hp:p:i"` under `seed`. Sign-bit
+    * LSH needs only a symmetric spherically-balanced direction family;
+    * dense ±1 rows give the same collision behavior as gaussians for
+    * sign sketches (the simhash construction, Charikar 2002) while being
+    * reproducible in ANY engine — an external oracle regenerates the
+    * identical literals, where seeded JVM gaussians cannot be replayed.
+    * (Same idiom as [[projectSigns]].) */
+  def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      val h = graft.functions.Hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$p:$i"), seed)
+      if (h < 0L) -1.0 else 1.0
+    }
 
   /** sign-bit bucket id of an embedding under `planes` hyperplanes
     * (single native expression — see graft.functions.HyperplaneBucket) */

@@ -211,9 +211,12 @@ object PipelineQueries {
     "q_ann_lsh" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
+      // round(.,4): the oracle's list_cosine_similarity accumulates in
+      // float32 (same tolerance as q_ann_ivf/q_ann_pq); bucket membership
+      // itself is integer-exact both sides (Rademacher hyperplanes)
       Similarity.lshTopK(embeddings(s, d), q, k = 10,
-        probeRadius = 3, planes = 10)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        probeRadius = 4, planes = 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
     // IVF index with EXACT pruned search: probe cells in centroid-bound
     // order, prune cells that provably can't reach the running k-th
@@ -504,6 +507,40 @@ object PipelineQueries {
              (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
            vec_id ASC
          LIMIT 10""",
+    // LSH probe replayed from scratch: the Rademacher hyperplane matrix
+    // is regenerated as ±1 LITERALS (Similarity.hyperplanes is hash-
+    // derived, not JVM-random), each vector's sign-bit bucket recomputed
+    // with the identical ascending-index double fold, the Hamming-radius
+    // filter applied with integer bit ops, then cosine top-10 — bucket
+    // membership is integer-exact, so this checks the probe SET, not
+    // just rows-nonzero
+    "q_ann_lsh" -> {
+      val hp = graft.operators.Similarity.hyperplanes(
+        dim = 64, planes = 10, seed = 42L)
+      def dot(vec: String, plane: Array[Double]): String = {
+        val lst = plane.map(s => if (s < 0) "-1.0" else "1.0")
+          .mkString("[", ", ", "]")
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65),
+               i -> CAST($vec[i] AS DOUBLE) * ($lst)[i])),
+             (acc, v) -> acc + v)"""
+      }
+      def bucket(vec: String): String =
+        hp.zipWithIndex.map { case (plane, p) =>
+          s"(CASE WHEN ${dot(vec, plane)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString("(", "\n + ", ")")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           b AS (SELECT e.vec_id, e.embedding, q.qe,
+                   ${bucket("e.embedding")} AS bkt,
+                   ${bucket("q.qe")} AS qbkt
+                 FROM embeddings e, q)
+         SELECT vec_id,
+           round(CAST(list_cosine_similarity(embedding, qe) AS DOUBLE), 4) AS cosine
+         FROM b
+         WHERE bit_count(xor(bkt, qbkt)) <= 4
+         ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+         LIMIT 10"""
+    },
     // exact kNN join oracle: the full brute-force cross join — the
     // cell-pruned two-phase join must return exactly this
     "q_knn_join" ->
