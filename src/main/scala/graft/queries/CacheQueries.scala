@@ -217,6 +217,19 @@ object CacheQueries {
           .withColumn("delta_cnt",
             col("cnt") - coalesce(lag(col("cnt"), 1).over(w), lit(0L)))
       }),
+    // EXACT percentiles through the cache cycle (the most-requested
+    // dashboard aggregate after avg): mergeable run-length value
+    // histogram state, finalize replays Spark's own interpolation — the
+    // warm answer is exact, so the oracle hash-matches quantile_cont
+    "qc_incr_percentile" -> ((s, d) =>
+      coldAppendWarm(s, d, "percentile") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      }),
     // statistical aggregates (corr/covar via raw-sums state) and ordered
     // last (max_by over the temporal column) through the cache cycle
     "qc_incr_stats" -> ((s, d) =>
@@ -365,6 +378,13 @@ object CacheQueries {
            lag(cnt, 1) OVER (ORDER BY day) AS prev_cnt,
            cnt - COALESCE(lag(cnt, 1) OVER (ORDER BY day), 0) AS delta_cnt
          FROM a""",
+    "qc_incr_percentile" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events WHERE value > 1
+         GROUP BY 1""",
     "qc_incr_stats" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

@@ -45,6 +45,11 @@ object Decompose {
   case object MBitAnd extends MergeOp
   case object MBitOr extends MergeOp
   case object MBitXor extends MergeOp
+  /** run-length value histogram: concatenate stored (v,c) arrays, re-sort,
+    * re-compact — the state is a fixed point (same values merge their
+    * counts), so arbitrarily many merge generations stay bounded by the
+    * group's distinct-value count */
+  case object MValueCounts extends MergeOp
 
   /** One stored state column: `partial` computes it from raw rows,
     * `merge` recombines previously-stored copies of it, and `unit`
@@ -267,6 +272,51 @@ object Decompose {
             StateSpec(s1, sum(child), MSum, unit = Some(child)),
             StateSpec(s2, sum(child * child), MSum, unit = Some(child * child))),
           finalCol.cast(agg.dataType)))
+      case p: Percentile if !p.reverse && !p.discrete &&
+          isUnitFrequency(p.frequencyExpression) &&
+          p.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        // EXACT percentile via the mergeable run-length value histogram —
+        // state = sorted (value, count) pairs, the same state-as-data
+        // idiom as exact COUNT(DISTINCT) (state size = distinct values
+        // per group, maxStateRows is the backstop; DataFusion merges its
+        // own percentile state for free, README.md:34). The finalize
+        // replays Spark's own interpolation (position p·(N−1), linear
+        // between the straddling ranks), so cached == vanilla EXACTLY —
+        // no sketch-estimator divergence. Values are held as doubles:
+        // integral inputs beyond 2^53 could alias; the cast preserves
+        // every value the interpolation (itself double) can distinguish.
+        val n = s"_s${i}_vcnt"
+        val spec = valueCountSpec(n, Shims.column(p.child).cast("double"))
+        val pe = p.percentageExpression
+        val fin = pe.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            when(valueCountTotal(col(n)) === 0, lit(null))
+              .otherwise(transform(Shims.column(pe),
+                pc => percentileOf(col(n), pc.cast("double"))))
+          case _ => percentileOf(col(n), Shims.column(pe).cast("double"))
+        }
+        Some(Decomposed(Seq(spec), fin.cast(agg.dataType)))
+      case ap: ApproximatePercentile
+          if ap.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        // approx_percentile shares the exact histogram state; the cached
+        // finalize returns the member at the classic nearest rank
+        // ⌈p·N⌉ (1-based). NOTE like the HLL case: the vanilla estimator
+        // (Greenwald-Khanna at the declared accuracy) and this exact
+        // answer can differ WITHIN the function's own error bound —
+        // mergeability and bounded error are the contract, estimator
+        // fidelity is not (SURVEY §7.4). The exact answer satisfies any
+        // accuracy the query declared.
+        val n = s"_s${i}_vcnt"
+        val spec = valueCountSpec(n, Shims.column(ap.child).cast("double"))
+        val pe = ap.percentageExpression
+        val fin = pe.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            when(valueCountTotal(col(n)) === 0, lit(null))
+              .otherwise(transform(Shims.column(pe),
+                pc => nearestRankOf(col(n), pc.cast("double"))))
+          case _ => nearestRankOf(col(n), Shims.column(pe).cast("double"))
+        }
+        Some(Decomposed(Seq(spec), fin.cast(agg.dataType)))
       case c: Corr =>
         // Pearson correlation via raw sums (n, Σx, Σy, Σxy, Σx², Σy²) over
         // rows where BOTH sides are non-null (Spark skips half-null pairs).
@@ -297,6 +347,91 @@ object Decompose {
             .cast(agg.dataType)))
       case _ => None
     }
+  }
+
+  /** percentile's frequency argument must be the constant 1 (per-row
+    * weights would need a weighted histogram — bail to vanilla) */
+  private def isUnitFrequency(e: Expression): Boolean =
+    e.foldable && (e.eval() match {
+      case n: Number => n.longValue == 1L
+      case _ => false
+    })
+
+  private val vcType = "array<struct<v:double,c:bigint>>"
+  private def emptyVc: Column =
+    typedlit(Seq.empty[(Double, Long)]).cast(vcType)
+
+  /** run-length compaction of a SORTED array of (v, c) structs: adjacent
+    * equal values merge their counts. O(runs²) array copies inside the
+    * fold — state arrays are distinct-value bounded (maxStateRows), so
+    * this is finalize-side driver-scale work, never data-scale. */
+  private def compactVc(sorted: Column): Column =
+    aggregate(sorted, emptyVc, (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1).getField("v") === x.getField("v"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(x.getField("v").as("v"),
+            (element_at(acc, -1).getField("c") + x.getField("c")).as("c")))))
+        .otherwise(concat(acc, array(struct(x.getField("v").as("v"),
+          x.getField("c").as("c"))))))
+
+  /** shared (value, count) histogram state for the percentile family:
+    * partial = compacted sorted runs of the group's values; unit = a
+    * single-element run per row, so the warm path merges appended rows
+    * directly (collect_list skips nulls, mirroring percentile). */
+  private def valueCountSpec(n: String, child: Column): StateSpec =
+    StateSpec(n,
+      compactVc(sort_array(transform(collect_list(child),
+        v => struct(v.as("v"), lit(1L).as("c"))))),
+      MValueCounts,
+      unit = Some(when(child.isNotNull,
+        array(struct(child.as("v"), lit(1L).as("c")))).otherwise(emptyVc)))
+
+  /** total row count of a histogram state */
+  private[rewrite] def valueCountTotal(st: Column): Column =
+    aggregate(st, lit(0L), (a, x) => a + x.getField("c"))
+
+  /** Spark Percentile's exact interpolation over the sorted run-length
+    * histogram: position = p·(N−1) (0-based); linearly interpolate the
+    * values at ranks ⌊position⌋ and ⌈position⌉, found in ONE pass over
+    * the runs (rank r is inside a run iff it's the first run whose
+    * cumulative count exceeds r). */
+  private[rewrite] def percentileOf(st: Column, pct: Column): Column = {
+    val n = valueCountTotal(st)
+    val pos = pct * (n - 1).cast("double")
+    val lo = floor(pos).cast("long")
+    val hi = ceil(pos).cast("long")
+    val scanned = aggregate(st,
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("vlo"),
+        lit(null).cast("double").as("vhi")),
+      (acc, x) => {
+        val cum2 = acc.getField("cum") + x.getField("c")
+        struct(cum2.as("cum"),
+          when(acc.getField("vlo").isNull && cum2 > lo, x.getField("v"))
+            .otherwise(acc.getField("vlo")).as("vlo"),
+          when(acc.getField("vhi").isNull && cum2 > hi, x.getField("v"))
+            .otherwise(acc.getField("vhi")).as("vhi"))
+      })
+    val vlo = scanned.getField("vlo")
+    val vhi = scanned.getField("vhi")
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(vlo + (vhi - vlo) * (pos - lo.cast("double")))
+  }
+
+  /** nearest-rank (1-based ⌈p·N⌉, floored at 1) member of the histogram —
+    * the approx_percentile finalize: always an actual input value */
+  private[rewrite] def nearestRankOf(st: Column, pct: Column): Column = {
+    val n = valueCountTotal(st)
+    val rank = greatest(ceil(pct * n.cast("double")).cast("long"), lit(1L))
+    val scanned = aggregate(st,
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
+      (acc, x) => {
+        val cum2 = acc.getField("cum") + x.getField("c")
+        struct(cum2.as("cum"),
+          when(acc.getField("v").isNull && cum2 >= rank, x.getField("v"))
+            .otherwise(acc.getField("v")).as("v"))
+      })
+    when(n === 0, lit(null).cast("double")).otherwise(scanned.getField("v"))
   }
 
   /** Spark's statistical aggregates return NULL on divide-by-zero with the
@@ -362,6 +497,8 @@ object Decompose {
       case MBitAnd => bit_and(col(spec.name))
       case MBitOr => bit_or(col(spec.name))
       case MBitXor => bit_xor(col(spec.name))
+      case MValueCounts =>
+        compactVc(sort_array(flatten(collect_list(col(spec.name)))))
     }
     merged.cast(storedType).as(spec.name)
   }

@@ -213,6 +213,46 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull), tol = 1e-6)
   }
 
+  test("exact percentile caches via value-histogram state, equals vanilla, hits") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, array(0.25, 0.75))").as("pq"),
+        expr("percentile(CAST(user_id AS INT), 0.9)").as("p90u"))
+    val (warmDF, log) = coldAppendWarm("pct")(q)
+    // the finalize replays Spark's own interpolation over the merged
+    // histogram, so warm == vanilla BIT-exactly (tol guards sort only)
+    assertSameRows(warmDF, q(eventsFull), tol = 0.0)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
+  test("approx_percentile caches exactly; answer within the GK contract") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5)").as("ap50"))
+    val (warmDF, log) = coldAppendWarm("apct")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // the cached estimator is the exact nearest-rank member (documented
+    // divergence-within-error, like HLL): check the contract directly —
+    // the answer is a group member whose 1-based rank is within 1 of
+    // ⌈0.5·N⌉ (accuracy 10000 ⇒ error ≤ 1 rank at this N)
+    val groups = eventsFull.filter(col("value") > 1)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    warmDF.collect().foreach { r =>
+      val vs = groups(r.getString(0))
+      val v = r.getDouble(1)
+      val rank = vs.count(_ < v) + 1
+      assert(vs.contains(v), s"${r.getString(0)}: $v not a member")
+      assert(math.abs(rank - math.ceil(0.5 * vs.length)) <= 1,
+        s"${r.getString(0)}: rank $rank of ${vs.length}")
+    }
+  }
+
   test("corr/covar null edges match vanilla (n=1, half-null pairs)") {
     import spark.implicits._
     // a constant series is omitted: vanilla corr itself raises an ANSI
@@ -273,12 +313,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.contains("subquery")), log.messages)
   }
 
-  test("bail: non-mergeable aggregate (percentile) runs vanilla") {
+  test("bail: non-mergeable aggregates run vanilla (weighted pct, collect_list)") {
+    // percentile itself is mergeable now; a per-row FREQUENCY weight is
+    // not (would need a weighted histogram), nor is order-sensitive
+    // collect_list
     val log = new RecordingLog
     val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
       defaultTemporalColumn = "ts", log = log))
-    qcs.run(eventsFull.agg(expr("percentile(value, 0.5)").as("p"))).collect()
+    qcs.run(eventsFull.agg(
+      expr("percentile(value, 0.5, user_id)").as("p"))).collect()
     assert(log.messages.exists(_.contains("not incrementally mergeable")), log.messages)
+    val log2 = new RecordingLog
+    val qcs2 = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log2))
+    qcs2.run(eventsFull.agg(collect_list(col("value")).as("vs"))).collect()
+    assert(log2.messages.exists(_.contains("not incrementally mergeable")), log2.messages)
   }
 
   test("bail: non-deterministic filter") {

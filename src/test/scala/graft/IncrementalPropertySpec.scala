@@ -51,7 +51,7 @@ class IncrementalPropertySpec extends AnyFunSuite {
       }.asJava, schema)
   }
 
-  private val nQueries = 6
+  private val nQueries = 7
 
   private def query(i: Int)(df: DataFrame): DataFrame = i match {
     case 0 => df.agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
@@ -80,12 +80,18 @@ class IncrementalPropertySpec extends AnyFunSuite {
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sdv"),
       expr("avg(DISTINCT CAST(value AS DECIMAL(18,6)))").as("adv"))
     // boolean/bitwise self-decomposing folds
-    case _ => df.groupBy(col("service")).agg(
+    case 5 => df.groupBy(col("service")).agg(
       bool_and(col("value") > 0).as("allp"),
       bool_or(col("value") > 500).as("anyb"),
       bit_and(col("value").cast("long")).as("ba"),
       bit_or(col("value").cast("long")).as("bo"),
       bit_xor(col("value").cast("long")).as("bx"))
+    // percentile family over the value-histogram state (finalize replays
+    // Spark's interpolation, so no rounding is needed for equality)
+    case _ => df.groupBy(col("service")).agg(
+      count(lit(1)).as("cnt"),
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, array(0.1, 0.9))").as("pq"))
   }
 
   test("incremental == full recompute for random tables, splits, queries") {
