@@ -306,9 +306,20 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frames"), sum("frame_bytes").as("total_bytes"))
     }),
     // --------------------------------------------- sketch aggregate (HLL)
+    // HLL++ estimate validated against the exact distinct count IN the
+    // query: the oracle can't reproduce Spark's registers, so the hashed
+    // output carries the exact count (DuckDB-matchable) plus a boolean
+    // pinning the estimate within the default-rsd error envelope
+    // (rsd 0.05, 3sigma => 15%) — an estimator regression flips the
+    // boolean and fails the hash compare
     "q_sketch_distinct" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(
+          count_distinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey")).as("_est"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("_est").cast("double") - col("n_exact").cast("double"))
+            <= col("n_exact").cast("double") * 0.15).as("est_in_bounds"))
     }),
     // KMV distinct sketch: unlike HLL++'s opaque registers, every step is
     // relational algebra over the library's documented hash — the DuckDB
@@ -694,6 +705,15 @@ object PipelineQueries {
            round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS contamination
          FROM inv JOIN bench USING (s)
          GROUP BY doc_id, n_shingles""",
+    // exact distinct per group must match, and the HLL++ estimate must
+    // sit inside its documented envelope (the Spark side computes the
+    // boolean; the oracle demands TRUE) — leaves rows-only-check land
+    // while staying honest about what an external engine can replay
+    "q_sketch_distinct" ->
+      """SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+           TRUE AS est_in_bounds
+         FROM lineitem GROUP BY 1""",
     // KMV recomputed from scratch: distinct (flag, key) -> staged Hash64
     // -> per-flag k smallest -> (k-1)/u_k with the identical IEEE op
     // sequence as the Spark side (all scaling constants are powers of 2)
