@@ -8,7 +8,7 @@ import graft.QueryCacheConfig
 import graft.cache.MemoryQueryCache
 import graft.log.RecordingLog
 import graft.sources.Tables
-import graft.streaming.{CacheWarmer, StreamingAgg, StreamingDedup}
+import graft.streaming.{CacheWarmer, StreamingAgg, StreamingDedup, StreamingJoin}
 
 /** Structured Streaming scenarios as driver-checkable queries (SURVEY
   * §7.6 mode (b)): each runs a real `readStream → writeStream` pipeline
@@ -129,6 +129,30 @@ object StreamQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       runToCompletion(joined, name, mode = "complete")
       iso.table(name).select(col("c_mktsegment"), col("cnt"), col("sum_value"))
+    }),
+
+    // stream-STREAM watermarked interval join (symmetric hash join, state
+    // bounded by the 30-min lookback on both sides): every error event
+    // matched to the same user's clicks in the preceding half hour — the
+    // attribution shape. Raw pairs land in the append-mode sink; the
+    // deterministic per-user rollup of that sink equals the batch
+    // interval self-join.
+    "q_stream_join2" -> ((s, d) => withNanosConf(s) { iso =>
+      val name = sinkName("join2", d)
+      val errors = eventsStream(iso, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val clicks = eventsStream(iso, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val joined = StreamingJoin.interval(errors, clicks,
+        key = (col("e_user"), col("c_user")),
+        leftTs = "e_ts", rightTs = "c_ts",
+        lookback = "30 MINUTES", watermarkDelay = "10 minutes")
+      runToCompletion(joined, name, mode = "append")
+      iso.table(name).groupBy(col("e_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("c_value")).as("sum_click_value"))
     }),
 
     // custom keyed state (flatMapGroupsWithState): emit only the FIRST
@@ -334,6 +358,14 @@ object StreamQueries {
       """SELECT c_mktsegment, count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    "q_stream_join2" ->
+      """SELECT e.user_id AS user_id, count(*) AS n_pairs,
+           CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value
+         FROM events e JOIN events c
+           ON e.user_id = c.user_id
+          AND e.event_type = 'error' AND c.event_type = 'click'
+          AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
          GROUP BY 1""",
     "q_stream_first" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",

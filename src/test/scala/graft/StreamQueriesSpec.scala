@@ -42,6 +42,28 @@ class StreamQueriesSpec extends AnyFunSuite {
     s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("q_stream_join2 equals the batch interval self-join rollup") {
+    val streamed = StreamQueries.queries("q_stream_join2")(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("ts").as("e_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val batch = e.join(c, col("u") === col("cu") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("e_ts"))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sum_click_value"))
+    val s = streamed.orderBy("user_id").collect()
+    val b = batch.orderBy("user_id").collect()
+    assert(s.length == b.length && s.length > 0, s"${s.length} vs ${b.length}")
+    s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("q_stream_dedup equals batch distinct-text stats") {
     val streamed = StreamQueries.queries("q_stream_dedup")(spark, sf0001)
     val len = length(col("text")).cast("long")
