@@ -36,6 +36,13 @@ trait QueryCache {
   /** reference: src/cache.rs:11-13 (entry lookup by fingerprint) */
   def get(fingerprint: String): Option[CachedState]
 
+  /** Live hit/miss/bail counters — the programmatic face of what the
+    * EXPLAIN marker (plans/CacheReplay) shows per query and what the
+    * reference surfaces through EXPLAIN ANALYZE metrics
+    * (src/aggregate.rs:583-585,626-633). One instance per cache handle;
+    * thread-safe; monotonically increasing. */
+  val stats: CacheStats = new CacheStats
+
   /** Store state, stamped with `timestampMicros`; returns a re-readable
     * DataFrame of exactly what was stored (the replay the reference's
     * CachedAggregateExec does at src/aggregate.rs:680-688). */
@@ -86,6 +93,28 @@ trait QueryCache {
     }
     n
   }
+}
+
+/** Monotone counters for one cache handle: `hits`/`misses` count decided
+  * cacheable runs (a hit replays stored state, a miss captures it),
+  * `bails` counts queries the decision procedure declined (ran vanilla —
+  * see the "not incrementally mergeable"-style log lines for WHY),
+  * `invalidations` counts dropped entries. */
+final class CacheStats {
+  private val h = new java.util.concurrent.atomic.AtomicLong
+  private val m = new java.util.concurrent.atomic.AtomicLong
+  private val b = new java.util.concurrent.atomic.AtomicLong
+  private val inv = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def recordHit(): Unit = { h.incrementAndGet(); () }
+  private[graft] def recordMiss(): Unit = { m.incrementAndGet(); () }
+  private[graft] def recordBail(): Unit = { b.incrementAndGet(); () }
+  private[graft] def recordInvalidation(): Unit = { inv.incrementAndGet(); () }
+  def hits: Long = h.get
+  def misses: Long = m.get
+  def bails: Long = b.get
+  def invalidations: Long = inv.get
+  override def toString: String =
+    s"CacheStats(hits=$hits, misses=$misses, bails=$bails, invalidations=$invalidations)"
 }
 
 object QueryCache {
@@ -215,6 +244,7 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
   override def invalidate(fingerprint: String): Unit = {
     entries.synchronized { entries.remove(fingerprint); () }
     dropSourcePaths(fingerprint)
+    stats.recordInvalidation()
   }
 
   def size: Int = entries.synchronized(entries.size)
@@ -371,6 +401,7 @@ final class ParquetQueryCache(rootDir: String,
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
     dropSourcePaths(fingerprint)
+    stats.recordInvalidation()
   }
 
   /** In addition to the in-process index, scan every entry's latest meta

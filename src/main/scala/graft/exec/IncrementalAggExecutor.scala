@@ -119,7 +119,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // loses static rows >= wm) — so a flipped flag must be a cache MISS,
     // not a hit with the wrong band.
     val fp = Fingerprint.of(agg) + (if (config.strictUpperBound) ":s1" else "")
-    def bail(msg: String) = Left((fp, msg))
+    def bail(msg: String) = {
+      config.cache.stats.recordBail()
+      Left((fp, msg))
+    }
 
     // subqueries anywhere in the cached subtree's expressions make the
     // entry unsound: a PlanExpression's deterministic flag ignores the
@@ -465,6 +468,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
     val merged = entry match {
       case Some(cs) =>
+        config.cache.stats.recordHit()
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
         // static union branches were captured IN FULL by the cold state
         // when no strict upper bound trimmed them — replace them with
@@ -522,6 +526,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         else state.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
           .agg(mergeCols.head, mergeCols.tail: _*)
       case None =>
+        config.cache.stats.recordMiss()
         config.log.info(c.fingerprint, "cache miss")
         // the partial aggregation already yields exactly one state row per
         // group, and every merge op is identity on a single row — the

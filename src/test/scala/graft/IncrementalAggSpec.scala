@@ -213,6 +213,27 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull), tol = 1e-6)
   }
 
+  test("cache.stats counts the cycle: miss, hit, invalidation") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("stats_cnt")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def q(df: DataFrame) = df.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cold = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+    cold.run(q(spark.read.parquet(work))).collect()
+    assert(cache.stats.misses == 1 && cache.stats.hits == 0, cache.stats.toString)
+    late.write.mode("append").parquet(work)
+    val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts"))
+    warm.run(q(spark.read.parquet(work))).collect()
+    assert(cache.stats.misses == 1 && cache.stats.hits == 1, cache.stats.toString)
+    assert(cache.stats.invalidations == 0)
+    cache.invalidateForTable(work)
+    assert(cache.stats.invalidations == 1, cache.stats.toString)
+  }
+
   test("exact percentile caches via value-histogram state, equals vanilla, hits") {
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -318,11 +339,15 @@ class IncrementalAggSpec extends AnyFunSuite {
     // not (would need a weighted histogram), nor is order-sensitive
     // collect_list
     val log = new RecordingLog
-    val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+    val cache = new MemoryQueryCache()
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(cache,
       defaultTemporalColumn = "ts", log = log))
     qcs.run(eventsFull.agg(
       expr("percentile(value, 0.5, user_id)").as("p"))).collect()
     assert(log.messages.exists(_.contains("not incrementally mergeable")), log.messages)
+    // programmatic counters mirror the log (EXPLAIN-parity counters)
+    assert(cache.stats.bails == 1 && cache.stats.hits == 0 &&
+      cache.stats.misses == 0, cache.stats.toString)
     val log2 = new RecordingLog
     val qcs2 = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
       defaultTemporalColumn = "ts", log = log2))
