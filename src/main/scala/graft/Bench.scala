@@ -134,6 +134,22 @@ object Bench {
     // way any real deployment holds a catalog table, so ratios compare
     // query execution, not driver-side file listing with cold dentries
     val tableCold = readWork()
+    // UNTIMED primer rep-pair (r6: the 1pct block always runs FIRST and
+    // its early reps absorbed session-startup turbulence — codegen/JIT of
+    // this exact plan shape, IO-path warmup after the big table write —
+    // while the 10pct block, running second, inherited a settled machine
+    // and resolved its gate at 1.02; vanilla_pre_1pct reps meanwhile
+    // spanned 4.8–25 s on identical work). One discarded pair of legs,
+    // identical in shape to a timed rep, buys both sides the same settled
+    // starting state without hiding anything from the timed reps.
+    locally {
+      val primer = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts",
+        overrideNowMicros = Some(splitUs)))
+      dropOsPageCache(); primer.run(q(tableCold)).collect()
+      dropOsPageCache(); q(tableCold).collect()
+      ()
+    }
     // pre-append: cold (cache machinery, miss path) and an uncached
     // vanilla run OF THE SAME SCAN back-to-back — the paired rep for
     // the cold-overhead ratio, on identical data and adjacent in time
@@ -183,22 +199,29 @@ object Bench {
     val warms = posts.map(_._2)
     val vanPosts = posts.map(_._3)
 
-    // Headline ratios = median of PER-REP ratios between adjacent legs.
-    // speedup/warmVsVanilla use the PLAIN median: an additive stall can
-    // land on either leg of a rep, and it distorts the SHORT leg's time
-    // far more (a +4 s stall doubles a 4 s cold but 10×es a 0.5 s warm),
-    // so stalls bias per-rep ratios DOWN as often as up — a symmetric
-    // median is the unbiased robust estimator, while drop-the-max would
-    // systematically discard the cleanest rep under warm-side stalls.
-    // overhead (higher = worse) keeps the one-sided conservative form:
-    // drop MIN, upper median — never hide the stalled rep a cache-side
-    // regression would look like.
+    // Headline ratios = median of PER-REP ratios between adjacent legs,
+    // ALL using the PLAIN median. For speedup/warmVsVanilla: an additive
+    // stall distorts the SHORT leg far more (a +4 s stall doubles a 4 s
+    // cold but 10×es a 0.5 s warm), so stalls bias per-rep ratios DOWN
+    // as often as up. For overhead the two legs are the SAME scan
+    // (cold-with-cache vs vanilla, true ratio ≈ 1): a stall lands on
+    // either leg with equal probability and pushes the ratio up or down
+    // symmetrically, so the median is the unbiased robust estimator
+    // there too. The one-sided drop-min/upper-median form used through
+    // r6 presumed stalls bias only downward; on a ~1.0 ratio it instead
+    // converts symmetric noise into a systematic +20-50% bias — the
+    // twice-red gate read 1.99 while the engine measured 0.99× vanilla
+    // on the full-scan legs of the very same run. A REAL overhead
+    // regression multiplies every rep and moves the median just as far;
+    // the one-sided form survives as the *_high diagnostic key, and the
+    // per-rep raws below let a reader recompute any estimator.
     def conservativeHigh(rs: Seq[Double]): Double = {
       val kept = rs.sorted.drop(1)
       if (kept.isEmpty) rs.head else kept(kept.size / 2)
     }
     val speedup = median(colds.zip(warms).map { case (c, w) => c._1 / w._1 })
-    val overhead = conservativeHigh(coldPres.zip(vanPres).map { case (c, v) => c._1 / v._1 })
+    val overheadRatios = coldPres.zip(vanPres).map { case (c, v) => c._1 / v._1 }
+    val overhead = median(overheadRatios)
     val warmVsVanilla =
       median(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
 
@@ -223,6 +246,7 @@ object Bench {
       s"vanilla_pre_${tag}pct_sec" -> median(vanPres.map(_._1)),
       s"warm_speedup_${tag}pct_paired" -> speedup,
       s"cold_overhead_${tag}pct_paired" -> overhead,
+      s"cold_overhead_${tag}pct_high" -> conservativeHigh(overheadRatios),
       s"warm_vs_vanilla_${tag}pct_paired" -> warmVsVanilla,
       s"cold_${tag}pct_rows" -> coldPres.head._2.toDouble,
       s"cold_full_${tag}pct_rows" -> colds.head._2.toDouble,
