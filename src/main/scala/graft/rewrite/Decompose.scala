@@ -120,7 +120,16 @@ object Decompose {
       }
     }
     val asCol = Shims.column(agg)
-    agg.aggregateFunction match {
+    // normalize lowerings decide() sees pre-optimizer: median(x) is a
+    // RuntimeReplaceableAggregate whose replacement (Percentile(x, 0.5))
+    // only appears after ReplaceExpressions — match on the source form
+    val normalizedFn = agg.aggregateFunction match {
+      case m: Median => new Percentile(m.child,
+        org.apache.spark.sql.catalyst.expressions.Literal(0.5),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+      case f => f
+    }
+    normalizedFn match {
       case c: Count =>
         val n = s"_s${i}_cnt"
         // unit: 1 iff every counted child is non-null (count(*)'s literal
@@ -272,7 +281,7 @@ object Decompose {
             StateSpec(s1, sum(child), MSum, unit = Some(child)),
             StateSpec(s2, sum(child * child), MSum, unit = Some(child * child))),
           finalCol.cast(agg.dataType)))
-      case p: Percentile if !p.reverse && !p.discrete &&
+      case p: Percentile if !p.reverse &&
           isUnitFrequency(p.frequencyExpression) &&
           p.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         // EXACT percentile via the mergeable run-length value histogram —
@@ -288,14 +297,32 @@ object Decompose {
         val n = s"_s${i}_vcnt"
         val spec = valueCountSpec(n, Shims.column(p.child).cast("double"))
         val pe = p.percentageExpression
+        // continuous: Spark's p·(N−1) linear interpolation; DISCRETE
+        // (percentile_disc): the smallest member whose cume_dist ≥ p,
+        // which is exactly the 1-based ⌈p·N⌉ member — the same
+        // nearest-rank scan the approx case uses
+        def one(pc: Column): Column =
+          if (p.discrete) nearestRankOf(col(n), pc)
+          else percentileOf(col(n), pc)
         val fin = pe.dataType match {
           case _: org.apache.spark.sql.types.ArrayType =>
             when(valueCountTotal(col(n)) === 0, lit(null))
               .otherwise(transform(Shims.column(pe),
-                pc => percentileOf(col(n), pc.cast("double"))))
-          case _ => percentileOf(col(n), Shims.column(pe).cast("double"))
+                pc => one(pc.cast("double"))))
+          case _ => one(Shims.column(pe).cast("double"))
         }
         Some(Decomposed(Seq(spec), fin.cast(agg.dataType)))
+      case pd: PercentileDisc if !pd.reverse &&
+          pd.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        // percentile_disc(p) WITHIN GROUP (ORDER BY x): the smallest
+        // member whose cume_dist ≥ p — the 1-based ⌈p·N⌉ member, i.e.
+        // the nearest-rank scan over the same histogram state
+        val n = s"_s${i}_vcnt"
+        val spec = valueCountSpec(n, Shims.column(pd.child).cast("double"))
+        Some(Decomposed(Seq(spec),
+          nearestRankOf(col(n),
+            Shims.column(pd.percentageExpression).cast("double"))
+            .cast(agg.dataType)))
       case ap: ApproximatePercentile
           if ap.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         // approx_percentile shares the exact histogram state; the cached

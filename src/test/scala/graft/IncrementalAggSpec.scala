@@ -250,6 +250,20 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
   }
 
+  test("median and percentile_disc cache through their Percentile lowering") {
+    // median() is RuntimeReplaceable -> Percentile(x, 0.5); the rule runs
+    // pre-CBO after ReplaceExpressions, so both lowerings must hit
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        expr("median(value)").as("med"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("pd"))
+    val (warmDF, log) = coldAppendWarm("medpd")(q)
+    assertSameRows(warmDF, q(eventsFull), tol = 0.0)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
   test("approx_percentile caches exactly; answer within the GK contract") {
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .groupBy(col("event_type"))
