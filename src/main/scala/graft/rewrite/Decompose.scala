@@ -389,18 +389,12 @@ object Decompose {
     typedlit(Seq.empty[(Double, Long)]).cast(vcType)
 
   /** run-length compaction of a SORTED array of (v, c) structs: adjacent
-    * equal values merge their counts. O(runs²) array copies inside the
-    * fold — state arrays are distinct-value bounded (maxStateRows), so
-    * this is finalize-side driver-scale work, never data-scale. */
+    * equal values merge their counts. A native O(n) pass
+    * (functions.CompactRuns) — a higher-order fold would be O(runs²) in
+    * array copies and hang the state job on a high-cardinality group
+    * before the cache's element guard could reject it. */
   private def compactVc(sorted: Column): Column =
-    aggregate(sorted, emptyVc, (acc, x) =>
-      when(size(acc) > 0 &&
-          element_at(acc, -1).getField("v") === x.getField("v"),
-        concat(slice(acc, lit(1), size(acc) - 1),
-          array(struct(x.getField("v").as("v"),
-            (element_at(acc, -1).getField("c") + x.getField("c")).as("c")))))
-        .otherwise(concat(acc, array(struct(x.getField("v").as("v"),
-          x.getField("c").as("c"))))))
+    graft.functions.functions.compact_runs(sorted.cast(vcType))
 
   /** shared (value, count) histogram state for the percentile family:
     * partial = compacted sorted runs of the group's values; unit = a

@@ -485,6 +485,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(bigPack == Seq((3002399751580331L, 0L)))
   }
 
+  test("compact_runs: adjacent equal values merge, NaN runs merge, empty ok") {
+    import graft.functions.functions.compact_runs
+    import spark.implicits._
+    val t = "array<struct<v:double,c:bigint>>"
+    def runsOf(vs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      Seq(1).toDF("x")
+        .select(compact_runs(
+          expr(vs.map { case (v, c) =>
+            if (v.isNaN) s"struct(CAST('NaN' AS DOUBLE) AS v, ${c}L AS c)"
+            else s"struct(CAST($v AS DOUBLE) AS v, ${c}L AS c)"
+          }.mkString("array(", ", ", ")") + s"") .cast(t)).as("r"))
+        .selectExpr("explode(r)").selectExpr("col.v", "col.c")
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(runsOf(Seq((1.0, 1L), (1.0, 2L), (2.0, 1L))) ==
+      Seq((1.0, 3L), (2.0, 1L)))
+    // NaN != NaN under ==, but Double.compare merges the runs
+    val nan = runsOf(Seq((3.0, 1L), (Double.NaN, 1L), (Double.NaN, 4L)))
+    assert(nan.length == 2 && nan.head == ((3.0, 1L)) &&
+      nan(1)._1.isNaN && nan(1)._2 == 5L)
+    // empty array stays empty (no explode rows)
+    val empty = Seq(1).toDF("x")
+      .select(size(compact_runs(expr(s"CAST(array() AS $t)"))).as("n"))
+      .first().getInt(0)
+    assert(empty == 0)
+  }
+
   test("decontaminate drops leaked docs, keeps clean ones") {
     import graft.operators.Decontaminate
     val bench = docs.filter(col("doc_id") % 20 === 0)
