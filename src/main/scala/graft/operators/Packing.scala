@@ -61,4 +61,68 @@ object Packing {
     df.withColumn("pack_seq", seq)
       .withColumn("pack_offset", before % lit(budget.toLong))
   }
+
+  /** Greedy NEXT-FIT document packing — the no-straddling recipe: each
+    * document lands whole in the current pack if it fits, else opens the
+    * next pack (a document longer than `budget` occupies a pack alone).
+    * Output matches [[concatSlicePack]]: `pack_seq`/`pack_offset` per doc.
+    *
+    * This is a SEQUENTIAL RECURRENCE per group (pack state depends on
+    * every earlier placement — a 6+6 over budget 10 is decided by what
+    * preceded the first 6), so no window/prefix-sum form exists. The
+    * honest Spark shape is the secondary-sort pattern: ONE hash exchange
+    * on the group, sort within partitions by (group, order), then a
+    * LINEAR per-partition pass carrying (pack, offset) — the rare case
+    * where the prompt's "mapPartitions as a last resort" is the right
+    * tool, and the only RDD hop in the library. State per task is two
+    * longs; skew is bounded by the largest group, same as the window in
+    * [[concatSlicePack]].
+    *
+    * @param order unique per row within a group, or placement is ambiguous
+    */
+  def greedyPack(df: DataFrame, group: Column, order: Column,
+      tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    val marked = df.withColumn("_gp_g", group)
+      .withColumn("_gp_t", tokens.cast("long"))
+      .withColumn("_gp_o", order)
+    val parts = marked.repartition(col("_gp_g"))
+      .sortWithinPartitions(col("_gp_g"), col("_gp_o"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parts.schema.fields :+
+        org.apache.spark.sql.types.StructField("pack_seq",
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("pack_offset",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val gi = parts.schema.fieldIndex("_gp_g")
+    val ti = parts.schema.fieldIndex("_gp_t")
+    val b = budget.toLong
+    // Dataset.mapPartitions (not an RDD hop): the exchange + local sort
+    // stay visible in ONE query plan (pinned in PlanShapeSpec), and the
+    // linear pass composes with AQE like any other operator
+    val packed = parts.mapPartitions { it =>
+      var curG: Any = null
+      var started = false
+      var pack = 0L
+      var off = 0L // tokens already placed in the current pack
+      it.map { r =>
+        val g = r.get(gi)
+        val t = r.getLong(ti)
+        val sameGroup = started &&
+          (if (g == null) curG == null else g.equals(curG))
+        if (!sameGroup) { curG = g; started = true; pack = 0L; off = 0L }
+        if (off + t <= b && (sameGroup && off > 0L)) {
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pack :+ off)
+          off += t
+          out
+        } else {
+          if (sameGroup && off > 0L) pack += 1
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pack :+ 0L)
+          off = t
+          out
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop("_gp_g", "_gp_t", "_gp_o")
+  }
 }

@@ -186,6 +186,15 @@ object PipelineQueries {
             TextAnalysis.tokenCount(col("text")).as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
         .select("doc_id", "source", "pack_seq", "pack_offset")),
+    // greedy NEXT-FIT packing (no straddling): sequential recurrence per
+    // source — one hash exchange + secondary sort + linear pass; the
+    // oracle replays the recurrence with a recursive CTE
+    "q_pack_greedy" -> ((s, d) =>
+      Packing.greedyPack(
+          documents(s, d).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
+        .select("doc_id", "source", "pack_seq", "pack_offset")),
     // eval-set leakage scores: 5% of the corpus plays the benchmark, the
     // rest is scored by shared-shingle overlap
     "q_decontaminate" -> ((s, d) => {
@@ -684,6 +693,27 @@ object PipelineQueries {
            FROM (SELECT doc_id, source,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents) t) u""",
+    // next-fit packing replayed as the literal recurrence: rows ordered
+    // per source, state (pack, offset) carried row to row by a recursive
+    // CTE — exact integer arithmetic, BIGINT end to end
+    "q_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         rec AS (
+           SELECT source, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_seq, CAST(0 AS BIGINT) AS pack_offset
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN rec.pack_offset + rec.n_tokens + t.n_tokens <= 1024
+                  THEN rec.pack_seq ELSE rec.pack_seq + 1 END,
+             CASE WHEN rec.pack_offset + rec.n_tokens + t.n_tokens <= 1024
+                  THEN rec.pack_offset + rec.n_tokens ELSE CAST(0 AS BIGINT) END
+           FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
+         SELECT doc_id, source, pack_seq, pack_offset FROM rec""",
     // contamination scores over raw string shingles — the Spark side
     // joins on xxhash64(shingle) (8-byte keys), which is count-identical
     // unless two distinct shingles collide in 64 bits (see

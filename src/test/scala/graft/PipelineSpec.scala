@@ -511,6 +511,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(empty == 0)
   }
 
+  test("greedy next-fit packing: exact placement, oversized docs, group reset") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // budget 10; sizes 6,6,10,25,2,3 →
+    // d1: pack0@0 (off 6); d2 doesn't fit → pack1@0 (off 6); d3 (10)
+    // doesn't fit → pack2@0 (off 10); d4 (25, oversized) → pack3@0
+    // (off 25); d5 (2) doesn't fit → pack4@0 (off 2); d6 (3) fits →
+    // pack4@2
+    val df = Seq((1L, 6L), (2L, 6L), (3L, 10L), (4L, 25L), (5L, 2L), (6L, 3L))
+      .toDF("id", "toks").withColumn("g", lit("a"))
+    val got = Packing.greedyPack(df, col("g"), col("id"), col("toks"),
+        budget = 10)
+      .orderBy("id").select("pack_seq", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (4L, 2L)))
+    // a second group packs independently from zero; no pack is shared
+    val two = Packing.greedyPack(
+      df.union(Seq((9L, 4L), (10L, 5L)).toDF("id", "toks")
+        .withColumn("g", lit("b"))),
+      col("g"), col("id"), col("toks"), budget = 10)
+    val b = two.filter(col("g") === "b").orderBy("id")
+      .select("pack_seq", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(b == Seq((0L, 0L), (0L, 4L)))
+    // invariant on real data: offset + tokens <= budget unless the doc
+    // sits alone at offset 0 (oversized), and pack ids are dense per group
+    val real = Packing.greedyPack(
+      docs.select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("t")),
+      col("source"), col("doc_id"), col("t"), budget = 64)
+    val viol = real.filter(col("pack_offset") + col("t") > 64 &&
+      !(col("pack_offset") === 0)).count()
+    assert(viol == 0, s"$viol placements overflow the budget")
+    val dense = real.groupBy("source")
+      .agg(count_distinct(col("pack_seq")).as("n"),
+        (max("pack_seq") + 1).as("m"))
+      .filter(col("n") =!= col("m")).count()
+    assert(dense == 0, "pack ids not dense per group")
+  }
+
   test("decontaminate drops leaked docs, keeps clean ones") {
     import graft.operators.Decontaminate
     val bench = docs.filter(col("doc_id") % 20 === 0)

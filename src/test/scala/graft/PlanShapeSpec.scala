@@ -230,6 +230,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("greedy pack: one hash exchange + in-partition sort, no global sort") {
+    val q = graft.queries.PipelineQueries.queries
+    val plan = planOf(q("q_pack_greedy")(spark, sf0001))
+    // the secondary-sort pattern: exactly one shuffle (hash on the
+    // group), sort local to partitions — a global Sort would mean the
+    // linear pass was silently re-planned into a driver-width funnel
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!"""Sort \[[^\]]*\], true""".r.findFirstIn(plan).isDefined,
+      s"global sort found: $plan")
+  }
+
   test("knn join plans equi-joins on ivf_cell, never a cartesian product") {
     val q = graft.queries.PipelineQueries.queries
     val plan = planOf(q("q_knn_join")(spark, sf0001))
