@@ -250,6 +250,33 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
   }
 
+  test("percentile histogram state round-trips the durable parquet cache") {
+    // array<struct<v,c>> state through ParquetQueryCache: stored as
+    // distributed parquet by the cold run, re-read by a FRESH cache
+    // handle for the warm merge — schema fixed point included
+    val (early, late, splitUs) = split()
+    val work = tmpDir("pctdur")
+    early.write.mode("overwrite").parquet(work)
+    val cacheDir = tmpDir("pctdur_cache")
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        count(lit(1)).as("cnt"))
+    val log = new RecordingLog
+    val cold = QueryCacheSession(spark, QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir),
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs),
+      log = log))
+    cold.run(q(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val warm = QueryCacheSession(spark, QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir), // fresh handle
+      defaultTemporalColumn = "ts", log = log))
+    val warmDF = warm.run(q(spark.read.parquet(work)))
+    assertSameRows(warmDF, q(eventsFull), tol = 0.0)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
   test("median and percentile_disc cache through their Percentile lowering") {
     // median() is RuntimeReplaceable -> Percentile(x, 0.5); the rule runs
     // pre-CBO after ReplaceExpressions, so both lowerings must hit
