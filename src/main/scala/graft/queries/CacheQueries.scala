@@ -228,7 +228,9 @@ object CacheQueries {
           .agg(
             count(lit(1)).as("cnt"),
             round(expr("percentile(value, 0.5)"), 6).as("p50"),
-            round(expr("percentile(value, 0.9)"), 6).as("p90"))
+            round(expr("percentile(value, 0.9)"), 6).as("p90"),
+            round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"),
+              6).as("pd50"))
       }),
     // statistical aggregates (corr/covar via raw-sums state) and ordered
     // last (max_by over the temporal column) through the cache cycle
@@ -378,13 +380,22 @@ object CacheQueries {
            lag(cnt, 1) OVER (ORDER BY day) AS prev_cnt,
            cnt - COALESCE(lag(cnt, 1) OVER (ORDER BY day), 0) AS delta_cnt
          FROM a""",
+    // pd50 = Spark percentile_disc semantics spelled out: the smallest
+    // member whose cume_dist >= p (DuckDB's own quantile_disc uses the
+    // lower floor((n-1)p) convention — deliberately not used)
     "qc_incr_percentile" ->
-      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           count(*) AS cnt,
+      """WITH base AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+           FROM events WHERE value > 1),
+         ranked AS (
+           SELECT day, value,
+             cume_dist() OVER (PARTITION BY day ORDER BY value) AS cd
+           FROM base)
+         SELECT day, count(*) AS cnt,
            round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90
-         FROM events WHERE value > 1
-         GROUP BY 1""",
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(min(CASE WHEN cd >= 0.5 THEN value END), 6) AS pd50
+         FROM ranked GROUP BY 1""",
     "qc_incr_stats" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,
