@@ -283,7 +283,7 @@ object Decompose {
           finalCol.cast(agg.dataType)))
       case p: Percentile if !p.reverse &&
           isUnitFrequency(p.frequencyExpression) &&
-          p.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          histogramSafe(p.child.dataType) =>
         // EXACT percentile via the mergeable run-length value histogram —
         // state = sorted (value, count) pairs, the same state-as-data
         // idiom as exact COUNT(DISTINCT) (state size = distinct values
@@ -313,7 +313,7 @@ object Decompose {
         }
         Some(Decomposed(Seq(spec), fin.cast(agg.dataType)))
       case pd: PercentileDisc if !pd.reverse &&
-          pd.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          histogramSafe(pd.child.dataType) =>
         // percentile_disc(p) WITHIN GROUP (ORDER BY x): the smallest
         // member whose cume_dist ≥ p — the 1-based ⌈p·N⌉ member, i.e.
         // the nearest-rank scan over the same histogram state
@@ -323,8 +323,7 @@ object Decompose {
           nearestRankOf(col(n),
             Shims.column(pd.percentageExpression).cast("double"))
             .cast(agg.dataType)))
-      case ap: ApproximatePercentile
-          if ap.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      case ap: ApproximatePercentile if histogramSafe(ap.child.dataType) =>
         // approx_percentile shares the exact histogram state; the cached
         // finalize returns the member at the classic nearest rank
         // ⌈p·N⌉ (1-based). NOTE like the HLL case: the vanilla estimator
@@ -374,6 +373,18 @@ object Decompose {
             .cast(agg.dataType)))
       case _ => None
     }
+  }
+
+  /** The histogram state holds values as doubles. Safe for every numeric
+    * type whose distinguishable values doubles can represent; a DECIMAL
+    * beyond 15 significant digits could alias two distinct inputs onto
+    * one run (and reorder sub-ulp ties vs the exact decimal ordering) —
+    * bail to vanilla there. Long inputs keep the standard >2^53 caveat
+    * shared with sort keys across the library. */
+  private def histogramSafe(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision <= 15
+    case _: org.apache.spark.sql.types.NumericType => true
+    case _ => false
   }
 
   /** percentile's frequency argument must be the constant 1 (per-row
