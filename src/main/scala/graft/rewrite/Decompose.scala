@@ -424,10 +424,13 @@ object Decompose {
     aggregate(st, lit(0L), (a, x) => a + x.getField("c"))
 
   /** Spark Percentile's exact interpolation over the sorted run-length
-    * histogram: position = p·(N−1) (0-based); linearly interpolate the
-    * values at ranks ⌊position⌋ and ⌈position⌉, found in ONE pass over
-    * the runs (rank r is inside a run iff it's the first run whose
-    * cumulative count exceeds r). */
+    * histogram: position = p·(N−1) (0-based); the values at ranks
+    * ⌊position⌋ and ⌈position⌉ are found in ONE pass over the runs
+    * (rank r is inside a run iff it's the first run whose cumulative
+    * count exceeds r), then combined with Spark's own WEIGHTED form
+    * `(higher−pos)·lo + (pos−lower)·hi` — NOT the algebraically equal
+    * `lo + (hi−lo)·frac`, which differs in the last ulp and would break
+    * bit-exact warm == vanilla. */
   private[rewrite] def percentileOf(st: Column, pct: Column): Column = {
     val n = valueCountTotal(st)
     val pos = pct * (n - 1).cast("double")
@@ -447,7 +450,9 @@ object Decompose {
     val vlo = scanned.getField("vlo")
     val vhi = scanned.getField("vhi")
     when(n === 0, lit(null).cast("double"))
-      .otherwise(vlo + (vhi - vlo) * (pos - lo.cast("double")))
+      .when(hi === lo, scanned.getField("vlo"))
+      .otherwise((hi.cast("double") - pos) * vlo +
+        (pos - lo.cast("double")) * vhi)
   }
 
   /** nearest-rank (1-based ⌈p·N⌉, floored at 1) member of the histogram —

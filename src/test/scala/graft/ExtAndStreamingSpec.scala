@@ -38,6 +38,32 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("transparent mode: median/percentile lowering caches through the rule") {
+    // the optimizer-rule path sees median AFTER ReplaceExpressions (the
+    // Percentile replacement), the facade sees the source form — both
+    // normalizations must cache; equality vs the disabled-rule vanilla
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheTransparent.enable(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    try {
+      val work = tmpDir("transparent_pct")
+      Tables.events(spark, sf0001).write.mode("overwrite").parquet(work)
+      val ev = spark.read.parquet(work)
+      def q() = ev.filter(col("value") > 3)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("median(value)").as("med"),
+          expr("percentile(value, 0.9)").as("p90"))
+      val r1 = q().collect()
+      val r2 = q().collect()
+      assert(r1.toSeq == r2.toSeq)
+      assert(log.messages.exists(_.startsWith("cache miss")), log.messages)
+      assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+      QueryCacheTransparent.disable(spark)
+      assert(q().collect().toSeq == r1.toSeq)
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
   test("extensions session: now()-relative transparent bound hits on second run") {
     import org.apache.spark.sql.SparkSession
     val base = spark // force base session/context creation first
