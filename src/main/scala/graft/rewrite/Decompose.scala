@@ -296,33 +296,28 @@ object Decompose {
         // every value the interpolation (itself double) can distinguish.
         val n = s"_s${i}_vcnt"
         val spec = valueCountSpec(n, Shims.column(p.child).cast("double"))
-        val pe = p.percentageExpression
-        // continuous: Spark's p·(N−1) linear interpolation; DISCRETE
+        // continuous: Spark's p·(N−1) weighted interpolation; DISCRETE
         // (percentile_disc): the smallest member whose cume_dist ≥ p,
-        // which is exactly the 1-based ⌈p·N⌉ member — the same
-        // nearest-rank scan the approx case uses
-        def one(pc: Column): Column =
-          if (p.discrete) nearestRankOf(col(n), pc)
-          else percentileOf(col(n), pc)
-        val fin = pe.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType =>
-            when(valueCountTotal(col(n)) === 0, lit(null))
-              .otherwise(transform(Shims.column(pe),
-                pc => one(pc.cast("double"))))
-          case _ => one(Shims.column(pe).cast("double"))
+        // i.e. the 1-based ⌈p·N⌉ member — both via one native pass
+        // (graft.functions.PercentileFromRuns)
+        foldablePercentages(p.percentageExpression).map { case (ps, scalar) =>
+          Decomposed(Seq(spec),
+            Shims.column(graft.functions.PercentileFromRuns(
+              Shims.expression(col(n)), ps, discrete = p.discrete,
+              scalarOut = scalar)).cast(agg.dataType))
         }
-        Some(Decomposed(Seq(spec), fin.cast(agg.dataType)))
       case pd: PercentileDisc if !pd.reverse &&
           histogramSafe(pd.child.dataType) =>
         // percentile_disc(p) WITHIN GROUP (ORDER BY x): the smallest
-        // member whose cume_dist ≥ p — the 1-based ⌈p·N⌉ member, i.e.
-        // the nearest-rank scan over the same histogram state
+        // member whose cume_dist ≥ p — the 1-based ⌈p·N⌉ member
         val n = s"_s${i}_vcnt"
         val spec = valueCountSpec(n, Shims.column(pd.child).cast("double"))
-        Some(Decomposed(Seq(spec),
-          nearestRankOf(col(n),
-            Shims.column(pd.percentageExpression).cast("double"))
-            .cast(agg.dataType)))
+        foldablePercentages(pd.percentageExpression).map { case (ps, scalar) =>
+          Decomposed(Seq(spec),
+            Shims.column(graft.functions.PercentileFromRuns(
+              Shims.expression(col(n)), ps, discrete = true,
+              scalarOut = scalar)).cast(agg.dataType))
+        }
       case ap: ApproximatePercentile if histogramSafe(ap.child.dataType) =>
         // approx_percentile shares the exact histogram state; the cached
         // finalize returns the member at the classic nearest rank
@@ -334,15 +329,12 @@ object Decompose {
         // accuracy the query declared.
         val n = s"_s${i}_vcnt"
         val spec = valueCountSpec(n, Shims.column(ap.child).cast("double"))
-        val pe = ap.percentageExpression
-        val fin = pe.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType =>
-            when(valueCountTotal(col(n)) === 0, lit(null))
-              .otherwise(transform(Shims.column(pe),
-                pc => nearestRankOf(col(n), pc.cast("double"))))
-          case _ => nearestRankOf(col(n), Shims.column(pe).cast("double"))
+        foldablePercentages(ap.percentageExpression).map { case (ps, scalar) =>
+          Decomposed(Seq(spec),
+            Shims.column(graft.functions.PercentileFromRuns(
+              Shims.expression(col(n)), ps, discrete = true,
+              scalarOut = scalar)).cast(agg.dataType))
         }
-        Some(Decomposed(Seq(spec), fin.cast(agg.dataType)))
       case c: Corr =>
         // Pearson correlation via raw sums (n, Σx, Σy, Σxy, Σx², Σy²) over
         // rows where BOTH sides are non-null (Spark skips half-null pairs).
@@ -419,56 +411,36 @@ object Decompose {
       unit = Some(when(child.isNotNull,
         array(struct(child.as("v"), lit(1L).as("c")))).otherwise(emptyVc)))
 
-  /** total row count of a histogram state */
-  private[rewrite] def valueCountTotal(st: Column): Column =
-    aggregate(st, lit(0L), (a, x) => a + x.getField("c"))
-
-  /** Spark Percentile's exact interpolation over the sorted run-length
-    * histogram: position = p·(N−1) (0-based); the values at ranks
-    * ⌊position⌋ and ⌈position⌉ are found in ONE pass over the runs
-    * (rank r is inside a run iff it's the first run whose cumulative
-    * count exceeds r), then combined with Spark's own WEIGHTED form
-    * `(higher−pos)·lo + (pos−lower)·hi` — NOT the algebraically equal
-    * `lo + (hi−lo)·frac`, which differs in the last ulp and would break
-    * bit-exact warm == vanilla. */
-  private[rewrite] def percentileOf(st: Column, pct: Column): Column = {
-    val n = valueCountTotal(st)
-    val pos = pct * (n - 1).cast("double")
-    val lo = floor(pos).cast("long")
-    val hi = ceil(pos).cast("long")
-    val scanned = aggregate(st,
-      struct(lit(0L).as("cum"), lit(null).cast("double").as("vlo"),
-        lit(null).cast("double").as("vhi")),
-      (acc, x) => {
-        val cum2 = acc.getField("cum") + x.getField("c")
-        struct(cum2.as("cum"),
-          when(acc.getField("vlo").isNull && cum2 > lo, x.getField("v"))
-            .otherwise(acc.getField("vlo")).as("vlo"),
-          when(acc.getField("vhi").isNull && cum2 > hi, x.getField("v"))
-            .otherwise(acc.getField("vhi")).as("vhi"))
-      })
-    val vlo = scanned.getField("vlo")
-    val vhi = scanned.getField("vhi")
-    when(n === 0, lit(null).cast("double"))
-      .when(hi === lo, scanned.getField("vlo"))
-      .otherwise((hi.cast("double") - pos) * vlo +
-        (pos - lo.cast("double")) * vhi)
-  }
-
-  /** nearest-rank (1-based ⌈p·N⌉, floored at 1) member of the histogram —
-    * the approx_percentile finalize: always an actual input value */
-  private[rewrite] def nearestRankOf(st: Column, pct: Column): Column = {
-    val n = valueCountTotal(st)
-    val rank = greatest(ceil(pct * n.cast("double")).cast("long"), lit(1L))
-    val scanned = aggregate(st,
-      struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
-      (acc, x) => {
-        val cum2 = acc.getField("cum") + x.getField("c")
-        struct(cum2.as("cum"),
-          when(acc.getField("v").isNull && cum2 >= rank, x.getField("v"))
-            .otherwise(acc.getField("v")).as("v"))
-      })
-    when(n === 0, lit(null).cast("double")).otherwise(scanned.getField("v"))
+  /** Percentage argument(s) as plan-time doubles: (values, isScalar).
+    * Percentile requires the expression foldable; None on anything not
+    * statically evaluable to numbers in [0, 1]. The constants feed the
+    * native finalize (graft.functions.PercentileFromRuns) — the
+    * interpolation/rank arithmetic lives there, NOT in interpreted
+    * higher-order folds (CodegenFallback per element: measured seconds
+    * on ~18k-run arrays). */
+  private def foldablePercentages(e: Expression)
+      : Option[(Array[Double], Boolean)] = {
+    if (!e.foldable) return None
+    def num(v: Any): Option[Double] = v match {
+      case null => None
+      case d: java.lang.Number => Some(d.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    e.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        e.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType
+            val vs = a.toObjectArray(et).map(num)
+            if (vs.forall(_.isDefined))
+              Some((vs.map(_.get), false))
+            else None
+          case _ => None
+        }
+      case _ => num(e.eval()).map(d => (Array(d), true))
+    }
   }
 
   /** Spark's statistical aggregates return NULL on divide-by-zero with the
