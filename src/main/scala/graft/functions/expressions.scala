@@ -663,6 +663,90 @@ case class CompactRuns(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<double> (any order, from collect_list) → SORTED compacted runs
+  * array<struct<v:double,c:bigint>> — the percentile state's PARTIAL
+  * form in one native pass: primitive Arrays.sort (NaN last, like the
+  * Catalyst double ordering) + linear run-length encode. Avoids both
+  * sort_array's per-comparison interpreted ordering and transform's
+  * per-element interpreted lambda on data-scale lists. */
+case class RunsFromValues(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", DoubleType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val vs = new Array[Double](n)
+    var i = 0
+    while (i < n) { vs(i) = in.getDouble(i); i += 1 }
+    java.util.Arrays.sort(vs)
+    val out = new java.util.ArrayList[InternalRow](math.min(n, 16))
+    var j = 0
+    while (j < n) {
+      val v = vs(j)
+      var c = 1L
+      while (j + 1 < n && java.lang.Double.compare(vs(j + 1), v) == 0) {
+        c += 1; j += 1
+      }
+      out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](v, c)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[InternalRow](out.size)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** concatenated runs arrays (any order) → SORTED compacted runs — the
+  * percentile state's MERGE form: one native sort of (v, c) pairs by v
+  * plus a linear compact, replacing sort_array's interpreted per-
+  * comparison struct ordering on the merge exchange. */
+case class MergeRuns(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val pairs = new Array[(Double, Long)](n)
+    var i = 0
+    while (i < n) {
+      val r = in.getStruct(i, 2)
+      pairs(i) = (r.getDouble(0), r.getLong(1))
+      i += 1
+    }
+    java.util.Arrays.sort(pairs,
+      (a: (Double, Long), b: (Double, Long)) =>
+        java.lang.Double.compare(a._1, b._1))
+    val out = new java.util.ArrayList[InternalRow](math.min(n, 16))
+    var j = 0
+    while (j < n) {
+      val v = pairs(j)._1
+      var c = pairs(j)._2
+      while (j + 1 < n && java.lang.Double.compare(pairs(j + 1)._1, v) == 0) {
+        c += pairs(j + 1)._2; j += 1
+      }
+      out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](v, c)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[InternalRow](out.size)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object CompactRuns {
   /** static entry shared by eval and generated code */
   def compact(in: ArrayData): ArrayData = {
@@ -810,4 +894,10 @@ object functions {
 
   def compact_runs(sortedRuns: Column): Column =
     Shims.column(CompactRuns(Shims.expression(sortedRuns)))
+
+  def runs_from_values(values: Column): Column =
+    Shims.column(RunsFromValues(Shims.expression(values)))
+
+  def merge_runs(runs: Column): Column =
+    Shims.column(MergeRuns(Shims.expression(runs)))
 }
