@@ -632,37 +632,6 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 }
 
 /** Column-level entry points. */
-/** O(n) run-length compaction of a SORTED array<struct<v:double,c:bigint>>
-  * — adjacent entries with equal `v` merge their counts. The percentile
-  * family's histogram state needs compaction at every partial/merge; a
-  * higher-order-function fold would be O(runs²) in array copies and, on a
-  * high-cardinality group (latencies, money with many distinct cents),
-  * would hang the state job BEFORE the cache's element-count guard could
-  * reject the state and fall back to vanilla. One linear pass keeps the
-  * worst case at sort cost.
-  *
-  * Runs are merged when `java.lang.Double.compare(v, prev) == 0`: NaN
-  * runs collapse (sort_array orders NaN last), while −0.0/0.0 stay
-  * adjacent separate runs — numerically indistinguishable to the
-  * rank/interpolation scan that consumes the state. */
-case class CompactRuns(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = child.dataType
-  override def nullable: Boolean = child.nullable
-
-  override def nullSafeEval(input: Any): Any =
-    CompactRuns.compact(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => {
-      s"""
-        ${ev.value} = graft.functions.CompactRuns.compact($v);
-      """
-    })
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
 /** array<double> (any order, from collect_list) → SORTED compacted runs
   * array<struct<v:double,c:bigint>> — the percentile state's PARTIAL
   * form in one native pass: primitive Arrays.sort (NaN last, like the
@@ -745,34 +714,6 @@ case class MergeRuns(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
-}
-
-object CompactRuns {
-  /** static entry shared by eval and generated code */
-  def compact(in: ArrayData): ArrayData = {
-    val n = in.numElements()
-    val out = new java.util.ArrayList[InternalRow](math.min(n, 16))
-    var curV = 0.0d
-    var curC = 0L
-    var open = false
-    var i = 0
-    while (i < n) {
-      val r = in.getStruct(i, 2)
-      val v = r.getDouble(0)
-      val c = r.getLong(1)
-      if (open && java.lang.Double.compare(v, curV) == 0) curC += c
-      else {
-        if (open) out.add(new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](curV, curC)))
-        curV = v; curC = c; open = true
-      }
-      i += 1
-    }
-    if (open) out.add(new org.apache.spark.sql.catalyst.expressions
-      .GenericInternalRow(Array[Any](curV, curC)))
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.toArray(new Array[InternalRow](out.size)))
-  }
 }
 
 /** Percentiles over a SORTED run-length histogram (array<struct<v:double,
@@ -891,9 +832,6 @@ object functions {
 
   def seeded_hash64(s: Column, seed: Column): Column =
     Shims.column(SeededHash64(Shims.expression(s), Shims.expression(seed)))
-
-  def compact_runs(sortedRuns: Column): Column =
-    Shims.column(CompactRuns(Shims.expression(sortedRuns)))
 
   def runs_from_values(values: Column): Column =
     Shims.column(RunsFromValues(Shims.expression(values)))

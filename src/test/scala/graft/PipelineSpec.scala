@@ -485,30 +485,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(bigPack == Seq((3002399751580331L, 0L)))
   }
 
-  test("compact_runs: adjacent equal values merge, NaN runs merge, empty ok") {
-    import graft.functions.functions.compact_runs
+  test("runs_from_values/merge_runs: sort+compact, NaN runs merge, empty ok") {
+    import graft.functions.functions.{merge_runs, runs_from_values}
     import spark.implicits._
     val t = "array<struct<v:double,c:bigint>>"
-    def runsOf(vs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      Seq(1).toDF("x")
-        .select(compact_runs(
-          expr(vs.map { case (v, c) =>
-            if (v.isNaN) s"struct(CAST('NaN' AS DOUBLE) AS v, ${c}L AS c)"
-            else s"struct(CAST($v AS DOUBLE) AS v, ${c}L AS c)"
-          }.mkString("array(", ", ", ")") + s"") .cast(t)).as("r"))
-        .selectExpr("explode(r)").selectExpr("col.v", "col.c")
+    def collectRuns(df: org.apache.spark.sql.DataFrame): Seq[(Double, Long)] =
+      df.selectExpr("explode(r)").selectExpr("col.v", "col.c")
         .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
-    assert(runsOf(Seq((1.0, 1L), (1.0, 2L), (2.0, 1L))) ==
-      Seq((1.0, 3L), (2.0, 1L)))
-    // NaN != NaN under ==, but Double.compare merges the runs
-    val nan = runsOf(Seq((3.0, 1L), (Double.NaN, 1L), (Double.NaN, 4L)))
-    assert(nan.length == 2 && nan.head == ((3.0, 1L)) &&
-      nan(1)._1.isNaN && nan(1)._2 == 5L)
-    // empty array stays empty (no explode rows)
-    val empty = Seq(1).toDF("x")
-      .select(size(compact_runs(expr(s"CAST(array() AS $t)"))).as("n"))
+    // partial form: UNSORTED values → sorted compacted runs
+    val vals = collectRuns(Seq(1).toDF("x").select(runs_from_values(
+      expr("array(CAST(2.0 AS DOUBLE), CAST(1.0 AS DOUBLE)," +
+        "CAST(1.0 AS DOUBLE), CAST('NaN' AS DOUBLE)," +
+        "CAST('NaN' AS DOUBLE))")).as("r")))
+    assert(vals.length == 3 && vals.take(2) == Seq((1.0, 2L), (2.0, 1L)) &&
+      vals(2)._1.isNaN && vals(2)._2 == 2L, vals.toString)
+    // merge form: unsorted run fragments → sorted compacted runs
+    def runsLit(vs: Seq[(Double, Long)]): String =
+      vs.map { case (v, c) =>
+        if (v.isNaN) s"struct(CAST('NaN' AS DOUBLE) AS v, ${c}L AS c)"
+        else s"struct(CAST($v AS DOUBLE) AS v, ${c}L AS c)"
+      }.mkString("array(", ", ", ")")
+    val merged = collectRuns(Seq(1).toDF("x").select(merge_runs(
+      expr(runsLit(Seq((2.0, 1L), (1.0, 1L), (1.0, 2L), (Double.NaN, 4L))))
+        .cast(t)).as("r")))
+    assert(merged.length == 3 &&
+      merged.take(2) == Seq((1.0, 3L), (2.0, 1L)) &&
+      merged(2)._1.isNaN && merged(2)._2 == 4L, merged.toString)
+    // empty arrays stay empty
+    val e1 = Seq(1).toDF("x").select(
+      size(runs_from_values(expr("CAST(array() AS array<double>)"))).as("n"))
       .first().getInt(0)
-    assert(empty == 0)
+    val e2 = Seq(1).toDF("x").select(
+      size(merge_runs(expr(s"CAST(array() AS $t)"))).as("n"))
+      .first().getInt(0)
+    assert(e1 == 0 && e2 == 0)
   }
 
   test("greedy next-fit packing: exact placement, oversized docs, group reset") {
