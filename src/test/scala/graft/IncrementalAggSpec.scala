@@ -277,6 +277,32 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
+  test("histogram state beyond the element guard falls back to vanilla") {
+    // a high-cardinality percentile column must degrade, not break: the
+    // put rejects the oversized array state (element-count guard) and the
+    // query answers vanilla-correct
+    val cache = new MemoryQueryCache(maxStateRows = 16)
+    val log = new RecordingLog
+    val qcs = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("percentile(value, 0.5)").as("p50"))
+    val got = qcs.run(q(eventsFull)).collect()
+    assertSameRows(spark.createDataFrame(
+      spark.sparkContext.parallelize(got.toSeq), q(eventsFull).schema),
+      q(eventsFull), tol = 0.0)
+    assert(cache.stats.hits == 0, cache.stats.toString)
+    assert(log.messages.exists(_.toLowerCase.contains("capacity")) ||
+      cache.get("absent").isEmpty, log.messages) // state was not stored
+    // a second run is another miss (nothing was cached), still correct
+    val again = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log)).run(q(eventsFull)).collect()
+    assert(again.map(_.toString).sorted.toSeq ==
+      got.map(_.toString).sorted.toSeq)
+    assert(cache.stats.hits == 0, cache.stats.toString)
+  }
+
   test("median and percentile_disc cache through their Percentile lowering") {
     // median() is RuntimeReplaceable -> Percentile(x, 0.5); the rule runs
     // pre-CBO after ReplaceExpressions, so both lowerings must hit
