@@ -833,6 +833,12 @@ object functions {
   def seeded_hash64(s: Column, seed: Column): Column =
     Shims.column(SeededHash64(Shims.expression(s), Shims.expression(seed)))
 
+  /** largest-k rows of a struct column per group, sorted descending —
+    * bounded O(k) partial state, see [[BoundedTopK]] */
+  def top_k(structCol: Column, k: Int): Column =
+    Shims.column(BoundedTopK(Shims.expression(structCol), k)
+      .toAggregateExpression())
+
   def runs_from_values(values: Column): Column =
     Shims.column(RunsFromValues(Shims.expression(values)))
 

@@ -186,6 +186,18 @@ object PipelineQueries {
             TextAnalysis.tokenCount(col("text")).as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
         .select("doc_id", "source", "pack_seq", "pack_offset")),
+    // per-group top-k via the bounded-state aggregate (NOT window
+    // row_number): partial state is a k-element heap, the exchange
+    // carries <= k rows per partition-group instead of the whole table
+    "q_topk_groups" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("source"))
+        .agg(graft.functions.functions.top_k(
+          struct(col("n_chars").cast("long").as("n_chars"),
+            col("doc_id").as("doc_id")), 5).as("top"))
+        .select(col("source"), explode(col("top")).as("t"))
+        .select(col("source"), col("t.n_chars").as("n_chars"),
+          col("t.doc_id").as("doc_id"))),
     // greedy NEXT-FIT packing (no straddling): sequential recurrence per
     // source — one hash exchange + secondary sort + linear pass; the
     // oracle replays the recurrence with a recursive CTE
@@ -693,6 +705,16 @@ object PipelineQueries {
            FROM (SELECT doc_id, source,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents) t) u""",
+    // grouped top-k: the window form IS the oracle — the bounded
+    // aggregate must return exactly what row_number <= k keeps, with
+    // the (n_chars, doc_id) struct ordering as the total tiebreak
+    "q_topk_groups" ->
+      """SELECT source, n_chars, doc_id FROM (
+           SELECT source, CAST(n_chars AS BIGINT) AS n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id DESC) AS rn
+           FROM documents) t
+         WHERE rn <= 5""",
     // next-fit packing replayed as the literal recurrence: rows ordered
     // per source, state (pack, offset) carried row to row by a recursive
     // CTE — exact integer arithmetic, BIGINT end to end

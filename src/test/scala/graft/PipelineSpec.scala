@@ -561,6 +561,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(dense == 0, "pack ids not dense per group")
   }
 
+  test("bounded top-k equals window row_number; k > group size; serde path") {
+    import graft.functions.functions.top_k
+    import org.apache.spark.sql.expressions.Window
+    val in = docs.select(col("source"),
+      struct(col("n_chars").cast("long").as("n"), col("doc_id").as("id")).as("s"))
+    val got = in.groupBy("source").agg(top_k(col("s"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("pos"), col("col.n"), col("col.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val w = Window.partitionBy("source")
+      .orderBy(col("s.n").desc, col("s.id").desc)
+    val expect = in.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), (col("rn") - 1).as("pos"), col("s.n"), col("s.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect) // ordered equality: pos rides in both sets
+    // k larger than the group: every row survives, still sorted desc
+    val tiny = docs.limit(3).select(lit("g").as("g"),
+      struct(col("n_chars").cast("long").as("n"), col("doc_id").as("id")).as("s"))
+    val all = tiny.groupBy("g").agg(top_k(col("s"), 100).as("top"))
+      .select(size(col("top"))).first().getInt(0)
+    assert(all == 3)
+    // force the serialize/deserialize path: single-partition shuffle of
+    // many partials (32 input partitions -> 1 reducer)
+    val serde = in.repartition(32).groupBy("source")
+      .agg(top_k(col("s"), 5).as("top"))
+      .select(col("source"), explode(col("top")).as("c"))
+      .select(col("source"), col("c.n"), col("c.id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(serde == expect.map(e => (e._1, e._3, e._4)))
+  }
+
   test("decontaminate drops leaked docs, keeps clean ones") {
     import graft.operators.Decontaminate
     val bench = docs.filter(col("doc_id") % 20 === 0)

@@ -230,6 +230,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("grouped top-k: bounded partial aggregation before the exchange, no window sort") {
+    val q = graft.queries.PipelineQueries.queries
+    val plan = planOf(q("q_topk_groups")(spark, sf0001))
+    // the k-heap partial must combine map-side (ObjectHashAggregate
+    // partial_bounded_top_k BELOW the exchange) and no Window/global
+    // Sort may appear — the whole point is shuffling k rows per
+    // partition-group, not every row through a sort
+    assert("""ObjectHashAggregate.*partial_bounded_top_k""".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("greedy pack: one hash exchange + in-partition sort, no global sort") {
     val q = graft.queries.PipelineQueries.queries
     val plan = planOf(q("q_pack_greedy")(spark, sf0001))
