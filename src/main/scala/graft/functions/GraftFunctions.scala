@@ -49,6 +49,13 @@ object GraftFunctions {
     "graft_shingles" -> { args =>
       arity("graft_shingles", args, 2)
       WordShingles(args(0), litInt("graft_shingles", args(1)))
+    },
+    // aggregate: largest-k struct rows per group, sorted descending —
+    // SELECT g, graft_top_k(struct(score, id), 5) FROM t GROUP BY g
+    "graft_top_k" -> { args =>
+      arity("graft_top_k", args, 2)
+      BoundedTopK(args(0), litInt("graft_top_k", args(1)))
+        .toAggregateExpression()
     })
 
   private def info(name: String) =

@@ -720,6 +720,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Any](3).length == 2) // "a b c", "b c d"
     // arity errors surface at analysis, not as runtime surprises
     intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0D))").first())
+    // the aggregate surface: graft_top_k over SQL text == the Column API
+    val topSql = spark.sql(
+      """SELECT graft_top_k(struct(v, id), 2) AS t FROM VALUES
+           (1L, 10L), (3L, 30L), (2L, 20L) AS tab(v, id)""").first()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(topSql == Seq((3L, 30L), (2L, 20L)))
   }
 
   test("text clean strips markup/controls, redact masks pii exactly") {
