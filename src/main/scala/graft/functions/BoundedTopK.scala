@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 case class BoundedTopK(
     child: Expression,
     k: Int,
+    smallest: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
@@ -44,12 +45,16 @@ case class BoundedTopK(
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
+  /** ranking order: with `smallest`, the SMALLEST k survive (bottom-k;
+    * strings and other non-negatable fields can't be flipped by the
+    * caller, so the flag lives here) and the output sorts ascending */
   @transient private lazy val structOrdering: Ordering[InternalRow] = {
     val ord = TypeUtils.getInterpretedOrdering(child.dataType)
-    new Ordering[InternalRow] {
+    val base = new Ordering[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int =
         ord.compare(a, b)
     }
+    if (smallest) base.reverse else base
   }
   // PriorityQueue keeps the MAX on top under the given ordering; we need
   // cheap access to the SMALLEST kept row (the eviction candidate), so
@@ -123,7 +128,8 @@ case class BoundedTopK(
     ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
-  override def prettyName: String = "bounded_top_k"
+  override def prettyName: String =
+    if (smallest) "bounded_bottom_k" else "bounded_top_k"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
     copy(mutableAggBufferOffset = newOffset)

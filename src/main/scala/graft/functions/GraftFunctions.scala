@@ -56,6 +56,11 @@ object GraftFunctions {
       arity("graft_top_k", args, 2)
       BoundedTopK(args(0), litInt("graft_top_k", args(1)))
         .toAggregateExpression()
+    },
+    "graft_bottom_k" -> { args =>
+      arity("graft_bottom_k", args, 2)
+      BoundedTopK(args(0), litInt("graft_bottom_k", args(1)),
+        smallest = true).toAggregateExpression()
     })
 
   private def info(name: String) =

@@ -839,6 +839,11 @@ object functions {
     Shims.column(BoundedTopK(Shims.expression(structCol), k)
       .toAggregateExpression())
 
+  /** smallest-k rows of a struct column per group, sorted ascending */
+  def bottom_k(structCol: Column, k: Int): Column =
+    Shims.column(BoundedTopK(Shims.expression(structCol), k,
+      smallest = true).toAggregateExpression())
+
   def runs_from_values(values: Column): Column =
     Shims.column(RunsFromValues(Shims.expression(values)))
 

@@ -593,6 +593,21 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("source"), col("c.n"), col("c.id"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(serde == expect.map(e => (e._1, e._3, e._4)))
+    // bottom_k: the smallest k, ascending — equals the asc window form
+    import graft.functions.functions.bottom_k
+    val gotB = in.groupBy("source").agg(bottom_k(col("s"), 5).as("bot"))
+      .select(col("source"), posexplode(col("bot")))
+      .select(col("source"), col("pos"), col("col.n"), col("col.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val wAsc = Window.partitionBy("source")
+      .orderBy(col("s.n").asc, col("s.id").asc)
+    val expectB = in.withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") <= 5)
+      .select(col("source"), (col("rn") - 1).as("pos"), col("s.n"), col("s.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(gotB == expectB)
   }
 
   test("decontaminate drops leaked docs, keeps clean ones") {
