@@ -632,6 +632,57 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 }
 
 /** Column-level entry points. */
+/** Sliding-window word chunks of a text column: windows of `size`
+  * whitespace(0x20)-separated tokens every `size − overlap` tokens —
+  * exactly `transform(sequence(0, n−1, stride), s →
+  * array_join(slice(split(text, " "), s+1, size), " "))`, but in ONE
+  * native pass. Because the join separator equals the split separator,
+  * every chunk is a literal BYTE SLICE of the input (consecutive spaces
+  * round-trip as empty tokens), so no token array or per-chunk string
+  * concatenation is ever materialized — the HOF form evaluates an
+  * interpreted lambda per chunk and copies tokens per slice, which is
+  * the dominant cost of the chunking pass at corpus scale (0x20 is
+  * never a UTF-8 continuation byte, so byte scanning is char-safe). */
+case class WordChunks(child: Expression, size: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(size > 0 && overlap >= 0 && overlap < size,
+    s"size=$size overlap=$overlap")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    val total = bytes.length
+    // token j starts at starts(j); token count = spaces + 1
+    val starts = new java.util.ArrayList[Integer](16)
+    starts.add(0)
+    var b = 0
+    while (b < total) {
+      if (bytes(b) == 0x20) starts.add(b + 1)
+      b += 1
+    }
+    val n = starts.size
+    val stride = size - overlap
+    val out = new java.util.ArrayList[UTF8String](math.max(1, n / stride))
+    var s = 0
+    while (s < n) {
+      val e = math.min(s + size, n) // tokens [s, e)
+      val from = starts.get(s)
+      val until = if (e < n) starts.get(e) - 1 else total
+      out.add(UTF8String.fromBytes(bytes, from, until - from))
+      s += stride
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<double> (any order, from collect_list) → SORTED compacted runs
   * array<struct<v:double,c:bigint>> — the percentile state's PARTIAL
   * form in one native pass: primitive Arrays.sort (NaN last, like the
@@ -832,6 +883,9 @@ object functions {
 
   def seeded_hash64(s: Column, seed: Column): Column =
     Shims.column(SeededHash64(Shims.expression(s), Shims.expression(seed)))
+
+  def word_chunks(text: Column, size: Int, overlap: Int): Column =
+    Shims.column(WordChunks(Shims.expression(text), size, overlap))
 
   /** largest-k rows of a struct column per group, sorted descending —
     * bounded O(k) partial state, see [[BoundedTopK]] */

@@ -53,16 +53,13 @@ object TextAnalysis {
     * yields exactly one chunk. Pure Catalyst built-ins (sequence +
     * transform + slice): a narrow codegen map stage — chunking 100 TB
     * is one scan, zero shuffles, and the output explode is map-side. */
-  def chunks(text: Column, size: Int, overlap: Int): Column = {
-    require(size > 0 && overlap >= 0 && overlap < size,
-      s"size=$size overlap=$overlap")
-    val stride = size - overlap
-    val toks = split(text, " ")
-    val starts = sequence(lit(0),
-      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)),
-      lit(stride))
-    transform(starts, s => array_join(slice(toks, s + 1, lit(size)), " "))
-  }
+  def chunks(text: Column, size: Int, overlap: Int): Column =
+    // native single pass (graft.functions.WordChunks): each chunk is a
+    // byte slice of the input — the equivalent sequence+transform+slice
+    // HOF chain evaluates an interpreted lambda per chunk and copies
+    // tokens per slice (CodegenFallback), the dominant cost of chunking
+    // a corpus; semantics pinned equal in PipelineSpec
+    graft.functions.functions.word_chunks(text, size, overlap)
 
   /** Heuristic quality score in [0,1]: length band + word-length sanity +
     * stopword presence (fluent text has them) — the standard cheap filters

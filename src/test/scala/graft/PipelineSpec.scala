@@ -366,6 +366,24 @@ class PipelineSpec extends AnyFunSuite {
     val rebuilt = got(1L).map(_.split(" ").take(2).mkString(" "))
       .mkString(" ").split(" ").take(7).mkString(" ")
     assert(rebuilt == doc, rebuilt)
+    // the native pass equals the HOF definition on the real corpus AND
+    // on separator edge cases (consecutive/trailing spaces, unicode)
+    val edge = Seq((10L, "a  b  c"), (11L, "trailing "), (12L, " lead"),
+      (13L, "héllo wörld ünïcode"), (14L, "   ")).toDF("id", "text")
+    for ((sz, ov) <- Seq((4, 2), (3, 0), (1, 0), (64, 16))) {
+      def hof(text: org.apache.spark.sql.Column) = {
+        val toks = split(text, " ")
+        transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(sz - ov)),
+          s => array_join(slice(toks, s + 1, lit(sz)), " "))
+      }
+      Seq(edge, docs.select(col("doc_id").as("id"), col("text"))).foreach { df =>
+        val diff = df.select(
+          TextAnalysis.chunks(col("text"), sz, ov).as("a"),
+          hof(col("text")).as("b")).filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"size=$sz overlap=$ov")
+      }
+    }
   }
 
   test("mixture sample: quota-capped fractions, partition-invariant set") {
