@@ -139,3 +139,118 @@ case class BoundedTopK(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Re-aggregation form of [[BoundedTopK]] for the incremental cache's
+  * merge stage: input rows carry ARRAYS of ranked structs (stored top-k
+  * state and/or single-element unit rows), and the union's largest k
+  * survive — heap-union, the top-k state's merge operation. Same
+  * ordering, bound, and output shape as the base aggregate, so the
+  * state schema is a fixed point under merging. */
+case class BoundedTopKMerge(
+    child: Expression,
+    k: Int,
+    smallest: Boolean = false,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
+
+  require(k >= 1, s"k=$k")
+
+  private def elemType: StructType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  @transient private lazy val structOrdering: Ordering[InternalRow] = {
+    val ord = TypeUtils.getInterpretedOrdering(elemType)
+    val base = new Ordering[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int =
+        ord.compare(a, b)
+    }
+    if (smallest) base.reverse else base
+  }
+  @transient private lazy val minFirst: Ordering[InternalRow] =
+    structOrdering.reverse
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
+    mutable.PriorityQueue.empty[InternalRow](minFirst)
+
+  override def update(buf: mutable.PriorityQueue[InternalRow],
+      input: InternalRow): mutable.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val nf = elemType.length
+      var i = 0
+      while (i < arr.numElements()) {
+        add(buf, arr.getStruct(i, nf).copy())
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[InternalRow],
+      other: mutable.PriorityQueue[InternalRow])
+      : mutable.PriorityQueue[InternalRow] = {
+    other.foreach(r => add(buf, r))
+    buf
+  }
+
+  private def add(buf: mutable.PriorityQueue[InternalRow],
+      row: InternalRow): Unit = {
+    if (buf.size < k) buf.enqueue(row)
+    else if (structOrdering.compare(row, buf.head) > 0) {
+      buf.dequeue(); buf.enqueue(row)
+    }
+  }
+
+  override def eval(buf: mutable.PriorityQueue[InternalRow]): Any = {
+    val sortedDesc = buf.toArray.sorted(structOrdering).reverse
+    new GenericArrayData(sortedDesc.map(r => r: Any))
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
+    val proj = UnsafeProjection.create(elemType)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { r =>
+      val u = proj(r)
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, new Array[Byte](4096))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[InternalRow] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    val nFields = elemType.length
+    while (i < n) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      val row = new UnsafeRow(nFields)
+      row.pointTo(arr, len)
+      buf.enqueue(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String =
+    if (smallest) "bounded_bottom_k_merge" else "bounded_top_k_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

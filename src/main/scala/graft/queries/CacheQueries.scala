@@ -232,6 +232,20 @@ object CacheQueries {
             round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"),
               6).as("pd50"))
       }),
+    // per-day TOP-K through the cache cycle (heap-union state, O(k) per
+    // group): the leaderboard shape — the explode above the aggregate
+    // re-runs over replayed state like any other parent
+    "qc_incr_topk" -> ((s, d) =>
+      coldAppendWarm(s, d, "topk") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(graft.functions.functions.top_k(
+            struct(col("value").as("value"), col("event_id").as("event_id")),
+            3).as("top"))
+          .select(col("day"), explode(col("top")).as("t"))
+          .select(col("day"), col("t.value").as("value"),
+            col("t.event_id").as("event_id"))
+      }),
     // statistical aggregates (corr/covar via raw-sums state) and ordered
     // last (max_by over the temporal column) through the cache cycle
     "qc_incr_stats" -> ((s, d) =>
@@ -380,6 +394,14 @@ object CacheQueries {
            lag(cnt, 1) OVER (ORDER BY day) AS prev_cnt,
            cnt - COALESCE(lag(cnt, 1) OVER (ORDER BY day), 0) AS delta_cnt
          FROM a""",
+    "qc_incr_topk" ->
+      """SELECT day, value, event_id FROM (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             value, event_id,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+               ORDER BY value DESC, event_id DESC) AS rn
+           FROM events WHERE value > 1) t
+         WHERE rn <= 3""",
     // pd50 = Spark percentile_disc semantics spelled out: the smallest
     // member whose cume_dist >= p (DuckDB's own quantile_disc uses the
     // lower floor((n-1)p) convention — deliberately not used)

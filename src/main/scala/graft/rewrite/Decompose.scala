@@ -50,6 +50,8 @@ object Decompose {
     * counts), so arbitrarily many merge generations stay bounded by the
     * group's distinct-value count */
   case object MValueCounts extends MergeOp
+  /** heap union of ranked-struct arrays bounded at k — top-k state */
+  final case class MTopK(k: Int, smallest: Boolean) extends MergeOp
 
   /** One stored state column: `partial` computes it from raw rows,
     * `merge` recombines previously-stored copies of it, and `unit`
@@ -335,6 +337,20 @@ object Decompose {
               Shims.expression(col(n)), ps, discrete = true,
               scalarOut = scalar)).cast(agg.dataType))
         }
+      case t: graft.functions.BoundedTopK =>
+        // grouped top-k caches via heap union: stored state IS the top-k
+        // array, merged with the bounded re-aggregation form; appended
+        // rows enter as single-element unit arrays. State is O(k) per
+        // group by construction — the leaderboard dashboard shape,
+        // incrementally maintained.
+        val n = s"_s${i}_topk"
+        val c = Shims.column(t.child)
+        Some(Decomposed(
+          Seq(StateSpec(n, asCol, MTopK(t.k, t.smallest),
+            unit = Some(when(c.isNotNull, array(c))
+              .otherwise(array().cast(
+                org.apache.spark.sql.types.ArrayType(t.child.dataType)))))),
+          col(n).cast(agg.dataType)))
       case c: Corr =>
         // Pearson correlation via raw sums (n, Σx, Σy, Σxy, Σx², Σy²) over
         // rows where BOTH sides are non-null (Spark skips half-null pairs).
@@ -507,6 +523,10 @@ object Decompose {
       case MValueCounts =>
         graft.functions.functions.merge_runs(
           flatten(collect_list(col(spec.name))))
+      case MTopK(k, smallest) =>
+        Shims.column(graft.functions.BoundedTopKMerge(
+          Shims.expression(col(spec.name)), k, smallest)
+          .toAggregateExpression())
     }
     merged.cast(storedType).as(spec.name)
   }

@@ -277,6 +277,19 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
+  test("grouped top-k caches via heap-union state, equals vanilla, hits") {
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(graft.functions.functions.top_k(
+        struct(col("value").as("v"), col("event_id").as("id")), 3).as("top"))
+      .select(col("day"), explode(col("top")).as("t"))
+      .select(col("day"), col("t.v").as("v"), col("t.id").as("id"))
+    val (warmDF, log) = coldAppendWarm("topk")(q)
+    assertSameRows(warmDF, q(eventsFull), tol = 0.0)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
   test("histogram state beyond the element guard falls back to vanilla") {
     // a high-cardinality percentile column must degrade, not break: the
     // put rejects the oversized array state (element-count guard) and the
