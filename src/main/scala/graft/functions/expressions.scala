@@ -767,6 +767,41 @@ case class MergeRuns(child: Expression)
     copy(child = c)
 }
 
+/** Mode over a SORTED run-length histogram: the value of the
+  * largest-count run; ties resolve to the smallest value (ascending
+  * scan keeps the first maximum) or the largest with `reverse` —
+  * matching Spark's deterministic `mode() WITHIN GROUP (ORDER BY x
+  * [DESC])`. Empty histogram → NULL. One compiled pass, same rationale
+  * as [[PercentileFromRuns]]. */
+case class ModeFromRuns(child: Expression, reverse: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) return null
+    val runs = arr.asInstanceOf[ArrayData]
+    val n = runs.numElements()
+    if (n == 0) return null
+    var bestV = 0.0d
+    var bestC = -1L
+    var i = 0
+    while (i < n) {
+      val r = runs.getStruct(i, 2)
+      val c = r.getLong(1)
+      // ascending scan: strict > keeps the SMALLEST tied value; with
+      // reverse, >= keeps the LARGEST tied value
+      if (c > bestC || (reverse && c == bestC)) { bestV = r.getDouble(0); bestC = c }
+      i += 1
+    }
+    bestV
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Percentiles over a SORTED run-length histogram (array<struct<v:double,
   * c:bigint>>) in one pass per requested percentage — the percentile
   * family's finalize. The Catalyst higher-order `aggregate` folds this

@@ -230,7 +230,8 @@ object CacheQueries {
             round(expr("percentile(value, 0.5)"), 6).as("p50"),
             round(expr("percentile(value, 0.9)"), 6).as("p90"),
             round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"),
-              6).as("pd50"))
+              6).as("pd50"),
+            expr("mode() WITHIN GROUP (ORDER BY value)").as("mode_v"))
       }),
     // per-day TOP-K through the cache cycle (heap-union state, O(k) per
     // group): the leaderboard shape — the explode above the aggregate
@@ -412,12 +413,23 @@ object CacheQueries {
          ranked AS (
            SELECT day, value,
              cume_dist() OVER (PARTITION BY day ORDER BY value) AS cd
-           FROM base)
-         SELECT day, count(*) AS cnt,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           round(min(CASE WHEN cd >= 0.5 THEN value END), 6) AS pd50
-         FROM ranked GROUP BY 1""",
+           FROM base),
+         agg AS (
+           SELECT day, count(*) AS cnt,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(min(CASE WHEN cd >= 0.5 THEN value END), 6) AS pd50
+           FROM ranked GROUP BY 1),
+         modes AS (
+           SELECT day, value AS mode_v FROM (
+             SELECT day, value,
+               row_number() OVER (PARTITION BY day
+                 ORDER BY c DESC, value ASC) AS mrn
+             FROM (SELECT day, value, count(*) AS c
+                   FROM base GROUP BY 1, 2) g) r
+           WHERE mrn = 1)
+         SELECT agg.day AS day, cnt, p50, p90, pd50, mode_v
+         FROM agg JOIN modes ON agg.day = modes.day""",
     "qc_incr_stats" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

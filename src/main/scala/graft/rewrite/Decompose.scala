@@ -337,6 +337,23 @@ object Decompose {
               Shims.expression(col(n)), ps, discrete = true,
               scalarOut = scalar)).cast(agg.dataType))
         }
+      case m: Mode if histogramSafe(m.child.dataType) =>
+        // mode shares the value histogram; finalize = largest-count run.
+        // Deterministic WITHIN-GROUP forms match Spark exactly (lowest /
+        // highest tied value per the declared order); plain mode() leaves
+        // ties ARBITRARY by contract, and the cached answer settles on
+        // the lowest — a deterministic refinement, like max_by ties.
+        val n = s"_s${i}_vcnt"
+        val spec = valueCountSpec(n, Shims.column(m.child).cast("double"))
+        // NOTE Mode.reverseOpt encodes ORDER BY ASC as Some(true) (the
+        // flag reverses the internal ordering used to pick among ties,
+        // not the user-facing direction): ASC ⇒ smallest tied value ⇒
+        // our ascending-scan keep-first, i.e. reverse = false here.
+        // Pinned by the mode_ties spec (real tie pressure on user_id).
+        Some(Decomposed(Seq(spec),
+          Shims.column(graft.functions.ModeFromRuns(
+            Shims.expression(col(n)),
+            reverse = m.reverseOpt.contains(false))).cast(agg.dataType)))
       case t: graft.functions.BoundedTopK =>
         // grouped top-k caches via heap union: stored state IS the top-k
         // array, merged with the bounded re-aggregation form; appended

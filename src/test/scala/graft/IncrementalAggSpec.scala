@@ -241,7 +241,11 @@ class IncrementalAggSpec extends AnyFunSuite {
         count(lit(1)).as("cnt"),
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, array(0.25, 0.75))").as("pq"),
-        expr("percentile(CAST(user_id AS INT), 0.9)").as("p90u"))
+        expr("percentile(CAST(user_id AS INT), 0.9)").as("p90u"),
+        expr("mode() WITHIN GROUP (ORDER BY value)").as("mode_asc"),
+        expr("mode() WITHIN GROUP (ORDER BY value DESC)").as("mode_desc"),
+        expr("mode() WITHIN GROUP (ORDER BY CAST(user_id AS INT))")
+          .as("mode_ties")) // user_id repeats per day: real tie pressure
     val (warmDF, log) = coldAppendWarm("pct")(q)
     // the finalize replays Spark's own interpolation over the merged
     // histogram, so warm == vanilla BIT-exactly (tol guards sort only)
