@@ -55,6 +55,33 @@ class CacheWarmerSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("warmer keeps percentile + top-k state warm across appends") {
+    // the heavy-state aggregates through the streaming bridge: histogram
+    // and heap states must merge correctly under the warmer's strict
+    // bands, and interactive answers must equal batch after every cycle
+    val work = Files.createTempDirectory("graft_warmer_").toString
+    val log = new RecordingLog
+    val cfg = QueryCacheConfig(new MemoryQueryCache,
+      defaultTemporalColumn = "ts", log = log)
+    def q(): DataFrame = spark.read.parquet(work)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        graft.functions.functions.top_k(
+          struct(col("value").as("v"), col("event_id").as("id")), 3).as("top"))
+    val warmer = new CacheWarmer(spark, cfg, Seq(q _))
+    val splits = Seq(0, 150, 300, 450)
+    splits.sliding(2).foreach { case Seq(a, b) =>
+      eventsDf(a, b).write.mode("append").parquet(work)
+      warmer.tick(eventsDf(a, b).select("ts"))
+      val got = warmer.interactive(q()).orderBy("event_type").collect()
+      val want = q().orderBy("event_type").collect()
+      assert(got.toSeq == want.toSeq, s"after append [$a,$b)")
+    }
+    assert(log.messages.count(_.contains("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.contains("cache hit")) >= 2, log.messages)
+  }
+
   test("warmer keeps a static-dim JOIN aggregate warm across 3 appends") {
     val work = Files.createTempDirectory("graft_warmer_").toString
     val dimDir = Files.createTempDirectory("graft_warmdim_").toString
