@@ -51,7 +51,7 @@ class IncrementalPropertySpec extends AnyFunSuite {
       }.asJava, schema)
   }
 
-  private val nQueries = 7
+  private val nQueries = 8
 
   private def query(i: Int)(df: DataFrame): DataFrame = i match {
     case 0 => df.agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
@@ -88,17 +88,27 @@ class IncrementalPropertySpec extends AnyFunSuite {
       bit_xor(col("value").cast("long")).as("bx"))
     // percentile family over the value-histogram state (finalize replays
     // Spark's interpolation, so no rounding is needed for equality)
-    case _ => df.groupBy(col("service")).agg(
+    case 6 => df.groupBy(col("service")).agg(
       count(lit(1)).as("cnt"),
       expr("percentile(value, 0.5)").as("p50"),
       expr("percentile(value, array(0.1, 0.9))").as("pq"))
+    // mode (histogram, deterministic tie directions) + grouped top-k
+    // (heap-union state); ts tiebreak in the struct keeps top-k total
+    case _ => df.groupBy(col("service")).agg(
+      expr("mode() WITHIN GROUP (ORDER BY value)").as("mo"),
+      expr("mode() WITHIN GROUP (ORDER BY value DESC)").as("mod"),
+      graft.functions.functions.top_k(
+        struct(col("value").as("v"), col("ts").as("t")), 3).as("top"))
   }
 
   test("incremental == full recompute for random tables, splits, queries") {
     // deterministic sampling (scalatestplus bridge unavailable offline)
     val params = Gen.Parameters.default
     (1 to 8).foreach { caseNo =>
-      val c = genCase.pureApply(params, Seed(42L + caseNo))
+      val c0 = genCase.pureApply(params, Seed(42L + caseNo))
+      // rows/split stay random; the query INDEX cycles so every shape in
+      // the whitelist runs at least once per suite execution
+      val c = c0.copy(q = (caseNo - 1) % nQueries)
       val work = tmpDir(s"prop$caseNo")
       // ordered rows; split simulates time passing
       val sorted = c.rows.sortBy(_._1)
