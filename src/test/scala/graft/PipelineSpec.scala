@@ -611,6 +611,23 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("source"), col("c.n"), col("c.id"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(serde == expect.map(e => (e._1, e._3, e._4)))
+    // var-length payloads (strings) through the serde path: UnsafeRow
+    // serialization must round-trip non-fixed-width fields intact
+    val withText = docs.select(col("source"),
+      struct(col("n_chars").cast("long").as("n"), col("doc_id").as("id"),
+        substring(col("text"), 1, 20).as("snippet")).as("s"))
+    val gotS = withText.repartition(32).groupBy("source")
+      .agg(top_k(col("s"), 3).as("top"))
+      .select(explode(col("top")).as("c"))
+      .select(col("c.n"), col("c.id"), col("c.snippet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val wS = Window.partitionBy("source")
+      .orderBy(col("s.n").desc, col("s.id").desc, col("s.snippet").desc)
+    val expectS = withText.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 3)
+      .select(col("s.n"), col("s.id"), col("s.snippet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(gotS == expectS)
     // bottom_k: the smallest k, ascending — equals the asc window form
     import graft.functions.functions.bottom_k
     val gotB = in.groupBy("source").agg(bottom_k(col("s"), 5).as("bot"))
