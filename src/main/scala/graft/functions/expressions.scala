@@ -683,17 +683,22 @@ case class WordChunks(child: Expression, size: Int, overlap: Int)
     copy(child = c)
 }
 
-/** array<double> (any order, from collect_list) → SORTED compacted runs
-  * array<struct<v:double,c:bigint>> — the percentile state's PARTIAL
-  * form in one native pass: primitive Arrays.sort (NaN last, like the
-  * Catalyst double ordering) + linear run-length encode. Avoids both
+/** array<double|string> (any order, from collect_list) → SORTED compacted
+  * runs array<struct<v,c:bigint>> — the histogram state's PARTIAL form
+  * in one native pass: primitive/binary sort (doubles: NaN last like the
+  * Catalyst ordering; strings: UTF8String binary compare = StringType's
+  * default ordering) + linear run-length encode. Avoids both
   * sort_array's per-comparison interpreted ordering and transform's
   * per-element interpreted lambda on data-scale lists. */
 case class RunsFromValues(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  private def elemIsString: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("v", DoubleType, nullable = false),
+      StructField("v", if (elemIsString) StringType else DoubleType,
+        nullable = false),
       StructField("c", LongType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -701,21 +706,37 @@ case class RunsFromValues(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val in = input.asInstanceOf[ArrayData]
     val n = in.numElements()
-    val vs = new Array[Double](n)
-    var i = 0
-    while (i < n) { vs(i) = in.getDouble(i); i += 1 }
-    java.util.Arrays.sort(vs)
     val out = new java.util.ArrayList[InternalRow](math.min(n, 16))
-    var j = 0
-    while (j < n) {
-      val v = vs(j)
-      var c = 1L
-      while (j + 1 < n && java.lang.Double.compare(vs(j + 1), v) == 0) {
-        c += 1; j += 1
+    if (elemIsString) {
+      val vs = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { vs(i) = in.getUTF8String(i); i += 1 }
+      java.util.Arrays.sort(vs.asInstanceOf[Array[Object]])
+      var j = 0
+      while (j < n) {
+        val v = vs(j)
+        var c = 1L
+        while (j + 1 < n && vs(j + 1).compareTo(v) == 0) { c += 1; j += 1 }
+        out.add(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](v, c)))
+        j += 1
       }
-      out.add(new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(Array[Any](v, c)))
-      j += 1
+    } else {
+      val vs = new Array[Double](n)
+      var i = 0
+      while (i < n) { vs(i) = in.getDouble(i); i += 1 }
+      java.util.Arrays.sort(vs)
+      var j = 0
+      while (j < n) {
+        val v = vs(j)
+        var c = 1L
+        while (j + 1 < n && java.lang.Double.compare(vs(j + 1), v) == 0) {
+          c += 1; j += 1
+        }
+        out.add(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](v, c)))
+        j += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[InternalRow](out.size)))
@@ -731,28 +752,34 @@ case class RunsFromValues(child: Expression)
   * comparison struct ordering on the merge exchange. */
 case class MergeRuns(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  private def vIsString: Boolean = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].head.dataType == StringType
+
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any = {
     val in = input.asInstanceOf[ArrayData]
     val n = in.numElements()
-    val pairs = new Array[(Double, Long)](n)
+    val isStr = vIsString
+    val pairs = new Array[(Any, Long)](n)
     var i = 0
     while (i < n) {
       val r = in.getStruct(i, 2)
-      pairs(i) = (r.getDouble(0), r.getLong(1))
+      pairs(i) = ((if (isStr) r.getUTF8String(0) else r.getDouble(0)), r.getLong(1))
       i += 1
     }
+    def cmpV(a: Any, b: Any): Int =
+      if (isStr) a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      else java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     java.util.Arrays.sort(pairs,
-      (a: (Double, Long), b: (Double, Long)) =>
-        java.lang.Double.compare(a._1, b._1))
+      (a: (Any, Long), b: (Any, Long)) => cmpV(a._1, b._1))
     val out = new java.util.ArrayList[InternalRow](math.min(n, 16))
     var j = 0
     while (j < n) {
       val v = pairs(j)._1
       var c = pairs(j)._2
-      while (j + 1 < n && java.lang.Double.compare(pairs(j + 1)._1, v) == 0) {
+      while (j + 1 < n && cmpV(pairs(j + 1)._1, v) == 0) {
         c += pairs(j + 1)._2; j += 1
       }
       out.add(new org.apache.spark.sql.catalyst.expressions
@@ -775,7 +802,11 @@ case class MergeRuns(child: Expression)
   * as [[PercentileFromRuns]]. */
 case class ModeFromRuns(child: Expression, reverse: Boolean)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
+  private def vIsString: Boolean = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].head.dataType == StringType
+
+  override def dataType: DataType =
+    if (vIsString) StringType else DoubleType
   override def nullable: Boolean = true
 
   override def eval(input: InternalRow): Any = {
@@ -784,6 +815,20 @@ case class ModeFromRuns(child: Expression, reverse: Boolean)
     val runs = arr.asInstanceOf[ArrayData]
     val n = runs.numElements()
     if (n == 0) return null
+    if (vIsString) {
+      var bestV: UTF8String = null
+      var bestC = -1L
+      var i = 0
+      while (i < n) {
+        val r = runs.getStruct(i, 2)
+        val c = r.getLong(1)
+        if (c > bestC || (reverse && c == bestC)) {
+          bestV = r.getUTF8String(0); bestC = c
+        }
+        i += 1
+      }
+      return bestV
+    }
     var bestV = 0.0d
     var bestC = -1L
     var i = 0

@@ -337,14 +337,21 @@ object Decompose {
               Shims.expression(col(n)), ps, discrete = true,
               scalarOut = scalar)).cast(agg.dataType))
         }
-      case m: Mode if histogramSafe(m.child.dataType) =>
-        // mode shares the value histogram; finalize = largest-count run.
-        // Deterministic WITHIN-GROUP forms match Spark exactly (lowest /
-        // highest tied value per the declared order); plain mode() leaves
-        // ties ARBITRARY by contract, and the cached answer settles on
-        // the lowest — a deterministic refinement, like max_by ties.
+      case m: Mode if histogramSafe(m.child.dataType) ||
+          m.child.dataType == org.apache.spark.sql.types.StringType =>
+        // mode shares the value histogram (the STRING variant keys runs
+        // by UTF8 binary order — the categorical-column mode, its most
+        // common shape); finalize = largest-count run. Deterministic
+        // WITHIN-GROUP forms match Spark exactly (lowest / highest tied
+        // value per the declared order); plain mode() leaves ties
+        // ARBITRARY by contract, and the cached answer settles on the
+        // lowest — a deterministic refinement, like max_by ties.
+        val isStr = m.child.dataType == org.apache.spark.sql.types.StringType
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, Shims.column(m.child).cast("double"))
+        val childCol =
+          if (isStr) Shims.column(m.child)
+          else Shims.column(m.child).cast("double")
+        val spec = valueCountSpec(n, childCol, string = isStr)
         // NOTE Mode.reverseOpt encodes ORDER BY ASC as Some(true) (the
         // flag reverses the internal ordering used to pick among ties,
         // not the user-facing direction): ASC ⇒ smallest tied value ⇒
@@ -421,8 +428,14 @@ object Decompose {
     })
 
   private val vcType = "array<struct<v:double,c:bigint>>"
+  private val vcTypeStr = "array<struct<v:string,c:bigint>>"
+  private def vcTypeOf(string: Boolean): String =
+    if (string) vcTypeStr else vcType
   private def emptyVc: Column =
     typedlit(Seq.empty[(Double, Long)]).cast(vcType)
+  private def emptyVcOf(string: Boolean): Column =
+    if (string) typedlit(Seq.empty[(String, Long)]).cast(vcTypeStr)
+    else emptyVc
 
   /** Shared (value, count) histogram state for the percentile family:
     * partial = sorted compacted runs of the group's values; unit = a
@@ -434,13 +447,15 @@ object Decompose {
     * interpreted per element/comparison, which measured seconds per
     * query on ~18k-run state (and a fold-based compact is additionally
     * O(runs²) in array copies). */
-  private def valueCountSpec(n: String, child: Column): StateSpec =
+  private def valueCountSpec(n: String, child: Column,
+      string: Boolean = false): StateSpec =
     StateSpec(n,
       graft.functions.functions.runs_from_values(collect_list(child))
-        .cast(vcType),
+        .cast(vcTypeOf(string)),
       MValueCounts,
       unit = Some(when(child.isNotNull,
-        array(struct(child.as("v"), lit(1L).as("c")))).otherwise(emptyVc)))
+        array(struct(child.as("v"), lit(1L).as("c"))))
+        .otherwise(emptyVcOf(string))))
 
   /** Percentage argument(s) as plan-time doubles: (values, isScalar).
     * Percentile requires the expression foldable; None on anything not

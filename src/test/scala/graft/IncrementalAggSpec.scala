@@ -281,6 +281,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
+  test("string mode caches via the UTF8-keyed histogram, equals vanilla, hits") {
+    // categorical mode — the common shape; event_type has few distinct
+    // values per day, so boundary ties are routine in both directions
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        expr("mode() WITHIN GROUP (ORDER BY event_type)").as("m_asc"),
+        expr("mode() WITHIN GROUP (ORDER BY event_type DESC)").as("m_desc"),
+        count(lit(1)).as("cnt"))
+    val (warmDF, log) = coldAppendWarm("smode")(q)
+    assertSameRows(warmDF, q(eventsFull), tol = 0.0)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+  }
+
   test("grouped top-k caches via heap-union state, equals vanilla, hits") {
     def q(df: DataFrame) = df
       .groupBy(date_trunc("day", col("ts")).as("day"))
