@@ -247,6 +247,65 @@ object CacheQueries {
           .select(col("day"), col("t.value").as("value"),
             col("t.event_id").as("event_id"))
       }),
+    // FILTER (WHERE …) across the whitelist (round 8): the predicate
+    // folds into each state's partial/unit by null-masking data children —
+    // conditional dashboard aggregates cache like their plain forms
+    "qc_incr_filter" -> ((s, d) =>
+      coldAppendWarm(s, d, "filteragg") { df =>
+        df.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            expr("CAST(sum(CAST(value AS DECIMAL(18,4))) " +
+              "FILTER (WHERE event_type = 'click') AS DOUBLE)").as("s_click"),
+            expr("count(*) FILTER (WHERE value > 50)").as("n_gt50"),
+            round(expr("avg(value) FILTER (WHERE event_type <> 'click')"), 6)
+              .as("a_rest"),
+            expr("min(value) FILTER (WHERE user_id % 2 = 0)").as("mn_even"),
+            expr("count(DISTINCT user_id) FILTER (WHERE event_type = 'view')")
+              .as("u_view"),
+            round(expr("percentile(value, 0.5) FILTER (WHERE value > 10)"), 6)
+              .as("p50_gt10"))
+      }),
+    // WEIGHTED percentile (per-row frequency) through the cache cycle:
+    // the run-length histogram holds the expanded multiset exactly
+    "qc_incr_wpercentile" -> ((s, d) =>
+      coldAppendWarm(s, d, "wpercentile") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(expr("percentile(value, 0.5, pmod(user_id, 3) + 1)"), 6)
+              .as("wp50"),
+            round(expr("percentile(value, 0.9, pmod(user_id, 3) + 1)"), 6)
+              .as("wp90"))
+      }),
+    // count_if + the full regr_* family (raw-sums pair state; replacements
+    // normalized pre-ReplaceExpressions so the facade path caches them)
+    "qc_incr_regr" -> ((s, d) =>
+      coldAppendWarm(s, d, "regr") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("count_if(value > 50)").as("ci"),
+            expr("regr_count(value, CAST(user_id AS DOUBLE))").as("rn"),
+            round(expr("regr_avgx(value, CAST(user_id AS DOUBLE))"), 6).as("rax"),
+            round(expr("regr_avgy(value, CAST(user_id AS DOUBLE))"), 6).as("ray"),
+            round(expr("regr_slope(value, CAST(user_id AS DOUBLE))"), 8).as("rs"),
+            round(expr("regr_intercept(value, CAST(user_id AS DOUBLE))"), 6).as("ri"),
+            round(expr("regr_r2(value, CAST(user_id AS DOUBLE))"), 8).as("r2"))
+      }),
+    // skewness/kurtosis via mergeable power sums; the oracle replays the
+    // engine's population-moment formulas (DuckDB's own skewness/kurtosis
+    // are the BIAS-CORRECTED sample forms — deliberately not used)
+    "qc_incr_moments" -> ((s, d) =>
+      coldAppendWarm(s, d, "moments") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(skewness(col("value")), 6).as("sk"),
+            round(kurtosis(col("value")), 6).as("ku"))
+      }),
     // statistical aggregates (corr/covar via raw-sums state) and ordered
     // last (max_by over the temporal column) through the cache cycle
     "qc_incr_stats" -> ((s, d) =>
@@ -430,6 +489,66 @@ object CacheQueries {
            WHERE mrn = 1)
          SELECT agg.day AS day, cnt, p50, p90, pd50, mode_v
          FROM agg JOIN modes ON agg.day = modes.day""",
+    "qc_incr_filter" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4)))
+                FILTER (WHERE event_type = 'click') AS DOUBLE) AS s_click,
+           count(*) FILTER (WHERE value > 50) AS n_gt50,
+           round(avg(value) FILTER (WHERE event_type <> 'click'), 6) AS a_rest,
+           min(value) FILTER (WHERE user_id % 2 = 0) AS mn_even,
+           count(DISTINCT user_id) FILTER (WHERE event_type = 'view') AS u_view,
+           round(quantile_cont(value, 0.5) FILTER (WHERE value > 10), 6)
+             AS p50_gt10
+         FROM events GROUP BY 1""",
+    // weighted percentile == continuous quantile over the frequency-
+    // expanded multiset (runs hold exactly that multiset)
+    "qc_incr_wpercentile" ->
+      """WITH base AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(value AS DOUBLE) AS v, (user_id % 3) + 1 AS f
+           FROM events WHERE value > 1),
+         expanded AS (
+           SELECT day, v, unnest(generate_series(1, CAST(f AS BIGINT))) AS c
+           FROM base)
+         SELECT b.day AS day, b.cnt, e.wp50, e.wp90
+         FROM (SELECT day, count(*) AS cnt FROM base GROUP BY 1) b
+         JOIN (SELECT day, round(quantile_cont(v, 0.5), 6) AS wp50,
+                      round(quantile_cont(v, 0.9), 6) AS wp90
+               FROM expanded GROUP BY 1) e ON b.day = e.day""",
+    "qc_incr_regr" ->
+      """SELECT event_type,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS ci,
+           CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS rn,
+           round(regr_avgx(value, CAST(user_id AS DOUBLE)), 6) AS rax,
+           round(regr_avgy(value, CAST(user_id AS DOUBLE)), 6) AS ray,
+           round(regr_slope(value, CAST(user_id AS DOUBLE)), 8) AS rs,
+           round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS ri,
+           round(regr_r2(value, CAST(user_id AS DOUBLE)), 8) AS r2
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    // Spark's POPULATION-moment skewness/kurtosis replayed from power
+    // sums (DuckDB's own skewness/kurtosis are the bias-corrected sample
+    // estimators — different formulas, deliberately not used)
+    "qc_incr_moments" ->
+      """WITH sums AS (
+           SELECT event_type, count(*) AS cnt, count(value) AS n,
+             sum(value) AS s1, sum(value*value) AS s2,
+             sum(value*value*value) AS s3,
+             sum(value*value*value*value) AS s4
+           FROM events WHERE value > 1 GROUP BY 1),
+         fin AS (
+           SELECT event_type, cnt, n, s1/n AS mu, s1, s2, s3, s4 FROM sums),
+         m AS (
+           SELECT event_type, cnt, n,
+             s2 - s1*mu AS m2,
+             s3 - 3.0*mu*s2 + 2.0*n*mu*mu*mu AS m3,
+             s4 - 4.0*mu*s3 + 6.0*mu*mu*s2 - 3.0*n*mu*mu*mu*mu AS m4
+           FROM fin)
+         SELECT event_type, cnt,
+           round(sqrt(n) * m3 / sqrt(m2*m2*m2), 6) AS sk,
+           round(n * m4 / (m2*m2) - 3.0, 6) AS ku
+         FROM m""",
     "qc_incr_stats" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

@@ -69,8 +69,20 @@ object Decompose {
 
   /** None ⇒ this aggregate is not incrementally mergeable here. */
   def decompose(i: Int, agg: AggregateExpression): Option[Decomposed] = {
-    if (agg.filter.isDefined) return None
-    if (!agg.deterministic) return None
+    if (!agg.deterministic) return None // covers the filter: it is a child
+    // FILTER (WHERE …) folds into the state columns by null-masking every
+    // DATA child with the predicate: each whitelisted aggregate treats a
+    // null data child as "skip this row", which is exactly the filter
+    // semantics (count(*)'s literal child masks to null the same way, so
+    // count(*) FILTER (WHERE p) becomes a count of p-rows). Partials built
+    // directly from the AggregateExpression (`asCol`) carry the filter
+    // natively; manually-built partials and every per-row `unit` go
+    // through `fc` below.
+    val filterCol: Option[Column] = agg.filter.map(Shims.column)
+    def fc(c: Column): Column = filterCol match {
+      case Some(f) => when(f, c)
+      case None => c
+    }
     if (agg.isDistinct) {
       // exact COUNT(DISTINCT x): state = the distinct value set itself,
       // merged by set union — mergeable where the engine-side rewrite
@@ -80,7 +92,7 @@ object Decompose {
       // shared by every distinct aggregate: the distinct value set
       def dsetSpec(child: Expression): (String, StateSpec) = {
         val n = s"_s${i}_dset"
-        val c = Shims.column(child)
+        val c = fc(Shims.column(child))
         (n, StateSpec(n, collect_set(c), MSetUnion,
           unit = Some(when(c.isNotNull, array(c)).otherwise(array()))))
       }
@@ -122,15 +134,25 @@ object Decompose {
       }
     }
     val asCol = Shims.column(agg)
-    // normalize lowerings decide() sees pre-optimizer: median(x) is a
-    // RuntimeReplaceableAggregate whose replacement (Percentile(x, 0.5))
-    // only appears after ReplaceExpressions — match on the source form
-    val normalizedFn = agg.aggregateFunction match {
+    // normalize lowerings decide() sees pre-optimizer: the facade path
+    // runs BEFORE ReplaceExpressions, so RuntimeReplaceableAggregates
+    // (median → Percentile, count_if → Count(nullif), regr_count →
+    // Count(x, y), regr_avgx/avgy → filtered Average, …) still wear
+    // their source form — unwrap to the replacement the pre-CBO rule
+    // path would see, to a fixed point (replacements can nest).
+    @annotation.tailrec
+    def normalize(f: AggregateFunction): AggregateFunction = f match {
       case m: Median => new Percentile(m.child,
         org.apache.spark.sql.catalyst.expressions.Literal(0.5),
         org.apache.spark.sql.catalyst.expressions.Literal(1L))
-      case f => f
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
+        r.replacement match {
+          case af: AggregateFunction if af ne f => normalize(af)
+          case _ => f // not a bare aggregate — fall through (likely bail)
+        }
+      case other => other
     }
+    val normalizedFn = normalize(agg.aggregateFunction)
     normalizedFn match {
       case c: Count =>
         val n = s"_s${i}_cnt"
@@ -139,29 +161,31 @@ object Decompose {
         val allNotNull = c.children
           .map(ch => Shims.column(ch).isNotNull)
           .reduceOption(_ && _).getOrElse(lit(true))
+        // fc(allNotNull) is null when the filter rejects the row, and
+        // when(null, 1).otherwise(0) lands in the otherwise branch
         Some(Decomposed(
           Seq(StateSpec(n, asCol, MSum,
-            unit = Some(when(allNotNull, lit(1L)).otherwise(lit(0L))))),
+            unit = Some(when(fc(allNotNull), lit(1L)).otherwise(lit(0L))))),
           col(n).cast(agg.dataType)))
       case sm: Sum =>
         val n = s"_s${i}_sum"
         Some(Decomposed(
-          Seq(StateSpec(n, asCol, MSum, unit = Some(Shims.column(sm.child)))),
+          Seq(StateSpec(n, asCol, MSum, unit = Some(fc(Shims.column(sm.child))))),
           col(n).cast(agg.dataType)))
       case mn: Min =>
         val n = s"_s${i}_min"
         Some(Decomposed(Seq(StateSpec(n, asCol, MMin,
-          unit = Some(Shims.column(mn.child)))), col(n)))
+          unit = Some(fc(Shims.column(mn.child))))), col(n)))
       case mx: Max =>
         val n = s"_s${i}_max"
         Some(Decomposed(Seq(StateSpec(n, asCol, MMax,
-          unit = Some(Shims.column(mx.child)))), col(n)))
+          unit = Some(fc(Shims.column(mx.child))))), col(n)))
       case a: Average =>
         // state carries (sum, count). Non-decimal input sums as double —
         // the same buffer type Spark's Average uses; decimal input keeps
         // the exact decimal sum and the final division casts to the
         // exact avg output type.
-        val child = Shims.column(a.child)
+        val child = fc(Shims.column(a.child))
         val sumState =
           if (a.child.dataType.isInstanceOf[DecimalType]) sum(child)
           else sum(child.cast("double"))
@@ -182,23 +206,23 @@ object Decompose {
       case b: BoolAnd =>
         val n = s"_s${i}_band"
         Some(Decomposed(Seq(StateSpec(n, asCol, MBoolAnd,
-          unit = Some(Shims.column(b.child)))), col(n)))
+          unit = Some(fc(Shims.column(b.child))))), col(n)))
       case b: BoolOr =>
         val n = s"_s${i}_bor"
         Some(Decomposed(Seq(StateSpec(n, asCol, MBoolOr,
-          unit = Some(Shims.column(b.child)))), col(n)))
+          unit = Some(fc(Shims.column(b.child))))), col(n)))
       case b: BitAndAgg =>
         val n = s"_s${i}_bitand"
         Some(Decomposed(Seq(StateSpec(n, asCol, MBitAnd,
-          unit = Some(Shims.column(b.child)))), col(n).cast(agg.dataType)))
+          unit = Some(fc(Shims.column(b.child))))), col(n).cast(agg.dataType)))
       case b: BitOrAgg =>
         val n = s"_s${i}_bitor"
         Some(Decomposed(Seq(StateSpec(n, asCol, MBitOr,
-          unit = Some(Shims.column(b.child)))), col(n).cast(agg.dataType)))
+          unit = Some(fc(Shims.column(b.child))))), col(n).cast(agg.dataType)))
       case b: BitXorAgg =>
         val n = s"_s${i}_bitxor"
         Some(Decomposed(Seq(StateSpec(n, asCol, MBitXor,
-          unit = Some(Shims.column(b.child)))), col(n).cast(agg.dataType)))
+          unit = Some(fc(Shims.column(b.child))))), col(n).cast(agg.dataType)))
       case h: HyperLogLogPlusPlus =>
         // approx distinct: state = DataSketches HLL sketch (binary),
         // merged with hll_union_agg. NOTE the estimator therefore differs
@@ -208,11 +232,11 @@ object Decompose {
         // isn't required, mergeability is).
         val n = s"_s${i}_hll"
         Some(Decomposed(
-          Seq(StateSpec(n, hll_sketch_agg(Shims.column(h.child)), MHllUnion)),
+          Seq(StateSpec(n, hll_sketch_agg(fc(Shims.column(h.child))), MHllUnion)),
           hll_sketch_estimate(col(n)).cast(agg.dataType)))
       case c: CollectSet =>
         val n = s"_s${i}_set"
-        val cc = Shims.column(c.child)
+        val cc = fc(Shims.column(c.child))
         Some(Decomposed(
           Seq(StateSpec(n, collect_set(cc), MSetUnion,
             unit = Some(when(cc.isNotNull, array(cc)).otherwise(array())))),
@@ -224,9 +248,9 @@ object Decompose {
         // max_by is nondeterministic on ties, this is a deterministic
         // refinement of it.
         val n = s"_s${i}_maxby"
-        val mbUnit = when(Shims.column(m.orderingExpr).isNotNull,
-          struct(Shims.column(m.orderingExpr).as("o"),
-            Shims.column(m.valueExpr).as("v")))
+        val mbo = fc(Shims.column(m.orderingExpr))
+        val mbUnit = when(mbo.isNotNull,
+          struct(mbo.as("o"), fc(Shims.column(m.valueExpr)).as("v")))
         Some(Decomposed(
           Seq(StateSpec(n,
             // null ordering rows are skipped (null STRUCT is ignored by
@@ -235,9 +259,9 @@ object Decompose {
           col(n).getField("v").cast(agg.dataType)))
       case m: MinBy =>
         val n = s"_s${i}_minby"
-        val mnUnit = when(Shims.column(m.orderingExpr).isNotNull,
-          struct(Shims.column(m.orderingExpr).as("o"),
-            Shims.column(m.valueExpr).as("v")))
+        val mno = fc(Shims.column(m.orderingExpr))
+        val mnUnit = when(mno.isNotNull,
+          struct(mno.as("o"), fc(Shims.column(m.valueExpr)).as("v")))
         Some(Decomposed(
           Seq(StateSpec(n, min(mnUnit), MMin, unit = Some(mnUnit))),
           col(n).getField("v").cast(agg.dataType)))
@@ -250,7 +274,7 @@ object Decompose {
         // ~1e-12 relative. Null edges mirror Spark: no rows -> null, one
         // row -> the nullOnDivideByZero-dependent value for the sample
         // variants (NULL with the default config, NaN in legacy mode).
-        val child = Shims.column(m.child).cast("double")
+        val child = fc(Shims.column(m.child)).cast("double")
         val nn = s"_s${i}_cnt"
         val s1 = s"_s${i}_sum"
         val s2 = s"_s${i}_sumsq"
@@ -297,11 +321,39 @@ object Decompose {
         // integral inputs beyond 2^53 could alias; the cast preserves
         // every value the interpolation (itself double) can distinguish.
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, Shims.column(p.child).cast("double"))
+        val spec = valueCountSpec(n, fc(Shims.column(p.child)).cast("double"))
         // continuous: Spark's p·(N−1) weighted interpolation; DISCRETE
         // (percentile_disc): the smallest member whose cume_dist ≥ p,
         // i.e. the 1-based ⌈p·N⌉ member — both via one native pass
         // (graft.functions.PercentileFromRuns)
+        foldablePercentages(p.percentageExpression).map { case (ps, scalar) =>
+          Decomposed(Seq(spec),
+            Shims.column(graft.functions.PercentileFromRuns(
+              Shims.expression(col(n)), ps, discrete = p.discrete,
+              scalarOut = scalar)).cast(agg.dataType))
+        }
+      case p: Percentile if !p.reverse && histogramSafe(p.child.dataType) =>
+        // WEIGHTED percentile(col, p, freq): the same run-length histogram
+        // with per-row counts (the expanded-multiset semantics — runs ARE
+        // that multiset). Vanilla's update is replayed exactly: a null
+        // value or null frequency skips the row, zero frequency
+        // contributes nothing, and a NEGATIVE frequency is a runtime
+        // error — the state build raises through the same guard, so a
+        // cached run fails exactly where the uncached one fails instead
+        // of silently caching garbage.
+        val n = s"_s${i}_vcnt"
+        val v = fc(Shims.column(p.child)).cast("double")
+        val f = fc(Shims.column(p.frequencyExpression)).cast("long")
+        val guarded = when(f < 0,
+          raise_error(concat(lit("Negative values found in "),
+            lit(p.frequencyExpression.sql))).cast("long")).otherwise(f)
+        val unit = when(v.isNull || f.isNull, emptyVc)
+          .when(guarded === 0, emptyVc)
+          .otherwise(array(struct(v.as("v"), guarded.as("c"))))
+        val spec = StateSpec(n,
+          graft.functions.functions.merge_runs(flatten(collect_list(unit)))
+            .cast(vcType),
+          MValueCounts, unit = Some(unit))
         foldablePercentages(p.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(
@@ -313,7 +365,7 @@ object Decompose {
         // percentile_disc(p) WITHIN GROUP (ORDER BY x): the smallest
         // member whose cume_dist ≥ p — the 1-based ⌈p·N⌉ member
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, Shims.column(pd.child).cast("double"))
+        val spec = valueCountSpec(n, fc(Shims.column(pd.child)).cast("double"))
         foldablePercentages(pd.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(
@@ -330,7 +382,7 @@ object Decompose {
         // fidelity is not (SURVEY §7.4). The exact answer satisfies any
         // accuracy the query declared.
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, Shims.column(ap.child).cast("double"))
+        val spec = valueCountSpec(n, fc(Shims.column(ap.child)).cast("double"))
         foldablePercentages(ap.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(
@@ -349,8 +401,8 @@ object Decompose {
         val isStr = m.child.dataType == org.apache.spark.sql.types.StringType
         val n = s"_s${i}_vcnt"
         val childCol =
-          if (isStr) Shims.column(m.child)
-          else Shims.column(m.child).cast("double")
+          if (isStr) fc(Shims.column(m.child))
+          else fc(Shims.column(m.child)).cast("double")
         val spec = valueCountSpec(n, childCol, string = isStr)
         // NOTE Mode.reverseOpt encodes ORDER BY ASC as Some(true) (the
         // flag reverses the internal ordering used to pick among ties,
@@ -368,37 +420,149 @@ object Decompose {
         // group by construction — the leaderboard dashboard shape,
         // incrementally maintained.
         val n = s"_s${i}_topk"
-        val c = Shims.column(t.child)
+        val c = fc(Shims.column(t.child))
         Some(Decomposed(
           Seq(StateSpec(n, asCol, MTopK(t.k, t.smallest),
             unit = Some(when(c.isNotNull, array(c))
               .otherwise(array().cast(
                 org.apache.spark.sql.types.ArrayType(t.child.dataType)))))),
           col(n).cast(agg.dataType)))
+      case m: CentralMomentAgg
+          if m.isInstanceOf[Skewness] || m.isInstanceOf[Kurtosis] =>
+        // skewness/kurtosis via mergeable raw power sums (n, Σx, Σx², Σx³,
+        // Σx⁴); the finalize replays Spark's central-moment formulas
+        // (skew = √n·m3/√m2³, kurt = n·m4/m2² − 3). Cancellation caveat as
+        // corr: raw sums lose ~log10(|μ|/σ) digits — center a large-mean
+        // column first. A (near-)constant group must finalize like
+        // vanilla's m2 == 0 branch (NULL / NaN per nullOnDivideByZero),
+        // but cancellation can leave m2 a hair positive where Welford
+        // gives an exact 0 — so m2 within a few ulps of the Σx² scale
+        // (≤ 1e-13·Σx², i.e. σ/rms < ~3e-7, below what raw sums can
+        // resolve anyway) counts as zero.
+        val child = fc(Shims.column(m.child)).cast("double")
+        val nn = s"_s${i}_cnt"
+        val s1n = s"_s${i}_s1"
+        val s2n = s"_s${i}_s2"
+        val s3n = s"_s${i}_s3"
+        val s4n = s"_s${i}_s4"
+        val x2 = child * child
+        val specs = Seq(
+          StateSpec(nn, count(child), MSum,
+            unit = Some(when(child.isNotNull, lit(1L)).otherwise(lit(0L)))),
+          StateSpec(s1n, sum(child), MSum, unit = Some(child)),
+          StateSpec(s2n, sum(x2), MSum, unit = Some(x2)),
+          StateSpec(s3n, sum(x2 * child), MSum, unit = Some(x2 * child)),
+          StateSpec(s4n, sum(x2 * x2), MSum, unit = Some(x2 * x2)))
+        val n = col(nn).cast("double")
+        val mu = col(s1n) / n
+        val m2 = greatest(col(s2n) - col(s1n) * mu, lit(0.0))
+        val m2Zero = m2 <= abs(col(s2n)) * lit(1e-13)
+        val dbz = m match {
+          case s: Skewness => divByZero(s.nullOnDivideByZero)
+          case k: Kurtosis => divByZero(k.nullOnDivideByZero)
+          case _ => lit(null).cast("double")
+        }
+        val finalCol = m match {
+          case _: Skewness =>
+            val m3 = col(s3n) - lit(3.0) * mu * col(s2n) +
+              lit(2.0) * n * mu * mu * mu
+            when(col(nn) === 0, lit(null).cast("double"))
+              .when(m2Zero, dbz)
+              .otherwise(sqrt(n) * m3 / sqrt(m2 * m2 * m2))
+          case _ =>
+            val m4 = greatest(col(s4n) - lit(4.0) * mu * col(s3n) +
+              lit(6.0) * mu * mu * col(s2n) -
+              lit(3.0) * n * mu * mu * mu * mu, lit(0.0))
+            when(col(nn) === 0, lit(null).cast("double"))
+              .when(m2Zero, dbz)
+              .otherwise(n * m4 / (m2 * m2) - lit(3.0))
+        }
+        Some(Decomposed(specs, finalCol.cast(agg.dataType)))
+      case r: RegrSlope =>
+        // linear-regression family over both-non-null (y, x) pairs —
+        // the same raw-sums state as corr/covar; finalizes replay
+        // Spark's declarative guards (NULL when n == 0 or Sxx == 0,
+        // with the same near-zero-as-zero epsilon as skewness since the
+        // guard must fire BEFORE the division under ANSI)
+        val (st, nn, ck, xm, _, sxxRaw, _) =
+          corrCovarState(i, fc(Shims.column(r.right)), fc(Shims.column(r.left)))
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double"))
+            .when(xm <= abs(sxxRaw) * lit(1e-13), lit(null).cast("double"))
+            .otherwise(ck / xm)
+            .cast(agg.dataType)))
+      case r: RegrIntercept =>
+        // intercept = ȳ − slope·x̄ over the pair-complete subset
+        val (st, nn, ck, xm, _, sxxRaw, _) =
+          corrCovarState(i, fc(Shims.column(r.right)), fc(Shims.column(r.left)))
+        val n = col(nn).cast("double")
+        val sxName = st(1).name // Σx of the pair-complete subset
+        val syName = st(2).name
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double"))
+            .when(xm <= abs(sxxRaw) * lit(1e-13), lit(null).cast("double"))
+            .otherwise(col(syName) / n - (ck / xm) * (col(sxName) / n))
+            .cast(agg.dataType)))
+      case r: RegrR2 =>
+        // r² = ck²/(Sxx·Syy); Syy == 0 (constant y, non-constant x) → 1.0
+        val (st, nn, ck, xm, ym, sxxRaw, syyRaw) =
+          corrCovarState(i, fc(Shims.column(r.right)), fc(Shims.column(r.left)))
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double"))
+            .when(xm <= abs(sxxRaw) * lit(1e-13), lit(null).cast("double"))
+            .when(ym <= abs(syyRaw) * lit(1e-13), lit(1.0))
+            .otherwise(ck * ck / (xm * ym))
+            .cast(agg.dataType)))
+      case r: RegrReplacement =>
+        // regr_sxx / regr_syy normalize to this helper (a second central
+        // moment whose child already encodes the pair-null skip):
+        // eval = NULL when n == 0, else Σ(x−x̄)². Raw-sums state like the
+        // variance family.
+        val child = fc(Shims.column(r.child)).cast("double")
+        val nn = s"_s${i}_cnt"
+        val s1n = s"_s${i}_s1"
+        val s2n = s"_s${i}_s2"
+        val n = col(nn).cast("double")
+        val m2 = greatest(col(s2n) - col(s1n) * col(s1n) / n, lit(0.0))
+        Some(Decomposed(
+          Seq(
+            StateSpec(nn, count(child), MSum,
+              unit = Some(when(child.isNotNull, lit(1L)).otherwise(lit(0L)))),
+            StateSpec(s1n, sum(child), MSum, unit = Some(child)),
+            StateSpec(s2n, sum(child * child), MSum,
+              unit = Some(child * child))),
+          when(col(nn) === 0, lit(null).cast("double")).otherwise(m2)
+            .cast(agg.dataType)))
+      case r: RegrSXY =>
+        val (st, nn, ck, _, _, _, _) =
+          corrCovarState(i, fc(Shims.column(r.right)), fc(Shims.column(r.left)))
+        Some(Decomposed(st,
+          when(col(nn) === 0, lit(null).cast("double")).otherwise(ck)
+            .cast(agg.dataType)))
       case c: Corr =>
         // Pearson correlation via raw sums (n, Σx, Σy, Σxy, Σx², Σy²) over
         // rows where BOTH sides are non-null (Spark skips half-null pairs).
         // corr = (Σxy − ΣxΣy/n) / sqrt((Σx²−(Σx)²/n)(Σy²−(Σy)²/n)); the
         // n≥2 constant-series case divides by zero, which Spark's Divide
         // maps to NULL — same as Spark's own evaluator.
-        val (st, nn, ck, xm, ym) =
-          corrCovarState(i, Shims.column(c.x), Shims.column(c.y))
+        val (st, nn, ck, xm, ym, _, _) =
+          corrCovarState(i, fc(Shims.column(c.x)), fc(Shims.column(c.y)))
         Some(Decomposed(st,
           when(col(nn) === 0, lit(null).cast("double"))
             .when(col(nn) === 1, divByZero(c.nullOnDivideByZero))
             .otherwise(ck / sqrt(xm * ym))
             .cast(agg.dataType)))
       case c: CovSample =>
-        val (st, nn, ck, _, _) =
-          corrCovarState(i, Shims.column(c.left), Shims.column(c.right))
+        val (st, nn, ck, _, _, _, _) =
+          corrCovarState(i, fc(Shims.column(c.left)), fc(Shims.column(c.right)))
         Some(Decomposed(st,
           when(col(nn) === 0, lit(null).cast("double"))
             .when(col(nn) === 1, divByZero(c.nullOnDivideByZero))
             .otherwise(ck / (col(nn).cast("double") - 1))
             .cast(agg.dataType)))
       case c: CovPopulation =>
-        val (st, nn, ck, _, _) =
-          corrCovarState(i, Shims.column(c.left), Shims.column(c.right))
+        val (st, nn, ck, _, _, _, _) =
+          corrCovarState(i, fc(Shims.column(c.left)), fc(Shims.column(c.right)))
         Some(Decomposed(st,
           when(col(nn) === 0, lit(null).cast("double"))
             .otherwise(ck / col(nn).cast("double"))
@@ -495,9 +659,10 @@ object Decompose {
   private def divByZero(nullOnDivideByZero: Boolean): Column =
     if (nullOnDivideByZero) lit(null).cast("double") else lit(Double.NaN)
 
-  /** shared raw-sums state for corr/covar: returns (stateSpecs, countName,
-    * ck = Σxy−ΣxΣy/n, xMoment, yMoment); moments are clamped ≥ 0 like the
-    * variance family.
+  /** shared raw-sums state for corr/covar/regr: returns (stateSpecs,
+    * countName, ck = Σxy−ΣxΣy/n, xMoment, yMoment, Σx² col, Σy² col);
+    * moments are clamped ≥ 0 like the variance family, and the raw Σ²
+    * columns give callers the scale for near-zero-moment epsilon guards.
     *
     * NUMERIC CONTRACT: the derived co-moment's absolute error is
     * ~n·|μx·μy|·1e-16 (cancellation of Σxy against ΣxΣy/n), where
@@ -509,7 +674,7 @@ object Decompose {
     * columns before correlating (subtract any constant — corr is shift-
     * invariant; the cache fingerprints the shifted plan consistently). */
   private def corrCovarState(i: Int, xc: Column, yc: Column)
-      : (Seq[StateSpec], String, Column, Column, Column) = {
+      : (Seq[StateSpec], String, Column, Column, Column, Column, Column) = {
     val x = xc.cast("double")
     val y = yc.cast("double")
     val both = x.isNotNull && y.isNotNull
@@ -533,7 +698,7 @@ object Decompose {
     val ck = col(sxy) - col(sx) * col(sy) / n
     val xm = greatest(col(sxx) - col(sx) * col(sx) / n, lit(0.0))
     val ym = greatest(col(syy) - col(sy) * col(sy) / n, lit(0.0))
-    (st, nn, ck, xm, ym)
+    (st, nn, ck, xm, ym, col(sxx), col(syy))
   }
 
   /** Merge aggregation for a state column, given the stored state schema

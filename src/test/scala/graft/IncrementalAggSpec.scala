@@ -433,16 +433,17 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.contains("subquery")), log.messages)
   }
 
-  test("bail: non-mergeable aggregates run vanilla (weighted pct, collect_list)") {
-    // percentile itself is mergeable now; a per-row FREQUENCY weight is
-    // not (would need a weighted histogram), nor is order-sensitive
-    // collect_list
+  test("bail: non-mergeable aggregates run vanilla (reverse pct, collect_list)") {
+    // the percentile family (incl. per-row frequency weights, round 8) is
+    // mergeable now; the REVERSE form and order-sensitive collect_list
+    // still bail
     val log = new RecordingLog
     val cache = new MemoryQueryCache()
     val qcs = QueryCacheSession(spark, QueryCacheConfig(cache,
       defaultTemporalColumn = "ts", log = log))
     qcs.run(eventsFull.agg(
-      expr("percentile(value, 0.5, user_id)").as("p"))).collect()
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value DESC)").as("p")))
+      .collect()
     assert(log.messages.exists(_.contains("not incrementally mergeable")), log.messages)
     // programmatic counters mirror the log (EXPLAIN-parity counters)
     assert(cache.stats.bails == 1 && cache.stats.hits == 0 &&
@@ -937,5 +938,103 @@ class IncrementalAggSpec extends AnyFunSuite {
     qcs.run(c.union(c).agg(count(lit(1)).as("cnt"))).collect()
     assert(log.messages.exists(_.contains("every union branch is a declared-static")),
       log.messages)
+  }
+
+  test("FILTER (WHERE …) caches across the whitelist and hits warm") {
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        expr("sum(value) FILTER (WHERE event_type = 'click')").as("s_click"),
+        expr("count(*) FILTER (WHERE value > 50)").as("n_gt50"),
+        expr("avg(value) FILTER (WHERE event_type <> 'click')").as("a_rest"),
+        expr("min(value) FILTER (WHERE user_id % 2 = 0)").as("mn_even"),
+        expr("max(value) FILTER (WHERE user_id % 2 = 1)").as("mx_odd"),
+        expr("count(DISTINCT user_id) FILTER (WHERE event_type = 'view')").as("u_view"),
+        expr("percentile(value, 0.5) FILTER (WHERE value > 10)").as("p50_gt10"),
+        count(lit(1)).as("cnt"))
+    val (warmDF, log) = coldAppendWarm("filteragg")(q)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    assertSameRows(warmDF, q(eventsFull))
+  }
+
+  test("count_if and the regr_* family cache via raw-sums state, hit warm") {
+    def q(df: DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(
+        expr("count_if(value > 50)").as("ci"),
+        expr("regr_count(value, CAST(user_id AS DOUBLE))").as("rn"),
+        round(expr("regr_avgx(value, CAST(user_id AS DOUBLE))"), 6).as("rax"),
+        round(expr("regr_avgy(value, CAST(user_id AS DOUBLE))"), 6).as("ray"),
+        round(expr("regr_slope(value, CAST(user_id AS DOUBLE))"), 6).as("rs"),
+        round(expr("regr_intercept(value, CAST(user_id AS DOUBLE))"), 6).as("ri"),
+        round(expr("regr_r2(value, CAST(user_id AS DOUBLE))"), 6).as("r2"),
+        round(expr("regr_sxy(value, CAST(user_id AS DOUBLE))"), 2).as("sxy"),
+        round(expr("regr_sxx(value, CAST(user_id AS DOUBLE))"), 2).as("sxx"),
+        round(expr("regr_syy(value, CAST(user_id AS DOUBLE))"), 2).as("syy"))
+    val (warmDF, log) = coldAppendWarm("regr")(q)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    assertSameRows(warmDF, q(eventsFull), tol = 1e-6)
+  }
+
+  test("skewness/kurtosis cache via power sums; constant group matches vanilla NULL") {
+    def q(df: DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(
+        round(skewness(col("value")), 6).as("sk"),
+        round(kurtosis(col("value")), 6).as("ku"),
+        count(lit(1)).as("n"))
+    val (warmDF, log) = coldAppendWarm("moments")(q)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    assertSameRows(warmDF, q(eventsFull), tol = 1e-6)
+
+    // constant series: vanilla's m2 == 0 branch yields NULL — the cached
+    // near-zero-as-zero epsilon must land on the same NULL, not garbage
+    import spark.implicits._
+    val work = tmpDir("momconst")
+    (1 to 8).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 0$i:00:00"), "k", 7.5))
+      .toDF("ts", "k", "v").write.mode("overwrite").parquet(work)
+    def qc(df: DataFrame) = df.groupBy("k")
+      .agg(skewness(col("v")).as("sk"), kurtosis(col("v")).as("ku"))
+    val out = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+        defaultTemporalColumn = "ts"))
+      .run(qc(spark.read.parquet(work))).collect().head
+    val want = qc(spark.read.parquet(work)).collect().head
+    assert(out.isNullAt(1) && out.isNullAt(2) && want.isNullAt(1) &&
+      want.isNullAt(2), s"constant-series moments: $out vs $want")
+  }
+
+  test("weighted percentile caches exactly; zero freq skipped, negative raises") {
+    def q(df: DataFrame) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        expr("percentile(value, 0.5, CAST(pmod(user_id, 3) AS INT) + 1)").as("wp50"),
+        expr("percentile(value, array(0.25, 0.9), pmod(user_id, 2))").as("wp_zero"),
+        count(lit(1)).as("cnt"))
+    val (warmDF, log) = coldAppendWarm("wpercentile")(q)
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    // the histogram replays vanilla's expanded-multiset interpolation over
+    // exact integer counts — bit-for-bit, not tolerance
+    assertSameRows(warmDF, q(eventsFull), tol = 0.0)
+
+    // negative frequency: vanilla's update throws at execution; the cached
+    // state build must throw the same way, not cache garbage
+    import spark.implicits._
+    val work = tmpDir("wpneg")
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2L, 6.0))
+      .toDF("ts", "user_id", "v").write.mode("overwrite").parquet(work)
+    def qn(df: DataFrame) = df.agg(
+      expr("percentile(v, 0.5, CASE WHEN user_id = 2 THEN -1 ELSE 1 END)").as("p"))
+    intercept[Exception] { qn(spark.read.parquet(work)).collect() }
+    intercept[Exception] {
+      QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+        defaultTemporalColumn = "ts"))
+        .run(qn(spark.read.parquet(work))).collect()
+    }
   }
 }
