@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis, TextClean}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis, TextClean}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory: dedup family, similarity search,
@@ -101,6 +101,19 @@ object PipelineQueries {
     // ------------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d)).select("doc_id", "text", "n_copies")),
+    // incremental exact dedup against the durable fingerprint index:
+    // three batches (phase = doc_id mod 3) — batch 0 initializes the
+    // index, later batches anti-join it and never rescan the corpus
+    "q_dedup_incr" -> ((s, d) => {
+      val p = documents(s, d)
+        .withColumn("phase", pmod(col("doc_id"), lit(3)))
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        new java.io.File(d).getName)
+      val r0 = IncrementalDedup.indexInit(p.filter(col("phase") === 0), idx)
+      val r1 = IncrementalDedup.dedupAppend(s, idx, p.filter(col("phase") === 1))
+      val r2 = IncrementalDedup.dedupAppend(s, idx, p.filter(col("phase") === 2))
+      r0.unionByName(r1).unionByName(r2).select(col("doc_id"), col("phase"))
+    }),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), threshold = 0.5)),
     // end-to-end near-dup removal: candidate pairs -> connected
@@ -1025,6 +1038,16 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
          FROM documents GROUP BY text""",
+    // incremental semantics replayed set-wise: a content's keeper is the
+    // min doc_id within the FIRST phase that contains it (hash-free —
+    // any index hash collision would show up as a missing row here)
+    "q_dedup_incr" ->
+      """WITH p AS (
+           SELECT doc_id, text, doc_id % 3 AS phase FROM documents),
+         firstp AS (SELECT text, min(phase) AS ph FROM p GROUP BY 1)
+         SELECT min(p.doc_id) AS doc_id, p.phase
+         FROM p JOIN firstp ON p.text = firstp.text AND p.phase = firstp.ph
+         GROUP BY p.text, p.phase""",
     // composed curation chain: each stage's SQL is the already-proven
     // oracle body of its standalone query (dedup_exact / text_stats /
     // text_quality), composed via CTEs exactly as the Spark plan chains

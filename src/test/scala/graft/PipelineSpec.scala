@@ -1062,4 +1062,42 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(got == expect)
   }
+
+  test("incremental dedup: batches match global first-phase semantics") {
+    import graft.operators.IncrementalDedup
+    val p = docs.withColumn("phase", pmod(col("doc_id"), lit(3)))
+    val idx = IncrementalDedup.scratchIndexDir(spark, "spec")
+    val r0 = IncrementalDedup.indexInit(p.filter(col("phase") === 0), idx)
+    val r1 = IncrementalDedup.dedupAppend(spark, idx, p.filter(col("phase") === 1))
+    // materialize r1 AFTER a later batch has already appended to the
+    // index — the localCheckpoint guard must pin r1's anti-join to the
+    // index state it actually ran against, not the grown one
+    val r2 = IncrementalDedup.dedupAppend(spark, idx, p.filter(col("phase") === 2))
+    val got = r0.unionByName(r1).unionByName(r2)
+      .select("doc_id", "phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // global replay: keeper = min doc_id within the FIRST phase holding
+    // that text
+    val rows = p.select("doc_id", "text", "phase").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).values.map { g =>
+      val ph = g.map(_._3).min
+      val inPhase = g.filter(_._3 == ph)
+      (inPhase.map(_._1).min, ph)
+    }.toSet
+    assert(got == want)
+
+    // every surviving content is unique across all batches
+    assert(got.size == rows.map(_._2).distinct.length)
+    // the index covers exactly the distinct contents
+    assert(IncrementalDedup.indexSize(spark, idx) == got.size)
+
+    // a batch that is a pure re-send of already-seen content yields
+    // nothing and leaves the index unchanged
+    val resend = IncrementalDedup.dedupAppend(spark, idx,
+      p.filter(col("phase") === 0).withColumn("doc_id", col("doc_id") + 1000000L))
+    assert(resend.count() == 0)
+    assert(IncrementalDedup.indexSize(spark, idx) == got.size)
+  }
 }
