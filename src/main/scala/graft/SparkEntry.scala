@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Inventory.queries ++
       graft.queries.CacheQueries.queries ++
       graft.queries.PipelineQueries.queries ++
+      graft.queries.EventQueries.queries ++
       graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Inventory.oracle ++
       graft.queries.CacheQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
+      graft.queries.EventQueries.oracle ++
       graft.queries.StreamQueries.oracle
 }

@@ -328,4 +328,74 @@ object Dedup {
       .distinct()
     verifyJaccard(cand, sh, threshold)
   }
+
+  // --------------------------------------------------- fuzzy edit match
+
+  /** Blocked fuzzy nearest neighbor: within each block (a cheap blocking
+    * key — source, language, length band…), every document's closest
+    * OTHER document by Levenshtein distance over the first `prefixChars`
+    * characters. Ties break to the smaller distance, then the smaller
+    * neighbor id. Returns (doc_id, match_id, dist).
+    *
+    * Scale shape: the self-join is an equi-join on the block key, so
+    * comparisons are Σ block² — bounded by the blocking discipline the
+    * caller chooses, never corpus². The prefix cap bounds each DP to
+    * O(prefixChars²) regardless of document length, and the argmin is a
+    * plain struct-min aggregate (map-side combinable), not a window. */
+  def fuzzyNearest(docs: DataFrame, blockCol: Column, prefixChars: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val p = docs.select(blockCol.as("blk"), col(idCol).as("id"),
+      substring(col(textCol), 1, prefixChars).as("pfx"))
+    p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("doc_id"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("dist"),
+        col("b.id").as("match_id"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("dist"), col("match_id"))).as("m"))
+      .select(col("doc_id"), col("m.match_id").as("match_id"),
+        col("m.dist").cast("long").as("dist"))
+  }
+
+  // ------------------------------------------------- segment-level dedup
+
+  /** Corpus-level SEGMENT dedup — the CCNet/C4 paragraph-dedup shape,
+    * expressed over fixed `segTokens`-token windows because the fixture
+    * corpus has no newlines: split each document into non-overlapping
+    * segments, keep only the corpus-wide FIRST occurrence of each
+    * distinct segment (in (doc_id, seg_idx) order — also removes
+    * within-doc repeats), and reassemble the survivors in order.
+    * Documents consisting entirely of already-seen segments disappear
+    * (the fully-boilerplate case). Returns (doc_id, n_segs_kept,
+    * text_dedup).
+    *
+    * Scale shape: segment → 64-bit content hash up front, so the
+    * first-occurrence groupBy and the rejoin shuffle 8-byte keys, never
+    * segment text; the rebuild groups by doc_id with a bounded
+    * collect_list (≤ segments per doc). Three shuffles total (hash,
+    * rejoin, rebuild), each on a key with no corpus-level skew — the
+    * hottest hash key is the most-duplicated boilerplate segment, and
+    * its group only computes min(doc_id, seg_idx). */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.functions.word_chunks(col(textCol),
+          segTokens, 0)))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
+    val hashed = segs.withColumn("h",
+      graft.functions.functions.seeded_hash64(
+        concat(lit("pg:"), col("seg")), lit(0L)))
+    val firsts = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    hashed.join(firsts, Seq("h"))
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("seg_idx") === col("first.seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("text_dedup"))
+  }
 }

@@ -101,6 +101,15 @@ object PipelineQueries {
     // ------------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d)).select("doc_id", "text", "n_copies")),
+    // corpus-wide segment (paragraph) dedup: 32-token windows, keep the
+    // corpus-first occurrence of each distinct segment, reassemble —
+    // hash-keyed shuffles only (segment text never crosses the wire)
+    "q_dedup_segments" -> ((s, d) =>
+      Dedup.segmentDedup(documents(s, d), segTokens = 32)),
+    // blocked fuzzy match: nearest other doc by Levenshtein over the
+    // first 64 chars, blocked on source — block-bounded quadratic cost
+    "q_fuzzy_match" -> ((s, d) =>
+      Dedup.fuzzyNearest(documents(s, d), col("source"), prefixChars = 64)),
     // incremental exact dedup against the durable fingerprint index:
     // three batches (phase = doc_id mod 3) — batch 0 initializes the
     // index, later batches anti-join it and never rescan the corpus
@@ -1038,6 +1047,44 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
          FROM documents GROUP BY text""",
+    // segment dedup replayed: identical 32-token windows, identical
+    // 'pg:'-tagged Hash64 per segment, first occurrence by
+    // (doc_id, seg_idx) via row_number, ordered string_agg rebuild
+    "q_dedup_segments" ->
+      s"""WITH segs AS (
+            SELECT doc_id, CAST(s // 32 AS BIGINT) AS seg_idx,
+              array_to_string(toks[s+1 : s+32], ' ') AS seg
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) t,
+              unnest(range(0, greatest(len(toks), 1), 32)) AS u(s)),
+          hashed AS (
+            SELECT doc_id, seg_idx, seg, x5 AS h
+            FROM (${hash64Sql("'pg:' || seg", from = "segs",
+                carry = "doc_id, seg_idx, seg")}) hh),
+          kept AS (
+            SELECT doc_id, seg_idx, seg,
+              row_number() OVER (PARTITION BY h
+                ORDER BY doc_id, seg_idx) AS rn
+            FROM hashed)
+          SELECT doc_id, count(*) AS n_segs_kept,
+            string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+          FROM kept WHERE rn = 1 GROUP BY doc_id""",
+    // same unit-cost Levenshtein metric both engines; argmin replayed
+    // as row_number over (dist, match_id)
+    "q_fuzzy_match" ->
+      """WITH p AS (SELECT source AS blk, doc_id AS id,
+              substr(text, 1, 64) AS pfx FROM documents),
+          pairs AS (
+            SELECT a.id AS doc_id, levenshtein(a.pfx, b.pfx) AS dist,
+              b.id AS match_id
+            FROM p a JOIN p b ON a.blk = b.blk AND a.id <> b.id),
+          r AS (
+            SELECT doc_id, dist, match_id,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY dist, match_id) AS rn
+            FROM pairs)
+          SELECT doc_id, match_id, CAST(dist AS BIGINT) AS dist
+          FROM r WHERE rn = 1""",
     // incremental semantics replayed set-wise: a content's keeper is the
     // min doc_id within the FIRST phase that contains it (hash-free —
     // any index hash collision would show up as a missing row here)
