@@ -270,6 +270,54 @@ object StreamQueries {
     // require()s pin the contract: tick 1 cold, tick 2 a watermark hit,
     // the interactive answer another hit, and trigger 2's detector read
     // only the appended files (file-source checkpoint resume).
+    // stream-warmed DASHBOARD: same CacheWarmer contract, but the
+    // registered query carries the heavy dashboard aggregates —
+    // percentile (run-length histogram state) and grouped top-k
+    // (heap-union state) — with the explode parent re-run over replayed
+    // state. Proves the round-7 mergeable states survive the streaming
+    // tick cycle end-to-end, not just the batch coldAppendWarm path.
+    "q_stream_dashboard" -> ((s, d) => {
+      val (work, _, appendRest) = CacheQueries.splitWrite(s, d, "streamdash")
+      val chk = work.stripSuffix("/") + "_chk"
+      val chkPath = new org.apache.hadoop.fs.Path(chk)
+      val fs = chkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(chkPath)) { fs.delete(chkPath, true); () }
+      val log = new RecordingLog
+      val cfg = QueryCacheConfig(new MemoryQueryCache,
+        defaultTemporalColumn = "ts", log = log)
+      def dashQ() = s.read.parquet(work)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          graft.functions.functions.top_k(
+            struct(col("value").as("value"), col("event_id").as("event_id")),
+            3).as("top"))
+        .select(col("event_type"), col("cnt"), col("p50"), col("p90"),
+          explode(col("top")).as("t"))
+        .select(col("event_type"), col("cnt"), col("p50"), col("p90"),
+          col("t.value").as("value"), col("t.event_id").as("event_id"))
+      val warmer = new CacheWarmer(s, cfg, Seq(() => dashQ()))
+      def trigger(): Unit = {
+        val q = warmer.attach(CacheWarmer.tickSource(s, work, "ts"), chk)
+        q.awaitTermination()
+      }
+      trigger()
+      require(log.messages.exists(_.contains("cache miss")),
+        "tick 1 should have run cold")
+      appendRest()
+      trigger()
+      require(log.messages.exists(_.contains("cache hit")),
+        "tick 2 should have merged into cached state")
+      val hitsBefore = log.messages.count(_.contains("cache hit"))
+      val out = warmer.interactive(dashQ())
+      out.collect()
+      require(log.messages.count(_.contains("cache hit")) > hitsBefore,
+        "interactive dashboard should answer from warmed state")
+      out
+    }),
+
     "q_stream_cache_warm" -> ((s, d) => {
       val (work, _, appendRest) = CacheQueries.splitWrite(s, d, "cachewarm")
       val chk = work.stripSuffix("/") + "_chk"
@@ -372,6 +420,23 @@ object StreamQueries {
     // the stream-warmed cache must answer exactly the batch aggregate
     // over the FULL table (cold capture + streamed warm band + state
     // replay == one-shot GROUP BY)
+    // stream-warmed dashboard == one-shot batch dashboard over the full
+    // table: quantile_cont matches Spark's percentile after round-6 (the
+    // qc_incr_percentile equivalence), top-3 replayed as row_number
+    "q_stream_dashboard" ->
+      """WITH agg AS (
+           SELECT event_type, count(*) AS cnt,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90
+           FROM events GROUP BY 1),
+         ranked AS (
+           SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT a.event_type, a.cnt, a.p50, a.p90, r.value, r.event_id
+         FROM agg a JOIN ranked r ON a.event_type = r.event_type
+         WHERE r.rn <= 3""",
     "q_stream_cache_warm" ->
       """SELECT event_type, count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
