@@ -296,6 +296,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.functions.seeded_hash64(text, lit(0L))
 
+  /** Unigram language-model score per document — the CCNet-style cheap
+    * "perplexity" filter: train token → count over the corpus itself,
+    * then score each document by the negative mean log-probability of
+    * its token stream under that model with add-one smoothing over the
+    * vocabulary (p(t) = (c_t + 1) / (N + V)). Lower = more typical of
+    * the corpus. Returns (doc_id, n_tokens, nll).
+    *
+    * Determinism contract: counts are exact integers; each distinct
+    * (doc, token) contributes tf · ln((c+1)/(N+V)) in that pinned op
+    * order; the per-doc mean is rounded at 6 dp (the tfidf/bm25 ln-seam
+    * discipline).
+    *
+    * Scale shape: tf is the token-stream shuffle every text operator
+    * pays; the model lookup is an equi-join on token (broadcast while
+    * the vocabulary fits, AQE skew-join otherwise — 'the' is the
+    * hottest key); corpus stats are a 1-row broadcast. No window, no
+    * driver state. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("token").agg(sum(col("tf")).as("c"))
+    val stats = cnt.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    tf.join(cnt, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf").cast("double") *
+            log((col("c").cast("double") + lit(1.0)) /
+              (col("n_total").cast("double") + col("vocab").cast("double")))) /
+          sum(col("tf")).cast("double"), 6).as("nll"))
+  }
+
   /** full per-document text-analysis frame */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -75,6 +75,11 @@ object PipelineQueries {
     // shuffle, none on the token stream
     "q_text_commonness" -> ((s, d) =>
       TextAnalysis.commonness(documents(s, d))),
+    // unigram LM negative mean log-prob (the CCNet perplexity-filter
+    // shape; commonness above is its integer-seam little sibling):
+    // token-stream tf + token-keyed model join + 1-row stats broadcast
+    "q_text_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(documents(s, d))),
     // per-doc TF-IDF top terms: tf + broadcast df + one doc-keyed window;
     // ranking on the ROUNDED score (token tie-break) so the selected set
     // is reproducible across math libraries
@@ -1008,6 +1013,25 @@ object PipelineQueries {
     // vocabulary: same \s+ tokenization (string_split_regex) + the same
     // total (count desc, token asc) order, so the top-100 SET matches
     // even with count ties at the boundary
+    // unigram NLL replayed with the identical pinned op order:
+    // tf · ln((c+1)/(N+V)) per distinct (doc, token), mean over the
+    // token stream, round 6 (the established ln-seam discipline)
+    "q_text_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM ne GROUP BY 1, 2),
+         cnt AS (SELECT token, sum(tf) AS c FROM tf GROUP BY 1),
+         stats AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(-sum(CAST(tf AS DOUBLE) *
+               ln((CAST(c AS DOUBLE) + 1.0) /
+                  (CAST(n_total AS DOUBLE) + CAST(vocab AS DOUBLE)))) /
+             CAST(sum(tf) AS DOUBLE), 6) AS nll
+         FROM tf JOIN cnt USING (token) CROSS JOIN stats
+         GROUP BY doc_id""",
     "q_text_vocab" ->
       """SELECT token, n_occurrences FROM (
            SELECT tok AS token, count(*) AS n_occurrences
