@@ -75,7 +75,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccardPairs(cand, sh, threshold)
   }
 
   /** Exact Jaccard for candidate id pairs given (id, sh) shingle sets.
@@ -83,7 +83,7 @@ object Dedup {
     * array_union would allocate a fresh union array per pair just to
     * take its size (all sizes are integers; the division is the same
     * exact double either way). */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+  private[graft] def verifyJaccardPairs(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -326,7 +326,7 @@ object Dedup {
             lit(threshold) * greatest(col("x.sz"), col("y.sz")))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccardPairs(cand, sh, threshold)
   }
 
   // --------------------------------------------------- fuzzy edit match

@@ -83,6 +83,87 @@ object IncrementalDedup {
   def indexSize(spark: SparkSession, indexDir: String): Long =
     spark.read.parquet(indexDir).count()
 
+  // ------------------------------------------------ incremental NEAR-dup
+
+  /** Append-only NEAR-duplicate removal via a durable MinHash-LSH index —
+    * the fuzzy sibling of [[dedupAppend]]. The index holds, for every
+    * document ever SEEN (kept or dropped), its exploded LSH band hashes
+    * (`bands/`: band_idx, band_hash, id) and its distinct shingle set
+    * (`sigs/`: id, sh). A new batch then near-dedups in batch-sized work:
+    *
+    *   1. shingle + band-hash the batch (the [[Dedup.minhashPairs]]
+    *      signature pipeline, identical banding → identical recall);
+    *   2. WITHIN-batch: bucket self-join, exact-Jaccard verify — a doc
+    *      is dropped if a smaller-id batch doc matches it;
+    *   3. ACROSS history: batch bands equi-join the index bands, exact
+    *      Jaccard against the stored shingle sets — a doc is dropped if
+    *      ANY earlier doc matches it (drop-if-any-earlier semantics: the
+    *      dropping doc need not itself have been kept, which is what
+    *      lets the index stay append-only with no kept-status updates;
+    *      slightly more aggressive than greedy cluster-first-wins on
+    *      transitive chains A~B~C with A≁C);
+    *   4. append the batch's bands + shingle sets to the index, keep
+    *      decisions checkpointed BEFORE the append (read-then-append
+    *      hazard, as in [[dedupAppend]]).
+    *
+    * Documents too short to shingle are always kept and never indexed.
+    * Per-batch cost: the batch's own LSH pass plus equi-joins against
+    * index tables that grow with corpus DISTINCT content, not corpus
+    * bytes; the corpus text is never rescanned. Storage holds string
+    * shingle sets (exact verify, zero false drops); switch `sigs` to
+    * xxhash64'd shingles ([[Dedup.ngramJaccardPairs]]'s trick) to cut
+    * the index ~8× when storage dominates. Single-writer contract as
+    * [[dedupAppend]]. */
+  def nearDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
+      threshold: Double = 0.5, n: Int = 3, k: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bandsDir = s"$indexDir/bands"
+    val sigsDir = s"$indexDir/sigs"
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveIndex = fs.exists(new Path(bandsDir))
+
+    val sh = batch.select(col(idCol).as("id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val bnd = sh.select(col("id"),
+        posexplode(graft.functions.functions.minhash_band_hashes(
+          col("sh"), k, bands)).as(Seq("band_idx", "band_hash")))
+      .localCheckpoint()
+
+    // within-batch: smaller id wins, candidates from shared buckets
+    val candWithin = bnd.as("x").join(bnd.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // across history: any indexed doc is earlier than every batch doc
+    val candCross = if (haveIndex) {
+      val idxBands = spark.read.parquet(bandsDir)
+      idxBands.as("x").join(bnd.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+    } else candWithin.limit(0)
+
+    val shAll =
+      if (haveIndex) sh.unionByName(spark.read.parquet(sigsDir)) else sh
+    val dropped = Dedup.verifyJaccardPairs(
+        candWithin.unionByName(candCross), shAll, threshold)
+      .select(col("id_b").as("id")).distinct()
+
+    val kept = batch.join(
+        dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .localCheckpoint() // decided BEFORE the index grows below
+    bnd.write.mode("append").parquet(bandsDir)
+    sh.write.mode("append").parquet(sigsDir)
+    kept
+  }
+
   /** Fresh per-run index dir under java.io.tmpdir (test/query scaffold). */
   def scratchIndexDir(spark: SparkSession, tag: String): String = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/$tag"

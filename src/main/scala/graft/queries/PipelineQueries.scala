@@ -130,6 +130,21 @@ object PipelineQueries {
     }),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), threshold = 0.5)),
+    // incremental NEAR-dup via the durable LSH band index: three
+    // append batches; each dedups against all earlier history without
+    // rescanning it (drop-if-any-earlier semantics, exact-Jaccard
+    // verified against the stored shingle sets)
+    "q_dedup_incr_near" -> ((s, d) => {
+      val p = documents(s, d)
+        .withColumn("phase", pmod(col("doc_id"), lit(3)))
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        "near_" + new java.io.File(d).getName)
+      val parts = (0 to 2).map { ph =>
+        IncrementalDedup.nearDedupAppend(s, idx,
+          p.filter(col("phase") === ph), threshold = 0.5)
+      }
+      parts.reduce(_.unionByName(_)).select(col("doc_id"), col("phase"))
+    }),
     // end-to-end near-dup removal: candidate pairs -> connected
     // components -> keep the min-id survivor of every cluster
     "q_dedup_survivors" -> ((s, d) => {
@@ -1181,6 +1196,36 @@ object PipelineQueries {
          JOIN sizes sa ON sa.id = id_a
          JOIN sizes sb ON sb.id = id_b
          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""",
+    // incremental near-dup replayed set-wise on the exact pair set (the
+    // same recall-1-at-this-banding argument as q_dedup_minhash below):
+    // a doc is dropped iff SOME doc earlier in (phase, id) order is a
+    // >= 0.5 Jaccard neighbor — kept = complement
+    "q_dedup_incr_near" ->
+      """WITH sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents),
+         sizes AS (SELECT id, len(sh) AS sz FROM sh),
+         inv AS (SELECT id, unnest(sh) AS s FROM sh),
+         shared AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+           FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         edges AS (
+           SELECT id_a AS e, id_b AS d FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         dropped AS (
+           SELECT DISTINCT d FROM edges
+           WHERE (e % 3 < d % 3) OR (e % 3 = d % 3 AND e < d))
+         SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS phase
+         FROM documents
+         WHERE doc_id NOT IN (SELECT d FROM dropped)""",
     // minhash LSH at this banding (64 hashes × 16 bands) has recall 1 on
     // every pair ≥ 0.5 Jaccard in this corpus (verified: candidate set ⊇
     // exact pair set; the exact-Jaccard verify filter makes the final
