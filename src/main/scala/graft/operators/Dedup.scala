@@ -398,4 +398,95 @@ object Dedup {
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg"))).as("text_dedup"))
   }
+
+  // ----------------------------------------------------- duplicate spans
+
+  /** Duplicated token SPANS at ANY alignment — the exact-substring-dedup
+    * shape ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022): a span is reported wherever a `gram`-token window
+    * occurs MORE THAN ONCE corpus-wide (across documents or repeated
+    * inside one), regardless of where it falls in either document.
+    * [[segmentDedup]]'s fixed 32-token blocks miss any duplicate that is
+    * not block-aligned; this operator slides a 1-token-stride window, so
+    * alignment cannot hide a duplicate — at the cost of one gram per
+    * token position instead of one per block.
+    *
+    * Returns `(doc_id, span_start, span_end)` — maximal merged intervals
+    * (token offsets, end exclusive) covering every duplicated window.
+    *
+    * Scale shape (the suffix-array of the paper is a single-machine
+    * design; this is its shuffle-native equivalent):
+    *   1. one narrow map stage emits (hash64(window), doc, pos) per
+    *      token position — grams never leave the stage as strings;
+    *   2. one hash aggregation counts occurrences per 64-bit gram hash
+    *      (map-side partial combine absorbs within-partition repeats);
+    *   3. a semi join keeps duplicated positions (AQE broadcasts the
+    *      duplicated-hash side when small — on a mostly-unique corpus it
+    *      is orders of magnitude smaller than the gram stream);
+    *   4. interval merging is a per-document window cumsum — skew
+    *      bounded by the longest document, no driver participation.
+    * A 64-bit hash stands in for the window text; at 10¹² windows the
+    * expected number of colliding PAIRS corpus-wide is ~27 (birthday
+    * bound), each of which can only over-mark one `gram`-token span —
+    * acceptable for corpus hygiene; verify spans exactly before using
+    * them for anything destructive at that scale. */
+  def duplicateSpans(docs: DataFrame, gram: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gram > 0, s"gram=$gram")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        (size(split(col(textCol), " ")) - gram).as("_last"),
+        posexplode(graft.functions.functions.word_chunks(col(textCol),
+          gram, gram - 1)))
+      .filter(col("pos") <= col("_last")) // full-length windows only
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.functions.seeded_hash64(
+          concat(lit("dsp:"), col("col")), lit(0L)).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+    // merge touching/overlapping [pos, pos+gram) intervals per document:
+    // a window cumsum of break flags — adjacent duplicated positions
+    // (gap <= gram) extend the island, larger gaps open a new one
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = hits
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= gram, lit(0L))
+          .otherwise(lit(1L))) // first row: NULL comparison -> 1
+      .withColumn("_isl", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(gram.toLong)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Rewrite each document with every duplicated span REMOVED (all
+    * occurrences — the boilerplate-stripping semantics; keep-one-copy
+    * needs a global per-gram winner and is the [[segmentDedup]] family's
+    * job). Returns `(doc_id, clean_text)` for EVERY input document;
+    * documents with no duplicated span pass through verbatim, fully
+    * duplicated documents come back empty. The span set rides into a
+    * per-doc array (islands are disjoint, bounded by doc length) and the
+    * rewrite is a per-row token filter — no second shuffle beyond
+    * [[duplicateSpans]]'s own. */
+  def removeDuplicateSpans(docs: DataFrame, gram: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, gram, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    val emptySpans = array()
+      .cast("array<struct<span_start:bigint,span_end:bigint>>")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(split(col("_text"), " "), (_, i) =>
+            !exists(coalesce(col("_spans"), emptySpans), s =>
+              i >= s.getField("span_start") && i < s.getField("span_end"))),
+          " ").as("clean_text"))
+  }
 }

@@ -115,6 +115,15 @@ object PipelineQueries {
     // first 64 chars, blocked on source — block-bounded quadratic cost
     "q_fuzzy_match" -> ((s, d) =>
       Dedup.fuzzyNearest(documents(s, d), col("source"), prefixChars = 64)),
+    // duplicated token spans at ANY alignment (exact-substring-dedup
+    // shape): 8-token sliding windows, corpus-wide occurrence count,
+    // per-doc interval merge — gram hash agg + semi join + one window
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(documents(s, d), gram = 8)),
+    // the destructive follow-up: every duplicated span stripped from
+    // every document (boilerplate-removal semantics), full corpus out
+    "q_text_despan" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(documents(s, d), gram = 8)),
     // incremental exact dedup against the durable fingerprint index:
     // three batches (phase = doc_id mod 3) — batch 0 initializes the
     // index, later batches anti-join it and never rescan the corpus
@@ -541,6 +550,38 @@ object PipelineQueries {
        GROUP BY token, n_exact
        ORDER BY n_exact DESC, token"""
   }
+
+  /** Shared CTE prefix for the duplicate-span oracles: 8-token sliding
+    * windows per position, 'dsp:'-tagged Hash64 per window, corpus-wide
+    * occurrence count, duplicated positions, break-flag/cumsum interval
+    * islands (exactly Dedup.duplicateSpans's window arithmetic). `tail`
+    * is either the final SELECT or further CTEs + SELECT (leading ","). */
+  private def dupSpanSql(tail: String): String =
+    s"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, s AS pos,
+            array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 8],
+              ' ') AS gram
+          FROM toks, unnest(range(0, len(tk) - 7)) AS u(s)),
+        h AS (${hash64Sql("'dsp:' || gram", from = "g",
+            carry = "doc_id, pos")}),
+        c AS (SELECT x5, count(*) AS n FROM h GROUP BY x5),
+        hits AS (
+          SELECT h.doc_id, h.pos FROM h JOIN c USING (x5) WHERE c.n >= 2),
+        m AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+          FROM hits),
+        isl AS (
+          SELECT doc_id, pos,
+            CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS isl
+          FROM m)
+        $tail"""
 
   /** unsigned-HUGEINT → signed BIGINT two's-complement wrap */
   private def toSigned(in: String): String =
@@ -1108,6 +1149,34 @@ object PipelineQueries {
           SELECT doc_id, count(*) AS n_segs_kept,
             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
           FROM kept WHERE rn = 1 GROUP BY doc_id""",
+    // duplicate-span replay: identical 8-token windows ('dsp:'-tagged
+    // Hash64), count >= 2 positions, identical break/cumsum interval
+    // merge — all-integer arithmetic end to end
+    "q_dedup_spans" -> dupSpanSql(
+      """SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         FROM isl GROUP BY doc_id, isl"""),
+    // despan replay: expand merged spans to covered positions, anti-side
+    // LEFT JOIN keeps uncovered tokens, ordered string_agg rebuild;
+    // documents with no kept token come back as ''
+    "q_text_despan" -> dupSpanSql(
+      """, spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           FROM isl GROUP BY doc_id, isl),
+         cov AS (
+           SELECT DISTINCT doc_id, p
+           FROM spans, unnest(range(s, e)) AS v(p)),
+         tok AS (
+           SELECT doc_id, i, tk[CAST(i AS INT) + 1] AS t
+           FROM toks, unnest(range(0, len(tk))) AS u(i)),
+         kept AS (
+           SELECT tok.doc_id, tok.i, tok.t
+           FROM tok LEFT JOIN cov
+             ON tok.doc_id = cov.doc_id AND tok.i = cov.p
+           WHERE cov.p IS NULL)
+         SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+         FROM documents d LEFT JOIN (
+           SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
+           FROM kept GROUP BY doc_id) k USING (doc_id)"""),
     // same unit-cost Levenshtein metric both engines; argmin replayed
     // as row_number over (dist, match_id)
     "q_fuzzy_match" ->

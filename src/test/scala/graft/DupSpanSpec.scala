@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Duplicate-span semantics: exact interval merging on crafted corpora,
+  * a brute-force cross-check on the fixture corpus, and the despan
+  * rewrite's edge cases (untouched docs, fully-covered docs, sub-gram
+  * docs). */
+class DupSpanSpec extends AnyFunSuite {
+  import TestSparkSession._
+
+  private def spans(df: org.apache.spark.sql.DataFrame, gram: Int) =
+    Dedup.duplicateSpans(df, gram).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    val s = spark
+    import s.implicits._
+    // 10-token run "t0..t9" shared by docs 1 and 2 at DIFFERENT offsets;
+    // with gram=8 positions {0,1,2} (doc1) / {2,3,4} (doc2) are
+    // duplicated and must merge to ONE span covering the run
+    val run = (0 until 10).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$run u1 u2"),
+      (2L, s"v1 v2 $run"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    assert(spans(d, 8) == Set((1L, 0L, 10L), (2L, 2L, 12L)))
+  }
+
+  test("within-doc repetition is a duplicate; far spans stay separate") {
+    val s = spark
+    import s.implicits._
+    val p = (0 until 8).map(i => s"p$i").mkString(" ")
+    val gap = (0 until 12).map(i => s"g$i").mkString(" ")
+    // one doc containing the same 8-gram twice with a 12-token gap:
+    // positions 0 and 20 → gap > gram → two separate spans
+    val d = Seq((1L, s"$p $gap $p")).toDF("doc_id", "text")
+    assert(spans(d, 8) == Set((1L, 0L, 8L), (1L, 20L, 28L)))
+  }
+
+  test("adjacent islands within gram distance merge (end-exclusive)") {
+    val s = spark
+    import s.implicits._
+    val p = (0 until 8).map(i => s"p$i").mkString(" ")
+    // same 8-gram twice separated by exactly 8 fresh tokens: duplicated
+    // positions 0 and 16, gap == 2*gram > gram → stays two spans; with
+    // positions 0 and 8 (back-to-back repeat) they merge
+    val d = Seq((1L, s"$p $p"), (2L, s"$p x1 x2 $p")).toDF("doc_id", "text")
+    val got = spans(d, 8)
+    assert(got.contains((1L, 0L, 16L))) // back-to-back: one merged span
+    assert(got.contains((2L, 0L, 8L)) && got.contains((2L, 10L, 18L)))
+  }
+
+  test("brute-force cross-check on the fixture corpus") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gram = 8
+    // reference: exact string windows, global multiset count, interval
+    // union per doc
+    val occ = new scala.collection.mutable.HashMap[String, Int]
+    val wins = docs.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      val ws = (0 to tk.length - gram)
+        .map(i => i -> tk.slice(i, i + gram).mkString(" "))
+      ws.foreach { case (_, w) => occ(w) = occ.getOrElse(w, 0) + 1 }
+      (id, ws)
+    }
+    val expected = wins.flatMap { case (id, ws) =>
+      val pos = ws.collect { case (i, w) if occ(w) >= 2 => i }
+      // merge [p, p+gram) intervals with touch-or-overlap
+      val merged = pos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p <= e0 => (s0, math.max(e0, p + gram)) :: rest
+        case (acc, p) => (p, p + gram) :: acc
+      }
+      merged.map { case (s0, e0) => (id, s0.toLong, e0.toLong) }
+    }.toSet
+    assert(spans(Tables.documents(spark, sf0001), gram) == expected)
+    assert(expected.nonEmpty) // the fixture corpus must exercise the op
+  }
+
+  test("despan: untouched, fully-covered, and sub-gram docs") {
+    val s = spark
+    import s.implicits._
+    val p = (0 until 8).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (1L, p), (2L, p), // exact dups: fully covered → ''
+      (3L, "only seven tokens here no dup x"), // sub-gram: verbatim
+      (4L, s"a1 a2 $p a3")) // partial: span stripped, rest kept
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "" && got(2L) == "")
+    assert(got(3L) == "only seven tokens here no dup x")
+    assert(got(4L) == "a1 a2 a3")
+  }
+}
