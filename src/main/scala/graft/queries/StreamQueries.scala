@@ -63,6 +63,36 @@ object StreamQueries {
         .parquet(Tables.streamableDir(spark, sfDir, "events")))
   }
 
+  /** Canonical-micros staging of the events table PLUS a sentinel
+    * error/click pair one day past the fixture on out-of-band users
+    * (-1/-2): the sentinel advances both streams' watermarks beyond
+    * every real row so stream-stream OUTER join state fully evicts and
+    * the null-extended tail emits before AvailableNow terminates —
+    * the bounded-run stand-in for tomorrow's traffic. Rebuilt per run
+    * (cheap, and immune to fixture regeneration). The sentinel file is
+    * appended after the data file so oldest-first file ordering can
+    * never put the watermark ahead of unprocessed real rows even if
+    * the source ever splits the run into multiple batches. */
+  private def sentinelEventsDir(spark: SparkSession, sfDir: String): String = {
+    val sfTag = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_stream", sfTag, "events_outer")
+      .toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val ev = Tables.events(spark, sfDir)
+    ev.write.parquet(dir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 86400000L)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "error", 0.0, ""),
+      org.apache.spark.sql.Row(-2L, sentinelTs, -2L, "click", 0.0, ""))
+    spark.createDataFrame(rows, ev.schema).write.mode("append").parquet(dir)
+    dir
+  }
+
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -153,6 +183,37 @@ object StreamQueries {
       runToCompletion(joined, name, mode = "append")
       iso.table(name).groupBy(col("e_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"), dsum(col("c_value")).as("sum_click_value"))
+    }),
+
+    // stream-STREAM LEFT OUTER interval join: same attribution condition
+    // as q_stream_join2, but errors with NO preceding click must emit a
+    // null-extended row. Outer results only flush when the watermark
+    // proves no match can arrive, so the staged feed carries a sentinel
+    // pair far past the fixture (user_id < 0, outside the real key
+    // space) — the no-data micro-batch after it evicts every real error
+    // from state and emits the complete outer set. Rollup over the
+    // append sink (sentinels filtered) equals the batch LEFT JOIN.
+    "q_stream_join3" -> ((s, d) => {
+      val iso = s.newSession()
+      val name = sinkName("join3", d)
+      val dir = sentinelEventsDir(iso, d)
+      val schema = iso.read.parquet(dir).schema
+      def stream() = iso.readStream.schema(schema).parquet(dir)
+      val errors = stream().filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val joined = StreamingJoin.intervalOuter(errors, clicks,
+        key = (col("e_user"), col("c_user")),
+        leftTs = "e_ts", rightTs = "c_ts",
+        lookback = "30 MINUTES", watermarkDelay = "10 minutes")
+      runToCompletion(joined, name, mode = "append")
+      iso.table(name).filter(col("e_user") >= 0)
+        .groupBy(col("e_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_ts")).as("n_matched"),
+          dsum(col("c_value")).as("sum_click_value"))
     }),
 
     // custom keyed state (flatMapGroupsWithState): emit only the FIRST
@@ -413,6 +474,20 @@ object StreamQueries {
          FROM events e JOIN events c
            ON e.user_id = c.user_id
           AND e.event_type = 'error' AND c.event_type = 'click'
+          AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+         GROUP BY 1""",
+    // left-outer replay: unmatched errors survive as null-extended rows
+    // (count(c.ts) skips them, sum stays NULL for all-null groups on
+    // both engines); the stream's sentinel users are < 0 and filtered
+    // before the rollup, so the real-user set matches exactly
+    "q_stream_join3" ->
+      """SELECT e.user_id AS user_id, count(*) AS n_rows,
+           count(c.ts) AS n_matched,
+           CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_click_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id
           AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
          GROUP BY 1""",
     "q_stream_first" ->

@@ -41,4 +41,27 @@ object StreamingJoin {
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
         col(rightTs) <= col(leftTs))
   }
+
+  /** LEFT OUTER interval join — [[interval]]'s condition with
+    * null-extension for unmatched left rows (the "errors with NO
+    * preceding click" attribution shape). Unlike inner matches, an
+    * outer result can only emit once the WATERMARK proves no future
+    * right row can match (`wm > leftTs`): Spark emits it when the left
+    * row is evicted from join state. Over a bounded run the final
+    * watermark therefore decides which tail rows ever produce their
+    * null-extended result — drive the watermark past the data's end
+    * (e.g. a sentinel row outside the joined key space) when the
+    * complete outer set is required, exactly as a production feed's
+    * next day of traffic would. */
+  def intervalOuter(left: DataFrame, right: DataFrame, key: (Column, Column),
+      leftTs: String, rightTs: String, lookback: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      key._1 === key._2 &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      "left_outer")
+  }
 }

@@ -64,6 +64,35 @@ class StreamQueriesSpec extends AnyFunSuite {
     s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("q_stream_join3 emits the COMPLETE outer set incl. unmatched errors") {
+    val streamed = StreamQueries.queries("q_stream_join3")(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("ts").as("e_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val batch = e.join(c, col("u") === col("cu") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("e_ts"), "left_outer")
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_ts")).as("n_matched"),
+        sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sum_click_value"))
+    val s = streamed.orderBy("user_id").collect()
+    val b = batch.orderBy("user_id").collect()
+    assert(s.length == b.length && s.length > 0, s"${s.length} vs ${b.length}")
+    s.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // the distinctly-streaming part: null-extended rows actually flushed
+    // (an error with zero preceding clicks emitted before termination) —
+    // without the sentinel-driven watermark advance these rows never leave
+    // join state and the outer join silently degrades to inner
+    assert(s.exists(r => r.getLong(2) < r.getLong(1)),
+      "no null-extended outer rows reached the sink")
+  }
+
   test("q_stream_dedup equals batch distinct-text stats") {
     val streamed = StreamQueries.queries("q_stream_dedup")(spark, sf0001)
     val len = length(col("text")).cast("long")
