@@ -361,9 +361,15 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":3,"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
     // self-preserving artifact: the driver captures stdout's tail, which
     // has truncated the per-query section before — persist the full line
-    // to a file too (best-effort; the println stays the contract)
+    // to a file too (best-effort; the println stays the contract).
+    // BENCH_LOCAL.json is DEFINED as the exclusive sf0.1 artifact —
+    // dev-loop runs at other scales must not clobber it (it happened
+    // twice), so they persist to a per-sf name instead.
+    val artifact =
+      if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_LOCAL.json"
+      else s"BENCH_DEV_${new java.io.File(sfDir).getName.replace('.', '_')}.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()
