@@ -430,11 +430,12 @@ object Dedup {
     * bound), each of which can only over-mark one `gram`-token span —
     * acceptable for corpus hygiene; verify spans exactly before using
     * them for anything destructive at that scale. */
-  def duplicateSpans(docs: DataFrame, gram: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(gram > 0, s"gram=$gram")
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+  /** (doc_id, pos, h) — one tagged 64-bit hash per full-length
+    * `gram`-token sliding window (1-token stride). Shared by
+    * [[duplicateSpans]] and the incremental span index. */
+  private[graft] def gramHashes(docs: DataFrame, gram: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         (size(split(col(textCol), " ")) - gram).as("_last"),
         posexplode(graft.functions.functions.word_chunks(col(textCol),
@@ -443,13 +444,14 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         graft.functions.functions.seeded_hash64(
           concat(lit("dsp:"), col("col")), lit(0L)).as("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 2)
-      .select(col("h"))
-    val hits = grams.join(dup, Seq("h"), "left_semi")
-    // merge touching/overlapping [pos, pos+gram) intervals per document:
-    // a window cumsum of break flags — adjacent duplicated positions
-    // (gap <= gram) extend the island, larger gaps open a new one
+
+  /** (doc_id, pos) duplicated positions → maximal merged
+    * `[span_start, span_end)` intervals per document: a window cumsum of
+    * break flags — adjacent duplicated positions (gap <= gram) extend
+    * the island, larger gaps open a new one. */
+  private[graft] def mergeSpanIslands(hits: DataFrame, gram: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = hits
       .withColumn("_brk",
@@ -461,6 +463,17 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(gram.toLong)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  def duplicateSpans(docs: DataFrame, gram: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gram > 0, s"gram=$gram")
+    val grams = gramHashes(docs, gram, idCol, textCol)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+    mergeSpanIslands(hits, gram)
   }
 
   /** Rewrite each document with every duplicated span REMOVED (all

@@ -164,6 +164,56 @@ object IncrementalDedup {
     kept
   }
 
+  // -------------------------------------------- incremental span dedup
+
+  /** Append-only duplicate-SPAN detection via a durable gram index —
+    * the incremental form of [[Dedup.duplicateSpans]]. The index holds
+    * every DISTINCT `gram`-window hash ever seen (`grams/`, 8 bytes per
+    * distinct window); a new batch finds its duplicated spans in
+    * batch-sized work:
+    *
+    *   1. hash the batch's sliding windows ([[Dedup.gramHashes]] —
+    *      identical tagging, so batch and one-shot agree);
+    *   2. a position is duplicated iff its window occurs ≥ 2 times
+    *      WITHIN the batch or ≥ 1 time in the index (i.e. ≥ 2 times in
+    *      the corpus prefix ending at this batch — exactly
+    *      `duplicateSpans(prefix)` restricted to batch docs, pinned by
+    *      spec);
+    *   3. merge islands per document ([[Dedup.mergeSpanIslands]]);
+    *   4. append the batch's distinct window hashes to the index, spans
+    *      checkpointed BEFORE the append (read-then-append hazard).
+    *
+    * Earlier documents are never re-reported when a later batch repeats
+    * their text (append-only decisions, same contract as
+    * [[nearDedupAppend]]); the corpus text is never rescanned. Index
+    * growth is bounded by distinct windows, not corpus bytes; duplicate
+    * index rows from a crash-rerun are harmless (semi join). Lay the
+    * index out bucketed by `h` when the equi-join's exchange dominates.
+    * Single-writer contract as [[dedupAppend]]. */
+  def spanDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
+      gram: Int = 8, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val gramsDir = s"$indexDir/grams"
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveIndex = fs.exists(new Path(gramsDir))
+
+    val g = Dedup.gramHashes(batch, gram, idCol, textCol).localCheckpoint()
+    val distinctH = g.select(col("h")).distinct().localCheckpoint()
+    val within = g.groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2).select(col("h"))
+    val dupH = if (haveIndex) {
+      val idx = spark.read.parquet(gramsDir)
+      within.unionByName(
+        distinctH.join(idx, Seq("h"), "left_semi")).distinct()
+    } else within
+    val spans = Dedup.mergeSpanIslands(
+        g.join(dupH, Seq("h"), "left_semi"), gram)
+      .localCheckpoint() // decided BEFORE the index grows below
+    distinctH.write.mode("append").parquet(gramsDir)
+    spans
+  }
+
   /** Fresh per-run index dir under java.io.tmpdir (test/query scaffold). */
   def scratchIndexDir(spark: SparkSession, tag: String): String = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/$tag"

@@ -154,6 +154,21 @@ object PipelineQueries {
       }
       parts.reduce(_.unionByName(_)).select(col("doc_id"), col("phase"))
     }),
+    // incremental duplicate-SPAN detection via the durable gram index:
+    // three append batches; each reports spans duplicated within itself
+    // or against any earlier batch, without rescanning history
+    "q_dedup_incr_spans" -> ((s, d) => {
+      val p = documents(s, d)
+        .withColumn("phase", pmod(col("doc_id"), lit(3)))
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        "spans_" + new java.io.File(d).getName)
+      val parts = (0 to 2).map { ph =>
+        IncrementalDedup.spanDedupAppend(s, idx,
+            p.filter(col("phase") === ph), gram = 8)
+          .withColumn("phase", lit(ph.toLong))
+      }
+      parts.reduce(_.unionByName(_))
+    }),
     // end-to-end near-dup removal: candidate pairs -> connected
     // components -> keep the min-id survivor of every cluster
     "q_dedup_survivors" -> ((s, d) => {
@@ -1295,6 +1310,45 @@ object PipelineQueries {
          SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS phase
          FROM documents
          WHERE doc_id NOT IN (SELECT d FROM dropped)""",
+    // incremental-span replay over raw gram STRINGS (stricter than the
+    // hash: a Hash64 collision in the Spark path would fail here): a
+    // position in phase p is duplicated iff its window's cumulative
+    // count over phases <= p reaches 2 — exactly "within-batch >= 2 OR
+    // seen in the index" — then the shared island arithmetic
+    "q_dedup_incr_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS phase,
+             string_split(text, ' ') AS tk FROM documents),
+         g AS (
+           SELECT doc_id, phase, s AS pos,
+             array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 8],
+               ' ') AS gram
+           FROM toks, unnest(range(0, len(tk) - 7)) AS u(s)),
+         pc AS (SELECT gram, phase, count(*) AS n FROM g GROUP BY 1, 2),
+         cum AS (
+           SELECT gram, phase,
+             CAST(sum(n) OVER (PARTITION BY gram ORDER BY phase)
+               AS BIGINT) AS cn
+           FROM pc),
+         hits AS (
+           SELECT g.doc_id, g.phase, g.pos
+           FROM g JOIN cum ON g.gram = cum.gram AND g.phase = cum.phase
+           WHERE cum.cn >= 2),
+         m AS (
+           SELECT doc_id, phase, pos,
+             CASE WHEN pos - lag(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         isl AS (
+           SELECT doc_id, phase, pos,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS isl
+           FROM m)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           phase
+         FROM isl GROUP BY doc_id, phase, isl""",
     // minhash LSH at this banding (64 hashes × 16 bands) has recall 1 on
     // every pair ≥ 0.5 Jaccard in this corpus (verified: candidate set ⊇
     // exact pair set; the exact-Jaccard verify filter makes the final

@@ -82,6 +82,71 @@ class DupSpanSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // the fixture corpus must exercise the op
   }
 
+  test("property: random small-vocab corpora match brute force") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    // tiny vocabulary forces heavy window collisions — the worst case
+    // for the island arithmetic (dense overlapping duplicated positions)
+    val genDoc = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield toks.mkString(" ")
+    val genCase = for {
+      gram <- Gen.choose(2, 5)
+      nd <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(nd, genDoc)
+    } yield (gram, docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    (0 until 12).foreach { i =>
+      val (gram, docs) =
+        genCase(Gen.Parameters.default, Seed(42L + i)).get
+      val occ = new scala.collection.mutable.HashMap[String, Int]
+      val wins = docs.map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        val ws = (0 to tk.length - gram)
+          .map(j => j -> tk.slice(j, j + gram).mkString(" "))
+        ws.foreach { case (_, w) => occ(w) = occ.getOrElse(w, 0) + 1 }
+        (id, ws)
+      }
+      val expected = wins.flatMap { case (id, ws) =>
+        val pos = ws.collect { case (j, w) if occ(w) >= 2 => j }
+        val merged = pos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p <= e0 =>
+            (s0, math.max(e0, p + gram)) :: rest
+          case (acc, p) => (p, p + gram) :: acc
+        }
+        merged.map { case (s0, e0) => (id, s0.toLong, e0.toLong) }
+      }.toSet
+      val got = spans(docs.toDF("doc_id", "text"), gram)
+      assert(got == expected, s"case $i gram=$gram docs=$docs")
+    }
+  }
+
+  test("incremental span index == one-shot duplicateSpans on each prefix") {
+    import graft.operators.IncrementalDedup
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sf0001)
+    val p = docs.withColumn("phase", pmod(col("doc_id"), lit(3)))
+    val idx = IncrementalDedup.scratchIndexDir(spark, "spec_spans")
+    (0 to 2).foreach { ph =>
+      val batch = p.filter(col("phase") === ph)
+      val got = IncrementalDedup.spanDedupAppend(spark, idx, batch, gram = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // a window occurs >= 2 times within the prefix ending at this batch
+      // iff it occurs >= 2 in-batch OR >= 1 earlier: the incremental
+      // answer restricted to batch docs must equal the one-shot operator
+      // run over the whole prefix
+      val prefix = p.filter(col("phase") <= ph)
+      val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = Dedup.duplicateSpans(prefix, gram = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => batchIds.contains(t._1)).toSet
+      assert(got == expected, s"phase $ph")
+      if (ph == 2) assert(got.nonEmpty) // the fixture exercises the path
+    }
+  }
+
   test("despan: untouched, fully-covered, and sub-gram docs") {
     val s = spark
     import s.implicits._
