@@ -42,6 +42,54 @@ object Decontaminate {
           .as("contamination"))
   }
 
+  /** [[contaminationScores]] with a BLOOM-FILTER pre-filter — the
+    * 100 TB shape. The inverted-index join above shuffles EVERY corpus
+    * shingle; at petabyte scale that exchange dominates even though the
+    * benchmark side broadcasts. Here the benchmark's shingle set is
+    * folded into the engine's own bloom sketch
+    * (`BloomFilterAggregate`, the expression Spark's runtime filters
+    * use), collected to the driver (`numBits/8` bytes — 1.25 MB at 10M
+    * benchmark shingles), and embedded as a CONSTANT in a map-side
+    * `might_contain` filter: clean documents' shingles die in the scan
+    * stage and never reach the exchange. The surviving candidates —
+    * true overlaps plus the bloom's ~1% false positives — then take the
+    * exact join, so the RESULT is bit-identical to
+    * [[contaminationScores]] (no false negatives, and the refilter
+    * kills the false positives); only the exchanged volume changes.
+    * `bitsPerItem` trades driver/broadcast bytes against pre-filter
+    * selectivity. */
+  def bloomContaminationScores(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, bitsPerItem: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(transform(Dedup.shingles(col(textCol), n),
+        s => xxhash64(s))).as("shingle"))
+      .distinct()
+    val docSh = docs.select(col(idCol).as("id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    val nItems = benchSh.count() // benchmark side is small by contract
+    val scored =
+      if (nItems == 0) docSh.limit(0).join(benchSh, "shingle")
+      else {
+        val bloom = benchSh.agg(org.apache.spark.sql.graftshim.Shims
+            .bloomFilterAgg(col("shingle"), nItems,
+              math.max(64L, nItems * bitsPerItem.toLong)))
+          .head().getAs[Array[Byte]](0)
+        docSh
+          .filter(org.apache.spark.sql.graftshim.Shims
+            .mightContain(lit(bloom), col("shingle")))
+          .join(benchSh, "shingle") // exact refilter: lossless
+      }
+    scored
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as(idCol), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Training-set hygiene pass: drop every document whose contamination
     * ratio reaches `maxContamination`. Anti-join keeps the corpus
     * streaming — no wide rows move for clean documents. */

@@ -281,6 +281,16 @@ object PipelineQueries {
         all.filter(col("doc_id") % 20 =!= 0),
         all.filter(col("doc_id") % 20 === 0))
     }),
+    // bloom-prefiltered decontamination: the benchmark shingle set rides
+    // as a constant bloom into a map-side might_contain, so clean docs'
+    // shingles die before the exchange; the exact refilter join makes
+    // the result bit-identical to q_decontaminate (same oracle)
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val all = documents(s, d)
+      Decontaminate.bloomContaminationScores(
+        all.filter(col("doc_id") % 20 =!= 0),
+        all.filter(col("doc_id") % 20 === 0))
+    }),
     // -------------------------------------------------------- similarity
     // JL random projection 64 -> 8 dims: one native MatrixProject node
     // per row (codegen k×d product), zero shuffles; signs are hash-
@@ -839,6 +849,24 @@ object PipelineQueries {
     // unless two distinct shingles collide in 64 bits (see
     // Decontaminate.scala; q_dedup_ngram relies on the same argument)
     "q_decontaminate" ->
+      """WITH bench AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' ')))) AS s
+           FROM documents WHERE doc_id % 20 = 0),
+         docsh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents WHERE doc_id % 20 <> 0),
+         inv AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM docsh)
+         SELECT doc_id, count(*) AS n_shared,
+           CAST(n_shingles AS INTEGER) AS n_shingles,
+           round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS contamination
+         FROM inv JOIN bench USING (s)
+         GROUP BY doc_id, n_shingles""",
+    // identical oracle: the bloom path is lossless by construction
+"q_decontaminate_bloom" ->
       """WITH bench AS (
            SELECT DISTINCT unnest(list_distinct(list_transform(
              range(len(string_split(lower(text),' ')) - 2),

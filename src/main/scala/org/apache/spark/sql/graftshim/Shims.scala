@@ -29,6 +29,25 @@ object Shims {
   /** User-facing Column -> Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Bloom-filter aggregate over a LONG column (the engine's own
+    * runtime-filter sketch, reused as a user-level operator): returns
+    * the filter's binary form. `numBits` sizes the filter —
+    * ~10 bits/item gives ~1% false positives. */
+  def bloomFilterAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a CONSTANT bloom binary (the expression
+    * requires a foldable filter side — collect the small filter to the
+    * driver and pass `lit(bytes)`). No false negatives; false positives
+    * at the filter's design rate. */
+  def mightContain(bloom: Column, value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(value)))
+
   /** QueryExecution of a DataFrame (analyzed plan access). */
   def queryExecution(df: DataFrame): QueryExecution =
     df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]].queryExecution

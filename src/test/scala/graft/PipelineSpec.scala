@@ -665,6 +665,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptIds == allIds -- badIds)
   }
 
+  test("bloom decontamination is bit-identical to the exact path") {
+    import graft.operators.Decontaminate
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val exact = asSet(Decontaminate.contaminationScores(train, bench))
+    assert(asSet(
+      Decontaminate.bloomContaminationScores(train, bench)) == exact)
+    // a deliberately UNDERSIZED bloom (64 bits for thousands of items —
+    // nearly every probe is a false positive) must still be exact: the
+    // refilter join owns correctness, the bloom only sheds volume
+    assert(asSet(Decontaminate.bloomContaminationScores(train, bench,
+      bitsPerItem = 0)) == exact)
+    // empty benchmark: no scores, no NPE from a null bloom aggregate
+    assert(Decontaminate.bloomContaminationScores(
+      train, bench.limit(0)).count() == 0)
+  }
+
   test("decodeDims parses real PNG/BMP/GIF headers, fakes the rest") {
     import Multimodal.StubDecoder
     def be32(v: Int) = Array[Byte](
