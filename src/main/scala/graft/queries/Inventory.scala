@@ -202,6 +202,34 @@ object Inventory {
                WHERE o_custkey IN (SELECT c_custkey FROM customer_v
                                    WHERE c_mktsegment = 'BUILDING')""")
     }),
+    // ---- recursive CTE (Spark 4.x WITH RECURSIVE): per-customer order
+    // STREAKS — walk the next-order pointer while the gap stays <= 30
+    // days. Linked-list recursion (one successor per row) so UNION ALL
+    // terminates at the streak length (max 24 orders/customer at sf0.1,
+    // streaks <= ~5 — far under the recursion limit); each step is an
+    // equi-join Spark shuffles on (cust), no driver loop. NOTE: the
+    // recursive term only supports UNION ALL (UNION-dedup raises
+    // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so cyclic closures need the
+    // iterative operators (Dedup.clusters) — recursion is for DAG/chain
+    // walks like this one.
+    "q_recursive_chain" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH RECURSIVE seq AS (
+          SELECT o_custkey AS cust, o_orderdate AS d,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders_v),
+        chain(cust, rn, d, depth) AS (
+          SELECT cust, rn, d, CAST(1 AS BIGINT) AS depth
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT c.cust, s.rn, s.d, c.depth + 1
+          FROM chain c JOIN seq s ON c.cust = s.cust AND s.rn = c.rn + 1
+          WHERE s.d <= c.d + INTERVAL 30 DAY)
+        SELECT cust AS o_custkey, CAST(max(depth) AS BIGINT) AS streak_len
+        FROM chain GROUP BY cust""")
+    }),
     // ---- pivot (conditional aggregation to columns)
     "q_agg_pivot" -> ((s, d) => {
       events(s, d).groupBy(col("user_id"))
@@ -347,6 +375,24 @@ object Inventory {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')""",
+    // identical recursive SQL modulo the view name — both engines walk
+    // the same next-pointer chain; output carries no timestamps so the
+    // NTZ seam never reaches the compare
+    "q_recursive_chain" ->
+      """WITH RECURSIVE seq AS (
+           SELECT o_custkey AS cust, o_orderdate AS d,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders),
+         chain(cust, rn, d, depth) AS (
+           SELECT cust, rn, d, CAST(1 AS BIGINT) AS depth
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT c.cust, s.rn, s.d, c.depth + 1
+           FROM chain c JOIN seq s ON c.cust = s.cust AND s.rn = c.rn + 1
+           WHERE s.d <= c.d + INTERVAL 30 DAY)
+         SELECT cust AS o_custkey, CAST(max(depth) AS BIGINT) AS streak_len
+         FROM chain GROUP BY cust""",
     "q_agg_pivot" ->
       """SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
