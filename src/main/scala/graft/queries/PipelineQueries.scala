@@ -281,6 +281,25 @@ object PipelineQueries {
         all.filter(col("doc_id") % 20 =!= 0),
         all.filter(col("doc_id") % 20 === 0))
     }),
+    // robust outlier detection (median/MAD per source): two grouped
+    // exact percentiles + broadcast joins back onto the corpus — no
+    // corpus-wide sort; every intermediate is an exact double (integer
+    // inputs, 0.5-factor interpolation), so the boolean cut is
+    // deterministic at any parallelism
+    "q_quality_outliers" -> ((s, d) => {
+      val x = documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").cast("double").as("x"))
+      val med = x.groupBy("source")
+        .agg(percentile(col("x"), lit(0.5)).as("med"))
+      val dev = x.join(broadcast(med), "source")
+        .withColumn("adev", abs(col("x") - col("med")))
+      val mad = dev.groupBy("source")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "source")
+        .select(col("doc_id"), col("source"),
+          col("x").cast("long").as("n_chars"),
+          (col("adev") > lit(3.0) * col("mad")).as("is_outlier"))
+    }),
     // bloom-prefiltered decontamination: the benchmark shingle set rides
     // as a constant bloom into a map-side might_contain, so clean docs'
     // shingles die before the exchange; the exact refilter join makes
@@ -297,6 +316,16 @@ object PipelineQueries {
     // derived so the oracle regenerates the identical matrix
     "q_embed_project" -> ((s, d) =>
       Similarity.randomProject(embeddings(s, d), k = 8)),
+    // per-label centroid (class prototypes) in long form: one posexplode
+    // + one hash agg keyed (label, dim) — the shuffle carries dims ×
+    // labels partials, never whole vectors; decimal sums keep the mean
+    // order-independent at any parallelism
+    "q_embed_centroids" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(Render.dsumd(col("v").cast("double"), 12) /
+          count(lit(1)), 6).as("centroid"))),
     "q_ann_bruteforce" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
@@ -628,8 +657,17 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     // PQ + 256-deep exact rerank returns exactly the brute-force top-k
     // on this corpus (shortlist ⊇ true top-10 verified at every SF)
+    // centroid replay: identical float→double→DECIMAL(18,12) per-element
+    // staging, exact decimal sum, one double division + round — the
+    // established order-independent float seam
+    "q_embed_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+           round(CAST(sum(CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+               AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6) AS centroid
+         FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+         GROUP BY 1, 2""",
     "q_ann_pq" ->
-      """SELECT vec_id,
+"""SELECT vec_id,
            round(CAST(list_cosine_similarity(embedding,
              (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine
          FROM embeddings
@@ -865,8 +903,26 @@ object PipelineQueries {
            round(CAST(count(*) AS DOUBLE) / n_shingles, 6) AS contamination
          FROM inv JOIN bench USING (s)
          GROUP BY doc_id, n_shingles""",
+    // median/MAD replay: quantile_cont == Spark's Percentile on these
+    // integer-derived inputs (both interpolations are exact-double
+    // 0.5-factor arithmetic, so the values are bit-identical and the
+    // outlier boolean can't flip on a ULP)
+    "q_quality_outliers" ->
+      """WITH med AS (
+           SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+           FROM documents GROUP BY 1),
+         dev AS (
+           SELECT doc_id, d.source, CAST(n_chars AS DOUBLE) AS x,
+             abs(CAST(n_chars AS DOUBLE) - med) AS adev
+           FROM documents d JOIN med USING (source)),
+         mad AS (
+           SELECT source, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT doc_id, dev.source, CAST(x AS BIGINT) AS n_chars,
+           adev > 3.0 * mad AS is_outlier
+         FROM dev JOIN mad USING (source)""",
     // identical oracle: the bloom path is lossless by construction
-"q_decontaminate_bloom" ->
+    "q_decontaminate_bloom" ->
       """WITH bench AS (
            SELECT DISTINCT unnest(list_distinct(list_transform(
              range(len(string_split(lower(text),' ')) - 2),

@@ -222,6 +222,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bloom decontamination probes map-side, below any exchange") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = graft.operators.Decontaminate.bloomContaminationScores(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+    val plan = planOf(df)
+    // the constant-bloom probe must run in the scan-side stage: the
+    // might_contain filter appears, and it sits BELOW the first
+    // Exchange in its stage (clean shingles die before any shuffle)
+    assert(plan.contains("might_contain"), plan)
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    val exchangeAbove = lines.take(probeIdx)
+      .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // plan prints top-down: an Exchange printed ABOVE the probe consumes
+    // its output; none may exist between probe and its scan... the probe
+    // line itself must be a Filter fed by the scan stage. Assert no
+    // shuffle Exchange between the deepest scan and the probe by
+    // checking the probe's subtree contains the documents scan directly.
+    assert(lines.drop(probeIdx).exists(_.contains("Scan parquet")), plan)
+    assert(exchangeAbove, // shuffles exist only above the probe
+      s"expected the aggregation exchange above the probe only\n$plan")
+  }
+
   test("tfidf joins df/ndocs by broadcast; no token-stream-wide join") {
     val q = graft.queries.PipelineQueries.queries
     val plan = planOf(q("q_text_tfidf")(spark, sf0001))
