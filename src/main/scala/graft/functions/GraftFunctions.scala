@@ -61,6 +61,23 @@ object GraftFunctions {
       arity("graft_bottom_k", args, 2)
       BoundedTopK(args(0), litInt("graft_bottom_k", args(1)),
         smallest = true).toAggregateExpression()
+    },
+    // sliding token windows: graft_chunks(text, size, overlap)
+    "graft_chunks" -> { args =>
+      arity("graft_chunks", args, 3)
+      WordChunks(args(0), litInt("graft_chunks", args(1)),
+        litInt("graft_chunks", args(2)))
+    },
+    // k-seed minhash signature of a shingle array
+    "graft_minhash" -> { args =>
+      arity("graft_minhash", args, 2)
+      MinHashSignature(args(0), litInt("graft_minhash", args(1)))
+    },
+    // LSH band hashes: graft_minhash_bands(shingles, k, bands)
+    "graft_minhash_bands" -> { args =>
+      arity("graft_minhash_bands", args, 3)
+      MinHashBandHashes(args(0), litInt("graft_minhash_bands", args(1)),
+        litInt("graft_minhash_bands", args(2)))
     })
 
   private def info(name: String) =

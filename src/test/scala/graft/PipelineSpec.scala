@@ -797,6 +797,23 @@ class PipelineSpec extends AnyFunSuite {
       .getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(topSql == Seq((3L, 30L), (2L, 20L)))
+    // chunking + minhash surfaces == the Column API
+    val cm = spark.sql(
+      """SELECT graft_chunks('a b c d e', 2, 1) AS ch,
+           graft_minhash(graft_shingles('a b c d e', 3), 8) AS mh,
+           graft_minhash_bands(graft_shingles('a b c d e', 3), 8, 4) AS bh""")
+      .first()
+    val cmCol = spark.range(1).select(
+      graft.functions.functions.word_chunks(lit("a b c d e"), 2, 1).as("ch"),
+      graft.functions.functions.minhash_signature(
+        graft.functions.functions.word_shingles(lit("a b c d e"), 3), 8)
+        .as("mh"),
+      graft.functions.functions.minhash_band_hashes(
+        graft.functions.functions.word_shingles(lit("a b c d e"), 3), 8, 4)
+        .as("bh")).first()
+    assert(cm.getSeq[String](0) == cmCol.getSeq[String](0))
+    assert(cm.getSeq[Long](1) == cmCol.getSeq[Long](1))
+    assert(cm.getSeq[Long](2) == cmCol.getSeq[Long](2))
   }
 
   test("text clean strips markup/controls, redact masks pii exactly") {
