@@ -155,6 +155,51 @@ object Multimodal {
     }
   }
 
+  final case class MediaResized(
+      doc_id: Long,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      resized_checksum: Long)
+
+  /** Nearest-neighbor RESIZE to `outW`×`outH` — the remaining step of
+    * the decode / featurize / resize / frame-sample quartet. The
+    * resampling arithmetic is the real thing (target pixel (tx,ty) reads
+    * source pixel (⌊tx·w/W⌋, ⌊ty·h/H⌋)); the "pixels" are the stub
+    * decoder's row-major byte grid (content bytes modulo length), since
+    * no codec exists in this container — a real decoder changes only the
+    * pixel fetch, not the plumbing. Same per-partition batched execution
+    * as [[decodeFeatures]]; output carries the resized buffer's checksum
+    * (the buffer itself is transient, as a real thumbnail-writer's
+    * would be before its sink). */
+  def resize(media: DataFrame, outW: Int = 16, outH: Int = 16)
+      : Dataset[MediaResized] = {
+    require(outW > 0 && outH > 0, s"outW=$outW outH=$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = StubDecoder.decodeDims(r.content)
+        val len = r.content.length
+        val out =
+          if (len == 0) Array.emptyByteArray
+          else {
+            val buf = new Array[Byte](outW * outH)
+            var p = 0
+            while (p < buf.length) {
+              val sx = (p % outW) * w / outW
+              val sy = (p / outW) * h / outH
+              buf(p) = r.content((sy * w + sx) % len)
+              p += 1
+            }
+            buf
+          }
+        MediaResized(r.doc_id, w, h, outW, outH, StubDecoder.checksum(out))
+      }
+    }
+  }
+
   /** frame sampling for (fake) video: split content into fixed-size
     * "frames", keep every `stride`-th — pure Catalyst expressions, so the
     * sampling itself never leaves codegen. */

@@ -426,6 +426,12 @@ object PipelineQueries {
       Multimodal.decodeFeatures(Multimodal.asMedia(documents(s, d)))
         .toDF().select("doc_id", "mime", "n_bytes", "checksum", "width", "height")
     }),
+    // nearest-neighbor resize to a 16x16 thumbnail grid: real resample
+    // index arithmetic over the stub decoder's byte-grid pixels, batched
+    // per partition like the decode
+    "q_media_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.asMedia(documents(s, d)), 16, 16).toDF()),
     "q_media_frames" -> ((s, d) => {
       Multimodal.sampleFrames(Multimodal.asMedia(documents(s, d)))
         .groupBy("doc_id")
@@ -1513,6 +1519,45 @@ object PipelineQueries {
                (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
                  % 18446744073709551616::HUGEINT) AS h
            FROM documents) t""",
+    // resize replay: fake dims from the FNV checksum (as q_media_features),
+    // the identical ⌊t·src/out⌋ resample indices over the text bytes, and
+    // a second FNV over the 256-byte thumbnail — all integer arithmetic
+    "q_media_resize" ->
+      """WITH base AS (
+           SELECT doc_id, text, length(text) AS len,
+             list_reduce(list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(text)+1),
+                 i -> ord(substr(text, i, 1))::HUGEINT)),
+               (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS h
+           FROM documents),
+         dims AS (
+           SELECT doc_id, text, len,
+             CAST(64 + h % 64 AS BIGINT) AS w,
+             CAST(64 + (h // 64) % 64 AS BIGINT) AS ht
+           FROM base),
+         res AS (
+           SELECT doc_id, w, ht,
+             array_to_string(list_transform(range(0, 256), p ->
+               substr(text,
+                 CAST((((p // 16) * ht // 16) * w + (p % 16) * w // 16)
+                   % len AS INT) + 1, 1)), '') AS rz
+           FROM dims),
+         chk AS (
+           SELECT doc_id, w, ht,
+             list_reduce(list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(rz)+1),
+                 i -> ord(substr(rz, i, 1))::HUGEINT)),
+               (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS hc
+           FROM res)
+         SELECT doc_id, CAST(w AS INTEGER) AS src_w,
+           CAST(ht AS INTEGER) AS src_h,
+           CAST(16 AS INTEGER) AS out_w, CAST(16 AS INTEGER) AS out_h,
+           CAST(CASE WHEN hc >= 9223372036854775808::HUGEINT
+             THEN hc - 18446744073709551616::HUGEINT ELSE hc END AS BIGINT)
+             AS resized_checksum
+         FROM chk""",
     // random projection: the SAME hash-derived ±1 matrix (regenerated
     // here as literals) folded left-to-right — sign·x products are exact
     // IEEE sign flips and the sequential fold order matches the native

@@ -665,6 +665,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptIds == allIds -- badIds)
   }
 
+  test("resize maps target pixels to floor-scaled source bytes") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // 4 "pixels" content, fake dims derived from checksum; replicate the
+    // index arithmetic by hand for a 2x2 target
+    val content = "abcd".getBytes("UTF-8")
+    val (w, h) = Multimodal.StubDecoder.decodeDims(content)
+    val expected = {
+      val buf = new Array[Byte](4)
+      var p = 0
+      while (p < 4) {
+        val sx = (p % 2) * w / 2
+        val sy = (p / 2) * h / 2
+        buf(p) = content((sy * w + sx) % content.length)
+        p += 1
+      }
+      Multimodal.StubDecoder.checksum(buf)
+    }
+    val media = Seq((1L, "text/plain", content)).toDF("doc_id", "mime", "content")
+    val got = Multimodal.resize(media, 2, 2).collect().head
+    assert((got.src_w, got.src_h) == (w, h))
+    assert(got.resized_checksum == expected)
+    // empty content: empty thumbnail, checksum of zero bytes, no crash
+    val empty = Seq((2L, "text/plain", Array.emptyByteArray))
+      .toDF("doc_id", "mime", "content")
+    assert(Multimodal.resize(empty, 2, 2).collect().head.resized_checksum ==
+      Multimodal.StubDecoder.checksum(Array.emptyByteArray))
+  }
+
   test("bloom decontamination is bit-identical to the exact path") {
     import graft.operators.Decontaminate
     val bench = docs.filter(col("doc_id") % 20 === 0)
