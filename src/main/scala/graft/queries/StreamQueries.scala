@@ -93,6 +93,34 @@ object StreamQueries {
     dir
   }
 
+  /** documents split into one parquet file per phase (doc_id mod 3),
+    * mtimes pinned ascending so the file stream replays the corpus as
+    * three ordered micro-batches. Rebuilt per run. */
+  private def phasedDocsDir(spark: SparkSession, sfDir: String): String = {
+    val sfTag = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_stream", sfTag, "docs_phased")
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    java.nio.file.Files.createDirectories(dir)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("phase", pmod(col("doc_id"), lit(3)))
+    (0 to 2).foreach { ph =>
+      val tmp = dir.resolve(s"stage_$ph")
+      docs.filter(col("phase") === ph).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = dir.resolve(s"phase_$ph.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + ph * 60000L))
+    }
+    dir.toString
+  }
+
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -214,6 +242,43 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_rows"),
           count(col("c_ts")).as("n_matched"),
           dsum(col("c_value")).as("sum_click_value"))
+    }),
+
+    // STREAMING INGESTION × the durable span index: the corpus arrives
+    // as three ordered micro-batches (one phase file per trigger);
+    // foreachBatch runs IncrementalDedup.spanDedupAppend against one
+    // persistent index, so each batch's duplicated spans are judged
+    // against all earlier history without rescanning it — the
+    // continuous-ingestion shape of q_dedup_incr_spans, and the same
+    // oracle. require()s pin the file→batch mapping the determinism
+    // rests on (one phase per micro-batch, in mtime order).
+    "q_stream_spans" -> ((s, d) => {
+      val iso = s.newSession()
+      val dir = phasedDocsDir(iso, d)
+      val idx = graft.operators.IncrementalDedup.scratchIndexDir(iso,
+        "stream_spans_" + new java.io.File(d).getName)
+      val raw = iso.read.parquet(dir).schema
+      val buf = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)]()
+      val q = iso.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val phases = batch.select(col("phase")).distinct()
+            .collect().map(_.getLong(0))
+          require(phases.toSeq == Seq(batchId),
+            s"batch $batchId carried phases ${phases.mkString(",")}")
+          graft.operators.IncrementalDedup
+            .spanDedupAppend(iso, idx, batch)
+            .collect().foreach(r => buf.synchronized {
+              buf += ((r.getLong(0), r.getLong(1), r.getLong(2), batchId))
+            })
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(buf.nonEmpty, "no spans surfaced across the stream")
+      import iso.implicits._
+      buf.toSeq.toDF("doc_id", "span_start", "span_end", "phase")
     }),
 
     // custom keyed state (flatMapGroupsWithState): emit only the FIRST
@@ -492,6 +557,9 @@ object StreamQueries {
          GROUP BY 1""",
     "q_stream_first" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+    // streamed span index == the batched incremental phases: the stream
+    // replays the same three batches, so the batch oracle applies verbatim
+    "q_stream_spans" -> PipelineQueries.oracle("q_dedup_incr_spans"),
     // the stream-warmed cache must answer exactly the batch aggregate
     // over the FULL table (cold capture + streamed warm band + state
     // replay == one-shot GROUP BY)
