@@ -465,29 +465,47 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** @param keepFirst false (default): every occurrence of a duplicated
+    *        window is a span — the boilerplate-stripping semantics.
+    *        true: the lexicographically FIRST (doc_id, pos) occurrence
+    *        of each duplicated window is exempt — remove-all-but-one,
+    *        the Lee et al. 2022 semantics proper (one copy of each
+    *        duplicated run survives a subsequent
+    *        [[removeDuplicateSpans]]; a first occurrence can still fall
+    *        inside a NEIGHBORING non-first window's span — positional
+    *        fine print of sliding windows, documented not hidden). */
   def duplicateSpans(docs: DataFrame, gram: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFirst: Boolean = false): DataFrame = {
     require(gram > 0, s"gram=$gram")
     val grams = gramHashes(docs, gram, idCol, textCol)
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 2)
-      .select(col("h"))
-    val hits = grams.join(dup, Seq("h"), "left_semi")
+    val agg = grams.groupBy(col("h")).agg(count(lit(1)).as("_n"),
+      min(struct(col("doc_id"), col("pos"))).as("_first"))
+    val hits =
+      if (!keepFirst)
+        grams.join(agg.filter(col("_n") >= 2).select(col("h")),
+          Seq("h"), "left_semi")
+      else grams.join(agg.filter(col("_n") >= 2), Seq("h"))
+        .filter(col("doc_id") =!= col("_first.doc_id") ||
+          col("pos") =!= col("_first.pos"))
+        .select(col("doc_id"), col("pos"))
     mergeSpanIslands(hits, gram)
   }
 
-  /** Rewrite each document with every duplicated span REMOVED (all
-    * occurrences — the boilerplate-stripping semantics; keep-one-copy
-    * needs a global per-gram winner and is the [[segmentDedup]] family's
-    * job). Returns `(doc_id, clean_text)` for EVERY input document;
+  /** Rewrite each document with every duplicated span REMOVED — all
+    * occurrences by default (boilerplate stripping), or all-but-the-
+    * first with `keepFirst` (one surviving copy of each duplicated run,
+    * the Lee et al. 2022 recipe). Returns `(doc_id, clean_text)` for
+    * EVERY input document;
     * documents with no duplicated span pass through verbatim, fully
     * duplicated documents come back empty. The span set rides into a
     * per-doc array (islands are disjoint, bounded by doc length) and the
     * rewrite is a per-row token filter — no second shuffle beyond
     * [[duplicateSpans]]'s own. */
   def removeDuplicateSpans(docs: DataFrame, gram: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, gram, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFirst: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(docs, gram, idCol, textCol, keepFirst)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_spans"))

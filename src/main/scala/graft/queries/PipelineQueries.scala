@@ -124,6 +124,10 @@ object PipelineQueries {
     // every document (boilerplate-removal semantics), full corpus out
     "q_text_despan" -> ((s, d) =>
       Dedup.removeDuplicateSpans(documents(s, d), gram = 8)),
+    // keep-first variant: the lexicographically first occurrence of each
+    // duplicated window is exempt (remove-all-but-one — Lee et al. 2022)
+    "q_dedup_spans_first" -> ((s, d) =>
+      Dedup.duplicateSpans(documents(s, d), gram = 8, keepFirst = true)),
     // incremental exact dedup against the durable fingerprint index:
     // three batches (phase = doc_id mod 3) — batch 0 initializes the
     // index, later batches anti-join it and never rescan the corpus
@@ -615,8 +619,12 @@ object PipelineQueries {
     * windows per position, 'dsp:'-tagged Hash64 per window, corpus-wide
     * occurrence count, duplicated positions, break-flag/cumsum interval
     * islands (exactly Dedup.duplicateSpans's window arithmetic). `tail`
-    * is either the final SELECT or further CTEs + SELECT (leading ","). */
-  private def dupSpanSql(tail: String): String =
+    * is either the final SELECT or further CTEs + SELECT (leading ",");
+    * `hits` overrides the duplicated-position rule (default: every
+    * occurrence of a count>=2 window). */
+  private def dupSpanSql(tail: String,
+      hits: String = """SELECT h.doc_id, h.pos
+        FROM h JOIN c USING (x5) WHERE c.n >= 2"""): String =
     s"""WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         g AS (
@@ -627,8 +635,7 @@ object PipelineQueries {
         h AS (${hash64Sql("'dsp:' || gram", from = "g",
             carry = "doc_id, pos")}),
         c AS (SELECT x5, count(*) AS n FROM h GROUP BY x5),
-        hits AS (
-          SELECT h.doc_id, h.pos FROM h JOIN c USING (x5) WHERE c.n >= 2),
+        hits AS ($hits),
         m AS (
           SELECT doc_id, pos,
             CASE WHEN pos - lag(pos) OVER
@@ -1260,6 +1267,15 @@ object PipelineQueries {
     "q_dedup_spans" -> dupSpanSql(
       """SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
          FROM isl GROUP BY doc_id, isl"""),
+    // keep-first: rn > 1 over (doc_id, pos) within a window hash is
+    // exactly "duplicated AND not the first occurrence"
+    "q_dedup_spans_first" -> dupSpanSql(
+      """SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         FROM isl GROUP BY doc_id, isl""",
+      hits = """SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, row_number() OVER
+            (PARTITION BY x5 ORDER BY doc_id, pos) AS rn
+          FROM h) r WHERE rn > 1"""),
     // despan replay: expand merged spans to covered positions, anti-side
     // LEFT JOIN keeps uncovered tokens, ordered string_agg rebuild;
     // documents with no kept token come back as ''

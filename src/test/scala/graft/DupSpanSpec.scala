@@ -162,4 +162,23 @@ class DupSpanSpec extends AnyFunSuite {
     assert(got(3L) == "only seven tokens here no dup x")
     assert(got(4L) == "a1 a2 a3")
   }
+
+  test("keepFirst: one copy of each duplicated run survives") {
+    val s = spark
+    import s.implicits._
+    val p = (0 until 8).map(i => s"p$i").mkString(" ")
+    val d = Seq((1L, p), (2L, p), (3L, p)).toDF("doc_id", "text")
+    // default semantics: every copy stripped
+    val all = Dedup.removeDuplicateSpans(d, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all == Map(1L -> "", 2L -> "", 3L -> ""))
+    // keepFirst: doc 1 (lexicographically first occurrence) survives
+    val kf = Dedup.removeDuplicateSpans(d, 8, keepFirst = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kf == Map(1L -> p, 2L -> "", 3L -> ""))
+    // and the span listing exempts exactly doc 1
+    assert(spans(d, 8).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(Dedup.duplicateSpans(d, 8, keepFirst = true).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
 }
