@@ -202,4 +202,30 @@ object Layouts {
     * column; filters on it prune whole directories) */
   def readIvfIndexed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** BUCKETED layout for join-heavy index tables (the scale path the
+    * incremental dedup indexes name: their per-batch anti/semi joins
+    * exchange the index every run when it is a plain parquet dir).
+    * Bucketing hash-partitions the FILES by `bucketCols` at write time,
+    * so a later equi-join on EXACTLY those keys reads the index
+    * pre-partitioned and only the (much smaller) batch side shuffles.
+    * Bucket on the join's full key set: Spark's co-partition check
+    * demands all cluster keys by default
+    * (`spark.sql.requireAllClusterKeysForCoPartition`), so a subset
+    * bucketing falls back to "Bucketed: false (disabled by query
+    * planner)" — measured, not guessed. Exchange-free index side is
+    * pinned in LayoutSpec. Registered as an EXTERNAL table at `path`
+    * (bucket metadata lives in the session catalog — Spark's bucketing
+    * contract; any catalog re-registration with the same DDL
+    * rediscovers the files). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], buckets: Int,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty)
+    df.write.mode(mode).format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
 }

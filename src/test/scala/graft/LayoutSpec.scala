@@ -232,6 +232,38 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed index layout: the index side joins exchange-free") {
+    val work = tmpDir("layout-bucketed")
+    val s = spark
+    import s.implicits._
+    val table = "graft_test_bucketed_idx"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val idx = (0L until 10000L).map(i => (i * 37L, i * 91L, i))
+      .toDF("_h1", "_h2", "doc_id")
+    Layouts.writeBucketed(idx, table, work, Seq("_h1", "_h2"), buckets = 8)
+    // forbid broadcast so the join must satisfy a clustered distribution;
+    // the bucketed side's HashPartitioning(_h1, _h2) IS the join key set
+    // — only the probe side may exchange
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(s,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { iso =>
+      val isoSc = iso
+      import isoSc.implicits._
+      val probe = (0L until 500L).map(i => (i * 37L, i * 91L))
+        .toDF("_h1", "_h2")
+      val joined = iso.table(table)
+        .join(probe, Seq("_h1", "_h2"), "left_semi")
+      val plan = joined.queryExecution.executedPlan.toString
+      val planOneLine = plan.replaceAll("\n", " ")
+      // exactly ONE shuffle exchange in the whole plan (the probe side)
+      val nExchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+        .findAllIn(planOneLine).length
+      assert(nExchanges == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == 500)
+    }
+    s.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("date-partitioned fact x filtered dim: dynamic partition pruning") {
     val fact = tmpDir("layout-dppfact")
     val dimP = tmpDir("layout-dppdim")
