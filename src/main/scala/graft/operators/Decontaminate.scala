@@ -73,9 +73,23 @@ object Decontaminate {
     val scored =
       if (nItems == 0) docSh.limit(0).join(benchSh, "shingle")
       else {
+        // BloomFilterAggregate validates its sizing against the runtime-
+        // filter confs (defaults: 4M items / 2^26 bits) — clamp instead
+        // of throwing on a large benchmark. A clamped (denser) filter
+        // only raises the false-positive rate, i.e. sheds less volume;
+        // the exact refilter below owns correctness either way.
+        val spark = docs.sparkSession
+        def conf(k: String, dflt: Long) =
+          spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+        val maxItems = conf(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+        val maxBits = conf(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+        val items = math.min(nItems, maxItems)
+        val bits = math.min(
+          math.max(64L, nItems * bitsPerItem.toLong), maxBits)
         val bloom = benchSh.agg(org.apache.spark.sql.graftshim.Shims
-            .bloomFilterAgg(col("shingle"), nItems,
-              math.max(64L, nItems * bitsPerItem.toLong)))
+            .bloomFilterAgg(col("shingle"), items, bits))
           .head().getAs[Array[Byte]](0)
         docSh
           .filter(org.apache.spark.sql.graftshim.Shims
