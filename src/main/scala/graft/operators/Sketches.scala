@@ -88,6 +88,40 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** KMV SET-OVERLAP sketch between two sides (corpus-vs-corpus
+    * vocabulary/shingle overlap without materializing either set): the
+    * k smallest hashes of A ∪ B form a uniform sample of the union, so
+    * |A∪B| ≈ (k−1)/u_k (the [[kmvDistinct]] estimator) and the fraction
+    * of the sketch present in BOTH sides estimates the Jaccard —
+    * |A∩B| ≈ ρ·|A∪B|. One distinct-hash pass per side, a k-row
+    * TakeOrdered (per-partition top-k merge, never a global sort), and
+    * a single-row result; estimates are exact below k. Deterministic
+    * given the seeded hash, so an external engine replays it verbatim. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, key: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3, got $k")
+    def hs(df: DataFrame) = df
+      .select(seeded_hash64(key.cast("string"), lit(0L)).as("_h"))
+      .filter(col("_h").isNotNull).distinct()
+    val sketch = hs(a).withColumn("_a", lit(1)).withColumn("_b", lit(0))
+      .unionByName(hs(b).withColumn("_a", lit(0)).withColumn("_b", lit(1)))
+      .groupBy(col("_h"))
+      .agg(max(col("_a")).as("in_a"), max(col("_b")).as("in_b"))
+      .orderBy(col("_h")).limit(k) // k smallest union hashes
+    val uK = (col("_hk").cast("double") + lit(9.223372036854775808e18)) /
+      lit(1.8446744073709551616e19)
+    val estU = when(col("n_kmv") < k, col("n_kmv").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / uK)
+    val rho = col("n_both").cast("double") / col("n_kmv").cast("double")
+    sketch
+      .agg(count(lit(1)).as("n_kmv"), max(col("_h")).as("_hk"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_both"))
+      .select(col("n_kmv"), col("n_both").cast("long").as("n_both"),
+        round(estU, 4).as("est_union"),
+        round(rho * estU, 4).as("est_intersection"),
+        round(rho, 4).as("est_jaccard"))
+  }
+
   def kmvDistinct(df: DataFrame, groupBy: Seq[String], key: Column,
       k: Int = 256): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3, got $k")

@@ -409,6 +409,23 @@ object PipelineQueries {
         leftTime = "ts", rightTime = "o_orderdate",
         payloadCols = Seq("last_orderkey"))
     }),
+    // last-touch attribution: every purchase matched to the SAME user's
+    // latest click in the preceding hour (as-of backward + tolerance) —
+    // single-shuffle union+window plan, no per-pair join blowup
+    "q_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+      AsOfJoin.backward(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "ts", rightTime = "c_ts",
+        payloadCols = Seq("click_id"),
+        toleranceMicros = Some(3600L * 1000000L))
+    }),
     "q_range_join" -> ((s, d) => {
       // intervals derived from the same table so they always overlap:
       // each purchase anchors a [ts, ts + 2h) window; count the user's
@@ -460,6 +477,15 @@ object PipelineQueries {
     // KMV distinct sketch: unlike HLL++'s opaque registers, every step is
     // relational algebra over the library's documented hash — the DuckDB
     // oracle recomputes the whole sketch from scratch
+    // corpus-vs-corpus overlap without materializing either shingle
+    // set: KMV union sketch + in-both fraction -> union/intersection/
+    // jaccard estimates, exact below k
+    "q_sketch_overlap" -> ((s, d) => {
+      val docs = documents(s, d)
+      def side(src: String) = docs.filter(col("source") === src)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      Sketches.kmvOverlap(side("src0"), side("src1"), col("sh"), k = 256)
+    }),
     "q_sketch_kmv" -> ((s, d) =>
       graft.operators.Sketches.kmvDistinct(lineitem(s, d),
         groupBy = Seq("l_returnflag"), key = col("l_orderkey"), k = 256)),
@@ -964,6 +990,46 @@ object PipelineQueries {
     // KMV recomputed from scratch: distinct (flag, key) -> staged Hash64
     // -> per-flag k smallest -> (k-1)/u_k with the identical IEEE op
     // sequence as the Spark side (all scaling constants are powers of 2)
+    // overlap replay: identical per-side distinct shingles, identical
+    // seeded hash, k smallest union hashes with in-a/in-b flags, and
+    // the same IEEE op order for the three estimates
+    "q_sketch_overlap" ->
+      s"""WITH sa AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+              range(len(string_split(lower(text),' ')) - 2),
+              i -> array_to_string(string_split(lower(text),' ')[i+1:i+3],
+                ' ')))) AS sh
+            FROM documents WHERE source = 'src0'),
+          sb AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+              range(len(string_split(lower(text),' ')) - 2),
+              i -> array_to_string(string_split(lower(text),' ')[i+1:i+3],
+                ' ')))) AS sh
+            FROM documents WHERE source = 'src1'),
+          ha AS (SELECT ${toSigned("x5")} AS h
+                 FROM (${hash64Sql("sh", from = "sa", carry = "sh")}) t),
+          hb AS (SELECT ${toSigned("x5")} AS h
+                 FROM (${hash64Sql("sh", from = "sb", carry = "sh")}) t),
+          u AS (
+            SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+              SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+              UNION ALL SELECT h, 0, 1 FROM hb) z GROUP BY h),
+          top AS (SELECT * FROM u ORDER BY h LIMIT 256)
+          SELECT count(*) AS n_kmv,
+            CAST(coalesce(sum(in_a * in_b), 0) AS BIGINT) AS n_both,
+            round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE 255.0 / ((CAST(max(h) AS DOUBLE)
+                + 9223372036854775808.0) / 18446744073709551616.0)
+              END, 4) AS est_union,
+            round(CAST(sum(in_a * in_b) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+              * (CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                 ELSE 255.0 / ((CAST(max(h) AS DOUBLE)
+                   + 9223372036854775808.0) / 18446744073709551616.0)
+                 END), 4) AS est_intersection,
+            round(CAST(sum(in_a * in_b) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 4) AS est_jaccard
+          FROM top""",
     "q_sketch_kmv" ->
       s"""WITH hashed AS (
             SELECT g, ${toSigned("x5")} AS h
@@ -1606,6 +1672,21 @@ object PipelineQueries {
          SELECT event_id, user_id, ts, last_orderkey
          FROM events ASOF LEFT JOIN ord
            ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate""",
+    // ASOF picks the latest preceding click; a match outside the hour
+    // nulls out (no nearer one can exist) — exactly backward+tolerance
+    "q_attribution" ->
+      """WITH clicks AS (
+           SELECT user_id AS cu, ts AS c_ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (
+           SELECT event_id AS purchase_id, user_id, ts,
+             value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, user_id, ts, purchase_value,
+           CASE WHEN c_ts >= ts - INTERVAL 1 HOUR THEN click_id
+                ELSE NULL END AS click_id
+         FROM p ASOF LEFT JOIN clicks
+           ON p.user_id = clicks.cu AND p.ts >= clicks.c_ts""",
     "q_range_join" ->
       """SELECT a.event_id AS anchor_id, count(*) AS n_events
          FROM events e JOIN events a

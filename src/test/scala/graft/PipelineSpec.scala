@@ -124,6 +124,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv overlap: exact under k, estimates near truth over k") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // exact mode: 6-element and 5-element sets sharing 3 keys, k = 256
+    val a = (1 to 6).map(i => s"k$i").toDF("x")
+    val b = (4 to 8).map(i => s"k$i").toDF("x")
+    val ex = Sketches.kmvOverlap(a, b, col("x")).collect().head
+    assert(ex.getLong(0) == 8L && ex.getLong(1) == 3L) // |A∪B|=8, |A∩B|=3
+    assert(ex.getDouble(2) == 8.0 && ex.getDouble(3) == 3.0)
+    assert(ex.getDouble(4) == 0.375)
+    // estimate mode on the fixture corpus shingle sets (union >> k):
+    // the corpus is template-shared, so the truth is known exactly
+    val docs = Tables.documents(spark, sf0001)
+    def side(src: String) = docs.filter(col("source") === src)
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh"))
+    val sa = side("src0").distinct().collect().map(_.getString(0)).toSet
+    val sb = side("src1").distinct().collect().map(_.getString(0)).toSet
+    val est = Sketches.kmvOverlap(side("src0"), side("src1"),
+      col("sh"), k = 256).collect().head
+    val trueU = (sa ++ sb).size.toDouble
+    val trueJ = (sa & sb).size.toDouble / trueU
+    if (trueU > 300) { // estimate path engaged
+      assert(math.abs(est.getDouble(2) - trueU) / trueU < 0.25,
+        s"union est=${est.getDouble(2)} true=$trueU")
+      assert(math.abs(est.getDouble(4) - trueJ) < 0.2,
+        s"jaccard est=${est.getDouble(4)} true=$trueJ")
+    } else assert(est.getDouble(2) == trueU)
+  }
+
   test("pq: adc recall floor, exact rerank, deterministic codes") {
     import graft.operators.{PQ, Similarity}
     val q = emb.filter(col("vec_id") === 0)
