@@ -173,6 +173,21 @@ object PipelineQueries {
       }
       parts.reduce(_.unionByName(_))
     }),
+    // pretraining prep chain over the NEW ops: strip duplicated spans,
+    // gate on the CLEAN token count, concat-and-slice pack what's left —
+    // one fused plan (span pipeline + window cumsum), no intermediate
+    // materialization
+    "q_pipeline_pretrain" -> ((s, d) => {
+      val clean = Dedup.removeDuplicateSpans(documents(s, d), gram = 8)
+        .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      val tc = clean.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("clean_text")).cast("long")
+            .as("n_tokens"))
+        .filter(col("n_tokens") >= 16)
+      Packing.concatSlicePack(tc, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 512)
+        .select("doc_id", "source", "n_tokens", "pack_seq", "pack_offset")
+    }),
     // end-to-end near-dup removal: candidate pairs -> connected
     // components -> keep the min-id survivor of every cluster
     "q_dedup_survivors" -> ((s, d) => {
@@ -1364,6 +1379,44 @@ object PipelineQueries {
          FROM documents d LEFT JOIN (
            SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
            FROM kept GROUP BY doc_id) k USING (doc_id)"""),
+    // pretrain chain: despan CTEs -> clean token counts -> gate ->
+    // the q_pack_sequences cumsum arithmetic, all composed from proven
+    // stage oracles
+    "q_pipeline_pretrain" -> dupSpanSql(
+      """, spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           FROM isl GROUP BY doc_id, isl),
+         cov AS (
+           SELECT DISTINCT doc_id, p
+           FROM spans, unnest(range(s, e)) AS v(p)),
+         tok AS (
+           SELECT doc_id, i, tk[CAST(i AS INT) + 1] AS t
+           FROM toks, unnest(range(0, len(tk))) AS u(i)),
+         kept AS (
+           SELECT tok.doc_id, tok.i, tok.t
+           FROM tok LEFT JOIN cov
+             ON tok.doc_id = cov.doc_id AND tok.i = cov.p
+           WHERE cov.p IS NULL),
+         clean AS (
+           SELECT d.doc_id, d.source, coalesce(k.ct, '') AS ct
+           FROM documents d LEFT JOIN (
+             SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
+             FROM kept GROUP BY doc_id) k USING (doc_id)),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens
+           FROM clean
+           WHERE len(string_split(ct, ' ')) >= 16),
+         cum AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+           FROM f)
+         SELECT doc_id, source, n_tokens,
+           before // 512 AS pack_seq, before % 512 AS pack_offset
+         FROM cum"""),
     // same unit-cost Levenshtein metric both engines; argmin replayed
     // as row_number over (dist, match_id)
     "q_fuzzy_match" ->
