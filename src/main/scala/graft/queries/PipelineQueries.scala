@@ -518,6 +518,19 @@ object PipelineQueries {
             .cast("double") // r3 hash probes: decimal cells hash-mismatch, double green
             .as("sum_value"))
     }),
+    // XML round-trip (Spark 4 native source): write a row-tagged doc,
+    // read it back with an explicit schema, aggregate — equal to the
+    // parquet-source aggregate
+    "q_source_xml" -> ((s, d) => {
+      val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/xml"
+      events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").option("rootTag", "events")
+        .option("rowTag", "event").xml(work)
+      s.read.option("rowTag", "event")
+        .schema("event_id LONG, event_type STRING, value DOUBLE").xml(work)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
+    }),
     "q_source_orc" -> ((s, d) => {
       val work = s"${sys.props("java.io.tmpdir")}/graft_src/${new java.io.File(d).getName}/orc"
       lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity")
@@ -1766,6 +1779,9 @@ object PipelineQueries {
          FROM events GROUP BY 1""",
     "q_source_json" ->
       """SELECT event_type, count(*) AS cnt, max(value) AS max_value
+         FROM events GROUP BY 1""",
+    "q_source_xml" ->
+      """SELECT event_type, count(*) AS cnt, min(value) AS min_value
          FROM events GROUP BY 1""",
     "q_source_orc" ->
       """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
