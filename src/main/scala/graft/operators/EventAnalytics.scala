@@ -126,4 +126,42 @@ object EventAnalytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("v_sum"), ignoreNulls = true).over(w).as("v_fill"))
   }
+
+  /** [[gapFill]]'s LINEAR-INTERPOLATION sibling: empty buckets take
+    * `prev + (next − prev) · Δt/Δtotal` between the neighboring known
+    * buckets; before the first / after the last known value the series
+    * clamps (no extrapolation). Same grid and shuffle shape as
+    * [[gapFill]] — two window passes over the per-user grid, skew
+    * bounded by the longest user span. */
+  def gapFillInterp(events: DataFrame, user: Column, ts: Column,
+      value: Column, stepSeconds: Long): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    val bucket = timestamp_micros(
+      unix_micros(ts) - pmod(unix_micros(ts), lit(stepUs)))
+    val perBucket = events
+      .groupBy(user.as("u"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(value).as("v_sum"))
+    val grid = perBucket.groupBy(col("u"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("u"), explode(sequence(col("b0"), col("b1"),
+        expr(s"interval $stepSeconds seconds"))).as("bucket"))
+    val wAll = Window.partitionBy(col("u")).orderBy(col("bucket").asc)
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val knownT = when(col("v_sum").isNotNull, col("bucket"))
+    val prevV = last(col("v_sum"), ignoreNulls = true).over(wPrev)
+    val prevT = last(knownT, ignoreNulls = true).over(wPrev)
+    val nextV = first(col("v_sum"), ignoreNulls = true).over(wNext)
+    val nextT = first(knownT, ignoreNulls = true).over(wNext)
+    val frac = (unix_micros(col("bucket")) - unix_micros(prevT))
+      .cast("double") /
+      (unix_micros(nextT) - unix_micros(prevT)).cast("double")
+    grid.join(perBucket, Seq("u", "bucket"), "left")
+      .select(col("u").as("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("v_sum").isNotNull, col("v_sum"))
+          .when(prevV.isNull, nextV)
+          .when(nextV.isNull, prevV)
+          .otherwise(prevV + (nextV - prevV) * frac).as("v_interp"))
+  }
 }

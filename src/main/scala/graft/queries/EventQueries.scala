@@ -35,6 +35,11 @@ object EventQueries {
     // hourly grid resample + forward fill of the per-bucket value sum
     "q_gapfill" -> ((s, d) =>
       EventAnalytics.gapFill(events(s, d), col("user_id"), col("ts"),
+        col("value"), stepSeconds = 3600)),
+    // hourly grid resample + LINEAR interpolation between known buckets
+    // (clamped at the ends)
+    "q_gapfill_linear" -> ((s, d) =>
+      EventAnalytics.gapFillInterp(events(s, d), col("user_id"), col("ts"),
         col("value"), stepSeconds = 3600))
   )
 
@@ -93,6 +98,49 @@ object EventQueries {
            last_value(b.v_sum IGNORE NULLS) OVER
              (PARTITION BY g.u ORDER BY g.bucket
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
-         FROM grid g LEFT JOIN b ON g.u = b.u AND g.bucket = b.bucket"""
+         FROM grid g LEFT JOIN b ON g.u = b.u AND g.bucket = b.bucket""",
+    // identical op order: prev + (next − prev) * (Δt_num / Δt_den), the
+    // Δt's as BIGINT micros cast to double — both engines compute the
+    // same IEEE sequence
+    "q_gapfill_linear" ->
+      """WITH b AS (
+           SELECT user_id AS u,
+             make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+               AS bucket,
+             count(*) AS n_events, sum(value) AS v_sum
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT u, min(bucket) AS b0, max(bucket) AS b1
+                  FROM b GROUP BY 1),
+         grid AS (SELECT u, unnest(generate_series(b0, b1,
+                    INTERVAL 1 HOUR)) AS bucket FROM span),
+         j AS (
+           SELECT g.u, g.bucket, b.n_events, b.v_sum,
+             CASE WHEN b.v_sum IS NOT NULL THEN g.bucket END AS known_t
+           FROM grid g LEFT JOIN b ON g.u = b.u AND g.bucket = b.bucket),
+         w AS (
+           SELECT u, bucket, n_events, v_sum,
+             last_value(v_sum IGNORE NULLS) OVER
+               (PARTITION BY u ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(known_t IGNORE NULLS) OVER
+               (PARTITION BY u ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v_sum IGNORE NULLS) OVER
+               (PARTITION BY u ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(known_t IGNORE NULLS) OVER
+               (PARTITION BY u ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM j)
+         SELECT u AS user_id, bucket,
+           coalesce(n_events, 0) AS n_events,
+           CASE WHEN v_sum IS NOT NULL THEN v_sum
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                  (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE) /
+                   CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+           END AS v_interp
+         FROM w"""
   )
 }
