@@ -202,6 +202,13 @@ object Inventory {
                WHERE o_custkey IN (SELECT c_custkey FROM customer_v
                                    WHERE c_mktsegment = 'BUILDING')""")
     }),
+    // ---- window: equi-depth quartiles per group (ntile)
+    "q_window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+    }),
     // ---- recursive CTE (Spark 4.x WITH RECURSIVE): per-customer order
     // STREAKS — walk the next-order pointer while the gap stays <= 30
     // days. Linked-list recursion (one successor per row) so UNION ALL
@@ -375,6 +382,12 @@ object Inventory {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')""",
+    // deterministic ntile: total order via the orderkey tiebreak
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+         FROM orders""",
     // identical recursive SQL modulo the view name — both engines walk
     // the same next-pointer chain; output carries no timestamps so the
     // NTZ seam never reaches the compare

@@ -128,6 +128,10 @@ object PipelineQueries {
     // duplicated window is exempt (remove-all-but-one — Lee et al. 2022)
     "q_dedup_spans_first" -> ((s, d) =>
       Dedup.duplicateSpans(documents(s, d), gram = 8, keepFirst = true)),
+    // the keep-first REWRITE: one copy of each duplicated run survives
+    "q_text_despan_first" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(documents(s, d), gram = 8,
+        keepFirst = true)),
     // incremental exact dedup against the durable fingerprint index:
     // three batches (phase = doc_id mod 3) — batch 0 initializes the
     // index, later batches anti-join it and never rescan the corpus
@@ -668,6 +672,29 @@ object PipelineQueries {
        GROUP BY token, n_exact
        ORDER BY n_exact DESC, token"""
   }
+
+  /** despan reconstruction tail shared by the strip-all and keep-first
+    * rewrites: expand spans to covered positions, keep uncovered tokens,
+    * ordered string_agg rebuild ('' when nothing survives) */
+  private val despanTail: String =
+    """, spans AS (
+         SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+         FROM isl GROUP BY doc_id, isl),
+       cov AS (
+         SELECT DISTINCT doc_id, p
+         FROM spans, unnest(range(s, e)) AS v(p)),
+       tok AS (
+         SELECT doc_id, i, tk[CAST(i AS INT) + 1] AS t
+         FROM toks, unnest(range(0, len(tk))) AS u(i)),
+       kept AS (
+         SELECT tok.doc_id, tok.i, tok.t
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.i = cov.p
+         WHERE cov.p IS NULL)
+       SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+       FROM documents d LEFT JOIN (
+         SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
+         FROM kept GROUP BY doc_id) k USING (doc_id)"""
 
   /** Shared CTE prefix for the duplicate-span oracles: 8-token sliding
     * windows per position, 'dsp:'-tagged Hash64 per window, corpus-wide
@@ -1373,25 +1400,13 @@ object PipelineQueries {
     // despan replay: expand merged spans to covered positions, anti-side
     // LEFT JOIN keeps uncovered tokens, ordered string_agg rebuild;
     // documents with no kept token come back as ''
-    "q_text_despan" -> dupSpanSql(
-      """, spans AS (
-           SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
-           FROM isl GROUP BY doc_id, isl),
-         cov AS (
-           SELECT DISTINCT doc_id, p
-           FROM spans, unnest(range(s, e)) AS v(p)),
-         tok AS (
-           SELECT doc_id, i, tk[CAST(i AS INT) + 1] AS t
-           FROM toks, unnest(range(0, len(tk))) AS u(i)),
-         kept AS (
-           SELECT tok.doc_id, tok.i, tok.t
-           FROM tok LEFT JOIN cov
-             ON tok.doc_id = cov.doc_id AND tok.i = cov.p
-           WHERE cov.p IS NULL)
-         SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
-         FROM documents d LEFT JOIN (
-           SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct
-           FROM kept GROUP BY doc_id) k USING (doc_id)"""),
+    "q_text_despan" -> dupSpanSql(despanTail),
+    // keep-first rewrite: same reconstruction over the rn>1 hit rule
+    "q_text_despan_first" -> dupSpanSql(despanTail,
+      hits = """SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, row_number() OVER
+            (PARTITION BY x5 ORDER BY doc_id, pos) AS rn
+          FROM h) r WHERE rn > 1"""),
     // pretrain chain: despan CTEs -> clean token counts -> gate ->
     // the q_pack_sequences cumsum arithmetic, all composed from proven
     // stage oracles
