@@ -643,6 +643,67 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   * interpreted lambda per chunk and copies tokens per slice, which is
   * the dominant cost of the chunking pass at corpus scale (0x20 is
   * never a UTF-8 continuation byte, so byte scanning is char-safe). */
+/** One-pass TAGGED sliding-window hashes: for every full-length window
+  * of `size` whitespace tokens (1-token stride), the Hash64 of
+  * `tag ++ windowText` — bit-identical to
+  * `seeded_hash64(concat(lit(tag), window), 0)` because UTF-8 concat is
+  * byte concat and FNV-1a folds bytes left to right, but with ZERO
+  * intermediate strings: the tag prefix is pre-folded once into the FNV
+  * state and each window hashes straight out of the document's byte
+  * array. Replaces the WordChunks→concat→SeededHash64 pipeline in the
+  * duplicate-span operators (that path materialized every window text
+  * twice per position). Documents shorter than `size` tokens yield an
+  * empty array. */
+case class TaggedWindowHashes(child: Expression, size: Int, tag: String)
+    extends UnaryExpression with CodegenFallback {
+  require(size > 0, s"size=$size")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val tagState: Long = {
+    val tb = tag.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L // FNV offset basis (seed 0)
+    var i = 0
+    while (i < tb.length) { h ^= (tb(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val total = bytes.length
+    val starts = new java.util.ArrayList[Integer](16)
+    starts.add(0)
+    var b = 0
+    while (b < total) {
+      if (bytes(b) == 0x20) starts.add(b + 1)
+      b += 1
+    }
+    val n = starts.size
+    val m = n - size + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val from = starts.get(s)
+      val until = if (s + size < n) starts.get(s + size) - 1 else total
+      var h = tagState
+      var i = from
+      while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      out(s) = h ^ (h >>> 31)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class WordChunks(child: Expression, size: Int, overlap: Int)
     extends UnaryExpression with CodegenFallback {
   require(size > 0 && overlap >= 0 && overlap < size,
@@ -966,6 +1027,9 @@ object functions {
 
   def word_chunks(text: Column, size: Int, overlap: Int): Column =
     Shims.column(WordChunks(Shims.expression(text), size, overlap))
+
+  def tagged_window_hashes(text: Column, size: Int, tag: String): Column =
+    Shims.column(TaggedWindowHashes(Shims.expression(text), size, tag))
 
   /** largest-k rows of a struct column per group, sorted descending —
     * bounded O(k) partial state, see [[BoundedTopK]] */

@@ -432,18 +432,20 @@ object Dedup {
     * them for anything destructive at that scale. */
   /** (doc_id, pos, h) — one tagged 64-bit hash per full-length
     * `gram`-token sliding window (1-token stride). Shared by
-    * [[duplicateSpans]] and the incremental span index. */
+    * [[duplicateSpans]] and the incremental span index. The native
+    * one-pass expression emits hash values bit-identical to
+    * `seeded_hash64(concat(lit("dsp:"), windowText), 0)` (the oracle
+    * replays that definition) without materializing any window string
+    * — the previous WordChunks→concat→hash pipeline was the span
+    * family's dominant map cost (pinned equal in DupSpanSpec). */
   private[graft] def gramHashes(docs: DataFrame, gram: Int,
       idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        (size(split(col(textCol), " ")) - gram).as("_last"),
-        posexplode(graft.functions.functions.word_chunks(col(textCol),
-          gram, gram - 1)))
-      .filter(col("pos") <= col("_last")) // full-length windows only
+        posexplode(graft.functions.functions.tagged_window_hashes(
+          col(textCol), gram, "dsp:")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        graft.functions.functions.seeded_hash64(
-          concat(lit("dsp:"), col("col")), lit(0L)).as("h"))
+        col("col").as("h"))
 
   /** (doc_id, pos) duplicated positions → maximal merged
     * `[span_start, span_end)` intervals per document: a window cumsum of

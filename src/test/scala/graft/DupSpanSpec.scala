@@ -147,6 +147,25 @@ class DupSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("native window hashes == the string-pipeline definition") {
+    import org.apache.spark.sql.functions.{col, concat, lit, posexplode,
+      size, split}
+    import graft.functions.functions.{seeded_hash64, tagged_window_hashes,
+      word_chunks}
+    val docs = Tables.documents(spark, sf0001)
+    val native = docs.select(col("doc_id"),
+        posexplode(tagged_window_hashes(col("text"), 8, "dsp:")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaStrings = docs
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 8).as("_last"),
+        posexplode(word_chunks(col("text"), 8, 7)))
+      .filter(col("pos") <= col("_last"))
+      .select(col("doc_id"), col("pos"),
+        seeded_hash64(concat(lit("dsp:"), col("col")), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == viaStrings && native.nonEmpty)
+  }
+
   test("despan: untouched, fully-covered, and sub-gram docs") {
     val s = spark
     import s.implicits._
