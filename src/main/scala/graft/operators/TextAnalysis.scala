@@ -344,4 +344,48 @@ object TextAnalysis {
       languageId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * scheme): from the stream of `gram`-token window hashes, every
+    * window of `window` consecutive hashes selects its MINIMUM (ties →
+    * rightmost), and the distinct selected (pos, hash) pairs are the
+    * document's fingerprint set. Guarantee: any shared run of at least
+    * `window + gram − 1` tokens yields a shared fingerprint, with only
+    * ~2/(window+1) of positions retained — the sub-document overlap
+    * index at a fraction of the full gram stream's size.
+    *
+    * Shapes: the hash stream is the native one-pass
+    * [[graft.functions.TaggedWindowHashes]]; per-end minima are one
+    * window pass; the rightmost-argmin is resolved by exploding each
+    * complete window end into its `window` member positions and
+    * equi-joining back (a `window`× fanout of the hash stream — all
+    * shuffles on (doc, pos), no band join). Returns
+    * `(doc_id, pos, fp_hash)` distinct. */
+  def winnow(docs: DataFrame, gram: Int = 5, window: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gram > 0 && window > 1, s"gram=$gram window=$window")
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.functions.tagged_window_hashes(
+          col(textCol), gram, "win:")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    val ends = g
+      .withColumn("me", min(col("h")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === window) // complete windows only
+      .select(col("doc_id"), col("pos").as("e"), col("me"))
+    val members = ends.select(col("doc_id"), col("e"), col("me"),
+      explode(sequence(lit(0L), lit((window - 1).toLong))).as("i"))
+      .select(col("doc_id"), col("e"), col("me"),
+        (col("e") - col("i")).as("pos"))
+    members.join(g, Seq("doc_id", "pos"))
+      .filter(col("h") === col("me")) // the window's minima
+      .groupBy(col("doc_id"), col("e"), col("me"))
+      .agg(max(col("pos")).as("pos")) // rightmost tie wins
+      .select(col("doc_id"), col("pos"), col("me").as("fp_hash"))
+      .distinct()
+  }
 }

@@ -83,6 +83,11 @@ object PipelineQueries {
     // per-doc TF-IDF top terms: tf + broadcast df + one doc-keyed window;
     // ranking on the ROUNDED score (token tie-break) so the selected set
     // is reproducible across math libraries
+    // winnowing fingerprints (MOSS): per-window rightmost-min hash
+    // selection over the 5-gram stream — the sub-document overlap index
+    // at ~2/(w+1) the gram stream's size
+    "q_text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(documents(s, d), gram = 5, window = 4)),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(documents(s, d), topK = 3)),
     // BM25 retrieval scoring against a fixed query bag: pinned IEEE op
@@ -730,6 +735,38 @@ object PipelineQueries {
               AS BIGINT) AS isl
           FROM m)
         $tail"""
+
+  /** winnowing oracle: identical 'win:'-tagged Hash64 per 5-token
+    * window, per-end min over 4 complete hashes, rightmost argmin via
+    * the same explode + equi-join + max(pos), distinct pairs */
+  private def winnowSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, s AS pos,
+            array_to_string(tk[CAST(s AS INT) + 1 : CAST(s AS INT) + 5],
+              ' ') AS gram
+          FROM toks, unnest(range(0, len(tk) - 4)) AS u(s)),
+        h AS (${hash64Sql("'win:' || gram", from = "g",
+            carry = "doc_id, pos")}),
+        hh AS (SELECT doc_id, pos, ${toSigned("x5")} AS h FROM h),
+        ends AS (
+          SELECT doc_id, pos AS e,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS me,
+            count(*) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt
+          FROM hh),
+        full_w AS (SELECT doc_id, e, me FROM ends WHERE cnt = 4),
+        members AS (
+          SELECT doc_id, e, me, e - i AS pos
+          FROM full_w, unnest(range(0, 4)) AS v(i)),
+        sel AS (
+          SELECT m.doc_id, m.e, m.me, max(m.pos) AS pos
+          FROM members m JOIN hh
+            ON m.doc_id = hh.doc_id AND m.pos = hh.pos AND hh.h = m.me
+          GROUP BY m.doc_id, m.e, m.me)
+        SELECT DISTINCT doc_id, pos, me AS fp_hash FROM sel"""
 
   /** unsigned-HUGEINT → signed BIGINT two's-complement wrap */
   private def toSigned(in: String): String =
@@ -1382,6 +1419,7 @@ object PipelineQueries {
           SELECT doc_id, count(*) AS n_segs_kept,
             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
           FROM kept WHERE rn = 1 GROUP BY doc_id""",
+    "q_text_winnow" -> winnowSql,
     // duplicate-span replay: identical 8-token windows ('dsp:'-tagged
     // Hash64), count >= 2 positions, identical break/cumsum interval
     // merge — all-integer arithmetic end to end

@@ -166,6 +166,54 @@ class DupSpanSpec extends AnyFunSuite {
     assert(native == viaStrings && native.nonEmpty)
   }
 
+  test("winnowing: guarantee + density + brute-force agreement") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    // guarantee: a shared run of >= window+gram-1 = 8 tokens must yield
+    // at least one shared fingerprint between the two docs
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val d = Seq((1L, s"a1 a2 a3 $run b1 b2"),
+      (2L, s"c1 $run d1 d2 d3")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(d, gram = 5, window = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, s"no shared fingerprint: $h1 vs $h2")
+    // brute-force agreement on the fixture corpus
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def hash(sstr: String): Long = {
+      val bytes = ("win:" + sstr).getBytes("UTF-8")
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      val tk = t.split(" ", -1)
+      val hs = (0 to tk.length - 5)
+        .map(p => p -> hash(tk.slice(p, p + 5).mkString(" ")))
+      (3 until hs.length).flatMap { e =>
+        val w = hs.slice(e - 3, e + 1)
+        val m = w.map(_._2).min
+        val pos = w.filter(_._2 == m).map(_._1).max // rightmost tie
+        Some((id, pos.toLong, m))
+      }.distinct
+    }.toSet
+    val got = TextAnalysis.winnow(Tables.documents(spark, sf0001),
+        gram = 5, window = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+    // density: distinct selections ~ 2/(window+1) of complete windows
+    val nEnds = docs.map { case (_, t) =>
+      math.max(0, t.split(" ", -1).length - 5 + 1 - 3) }.sum.toDouble
+    val density = got.size / nEnds
+    assert(density > 0.25 && density < 0.55, s"density=$density")
+  }
+
   test("despan: untouched, fully-covered, and sub-gram docs") {
     val s = spark
     import s.implicits._
