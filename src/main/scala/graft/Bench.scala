@@ -265,6 +265,15 @@ object Bench {
     // dominated by job scheduling + planning, which says nothing about
     // scan savings; at ×8192 the ratio was still half fixed cost).
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "16384").toInt
+    // previous round's per-query artifact, read BEFORE this run
+    // overwrites it (feeds the regressions key below)
+    val prevArtifactName =
+      if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_LOCAL.json"
+      else s"BENCH_DEV_${new java.io.File(sfDir).getName.replace('.', '_')}.json"
+    val prevArtifact: Option[String] =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(prevArtifactName)))
+      catch { case _: Throwable => None }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -348,6 +357,30 @@ object Bench {
       pairs.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // self-diagnosing regression tracking: per-query slowdown ratio vs
+    // the PREVIOUS round's persisted artifact (read before this run
+    // overwrites it). "Now" is min(first, rerun) so a one-off JIT/stall
+    // on the first run (the r6 survivors scare) doesn't read as a
+    // regression — a real plan regression slows both runs. Flagged when
+    // >= 1.5x AND >= 0.5 s absolute; the ratio map keys by query name,
+    // prior seconds are in the previous artifact itself.
+    val prevQueries: Map[String, Double] = prevArtifact.map { text =>
+      val qSec = """"queries":\{([^}]*)\}""".r
+      val pair = """"([^"]+)":([-0-9.eE]+)""".r
+      qSec.findFirstMatchIn(text).map(m =>
+        pair.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+        .getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+    val regressions = timed.flatMap { case (n, t1, t2) =>
+      prevQueries.get(n).flatMap { prev =>
+        val now = math.min(t1, t2)
+        if (prev > 0 && now >= prev * 1.5 && now - prev >= 0.5)
+          Some(n -> now / prev)
+        else None
+      }
+    }
     def opt(d: Option[Double]) = d.map(x =>
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))).getOrElse("null")
     // bench_schema history:
@@ -356,20 +389,19 @@ object Bench {
     //              keys), estimator = plain median of per-rep ratios; the
     //              uncached-engine comparison is warm_vs_vanilla_*.
     //   3 (r6):    leg order alternates per rep; default reps 5 -> 7.
+    //   4 (r8):    + regressions key (per-query slowdown vs previous
+    //              artifact, min(first, rerun) basis).
     // Key meanings are stable WITHIN a schema version; compare across
     // versions only via this field.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":3,"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":4,"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"regressions":${fmt(regressions)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
     // self-preserving artifact: the driver captures stdout's tail, which
     // has truncated the per-query section before — persist the full line
     // to a file too (best-effort; the println stays the contract).
     // BENCH_LOCAL.json is DEFINED as the exclusive sf0.1 artifact —
     // dev-loop runs at other scales must not clobber it (it happened
     // twice), so they persist to a per-sf name instead.
-    val artifact =
-      if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_LOCAL.json"
-      else s"BENCH_DEV_${new java.io.File(sfDir).getName.replace('.', '_')}.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(artifact), json + "\n")
+      java.nio.file.Paths.get(prevArtifactName), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()

@@ -631,18 +631,6 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = c)
 }
 
-/** Column-level entry points. */
-/** Sliding-window word chunks of a text column: windows of `size`
-  * whitespace(0x20)-separated tokens every `size − overlap` tokens —
-  * exactly `transform(sequence(0, n−1, stride), s →
-  * array_join(slice(split(text, " "), s+1, size), " "))`, but in ONE
-  * native pass. Because the join separator equals the split separator,
-  * every chunk is a literal BYTE SLICE of the input (consecutive spaces
-  * round-trip as empty tokens), so no token array or per-chunk string
-  * concatenation is ever materialized — the HOF form evaluates an
-  * interpreted lambda per chunk and copies tokens per slice, which is
-  * the dominant cost of the chunking pass at corpus scale (0x20 is
-  * never a UTF-8 continuation byte, so byte scanning is char-safe). */
 /** One-pass TAGGED sliding-window hashes: for every full-length window
   * of `size` whitespace tokens (1-token stride), the Hash64 of
   * `tag ++ windowText` — bit-identical to
@@ -704,6 +692,17 @@ case class TaggedWindowHashes(child: Expression, size: Int, tag: String)
     copy(child = c)
 }
 
+/** Sliding-window word chunks of a text column: windows of `size`
+  * whitespace(0x20)-separated tokens every `size − overlap` tokens —
+  * exactly `transform(sequence(0, n−1, stride), s →
+  * array_join(slice(split(text, " "), s+1, size), " "))`, but in ONE
+  * native pass. Because the join separator equals the split separator,
+  * every chunk is a literal BYTE SLICE of the input (consecutive spaces
+  * round-trip as empty tokens), so no token array or per-chunk string
+  * concatenation is ever materialized — the HOF form evaluates an
+  * interpreted lambda per chunk and copies tokens per slice, which is
+  * the dominant cost of the chunking pass at corpus scale (0x20 is
+  * never a UTF-8 continuation byte, so byte scanning is char-safe). */
 case class WordChunks(child: Expression, size: Int, overlap: Int)
     extends UnaryExpression with CodegenFallback {
   require(size > 0 && overlap >= 0 && overlap < size,

@@ -84,9 +84,18 @@ object Dedup {
     * take its size (all sizes are integers; the division is the same
     * exact double either way). */
   private[graft] def verifyJaccardPairs(cand: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      threshold: Double): DataFrame =
+    verifyJaccardPairsAB(cand, sh, sh, threshold)
+
+  /** Two-sided exact-Jaccard verify: the id_a side and id_b side draw
+    * their shingle sets from DIFFERENT tables (incremental near-dup:
+    * id_a ∈ durable index, id_b ∈ current batch — joining each side
+    * against its own table keeps the bucketed index side exchange-free
+    * instead of unioning history into the batch's shuffle). */
+  private[graft] def verifyJaccardPairsAB(cand: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame = {
+    val a = shA.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = shB.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))

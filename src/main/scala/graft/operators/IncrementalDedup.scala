@@ -89,48 +89,61 @@ object IncrementalDedup {
     * the fuzzy sibling of [[dedupAppend]]. The index holds, for every
     * document ever SEEN (kept or dropped), its exploded LSH band hashes
     * (`bands/`: band_idx, band_hash, id) and its distinct shingle set
-    * (`sigs/`: id, sh). A new batch then near-dedups in batch-sized work:
+    * (`sigs/`: id, sh with shingles xxhash64'd to int64 — the
+    * [[Dedup.ngramJaccardPairs]] trick: Jaccard over hashed sets equals
+    * Jaccard over the strings up to a ~|union|²/2⁶⁴ per-pair collision
+    * chance, and the index shrinks ~8× vs raw shingle strings). Banding
+    * is still computed from the STRING shingles, so recall is identical
+    * to [[Dedup.minhashPairs]]. A new batch then near-dedups in
+    * batch-sized work:
     *
     *   1. shingle + band-hash the batch (the [[Dedup.minhashPairs]]
     *      signature pipeline, identical banding → identical recall);
     *   2. WITHIN-batch: bucket self-join, exact-Jaccard verify — a doc
     *      is dropped if a smaller-id batch doc matches it;
     *   3. ACROSS history: batch bands equi-join the index bands, exact
-    *      Jaccard against the stored shingle sets — a doc is dropped if
-    *      ANY earlier doc matches it (drop-if-any-earlier semantics: the
-    *      dropping doc need not itself have been kept, which is what
-    *      lets the index stay append-only with no kept-status updates;
-    *      slightly more aggressive than greedy cluster-first-wins on
-    *      transitive chains A~B~C with A≁C);
+    *      Jaccard with the id_a side read from the stored index sets and
+    *      the id_b side from the batch — a doc is dropped if ANY earlier
+    *      doc matches it (drop-if-any-earlier semantics: the dropping
+    *      doc need not itself have been kept, which is what lets the
+    *      index stay append-only with no kept-status updates; slightly
+    *      more aggressive than greedy cluster-first-wins on transitive
+    *      chains A~B~C with A≁C);
     *   4. append the batch's bands + shingle sets to the index, keep
     *      decisions checkpointed BEFORE the append (read-then-append
     *      hazard, as in [[dedupAppend]]).
     *
+    * Both index tables are BUCKETED external tables
+    * ([[graft.sources.Layouts.writeBucketed]] discipline): `bands/` on
+    * its join keys (band_idx, band_hash), `sigs/` on the verify key
+    * (id), so every per-batch cross-history join reads the index
+    * pre-partitioned and only the batch side shuffles — the index is
+    * never exchanged, which is what survives a 100× corpus. (Catalog
+    * table names are content-derived from the index path; a fresh
+    * session re-registers them over the existing files.)
+    *
     * Documents too short to shingle are always kept and never indexed.
     * Per-batch cost: the batch's own LSH pass plus equi-joins against
     * index tables that grow with corpus DISTINCT content, not corpus
-    * bytes; the corpus text is never rescanned. Storage holds string
-    * shingle sets (exact verify, zero false drops); switch `sigs` to
-    * xxhash64'd shingles ([[Dedup.ngramJaccardPairs]]'s trick) to cut
-    * the index ~8× when storage dominates. Single-writer contract as
-    * [[dedupAppend]]. */
+    * bytes; the corpus text is never rescanned. Single-writer contract
+    * as [[dedupAppend]]. */
   def nearDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
       threshold: Double = 0.5, n: Int = 3, k: Int = 64, bands: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 32): DataFrame = {
     val bandsDir = s"$indexDir/bands"
     val sigsDir = s"$indexDir/sigs"
+    val bandsTable = indexTableName(indexDir, "bands")
+    val sigsTable = indexTableName(indexDir, "sigs")
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val haveIndex = fs.exists(new Path(bandsDir))
+    if (!haveIndex) { // fresh index: drop any stale catalog metadata
+      spark.sql(s"DROP TABLE IF EXISTS $bandsTable")
+      spark.sql(s"DROP TABLE IF EXISTS $sigsTable")
+    }
 
-    val sh = batch.select(col(idCol).as("id"),
-        Dedup.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
-    val bnd = sh.select(col("id"),
-        posexplode(graft.functions.functions.minhash_band_hashes(
-          col("sh"), k, bands)).as(Seq("band_idx", "band_hash")))
-      .localCheckpoint()
+    val (shHashed, bnd) = batchSignatures(batch, n, k, bands, idCol, textCol)
 
     // within-batch: smaller id wins, candidates from shared buckets
     val candWithin = bnd.as("x").join(bnd.as("y"),
@@ -139,30 +152,107 @@ object IncrementalDedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    val droppedWithin = Dedup.verifyJaccardPairs(candWithin, shHashed,
+        threshold)
+      .select(col("id_b").as("id"))
 
-    // across history: any indexed doc is earlier than every batch doc
-    val candCross = if (haveIndex) {
-      val idxBands = spark.read.parquet(bandsDir)
-      idxBands.as("x").join(bnd.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_hash") === col("y.band_hash"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        .distinct()
-    } else candWithin.limit(0)
+    // across history: any indexed doc is earlier than every batch doc.
+    // Joins read the index through its bucketed tables — candidate join
+    // co-located on (band_idx, band_hash), verify co-located on id.
+    val droppedCross =
+      if (haveIndex) crossDropped(spark, indexDir, bnd, shHashed, threshold,
+        indexBuckets)
+      else droppedWithin.limit(0)
 
-    val shAll =
-      if (haveIndex) sh.unionByName(spark.read.parquet(sigsDir)) else sh
-    val dropped = Dedup.verifyJaccardPairs(
-        candWithin.unionByName(candCross), shAll, threshold)
-      .select(col("id_b").as("id")).distinct()
-
+    val dropped = droppedWithin.unionByName(droppedCross).distinct()
     val kept = batch.join(
         dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint() // decided BEFORE the index grows below
-    bnd.write.mode("append").parquet(bandsDir)
-    sh.write.mode("append").parquet(sigsDir)
+    appendBucketed(bnd, bandsDir, bandsTable,
+      Seq("band_idx", "band_hash"), indexBuckets)
+    appendBucketed(shHashed, sigsDir, sigsTable, Seq("id"), indexBuckets)
     kept
   }
+
+  /** One batch's signature tables, both materialized: (sh = (id,
+    * sh: array<long> xxhash64'd shingles), bnd = (band_idx, band_hash,
+    * id) exploded LSH bands). Banding is computed from the STRING
+    * shingles — identical recall to [[Dedup.minhashPairs]]; only
+    * storage/verify use the hashed sets. */
+  private[graft] def batchSignatures(batch: DataFrame, n: Int, k: Int,
+      bands: Int, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val sh = batch.select(col(idCol).as("id"),
+        Dedup.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sh", transform(col("shs"), s => xxhash64(s)))
+      .localCheckpoint()
+    val bnd = sh.select(col("id"),
+        posexplode(graft.functions.functions.minhash_band_hashes(
+          col("shs"), k, bands)).as(Seq("band_idx", "band_hash")))
+      .select(col("band_idx"), col("band_hash"), col("id"))
+      .localCheckpoint()
+    (sh.select(col("id"), col("sh")), bnd)
+  }
+
+  /** Batch ids dropped by some doc in the index history: LSH candidate
+    * equi-join against the bucketed `bands/` table (co-located on
+    * (band_idx, band_hash)), exact-Jaccard verify with the id_a side
+    * read from the bucketed `sigs/` table (co-located on id) — the
+    * index side of both joins is exchange-free (pinned in
+    * IncrementalNearDedupSpec). */
+  private[graft] def crossDropped(spark: SparkSession, indexDir: String,
+      bnd: DataFrame, shHashed: DataFrame, threshold: Double,
+      indexBuckets: Int): DataFrame = {
+    val idxBands = bucketedIndexTable(spark, s"$indexDir/bands",
+      indexTableName(indexDir, "bands"), Seq("band_idx", "band_hash"),
+      indexBuckets)
+    val idxSigs = bucketedIndexTable(spark, s"$indexDir/sigs",
+      indexTableName(indexDir, "sigs"), Seq("id"), indexBuckets)
+    val candCross = idxBands.as("x").join(bnd.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    Dedup.verifyJaccardPairsAB(candCross, idxSigs, shHashed, threshold)
+      .select(col("id_b").as("id"))
+  }
+
+  /** Deterministic catalog name for a bucketed index table at `dir` —
+    * content-derived so any session over the same path re-registers the
+    * identical table (Spark's bucketing contract puts bucket metadata in
+    * the catalog, not the files). */
+  private[graft] def indexTableName(indexDir: String, part: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+    s"graft_ndidx_${part}_$h"
+  }
+
+  /** Read an index table bucketed; (re)register the external table over
+    * the existing files when this session's catalog doesn't know it yet
+    * (schema rediscovered from the parquet footers — same DDL, same
+    * buckets, so the files are reinterpreted identically). */
+  private def bucketedIndexTable(spark: SparkSession, dir: String,
+      table: String, bucketCols: Seq[String], buckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(dir).schema.toDDL
+      val cols = bucketCols.mkString(", ")
+      spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+        s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
+        s"LOCATION '$dir'")
+    }
+    spark.table(table)
+  }
+
+  /** Append one batch's rows to a bucketed index table (creates the
+    * table on first append). */
+  private def appendBucketed(df: DataFrame, dir: String, table: String,
+      bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("append").format("parquet").option("path", dir)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 
   // -------------------------------------------- incremental span dedup
 
@@ -210,8 +300,82 @@ object IncrementalDedup {
     val spans = Dedup.mergeSpanIslands(
         g.join(dupH, Seq("h"), "left_semi"), gram)
       .localCheckpoint() // decided BEFORE the index grows below
-    distinctH.write.mode("append").parquet(gramsDir)
+    // append only hashes the index does not already hold: batches sharing
+    // content would otherwise re-append their overlap every run, so index
+    // growth is bounded by distinct windows as documented (duplicate rows
+    // from a crash re-run remain harmless — lookups are left_semi — and
+    // compactIndex cleans them)
+    val novelH = if (haveIndex)
+      distinctH.join(spark.read.parquet(gramsDir), Seq("h"), "left_anti")
+        .localCheckpoint() // materialize BEFORE appending to what it reads
+    else distinctH
+    novelH.write.mode("append").parquet(gramsDir)
     spans
+  }
+
+  // --------------------------------------------------- index compaction
+
+  /** Rewrite every table of a dedup index to one row per DISTINCT entry —
+    * crash-rerun hygiene: an append that ran after its batch's result
+    * was materialized but crashed before completion can leave duplicate
+    * index rows on a re-run. Duplicates never change dedup decisions
+    * (every lookup is a semi/anti join), but they grow the index and its
+    * per-batch scan forever; one compaction pass reclaims them, like
+    * [[graft.sources.Layouts.compact]] does for corpora.
+    *
+    * Handles every index layout this module writes: the flat exact-dedup
+    * key table at `indexDir` itself, a `grams/` span index, and the
+    * bucketed `bands/`/`sigs/` near-dup tables (compacted THROUGH their
+    * catalog tables so the rewrite preserves the bucketed layout). The
+    * distinct result is materialized before the overwrite (an overwrite
+    * cannot read the files it replaces). Runs under the same
+    * single-writer contract as the appends — don't compact an index a
+    * concurrent batch is appending to.
+    *
+    * @return per compacted table: path -> (rowsBefore, rowsAfter) */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      indexBuckets: Int = 32): Map[String, (Long, Long)] = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new Path(p))
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+
+    def compactPlain(dir: String): Unit = if (exists(dir)) {
+      val df = spark.read.parquet(dir)
+      val before = df.count()
+      val d = df.distinct().localCheckpoint()
+      val after = d.count()
+      if (after < before) d.write.mode("overwrite").parquet(dir)
+      out(dir) = (before, after)
+    }
+    def compactBucketed(dir: String, part: String,
+        bucketCols: Seq[String]): Unit = if (exists(dir)) {
+      val table = indexTableName(indexDir, part)
+      val src = if (spark.catalog.tableExists(table)) spark.table(table)
+        else spark.read.parquet(dir)
+      val before = src.count()
+      val d = src.distinct().localCheckpoint()
+      val after = d.count()
+      if (after < before) {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        fs.delete(new Path(dir), true)
+        d.write.mode("overwrite").format("parquet").option("path", dir)
+          .bucketBy(indexBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .saveAsTable(table)
+      }
+      out(dir) = (before, after)
+    }
+
+    // flat exact-dedup index: parquet files directly under indexDir
+    val flatFiles = exists(indexDir) &&
+      fs.listStatus(new Path(indexDir)).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (flatFiles) compactPlain(indexDir)
+    compactPlain(s"$indexDir/grams")
+    compactBucketed(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"))
+    compactBucketed(s"$indexDir/sigs", "sigs", Seq("id"))
+    out.toMap
   }
 
   /** Fresh per-run index dir under java.io.tmpdir (test/query scaffold). */

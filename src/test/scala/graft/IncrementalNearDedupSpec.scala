@@ -67,4 +67,96 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     val k2 = IncrementalDedup.nearDedupAppend(spark, idx, b2, 0.5)
     assert(k2.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("cross-history joins read the index bucketed and exchange-free") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinExec}
+    val idx = IncrementalDedup.scratchIndexDir(spark, "near-planpin")
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("phase", pmod(col("doc_id"), lit(2)))
+    IncrementalDedup.nearDedupAppend(spark, idx,
+      docs.filter(col("phase") === 0), 0.5)
+    // static plan (no AQE re-plan, no broadcast escape hatch): both
+    // joins must satisfy their clustered distribution from the bucketed
+    // scans alone — only the batch side may exchange
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") { iso =>
+      val (sh, bnd) = IncrementalDedup.batchSignatures(
+        iso.read.parquet(sf0001 + "/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(2)) === 1),
+        3, 64, 16, "doc_id", "text")
+      val dropped = IncrementalDedup.crossDropped(iso, idx, bnd, sh, 0.5, 32)
+      val plan = dropped.queryExecution.executedPlan
+      // path from root to the given scan
+      def pathTo(p: SparkPlan, pred: SparkPlan => Boolean)
+          : Option[List[SparkPlan]] =
+        if (pred(p)) Some(List(p))
+        else p.children.view.flatMap(c => pathTo(c, pred)).headOption
+          .map(p :: _)
+      def pin(part: String): Unit = {
+        val path = pathTo(plan, {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.endsWith(part))
+          case _ => false
+        }).getOrElse(fail(s"no $part scan in plan:\n$plan"))
+        val scan = path.last.asInstanceOf[FileSourceScanExec]
+        assert(scan.bucketedScan, s"$part scan not bucketed:\n$plan")
+        // nodes strictly between the scan and its nearest join ancestor:
+        // an Exchange there would be shuffling the index side
+        val belowJoin = path.reverse.takeWhile(!_.isInstanceOf[JoinExec])
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"index side of the $part join shuffles:\n$plan")
+      }
+      pin("/bands")
+      pin("/sigs")
+      assert(dropped.count() > 0) // the pinned plan actually runs
+    }
+  }
+
+  test("compactIndex reclaims duplicate rows, preserves layout + decisions") {
+    val idx = IncrementalDedup.scratchIndexDir(spark, "near-compact")
+    val docs = Tables.documents(spark, sf0001)
+    IncrementalDedup.nearDedupAppend(spark, idx, docs, 0.5)
+    // simulate a crash re-run: every index row appended a second time
+    // (INSERT INTO the catalog tables keeps the bucketed file layout)
+    val bandsT = IncrementalDedup.indexTableName(idx, "bands")
+    val sigsT = IncrementalDedup.indexTableName(idx, "sigs")
+    val nBands = spark.table(bandsT).count()
+    val nSigs = spark.table(sigsT).count()
+    spark.sql(s"INSERT INTO $bandsT SELECT * FROM $bandsT")
+    spark.sql(s"INSERT INTO $sigsT SELECT * FROM $sigsT")
+    assert(spark.table(bandsT).count() == 2 * nBands)
+
+    val report = IncrementalDedup.compactIndex(spark, idx)
+    assert(report(s"$idx/bands") == (2 * nBands, nBands), report)
+    assert(report(s"$idx/sigs") == (2 * nSigs, nSigs), report)
+    assert(spark.table(bandsT).count() == nBands)
+    // compaction preserved the bucketed layout (catalog still says so)
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bandsT))
+      .bucketSpec
+    assert(spec.exists(s => s.numBuckets == 32 &&
+      s.bucketColumnNames == Seq("band_idx", "band_hash")), spec)
+    // dedup decisions unchanged: a resend still drops every shingled doc
+    val again = IncrementalDedup.nearDedupAppend(spark, idx, docs, 0.5)
+    val shingled = docs
+      .filter(size(Dedup.shingles(col("text"), 3)) > 0).count()
+    assert(again.count() == docs.count() - shingled)
+  }
+
+  test("span index growth is bounded by distinct windows across batches") {
+    val idx = IncrementalDedup.scratchIndexDir(spark, "span-growth")
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    IncrementalDedup.spanDedupAppend(spark, idx, docs)
+    val n1 = spark.read.parquet(s"$idx/grams").count()
+    // re-sending the identical batch must not re-append its hashes
+    IncrementalDedup.spanDedupAppend(spark, idx, docs)
+    val n2 = spark.read.parquet(s"$idx/grams").count()
+    assert(n2 == n1, s"index grew $n1 -> $n2 on an all-duplicate batch")
+    // and compactIndex on the exact + span indexes is a no-op when clean
+    val report = IncrementalDedup.compactIndex(spark, idx)
+    assert(report(s"$idx/grams")._1 == report(s"$idx/grams")._2)
+  }
 }

@@ -237,11 +237,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchangeAbove = lines.take(probeIdx)
       .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
     // plan prints top-down: an Exchange printed ABOVE the probe consumes
-    // its output; none may exist between probe and its scan... the probe
-    // line itself must be a Filter fed by the scan stage. Assert no
-    // shuffle Exchange between the deepest scan and the probe by
-    // checking the probe's subtree contains the documents scan directly.
-    assert(lines.drop(probeIdx).exists(_.contains("Scan parquet")), plan)
+    // its output. The probe's own stage: between the probe line and the
+    // first 'Scan parquet' PRINTED BELOW it (its input scan) no shuffle
+    // Exchange may appear — that would mean the probe was pushed above a
+    // shuffle on the doc side instead of running map-side in the scan
+    // stage.
+    val below = lines.drop(probeIdx)
+    val scanRel = below.indexWhere(_.contains("Scan parquet"))
+    assert(scanRel >= 0, plan)
+    assert(!below.take(scanRel).exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"shuffle Exchange between the bloom probe and its scan\n$plan")
     assert(exchangeAbove, // shuffles exist only above the probe
       s"expected the aggregation exchange above the probe only\n$plan")
   }
