@@ -287,7 +287,7 @@ final class ParquetQueryCache(rootDir: String,
     val spark = SparkSession.active
     val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    latestMeta(fs, dir).map { meta =>
+    latestMeta(fs, dir).filterNot(_.tombstone).map { meta =>
       val dataPath = new Path(dir, meta.dataDir).toString
       CachedState(meta.timestampMicros, meta.schema,
         s => s.read.schema(meta.schema).parquet(dataPath))
@@ -355,12 +355,18 @@ final class ParquetQueryCache(rootDir: String,
       try Some(v -> readMeta(fs, e.getPath).dataDir)
       catch { case _: Exception => None }
     }.toMap
-    val keptMetas = metas.take(math.max(1, keepVersions))
+    // under a tombstone head the entry is dead: no reader will resolve
+    // an older version on purpose, so only the tombstone itself is kept
+    // and everything below it ages out after the grace window
+    val headIsTomb = metas.headOption
+      .flatMap(m => metaDataDir.get(m._1)).exists(_.endsWith("-tomb"))
+    val keepN = if (headIsTomb) 1 else math.max(1, keepVersions)
+    val keptMetas = metas.take(keepN)
     val liveDataDirs: Set[String] =
       keptMetas.flatMap(m => metaDataDir.get(m._1)).toSet
     val referencedDirs: Set[String] = metaDataDir.values.toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    metas.drop(math.max(1, keepVersions)).foreach { case (v, e) =>
+    metas.drop(keepN).foreach { case (v, e) =>
       if (e.getModificationTime < cutoff) {
         try {
           metaDataDir.get(v).filterNot(liveDataDirs.contains)
@@ -395,13 +401,36 @@ final class ParquetQueryCache(rootDir: String,
       }
   }
 
+  /** Invalidation is DEFERRED like superseded puts: a TOMBSTONE meta is
+    * committed as the new head (get then misses), and the entry's data
+    * dirs live on until the normal grace-window cleanup reaps them — an
+    * immediate recursive delete would yank parquet files out from under
+    * a reader mid-scan (observed as FAILED_READ_FILE in the CacheSpec
+    * stress test before this design). The tombstone's version is wall-
+    * clock micros: any put whose query STARTED before the invalidation
+    * commits a smaller version and loses the head — the one surviving
+    * benign race is a put that STARTS after the invalidate (its state is
+    * freshly recomputed, so winning is correct). */
   override def invalidate(fingerprint: String): Unit = {
     val spark = SparkSession.active
     val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.delete(dir, true)
+    tombstone(fs, dir)
     dropSourcePaths(fingerprint)
     stats.recordInvalidation()
+  }
+
+  private def tombstone(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = {
+    if (!fs.exists(dir)) return
+    val head = latestMeta(fs, dir)
+    if (head.forall(_.tombstone)) return // nothing live to invalidate
+    val version = math.max(System.currentTimeMillis() * 1000L,
+      head.map(_.version + 1).getOrElse(0L))
+    writeMetaAtomic(fs, dir,
+      Meta(head.map(_.timestampMicros).getOrElse(0L), s"data-$version-tomb",
+        head.map(_.schema).getOrElse(new StructType()), Seq.empty), version)
+    try cleanup(fs, dir) catch { case _: Exception => () }
   }
 
   /** In addition to the in-process index, scan every entry's latest meta
@@ -415,9 +444,9 @@ final class ParquetQueryCache(rootDir: String,
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).foreach { d =>
       try latestMeta(fs, d.getPath) match {
-        case Some(m)
-            if m.sourcePaths.exists(p => QueryCache.pathMatches(table, p)) =>
-          fs.delete(d.getPath, true)
+        case Some(m) if !m.tombstone &&
+            m.sourcePaths.exists(p => QueryCache.pathMatches(table, p)) =>
+          tombstone(fs, d.getPath)
           n += 1
         case _ => ()
       } catch { case _: Exception => () }
@@ -433,6 +462,11 @@ object ParquetQueryCache {
       * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
     def version: Long =
       dataDir.stripPrefix("data-").takeWhile(_.isDigit).toLong
+
+    /** a deferred-invalidation marker: the head meta names a data dir
+      * that never existed — get() misses, data dirs below it age out
+      * through the normal grace-window cleanup */
+    def tombstone: Boolean = dataDir.endsWith("-tomb")
   }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, p: Path): Meta = {

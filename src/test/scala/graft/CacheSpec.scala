@@ -203,6 +203,60 @@ class CacheSpec extends AnyFunSuite {
     assert(byName.isDeclaredStatic(Seq("file:/x/y/customer.parquet")))
   }
 
+  test("shared ParquetQueryCache: query sessions racing an invalidator stay correct") {
+    // two independent cache handles over ONE directory run the same
+    // cached aggregate in a loop (each iteration is a fresh get->merge->
+    // put cycle) while a third handle invalidates the table's entries
+    // under them. The deferred-deletion design claims any interleaving is
+    // safe; the invariant checked is the strongest one available: EVERY
+    // query result equals the vanilla answer over the (static) table —
+    // an invalidate landing between a get and its put can at worst cost
+    // a re-miss, never a wrong or torn answer.
+    val dir = tmpDir("pqstress")
+    val work = tmpDir("pqstress-tbl")
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(work)
+    def q() = spark.read.parquet(work).filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val expect = q().collect().map(_.toString).sorted.toSeq
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val invalidations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    def submit(f: => Unit) = pool.submit(new Runnable {
+      def run(): Unit =
+        try f catch { case t: Throwable => errors.add(t.toString); () }
+    })
+    def runner(iters: Int) = submit {
+      val cache = new ParquetQueryCache(dir)
+      (0 until iters).foreach { _ =>
+        val sess = QueryCacheSession(spark,
+          QueryCacheConfig(cache, defaultTemporalColumn = "ts"))
+        val got = sess.run(q()).collect().map(_.toString).sorted.toSeq
+        if (got != expect)
+          errors.add(s"wrong answer under race: ${got.size} vs ${expect.size} rows")
+        hits.addAndGet(cache.stats.hits.toInt)
+      }
+    }
+    val r1 = runner(8)
+    val r2 = runner(8)
+    // a bounded number of invalidation rounds: enough to land between
+    // runners' get/put cycles, few enough that late iterations warm-hit
+    val inv = submit {
+      val admin = new ParquetQueryCache(dir)
+      (0 until 4).foreach { _ =>
+        Thread.sleep(300)
+        invalidations.addAndGet(admin.invalidateForTable(work))
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"race defects: ${errors.toArray.mkString("; ")}")
+    assert(invalidations.get() > 0, "invalidator never caught a live entry")
+    assert(hits.get() > 0, "no run ever warm-hit — race test degenerated")
+  }
+
   test("ParquetQueryCache invalidateForTable works cross-process via meta") {
     val dir = tmpDir("pqinv")
     val writer = new ParquetQueryCache(dir)
