@@ -35,6 +35,20 @@ object GraftFunctions {
     }
   }
 
+  private def litStringArray(name: String, e: Expression): Seq[String] = {
+    require(e.foldable, s"$name: argument must be a literal string array")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$name: string array expected, found element $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name: literal string array expected, got $other")
+    }
+  }
+
   /** (name, builder) for every SQL-registrable native expression */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> { args =>
@@ -78,6 +92,19 @@ object GraftFunctions {
       arity("graft_minhash_bands", args, 3)
       MinHashBandHashes(args(0), litInt("graft_minhash_bands", args(1)),
         litInt("graft_minhash_bands", args(2)))
+    },
+    // greedy longest-match subword pieces against a literal vocab array:
+    // graft_subword(text, array('the','ing',...)); _count skips the
+    // piece array (the budget-counting form)
+    "graft_subword" -> { args =>
+      arity("graft_subword", args, 2)
+      SubwordPieces(args(0), litStringArray("graft_subword", args(1)),
+        countOnly = false)
+    },
+    "graft_subword_count" -> { args =>
+      arity("graft_subword_count", args, 2)
+      SubwordPieces(args(0), litStringArray("graft_subword_count", args(1)),
+        countOnly = true)
     })
 
   private def info(name: String) =

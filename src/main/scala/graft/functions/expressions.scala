@@ -743,6 +743,91 @@ case class WordChunks(child: Expression, size: Int, overlap: Int)
     copy(child = c)
 }
 
+/** Greedy longest-match subword tokenization — the WordPiece inference
+  * rule (maximum matching; Devlin et al. 2019 use it to segment words
+  * against a learned vocabulary), simplified to position-independent
+  * pieces (no "##" continuation marking, so one piece set serves every
+  * in-word position): the text is lowercased and split on single 0x20
+  * spaces; within each word the LONGEST vocab piece matching at the
+  * cursor is emitted (equal-length candidates are the same string, so
+  * the match is unique and tie-break-free), falling back to the single
+  * character when nothing matches — every word tokenizes under any
+  * vocab, coverage only changes granularity. Empty words (consecutive
+  * spaces) emit nothing.
+  *
+  * The vocab arrives as plain data (operators.SubwordTokenizer.fromTable
+  * collects a vocab table; it is vocab-sized by definition) and is
+  * compiled once per task into per-length hash sets, so a cursor probe
+  * allocates one candidate substring per DISTINCT piece length, not per
+  * vocab entry. `countOnly` returns the piece COUNT as a long without
+  * materializing any piece string — packing/chunking budgets want one
+  * number per document, and at corpus scale the array allocation is the
+  * dominant cost of the counting pass. Offsets are in UTF-16 chars
+  * (ASCII-equal to the oracle's codepoint arithmetic; astral-plane
+  * vocab pieces would diverge — don't put them in a vocab).
+  */
+case class SubwordPieces(child: Expression, vocab: Seq[String],
+    countOnly: Boolean) extends UnaryExpression with CodegenFallback {
+  require(vocab.forall(_.nonEmpty), "empty string in subword vocab")
+
+  override def dataType: DataType =
+    if (countOnly) LongType else ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val byLen: Array[java.util.HashSet[String]] = {
+    val maxLen = vocab.foldLeft(1)((m, v) => math.max(m, v.length))
+    val arr = Array.fill(maxLen + 1)(new java.util.HashSet[String]())
+    vocab.foreach(v => arr(v.length)
+      .add(v.toLowerCase(java.util.Locale.ROOT)))
+    arr
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val maxLen = byLen.length - 1
+    var count = 0L
+    val out = if (countOnly) null else new java.util.ArrayList[UTF8String]()
+    val n = text.length
+    var wStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        var pos = wStart // word spans [wStart, i)
+        while (pos < i) {
+          var len = math.min(maxLen, i - pos)
+          var piece: String = null
+          while (piece == null && len >= 1) {
+            if (!byLen(len).isEmpty) {
+              val cand = text.substring(pos, pos + len)
+              if (byLen(len).contains(cand)) piece = cand
+            }
+            len -= 1
+          }
+          if (out != null) out.add(UTF8String.fromString(
+            if (piece != null) piece else text.substring(pos, pos + 1)))
+          count += 1
+          pos += (if (piece != null) piece.length else 1)
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    if (countOnly) count
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  // canonical plan string: content-derived vocab tag, not seq identity —
+  // two value-identical tokenizers (e.g. reloaded from the same vocab
+  // table) must fingerprint identically (same rule as NearestCentroid)
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"vocab#${vocab.hashCode}", countOnly)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<double|string> (any order, from collect_list) → SORTED compacted
   * runs array<struct<v,c:bigint>> — the histogram state's PARTIAL form
   * in one native pass: primitive/binary sort (doubles: NaN last like the
@@ -1029,6 +1114,14 @@ object functions {
 
   def tagged_window_hashes(text: Column, size: Int, tag: String): Column =
     Shims.column(TaggedWindowHashes(Shims.expression(text), size, tag))
+
+  def subword_pieces(text: Column, vocab: Seq[String]): Column =
+    Shims.column(SubwordPieces(Shims.expression(text), vocab,
+      countOnly = false))
+
+  def subword_count(text: Column, vocab: Seq[String]): Column =
+    Shims.column(SubwordPieces(Shims.expression(text), vocab,
+      countOnly = true))
 
   /** largest-k rows of a struct column per group, sorted descending —
     * bounded O(k) partial state, see [[BoundedTopK]] */

@@ -53,6 +53,44 @@ object TextAnalysis {
     * yields exactly one chunk. Pure Catalyst built-ins (sequence +
     * transform + slice): a narrow codegen map stage — chunking 100 TB
     * is one scan, zero shuffles, and the output explode is map-side. */
+  /** Word-boundary chunking under a TOKEN budget: consecutive whole
+    * words accumulate into a chunk while the running tokenizer-counted
+    * cost stays within `budget`; the next word past the budget opens a
+    * new chunk (a single word exceeding the budget gets a chunk alone).
+    * This is the RAG/embedding-prep shape when budgets are in SUBWORD
+    * tokens but cuts must respect word boundaries — under
+    * [[WhitespaceTokenizer]] every word costs 1 and it degenerates to
+    * non-overlapping [[chunks]].
+    *
+    * Relationally this IS next-fit packing of words into chunks, so the
+    * plan is [[Packing.greedyPack]] grouped by document and ordered by
+    * word position (one hash exchange + in-partition sort + linear
+    * pass), followed by one bounded per-doc rebuild aggregation. Empty
+    * words (consecutive spaces) cost zero tokens and are dropped from
+    * the rebuilt chunk text.
+    *
+    * @return (doc_id, chunk_idx, chunk_text, n_tokens) */
+  def chunksByTokenBudget(docs: DataFrame, budget: Int,
+      tokenizer: Tokenizer = WhitespaceTokenizer,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("word_idx", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("_wt", tokenizer.count(col("word")))
+    val packed = Packing.greedyPack(words, col("doc_id"), col("word_idx"),
+      col("_wt"), budget)
+    packed.groupBy(col("doc_id"), col("pack_seq"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("word_idx"), col("word")))),
+          s => s.getField("word"))).as("chunk_text"),
+        sum(col("_wt")).as("n_tokens"))
+      .select(col("doc_id"), col("pack_seq").as("chunk_idx"),
+        col("chunk_text"), col("n_tokens"))
+  }
+
   def chunks(text: Column, size: Int, overlap: Int): Column =
     // native single pass (graft.functions.WordChunks): each chunk is a
     // byte slice of the input — the equivalent sequence+transform+slice

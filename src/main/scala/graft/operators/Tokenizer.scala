@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.functions.{subword_count, subword_pieces}
+
+/** Pluggable tokenizer seam for every token-DENOMINATED operator —
+  * packing budgets ([[Packing]]), chunk budgets
+  * ([[TextAnalysis.chunksByTokenBudget]]), vocabularies. Real pipelines
+  * budget sequences in SUBWORD tokens, not whitespace words; the seam
+  * lets the same operator run under either currency:
+  *
+  *  - [[WhitespaceTokenizer]] — the zero-cost default, identical to the
+  *    library's historical `size(split(text, " "))` accounting;
+  *  - [[SubwordTokenizer]] — greedy longest-match segmentation against a
+  *    piece vocabulary loaded AS DATA (the WordPiece inference rule;
+  *    see graft.functions.SubwordPieces for the exact semantics and the
+  *    single-char fallback that makes every word tokenize).
+  *
+  * Both faces are pure Column transforms, so whichever tokenizer is
+  * plugged in, the operator's plan shape (shuffles, codegen spans) is
+  * unchanged — only the per-row counting expression differs.
+  */
+trait Tokenizer {
+  /** token array of a text column */
+  def tokens(text: Column): Column
+  /** token COUNT of a text column (long) — cheaper than size(tokens)
+    * when the implementation can count without materializing pieces */
+  def count(text: Column): Column
+}
+
+/** Whitespace-word counting — exactly the library's historical
+  * `split(text, " ")` semantics (consecutive spaces yield empty tokens,
+  * preserved for oracle parity with `string_split`). */
+object WhitespaceTokenizer extends Tokenizer {
+  override def tokens(text: Column): Column = split(text, " ")
+  override def count(text: Column): Column =
+    size(split(text, " ")).cast("long")
+}
+
+/** Greedy longest-match subword tokenizer over a fixed piece vocabulary.
+  * Empty words vanish (they hold no pieces), so `count` is the true
+  * subword cost of the document — the number a sequence budget should
+  * charge. */
+final case class SubwordTokenizer(vocab: Seq[String]) extends Tokenizer {
+  override def tokens(text: Column): Column = subword_pieces(text, vocab)
+  override def count(text: Column): Column = subword_count(text, vocab)
+}
+
+object SubwordTokenizer {
+  /** Load a vocabulary from a table — the "vocab as data" path: a real
+    * deployment keeps its merges/vocab file as a tiny table next to the
+    * corpus. The collect is vocab-sized BY DEFINITION (a vocabulary is
+    * a bounded artifact, ~10⁴-10⁵ rows for production BPE vocabs), the
+    * same bounded-collect discipline as IVF centroid training. Sorted
+    * for a deterministic plan fingerprint regardless of table order. */
+  def fromTable(vocabDf: DataFrame, column: String = "token")
+      : SubwordTokenizer =
+    SubwordTokenizer(vocabDf.select(col(column)).collect()
+      .map(_.getString(0)).toSeq.sorted)
+
+  /** The fixture vocabulary the oracle queries share (embedded verbatim
+    * in their DuckDB SQL): common English suffix/digram pieces — small
+    * enough to audit, rich enough that segmentation is non-trivial
+    * ("theater" → the·a·t·er, "thing" → th·ing). */
+  val demoVocab: Seq[String] = Seq(
+    "the", "ing", "tion", "ent", "ver", "th", "he", "in", "er", "an",
+    "re", "on", "at", "en", "ed", "es", "or", "te", "st", "ar")
+}

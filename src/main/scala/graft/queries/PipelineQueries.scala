@@ -66,6 +66,49 @@ object PipelineQueries {
     // deterministic
     "q_text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(documents(s, d), topK = 100)),
+    // ------------------------------------------ subword tokenizer seam
+    // (graft.operators.Tokenizer): the same token-denominated operators
+    // under SUBWORD accounting — greedy longest-match against the
+    // fixture vocab, oracle replays the segmentation with a recursive
+    // CTE over the (few) distinct words
+    // per-document subword cost: one codegen-fallback map pass, no
+    // piece array materialized (countOnly)
+    "q_text_subword" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.operators.SubwordTokenizer(
+          graft.operators.SubwordTokenizer.demoVocab)
+          .count(col("text")).as("n_subwords"))),
+    // corpus piece vocabulary under the subword tokenizer — the
+    // q_text_vocab shape with pieces instead of words
+    "q_text_vocab_subword" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(graft.operators.SubwordTokenizer(
+          graft.operators.SubwordTokenizer.demoVocab)
+          .tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(100)),
+    // concat-and-slice packing budgeted in SUBWORD tokens; the vocab is
+    // LOADED AS DATA (SubwordTokenizer.fromTable) — the deployment seam
+    "q_pack_subword" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val tok = graft.operators.SubwordTokenizer.fromTable(
+        graft.operators.SubwordTokenizer.demoVocab.toDF("token"))
+      Packing.concatSlicePack(
+          documents(s, d).select(col("doc_id"), col("source"),
+            tok.count(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 512)
+        .select("doc_id", "source", "n_tokens", "pack_seq", "pack_offset")
+    }),
+    // word-boundary chunking under a 48-SUBWORD budget (RAG prep with
+    // real token budgets): next-fit recurrence per doc, chunk text
+    // rebuilt in word order
+    "q_text_chunks_budget" -> ((s, d) =>
+      TextAnalysis.chunksByTokenBudget(documents(s, d), budget = 48,
+        tokenizer = graft.operators.SubwordTokenizer(
+          graft.operators.SubwordTokenizer.demoVocab))),
     // Gopher-style intra-document repetition signals: dup word / bigram /
     // line fractions — pure codegen map stage, zero shuffles
     "q_text_repetition" -> ((s, d) =>
@@ -785,6 +828,35 @@ object PipelineQueries {
     s"SELECT $carry, ${stages.mkString(",\n")} FROM $from"
   }
 
+  /** Shared oracle prelude for the subword-tokenizer family: the fixture
+    * vocab as VALUES, every distinct lowercased word of the corpus, and
+    * its greedy longest-match segmentation (`seg`, one row per emitted
+    * piece) — the graft.functions.SubwordPieces rule replayed as a
+    * recursive CTE (the longest matching vocab piece at the cursor is
+    * unique, so `ORDER BY len DESC LIMIT 1` is deterministic; the
+    * coalesce fallback is the single character). `wtok` is the per-word
+    * piece count. */
+  private val subwordVocabValues = graft.operators.SubwordTokenizer
+    .demoVocab.map(v => s"('$v')").mkString(",")
+  private val subwordPrelude: String =
+    s"""vocab(tok) AS (VALUES $subwordVocabValues),
+       dw AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) t
+         WHERE len(w) > 0),
+       seg(w, pos, idx, piece) AS (
+         SELECT w, 0, 0, '' FROM (SELECT DISTINCT w FROM dw) t0
+         UNION ALL
+         SELECT w, pos + len(piece2), idx + 1, piece2 FROM (
+           SELECT s.w AS w, s.pos AS pos, s.idx AS idx,
+             coalesce((SELECT v.tok FROM vocab v
+                       WHERE substr(s.w, s.pos+1, len(v.tok)) = v.tok
+                       ORDER BY len(v.tok) DESC LIMIT 1),
+                      substr(s.w, s.pos+1, 1)) AS piece2
+           FROM seg s WHERE s.pos < len(s.w)) t),
+       wtok AS (SELECT w, count(*) AS n FROM seg WHERE idx > 0 GROUP BY 1)"""
+
   val oracle: Map[String, String] = Map(
     // PQ + 256-deep exact rerank returns exactly the brute-force top-k
     // on this corpus (shortlist ⊇ true top-10 verified at every SF)
@@ -1367,6 +1439,70 @@ object PipelineQueries {
            GROUP BY tok) g
          ORDER BY n_occurrences DESC, token
          LIMIT 100""",
+    // subword family: the greedy longest-match segmentation is replayed
+    // exactly by the recursive `seg` CTE in subwordPrelude (longest
+    // vocab piece at the cursor, single-char fallback), tokenizing each
+    // DISTINCT lowercased word once
+    "q_text_subword" ->
+      s"""WITH RECURSIVE $subwordPrelude,
+          dn AS (SELECT doc_id, sum(n) AS n
+                 FROM dw JOIN wtok USING (w) GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS n_subwords
+          FROM documents d LEFT JOIN dn USING (doc_id)""",
+    "q_text_vocab_subword" ->
+      s"""WITH RECURSIVE $subwordPrelude,
+          wf AS (SELECT w, count(*) AS f FROM dw GROUP BY 1)
+          SELECT piece AS token, CAST(sum(f) AS BIGINT) AS n_occurrences
+          FROM seg JOIN wf USING (w) WHERE idx > 0
+          GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 100""",
+    // q_pack_sequences' running-sum arithmetic with n_tokens swapped to
+    // the subword cost (same HUGEINT->BIGINT cast discipline)
+    "q_pack_subword" ->
+      s"""WITH RECURSIVE $subwordPrelude,
+          dn AS (SELECT doc_id, sum(n) AS n
+                 FROM dw JOIN wtok USING (w) GROUP BY 1),
+          dt AS (SELECT d.doc_id, d.source,
+                   CAST(coalesce(dn.n, 0) AS BIGINT) AS n_tokens
+                 FROM documents d LEFT JOIN dn USING (doc_id))
+          SELECT doc_id, source, n_tokens,
+            before // 512 AS pack_seq, before % 512 AS pack_offset
+          FROM (SELECT doc_id, source, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS before
+                FROM dt) u""",
+    // q_pack_greedy's next-fit recurrence at word granularity: words in
+    // ORIGINAL case rebuild the chunk text, the per-word subword cost
+    // joins through the lowercased wtok
+    "q_text_chunks_budget" ->
+      s"""WITH RECURSIVE $subwordPrelude,
+          wrd AS (
+            SELECT doc_id, s AS word_idx, toks[CAST(s AS INT)+1] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) dd,
+              unnest(range(0, len(toks))) AS u(s)
+            WHERE toks[CAST(s AS INT)+1] <> ''),
+          wz AS (SELECT doc_id, word_idx, wrd.w AS w, wtok.n AS wt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY word_idx) AS rn
+                 FROM wrd JOIN wtok ON lower(wrd.w) = wtok.w),
+          rec AS (
+            SELECT doc_id, rn, word_idx, w, wt,
+              CAST(0 AS BIGINT) AS chunk_idx, wt AS off
+            FROM wz WHERE rn = 1
+            UNION ALL
+            SELECT z.doc_id, z.rn, z.word_idx, z.w, z.wt,
+              CASE WHEN rec.off + z.wt <= 48 THEN rec.chunk_idx
+                   ELSE rec.chunk_idx + 1 END,
+              CASE WHEN rec.off + z.wt <= 48 THEN rec.off + z.wt
+                   ELSE z.wt END
+            FROM rec JOIN wz z
+              ON z.doc_id = rec.doc_id AND z.rn = rec.rn + 1)
+          SELECT doc_id, chunk_idx,
+            string_agg(w, ' ' ORDER BY word_idx) AS chunk_text,
+            CAST(sum(wt) AS BIGINT) AS n_tokens
+          FROM rec GROUP BY 1, 2""",
     // repetition signals: shared IEEE shape 1.0 − distinct/total per
     // array; DuckDB range(1, n) is stop-exclusive = Spark
     // sequence(1, n−1); lists are 1-based in both engines

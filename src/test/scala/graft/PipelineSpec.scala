@@ -872,6 +872,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(cm.getSeq[String](0) == cmCol.getSeq[String](0))
     assert(cm.getSeq[Long](1) == cmCol.getSeq[Long](1))
     assert(cm.getSeq[Long](2) == cmCol.getSeq[Long](2))
+    // subword surface: SQL text == the Column API, array == count
+    val sw = spark.sql(
+      """SELECT graft_subword('theater', array('the','at','er')) AS p,
+           graft_subword_count('theater', array('the','at','er')) AS n""")
+      .first()
+    assert(sw.getSeq[String](0) == Seq("the", "at", "er"))
+    assert(sw.getLong(1) == 3L)
   }
 
   test("text clean strips markup/controls, redact masks pii exactly") {
@@ -1194,5 +1201,66 @@ class PipelineSpec extends AnyFunSuite {
       p.filter(col("phase") === 0).withColumn("doc_id", col("doc_id") + 1000000L))
     assert(resend.count() == 0)
     assert(IncrementalDedup.indexSize(spark, idx) == got.size)
+  }
+
+  test("subword tokenizer: greedy longest match, char fallback, count parity") {
+    import graft.operators.SubwordTokenizer
+    val s = spark
+    import s.implicits._
+    val tok = SubwordTokenizer(SubwordTokenizer.demoVocab)
+    val df = Seq(
+      (1L, "theater thing"),   // the·at·er  th·ing (longest match wins)
+      (2L, "Thing"),           // lowercased before matching
+      (3L, "xq"),              // nothing matches: char fallback x·q
+      (4L, "a  b"),            // empty word between spaces emits nothing
+      (5L, "")).toDF("id", "text")
+    val got = df.select(col("id"), tok.tokens(col("text")).as("p"),
+        tok.count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toList, r.getLong(2)))).toMap
+    assert(got(1L)._1 == List("the", "at", "er", "th", "ing"), got(1L))
+    assert(got(2L)._1 == List("th", "ing"), got(2L))
+    assert(got(3L)._1 == List("x", "q"), got(3L))
+    assert(got(4L)._1 == List("a", "b"), got(4L))
+    assert(got(5L)._1 == Nil, got(5L))
+    // countOnly must agree with the materialized pieces everywhere
+    got.foreach { case (id, (pieces, n)) =>
+      assert(n == pieces.size, s"id=$id count $n != ${pieces.size}") }
+    // and on real corpus text
+    val mism = docs.select(
+        tok.count(col("text")).as("n"),
+        size(tok.tokens(col("text"))).cast("long").as("m"))
+      .filter(col("n") =!= col("m")).count()
+    assert(mism == 0)
+  }
+
+  test("chunksByTokenBudget: budget respected, text round-trips, whitespace degenerate") {
+    import graft.operators.{SubwordTokenizer, WhitespaceTokenizer}
+    val tok = SubwordTokenizer(SubwordTokenizer.demoVocab)
+    val ch = TextAnalysis.chunksByTokenBudget(docs, budget = 48,
+      tokenizer = tok).cache()
+    // every chunk respects the budget unless it is a single word
+    val over = ch.filter(col("n_tokens") > 48)
+      .filter(size(split(col("chunk_text"), " ")) > 1).count()
+    assert(over == 0, "multi-word chunk over budget")
+    // concatenating a doc's chunks in order restores its text (modulo
+    // the dropped empty words — corpus has single spaces only)
+    val rebuilt = ch.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("t2"))
+    val broken = docs.select(col("doc_id"), col("text")).join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("t2")).count()
+    assert(broken == 0, "chunk concat does not round-trip the text")
+    ch.unpersist()
+    // whitespace tokenizer: every word costs 1 -> all chunks are exactly
+    // 48 words except each doc's last
+    val ws = TextAnalysis.chunksByTokenBudget(docs, budget = 48,
+      tokenizer = WhitespaceTokenizer)
+    val lastIdx = ws.groupBy("doc_id").agg(max("chunk_idx").as("last"))
+    val shortNonLast = ws.join(lastIdx, "doc_id")
+      .filter(col("chunk_idx") =!= col("last") && col("n_tokens") =!= 48)
+      .count()
+    assert(shortNonLast == 0)
   }
 }
