@@ -939,6 +939,70 @@ case class MergeRuns(child: Expression)
     copy(child = c)
 }
 
+/** Size-capped compression of a SORTED numeric run-length histogram —
+  * the mergeable-quantile-sketch escape hatch for the percentile state:
+  * at or below `threshold` runs the input passes through UNTOUCHED
+  * (exact percentiles, the historical contract), above it adjacent runs
+  * are greedily merged into uniform-weight centroid bins (weighted-mean
+  * value, summed count) of capacity ⌈W/centroids⌉ — the equi-weight
+  * merging digest, the k0-scale member of the t-digest family (Dunning
+  * & Ertl 2019 use a tail-biased scale; uniform bins give a UNIFORM
+  * rank-error bound, which is what the envelope oracle checks). A
+  * reported percentile's rank error is bounded by the heaviest bin:
+  * one compression ≈ W/centroids of rank, and re-compressions across
+  * warm merges stay within a small multiple (each generation re-bins
+  * at the CURRENT total weight). A single run heavier than the cap
+  * stays a bin alone — a point mass carries no within-bin error.
+  *
+  * Deterministic: input runs arrive sorted and distinct (MergeRuns),
+  * the greedy scan is order-defined, so state and answers are identical
+  * at any parallelism — and bin means of disjoint sorted groups stay
+  * sorted, so the output is a valid (approximate) runs histogram for
+  * PercentileFromRuns/count finalizers. */
+case class CompressRuns(child: Expression, threshold: Int, centroids: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(threshold > 0 && centroids > 0,
+    s"threshold=$threshold centroids=$centroids")
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    if (n <= threshold) return in
+    var w = 0L
+    var i = 0
+    while (i < n) { w += in.getStruct(i, 2).getLong(1); i += 1 }
+    val cap = (w + centroids - 1) / centroids
+    val out = new java.util.ArrayList[InternalRow](centroids + 1)
+    var accW = 0L
+    var accVW = 0.0 // Σ v·c of the open bin
+    def flush(): Unit = if (accW > 0) {
+      out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](accVW / accW, accW)))
+      accW = 0L; accVW = 0.0
+    }
+    i = 0
+    while (i < n) {
+      val r = in.getStruct(i, 2)
+      val v = r.getDouble(0)
+      val c = r.getLong(1)
+      if (accW > 0 && accW + c > cap) flush()
+      accW += c
+      accVW += v * c
+      if (accW >= cap) flush()
+      i += 1
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[InternalRow](out.size)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Mode over a SORTED run-length histogram: the value of the
   * largest-count run; ties resolve to the smallest value (ascending
   * scan keeps the first maximum) or the largest with `reverse` —
@@ -1136,6 +1200,9 @@ object functions {
 
   def runs_from_values(values: Column): Column =
     Shims.column(RunsFromValues(Shims.expression(values)))
+
+  def compress_runs(runs: Column, threshold: Int, centroids: Int): Column =
+    Shims.column(CompressRuns(Shims.expression(runs), threshold, centroids))
 
   def merge_runs(runs: Column): Column =
     Shims.column(MergeRuns(Shims.expression(runs)))

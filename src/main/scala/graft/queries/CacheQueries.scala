@@ -233,6 +233,51 @@ object CacheQueries {
               6).as("pd50"),
             expr("mode() WITHIN GROUP (ORDER BY value)").as("mode_v"))
       }),
+    // continuous HIGH-CARDINALITY domain through the cache cycle: a
+    // per-row jitter makes every value distinct (~10k per month-group),
+    // pushing the percentile state past the sketch threshold (4096), so
+    // the stored state is the capped centroid digest — the query that
+    // previously grew state toward maxStateRows and bailed. The warm
+    // ESTIMATES are checked by RANK ENVELOPE against the full table
+    // (the HLL precedent: mergeability + bounded error are the
+    // contract; the digest's per-bin bound is ~0.2% of rank, checked at
+    // 2%), and the emitted booleans are what the oracle matches.
+    "qc_incr_percentile_sketch" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "psketch")
+      val cache = new MemoryQueryCache()
+      def jit(df: DataFrame) = df
+        .withColumn("xv", col("value") +
+          (col("event_id") % 1000000).cast("double") * lit(1e-9))
+        .filter(col("value") > 1)
+      def q(df: DataFrame) = jit(df)
+        .groupBy(date_trunc("month", col("ts")).as("month"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("percentile(xv, 0.5)").as("p50"),
+          expr("percentile(xv, 0.9)").as("p90"))
+      val cold = QueryCacheSession(s, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitMicros)))
+      cold.run(q(s.read.parquet(work))).collect()
+      appendRest()
+      val warm = QueryCacheSession(s, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts"))
+      val est = warm.run(q(s.read.parquet(work)))
+      val full = jit(s.read.parquet(work))
+        .withColumn("month", date_trunc("month", col("ts")))
+      val eps = 0.02
+      full.join(broadcast(est), Seq("month"))
+        .groupBy(col("month"), col("cnt"))
+        .agg(
+          sum(when(col("xv") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("xv") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("xv") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("xv") < col("p90"), 1L).otherwise(0L)).as("lt90"),
+          count(lit(1)).as("n"))
+        .select(col("month"), col("cnt"),
+          (col("le50") >= (lit(0.5) - eps) * col("n") &&
+            col("lt50") <= (lit(0.5) + eps) * col("n")).as("p50_ok"),
+          (col("le90") >= (lit(0.9) - eps) * col("n") &&
+            col("lt90") <= (lit(0.9) + eps) * col("n")).as("p90_ok"))
+    }),
     // per-day TOP-K through the cache cycle (heap-union state, O(k) per
     // group): the leaderboard shape — the explode above the aggregate
     // re-runs over replayed state like any other parent
@@ -465,6 +510,14 @@ object CacheQueries {
     // pd50 = Spark percentile_disc semantics spelled out: the smallest
     // member whose cume_dist >= p (DuckDB's own quantile_disc uses the
     // lower floor((n-1)p) convention — deliberately not used)
+    // sketch envelope: the Spark side emits rank-check BOOLEANS (and the
+    // exact group count); the oracle asserts the same months with TRUE —
+    // a digest estimate outside the 2% rank envelope hash-mismatches
+    "qc_incr_percentile_sketch" ->
+      """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           count(*) AS cnt, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM events WHERE value > 1
+         GROUP BY 1""",
     "qc_incr_percentile" ->
       """WITH base AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value

@@ -50,8 +50,28 @@ object Decompose {
     * counts), so arbitrarily many merge generations stay bounded by the
     * group's distinct-value count */
   case object MValueCounts extends MergeOp
+  /** [[MValueCounts]] with a size-capped sketch escape for the NUMERIC
+    * percentile family: exact runs at/below `threshold` distinct values
+    * per group (cached == vanilla EXACTLY, the historical contract);
+    * above it the merged runs compress into ~`centroids` uniform-weight
+    * bins (graft.functions.CompressRuns) — a mergeable quantile sketch
+    * whose rank error is bounded per bin, so continuous high-cardinality
+    * domains keep incremental percentiles instead of growing state
+    * toward maxStateRows and bailing to vanilla. Estimator swap is
+    * DOCUMENTED like the HLL/approx_percentile precedent: above the
+    * threshold, answers are rank-bounded estimates (envelope-oracled in
+    * qc_incr_percentile_sketch), not exact order statistics. Mode and
+    * STRING-valued states stay on [[MValueCounts]] — exact counts are
+    * their semantics. */
+  final case class MValueSketch(threshold: Int, centroids: Int) extends MergeOp
   /** heap union of ranked-struct arrays bounded at k — top-k state */
   final case class MTopK(k: Int, smallest: Boolean) extends MergeOp
+
+  /** sketch engagement point: past this many distinct values per group
+    * the percentile state compresses (exactness holds below) */
+  val PercentileSketchThreshold: Int = 4096
+  /** compressed bin count — rank error per compression ≈ 1/centroids */
+  val PercentileSketchCentroids: Int = 512
 
   /** One stored state column: `partial` computes it from raw rows,
     * `merge` recombines previously-stored copies of it, and `unit`
@@ -403,7 +423,8 @@ object Decompose {
         val childCol =
           if (isStr) fc(Shims.column(m.child))
           else fc(Shims.column(m.child)).cast("double")
-        val spec = valueCountSpec(n, childCol, string = isStr)
+        val spec = valueCountSpec(n, childCol, string = isStr,
+          sketch = false)
         // NOTE Mode.reverseOpt encodes ORDER BY ASC as Some(true) (the
         // flag reverses the internal ordering used to pick among ties,
         // not the user-facing direction): ASC ⇒ smallest tied value ⇒
@@ -612,14 +633,27 @@ object Decompose {
     * query on ~18k-run state (and a fold-based compact is additionally
     * O(runs²) in array copies). */
   private def valueCountSpec(n: String, child: Column,
-      string: Boolean = false): StateSpec =
-    StateSpec(n,
-      graft.functions.functions.runs_from_values(collect_list(child))
-        .cast(vcTypeOf(string)),
-      MValueCounts,
-      unit = Some(when(child.isNotNull,
-        array(struct(child.as("v"), lit(1L).as("c"))))
-        .otherwise(emptyVcOf(string))))
+      string: Boolean = false, sketch: Boolean = true): StateSpec = {
+    val rawPartial = graft.functions.functions
+      .runs_from_values(collect_list(child)).cast(vcTypeOf(string))
+    val unitCol = Some(when(child.isNotNull,
+      array(struct(child.as("v"), lit(1L).as("c"))))
+      .otherwise(emptyVcOf(string)))
+    // numeric PERCENTILE states get the capped-sketch merge (see
+    // MValueSketch); the partial build compresses too, so even the COLD
+    // state of a high-cardinality group is bounded. Mode (`sketch =
+    // false`: bin means aren't values and merged counts aren't value
+    // counts) and string states (means of strings don't exist) keep
+    // exact runs.
+    if (string || !sketch)
+      StateSpec(n, rawPartial, MValueCounts, unit = unitCol)
+    else StateSpec(n,
+      graft.functions.functions.compress_runs(rawPartial,
+        PercentileSketchThreshold, PercentileSketchCentroids)
+        .cast(vcType),
+      MValueSketch(PercentileSketchThreshold, PercentileSketchCentroids),
+      unit = unitCol)
+  }
 
   /** Percentage argument(s) as plan-time doubles: (values, isScalar).
     * Percentile requires the expression foldable; None on anything not
@@ -720,6 +754,10 @@ object Decompose {
       case MValueCounts =>
         graft.functions.functions.merge_runs(
           flatten(collect_list(col(spec.name))))
+      case MValueSketch(t, c) =>
+        graft.functions.functions.compress_runs(
+          graft.functions.functions.merge_runs(
+            flatten(collect_list(col(spec.name)))), t, c)
       case MTopK(k, smallest) =>
         Shims.column(graft.functions.BoundedTopKMerge(
           Shims.expression(col(spec.name)), k, smallest)

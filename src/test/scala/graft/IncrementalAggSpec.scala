@@ -1037,4 +1037,83 @@ class IncrementalAggSpec extends AnyFunSuite {
         .run(qn(spark.read.parquet(work))).collect()
     }
   }
+
+  test("compress_runs: identity below threshold, bounded uniform bins above") {
+    import graft.functions.functions.{compress_runs, runs_from_values}
+    val s = spark
+    import s.implicits._
+    // below threshold: the exact runs pass through untouched
+    val small = spark.range(100)
+      .agg(compress_runs(
+        runs_from_values(collect_list(col("id").cast("double"))),
+        100, 8).as("r"))
+      .select(size(col("r"))).first().getInt(0)
+    assert(small == 100, s"pass-through resized to $small")
+    // above: 10k distinct values -> ~16 bins, weights <= cap, means
+    // sorted ascending, total weight preserved
+    val bins = spark.range(10000)
+      .agg(compress_runs(
+        runs_from_values(collect_list(col("id").cast("double"))),
+        100, 16).as("r"))
+      .select(explode(col("r")).as("b"))
+      .select(col("b.v"), col("b.c")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val cap = (10000 + 15) / 16
+    assert(bins.length <= 17, s"${bins.length} bins")
+    assert(bins.map(_._2).sum == 10000L)
+    assert(bins.forall(_._2 <= cap), bins.mkString(","))
+    assert(bins.map(_._1).sliding(2).forall(p => p.head < p.last),
+      "bin means not sorted")
+  }
+
+  test("high-cardinality percentile: state capped, estimates rank-bounded") {
+    val s = spark
+    import s.implicits._
+    // 12000 rows, all-distinct values, over two days: distinct count is
+    // far past PercentileSketchThreshold, so the stored state must be
+    // the compressed digest, not 12000 runs
+    val n = 12000
+    val base = spark.range(n).select(
+      timestamp_micros(lit(1700000000000000L) + col("id") * 10000000L).as("ts"),
+      (col("id").cast("double") * 1.0001 + 2.0).as("value"))
+    val work = tmpDir("psketch-state")
+    val splitUs = 1700000000000000L + (n * 6L / 10) * 10000000L
+    base.filter(col("ts") < timestamp_micros(lit(splitUs)))
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .agg(count(lit(1)).as("cnt"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+    val cold = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs),
+      log = log))
+    cold.run(q(spark.read.parquet(work))).collect()
+    base.filter(col("ts") >= timestamp_micros(lit(splitUs)))
+      .write.mode("append").parquet(work)
+    val warm = QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    val got = warm.run(q(spark.read.parquet(work))).first()
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    // stored state is the digest: well under the raw distinct count
+    val fp = log.history.map(_.fingerprint).distinct
+      .find(f => cache.get(f).isDefined).get
+    val stateRow = cache.get(fp).get.read(spark).first()
+    val stateBins = stateRow.schema.fieldNames.zipWithIndex.collectFirst {
+      case (nm, i) if nm.endsWith("_vcnt") => stateRow.getSeq[Any](i).size
+    }.get
+    assert(stateBins <= 2 * graft.rewrite.Decompose.PercentileSketchCentroids,
+      s"state holds $stateBins runs — sketch never engaged")
+    // estimates stay inside the 2% rank envelope of the exact answer
+    val exact = base.filter(col("value") > 1)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    assert(got.getLong(0) == exact.length)
+    def rankOf(v: Double): Double =
+      exact.count(_ <= v).toDouble / exact.length
+    assert(math.abs(rankOf(got.getDouble(1)) - 0.5) <= 0.02,
+      s"p50 rank ${rankOf(got.getDouble(1))}")
+    assert(math.abs(rankOf(got.getDouble(2)) - 0.9) <= 0.02,
+      s"p90 rank ${rankOf(got.getDouble(2))}")
+  }
 }
