@@ -85,6 +85,24 @@ import graft.log.{CacheLog, NoOpLog}
   *                              basename-collision caveat): every entry
   *                              whose plan read that table is dropped and
   *                              the next run is a clean cold miss.
+  * @param regrainFromFinerState answer a coarse-grain temporal query
+  *                              (`date_trunc('day', ts)`) from warm
+  *                              FINER-grain state (`'hour'`) when the
+  *                              plans are otherwise identical: the finer
+  *                              buckets re-aggregate into the coarse
+  *                              ones through the normal merge (every
+  *                              whitelisted state is re-aggregable by
+  *                              contract), and the coarse fingerprint
+  *                              then stores its own state for next time.
+  *                              Sound for grains that nest exactly in
+  *                              UTC (minute⊂hour⊂day⊂week, day⊂month⊂
+  *                              quarter⊂year — the session contract
+  *                              already pins UTC, sources/Tables). The
+  *                              reference shares the all-or-nothing
+  *                              fingerprint limitation this lifts
+  *                              (src/aggregate.rs:89). ON by default —
+  *                              it only engages on an exact-fingerprint
+  *                              MISS and never changes answers.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -97,6 +115,7 @@ final case class QueryCacheConfig(
     dynamicBoundBucketGranularity: Boolean = false,
     temporalPartitionColumn: Option[String] = None,
     staticDimensionTables: Set[String] = Set.empty,
+    regrainFromFinerState: Boolean = true,
     log: CacheLog = NoOpLog) {
 
   def withStaticDimensions(tables: String*): QueryCacheConfig =

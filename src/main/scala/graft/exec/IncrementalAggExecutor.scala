@@ -458,13 +458,21 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val stateSchema = phase("stateSchema")(IncrementalAggExecutor.memoGet(
       c.fingerprint, partialState(childDF0.limit(0)).schema))
 
-    val entry = config.cache.get(c.fingerprint) match {
+    val direct = config.cache.get(c.fingerprint) match {
       case Some(cs) if !schemaCompatible(cs.schema, stateSchema) =>
         config.log.warn(c.fingerprint,
           "cached state schema mismatch — treating as miss")
         None
       case other => other
     }
+    // bucket-granular SUBSUMPTION: on an exact-fingerprint miss, a
+    // coarse temporal grain can replay the warm state of its FINER twin
+    // (day from hour): the regrained state re-aggregates through the
+    // normal merge below, and the put stores coarse-grain state under
+    // THIS fingerprint, so the next run hits directly.
+    val entry = direct.orElse(
+      if (config.regrainFromFinerState) finerGrainState(c, stateSchema)
+      else None)
 
     val merged = entry match {
       case Some(cs) =>
@@ -651,6 +659,85 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       watermarkMicros = entry.map(_.timestampMicros))
     analyzed.transformUp {
       case n if n eq c.agg => marked
+    }
+  }
+
+  // ------------------------------------------------ grain subsumption
+
+  /** date_trunc format aliases → canonical grain */
+  private val grainAliases = Map(
+    "YEAR" -> "YEAR", "YYYY" -> "YEAR", "YY" -> "YEAR",
+    "QUARTER" -> "QUARTER",
+    "MONTH" -> "MONTH", "MON" -> "MONTH", "MM" -> "MONTH",
+    "WEEK" -> "WEEK", "DAY" -> "DAY", "DD" -> "DAY",
+    "HOUR" -> "HOUR", "MINUTE" -> "MINUTE", "SECOND" -> "SECOND")
+
+  /** grains whose buckets nest EXACTLY inside the key's buckets in UTC
+    * (closest first — the least state to re-aggregate). WEEK only nests
+    * days/hours (weeks straddle month boundaries); MONTH does not nest
+    * weeks for the same reason. */
+  private val finerGrains = Map(
+    "MINUTE" -> Seq("second"),
+    "HOUR" -> Seq("minute", "second"),
+    "DAY" -> Seq("hour", "minute", "second"),
+    "WEEK" -> Seq("day", "hour"),
+    "MONTH" -> Seq("day", "hour"),
+    "QUARTER" -> Seq("month", "day"),
+    "YEAR" -> Seq("quarter", "month", "day"))
+
+  /** On an exact-fingerprint miss: look for warm state cached by the
+    * SAME query at a finer `date_trunc` grain, and hand it back with the
+    * bucket column re-truncated to this query's grain — the merge
+    * aggregation then folds finer buckets into coarse ones exactly like
+    * any other state re-aggregation. Tries each nesting grain in both
+    * common literal casings (the literal's text is part of the
+    * fingerprint; canonicalization does not fold it). */
+  private def finerGrainState(c: Cacheable,
+      stateSchema: StructType): Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
+    val gIdx = c.temporalGroupIdx.getOrElse(return None)
+    val groupExpr = TemporalGroupBy.resolveThroughChild(
+      c.agg.groupingExpressions(gIdx), c.agg.child)
+    val fmt = groupExpr match {
+      case t: TruncTimestamp if t.format.foldable =>
+        Option(t.format.eval()).map(_.toString)
+      case _ => None
+    }
+    fmt.flatMap { f =>
+      val coarse = grainAliases.get(f.toUpperCase(java.util.Locale.ROOT))
+        .getOrElse(return None)
+      val candidates = for {
+        finer <- finerGrains.getOrElse(coarse, Seq.empty)
+        lit <- Seq(finer, finer.toUpperCase(java.util.Locale.ROOT))
+      } yield (finer, lit)
+      candidates.view.flatMap { case (finer, litText) =>
+        var changed = false
+        val subAgg = c.agg.transformAllExpressions {
+          case t: TruncTimestamp if t.format.foldable &&
+              Option(t.format.eval()).exists(v => grainAliases
+                .get(v.toString.toUpperCase(java.util.Locale.ROOT))
+                .contains(coarse)) &&
+              t.timestamp.references.exists(_.semanticEquals(c.temporalAttr)) =>
+            changed = true
+            t.copy(format = Literal(litText))
+        }
+        if (!changed) None
+        else {
+          val fp2 = Fingerprint.of(subAgg) +
+            (if (config.strictUpperBound) ":s1" else "")
+          config.cache.get(fp2)
+            .filter(cs => schemaCompatible(cs.schema, stateSchema))
+            .map { cs =>
+              config.log.info(c.fingerprint,
+                s"regrain hit: replaying $finer-grain state " +
+                  s"${fp2.take(12)} re-truncated to $coarse")
+              val gName = s"_g$gIdx"
+              graft.cache.CachedState(cs.timestampMicros, cs.schema,
+                s => cs.read(s).withColumn(gName,
+                  org.apache.spark.sql.functions.date_trunc(f, col(gName))))
+            }
+        }
+      }.headOption
     }
   }
 

@@ -233,6 +233,32 @@ object CacheQueries {
               6).as("pd50"),
             expr("mode() WITHIN GROUP (ORDER BY value)").as("mode_v"))
       }),
+    // bucket-granular SUBSUMPTION: after a cold→append→warm cycle at
+    // HOUR grain, the first-ever DAY-grain sighting of the same query is
+    // an exact-fingerprint miss but a REGRAIN hit — the hour state
+    // replays re-truncated to days and re-aggregates through the normal
+    // merge, no fact scan below the hour watermark (zero-scan pinned in
+    // IncrementalAggSpec). The returned day result is what the oracle
+    // checks against the full table.
+    "qc_incr_regrain" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "regrain")
+      val cache = new MemoryQueryCache()
+      def q(grain: String, alias: String)(df: DataFrame) =
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc(grain, col("ts")).as(alias))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"))
+      val cold = QueryCacheSession(s, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitMicros)))
+      cold.run(q("hour", "hour")(s.read.parquet(work))).collect()
+      appendRest()
+      val warmHour = QueryCacheSession(s, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts"))
+      warmHour.run(q("hour", "hour")(s.read.parquet(work))).collect()
+      val day = QueryCacheSession(s, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts"))
+      day.run(q("day", "day")(s.read.parquet(work)))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -510,6 +536,13 @@ object CacheQueries {
     // pd50 = Spark percentile_disc semantics spelled out: the smallest
     // member whose cume_dist >= p (DuckDB's own quantile_disc uses the
     // lower floor((n-1)p) convention — deliberately not used)
+    "qc_incr_regrain" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
     // sketch envelope: the Spark side emits rank-check BOOLEANS (and the
     // exact group count); the oracle asserts the same months with TRUE —
     // a digest estimate outside the 2% rank envelope hash-mismatches
