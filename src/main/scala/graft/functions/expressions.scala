@@ -501,6 +501,98 @@ case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
     copy(child = c)
 }
 
+/** One-pass near-dup SKETCH of a text column: struct(sh, bands) where
+  * `sh` is the DISTINCT word-`n`-gram shingle set reduced to its FNV-1a
+  * base hashes (exactly the base [[MinHashSignature]] seeds its ladder
+  * from, so Jaccard over `sh` equals Jaccard over the string shingles
+  * up to 64-bit collisions — and a colliding pair contributes an
+  * identical ladder, so even the bands are unaffected by hash-level
+  * dedup) and `bands` are the [[MinHashBandHashes]] of the same
+  * shingles, BIT-IDENTICAL to the string pipeline. One expression
+  * replaces shingles → transform(xxhash64) + minhash_band_hashes in the
+  * incremental near-dup batch path: no string shingle array is ever
+  * materialized and the per-element interpreted lambda of the HOF
+  * transform disappears (the same one-pass argument as
+  * [[TaggedWindowHashes]]). Sub-`n` documents yield empty arrays —
+  * callers filter them exactly as the string pipeline did. */
+case class ShingleSketch(child: Expression, n: Int, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && k > 0 && bands > 0 && k % bands == 0,
+    s"n=$n k=$k bands=$bands")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    if (words.length < n)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](empty, empty))
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val hashes = new java.util.ArrayList[java.lang.Long](words.length)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val base = Hash64(UTF8String.fromString(sb.toString), 0L)
+      if (seen.add(base)) {
+        hashes.add(base)
+        var s = 0
+        while (s < k) {
+          var h = base ^ (s.toLong * 0x9e3779b97f4a7c15L)
+          h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+          h ^= h >>> 27; h *= 0x94d049bb133111ebL
+          h ^= h >>> 31
+          if (h < sig(s)) sig(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val rows = k / bands
+    val bandArr = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var j = 0
+      while (j < rows) {
+        var v = sig(b * rows + j)
+        var byteIdx = 0
+        while (byteIdx < 8) {
+          h ^= (v & 0xffL); h *= 0x100000001b3L
+          v >>>= 8; byteIdx += 1
+        }
+        j += 1
+      }
+      bandArr(b) = h
+      b += 1
+    }
+    val shOut = new Array[Long](hashes.size)
+    var x = 0
+    while (x < shOut.length) { shOut(x) = hashes.get(x); x += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(shOut),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(bandArr)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Index of the nearest codeword by RAW L2 distance — the product-
   * quantization assignment step ([[graft.operators.PQ]]). Unlike
   * [[NearestCentroid]] (cosine over pre-normalized centroids, the IVF
@@ -939,6 +1031,99 @@ case class MergeRuns(child: Expression)
     copy(child = c)
 }
 
+/** Byte-pair-encoding tokenization driven by an ordered MERGES table —
+  * the second face of the subword seam (SubwordPieces is greedy
+  * longest-match against a piece vocab; this is BPE proper): each
+  * lowercased whitespace word starts as its characters, then the
+  * LOWEST-RANK adjacent pair present is merged, leftmost occurrence
+  * first, until no adjacent pair appears in the merges list — the
+  * one-symbol-pair-at-a-time inference order (SentencePiece's BPE
+  * decoder uses exactly this (rank, position) priority; Sennrich et
+  * al. 2016 define the merges themselves). Merge-ALL-per-rank
+  * implementations can differ on adversarial merge tables (a merge
+  * creating a lower-rank pair mid-word); the oracle replays THIS
+  * order, one leftmost merge per recursion step, so both engines are
+  * pinned to the same published variant. Characters with no applicable
+  * merge remain single-char tokens — every word tokenizes under any
+  * merges table. `countOnly` as in SubwordPieces.
+  */
+case class BpePieces(child: Expression, merges: Seq[(String, String)],
+    countOnly: Boolean) extends UnaryExpression with CodegenFallback {
+  require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
+    "empty string in BPE merges")
+
+  override def dataType: DataType =
+    if (countOnly) LongType else ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val key = a + " " + b
+      if (!m.containsKey(key)) m.put(key, i) // first occurrence wins
+    }
+    m
+  }
+
+  /** tokenize one word (already lowercased) into its BPE pieces */
+  private def segment(word: String,
+      out: java.util.ArrayList[UTF8String]): Long = {
+    if (word.isEmpty) return 0L
+    val toks = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { toks.add(String.valueOf(word.charAt(i))); i += 1 }
+    var done = false
+    while (!done && toks.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < toks.size - 1) {
+        val r = rank.get(toks.get(j) + " " + toks.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        toks.set(bestPos, toks.get(bestPos) + toks.get(bestPos + 1))
+        toks.remove(bestPos + 1)
+      }
+    }
+    if (out != null) {
+      var j = 0
+      while (j < toks.size) {
+        out.add(UTF8String.fromString(toks.get(j))); j += 1
+      }
+    }
+    toks.size.toLong
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val out = if (countOnly) null else new java.util.ArrayList[UTF8String]()
+    var count = 0L
+    var wStart = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        count += segment(text.substring(wStart, i), out)
+        wStart = i + 1
+      }
+      i += 1
+    }
+    if (countOnly) count
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"merges#${merges.hashCode}", countOnly)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Size-capped compression of a SORTED numeric run-length histogram —
   * the mergeable-quantile-sketch escape hatch for the percentile state:
   * at or below `threshold` runs the input passes through UNTOUCHED
@@ -1161,6 +1346,9 @@ object functions {
   def minhash_band_hashes(shingles: Column, k: Int, bands: Int): Column =
     Shims.column(MinHashBandHashes(Shims.expression(shingles), k, bands))
 
+  def shingle_sketch(text: Column, n: Int, k: Int, bands: Int): Column =
+    Shims.column(ShingleSketch(Shims.expression(text), n, k, bands))
+
   def matrix_project(emb: Column, matrix: Array[Array[Double]]): Column =
     Shims.column(MatrixProject(Shims.expression(emb), matrix))
 
@@ -1185,6 +1373,14 @@ object functions {
 
   def subword_count(text: Column, vocab: Seq[String]): Column =
     Shims.column(SubwordPieces(Shims.expression(text), vocab,
+      countOnly = true))
+
+  def bpe_pieces(text: Column, merges: Seq[(String, String)]): Column =
+    Shims.column(BpePieces(Shims.expression(text), merges,
+      countOnly = false))
+
+  def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    Shims.column(BpePieces(Shims.expression(text), merges,
       countOnly = true))
 
   /** largest-k rows of a struct column per group, sorted descending —

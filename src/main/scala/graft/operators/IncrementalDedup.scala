@@ -116,11 +116,18 @@ object IncrementalDedup {
     * Both index tables are BUCKETED external tables
     * ([[graft.sources.Layouts.writeBucketed]] discipline): `bands/` on
     * its join keys (band_idx, band_hash), `sigs/` on the verify key
-    * (id), so every per-batch cross-history join reads the index
-    * pre-partitioned and only the batch side shuffles — the index is
-    * never exchanged, which is what survives a 100× corpus. (Catalog
-    * table names are content-derived from the index path; a fresh
-    * session re-registers them over the existing files.)
+    * (id). Past `bucketReadThresholdBytes` of on-disk index, the
+    * per-batch joins read them through the bucketed tables, so the
+    * index side is pre-partitioned and only the batch side shuffles —
+    * the index is never exchanged, which is what survives a 100×
+    * corpus. Below the threshold the batch reads the same files as
+    * plain parquet and runs one unioned verify pipeline instead — at
+    * toy index sizes the co-location buys nothing and the extra join
+    * stages are pure fixed overhead (the same size-gated strategy
+    * choice [[Dedup.clusters]] makes; both paths provably drop the
+    * same ids). (Catalog table names are content-derived from the
+    * index path; a fresh session re-registers them over the existing
+    * files.)
     *
     * Documents too short to shingle are always kept and never indexed.
     * Per-batch cost: the batch's own LSH pass plus equi-joins against
@@ -130,14 +137,18 @@ object IncrementalDedup {
   def nearDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
       threshold: Double = 0.5, n: Int = 3, k: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      indexBuckets: Int = 32): DataFrame = {
+      indexBuckets: Int = 32,
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
     val bandsDir = s"$indexDir/bands"
     val sigsDir = s"$indexDir/sigs"
     val bandsTable = indexTableName(indexDir, "bands")
     val sigsTable = indexTableName(indexDir, "sigs")
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val haveIndex = fs.exists(new Path(bandsDir))
+    // an index exists only once it holds FILES: an all-short first batch
+    // appends nothing (below), leaving at most an empty dir
+    val haveIndex = fs.exists(new Path(bandsDir)) &&
+      indexBytes(fs, bandsDir) > 0
     if (!haveIndex) { // fresh index: drop any stale catalog metadata
       spark.sql(s"DROP TABLE IF EXISTS $bandsTable")
       spark.sql(s"DROP TABLE IF EXISTS $sigsTable")
@@ -152,47 +163,126 @@ object IncrementalDedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val droppedWithin = Dedup.verifyJaccardPairs(candWithin, shHashed,
-        threshold)
-      .select(col("id_b").as("id"))
 
-    // across history: any indexed doc is earlier than every batch doc.
-    // Joins read the index through its bucketed tables — candidate join
-    // co-located on (band_idx, band_hash), verify co-located on id.
-    val droppedCross =
-      if (haveIndex) crossDropped(spark, indexDir, bnd, shHashed, threshold,
-        indexBuckets)
-      else droppedWithin.limit(0)
+    // SIZE-GATED layout (the broadcast-join discipline): while the index
+    // is SMALL it stays plain parquet — appends are bare file writes and
+    // each batch runs ONE unioned candidate set + ONE verify pipeline
+    // (fewest stages; at toy sizes every extra join/DDL is pure fixed
+    // overhead). The batch that finds the index past
+    // `bucketReadThresholdBytes` PROMOTES it once (compactIndex-style
+    // rewrite into the bucketed catalog tables); from then on candidate
+    // and verify joins read the index pre-partitioned on their keys and
+    // only the batch side shuffles — the shape that survives a 100×
+    // corpus (plan-pinned in IncrementalNearDedupSpec). Mode is carried
+    // by the catalog: table registered ⇒ bucketed.
+    val bucketedMode = haveIndex && {
+      if (spark.catalog.tableExists(bandsTable)) true
+      else if (indexBytes(fs, bandsDir) + indexBytes(fs, sigsDir) >=
+          bucketReadThresholdBytes) {
+        promoteToBucketed(spark, fs, bandsDir, bandsTable,
+          Seq("band_idx", "band_hash"), indexBuckets)
+        promoteToBucketed(spark, fs, sigsDir, sigsTable,
+          Seq("id"), indexBuckets)
+        true
+      } else false
+    }
 
-    val dropped = droppedWithin.unionByName(droppedCross).distinct()
+    val dropped = if (!haveIndex) {
+      Dedup.verifyJaccardPairs(candWithin, shHashed, threshold)
+        .select(col("id_b").as("id")).distinct()
+    } else if (!bucketedMode) {
+      val idxBands = spark.read.parquet(bandsDir)
+      val candCross = idxBands.as("x").join(bnd.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      val shAll = shHashed.unionByName(spark.read.parquet(sigsDir))
+      Dedup.verifyJaccardPairs(candWithin.unionByName(candCross), shAll,
+          threshold)
+        .select(col("id_b").as("id")).distinct()
+    } else {
+      val droppedWithin = Dedup.verifyJaccardPairs(candWithin, shHashed,
+          threshold)
+        .select(col("id_b").as("id"))
+      val droppedCross = crossDropped(spark, indexDir, bnd, shHashed,
+        threshold, indexBuckets)
+      droppedWithin.unionByName(droppedCross).distinct()
+    }
+
     val kept = batch.join(
         dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint() // decided BEFORE the index grows below
-    appendBucketed(bnd, bandsDir, bandsTable,
-      Seq("band_idx", "band_hash"), indexBuckets)
-    appendBucketed(shHashed, sigsDir, sigsTable, Seq("id"), indexBuckets)
+    // an all-short batch has nothing to index: a write of an empty frame
+    // emits no parquet files, which a later plain read cannot infer a
+    // schema from — skip it (sh is checkpointed, so the emptiness probe
+    // reads block metadata, not the pipeline)
+    if (!shHashed.isEmpty) {
+      if (bucketedMode) {
+        appendBucketed(bnd, bandsDir, bandsTable,
+          Seq("band_idx", "band_hash"), indexBuckets)
+        appendBucketed(shHashed, sigsDir, sigsTable, Seq("id"), indexBuckets)
+      } else {
+        bnd.write.mode("append").parquet(bandsDir)
+        shHashed.write.mode("append").parquet(sigsDir)
+      }
+    }
     kept
   }
 
+  /** One-time layout promotion at the size threshold: rewrite a plain
+    * index dir into its bucketed catalog table (the data is exactly
+    * threshold-sized, so the one checkpoint it rides through is
+    * bounded; single-writer contract as every other index mutation). */
+  private def promoteToBucketed(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, table: String,
+      bucketCols: Seq[String], buckets: Int): Unit = {
+    val d = spark.read.parquet(dir).localCheckpoint()
+    fs.delete(new Path(dir), true)
+    d.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet").option("path", dir)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** total bytes of the parquet files under an index dir */
+  private def indexBytes(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return 0L
+    var sum = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) sum += f.getLen
+    }
+    sum
+  }
+
   /** One batch's signature tables, both materialized: (sh = (id,
-    * sh: array<long> xxhash64'd shingles), bnd = (band_idx, band_hash,
-    * id) exploded LSH bands). Banding is computed from the STRING
-    * shingles — identical recall to [[Dedup.minhashPairs]]; only
-    * storage/verify use the hashed sets. */
+    * sh: array<long> FNV-base-hashed shingle set), bnd = (band_idx,
+    * band_hash, id) exploded LSH bands). Both come from ONE native pass
+    * per document (graft.functions.ShingleSketch): the band hashes are
+    * bit-identical to the string pipeline — identical recall to
+    * [[Dedup.minhashPairs]] — and the stored set hashes are the very
+    * base values the minhash ladder seeds from, so no string shingle
+    * array is ever materialized. */
   private[graft] def batchSignatures(batch: DataFrame, n: Int, k: Int,
       bands: Int, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    val sh = batch.select(col(idCol).as("id"),
-        Dedup.shingles(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .withColumn("sh", transform(col("shs"), s => xxhash64(s)))
+    val sk = batch.select(col(idCol).as("id"),
+        graft.functions.functions.shingle_sketch(
+          col(textCol), n, k, bands).as("sk"))
+      .filter(size(col("sk.sh")) > 0)
       .localCheckpoint()
-    val bnd = sh.select(col("id"),
-        posexplode(graft.functions.functions.minhash_band_hashes(
-          col("shs"), k, bands)).as(Seq("band_idx", "band_hash")))
+    // bnd derives from the checkpointed sketch by a bare posexplode —
+    // re-evaluating that per consumer is cheaper than a second
+    // materialization job per batch
+    val bnd = sk.select(col("id"),
+        posexplode(col("sk.bands")).as(Seq("band_idx", "band_hash")))
       .select(col("band_idx"), col("band_hash"), col("id"))
-      .localCheckpoint()
-    (sh.select(col("id"), col("sh")), bnd)
+    (sk.select(col("id"), col("sk.sh").as("sh")), bnd)
   }
 
   /** Batch ids dropped by some doc in the index history: LSH candidate
@@ -246,10 +336,16 @@ object IncrementalDedup {
   }
 
   /** Append one batch's rows to a bucketed index table (creates the
-    * table on first append). */
+    * table on first append). The pre-write repartition uses the SAME
+    * hash keys and partition count as the bucket spec, so each task
+    * holds exactly one bucket's rows and writes exactly one file —
+    * without it, bucketed writes emit one file per (task × bucket
+    * present), and the per-batch small-file count compounds into the
+    * next batch's read. */
   private def appendBucketed(df: DataFrame, dir: String, table: String,
       bucketCols: Seq[String], buckets: Int): Unit =
-    df.write.mode("append").format("parquet").option("path", dir)
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("append").format("parquet").option("path", dir)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)

@@ -16,7 +16,10 @@ import graft.functions.functions.{subword_count, subword_pieces}
   *  - [[SubwordTokenizer]] — greedy longest-match segmentation against a
   *    piece vocabulary loaded AS DATA (the WordPiece inference rule;
   *    see graft.functions.SubwordPieces for the exact semantics and the
-  *    single-char fallback that makes every word tokenize).
+  *    single-char fallback that makes every word tokenize);
+  *  - [[BpeTokenizer]] — BPE proper, driven by an ordered MERGES table
+  *    (the `merges.txt` artifact real BPE vocabs ship as; see
+  *    graft.functions.BpePieces for the pinned inference order).
   *
   * Both faces are pure Column transforms, so whichever tokenizer is
   * plugged in, the operator's plan shape (shuffles, codegen spans) is
@@ -46,6 +49,38 @@ object WhitespaceTokenizer extends Tokenizer {
 final case class SubwordTokenizer(vocab: Seq[String]) extends Tokenizer {
   override def tokens(text: Column): Column = subword_pieces(text, vocab)
   override def count(text: Column): Column = subword_count(text, vocab)
+}
+
+/** BPE-proper tokenizer driven by an ordered merges list — see
+  * graft.functions.BpePieces for the exact (rank, position) inference
+  * order. The merges table is the deployment artifact real BPE vocabs
+  * ship as (a `merges.txt` of ranked pairs). */
+final case class BpeTokenizer(merges: Seq[(String, String)])
+    extends Tokenizer {
+  override def tokens(text: Column): Column =
+    graft.functions.functions.bpe_pieces(text, merges)
+  override def count(text: Column): Column =
+    graft.functions.functions.bpe_count(text, merges)
+}
+
+object BpeTokenizer {
+  /** Load a merges table (columns a, b, rank) — rank order is the merge
+    * priority. Bounded collect, same discipline as
+    * [[SubwordTokenizer.fromTable]]. */
+  def fromTable(mergesDf: DataFrame, aCol: String = "a", bCol: String = "b",
+      rankCol: String = "rank"): BpeTokenizer =
+    BpeTokenizer(mergesDf.select(col(aCol), col(bCol), col(rankCol))
+      .collect().sortBy(_.getAs[Number](2).longValue())
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+
+  /** Fixture merges shared verbatim with the oracle SQL: a small ladder
+    * that exercises multi-level merges (t+h → th, th+e → the,
+    * th+ing → thing). */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("e", "r"),
+    ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("s", "t"), ("a", "r"), ("th", "ing"),
+    ("an", "d"), ("t", "o"), ("o", "f"), ("i", "s"), ("the", "m"))
 }
 
 object SubwordTokenizer {

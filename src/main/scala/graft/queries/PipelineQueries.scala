@@ -109,6 +109,26 @@ object PipelineQueries {
       TextAnalysis.chunksByTokenBudget(documents(s, d), budget = 48,
         tokenizer = graft.operators.SubwordTokenizer(
           graft.operators.SubwordTokenizer.demoVocab))),
+    // BPE proper (merges-table-driven, the third tokenizer face):
+    // per-document BPE token cost; merges LOADED AS DATA via fromTable
+    "q_text_bpe" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val tok = graft.operators.BpeTokenizer.fromTable(
+        graft.operators.BpeTokenizer.demoMerges.zipWithIndex
+          .map { case ((a, b), r) => (a, b, r) }.toDF("a", "b", "rank"))
+      documents(s, d).select(col("doc_id"),
+        tok.count(col("text")).as("n_bpe"))
+    }),
+    // concat-and-slice packing budgeted in BPE tokens
+    "q_pack_bpe" -> ((s, d) =>
+      Packing.concatSlicePack(
+          documents(s, d).select(col("doc_id"), col("source"),
+            graft.operators.BpeTokenizer(
+              graft.operators.BpeTokenizer.demoMerges)
+              .count(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
+        .select("doc_id", "source", "n_tokens", "pack_seq", "pack_offset")),
     // Gopher-style intra-document repetition signals: dup word / bigram /
     // line fractions — pure codegen map stage, zero shuffles
     "q_text_repetition" -> ((s, d) =>
@@ -857,6 +877,53 @@ object PipelineQueries {
            FROM seg s WHERE s.pos < len(s.w)) t),
        wtok AS (SELECT w, count(*) AS n FROM seg WHERE idx > 0 GROUP BY 1)"""
 
+  /** Shared oracle prelude for the BPE tokenizer: the fixture merges as
+    * ranked VALUES, every distinct lowercased word seeded as its
+    * chr(31)-guarded character string, and the pinned inference order
+    * (lowest-rank pair present, leftmost occurrence, one merge per
+    * recursion step — graft.functions.BpePieces) replayed until no
+    * merge applies. `btok` is the per-word final token count. */
+  private val bpeMergesValues = graft.operators.BpeTokenizer.demoMerges
+    .zipWithIndex.map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+  private val bpePrelude: String =
+    s"""merges(a, b, rank) AS (VALUES $bpeMergesValues),
+       dwb AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) t
+         WHERE len(w) > 0),
+       bseed AS (
+         SELECT w, chr(31) || array_to_string(
+           list_transform(range(1, len(w)+1), i -> w[i]), chr(31))
+           || chr(31) AS s
+         FROM (SELECT DISTINCT w FROM dwb) t0),
+       bpe(w, s, step) AS (
+         SELECT w, s, 0 FROM bseed
+         UNION ALL
+         SELECT w,
+           substr(s, 1, idx-1) || chr(31) || pa || pb || chr(31)
+             || substr(s, idx + len(chr(31)||pa||chr(31)||pb||chr(31))),
+           step + 1
+         FROM (
+           SELECT w, s, step,
+             (SELECT m.a FROM merges m
+              WHERE contains(s, chr(31)||m.a||chr(31)||m.b||chr(31))
+              ORDER BY m.rank LIMIT 1) AS pa,
+             (SELECT m.b FROM merges m
+              WHERE contains(s, chr(31)||m.a||chr(31)||m.b||chr(31))
+              ORDER BY m.rank LIMIT 1) AS pb
+           FROM bpe) t
+         CROSS JOIN LATERAL (
+           SELECT position(chr(31)||pa||chr(31)||pb||chr(31) IN s) AS idx) u
+         WHERE pa IS NOT NULL),
+       btok AS (
+         SELECT w, len(list_filter(string_split(s, chr(31)),
+           x -> x <> '')) AS n
+         FROM (SELECT w, s, row_number() OVER (PARTITION BY w
+                 ORDER BY step DESC) AS rn
+               FROM bpe) z
+         WHERE rn = 1)"""
+
   val oracle: Map[String, String] = Map(
     // PQ + 256-deep exact rerank returns exactly the brute-force top-k
     // on this corpus (shortlist ⊇ true top-10 verified at every SF)
@@ -1466,6 +1533,28 @@ object PipelineQueries {
                  FROM documents d LEFT JOIN dn USING (doc_id))
           SELECT doc_id, source, n_tokens,
             before // 512 AS pack_seq, before % 512 AS pack_offset
+          FROM (SELECT doc_id, source, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS before
+                FROM dt) u""",
+    // BPE family: btok replays the pinned merge order per distinct word
+    "q_text_bpe" ->
+      s"""WITH RECURSIVE $bpePrelude,
+          dn AS (SELECT doc_id, sum(n) AS n
+                 FROM dwb JOIN btok USING (w) GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS n_bpe
+          FROM documents d LEFT JOIN dn USING (doc_id)""",
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE $bpePrelude,
+          dn AS (SELECT doc_id, sum(n) AS n
+                 FROM dwb JOIN btok USING (w) GROUP BY 1),
+          dt AS (SELECT d.doc_id, d.source,
+                   CAST(coalesce(dn.n, 0) AS BIGINT) AS n_tokens
+                 FROM documents d LEFT JOIN dn USING (doc_id))
+          SELECT doc_id, source, n_tokens,
+            before // 1024 AS pack_seq, before % 1024 AS pack_offset
           FROM (SELECT doc_id, source, n_tokens,
                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
                     ORDER BY doc_id

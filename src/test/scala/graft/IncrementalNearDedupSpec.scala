@@ -68,6 +68,23 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     assert(k2.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("bucketed read path drops exactly what the small-index fast path drops") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("phase", pmod(col("doc_id"), lit(3)))
+    def runWith(tag: String, thresh: Long): Set[Long] = {
+      val idx = IncrementalDedup.scratchIndexDir(spark, tag)
+      (0 to 2).map(ph => IncrementalDedup.nearDedupAppend(spark, idx,
+          docs.filter(col("phase") === ph), 0.5,
+          bucketReadThresholdBytes = thresh))
+        .reduce(_.unionByName(_))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val fast = runWith("near-gate-fast", Long.MaxValue)
+    val bucketed = runWith("near-gate-bucketed", 0L)
+    assert(fast == bucketed,
+      s"missing=${fast -- bucketed} extra=${bucketed -- fast}")
+  }
+
   test("cross-history joins read the index bucketed and exchange-free") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -75,8 +92,14 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     val idx = IncrementalDedup.scratchIndexDir(spark, "near-planpin")
     val docs = Tables.documents(spark, sf0001)
       .withColumn("phase", pmod(col("doc_id"), lit(2)))
+    // threshold 0: the second batch finds the index over-threshold and
+    // PROMOTES it to the bucketed layout crossDropped reads
     IncrementalDedup.nearDedupAppend(spark, idx,
-      docs.filter(col("phase") === 0), 0.5)
+      docs.filter(col("phase") === 0).filter(col("doc_id") < 100), 0.5,
+      bucketReadThresholdBytes = 0)
+    IncrementalDedup.nearDedupAppend(spark, idx,
+      docs.filter(col("phase") === 0).filter(col("doc_id") >= 100), 0.5,
+      bucketReadThresholdBytes = 0)
     // static plan (no AQE re-plan, no broadcast escape hatch): both
     // joins must satisfy their clustered distribution from the bucketed
     // scans alone — only the batch side may exchange
@@ -118,7 +141,12 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
   test("compactIndex reclaims duplicate rows, preserves layout + decisions") {
     val idx = IncrementalDedup.scratchIndexDir(spark, "near-compact")
     val docs = Tables.documents(spark, sf0001)
-    IncrementalDedup.nearDedupAppend(spark, idx, docs, 0.5)
+    // two threshold-0 batches: the second promotes the index to the
+    // bucketed catalog layout this test compacts through
+    IncrementalDedup.nearDedupAppend(spark, idx,
+      docs.filter(col("doc_id") < 100), 0.5, bucketReadThresholdBytes = 0)
+    IncrementalDedup.nearDedupAppend(spark, idx,
+      docs.filter(col("doc_id") >= 100), 0.5, bucketReadThresholdBytes = 0)
     // simulate a crash re-run: every index row appended a second time
     // (INSERT INTO the catalog tables keeps the bucketed file layout)
     val bandsT = IncrementalDedup.indexTableName(idx, "bands")
@@ -144,6 +172,30 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     val shingled = docs
       .filter(size(Dedup.shingles(col("text"), 3)) > 0).count()
     assert(again.count() == docs.count() - shingled)
+  }
+
+  test("shingle_sketch bands are bit-identical to the string pipeline") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val viaSketch = docs.select(col("doc_id"),
+        graft.functions.functions.shingle_sketch(col("text"), 3, 64, 16)
+          .as("sk"))
+      .select(col("doc_id"), col("sk.bands").as("b"), size(col("sk.sh")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getInt(2)))).toMap
+    val viaStrings = docs.select(col("doc_id"),
+        graft.functions.functions.minhash_band_hashes(
+          Dedup.shingles(col("text"), 3), 64, 16).as("b"),
+        size(Dedup.shingles(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getInt(2)))).toMap
+    viaSketch.foreach { case (id, (b, n)) =>
+      // sub-n docs: string pipeline yields empty shingles and the sketch
+      // empty arrays — both filtered identically by callers
+      if (n > 0) {
+        assert(b == viaStrings(id)._1, s"bands differ for doc $id")
+        assert(n == viaStrings(id)._2, s"shingle count differs for doc $id")
+      } else assert(viaStrings(id)._2 == 0)
+    }
   }
 
   test("span index growth is bounded by distinct windows across batches") {

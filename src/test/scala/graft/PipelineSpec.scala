@@ -1234,6 +1234,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(mism == 0)
   }
 
+  test("bpe tokenizer: ranked merges, leftmost-first, count parity") {
+    import graft.operators.BpeTokenizer
+    val s = spark
+    import s.implicits._
+    val tok = BpeTokenizer(BpeTokenizer.demoMerges)
+    val df = Seq(
+      (1L, "thething"),  // t+h, t+h, th+e, i+n, in+g, th+ing -> the·thing
+      (2L, "rat"),       // a+t rank 8 -> r·at
+      (3L, "xq"),        // no merges apply: chars stay x·q
+      (4L, "The Thing"), // lowercased before merging
+      (5L, "")).toDF("id", "text")
+    val got = df.select(col("id"), tok.tokens(col("text")).as("p"),
+        tok.count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toList, r.getLong(2)))).toMap
+    assert(got(1L)._1 == List("the", "thing"), got(1L))
+    assert(got(2L)._1 == List("r", "at"), got(2L))
+    assert(got(3L)._1 == List("x", "q"), got(3L))
+    assert(got(4L)._1 == List("the", "thing"), got(4L))
+    assert(got(5L)._1 == Nil, got(5L))
+    got.foreach { case (id, (pieces, n)) =>
+      assert(n == pieces.size, s"id=$id count $n != ${pieces.size}") }
+    // rank order matters: with (a,t) ranked ABOVE (t,h), "ath" splits
+    // differently than with the demo ranks
+    val hot = BpeTokenizer(Seq(("a", "t"), ("t", "h")))
+    val ath = Seq(Tuple1("ath")).toDF("text")
+      .select(hot.tokens(col("text"))).first().getSeq[String](0)
+    assert(ath == Seq("at", "h"), ath) // (a,t) wins over (t,h)
+    // merges loaded AS DATA reproduce the literal form
+    val viaTable = BpeTokenizer.fromTable(
+      BpeTokenizer.demoMerges.zipWithIndex
+        .map { case ((a, b), r) => (a, b, r) }.toDF("a", "b", "rank"))
+    assert(viaTable == tok)
+  }
+
   test("chunksByTokenBudget: budget respected, text round-trips, whitespace degenerate") {
     import graft.operators.{SubwordTokenizer, WhitespaceTokenizer}
     val tok = SubwordTokenizer(SubwordTokenizer.demoVocab)
