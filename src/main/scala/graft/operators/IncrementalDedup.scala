@@ -350,6 +350,170 @@ object IncrementalDedup {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  // ------------------------------------------ incremental EMBEDDING dedup
+
+  /** Append-only EXACT embedding near-duplicate removal via a durable
+    * IVF-cell-blocked index — the vector sibling of [[nearDedupAppend]],
+    * built on [[graft.operators.Similarity.exactPairs]]' lossless
+    * centroid-angle pruning rather than LSH banding (banding needs a
+    * similarity gap for recall; the cell bound is complete at ANY
+    * threshold). The index holds:
+    *
+    *   - `model/`: the spherical-k-means centroids fit ONCE on the
+    *     FIRST batch and FROZEN — append-only indexes cannot re-fit (a
+    *     drifted model would re-assign history), and the pruning bound
+    *     is lossless under any fixed centroid set, so model quality
+    *     only affects pruning efficiency, never recall;
+    *   - `radii/`: per-cell max member-to-centroid angle over every
+    *     vector ever seen — radii only GROW (max-merge per batch), so
+    *     the triangle-inequality bound stays valid as cells accumulate
+    *     members beyond the fit sample;
+    *   - `vecs/`: (id, e, cell) for every vector ever seen.
+    *
+    * A batch assigns against the frozen centroids, prunes cell pairs
+    * with the UPDATED radii, verifies exact cosine inside the cell-pair
+    * equi-join (never an all-pairs product), and drops a vector if ANY
+    * earlier vector matches it (drop-if-any-earlier, as the whole
+    * family). Vectors the assigner cannot place (null/zero-norm) are
+    * always kept and never indexed.
+    *
+    * Layout follows [[nearDedupAppend]]'s size gate: `vecs/` is plain
+    * parquet while small and promotes once past
+    * `bucketReadThresholdBytes` into a catalog table BUCKETED by `cell`
+    * — the cross-history join's key — so at scale the wide embedding
+    * payload is never exchanged; only the batch side shuffles.
+    * Single-writer contract as [[dedupAppend]]. */
+  def embedDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
+      threshold: Double = 0.4, cells: Int = 32, sampleN: Int = 1024,
+      iters: Int = 6, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      indexBuckets: Int = 32,
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
+    import graft.functions.functions.cosine_similarity
+    val vecsDir = s"$indexDir/vecs"
+    val modelDir = s"$indexDir/model"
+    val radiiDir = s"$indexDir/radii"
+    val vecsTable = indexTableName(indexDir, "vecs")
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveIndex = fs.exists(new Path(modelDir)) &&
+      indexBytes(fs, vecsDir) > 0
+    if (!haveIndex) spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+
+    val model =
+      if (haveIndex) loadCentroids(spark, modelDir)
+      else {
+        val m = IVF.fit(batch, cells, sampleN, iters, seed, idCol, embCol)
+        saveCentroids(spark, modelDir, m)
+        m
+      }
+    val k = model.centroids.length
+
+    val assigned = IVF.index(batch, model, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("e"),
+        col("ivf_cell").as("cell"))
+      .localCheckpoint()
+    val placeable = assigned.filter(col("cell").isNotNull)
+
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    val centsLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
+    val batchRadii: Map[Int, Double] = placeable.groupBy("cell")
+      .agg(min(cosine_similarity(col("e"),
+        element_at(centsLit, col("cell") + 1))).as("mc"))
+      .collect().map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
+      .toMap
+    val storedRadii: Map[Int, Double] =
+      if (haveIndex) loadRadii(spark, radiiDir) else Map.empty
+    val radii = (batchRadii.keySet ++ storedRadii.keySet).map(c =>
+      c -> math.max(batchRadii.getOrElse(c, 0.0),
+        storedRadii.getOrElse(c, 0.0))).toMap
+
+    val tAngle = math.acos(clamp(threshold))
+    def centAngle(i: Int, j: Int): Double = {
+      val (a, b) = (model.centroids(i), model.centroids(j))
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < a.length) {
+        dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else math.acos(clamp(dot / math.sqrt(na * nb)))
+    }
+    val keep = for {
+      i <- 0 until k; j <- 0 until k
+      ri <- radii.get(i); rj <- radii.get(j)
+      if i == j || centAngle(i, j) <= tAngle + ri + rj
+    } yield (i, j)
+    import spark.implicits._
+    val cellPairs = broadcast(keep.toDF("ca", "cb"))
+
+    val yb = placeable.select(col("id").as("id_b"), col("e").as("e_b"),
+      col("cell").as("cb"))
+    def droppedVs(xSide: DataFrame, ordered: Boolean): DataFrame = {
+      val xp = xSide.join(cellPairs, Seq("ca"))
+      xp.join(yb, xp("cb") === yb("cb") &&
+          (if (ordered) col("id_a") < col("id_b") else lit(true)))
+        .filter(cosine_similarity(col("e_a"), col("e_b")) >= threshold)
+        .select(col("id_b").as("id"))
+    }
+    val xWithin = placeable.select(col("id").as("id_a"), col("e").as("e_a"),
+      col("cell").as("ca"))
+    val droppedWithin = droppedVs(xWithin, ordered = true)
+    val dropped = (if (haveIndex) {
+      val hist =
+        if (spark.catalog.tableExists(vecsTable)) spark.table(vecsTable)
+        else if (indexBytes(fs, vecsDir) >= bucketReadThresholdBytes) {
+          promoteToBucketed(spark, fs, vecsDir, vecsTable, Seq("cell"),
+            indexBuckets)
+          spark.table(vecsTable)
+        } else spark.read.parquet(vecsDir)
+      val xCross = hist.select(col("id").as("id_a"), col("e").as("e_a"),
+        col("cell").as("ca"))
+      droppedWithin.unionByName(droppedVs(xCross, ordered = false))
+    } else droppedWithin).distinct()
+
+    val kept = batch.join(
+        dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .localCheckpoint() // decided BEFORE the index grows below
+    if (!placeable.isEmpty) {
+      if (spark.catalog.tableExists(vecsTable))
+        appendBucketed(placeable, vecsDir, vecsTable, Seq("cell"),
+          indexBuckets)
+      else placeable.write.mode("append").parquet(vecsDir)
+      saveRadii(spark, radiiDir, radii)
+    }
+    kept
+  }
+
+  private def saveCentroids(spark: SparkSession, dir: String,
+      model: IVF.Model): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("cell", "pos", "v").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadCentroids(spark: SparkSession, dir: String): IVF.Model = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val k = rows.map(_._1).max + 1
+    val dim = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Double](k, dim)
+    rows.foreach { case (c, p, v) => cents(c)(p) = v }
+    IVF.Model(cents)
+  }
+
+  /** radii are k tiny driver-held rows: rewritten whole per batch */
+  private def saveRadii(spark: SparkSession, dir: String,
+      radii: Map[Int, Double]): Unit = {
+    import spark.implicits._
+    radii.toSeq.toDF("cell", "radius").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadRadii(spark: SparkSession, dir: String): Map[Int, Double] =
+    spark.read.parquet(dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
   // -------------------------------------------- incremental span dedup
 
   /** Append-only duplicate-SPAN detection via a durable gram index —

@@ -485,6 +485,20 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, d) =>
       Similarity.exactPairs(embeddings(s, d), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    // incremental EMBEDDING near-dup via the durable IVF-blocked index:
+    // three append batches against a model frozen on the first; each
+    // dedups against all earlier history exactly (lossless cell-angle
+    // pruning with max-merged radii), no corpus rescan
+    "q_embed_incr" -> ((s, d) => {
+      val p = embeddings(s, d)
+        .withColumn("phase", pmod(col("vec_id"), lit(3)))
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        "embed_" + new java.io.File(d).getName)
+      (0 to 2).map { ph =>
+        IncrementalDedup.embedDedupAppend(s, idx,
+          p.filter(col("phase") === ph), threshold = 0.4)
+      }.reduce(_.unionByName(_)).select(col("vec_id"), col("phase"))
+    }),
     // -------------------------------------------------- as-of / range join
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d).select("event_id", "user_id", "ts")
@@ -1926,6 +1940,25 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.4""",
+    // incremental embedding near-dup replayed set-wise on the exact pair
+    // set (the cell-angle pruning is lossless, so the Spark path's pair
+    // set IS the brute-force one): a vector is dropped iff SOME vector
+    // earlier in (phase, id) order is a >= 0.4 cosine neighbor
+    "q_embed_incr" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]) >= 0.4),
+         edges AS (
+           SELECT id_a AS e, id_b AS d FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         dropped AS (
+           SELECT DISTINCT d FROM edges
+           WHERE (e % 3 < d % 3) OR (e % 3 = d % 3 AND e < d))
+         SELECT vec_id, CAST(vec_id % 3 AS BIGINT) AS phase
+         FROM embeddings
+         WHERE vec_id NOT IN (SELECT d FROM dropped)""",
     // the stub decoder's FNV-1a checksum + derived dims, re-expressed in
     // SQL over HUGEINT modular arithmetic (documents are pure ASCII so
     // codepoints == UTF-8 bytes)

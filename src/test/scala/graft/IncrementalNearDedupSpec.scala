@@ -198,6 +198,54 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding phased appends equal one-shot drop-if-any-earlier") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("phase", pmod(col("vec_id"), lit(3)))
+    val idx = IncrementalDedup.scratchIndexDir(spark, "embed-phases")
+    val kept = (0 to 2).map { ph =>
+      IncrementalDedup.embedDedupAppend(spark, idx,
+        emb.filter(col("phase") === ph), threshold = 0.4)
+    }.reduce(_.unionByName(_))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // reference: brute-force exact pair set, (phase, id)-ordered drops
+    val pairs = graft.operators.Similarity.exactPairs(
+        Tables.embeddings(spark, sf0001), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val order = emb.select("vec_id", "phase").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def earlier(a: Long, b: Long) =
+      order(a) < order(b) || (order(a) == order(b) && a < b)
+    val droppedRef = pairs.flatMap { case (a, b) =>
+      Seq(if (earlier(a, b)) Some(b) else None,
+        if (earlier(b, a)) Some(a) else None).flatten
+    }.toSet
+    val expect = order.keySet -- droppedRef
+    assert(kept == expect,
+      s"missing=${expect -- kept} extra=${kept -- expect}")
+
+    // resend: every vector is its own cosine-1 neighbor in history
+    val again = IncrementalDedup.embedDedupAppend(spark, idx, emb, 0.4)
+    assert(again.count() == 0, s"resend kept ${again.count()}")
+  }
+
+  test("embedding bucketed path equals the small-index fast path") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("phase", pmod(col("vec_id"), lit(3)))
+    def runWith(tag: String, thresh: Long): Set[Long] = {
+      val idx = IncrementalDedup.scratchIndexDir(spark, tag)
+      (0 to 2).map(ph => IncrementalDedup.embedDedupAppend(spark, idx,
+          emb.filter(col("phase") === ph), threshold = 0.4,
+          bucketReadThresholdBytes = thresh))
+        .reduce(_.unionByName(_))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val fast = runWith("embed-gate-fast", Long.MaxValue)
+    val bucketed = runWith("embed-gate-bucketed", 0L)
+    assert(fast == bucketed,
+      s"missing=${fast -- bucketed} extra=${bucketed -- fast}")
+  }
+
   test("span index growth is bounded by distinct windows across batches") {
     val idx = IncrementalDedup.scratchIndexDir(spark, "span-growth")
     val docs = Tables.documents(spark, sf0001).limit(50)
