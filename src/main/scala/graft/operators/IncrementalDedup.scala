@@ -24,10 +24,9 @@ import graft.functions.functions.seeded_hash64
   * Per-batch cost: one shuffle of the batch plus a hash-join against the
   * index — a 24-bytes-per-distinct-doc table, typically 3–4 orders of
   * magnitude smaller than the corpus text it stands in for. The corpus
-  * itself is never rescanned. (The join still exchanges the index keys;
-  * if even that dominates, lay the index out bucketed by `h1` and read
-  * it through a bucketed table so the anti-join co-locates — the shape
-  * here stays the same.)
+  * itself is never rescanned, and past the size threshold the index is
+  * promoted to a bucketed table so even its own keys stop being
+  * exchanged (see [[dedupAppend]]).
   *
   * Single-writer contract (like the shard writers in
   * [[graft.sources.Layouts]]): parquet append is not transactional, so
@@ -56,9 +55,13 @@ object IncrementalDedup {
 
   /** Initialize the index from an existing corpus (one full exact-dedup
     * pass — the LAST full scan the corpus ever needs). Returns the
-    * corpus rows that survive (the canonical min-id keeper per content). */
+    * corpus rows that survive (the canonical min-id keeper per content).
+    * The index dir is DEDICATED to this index (the overwrite claims it
+    * whole). */
   def indexInit(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(indexDir, "keys")}")
     val w = winners(docs, idCol, textCol)
     w.write.mode("overwrite").parquet(indexDir)
     docs.join(w.select(col(idCol)), Seq(idCol), "left_semi")
@@ -69,13 +72,33 @@ object IncrementalDedup {
     * corpus history, min-id winner within the batch) and appends their
     * keys to the index. The novel set is materialized (localCheckpoint)
     * BEFORE the index append — the returned plan must not lazily re-read
-    * an index that already contains the keys it is anti-joining against. */
+    * an index that already contains the keys it is anti-joining against.
+    *
+    * Layout follows [[nearDedupAppend]]'s size gate: the key table stays
+    * plain parquet while small, and the batch that finds it past
+    * `bucketReadThresholdBytes` promotes it once into a catalog table
+    * BUCKETED on (_h1, _h2) — the anti-join's keys — so at scale the
+    * per-batch anti join reads the index pre-partitioned and only the
+    * batch's winners shuffle. */
   def dedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 32,
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
+    val table = indexTableName(indexDir, "keys")
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyCols = Seq("_h1", "_h2")
+    val bucketed = spark.catalog.tableExists(table) ||
+      (indexBytes(fs, indexDir) >= bucketReadThresholdBytes && {
+        promoteToBucketed(spark, fs, indexDir, table, keyCols, indexBuckets)
+        true
+      })
     val w = winners(batch, idCol, textCol)
-    val idx = spark.read.parquet(indexDir).select(col("_h1"), col("_h2"))
-    val novel = w.join(idx, Seq("_h1", "_h2"), "left_anti").localCheckpoint()
-    novel.write.mode("append").parquet(indexDir)
+    val idx = (if (bucketed) spark.table(table)
+      else spark.read.parquet(indexDir)).select(col("_h1"), col("_h2"))
+    val novel = w.join(idx, keyCols, "left_anti").localCheckpoint()
+    if (bucketed) appendBucketed(novel, indexDir, table, keyCols, indexBuckets)
+    else novel.write.mode("append").parquet(indexDir)
     batch.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
@@ -541,21 +564,34 @@ object IncrementalDedup {
     * index out bucketed by `h` when the equi-join's exchange dominates.
     * Single-writer contract as [[dedupAppend]]. */
   def spanDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
-      gram: Int = 8, idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
+      gram: Int = 8, idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 32,
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
     val gramsDir = s"$indexDir/grams"
+    val table = indexTableName(indexDir, "grams")
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val haveIndex = fs.exists(new Path(gramsDir))
+    val haveIndex = fs.exists(new Path(gramsDir)) &&
+      indexBytes(fs, gramsDir) > 0
+    if (!haveIndex) spark.sql(s"DROP TABLE IF EXISTS $table")
+    // size gate as dedupAppend: plain while small, promoted once into a
+    // table BUCKETED on `h` — both the duplicated-hash semi join and the
+    // novel-hash anti join then read the index co-located on their key
+    val bucketed = haveIndex && (spark.catalog.tableExists(table) ||
+      (indexBytes(fs, gramsDir) >= bucketReadThresholdBytes && {
+        promoteToBucketed(spark, fs, gramsDir, table, Seq("h"), indexBuckets)
+        true
+      }))
+    def idx() = if (bucketed) spark.table(table)
+      else spark.read.parquet(gramsDir)
 
     val g = Dedup.gramHashes(batch, gram, idCol, textCol).localCheckpoint()
     val distinctH = g.select(col("h")).distinct().localCheckpoint()
     val within = g.groupBy(col("h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2).select(col("h"))
     val dupH = if (haveIndex) {
-      val idx = spark.read.parquet(gramsDir)
       within.unionByName(
-        distinctH.join(idx, Seq("h"), "left_semi")).distinct()
+        distinctH.join(idx(), Seq("h"), "left_semi")).distinct()
     } else within
     val spans = Dedup.mergeSpanIslands(
         g.join(dupH, Seq("h"), "left_semi"), gram)
@@ -566,10 +602,12 @@ object IncrementalDedup {
     // from a crash re-run remain harmless — lookups are left_semi — and
     // compactIndex cleans them)
     val novelH = if (haveIndex)
-      distinctH.join(spark.read.parquet(gramsDir), Seq("h"), "left_anti")
+      distinctH.join(idx(), Seq("h"), "left_anti")
         .localCheckpoint() // materialize BEFORE appending to what it reads
     else distinctH
-    novelH.write.mode("append").parquet(gramsDir)
+    if (bucketed) appendBucketed(novelH, gramsDir, table, Seq("h"),
+      indexBuckets)
+    else novelH.write.mode("append").parquet(gramsDir)
     spans
   }
 
@@ -627,14 +665,24 @@ object IncrementalDedup {
       out(dir) = (before, after)
     }
 
+    // layout-aware: a dir whose catalog table exists compacts THROUGH
+    // the table (preserving the bucketed layout); a still-plain dir
+    // compacts as bare parquet and stays plain
+    def compactAuto(dir: String, part: String,
+        bucketCols: Seq[String]): Unit =
+      if (spark.catalog.tableExists(indexTableName(indexDir, part)))
+        compactBucketed(dir, part, bucketCols)
+      else compactPlain(dir)
+
     // flat exact-dedup index: parquet files directly under indexDir
     val flatFiles = exists(indexDir) &&
       fs.listStatus(new Path(indexDir)).exists(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (flatFiles) compactPlain(indexDir)
-    compactPlain(s"$indexDir/grams")
-    compactBucketed(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"))
-    compactBucketed(s"$indexDir/sigs", "sigs", Seq("id"))
+    if (flatFiles) compactAuto(indexDir, "keys", Seq("_h1", "_h2"))
+    compactAuto(s"$indexDir/grams", "grams", Seq("h"))
+    compactAuto(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"))
+    compactAuto(s"$indexDir/sigs", "sigs", Seq("id"))
+    compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"))
     out.toMap
   }
 

@@ -246,6 +246,39 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
       s"missing=${fast -- bucketed} extra=${bucketed -- fast}")
   }
 
+  test("exact + span bucketed paths equal their plain-path decisions") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("phase", pmod(col("doc_id"), lit(3)))
+    // exact: init then two appends, once plain, once promoted at batch 1
+    def exactRun(tag: String, thresh: Long): Set[Long] = {
+      val idx = IncrementalDedup.scratchIndexDir(spark, tag)
+      val r0 = IncrementalDedup.indexInit(docs.filter(col("phase") === 0), idx)
+      val rs = (1 to 2).map(ph => IncrementalDedup.dedupAppend(spark, idx,
+        docs.filter(col("phase") === ph),
+        bucketReadThresholdBytes = thresh))
+      (r0 +: rs).reduce(_.unionByName(_))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val exactPlain = exactRun("exact-gate-plain", Long.MaxValue)
+    val exactBucketed = exactRun("exact-gate-bucketed", 0L)
+    assert(exactPlain == exactBucketed,
+      s"missing=${exactPlain -- exactBucketed} extra=${exactBucketed -- exactPlain}")
+
+    // span: three appends, reported spans must match exactly
+    def spanRun(tag: String, thresh: Long): Set[(Long, Long, Long)] = {
+      val idx = IncrementalDedup.scratchIndexDir(spark, tag)
+      (0 to 2).map(ph => IncrementalDedup.spanDedupAppend(spark, idx,
+          docs.filter(col("phase") === ph),
+          bucketReadThresholdBytes = thresh))
+        .reduce(_.unionByName(_))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val spanPlain = spanRun("span-gate-plain", Long.MaxValue)
+    val spanBucketed = spanRun("span-gate-bucketed", 0L)
+    assert(spanPlain == spanBucketed,
+      s"missing=${spanPlain -- spanBucketed} extra=${spanBucketed -- spanPlain}")
+  }
+
   test("span index growth is bounded by distinct windows across batches") {
     val idx = IncrementalDedup.scratchIndexDir(spark, "span-growth")
     val docs = Tables.documents(spark, sf0001).limit(50)
