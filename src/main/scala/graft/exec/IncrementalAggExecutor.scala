@@ -708,7 +708,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         .getOrElse(return None)
       val candidates = for {
         finer <- finerGrains.getOrElse(coarse, Seq.empty)
-        lit <- Seq(finer, finer.toUpperCase(java.util.Locale.ROOT))
+        lit <- Seq(finer, finer.toUpperCase(java.util.Locale.ROOT),
+          finer.capitalize).distinct
       } yield (finer, lit)
       candidates.view.flatMap { case (finer, litText) =>
         var changed = false

@@ -105,7 +105,27 @@ object GraftFunctions {
       arity("graft_subword_count", args, 2)
       SubwordPieces(args(0), litStringArray("graft_subword_count", args(1)),
         countOnly = true)
+    },
+    // BPE against a literal ranked merges array, each element "a b"
+    // (pieces are within-word, so the space separator is unambiguous):
+    // graft_bpe(text, array('t h','th e',...)); _count as graft_subword
+    "graft_bpe" -> { args =>
+      arity("graft_bpe", args, 2)
+      BpePieces(args(0), litMerges("graft_bpe", args(1)), countOnly = false)
+    },
+    "graft_bpe_count" -> { args =>
+      arity("graft_bpe_count", args, 2)
+      BpePieces(args(0), litMerges("graft_bpe_count", args(1)),
+        countOnly = true)
     })
+
+  private def litMerges(name: String, e: Expression): Seq[(String, String)] =
+    litStringArray(name, e).map { s =>
+      val i = s.indexOf(' ')
+      require(i > 0 && i < s.length - 1,
+        s"$name: merge entry '$s' must be 'left right'")
+      (s.substring(0, i), s.substring(i + 1))
+    }
 
   private def info(name: String) =
     new ExpressionInfo("graft.functions", name)

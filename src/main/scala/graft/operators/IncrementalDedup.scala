@@ -497,11 +497,15 @@ object IncrementalDedup {
         dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint() // decided BEFORE the index grows below
     if (!placeable.isEmpty) {
+      // radii BEFORE vectors: a crash in between leaves radii covering
+      // vectors not yet indexed — conservatively large, still lossless.
+      // The reverse order could leave indexed vectors OUTSIDE the stored
+      // radii, silently losing recall on every later batch.
+      saveRadii(spark, radiiDir, radii)
       if (spark.catalog.tableExists(vecsTable))
         appendBucketed(placeable, vecsDir, vecsTable, Seq("cell"),
           indexBuckets)
       else placeable.write.mode("append").parquet(vecsDir)
-      saveRadii(spark, radiiDir, radii)
     }
     kept
   }

@@ -879,6 +879,13 @@ class PipelineSpec extends AnyFunSuite {
       .first()
     assert(sw.getSeq[String](0) == Seq("the", "at", "er"))
     assert(sw.getLong(1) == 3L)
+    // bpe surface: ranked "a b" merge entries
+    val bp = spark.sql(
+      """SELECT graft_bpe('thing', array('t h', 'i n', 'in g', 'th ing')) AS p,
+           graft_bpe_count('thing', array('t h', 'i n', 'in g', 'th ing')) AS n""")
+      .first()
+    assert(bp.getSeq[String](0) == Seq("thing"), bp)
+    assert(bp.getLong(1) == 1L)
   }
 
   test("text clean strips markup/controls, redact masks pii exactly") {
