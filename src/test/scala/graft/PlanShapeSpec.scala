@@ -272,6 +272,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("budgeted chunking: pack exchange + bounded rebuild, no window sort") {
+    val q = graft.queries.PipelineQueries.queries
+    val plan = planOf(q("q_text_chunks_budget")(spark, sf0001))
+    // the word-level next-fit rides greedyPack's secondary-sort shape
+    // (one hash exchange + in-partition sort) and the per-doc rebuild is
+    // one more hash aggregation exchange — a Window over word positions
+    // would instead sort every token stream globally per doc
+    assert(!plan.contains("Window"), plan)
+    assert("(?<!Broadcast)Exchange".r
+      .findAllIn(plan.replaceAll("\n", " ")).size == 2, plan)
+  }
+
   test("greedy pack: one hash exchange + in-partition sort, no global sort") {
     val q = graft.queries.PipelineQueries.queries
     val plan = planOf(q("q_pack_greedy")(spark, sf0001))
