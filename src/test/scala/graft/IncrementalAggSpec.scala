@@ -1100,6 +1100,55 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log4.messages.exists(_.startsWith("cache miss")), log4.messages)
   }
 
+  test("regrain never crosses strict-mode or differing-aggregate boundaries") {
+    val (early, _, splitUs) = split()
+    val work = tmpDir("regrain-neg")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def hourQ(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    // warm hour state exists (non-strict mode)
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+      .run(hourQ(spark.read.parquet(work))).collect()
+
+    // STRICT-mode day query: the finer fingerprint carries the :s1
+    // suffix, so non-strict hour state must NOT answer it (state bands
+    // differ — reusing would double-count rows in [wm, now))
+    val logS = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logS).withStrictUpperBound)
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value")))
+      .collect()
+    assert(!logS.messages.exists(_.startsWith("regrain hit")), logS.messages)
+    assert(logS.messages.exists(_.startsWith("cache miss")), logS.messages)
+
+    // day query with a DIFFERENT aggregate list: the grain-substituted
+    // plan no longer matches the hour twin — plain miss, no regrain
+    val logA = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logA))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("min_value")))
+      .collect()
+    assert(!logA.messages.exists(_.startsWith("regrain hit")), logA.messages)
+    assert(logA.messages.exists(_.startsWith("cache miss")), logA.messages)
+
+    // control: the SAME aggregates at day grain DO regrain
+    val logC = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logC))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value")))
+      .collect()
+    assert(logC.messages.exists(_.startsWith("regrain hit")), logC.messages)
+  }
+
   test("compress_runs: identity below threshold, bounded uniform bins above") {
     import graft.functions.functions.{compress_runs, runs_from_values}
     val s = spark
