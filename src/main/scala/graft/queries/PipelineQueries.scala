@@ -109,6 +109,12 @@ object PipelineQueries {
       TextAnalysis.chunksByTokenBudget(documents(s, d), budget = 48,
         tokenizer = graft.operators.SubwordTokenizer(
           graft.operators.SubwordTokenizer.demoVocab))),
+    // the same chunking operator under the BPE currency — one operator,
+    // three token accountings, all oracle-checked
+    "q_text_chunks_bpe" -> ((s, d) =>
+      TextAnalysis.chunksByTokenBudget(documents(s, d), budget = 48,
+        tokenizer = graft.operators.BpeTokenizer(
+          graft.operators.BpeTokenizer.demoMerges))),
     // BPE proper (merges-table-driven, the third tokenizer face):
     // per-document BPE token cost; merges LOADED AS DATA via fromTable
     "q_text_bpe" -> ((s, d) => {
@@ -1575,6 +1581,36 @@ object PipelineQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS before
                 FROM dt) u""",
+    // q_text_chunks_budget's recurrence with the per-word cost drawn
+    // from the BPE btok instead of the greedy-subword wtok
+    "q_text_chunks_bpe" ->
+      s"""WITH RECURSIVE $bpePrelude,
+          wrd AS (
+            SELECT doc_id, s AS word_idx, toks[CAST(s AS INT)+1] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) dd,
+              unnest(range(0, len(toks))) AS u(s)
+            WHERE toks[CAST(s AS INT)+1] <> ''),
+          wz AS (SELECT doc_id, word_idx, wrd.w AS w, btok.n AS wt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY word_idx) AS rn
+                 FROM wrd JOIN btok ON lower(wrd.w) = btok.w),
+          rec AS (
+            SELECT doc_id, rn, word_idx, w, wt,
+              CAST(0 AS BIGINT) AS chunk_idx, wt AS off
+            FROM wz WHERE rn = 1
+            UNION ALL
+            SELECT z.doc_id, z.rn, z.word_idx, z.w, z.wt,
+              CASE WHEN rec.off + z.wt <= 48 THEN rec.chunk_idx
+                   ELSE rec.chunk_idx + 1 END,
+              CASE WHEN rec.off + z.wt <= 48 THEN rec.off + z.wt
+                   ELSE z.wt END
+            FROM rec JOIN wz z
+              ON z.doc_id = rec.doc_id AND z.rn = rec.rn + 1)
+          SELECT doc_id, chunk_idx,
+            string_agg(w, ' ' ORDER BY word_idx) AS chunk_text,
+            CAST(sum(wt) AS BIGINT) AS n_tokens
+          FROM rec GROUP BY 1, 2""",
     // q_pack_greedy's next-fit recurrence at word granularity: words in
     // ORIGINAL case rebuild the chunk text, the per-word subword cost
     // joins through the lowercased wtok
