@@ -370,10 +370,16 @@ object Decompose {
         val unit = when(v.isNull || f.isNull, emptyVc)
           .when(guarded === 0, emptyVc)
           .otherwise(array(struct(v.as("v"), guarded.as("c"))))
+        // weighted values compress like unweighted ones — the runs ARE
+        // the expanded multiset, so the capped-sketch escape (see
+        // MValueSketch) applies with the identical rank-error bound
         val spec = StateSpec(n,
-          graft.functions.functions.merge_runs(flatten(collect_list(unit)))
+          graft.functions.functions.compress_runs(
+            graft.functions.functions.merge_runs(flatten(collect_list(unit))),
+            PercentileSketchThreshold, PercentileSketchCentroids)
             .cast(vcType),
-          MValueCounts, unit = Some(unit))
+          MValueSketch(PercentileSketchThreshold, PercentileSketchCentroids),
+          unit = Some(unit))
         foldablePercentages(p.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(
