@@ -696,8 +696,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       stateSchema: StructType): Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
     val gIdx = c.temporalGroupIdx.getOrElse(return None)
-    val groupExpr = TemporalGroupBy.resolveThroughChild(
-      c.agg.groupingExpressions(gIdx), c.agg.child)
+    val groupKey = c.agg.groupingExpressions(gIdx)
+    val groupExpr = TemporalGroupBy.resolveThroughChild(groupKey, c.agg.child)
     val fmt = groupExpr match {
       case t: TruncTimestamp if t.format.foldable =>
         Option(t.format.eval()).map(_.toString)
@@ -706,6 +706,81 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     fmt.flatMap { f =>
       val coarse = grainAliases.get(f.toUpperCase(java.util.Locale.ROOT))
         .getOrElse(return None)
+      def isMatch(e: Expression): Boolean = e match {
+        case t: TruncTimestamp => t.format.foldable &&
+          Option(t.format.eval()).exists(v => grainAliases
+            .get(v.toString.toUpperCase(java.util.Locale.ROOT))
+            .contains(coarse)) &&
+          t.timestamp.references.exists(_.semanticEquals(c.temporalAttr))
+        case _ => false
+      }
+      def matchesIn(e: Expression): Int = {
+        var n = 0; e.foreach(x => if (isMatch(x)) n += 1); n
+      }
+      // The grain substitution is only sound at sites the replay later
+      // COMPENSATES by re-truncating _g$gIdx: the gIdx grouping key itself
+      // (or, for a pulled-out `_groupingexpression` attribute, its defining
+      // alias in the child Project) and output subtrees semantically equal
+      // to that key — exactly the subtrees `rewrite` maps to _g$gIdx at
+      // finalize time. A coarse trunc ANYWHERE else (a filter below the
+      // aggregate, inside an aggregate function, inside another grouping
+      // key) means the finer twin computed something semantically DIFFERENT
+      // at that site, so regrain must bail to a plain miss rather than
+      // silently change answers.
+      var total = 0
+      c.agg.foreach(node => node.expressions.foreach(e => total += matchesIn(e)))
+      def safeInOutput(e: Expression): Int =
+        if (e.semanticEquals(groupKey)) matchesIn(e)
+        else e match {
+          // replay maps a whole AggregateExpression to a finalizer over
+          // stored state — a trunc INSIDE one is never re-truncated
+          case _: AggregateExpression => 0
+          case _ => e.children.map(safeInOutput).sum
+        }
+      var safe = matchesIn(groupKey)
+      c.agg.aggregateExpressions.foreach { o =>
+        val core = o match { case Alias(ch, _) => ch; case x => x }
+        safe += safeInOutput(core)
+      }
+      var attrLeak = false
+      groupKey match {
+        case a: Attribute if !(groupExpr eq groupKey) =>
+          // pulled-out grouping attribute (transparent mode): its defining
+          // alias is the one compensated child site; the attribute itself
+          // must not leak into measures or other grouping keys — the finer
+          // twin's DEFINITION changed underneath every such use and replay
+          // does not re-truncate them.
+          safe += matchesIn(groupExpr)
+          var attrTotal = 0
+          c.agg.expressions.foreach(_.foreach {
+            case x: Attribute if x.semanticEquals(a) => attrTotal += 1
+            case _ => ()
+          })
+          def attrIn(e: Expression): Int = {
+            var n = 0
+            e.foreach { case x: Attribute if x.semanticEquals(a) => n += 1; case _ => () }
+            n
+          }
+          def attrSafeInOutput(e: Expression): Int =
+            if (e.semanticEquals(groupKey)) attrIn(e)
+            else e match {
+              case _: AggregateExpression => 0
+              case _ => e.children.map(attrSafeInOutput).sum
+            }
+          var attrSafe = attrIn(groupKey) // the grouping-list occurrence
+          c.agg.aggregateExpressions.foreach { o =>
+            val core = o match { case Alias(ch, _) => ch; case x => x }
+            attrSafe += attrSafeInOutput(core)
+          }
+          attrLeak = attrTotal != attrSafe
+        case _ => ()
+      }
+      if (total != safe || safe == 0 || attrLeak) {
+        if (total != safe || attrLeak) config.log.info(c.fingerprint,
+          s"regrain bail: grain literal used outside the temporal group key " +
+            s"($total sites, $safe compensated)")
+        return None
+      }
       val candidates = for {
         finer <- finerGrains.getOrElse(coarse, Seq.empty)
         lit <- Seq(finer, finer.toUpperCase(java.util.Locale.ROOT),
@@ -714,11 +789,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       candidates.view.flatMap { case (finer, litText) =>
         var changed = false
         val subAgg = c.agg.transformAllExpressions {
-          case t: TruncTimestamp if t.format.foldable &&
-              Option(t.format.eval()).exists(v => grainAliases
-                .get(v.toString.toUpperCase(java.util.Locale.ROOT))
-                .contains(coarse)) &&
-              t.timestamp.references.exists(_.semanticEquals(c.temporalAttr)) =>
+          case t: TruncTimestamp if isMatch(t) =>
             changed = true
             t.copy(format = Literal(litText))
         }

@@ -1149,6 +1149,66 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(logC.messages.exists(_.startsWith("regrain hit")), logC.messages)
   }
 
+  test("regrain bails when the grain literal appears outside the group key") {
+    // grain-templated queries where the template literal ALSO instantiates
+    // a measure or a filter: the finer twin computed something semantically
+    // different at those sites, so replaying it re-truncated would change
+    // answers — must fall back to a plain miss (r8 ADVICE high).
+    val (early, late, splitUs) = split()
+
+    // (a) grain inside an aggregate measure: max(date_trunc(g, ts))
+    locally {
+      val work = tmpDir("regrain-measure")
+      early.write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def q(g: String)(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc(g, col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          max(date_trunc(g, col("ts"))).as("last_bucket"))
+      QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+        .run(q("hour")(spark.read.parquet(work))).collect()
+      late.write.mode("append").parquet(work)
+      QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts"))
+        .run(q("hour")(spark.read.parquet(work))).collect()
+      // warm hour twin exists; the day query must NOT regrain from it —
+      // its hour state's max(date_trunc(hour, ts)) is not a day max
+      val log = new RecordingLog
+      val dayDF = QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", log = log))
+        .run(q("day")(spark.read.parquet(work)))
+      assertSameRows(dayDF, q("day")(eventsFull))
+      assert(!log.messages.exists(_.startsWith("regrain hit")), log.messages)
+      assert(log.messages.exists(_.startsWith("cache miss")), log.messages)
+    }
+
+    // (b) grain inside a filter below the aggregate
+    locally {
+      val work = tmpDir("regrain-filter")
+      early.write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      val cut = timestamp_micros(lit(0L))
+      def q(g: String)(df: DataFrame) = df
+        .filter(date_trunc(g, col("ts")) >= cut)
+        .groupBy(date_trunc(g, col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+        .run(q("hour")(spark.read.parquet(work))).collect()
+      late.write.mode("append").parquet(work)
+      QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts"))
+        .run(q("hour")(spark.read.parquet(work))).collect()
+      val log = new RecordingLog
+      val dayDF = QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", log = log))
+        .run(q("day")(spark.read.parquet(work)))
+      assertSameRows(dayDF, q("day")(eventsFull))
+      assert(!log.messages.exists(_.startsWith("regrain hit")), log.messages)
+    }
+  }
+
   test("compress_runs: identity below threshold, bounded uniform bins above") {
     import graft.functions.functions.{compress_runs, runs_from_values}
     val s = spark
