@@ -44,7 +44,7 @@ object IncrementalDedup {
   private val Seed2 = 0x74696478L // "tidx"
 
   /** batch → one row per distinct key: (_h1, _h2, <idCol>=min id) */
-  private def winners(docs: DataFrame, idCol: String, textCol: String)
+  private[graft] def winners(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
     docs.select(
         seeded_hash64(col(textCol), lit(Seed1)).as("_h1"),
@@ -94,12 +94,21 @@ object IncrementalDedup {
         true
       })
     val w = winners(batch, idCol, textCol)
-    val idx = (if (bucketed) spark.table(table)
-      else spark.read.parquet(indexDir)).select(col("_h1"), col("_h2"))
-    val novel = w.join(idx, keyCols, "left_anti").localCheckpoint()
+    val novel = keysNovel(spark, indexDir, w, bucketed).localCheckpoint()
     if (bucketed) appendBucketed(novel, indexDir, table, keyCols, indexBuckets)
     else novel.write.mode("append").parquet(indexDir)
     batch.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** The per-batch novelty anti-join against the key index. In bucketed
+    * mode the index scan arrives pre-partitioned on (_h1, _h2) — the
+    * join keys — so only the batch's winners shuffle (plan-pinned in
+    * IncrementalNearDedupSpec). */
+  private[graft] def keysNovel(spark: SparkSession, indexDir: String,
+      w: DataFrame, bucketed: Boolean): DataFrame = {
+    val idx = (if (bucketed) spark.table(indexTableName(indexDir, "keys"))
+      else spark.read.parquet(indexDir)).select(col("_h1"), col("_h2"))
+    w.join(idx, Seq("_h1", "_h2"), "left_anti")
   }
 
   /** Number of distinct contents the index currently covers. */
@@ -220,7 +229,8 @@ object IncrementalDedup {
             col("x.band_hash") === col("y.band_hash"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
-      val shAll = shHashed.unionByName(spark.read.parquet(sigsDir))
+      val shAll = shHashed.unionByName(
+        requireHashedSigs(spark.read.parquet(sigsDir), sigsDir))
       Dedup.verifyJaccardPairs(candWithin.unionByName(candCross), shAll,
           threshold)
         .select(col("id_b").as("id")).distinct()
@@ -254,19 +264,42 @@ object IncrementalDedup {
   }
 
   /** One-time layout promotion at the size threshold: rewrite a plain
-    * index dir into its bucketed catalog table (the data is exactly
-    * threshold-sized, so the one checkpoint it rides through is
-    * bounded; single-writer contract as every other index mutation). */
+    * index dir into its bucketed catalog table. Crash-safe, unlike every
+    * other index mutation which is append-only: the bucketed copy is
+    * written to a DURABLE sibling dir while the plain files are still in
+    * place (no executor-storage checkpoint holds the only copy), and the
+    * plain dir is deleted only after the copy is fully on disk — the
+    * non-atomic window shrinks to two filesystem metadata ops, with the
+    * complete copy durable throughout. Single-writer contract as every
+    * other index mutation. */
   private def promoteToBucketed(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String, table: String,
       bucketCols: Seq[String], buckets: Int): Unit = {
-    val d = spark.read.parquet(dir).localCheckpoint()
-    fs.delete(new Path(dir), true)
-    d.repartition(buckets, bucketCols.map(col): _*)
-      .write.mode("overwrite").format("parquet").option("path", dir)
+    val tmp = new Path(dir + ".promote")
+    val dst = new Path(dir)
+    val tmpTable = table + "_tmp"
+    fs.delete(tmp, true) // leftovers of an interrupted earlier attempt
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // bucketed write to the sibling path, reading the live plain files
+    spark.read.parquet(dir)
+      .repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet").option("path", tmp.toString)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
+      .saveAsTable(tmpTable)
+    val ddl = spark.table(tmpTable).schema.toDDL
+    spark.sql(s"DROP TABLE $tmpTable") // external: the files stay put
+    // swap: bucket ids live in the FILE NAMES (BucketingUtils), so the
+    // renamed files reinterpret identically under the table registered
+    // over the final location
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"promotion rename $tmp -> $dst failed")
+    val cols = bucketCols.mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+      s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
+      s"LOCATION '$dir'")
   }
 
   /** total bytes of the parquet files under an index dir */
@@ -320,8 +353,10 @@ object IncrementalDedup {
     val idxBands = bucketedIndexTable(spark, s"$indexDir/bands",
       indexTableName(indexDir, "bands"), Seq("band_idx", "band_hash"),
       indexBuckets)
-    val idxSigs = bucketedIndexTable(spark, s"$indexDir/sigs",
-      indexTableName(indexDir, "sigs"), Seq("id"), indexBuckets)
+    val idxSigs = requireHashedSigs(
+      bucketedIndexTable(spark, s"$indexDir/sigs",
+        indexTableName(indexDir, "sigs"), Seq("id"), indexBuckets),
+      s"$indexDir/sigs")
     val candCross = idxBands.as("x").join(bnd.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash"))
@@ -330,6 +365,23 @@ object IncrementalDedup {
     Dedup.verifyJaccardPairsAB(candCross, idxSigs, shHashed, threshold)
       .select(col("id_b").as("id"))
   }
+
+  /** Index format guard: format v2 stores `sh` xxhash64'd as
+    * array<long>; the original format stored raw shingle strings. With
+    * a v1 index on disk, unionByName / array_intersect would type-coerce
+    * long vs string to array<string>, every cross-history Jaccard would
+    * be 0, and duplicates against pre-upgrade history would silently
+    * PASS — fail fast instead (r8 ADVICE). The element type doubles as
+    * the version stamp: it is the one thing the old files cannot fake. */
+  private def requireHashedSigs(df: DataFrame, where: String): DataFrame =
+    df.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => df
+      case other => throw new IllegalStateException(
+        s"$where stores sh as $other — a pre-v2 (string-shingle) near-dup " +
+          "index; rebuild the index (or re-hash sigs/ with xxhash64) " +
+          "before appending to it")
+    }
 
   /** Deterministic catalog name for a bucketed index table at `dir` —
     * content-derived so any session over the same path re-registers the
@@ -470,16 +522,10 @@ object IncrementalDedup {
 
     val yb = placeable.select(col("id").as("id_b"), col("e").as("e_b"),
       col("cell").as("cb"))
-    def droppedVs(xSide: DataFrame, ordered: Boolean): DataFrame = {
-      val xp = xSide.join(cellPairs, Seq("ca"))
-      xp.join(yb, xp("cb") === yb("cb") &&
-          (if (ordered) col("id_a") < col("id_b") else lit(true)))
-        .filter(cosine_similarity(col("e_a"), col("e_b")) >= threshold)
-        .select(col("id_b").as("id"))
-    }
     val xWithin = placeable.select(col("id").as("id_a"), col("e").as("e_a"),
       col("cell").as("ca"))
-    val droppedWithin = droppedVs(xWithin, ordered = true)
+    val droppedWithin = embedDroppedVs(xWithin, yb, cellPairs,
+      ordered = true, threshold)
     val dropped = (if (haveIndex) {
       val hist =
         if (spark.catalog.tableExists(vecsTable)) spark.table(vecsTable)
@@ -490,7 +536,8 @@ object IncrementalDedup {
         } else spark.read.parquet(vecsDir)
       val xCross = hist.select(col("id").as("id_a"), col("e").as("e_a"),
         col("cell").as("ca"))
-      droppedWithin.unionByName(droppedVs(xCross, ordered = false))
+      droppedWithin.unionByName(
+        embedDroppedVs(xCross, yb, cellPairs, ordered = false, threshold))
     } else droppedWithin).distinct()
 
     val kept = batch.join(
@@ -508,6 +555,27 @@ object IncrementalDedup {
       else placeable.write.mode("append").parquet(vecsDir)
     }
     kept
+  }
+
+  /** Cell-pair-pruned exact-cosine candidate check, oriented for scale:
+    * the SMALL batch side (`yb`) expands by the broadcast `cellPairs`
+    * (≤k× rows), and the expanded batch then equi-joins `xSide` on
+    * `xSide`'s OWN cell column `ca`. For the cross-history join `xSide`
+    * is the vecs index, bucketed on `cell` = `ca`, so the join key IS
+    * the bucket column: the wide embedding payload is read
+    * pre-partitioned and never exchanged — only the expanded batch
+    * shuffles (plan-pinned in IncrementalNearDedupSpec). The reversed
+    * orientation (expanding history by cellPairs, joining on `cb`)
+    * would shuffle the embeddings whenever the batch is too big to
+    * broadcast. */
+  private[graft] def embedDroppedVs(xSide: DataFrame, yb: DataFrame,
+      cellPairs: DataFrame, ordered: Boolean, threshold: Double): DataFrame = {
+    import graft.functions.functions.cosine_similarity
+    val ybExp = yb.join(cellPairs, Seq("cb"))
+    xSide.join(ybExp, xSide("ca") === ybExp("ca") &&
+        (if (ordered) col("id_a") < col("id_b") else lit(true)))
+      .filter(cosine_similarity(col("e_a"), col("e_b")) >= threshold)
+      .select(col("id_b").as("id"))
   }
 
   private def saveCentroids(spark: SparkSession, dir: String,
@@ -586,33 +654,41 @@ object IncrementalDedup {
         promoteToBucketed(spark, fs, gramsDir, table, Seq("h"), indexBuckets)
         true
       }))
-    def idx() = if (bucketed) spark.table(table)
-      else spark.read.parquet(gramsDir)
-
     val g = Dedup.gramHashes(batch, gram, idCol, textCol).localCheckpoint()
     val distinctH = g.select(col("h")).distinct().localCheckpoint()
     val within = g.groupBy(col("h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2).select(col("h"))
-    val dupH = if (haveIndex) {
-      within.unionByName(
-        distinctH.join(idx(), Seq("h"), "left_semi")).distinct()
-    } else within
-    val spans = Dedup.mergeSpanIslands(
-        g.join(dupH, Seq("h"), "left_semi"), gram)
-      .localCheckpoint() // decided BEFORE the index grows below
     // append only hashes the index does not already hold: batches sharing
     // content would otherwise re-append their overlap every run, so index
     // growth is bounded by distinct windows as documented (duplicate rows
     // from a crash re-run remain harmless — lookups are left_semi — and
     // compactIndex cleans them)
-    val novelH = if (haveIndex)
-      distinctH.join(idx(), Seq("h"), "left_anti")
-        .localCheckpoint() // materialize BEFORE appending to what it reads
-    else distinctH
+    val (dupH, novelH) = if (haveIndex) {
+      val (dupSemi, novelAnti) =
+        spanIndexLookups(spark, indexDir, distinctH, bucketed)
+      (within.unionByName(dupSemi).distinct(),
+        // materialize BEFORE appending to what it reads
+        novelAnti.localCheckpoint())
+    } else (within, distinctH)
+    val spans = Dedup.mergeSpanIslands(
+        g.join(dupH, Seq("h"), "left_semi"), gram)
+      .localCheckpoint() // decided BEFORE the index grows below
     if (bucketed) appendBucketed(novelH, gramsDir, table, Seq("h"),
       indexBuckets)
     else novelH.write.mode("append").parquet(gramsDir)
     spans
+  }
+
+  /** The per-batch gram-index lookups: (duplicated-hash semi join,
+    * novel-hash anti join), both keyed on `h`. In bucketed mode the
+    * index scan arrives pre-partitioned on `h`, so only the batch's
+    * distinct hashes shuffle (plan-pinned in IncrementalNearDedupSpec). */
+  private[graft] def spanIndexLookups(spark: SparkSession, indexDir: String,
+      distinctH: DataFrame, bucketed: Boolean): (DataFrame, DataFrame) = {
+    val idx = if (bucketed) spark.table(indexTableName(indexDir, "grams"))
+      else spark.read.parquet(s"$indexDir/grams")
+    (distinctH.join(idx, Seq("h"), "left_semi"),
+      distinctH.join(idx, Seq("h"), "left_anti"))
   }
 
   // --------------------------------------------------- index compaction

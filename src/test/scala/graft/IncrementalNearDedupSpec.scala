@@ -12,6 +12,38 @@ import graft.sources.Tables
 class IncrementalNearDedupSpec extends AnyFunSuite {
   import TestSparkSession._
 
+  /** Assert the scan whose root path ends with `part` is a bucketed scan
+    * with NO ShuffleExchange strictly between it and its nearest join
+    * ancestor — the index side of the join must be exchange-free. */
+  /** With `wholePath`, forbid exchanges on the ENTIRE root→scan path —
+    * for plans where the index side must flow into its final join with
+    * no repartitioning at all (catches a re-orientation that hides the
+    * exchange above an intermediate broadcast join). */
+  private def pinBucketedScan(
+      plan: org.apache.spark.sql.execution.SparkPlan, part: String,
+      wholePath: Boolean = false): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinExec}
+    def pathTo(p: SparkPlan, pred: SparkPlan => Boolean)
+        : Option[List[SparkPlan]] =
+      if (pred(p)) Some(List(p))
+      else p.children.view.flatMap(c => pathTo(c, pred)).headOption
+        .map(p :: _)
+    val path = pathTo(plan, {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.endsWith(part))
+      case _ => false
+    }).getOrElse(fail(s"no $part scan in plan:\n$plan"))
+    val scan = path.last.asInstanceOf[FileSourceScanExec]
+    assert(scan.bucketedScan, s"$part scan not bucketed:\n$plan")
+    val checked =
+      if (wholePath) path
+      else path.reverse.takeWhile(!_.isInstanceOf[JoinExec])
+    assert(!checked.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"index side of the $part join shuffles:\n$plan")
+  }
+
   test("re-sending an already-indexed batch drops every shingled doc") {
     val docs = Tables.documents(spark, sf0001)
     val idx = IncrementalDedup.scratchIndexDir(spark, "near-resend")
@@ -112,30 +144,97 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
         3, 64, 16, "doc_id", "text")
       val dropped = IncrementalDedup.crossDropped(iso, idx, bnd, sh, 0.5, 32)
       val plan = dropped.queryExecution.executedPlan
-      // path from root to the given scan
-      def pathTo(p: SparkPlan, pred: SparkPlan => Boolean)
-          : Option[List[SparkPlan]] =
-        if (pred(p)) Some(List(p))
-        else p.children.view.flatMap(c => pathTo(c, pred)).headOption
-          .map(p :: _)
-      def pin(part: String): Unit = {
-        val path = pathTo(plan, {
-          case f: FileSourceScanExec =>
-            f.relation.location.rootPaths.exists(_.toString.endsWith(part))
-          case _ => false
-        }).getOrElse(fail(s"no $part scan in plan:\n$plan"))
-        val scan = path.last.asInstanceOf[FileSourceScanExec]
-        assert(scan.bucketedScan, s"$part scan not bucketed:\n$plan")
-        // nodes strictly between the scan and its nearest join ancestor:
-        // an Exchange there would be shuffling the index side
-        val belowJoin = path.reverse.takeWhile(!_.isInstanceOf[JoinExec])
-        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
-          s"index side of the $part join shuffles:\n$plan")
-      }
-      pin("/bands")
-      pin("/sigs")
+      pinBucketedScan(plan, "/bands")
+      pinBucketedScan(plan, "/sigs")
       assert(dropped.count() > 0) // the pinned plan actually runs
     }
+  }
+
+  test("embed cross-history join reads vecs bucketed and exchange-free") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("phase", pmod(col("vec_id"), lit(2)))
+    val idx = IncrementalDedup.scratchIndexDir(spark, "embed-planpin")
+    // threshold 0: the second batch promotes vecs/ to the bucketed table
+    IncrementalDedup.embedDedupAppend(spark, idx,
+      emb.filter(col("phase") === 0), threshold = 0.4,
+      bucketReadThresholdBytes = 0)
+    IncrementalDedup.embedDedupAppend(spark, idx,
+      emb.filter(col("phase") === 1), threshold = 0.4,
+      bucketReadThresholdBytes = 0)
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") { iso =>
+      val vecsTable = IncrementalDedup.indexTableName(idx, "vecs")
+      val hist = iso.table(vecsTable).select(col("id").as("id_a"),
+        col("e").as("e_a"), col("cell").as("ca"))
+      val cells = iso.table(vecsTable).select("cell").distinct()
+        .collect().map(_.getInt(0))
+      import iso.implicits._
+      val cellPairs = broadcast(
+        (for { a <- cells; b <- cells } yield (a, b)).toSeq.toDF("ca", "cb"))
+      // a resend-shaped batch: real vectors, cells as stored
+      val yb = iso.table(vecsTable).limit(100).select(col("id").as("id_b"),
+        col("e").as("e_b"), col("cell").as("cb"))
+      val dropped = IncrementalDedup.embedDroppedVs(hist, yb, cellPairs,
+        ordered = false, threshold = 0.4)
+      val plan = dropped.queryExecution.executedPlan
+      // the join key is hist's OWN bucket column: the wide embedding
+      // payload must come straight off the bucketed scan, no exchange
+      pinBucketedScan(plan, "/vecs", wholePath = true)
+      assert(dropped.count() > 0) // resent vectors match at cosine 1.0
+    }
+  }
+
+  test("exact and span index lookups read bucketed and exchange-free") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("phase", pmod(col("doc_id"), lit(2)))
+    // exact-dedup keys index, promoted at the second append
+    val kIdx = IncrementalDedup.scratchIndexDir(spark, "exact-planpin")
+    IncrementalDedup.indexInit(docs.filter(col("phase") === 0), kIdx)
+    IncrementalDedup.dedupAppend(spark, kIdx,
+      docs.filter(col("phase") === 1), bucketReadThresholdBytes = 0)
+    // span grams index, promoted at the second append
+    val sIdx = IncrementalDedup.scratchIndexDir(spark, "span-planpin")
+    IncrementalDedup.spanDedupAppend(spark, sIdx,
+      docs.filter(col("phase") === 0), bucketReadThresholdBytes = 0)
+    IncrementalDedup.spanDedupAppend(spark, sIdx,
+      docs.filter(col("phase") === 1), bucketReadThresholdBytes = 0)
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") { iso =>
+      val batch = iso.read.parquet(sf0001 + "/documents.parquet")
+      val kName = kIdx.substring(kIdx.lastIndexOf('/'))
+      val w = IncrementalDedup.winners(batch, "doc_id", "text")
+      val novel = IncrementalDedup.keysNovel(iso, kIdx, w, bucketed = true)
+      pinBucketedScan(novel.queryExecution.executedPlan, kName)
+      assert(novel.count() == 0) // resend: nothing novel, plan ran
+
+      val distinctH = graft.operators.Dedup.gramHashes(batch, 8, "doc_id", "text")
+        .select(col("h")).distinct()
+      val (dupSemi, novelAnti) =
+        IncrementalDedup.spanIndexLookups(iso, sIdx, distinctH, bucketed = true)
+      pinBucketedScan(dupSemi.queryExecution.executedPlan, "/grams")
+      pinBucketedScan(novelAnti.queryExecution.executedPlan, "/grams")
+      assert(dupSemi.count() > 0) // resent windows are all in the index
+      assert(novelAnti.count() == 0)
+    }
+  }
+
+  test("appending to a v1 (string-shingle) sigs index fails fast") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val idx = IncrementalDedup.scratchIndexDir(spark, "near-v1")
+    IncrementalDedup.nearDedupAppend(spark, idx, docs, 0.5)
+    // simulate a pre-v2 index: sigs/ rewritten with string shingles (the
+    // old format); long-vs-string would coerce to array<string> and turn
+    // every cross-history Jaccard into 0 — silent duplicate passthrough
+    val old = spark.read.parquet(s"$idx/sigs")
+      .select(col("id"), transform(col("sh"), _.cast("string")).as("sh"))
+      .localCheckpoint()
+    old.write.mode("overwrite").parquet(s"$idx/sigs")
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.nearDedupAppend(spark, idx, docs, 0.5).collect()
+    }
+    assert(e.getMessage.contains("pre-v2"), e.getMessage)
   }
 
   test("compactIndex reclaims duplicate rows, preserves layout + decisions") {
