@@ -103,6 +103,27 @@ import graft.log.{CacheLog, NoOpLog}
   *                              (src/aggregate.rs:89). ON by default —
   *                              it only engages on an exact-fingerprint
   *                              MISS and never changes answers.
+  * @param redimDimensionColumns opt-in group-by DIMENSION subsumption
+  *                              (the drill-down ↔ roll-up pair dashboards
+  *                              hit constantly): on an exact-fingerprint
+  *                              MISS, probe for warm state of the SAME
+  *                              plan grouped by a superset of this
+  *                              query's keys — its grouping plus ONE of
+  *                              the declared dimension columns — and
+  *                              answer by merging the extra key away
+  *                              (every whitelisted state is re-aggregable
+  *                              by contract; folding a dimension's groups
+  *                              together is the same merge every warm run
+  *                              performs). The twin plan is built by pure
+  *                              INSERTION of the dimension attribute, so
+  *                              unlike grain substitution no other plan
+  *                              site can change meaning — the probe
+  *                              either finds state captured by exactly
+  *                              that superset query or misses. Declared
+  *                              by column NAME (case-insensitive);
+  *                              empty set = feature off. No reference
+  *                              analog (its fingerprint is all-or-
+  *                              nothing, src/aggregate.rs:89).
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -116,10 +137,14 @@ final case class QueryCacheConfig(
     temporalPartitionColumn: Option[String] = None,
     staticDimensionTables: Set[String] = Set.empty,
     regrainFromFinerState: Boolean = true,
+    redimDimensionColumns: Set[String] = Set.empty,
     log: CacheLog = NoOpLog) {
 
   def withStaticDimensions(tables: String*): QueryCacheConfig =
     copy(staticDimensionTables = staticDimensionTables ++ tables)
+
+  def withRedimDimensions(cols: String*): QueryCacheConfig =
+    copy(redimDimensionColumns = redimDimensionColumns ++ cols)
 
   /** is every source path of this set declared static? (path, basename,
     * and extension-less basename all match case-insensitively — the one

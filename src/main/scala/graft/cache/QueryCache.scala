@@ -105,16 +105,21 @@ final class CacheStats {
   private val m = new java.util.concurrent.atomic.AtomicLong
   private val b = new java.util.concurrent.atomic.AtomicLong
   private val inv = new java.util.concurrent.atomic.AtomicLong
+  private val ev = new java.util.concurrent.atomic.AtomicLong
   private[graft] def recordHit(): Unit = { h.incrementAndGet(); () }
   private[graft] def recordMiss(): Unit = { m.incrementAndGet(); () }
   private[graft] def recordBail(): Unit = { b.incrementAndGet(); () }
   private[graft] def recordInvalidation(): Unit = { inv.incrementAndGet(); () }
+  private[graft] def recordEviction(): Unit = { ev.incrementAndGet(); () }
   def hits: Long = h.get
   def misses: Long = m.get
   def bails: Long = b.get
   def invalidations: Long = inv.get
+  /** entries dropped by a capacity/TTL sweep (not user invalidation) */
+  def evictions: Long = ev.get
   override def toString: String =
-    s"CacheStats(hits=$hits, misses=$misses, bails=$bails, invalidations=$invalidations)"
+    s"CacheStats(hits=$hits, misses=$misses, bails=$bails, " +
+      s"invalidations=$invalidations, evictions=$evictions)"
 }
 
 object QueryCache {
@@ -262,12 +267,34 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
   * passes through the driver: at 100 TB / millions of groups the put is a
   * parallel parquet write and the warm read is a parallel parquet scan
   * that unions straight into the partial-merge aggregation.
+  *
+  * Global bounds (all OFF by default; the durable counterpart of
+  * [[MemoryQueryCache]]'s maxEntries/ttlMs, which previously had no disk
+  * analog — distinct fingerprints would accumulate forever): `maxEntries`
+  * caps live fingerprints, `maxBytes` caps total on-disk state,
+  * `ttlMs` expires entries not written for that long. A sweep piggybacks
+  * on put at most once per `sweepIntervalMs` and EVICTS by committing
+  * tombstone heads — reader-safe like invalidation: files age out through
+  * the grace window, never yanked mid-scan. An evicted query just runs
+  * cold on its next appearance and re-caches.
   */
 final class ParquetQueryCache(rootDir: String,
     keepVersions: Int = 2,
     graceMs: Long = 10L * 60 * 1000,
-    abandonedMs: Long = 24L * 3600 * 1000) extends QueryCache {
+    abandonedMs: Long = 24L * 3600 * 1000,
+    maxEntries: Int = 0,
+    maxBytes: Long = 0L,
+    ttlMs: Long = 0L,
+    sweepIntervalMs: Long = 60L * 1000) extends QueryCache {
   import ParquetQueryCache._
+
+  // keyHash(fp) → fp, learned from this process's own get/put traffic:
+  // lets the global sweep below drop the in-process source index for
+  // entries it evicts (a sweep only sees hash-named dirs; entries cached
+  // by OTHER processes have no local index row to drop anyway)
+  private val hashToFp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lastSweepMs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Latest committed meta version in `dir`. Meta files are immutable and
     * versioned (`meta-<v>.json`, appearing atomically via temp+rename), so
@@ -285,7 +312,9 @@ final class ParquetQueryCache(rootDir: String,
 
   override def get(fingerprint: String): Option[CachedState] = {
     val spark = SparkSession.active
-    val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
+    val key = QueryCache.keyHash(fingerprint)
+    hashToFp.put(key, fingerprint)
+    val dir = new Path(rootDir, key)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestMeta(fs, dir).filterNot(_.tombstone).map { meta =>
       val dataPath = new Path(dir, meta.dataDir).toString
@@ -297,7 +326,9 @@ final class ParquetQueryCache(rootDir: String,
   override def put(fingerprint: String, timestampMicros: Long,
       state: DataFrame): DataFrame = {
     val spark = state.sparkSession
-    val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
+    val key = QueryCache.keyHash(fingerprint)
+    hashToFp.put(key, fingerprint)
+    val dir = new Path(rootDir, key)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = latestMeta(fs, dir)
     val version = math.max(timestampMicros, old.map(_.version + 1).getOrElse(0L))
@@ -337,7 +368,67 @@ final class ParquetQueryCache(rootDir: String,
     // are ≥ keepVersions behind the head AND older than graceMs; only
     // then are their meta + data (and any orphaned data dirs) deleted.
     try cleanup(fs, dir) catch { case _: Exception => () }
+    try globalSweep(fs) catch { case _: Exception => () }
     spark.read.schema(state.schema).parquet(dataPath.toString)
+  }
+
+  /** Global bounds sweep (the durable counterpart of MemoryQueryCache's
+    * maxEntries/TTL): TTL-expires entries not WRITTEN for `ttlMs`, then
+    * capacity-evicts least-recently-written entries past `maxEntries` /
+    * `maxBytes` — each eviction commits a TOMBSTONE head, the same
+    * reader-safe deferred mechanism invalidate uses, so an evicted
+    * entry's parquet files survive the grace window for any in-flight
+    * scan. Piggybacked on put, at most once per `sweepIntervalMs` per
+    * process (one head-meta read per entry per sweep — bounded by the
+    * interval, not by put volume). All three bounds default OFF. */
+  private def globalSweep(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (maxEntries <= 0 && maxBytes <= 0L && ttlMs <= 0L) return
+    val now = System.currentTimeMillis()
+    val last = lastSweepMs.get
+    if (now - last < sweepIntervalMs ||
+      !lastSweepMs.compareAndSet(last, now)) return
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) return
+    final case class Live(dir: Path, lastWriteMs: Long, bytes: Long)
+    val live = fs.listStatus(root).filter(_.isDirectory).flatMap { d =>
+      try {
+        val metas = fs.listStatus(d.getPath).filter(e =>
+          e.getPath.getName.startsWith("meta-") &&
+            e.getPath.getName.endsWith(".json"))
+        if (metas.isEmpty) None
+        else {
+          val head = metas.maxBy(e => e.getPath.getName.stripPrefix("meta-")
+            .stripSuffix(".json").toLongOption.getOrElse(-1L))
+          if (readMeta(fs, head.getPath).tombstone) None // already dead
+          else {
+            val bytes =
+              if (maxBytes > 0L) fs.getContentSummary(d.getPath).getLength
+              else 0L
+            Some(Live(d.getPath, head.getModificationTime, bytes))
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+    def evict(e: Live): Unit = {
+      tombstone(fs, e.dir)
+      Option(hashToFp.get(e.dir.getName)).foreach(dropSourcePaths)
+      stats.recordEviction()
+    }
+    val (expired, fresh) =
+      live.partition(e => ttlMs > 0L && now - e.lastWriteMs > ttlMs)
+    expired.foreach(evict)
+    // newest-first; evict whatever does not fit in either capacity bound
+    // (the newest entry itself is always kept — an over-budget lone entry
+    // must not flap in and out of the cache)
+    var keptCount = 0
+    var keptBytes = 0L
+    fresh.sortBy(-_.lastWriteMs).foreach { e =>
+      val overEntries = maxEntries > 0 && keptCount + 1 > maxEntries
+      val overBytes = maxBytes > 0L && keptBytes + e.bytes > maxBytes &&
+        keptCount >= 1
+      if (overEntries || overBytes) evict(e)
+      else { keptCount += 1; keptBytes += e.bytes }
+    }
   }
 
   /** delete superseded/orphaned versions past the retention window */

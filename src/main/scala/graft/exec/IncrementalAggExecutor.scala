@@ -470,9 +470,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // (day from hour): the regrained state re-aggregates through the
     // normal merge below, and the put stores coarse-grain state under
     // THIS fingerprint, so the next run hits directly.
-    val entry = direct.orElse(
-      if (config.regrainFromFinerState) finerGrainState(c, stateSchema)
-      else None)
+    val entry = direct
+      .orElse(
+        if (config.regrainFromFinerState) finerGrainState(c, stateSchema)
+        else None)
+      // dimension subsumption: a roll-up answered from its drill-down's
+      // warm state by merging the extra key away (opt-in via
+      // config.redimDimensionColumns)
+      .orElse(supersetDimState(c, stateSchema))
 
     val merged = entry match {
       case Some(cs) =>
@@ -811,6 +816,60 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         }
       }.headOption
     }
+  }
+
+  // ------------------------------------------- dimension subsumption
+
+  /** On an exact-fingerprint miss: look for warm state cached by the
+    * SAME plan grouped by a SUPERSET of this query's keys — the grouping
+    * plus one declared dimension column — and hand it back with the
+    * extra key column dropped; the merge aggregation then folds the
+    * dimension's groups into this query's groups, the same
+    * re-aggregation every warm merge performs. The twin is built by pure
+    * INSERTION (grouping list + the canonical output position right
+    * after the grouping outputs), so unlike grain substitution no other
+    * plan site can change meaning: the probe either finds state captured
+    * by exactly that superset query or misses. Only single-dimension
+    * supersets are probed (a two-extra-key drill-down's fingerprint
+    * won't match any one-insertion twin). */
+  private def supersetDimState(c: Cacheable,
+      stateSchema: StructType): Option[graft.cache.CachedState] = {
+    if (config.redimDimensionColumns.isEmpty) return None
+    // canonical groupBy().agg() output shape: grouping outputs first —
+    // the superset twin inserts the dimension right after them
+    val prefix = c.agg.aggregateExpressions.takeWhile { o =>
+      val core = o match { case Alias(ch, _) => ch; case x => x }
+      c.agg.groupingExpressions.exists(_.semanticEquals(core))
+    }.length
+    val dims = c.agg.child.output.filter(a =>
+      config.redimDimensionColumns.exists(_.equalsIgnoreCase(a.name)) &&
+        !c.agg.groupingExpressions.exists(_.references.contains(a)))
+    val gExtra = s"_g${c.agg.groupingExpressions.length}"
+    dims.view.flatMap { attr =>
+      val twin = c.agg.copy(
+        groupingExpressions = c.agg.groupingExpressions :+ attr,
+        aggregateExpressions =
+          (c.agg.aggregateExpressions.take(prefix) :+ attr) ++
+            c.agg.aggregateExpressions.drop(prefix))
+      val fp2 = Fingerprint.of(twin) +
+        (if (config.strictUpperBound) ":s1" else "")
+      config.cache.get(fp2)
+        .filter { cs =>
+          // stored twin state = [_g0.._gN-1, _gN = dim, states...]:
+          // dropping the dim column must yield exactly this plan's state
+          cs.schema.fieldNames.contains(gExtra) &&
+            schemaCompatible(
+              StructType(cs.schema.filterNot(_.name == gExtra)), stateSchema)
+        }
+        .map { cs =>
+          config.log.info(c.fingerprint,
+            s"redim hit: replaying (${attr.name})-keyed superset state " +
+              s"${fp2.take(12)} merged down")
+          graft.cache.CachedState(cs.timestampMicros,
+            StructType(cs.schema.filterNot(_.name == gExtra)),
+            s => cs.read(s).drop(gExtra))
+        }
+    }.headOption
   }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {

@@ -259,6 +259,35 @@ object CacheQueries {
         defaultTemporalColumn = "ts"))
       day.run(q("day", "day")(s.read.parquet(work)))
     }),
+    // dimension SUBSUMPTION (drill-down ↔ roll-up): after a cold→append→
+    // warm cycle of the (hour, event_type) DRILL-DOWN, the first-ever
+    // hour-only ROLL-UP sighting is an exact-fingerprint miss but a
+    // REDIM hit — the drill-down state replays with its event_type key
+    // dropped and the dimension's groups fold together through the
+    // normal merge, no fact scan below the drill-down watermark
+    // (zero-scan pinned in IncrementalAggSpec). The returned roll-up is
+    // what the oracle checks against the full table.
+    "qc_incr_redim" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "redim")
+      val cache = new MemoryQueryCache()
+      def drill(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def roll(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withRedimDimensions("event_type")
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(drill(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(drill(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(roll(s.read.parquet(work)))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -538,6 +567,13 @@ object CacheQueries {
     // lower floor((n-1)p) convention — deliberately not used)
     "qc_incr_regrain" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_redim" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value

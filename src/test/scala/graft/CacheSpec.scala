@@ -111,6 +111,58 @@ class CacheSpec extends AnyFunSuite {
     assert(tight.get("fp").get.timestampMicros == 4L)
   }
 
+  test("ParquetQueryCache evicts least-recently-written entries past maxEntries") {
+    val dir = tmpDir("pq-evict")
+    val c = new ParquetQueryCache(dir, maxEntries = 2, sweepIntervalMs = 0L)
+    val one = stateDF.limit(1)
+    c.put("fpA", 1L, one); Thread.sleep(20)
+    c.put("fpB", 2L, one); Thread.sleep(20)
+    c.put("fpC", 3L, one) // the sweep on this put evicts fpA
+    assert(c.get("fpA").isEmpty, "oldest entry not evicted")
+    assert(c.get("fpB").nonEmpty && c.get("fpC").nonEmpty)
+    assert(c.stats.evictions >= 1)
+    // evictions are durable tombstones: a fresh reader agrees
+    val c2 = new ParquetQueryCache(dir)
+    assert(c2.get("fpA").isEmpty && c2.get("fpB").nonEmpty)
+  }
+
+  test("ParquetQueryCache maxBytes keeps the newest entry, evicts the rest") {
+    val dir = tmpDir("pq-bytes")
+    val c = new ParquetQueryCache(dir, maxBytes = 1L, sweepIntervalMs = 0L)
+    val one = stateDF.limit(1)
+    c.put("fpA", 1L, one); Thread.sleep(20)
+    c.put("fpB", 2L, one)
+    // a lone over-budget entry must not flap: the newest always survives
+    assert(c.get("fpB").nonEmpty, "newest entry evicted under maxBytes")
+    assert(c.get("fpA").isEmpty)
+  }
+
+  test("ParquetQueryCache expires entries past the TTL sweep") {
+    val dir = tmpDir("pq-ttl")
+    val c = new ParquetQueryCache(dir, ttlMs = 50L, sweepIntervalMs = 0L)
+    val one = stateDF.limit(1)
+    c.put("old", 1L, one)
+    Thread.sleep(150)
+    c.put("new", 2L, one) // this put's sweep expires "old"
+    assert(c.get("old").isEmpty, "TTL-expired entry still resolvable")
+    assert(c.get("new").nonEmpty)
+    assert(c.stats.evictions >= 1)
+  }
+
+  test("ParquetQueryCache: a reader resolved before eviction still completes") {
+    val dir = tmpDir("pq-evict-race")
+    // default graceMs (10 min): evicted files stay for in-flight readers
+    val c = new ParquetQueryCache(dir, maxEntries = 1, sweepIntervalMs = 0L)
+    c.put("fpOld", 1L, stateDF)
+    val resolved = c.get("fpOld").get // reader resolves the meta NOW
+    Thread.sleep(20)
+    c.put("fpNew", 2L, stateDF.limit(1)) // sweep tombstones fpOld
+    assert(c.get("fpOld").isEmpty, "tombstoned entry still resolvable")
+    // the in-flight reader's scan still succeeds — files aged, not yanked
+    assert(resolved.read(spark).count() == stateDF.count())
+    assert(c.stats.evictions >= 1)
+  }
+
   test("ParquetQueryCache survives a new reader (durable)") {
     val dir = tmpDir("pqdur")
     val c1 = new ParquetQueryCache(dir)

@@ -1149,6 +1149,173 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(logC.messages.exists(_.startsWith("regrain hit")), logC.messages)
   }
 
+  test("redim: roll-up answered from warm drill-down state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("redim-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def rollup(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withRedimDimensions("event_type")
+    // warm the drill-down: cold + append + warm hit
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // first-ever ROLL-UP sighting: redim hit; delta entirely above the
+    // drill-down watermark, so parquet stats prune every fact row
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val rollDF = QueryCacheSession(spark, cfg(log2))
+      .run(rollup(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      rollDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("redim hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"roll-up scanned ${recs.sum()} fact rows — redim rescanned history")
+    assertSameRows(rollDF, rollup(eventsFull), tol = 1e-9)
+
+    // the redim run stored roll-up state under its own fingerprint:
+    // second sighting is a direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(rollup(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("redim hit")), log3.messages)
+  }
+
+  test("redim isolation: strict mode, differing aggregates, undeclared dims") {
+    val (early, _, splitUs) = split()
+    val work = tmpDir("redim-neg")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def rollup(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    // warm (hour, event_type) state, non-strict
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs))
+      .withRedimDimensions("event_type"))
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // STRICT-mode roll-up: the superset twin fingerprint carries :s1 —
+    // non-strict drill-down state must not answer it
+    val logS = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logS)
+      .withRedimDimensions("event_type").withStrictUpperBound)
+      .run(rollup(spark.read.parquet(work))).collect()
+    assert(!logS.messages.exists(_.startsWith("redim hit")), logS.messages)
+    assert(logS.messages.exists(_.startsWith("cache miss")), logS.messages)
+
+    // different aggregate list: twin fingerprint mismatch, plain miss
+    val logA = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logA)
+      .withRedimDimensions("event_type"))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), max("value").as("max_value")))
+      .collect()
+    assert(!logA.messages.exists(_.startsWith("redim hit")), logA.messages)
+    assert(logA.messages.exists(_.startsWith("cache miss")), logA.messages)
+
+    // control: the declared-dim roll-up DOES redim (before any run can
+    // store roll-up state directly)
+    val logC = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logC)
+      .withRedimDimensions("event_type"))
+      .run(rollup(spark.read.parquet(work))).collect()
+    assert(logC.messages.exists(_.startsWith("redim hit")), logC.messages)
+
+    // feature not opted in: warm drill state present on a FRESH cache
+    // (the control above stored roll-up state in the shared one), but
+    // with no declared dims the probe never runs — plain miss
+    val cache2 = new MemoryQueryCache()
+    QueryCacheSession(spark, QueryCacheConfig(cache2,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    val logO = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache2,
+        defaultTemporalColumn = "ts", log = logO))
+      .run(rollup(spark.read.parquet(work))).collect()
+    assert(!logO.messages.exists(_.startsWith("redim hit")), logO.messages)
+    assert(logO.messages.exists(_.startsWith("cache miss")), logO.messages)
+  }
+
+  test("regrain and redim subsume through a durable cache across sessions") {
+    import graft.cache.ParquetQueryCache
+    val (early, late, splitUs) = split()
+    val work = tmpDir("subsume-durable")
+    early.write.mode("overwrite").parquet(work)
+    val root = tmpDir("subsume-durable-cache")
+    // two plan families so the subsumption probes can't direct-hit:
+    // (cnt, sum) exercises regrain, (cnt, min) exercises redim
+    def hourQ(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def dayQ(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_value"))
+    def roll(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_value"))
+    // "session 1": warm the hour-grain and drill-down states on disk
+    val c1 = new ParquetQueryCache(root)
+    QueryCacheSession(spark, QueryCacheConfig(c1,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+      .run(hourQ(spark.read.parquet(work))).collect()
+    QueryCacheSession(spark, QueryCacheConfig(c1,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+
+    // "session 2": FRESH cache instances over the same root — the
+    // meta/schema round-trip is the path a memory cache never exercises
+    val logG = new RecordingLog
+    val day = QueryCacheSession(spark, QueryCacheConfig(
+        new ParquetQueryCache(root), defaultTemporalColumn = "ts", log = logG))
+      .run(dayQ(spark.read.parquet(work)))
+    assertSameRows(day, dayQ(eventsFull), tol = 1e-9)
+    assert(logG.messages.exists(_.startsWith("regrain hit")), logG.messages)
+
+    val logR = new RecordingLog
+    val rollDF = QueryCacheSession(spark, QueryCacheConfig(
+        new ParquetQueryCache(root), defaultTemporalColumn = "ts", log = logR)
+      .withRedimDimensions("event_type"))
+      .run(roll(spark.read.parquet(work)))
+    assertSameRows(rollDF, roll(eventsFull), tol = 1e-9)
+    assert(logR.messages.exists(_.startsWith("redim hit")), logR.messages)
+  }
+
   test("regrain bails when the grain literal appears outside the group key") {
     // grain-templated queries where the template literal ALSO instantiates
     // a measure or a filter: the finer twin computed something semantically
