@@ -117,6 +117,20 @@ object GraftFunctions {
       arity("graft_bpe_count", args, 2)
       BpePieces(args(0), litMerges("graft_bpe_count", args(1)),
         countOnly = true)
+    },
+    // byte-level BPE (GPT-2 family): merges are "a b" pairs expressed in
+    // the bytes→unicode alphabet; pieces can contain the mapped space
+    // char (U+0120) but never a raw space, so the encoding stays
+    // unambiguous
+    "graft_bpe_bytes" -> { args =>
+      arity("graft_bpe_bytes", args, 2)
+      BpeBytesPieces(args(0), litMerges("graft_bpe_bytes", args(1)),
+        countOnly = false)
+    },
+    "graft_bpe_bytes_count" -> { args =>
+      arity("graft_bpe_bytes_count", args, 2)
+      BpeBytesPieces(args(0), litMerges("graft_bpe_bytes_count", args(1)),
+        countOnly = true)
     })
 
   private def litMerges(name: String, e: Expression): Seq[(String, String)] =

@@ -1056,14 +1056,8 @@ case class BpePieces(child: Expression, merges: Seq[(String, String)],
     if (countOnly) LongType else ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      val key = a + " " + b
-      if (!m.containsKey(key)) m.put(key, i) // first occurrence wins
-    }
-    m
-  }
+  @transient private lazy val rank: java.util.HashMap[String, Integer] =
+    BpeCore.rankMap(merges)
 
   /** tokenize one word (already lowercased) into its BPE pieces */
   private def segment(word: String,
@@ -1072,22 +1066,7 @@ case class BpePieces(child: Expression, merges: Seq[(String, String)],
     val toks = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { toks.add(String.valueOf(word.charAt(i))); i += 1 }
-    var done = false
-    while (!done && toks.size > 1) {
-      var bestRank = Int.MaxValue
-      var bestPos = -1
-      var j = 0
-      while (j < toks.size - 1) {
-        val r = rank.get(toks.get(j) + " " + toks.get(j + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestPos = j }
-        j += 1
-      }
-      if (bestPos < 0) done = true
-      else {
-        toks.set(bestPos, toks.get(bestPos) + toks.get(bestPos + 1))
-        toks.remove(bestPos + 1)
-      }
-    }
+    BpeCore.merge(toks, rank)
     if (out != null) {
       var j = 0
       while (j < toks.size) {
@@ -1122,6 +1101,137 @@ case class BpePieces(child: Expression, merges: Seq[(String, String)],
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Shared BPE inference core: the first-occurrence-wins rank map and the
+  * (rank, position)-pinned merge loop, used by both the char-level
+  * [[BpePieces]] and the byte-level [[BpeBytesPieces]] faces. Pair keys
+  * join on NUL — a char that can appear in neither a char piece (words
+  * split on space, NUL is untouched by merges over real text) nor a
+  * byte-char piece (the byte alphabet maps 0x00 to U+0100). */
+private[functions] object BpeCore {
+  def rankMap(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val key = a + "\u0000" + b
+      if (!m.containsKey(key)) m.put(key, i) // first occurrence wins
+    }
+    m
+  }
+
+  /** merge in place: lowest rank first, leftmost occurrence first */
+  def merge(toks: java.util.ArrayList[String],
+      rank: java.util.HashMap[String, Integer]): Unit = {
+    var done = false
+    while (!done && toks.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < toks.size - 1) {
+        val r = rank.get(toks.get(j) + "\u0000" + toks.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        toks.set(bestPos, toks.get(bestPos) + toks.get(bestPos + 1))
+        toks.remove(bestPos + 1)
+      }
+    }
+  }
+}
+
+/** GPT-2's published bytes→unicode alphabet (the `bytes_to_unicode`
+  * table every byte-level BPE vocab is expressed in): byte values that
+  * are printable latin codepoints (33-126, 161-172, 174-255) map to
+  * their own codepoint; the 68 remaining bytes map to 256+k in
+  * ascending-byte exclusion order — every byte becomes one visible
+  * char, so merges operate on plain strings. Space (0x20) maps to
+  * U+0120, which is why space-prefixed merges in GPT-2 vocab files read
+  * as that G-with-dot character. */
+private[graft] object ByteLevel {
+  val byteChar: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[String](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = String.valueOf(b.toChar)
+      else { out(b) = String.valueOf((256 + n).toChar); n += 1 }
+    }
+    out
+  }
+}
+
+/** Byte-level BPE (the GPT-2 vocab family) — the fourth tokenizer face:
+  * a regex PRE-TOKENIZER with NO case folding, each pre-token's UTF-8
+  * bytes mapped through [[ByteLevel.byteChar]], then the same
+  * (rank, position)-pinned merge loop as [[BpePieces]] over the
+  * byte-chars — so ranked merges from a real `merges.txt` (expressed in
+  * the byte alphabet) drive inference directly. The pre-tokenizer is the
+  * published GPT-2 pattern with its one lookahead branch
+  * (`\\s+(?!\\S)`) dropped: RE2 has no lookahead, and the DuckDB oracle
+  * must replay the exact same split — the deviation only regroups
+  * whitespace RUNS (a run stays one pre-token instead of donating its
+  * last space to the next word), pinned identically on both engines.
+  * Unlike the char face there is no lowercasing and no space-splitting:
+  * spaces are bytes like any other and ride into the pieces. */
+case class BpeBytesPieces(child: Expression, merges: Seq[(String, String)],
+    countOnly: Boolean) extends UnaryExpression with CodegenFallback {
+  require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
+    "empty string in BPE merges")
+
+  override def dataType: DataType =
+    if (countOnly) LongType else ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] =
+    BpeCore.rankMap(merges)
+  @transient private lazy val pretoken: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(BpeBytesPieces.pretokenPattern)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = if (countOnly) null else new java.util.ArrayList[UTF8String]()
+    var count = 0L
+    val m = pretoken.matcher(text)
+    while (m.find()) {
+      val bytes = m.group()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (bytes.nonEmpty) {
+        val toks = new java.util.ArrayList[String](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          toks.add(ByteLevel.byteChar(bytes(i) & 0xff)); i += 1
+        }
+        BpeCore.merge(toks, rank)
+        count += toks.size
+        if (out != null) {
+          var j = 0
+          while (j < toks.size) {
+            out.add(UTF8String.fromString(toks.get(j))); j += 1
+          }
+        }
+      }
+    }
+    if (countOnly) count
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"merges#${merges.hashCode}", countOnly)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeBytesPieces {
+  /** GPT-2's pre-tokenizer minus the `\\s+(?!\\S)` lookahead branch —
+    * the RE2-compatible subset both java.util.regex and DuckDB replay
+    * identically (leftmost-first alternation on both engines). */
+  val pretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 }
 
 /** Size-capped compression of a SORTED numeric run-length histogram —
@@ -1381,6 +1491,14 @@ object functions {
 
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
     Shims.column(BpePieces(Shims.expression(text), merges,
+      countOnly = true))
+
+  def bpe_bytes_pieces(text: Column, merges: Seq[(String, String)]): Column =
+    Shims.column(BpeBytesPieces(Shims.expression(text), merges,
+      countOnly = false))
+
+  def bpe_bytes_count(text: Column, merges: Seq[(String, String)]): Column =
+    Shims.column(BpeBytesPieces(Shims.expression(text), merges,
       countOnly = true))
 
   /** largest-k rows of a struct column per group, sorted descending —

@@ -19,9 +19,12 @@ import graft.functions.functions.{subword_count, subword_pieces}
   *    single-char fallback that makes every word tokenize);
   *  - [[BpeTokenizer]] — BPE proper, driven by an ordered MERGES table
   *    (the `merges.txt` artifact real BPE vocabs ship as; see
-  *    graft.functions.BpePieces for the pinned inference order).
+  *    graft.functions.BpePieces for the pinned inference order);
+  *  - [[BpeBytesTokenizer]] — BYTE-level BPE (the GPT-2 vocab family):
+  *    regex pre-tokenizer, no case folding, merges in the published
+  *    bytes→unicode alphabet (graft.functions.BpeBytesPieces).
   *
-  * Both faces are pure Column transforms, so whichever tokenizer is
+  * All faces are pure Column transforms, so whichever tokenizer is
   * plugged in, the operator's plan shape (shuffles, codegen spans) is
   * unchanged — only the per-row counting expression differs.
   */
@@ -61,6 +64,43 @@ final case class BpeTokenizer(merges: Seq[(String, String)])
     graft.functions.functions.bpe_pieces(text, merges)
   override def count(text: Column): Column =
     graft.functions.functions.bpe_count(text, merges)
+}
+
+/** Byte-level BPE tokenizer (the GPT-2 vocab family) — regex
+  * pre-tokenizer, NO case folding, merges expressed in the published
+  * bytes→unicode alphabet; see graft.functions.BpeBytesPieces for the
+  * pinned pre-token pattern and inference order. The face that makes
+  * budget numbers transferable to a real `merges.txt`. */
+final case class BpeBytesTokenizer(merges: Seq[(String, String)])
+    extends Tokenizer {
+  override def tokens(text: Column): Column =
+    graft.functions.functions.bpe_bytes_pieces(text, merges)
+  override def count(text: Column): Column =
+    graft.functions.functions.bpe_bytes_count(text, merges)
+}
+
+object BpeBytesTokenizer {
+  /** Load a merges table (columns a, b, rank) expressed in the byte
+    * alphabet — bounded collect as [[BpeTokenizer.fromTable]]. */
+  def fromTable(mergesDf: DataFrame, aCol: String = "a", bCol: String = "b",
+      rankCol: String = "rank"): BpeBytesTokenizer =
+    BpeBytesTokenizer(mergesDf.select(col(aCol), col(bCol), col(rankCol))
+      .collect().sortBy(_.getAs[Number](2).longValue())
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+
+  /** The mapped space byte-char (0x20 → U+0120): GPT-2 merges spell
+    * word-leading pieces with it. */
+  val G: String = "\u0120"
+
+  /** Fixture merges shared verbatim with the oracle SQL: ASCII letters
+    * map to themselves in the byte alphabet, so only the space-prefixed
+    * entries differ from a char-level table — exactly the byte-level
+    * behavior the char face cannot express (" the" → one `Ġthe` piece). */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), (G, "th"), (G + "th", "e"), ("i", "n"), ("in", "g"),
+    ("e", "r"), ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), (G, "a"), (G, "s"),
+    ("s", "t"), (G + "a", "n"), (G + "an", "d"), (G, "o"), (G + "o", "f"))
 }
 
 object BpeTokenizer {

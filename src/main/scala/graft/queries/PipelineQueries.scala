@@ -135,6 +135,35 @@ object PipelineQueries {
               .count(col("text")).as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
         .select("doc_id", "source", "n_tokens", "pack_seq", "pack_offset")),
+    // byte-level BPE (the FOURTH tokenizer face, GPT-2 vocab family):
+    // per-document token cost under a regex pre-tokenizer with no case
+    // folding — space bytes ride into the pieces; merges (expressed in
+    // the published byte alphabet) loaded AS DATA via fromTable
+    "q_text_bpe_bytes" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val tok = graft.operators.BpeBytesTokenizer.fromTable(
+        graft.operators.BpeBytesTokenizer.demoMerges.zipWithIndex
+          .map { case ((a, b), r) => (a, b, r) }.toDF("a", "b", "rank"))
+      documents(s, d).select(col("doc_id"),
+        tok.count(col("text")).as("n_bpe_bytes"))
+    }),
+    // concat-and-slice packing budgeted in byte-level BPE tokens
+    "q_pack_bpe_bytes" -> ((s, d) =>
+      Packing.concatSlicePack(
+          documents(s, d).select(col("doc_id"), col("source"),
+            graft.operators.BpeBytesTokenizer(
+              graft.operators.BpeBytesTokenizer.demoMerges)
+              .count(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), budget = 1024)
+        .select("doc_id", "source", "n_tokens", "pack_seq", "pack_offset")),
+    // the same chunking operator under the byte-BPE currency (words lose
+    // their leading space when split, so each word costs its unprefixed
+    // byte tokenization)
+    "q_text_chunks_bpe_bytes" -> ((s, d) =>
+      TextAnalysis.chunksByTokenBudget(documents(s, d), budget = 48,
+        tokenizer = graft.operators.BpeBytesTokenizer(
+          graft.operators.BpeBytesTokenizer.demoMerges))),
     // Gopher-style intra-document repetition signals: dup word / bigram /
     // line fractions — pure codegen map stage, zero shuffles
     "q_text_repetition" -> ((s, d) =>
@@ -905,6 +934,76 @@ object PipelineQueries {
     * merge applies. `btok` is the per-word final token count. */
   private val bpeMergesValues = graft.operators.BpeTokenizer.demoMerges
     .zipWithIndex.map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+
+  private def sqlEsc(x: String): String = x.replace("'", "''")
+
+  /** Byte-level BPE replay, shared with the Scala expression verbatim:
+    * the 256-row bytes→unicode alphabet (graft.functions.ByteLevel)
+    * keyed by UPPERCASE hex pair, the byte-level fixture merges, and the
+    * SAME RE2 pre-token pattern BpeBytesPieces compiles (lookahead-free
+    * by design so both engines split identically). Each distinct
+    * pre-token's UTF-8 bytes come from hex(encode(w)), map through the
+    * alphabet into the chr(31)-guarded seed string, and run the same
+    * merge recursion as bpePrelude. `unitsSql` defines bunit(u) — the
+    * distinct strings whose total piece cost butok(u, n) reports (whole
+    * texts for document costs, bare words for chunk budgets). */
+  private val byteMapValues: String = {
+    val bc = graft.functions.ByteLevel.byteChar
+    (0 until 256).map { b =>
+      val hx = f"$b%02X"
+      s"('$hx','${sqlEsc(bc(b))}')"
+    }.mkString(",")
+  }
+  private val bpeBytesMergesValues =
+    graft.operators.BpeBytesTokenizer.demoMerges.zipWithIndex
+      .map { case ((a, b), r) => s"('${sqlEsc(a)}','${sqlEsc(b)}',$r)" }
+      .mkString(",")
+  private val bpeBytesPattern =
+    sqlEsc(graft.functions.BpeBytesPieces.pretokenPattern)
+  private def bpeBytesPrelude(unitsSql: String): String =
+    s"""bmap(hx, bchar) AS (VALUES $byteMapValues),
+       bbmerges(a, b, rank) AS (VALUES $bpeBytesMergesValues),
+       bunit(u) AS ($unitsSql),
+       bpre AS (
+         SELECT u, unnest(regexp_extract_all(u, '$bpeBytesPattern')) AS w
+         FROM bunit),
+       bpw AS (SELECT DISTINCT w FROM bpre WHERE w <> ''),
+       bwb AS (
+         SELECT w, i, substr(h, CAST(2*i+1 AS INT), 2) AS hx
+         FROM (SELECT w, hex(encode(w)) AS h FROM bpw) t,
+              unnest(range(0, len(h)//2)) AS ub(i)),
+       bbseed AS (
+         SELECT w, chr(31) || string_agg(bchar, chr(31) ORDER BY i)
+           || chr(31) AS s
+         FROM bwb JOIN bmap USING (hx) GROUP BY w),
+       bbpe(w, s, step) AS (
+         SELECT w, s, 0 FROM bbseed
+         UNION ALL
+         SELECT w,
+           substr(s, 1, idx-1) || chr(31) || pa || pb || chr(31)
+             || substr(s, idx + len(chr(31)||pa||chr(31)||pb||chr(31))),
+           step + 1
+         FROM (
+           SELECT w, s, step,
+             (SELECT m.a FROM bbmerges m
+              WHERE contains(s, chr(31)||m.a||chr(31)||m.b||chr(31))
+              ORDER BY m.rank LIMIT 1) AS pa,
+             (SELECT m.b FROM bbmerges m
+              WHERE contains(s, chr(31)||m.a||chr(31)||m.b||chr(31))
+              ORDER BY m.rank LIMIT 1) AS pb
+           FROM bbpe) t
+         CROSS JOIN LATERAL (
+           SELECT position(chr(31)||pa||chr(31)||pb||chr(31) IN s) AS idx) uu
+         WHERE pa IS NOT NULL),
+       bptok AS (
+         SELECT w, len(list_filter(string_split(s, chr(31)),
+           x -> x <> '')) AS n
+         FROM (SELECT w, s, row_number() OVER (PARTITION BY w
+                 ORDER BY step DESC) AS rn
+               FROM bbpe) z
+         WHERE rn = 1),
+       butok AS (
+         SELECT u, sum(n) AS n FROM bpre JOIN bptok USING (w) GROUP BY 1)"""
   private val bpePrelude: String =
     s"""merges(a, b, rank) AS (VALUES $bpeMergesValues),
        dwb AS (
@@ -1595,6 +1694,61 @@ object PipelineQueries {
                    row_number() OVER (PARTITION BY doc_id
                      ORDER BY word_idx) AS rn
                  FROM wrd JOIN btok ON lower(wrd.w) = btok.w),
+          rec AS (
+            SELECT doc_id, rn, word_idx, w, wt,
+              CAST(0 AS BIGINT) AS chunk_idx, wt AS off
+            FROM wz WHERE rn = 1
+            UNION ALL
+            SELECT z.doc_id, z.rn, z.word_idx, z.w, z.wt,
+              CASE WHEN rec.off + z.wt <= 48 THEN rec.chunk_idx
+                   ELSE rec.chunk_idx + 1 END,
+              CASE WHEN rec.off + z.wt <= 48 THEN rec.off + z.wt
+                   ELSE z.wt END
+            FROM rec JOIN wz z
+              ON z.doc_id = rec.doc_id AND z.rn = rec.rn + 1)
+          SELECT doc_id, chunk_idx,
+            string_agg(w, ' ' ORDER BY word_idx) AS chunk_text,
+            CAST(sum(wt) AS BIGINT) AS n_tokens
+          FROM rec GROUP BY 1, 2""",
+    // byte-BPE family: butok replays the pinned pre-tokenize → byte-map
+    // → merge order per distinct TEXT (document costs) or WORD (chunk
+    // budgets)
+    "q_text_bpe_bytes" ->
+      s"""WITH RECURSIVE ${bpeBytesPrelude(
+            "SELECT DISTINCT text FROM documents")}
+          SELECT d.doc_id, CAST(coalesce(butok.n, 0) AS BIGINT) AS n_bpe_bytes
+          FROM documents d LEFT JOIN butok ON d.text = butok.u""",
+    "q_pack_bpe_bytes" ->
+      s"""WITH RECURSIVE ${bpeBytesPrelude(
+            "SELECT DISTINCT text FROM documents")},
+          dt AS (SELECT d.doc_id, d.source,
+                   CAST(coalesce(butok.n, 0) AS BIGINT) AS n_tokens
+                 FROM documents d LEFT JOIN butok ON d.text = butok.u)
+          SELECT doc_id, source, n_tokens,
+            before // 1024 AS pack_seq, before % 1024 AS pack_offset
+          FROM (SELECT doc_id, source, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS before
+                FROM dt) u""",
+    "q_text_chunks_bpe_bytes" ->
+      s"""WITH RECURSIVE ${bpeBytesPrelude(
+            """SELECT DISTINCT toks[CAST(s AS INT)+1]
+               FROM (SELECT string_split(text, ' ') AS toks
+                     FROM documents) dd,
+                 unnest(range(0, len(toks))) AS us(s)
+               WHERE toks[CAST(s AS INT)+1] <> ''""")},
+          wrd AS (
+            SELECT doc_id, s AS word_idx, toks[CAST(s AS INT)+1] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) dd,
+              unnest(range(0, len(toks))) AS uw(s)
+            WHERE toks[CAST(s AS INT)+1] <> ''),
+          wz AS (SELECT doc_id, word_idx, wrd.w AS w, butok.n AS wt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY word_idx) AS rn
+                 FROM wrd JOIN butok ON wrd.w = butok.u),
           rec AS (
             SELECT doc_id, rn, word_idx, w, wt,
               CAST(0 AS BIGINT) AS chunk_idx, wt AS off

@@ -1276,6 +1276,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaTable == tok)
   }
 
+  test("byte-level bpe tokenizer: pre-tokens, byte alphabet, no case fold") {
+    import graft.operators.BpeBytesTokenizer
+    import graft.operators.BpeBytesTokenizer.G
+    val s = spark
+    import s.implicits._
+    val tok = BpeBytesTokenizer(BpeBytesTokenizer.demoMerges)
+    val df = Seq(
+      (1L, "of the"),    // "of" + " the": space byte merges into G+the
+      (2L, "The thing"), // NO case folding: 'T' never merges with 'h'
+      (3L, "it's a, b"), // contraction + punctuation pre-tokens
+      (4L, "caf\u00e9"),   // multi-byte UTF-8: e-acute is TWO byte pieces
+      (5L, "")).toDF("id", "text")
+    val got = df.select(col("id"), tok.tokens(col("text")).as("p"),
+        tok.count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toList, r.getLong(2)))).toMap
+    assert(got(1L)._1 == List("o", "f", G + "the"), got(1L))
+    assert(got(2L)._1.take(3) == List("T", "h", "e"), got(2L))
+    assert(got(2L)._1.drop(3) == List(G + "th", "ing"), got(2L))
+    // "it's" -> it | 's ; "a," -> " a" pre-token is G+a, "," alone; " b"
+    assert(got(3L)._1 == List("i", "t", "'", "s", G + "a", ",", G, "b"),
+      got(3L))
+    // c,a,f then the two UTF-8 bytes of e-acute (0xC3 0xA9), each its own
+    // piece in the byte alphabet
+    assert(got(4L)._1.size == 5 && got(4L)._1.take(3) == List("c", "a", "f"),
+      got(4L))
+    assert(got(5L)._1 == Nil, got(5L))
+    got.foreach { case (id, (pieces, n)) =>
+      assert(n == pieces.size, s"id=$id count $n != ${pieces.size}") }
+    // pieces round-trip: byte-chars of the pieces concatenated equal the
+    // byte-chars of the whole text (nothing dropped, nothing folded)
+    val allBytes = "of the".getBytes("UTF-8")
+      .map(b => graft.functions.ByteLevel.byteChar(b & 0xff)).mkString
+    assert(got(1L)._1.mkString == allBytes)
+    // SQL face parity with the Column face
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_bpe_bytes('of the', array('t h', '" + G + " th', '" +
+        G + "th e')) AS p, graft_bpe_bytes_count('of the', array('t h', '" +
+        G + " th', '" + G + "th e')) AS n").first()
+    assert(viaSql.getSeq[String](0) == Seq("o", "f", G + "the"), viaSql)
+    assert(viaSql.getLong(1) == 3L)
+    // merges loaded AS DATA reproduce the literal form
+    val viaTable = BpeBytesTokenizer.fromTable(
+      BpeBytesTokenizer.demoMerges.zipWithIndex
+        .map { case ((a, b), r) => (a, b, r) }.toDF("a", "b", "rank"))
+    assert(viaTable == tok)
+  }
+
   test("chunksByTokenBudget: budget respected, text round-trips, whitespace degenerate") {
     import graft.operators.{SubwordTokenizer, WhitespaceTokenizer}
     val tok = SubwordTokenizer(SubwordTokenizer.demoVocab)
