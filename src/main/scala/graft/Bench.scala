@@ -333,13 +333,19 @@ object Bench {
     // dev: SPARK_GRAFT_PCTS=0.01 runs a single append fraction
     val pcts = sys.env.get("SPARK_GRAFT_PCTS")
       .map(_.split(",").toSeq.map(_.toDouble)).getOrElse(Seq(0.01, 0.10))
-    val incr = pcts.flatMap(p =>
-      try incremental(spark, sfDir, p, mult).toSeq
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] incremental($p) failed: $e")
-        e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
-        Seq.empty
-      }).toMap
+    // dev: SPARK_GRAFT_SKIP_INCR=1 skips the incremental-cache section —
+    // for query-only timing investigations (e.g. re-measuring a flagged
+    // stream query) where building the multiplied history table would
+    // dominate the session
+    val incr =
+      if (sys.env.get("SPARK_GRAFT_SKIP_INCR").contains("1")) Map.empty[String, Double]
+      else pcts.flatMap(p =>
+        try incremental(spark, sfDir, p, mult).toSeq
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] incremental($p) failed: $e")
+          e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
+          Seq.empty
+        }).toMap
     // headline = median of PAIRED per-rep ratios (see incremental());
     // falls back to the ratio of medians only if the paired key is absent
     val speedup = incr.get("warm_speedup_1pct_paired").orElse(for {

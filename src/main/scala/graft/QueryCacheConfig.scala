@@ -124,6 +124,29 @@ import graft.log.{CacheLog, NoOpLog}
   *                              empty set = feature off. No reference
   *                              analog (its fingerprint is all-or-
   *                              nothing, src/aggregate.rs:89).
+  * @param percentileSketchState ON (default): numeric percentile /
+  *                              approx_percentile state past 4096
+  *                              distinct values per group compresses
+  *                              into a size-capped mergeable quantile
+  *                              sketch — answers become rank-bounded
+  *                              estimates (~0.2% design bound, envelope-
+  *                              oracled). OFF restores the historical
+  *                              exact-or-bail contract: state stays
+  *                              exact runs and a high-cardinality group
+  *                              grows toward maxStateRows, then runs
+  *                              vanilla. percentile_disc and discrete
+  *                              percentiles never sketch either way —
+  *                              their answers must be MEMBERS of the
+  *                              data, and a compressed bin's mean is
+  *                              not. OFF-mode entries carry a
+  *                              fingerprint suffix (like strict mode):
+  *                              sketch-mode state — possibly compressed
+  *                              bins — must never warm-merge into a run
+  *                              that promised exactness, and the two
+  *                              states share a schema so only the key
+  *                              can keep them apart. Flipping the flag
+  *                              against a live cache is therefore a
+  *                              MISS, not a wrong answer.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -138,6 +161,7 @@ final case class QueryCacheConfig(
     staticDimensionTables: Set[String] = Set.empty,
     regrainFromFinerState: Boolean = true,
     redimDimensionColumns: Set[String] = Set.empty,
+    percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {
 
   def withStaticDimensions(tables: String*): QueryCacheConfig =

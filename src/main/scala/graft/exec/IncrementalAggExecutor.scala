@@ -42,6 +42,15 @@ import graft.rewrite.Decompose.Decomposed
   */
 final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
+  /** Capture-mode fingerprint suffix, shared by the direct lookup and
+    * both subsumption probes: strict-mode state covers a different band
+    * (see decide), and exact-percentile mode (percentileSketchState=off)
+    * must never warm-merge sketch-mode state — the two states share a
+    * schema, so only the key can keep them apart. */
+  private def fpSuffix: String =
+    (if (config.strictUpperBound) ":s1" else "") +
+      (if (config.percentileSketchState) "" else ":px0")
+
   /** Everything decided statically before touching the cache.
     * `dynamicBound` is a `ts >(=) f(now())` predicate to strip from the
     * scan and re-apply at bucket granularity over the merged state. */
@@ -118,7 +127,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // re-reads rows in [wm, now); ON state + OFF pruned static branch
     // loses static rows >= wm) — so a flipped flag must be a cache MISS,
     // not a hit with the wrong band.
-    val fp = Fingerprint.of(agg) + (if (config.strictUpperBound) ":s1" else "")
+    val fp = Fingerprint.of(agg) + fpSuffix
     def bail(msg: String) = {
       config.cache.stats.recordBail()
       Left((fp, msg))
@@ -368,7 +377,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)
     val decomps = new ArrayBuffer[Decomposed]
     aggExprs.zipWithIndex.foreach { case (ae, i) =>
-      Decompose.decompose(i, ae) match {
+      Decompose.decompose(i, ae, config.percentileSketchState) match {
         case Some(d) => decomps += d
         case None =>
           return bail(s"aggregate not incrementally mergeable: ${ae.sql}")
@@ -800,8 +809,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         }
         if (!changed) None
         else {
-          val fp2 = Fingerprint.of(subAgg) +
-            (if (config.strictUpperBound) ":s1" else "")
+          val fp2 = Fingerprint.of(subAgg) + fpSuffix
           config.cache.get(fp2)
             .filter(cs => schemaCompatible(cs.schema, stateSchema))
             .map { cs =>
@@ -851,8 +859,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         aggregateExpressions =
           (c.agg.aggregateExpressions.take(prefix) :+ attr) ++
             c.agg.aggregateExpressions.drop(prefix))
-      val fp2 = Fingerprint.of(twin) +
-        (if (config.strictUpperBound) ":s1" else "")
+      val fp2 = Fingerprint.of(twin) + fpSuffix
       config.cache.get(fp2)
         .filter { cs =>
           // stored twin state = [_g0.._gN-1, _gN = dim, states...]:

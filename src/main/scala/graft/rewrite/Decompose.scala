@@ -87,8 +87,18 @@ object Decompose {
     * finalize expression phrased over `col(stateName)` references. */
   final case class Decomposed(state: Seq[StateSpec], finalizeCol: Column)
 
-  /** None ⇒ this aggregate is not incrementally mergeable here. */
-  def decompose(i: Int, agg: AggregateExpression): Option[Decomposed] = {
+  /** None ⇒ this aggregate is not incrementally mergeable here.
+    *
+    * `sketchPercentiles` gates the MValueSketch escape
+    * (QueryCacheConfig.percentileSketchState): OFF restores the
+    * historical exact-or-bail contract — percentile state stays exact
+    * runs and a high-cardinality group grows toward maxStateRows and
+    * runs vanilla instead of silently becoming a bounded-error
+    * estimate. percentile_disc / discrete percentiles NEVER sketch
+    * regardless: their contract is "a member of the data", and a
+    * compressed bin's mean is not a member (r8 ADVICE). */
+  def decompose(i: Int, agg: AggregateExpression,
+      sketchPercentiles: Boolean = true): Option[Decomposed] = {
     if (!agg.deterministic) return None // covers the filter: it is a child
     // FILTER (WHERE …) folds into the state columns by null-masking every
     // DATA child with the predicate: each whitelisted aggregate treats a
@@ -341,7 +351,8 @@ object Decompose {
         // integral inputs beyond 2^53 could alias; the cast preserves
         // every value the interpolation (itself double) can distinguish.
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, fc(Shims.column(p.child)).cast("double"))
+        val spec = valueCountSpec(n, fc(Shims.column(p.child)).cast("double"),
+          sketch = sketchPercentiles && !p.discrete)
         // continuous: Spark's p·(N−1) weighted interpolation; DISCRETE
         // (percentile_disc): the smallest member whose cume_dist ≥ p,
         // i.e. the 1-based ⌈p·N⌉ member — both via one native pass
@@ -372,14 +383,18 @@ object Decompose {
           .otherwise(array(struct(v.as("v"), guarded.as("c"))))
         // weighted values compress like unweighted ones — the runs ARE
         // the expanded multiset, so the capped-sketch escape (see
-        // MValueSketch) applies with the identical rank-error bound
-        val spec = StateSpec(n,
-          graft.functions.functions.compress_runs(
-            graft.functions.functions.merge_runs(flatten(collect_list(unit))),
-            PercentileSketchThreshold, PercentileSketchCentroids)
-            .cast(vcType),
-          MValueSketch(PercentileSketchThreshold, PercentileSketchCentroids),
-          unit = Some(unit))
+        // MValueSketch) applies with the identical rank-error bound;
+        // same gate as the unweighted branch (exact when off/discrete)
+        val exactPartial = graft.functions.functions
+          .merge_runs(flatten(collect_list(unit))).cast(vcType)
+        val spec =
+          if (sketchPercentiles && !p.discrete) StateSpec(n,
+            graft.functions.functions.compress_runs(exactPartial,
+              PercentileSketchThreshold, PercentileSketchCentroids)
+              .cast(vcType),
+            MValueSketch(PercentileSketchThreshold, PercentileSketchCentroids),
+            unit = Some(unit))
+          else StateSpec(n, exactPartial, MValueCounts, unit = Some(unit))
         foldablePercentages(p.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(
@@ -391,7 +406,9 @@ object Decompose {
         // percentile_disc(p) WITHIN GROUP (ORDER BY x): the smallest
         // member whose cume_dist ≥ p — the 1-based ⌈p·N⌉ member
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, fc(Shims.column(pd.child)).cast("double"))
+        // never sketched: percentile_disc returns data MEMBERS
+        val spec = valueCountSpec(n, fc(Shims.column(pd.child)).cast("double"),
+          sketch = false)
         foldablePercentages(pd.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(
@@ -408,7 +425,11 @@ object Decompose {
         // fidelity is not (SURVEY §7.4). The exact answer satisfies any
         // accuracy the query declared.
         val n = s"_s${i}_vcnt"
-        val spec = valueCountSpec(n, fc(Shims.column(ap.child)).cast("double"))
+        // approx_percentile is an estimator by its own contract, so the
+        // sketch escape keeps it within contract — but the config gate
+        // still restores bounded-exact-or-bail state growth when off
+        val spec = valueCountSpec(n, fc(Shims.column(ap.child)).cast("double"),
+          sketch = sketchPercentiles)
         foldablePercentages(ap.percentageExpression).map { case (ps, scalar) =>
           Decomposed(Seq(spec),
             Shims.column(graft.functions.PercentileFromRuns(

@@ -335,6 +335,72 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(cache.stats.hits == 0, cache.stats.toString)
   }
 
+  test("percentileSketchState=false restores exact-or-bail; disc never sketches") {
+    // 12k distinct values (past the 4096 sketch threshold), minutes apart
+    val base = 1700000000000000L
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      timestamp_micros(lit(base) + col("id") * 60000000L).as("ts"),
+      (col("id").cast("double") * 1e-3).as("value"))
+    val work = tmpDir("px-gate")
+    mk(0, 8000).write.mode("overwrite").parquet(work)
+    val splitUs = base + 8000L * 60000000L
+    def q(df: DataFrame) = df.agg(
+      expr("percentile(value, 0.5)").as("p50"), count(lit(1)).as("cnt"))
+    val vanilla = q(mk(0, 12000)).collect()(0)
+
+    // ON (default): the sketch keeps state under a tight maxStateRows,
+    // so the cycle HITS and answers a rank-bounded estimate
+    val cacheOn = new MemoryQueryCache(maxStateRows = 4000)
+    QueryCacheSession(spark, QueryCacheConfig(cacheOn,
+        defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    mk(8000, 12000).write.mode("append").parquet(work)
+    val logOn = new RecordingLog
+    val gotOn = QueryCacheSession(spark, QueryCacheConfig(cacheOn,
+        defaultTemporalColumn = "ts", log = logOn))
+      .run(q(spark.read.parquet(work))).collect()(0)
+    assert(logOn.messages.exists(_.startsWith("cache hit")), logOn.messages)
+    assert(math.abs(gotOn.getDouble(0) - vanilla.getDouble(0)) <=
+      1e-2 * math.abs(vanilla.getDouble(0)), s"$gotOn vs $vanilla")
+
+    // OFF: exact runs exceed maxStateRows -> capacity bail, answer runs
+    // vanilla and is EXACT — the historical exact-or-bail contract
+    val cacheOff = new MemoryQueryCache(maxStateRows = 4000)
+    val logOff = new RecordingLog
+    def cfgOff(now: Option[Long]) = QueryCacheConfig(cacheOff,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = logOff,
+      percentileSketchState = false)
+    val gotOff = QueryCacheSession(spark, cfgOff(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()(0)
+    assert(gotOff.getDouble(0) == vanilla.getDouble(0), s"$gotOff vs $vanilla")
+    assert(cacheOff.stats.hits == 0, cacheOff.stats.toString)
+    assert(logOff.messages.exists(_.contains("state too large")), logOff.messages)
+
+    // isolation: an OFF-mode run over the ON-mode cache must MISS (the
+    // fingerprint suffix keeps sketch-mode state out of exact mode)
+    val logIso = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cacheOn,
+        defaultTemporalColumn = "ts", log = logIso,
+        percentileSketchState = false))
+      .run(q(spark.read.parquet(work))).collect()
+    assert(!logIso.messages.exists(_.startsWith("cache hit")), logIso.messages)
+
+    // percentile_disc NEVER sketches (its answers must be data members):
+    // even with the flag ON, exact state exceeds the cap -> bail + exact
+    val cacheD = new MemoryQueryCache(maxStateRows = 4000)
+    val logD = new RecordingLog
+    def qd(df: DataFrame) = df.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("pd"),
+      count(lit(1)).as("cnt"))
+    val gotD = QueryCacheSession(spark, QueryCacheConfig(cacheD,
+        defaultTemporalColumn = "ts", log = logD))
+      .run(qd(spark.read.parquet(work))).collect()(0)
+    val vanD = qd(mk(0, 12000)).collect()(0)
+    assert(gotD.getDouble(0) == vanD.getDouble(0), s"$gotD vs $vanD")
+    assert(cacheD.stats.hits == 0, cacheD.stats.toString)
+    assert(logD.messages.exists(_.contains("state too large")), logD.messages)
+  }
+
   test("median and percentile_disc cache through their Percentile lowering") {
     // median() is RuntimeReplaceable -> Percentile(x, 0.5); the rule runs
     // pre-CBO after ReplaceExpressions, so both lowerings must hit
