@@ -852,7 +852,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val dims = c.agg.child.output.filter(a =>
       config.redimDimensionColumns.exists(_.equalsIgnoreCase(a.name)) &&
         !c.agg.groupingExpressions.exists(_.references.contains(a)))
-    val gExtra = s"_g${c.agg.groupingExpressions.length}"
+    val nGroup = c.agg.groupingExpressions.length
+    val gExtra = s"_g$nGroup"
     dims.view.flatMap { attr =>
       val twin = c.agg.copy(
         groupingExpressions = c.agg.groupingExpressions :+ attr,
@@ -860,14 +861,23 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           (c.agg.aggregateExpressions.take(prefix) :+ attr) ++
             c.agg.aggregateExpressions.drop(prefix))
       val fp2 = Fingerprint.of(twin) + fpSuffix
+      // the twin's state = this plan's state with the dim key inserted
+      // right after the existing group columns
+      val twinSchema = StructType(
+        (stateSchema.take(nGroup) :+
+          org.apache.spark.sql.types.StructField(gExtra, attr.dataType)) ++
+          stateSchema.drop(nGroup))
       config.cache.get(fp2)
-        .filter { cs =>
-          // stored twin state = [_g0.._gN-1, _gN = dim, states...]:
-          // dropping the dim column must yield exactly this plan's state
-          cs.schema.fieldNames.contains(gExtra) &&
-            schemaCompatible(
-              StructType(cs.schema.filterNot(_.name == gExtra)), stateSchema)
-        }
+        .filter(cs => schemaCompatible(cs.schema, twinSchema))
+        // COMPOSED subsumption: no warm drill-down at THIS grain — try
+        // the drill-down's FINER-GRAIN twin (day-only ← warm (hour, dim)
+        // state: regrain re-truncates the bucket, then the dim key
+        // merges away below — each step is the same state re-aggregation
+        // the warm merge performs, so the composition is sound)
+        .orElse(
+          if (config.regrainFromFinerState)
+            finerGrainState(c.copy(agg = twin), twinSchema)
+          else None)
         .map { cs =>
           config.log.info(c.fingerprint,
             s"redim hit: replaying (${attr.name})-keyed superset state " +

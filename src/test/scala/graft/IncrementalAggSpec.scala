@@ -1271,6 +1271,44 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log3.messages.exists(_.startsWith("redim hit")), log3.messages)
   }
 
+  test("composed subsumption: day roll-up answered from warm (hour, dim) state") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("redim-composed")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drillHour(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def rollDay(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withRedimDimensions("event_type")
+    // ONLY the (hour, event_type) drill-down is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drillHour(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drillHour(spark.read.parquet(work))).collect()
+    // first-ever DAY-only sighting: no day state, no (day, dim) state,
+    // no hour-only state — the composed probe regrains the dim twin
+    val log = new RecordingLog
+    val dayDF = QueryCacheSession(spark, cfg(log))
+      .run(rollDay(spark.read.parquet(work)))
+    assertSameRows(dayDF, rollDay(eventsFull), tol = 1e-9)
+    assert(log.messages.exists(_.startsWith("redim hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("regrain hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // the composed run stored day-only state: next sighting, direct hit
+    val log2 = new RecordingLog
+    QueryCacheSession(spark, cfg(log2))
+      .run(rollDay(spark.read.parquet(work))).collect()
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(!log2.messages.exists(_.startsWith("redim hit")), log2.messages)
+  }
+
   test("redim isolation: strict mode, differing aggregates, undeclared dims") {
     val (early, _, splitUs) = split()
     val work = tmpDir("redim-neg")
