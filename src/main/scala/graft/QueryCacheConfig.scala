@@ -119,11 +119,18 @@ import graft.log.{CacheLog, NoOpLog}
   *                              unlike grain substitution no other plan
   *                              site can change meaning — the probe
   *                              either finds state captured by exactly
-  *                              that superset query or misses. Declared
-  *                              by column NAME (case-insensitive);
-  *                              empty set = feature off. No reference
-  *                              analog (its fingerprint is all-or-
-  *                              nothing, src/aggregate.rs:89).
+  *                              that superset query or misses. The same
+  *                              declaration also enables FILTER
+  *                              subsumption: a query slicing a declared
+  *                              dimension with an equality/IN conjunct
+  *                              answers from the UNFILTERED drill-down's
+  *                              warm state sliced on the key (skipped for
+  *                              dim-side conjuncts under outer joins,
+  *                              where stripping the filter would change
+  *                              NULL-extension). Declared by column NAME
+  *                              (case-insensitive); empty set = feature
+  *                              off. No reference analog (its fingerprint
+  *                              is all-or-nothing, src/aggregate.rs:89).
   * @param percentileSketchState ON (default): numeric percentile /
   *                              approx_percentile state past 4096
   *                              distinct values per group compresses

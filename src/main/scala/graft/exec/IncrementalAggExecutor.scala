@@ -487,6 +487,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // warm state by merging the extra key away (opt-in via
       // config.redimDimensionColumns)
       .orElse(supersetDimState(c, stateSchema))
+      // filter subsumption: an equality/IN slice on a declared dimension
+      // answered from the UNFILTERED drill-down's warm state — the state
+      // rows with matching dim keys are exactly this query's groups
+      .orElse(dimFilterState(c, stateSchema))
 
     val merged = entry match {
       case Some(cs) =>
@@ -885,6 +889,105 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           graft.cache.CachedState(cs.timestampMicros,
             StructType(cs.schema.filterNot(_.name == gExtra)),
             s => cs.read(s).drop(gExtra))
+        }
+    }.headOption
+  }
+
+  /** On an exact-fingerprint miss: a query whose filter carries an
+    * equality (or IN-list) conjunct on a declared dimension column can be
+    * answered from the warm state of the same plan WITHOUT that conjunct
+    * but WITH the dimension as an extra grouping key — the drill-down's
+    * state rows whose dim key passes the predicate are, group for group,
+    * the partial state this query would have computed (every other state
+    * row aggregates only rows the predicate excludes). The replay filters
+    * the state on the key and merges the key away; the put then stores
+    * sliced state under THIS fingerprint.
+    *
+    * Soundness: a conjunct referencing one dimension attribute commutes
+    * with the aggregate's grouping because the twin keys state BY that
+    * attribute. The one shape where stripping the conjunct is NOT
+    * row-equivalent is a dim-side filter BELOW an outer join (stripping
+    * changes which fact rows get NULL-extended, not just which dim rows
+    * match), so candidates sourced from a declared-static side are
+    * skipped whenever the plan contains an outer join. */
+  private def dimFilterState(c: Cacheable,
+      stateSchema: StructType): Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      EqualNullSafe, EqualTo, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
+    if (config.redimDimensionColumns.isEmpty) return None
+    val hasOuterJoin = c.agg.child.exists {
+      case j: Join => j.joinType match {
+        case Inner | Cross | LeftSemi | LeftAnti => false
+        case _ => true
+      }
+      case _ => false
+    }
+    def asDim(e: Expression): Option[Attribute] = e match {
+      case a: Attribute
+        if config.redimDimensionColumns.exists(_.equalsIgnoreCase(a.name)) &&
+          c.agg.child.outputSet.contains(a) &&
+          !c.agg.groupingExpressions.exists(_.references.contains(a)) &&
+          !a.semanticEquals(c.temporalAttr) &&
+          !(hasOuterJoin && c.staticOuts.contains(a)) => Some(a)
+      case _ => None
+    }
+    def lits(es: Seq[Expression]): Option[Seq[Literal]] = {
+      val ls = es.collect { case l: Literal if l.value != null => l }
+      if (ls.length == es.length) Some(ls) else None
+    }
+    // candidate conjuncts, in filter order: (conjunct, dim attr, values)
+    val cands = ArrayBuffer.empty[(Expression, Attribute, Seq[Literal])]
+    c.agg.child.foreach {
+      case Filter(cond, _) => splitConj(cond).foreach { cj =>
+        (cj match {
+          case EqualTo(a, v) => asDim(a).flatMap(d => lits(Seq(v)).map((d, _)))
+          case EqualTo(v, a) => asDim(a).flatMap(d => lits(Seq(v)).map((d, _)))
+          case EqualNullSafe(a, v: Literal) if v.value != null =>
+            asDim(a).map((_, Seq(v)))
+          case EqualNullSafe(v: Literal, a) if v.value != null =>
+            asDim(a).map((_, Seq(v)))
+          case In(a, vs) => asDim(a).flatMap(d => lits(vs).map((d, _)))
+          case _ => None
+        }).foreach { case (d, vs) => cands += ((cj, d, vs)) }
+      }
+      case _ => ()
+    }
+    val prefix = c.agg.aggregateExpressions.takeWhile { o =>
+      val core = o match { case Alias(ch, _) => ch; case x => x }
+      c.agg.groupingExpressions.exists(_.semanticEquals(core))
+    }.length
+    val nGroup = c.agg.groupingExpressions.length
+    val gExtra = s"_g$nGroup"
+    cands.view.flatMap { case (cj, attr, vals) =>
+      val twin = c.agg.copy(
+        groupingExpressions = c.agg.groupingExpressions :+ attr,
+        aggregateExpressions =
+          (c.agg.aggregateExpressions.take(prefix) :+ attr) ++
+            c.agg.aggregateExpressions.drop(prefix),
+        child = stripConjunct(c.agg.child, cj))
+      val fp2 = Fingerprint.of(twin) + fpSuffix
+      val twinSchema = StructType(
+        (stateSchema.take(nGroup) :+
+          org.apache.spark.sql.types.StructField(gExtra, attr.dataType)) ++
+          stateSchema.drop(nGroup))
+      config.cache.get(fp2)
+        .filter(cs => schemaCompatible(cs.schema, twinSchema))
+        // composes with grain subsumption exactly like redim: no warm
+        // drill-down at this grain — try its finer-grain twin
+        .orElse(
+          if (config.regrainFromFinerState)
+            finerGrainState(c.copy(agg = twin), twinSchema)
+          else None)
+        .map { cs =>
+          config.log.info(c.fingerprint,
+            s"refilter hit: replaying (${attr.name})-keyed unfiltered state " +
+              s"${fp2.take(12)} sliced to ${vals.length} value(s)")
+          val pred = vals.map(v => col(gExtra) === Shims.column(v))
+            .reduce(_ || _)
+          graft.cache.CachedState(cs.timestampMicros,
+            StructType(cs.schema.filterNot(_.name == gExtra)),
+            s => cs.read(s).filter(pred).drop(gExtra))
         }
     }.headOption
   }

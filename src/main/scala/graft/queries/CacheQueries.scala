@@ -288,6 +288,36 @@ object CacheQueries {
         .run(drill(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(roll(s.read.parquet(work)))
     }),
+    // filter SUBSUMPTION (slice ↔ whole): after a cold→append→warm cycle
+    // of the UNFILTERED (hour, event_type) drill-down, the first-ever
+    // sighting of the event_type='click' SLICE grouped by hour only is an
+    // exact-fingerprint miss but a REFILTER hit — the drill-down state
+    // replays filtered to the matching dim key, the key merges away, and
+    // no fact row below the drill-down watermark is rescanned (zero-scan
+    // pinned in IncrementalAggSpec). The returned slice is what the
+    // oracle checks against the full table.
+    "qc_incr_refilter" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "refilter")
+      val cache = new MemoryQueryCache()
+      def drill(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def slice(df: DataFrame) = df
+        .filter(col("value") > 1 && col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withRedimDimensions("event_type")
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(drill(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(drill(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(slice(s.read.parquet(work)))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -578,6 +608,13 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value
          FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_refilter" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events WHERE value > 1 AND event_type = 'click'
          GROUP BY 1""",
     // sketch envelope: the Spark side emits rank-check BOOLEANS (and the
     // exact group count); the oracle asserts the same months with TRUE —

@@ -1309,6 +1309,125 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log2.messages.exists(_.startsWith("redim hit")), log2.messages)
   }
 
+  test("refilter: dimension slice answered from warm drill-down state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("refilter-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def slice(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def sliceIn(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type").isin("click", "error"))
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withRedimDimensions("event_type")
+    // ONLY the unfiltered (hour, event_type) drill-down is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // first-ever SLICE sighting: refilter hit; delta entirely above the
+    // drill-down watermark, so parquet stats prune every fact row
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val sliceDF = QueryCacheSession(spark, cfg(log2))
+      .run(slice(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sliceDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("refilter hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"slice scanned ${recs.sum()} fact rows — refilter rescanned history")
+    assertSameRows(sliceDF, slice(eventsFull), tol = 1e-9)
+
+    // an IN-list slice over the SAME warm drill-down state also refilters
+    val logIn = new RecordingLog
+    val inDF = QueryCacheSession(spark, cfg(logIn))
+      .run(sliceIn(spark.read.parquet(work)))
+    assertSameRows(inDF, sliceIn(eventsFull), tol = 1e-9)
+    assert(logIn.messages.exists(_.startsWith("refilter hit")), logIn.messages)
+
+    // the refilter run stored sliced state under its own fingerprint:
+    // second sighting is a direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(slice(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("refilter hit")), log3.messages)
+  }
+
+  test("refilter isolation: undeclared dim, non-equality predicate, strict crossover") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("refilter-neg")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def slice(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog, nowUs: Option[Long] = None,
+        dims: Boolean = true, strict: Boolean = false) = {
+      val base = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = nowUs, log = log, strictUpperBound = strict)
+      if (dims) base.withRedimDimensions("event_type") else base
+    }
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // event_type NOT declared a dimension: plain miss
+    val logU = new RecordingLog
+    QueryCacheSession(spark, cfg(logU, dims = false))
+      .run(slice(spark.read.parquet(work))).collect()
+    assert(!logU.messages.exists(_.startsWith("refilter hit")), logU.messages)
+    assert(logU.messages.exists(_.startsWith("cache miss")), logU.messages)
+
+    // non-equality predicate on the dim: no refilter candidate
+    val logR = new RecordingLog
+    QueryCacheSession(spark, cfg(logR))
+      .run(spark.read.parquet(work)
+        .filter(col("value") > 1 && col("event_type") > "a")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value")))
+      .collect()
+    assert(!logR.messages.exists(_.startsWith("refilter hit")), logR.messages)
+    assert(logR.messages.exists(_.startsWith("cache miss")), logR.messages)
+
+    // strict-mode slice must not replay non-strict drill-down state
+    val logS = new RecordingLog
+    QueryCacheSession(spark, cfg(logS, strict = true))
+      .run(slice(spark.read.parquet(work))).collect()
+    assert(!logS.messages.exists(_.startsWith("refilter hit")), logS.messages)
+    assert(logS.messages.exists(_.startsWith("cache miss")), logS.messages)
+  }
+
   test("redim isolation: strict mode, differing aggregates, undeclared dims") {
     val (early, _, splitUs) = split()
     val work = tmpDir("redim-neg")
