@@ -844,9 +844,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * by exactly that superset query or misses. Only single-dimension
     * supersets are probed (a two-extra-key drill-down's fingerprint
     * won't match any one-insertion twin). */
-  private def supersetDimState(c: Cacheable,
-      stateSchema: StructType): Option[graft.cache.CachedState] = {
-    if (config.redimDimensionColumns.isEmpty) return None
+  private def supersetDimState(c: Cacheable, stateSchema: StructType,
+      depth: Int = 0): Option[graft.cache.CachedState] = {
+    // probe-chain cap: each level appends one declared dim (or strips one
+    // conjunct), so the space is permutations of the declared set —
+    // bounded here so a large declaration can't make a miss expensive
+    if (config.redimDimensionColumns.isEmpty || depth >= 3) return None
     // canonical groupBy().agg() output shape: grouping outputs first —
     // the superset twin inserts the dimension right after them
     val prefix = c.agg.aggregateExpressions.takeWhile { o =>
@@ -882,6 +885,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           if (config.regrainFromFinerState)
             finerGrainState(c.copy(agg = twin), twinSchema)
           else None)
+        // RECURSIVE subsumption: no warm single-dim drill-down — probe
+        // its own superset (two or more extra dims, e.g. hour-only from
+        // warm (hour, service, region)). The recursive result already
+        // merged the deeper keys away, so it reads as the twin's state;
+        // termination: each level grooms one more declared dim and the
+        // candidate list excludes already-grouped ones.
+        .orElse(supersetDimState(c.copy(agg = twin), twinSchema, depth + 1))
         .map { cs =>
           config.log.info(c.fingerprint,
             s"redim hit: replaying (${attr.name})-keyed superset state " +
@@ -910,12 +920,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * changes which fact rows get NULL-extended, not just which dim rows
     * match), so candidates sourced from a declared-static side are
     * skipped whenever the plan contains an outer join. */
-  private def dimFilterState(c: Cacheable,
-      stateSchema: StructType): Option[graft.cache.CachedState] = {
+  private def dimFilterState(c: Cacheable, stateSchema: StructType,
+      depth: Int = 0): Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.catalyst.expressions.{
       EqualNullSafe, EqualTo, In, Literal}
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftSemi}
-    if (config.redimDimensionColumns.isEmpty) return None
+    if (config.redimDimensionColumns.isEmpty || depth >= 3) return None
     val hasOuterJoin = c.agg.child.exists {
       case j: Join => j.joinType match {
         case Inner | Cross | LeftSemi | LeftAnti => false
@@ -979,6 +989,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           if (config.regrainFromFinerState)
             finerGrainState(c.copy(agg = twin), twinSchema)
           else None)
+        // composes with dimension subsumption (slice answered from a
+        // DEEPER drill-down, e.g. WHERE service='x' GROUP BY hour from
+        // warm (hour, service, region) state) and with itself (a second
+        // sliced dimension strips its conjunct at the next level)
+        .orElse(supersetDimState(c.copy(agg = twin), twinSchema, depth + 1))
+        .orElse(dimFilterState(c.copy(agg = twin), twinSchema, depth + 1))
         .map { cs =>
           config.log.info(c.fingerprint,
             s"refilter hit: replaying (${attr.name})-keyed unfiltered state " +

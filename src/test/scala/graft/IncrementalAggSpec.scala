@@ -1378,6 +1378,53 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log3.messages.exists(_.startsWith("refilter hit")), log3.messages)
   }
 
+  test("recursive subsumption: two extra dims merge away; double slice strips both") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("redim-recursive")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def withSeg(df: DataFrame) = df
+      .withColumn("seg", (col("user_id") % 3).cast("string"))
+    def drill2(df: DataFrame) = withSeg(df).filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def rollAll(df: DataFrame) = withSeg(df).filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def slice2(df: DataFrame) = withSeg(df)
+      .filter(col("value") > 1 && col("event_type") === "click" &&
+        col("seg") === "1")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withRedimDimensions("event_type", "seg")
+    // ONLY the two-dim (hour, event_type, seg) drill-down is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill2(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill2(spark.read.parquet(work))).collect()
+
+    // hour-only roll-up: both keys merge away through the recursive probe
+    val log = new RecordingLog
+    val rollDF = QueryCacheSession(spark, cfg(log))
+      .run(rollAll(spark.read.parquet(work)))
+    assertSameRows(rollDF, rollAll(eventsFull), tol = 1e-9)
+    assert(log.messages.count(_.startsWith("redim hit")) == 2, log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+
+    // double slice: both conjuncts strip, both keys slice away
+    val logS = new RecordingLog
+    val sliceDF = QueryCacheSession(spark, cfg(logS))
+      .run(slice2(spark.read.parquet(work)))
+    assertSameRows(sliceDF, slice2(eventsFull), tol = 1e-9)
+    assert(logS.messages.count(_.startsWith("refilter hit")) == 2, logS.messages)
+    assert(logS.messages.exists(_.startsWith("cache hit")), logS.messages)
+  }
+
   test("refilter isolation: undeclared dim, non-equality predicate, strict crossover") {
     val (early, late, splitUs) = split()
     val work = tmpDir("refilter-neg")
