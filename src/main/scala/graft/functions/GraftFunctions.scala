@@ -76,6 +76,20 @@ object GraftFunctions {
       BoundedTopK(args(0), litInt("graft_bottom_k", args(1)),
         smallest = true).toAggregateExpression()
     },
+    // aggregate: Misra-Gries heavy-hitters summary, ≤ k counters —
+    // SELECT graft_heavy_hitters(token, 256) FROM toks; returns
+    // array<struct<item,cnt,ub>> with cnt ≤ true_count ≤ ub; _merge
+    // re-aggregates stored summaries (summary-over-summary passes)
+    "graft_heavy_hitters" -> { args =>
+      arity("graft_heavy_hitters", args, 2)
+      MisraGries(args(0), litInt("graft_heavy_hitters", args(1)))
+        .toAggregateExpression()
+    },
+    "graft_heavy_hitters_merge" -> { args =>
+      arity("graft_heavy_hitters_merge", args, 2)
+      MisraGriesMerge(args(0), litInt("graft_heavy_hitters_merge", args(1)))
+        .toAggregateExpression()
+    },
     // sliding token windows: graft_chunks(text, size, overlap)
     "graft_chunks" -> { args =>
       arity("graft_chunks", args, 3)

@@ -1512,6 +1512,18 @@ object functions {
     Shims.column(BoundedTopK(Shims.expression(structCol), k,
       smallest = true).toAggregateExpression())
 
+  /** Misra-Gries heavy-hitters summary (≤ k counters) of an item column:
+    * array<struct<item,cnt,ub>> with cnt ≤ true_count ≤ ub, every item
+    * with true_count > n/(k+1) present — see [[MisraGries]] */
+  def heavy_hitters(item: Column, k: Int): Column =
+    Shims.column(MisraGries(Shims.expression(item), k)
+      .toAggregateExpression())
+
+  /** re-aggregation of stored heavy-hitters summaries */
+  def heavy_hitters_merge(summaries: Column, k: Int): Column =
+    Shims.column(MisraGriesMerge(Shims.expression(summaries), k)
+      .toAggregateExpression())
+
   def runs_from_values(values: Column): Column =
     Shims.column(RunsFromValues(Shims.expression(values)))
 

@@ -377,6 +377,22 @@ object CacheQueries {
           .select(col("day"), col("t.value").as("value"),
             col("t.event_id").as("event_id"))
       }),
+    // heavy hitters THROUGH the cache: Misra-Gries summary state merged
+    // with the mergeable-summaries operation. In this query the per-day
+    // item domain (5 event types) stays under k=8, so the summary never
+    // shrinks — cnt = ub = the exact count and the cached answer is
+    // deterministic (the bounded-error regime is envelope-checked in
+    // IncrementalAggSpec, the percentile-sketch precedent).
+    "qc_incr_heavyhitters" -> ((s, d) =>
+      coldAppendWarm(s, d, "heavyhitters") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(graft.functions.functions.heavy_hitters(
+            col("event_type"), 8).as("hh"))
+          .select(col("day"), explode(col("hh")).as("e"))
+          .select(col("day"), col("e.item").as("event_type"),
+            col("e.cnt").as("cnt"), col("e.ub").as("ub"))
+      }),
     // FILTER (WHERE …) across the whitelist (round 8): the predicate
     // folds into each state's partial/unit by null-masking data children —
     // conditional dashboard aggregates cache like their plain forms
@@ -595,6 +611,12 @@ object CacheQueries {
     // pd50 = Spark percentile_disc semantics spelled out: the smallest
     // member whose cume_dist >= p (DuckDB's own quantile_disc uses the
     // lower floor((n-1)p) convention — deliberately not used)
+    // exact regime (domain < k): the summary rows ARE per-group counts
+    "qc_incr_heavyhitters" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, count(*) AS cnt, count(*) AS ub
+         FROM events WHERE value > 1
+         GROUP BY 1, 2""",
     "qc_incr_regrain" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

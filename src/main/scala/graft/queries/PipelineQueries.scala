@@ -199,6 +199,33 @@ object PipelineQueries {
     // of vocabulary size — all-integer output, no rounding anywhere
     "q_freq_cms" -> ((s, d) =>
       Sketches.cmsTopTokenEstimates(documents(s, d), topK = 20)),
+    // Misra-Gries heavy hitters over the token stream: 256-counter
+    // mergeable summary (state O(k) per partition, shuffle carries one
+    // summary per partition — never the vocabulary). Emitted as the
+    // envelope check the guarantee makes deterministic: every token with
+    // true count > n/(k+1) must be FOUND in the summary with its true
+    // count inside the summary's [cnt, ub] bounds; the summary itself is
+    // partitioning-dependent, the booleans are not.
+    "q_freq_topk" -> ((s, d) => {
+      import graft.functions.functions.heavy_hitters
+      val k = 256
+      val toks = documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val hh = toks.agg(heavy_hitters(col("token"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt").as("cnt"),
+          col("e.ub").as("ub"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val heavy = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_exact") > expr(s"n DIV ${k + 1}"))
+      heavy.join(broadcast(hh), Seq("token"), "left")
+        .select(col("token"), col("n_exact"),
+          col("cnt").isNotNull.as("found"),
+          (col("cnt") <= col("n_exact") &&
+            col("n_exact") <= col("ub")).as("bound_ok"))
+    }),
     // deterministic train/val/test assignment: append-stable content-hash
     // split (exact binary boundaries 0.75 / 0.875 so the oracle's CASE
     // replays bit-identically), zero shuffles
@@ -1594,6 +1621,19 @@ object PipelineQueries {
     // occurrence, cells via the same positive-mod, estimate = min over
     // the 4 cells
     "q_freq_cms" -> cmsOracleSql,
+    // heavy hitters envelope: the exact over-threshold token set with
+    // TRUE flags — a summary missing a heavy token or overstepping its
+    // count bounds hash-mismatches
+    "q_freq_topk" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         ne AS (SELECT token FROM toks WHERE token <> ''),
+         tot AS (SELECT count(*) AS n FROM ne)
+         SELECT token, count(*) AS n_exact, TRUE AS found, TRUE AS bound_ok
+         FROM ne, tot
+         GROUP BY token, n
+         HAVING count(*) > n // 257""",
     // vocabulary: same \s+ tokenization (string_split_regex) + the same
     // total (count desc, token asc) order, so the top-100 SET matches
     // even with count ties at the boundary

@@ -66,6 +66,9 @@ object Decompose {
   final case class MValueSketch(threshold: Int, centroids: Int) extends MergeOp
   /** heap union of ranked-struct arrays bounded at k — top-k state */
   final case class MTopK(k: Int, smallest: Boolean) extends MergeOp
+  /** Misra-Gries summary merge bounded at k counters — heavy-hitters
+    * state (counter-map addition + subtract-and-drop) */
+  final case class MHeavyHitters(k: Int) extends MergeOp
 
   /** sketch engagement point: past this many distinct values per group
     * the percentile state compresses (exactness holds below) */
@@ -475,6 +478,26 @@ object Decompose {
               .otherwise(array().cast(
                 org.apache.spark.sql.types.ArrayType(t.child.dataType)))))),
           col(n).cast(agg.dataType)))
+      case g: graft.functions.MisraGries =>
+        // heavy hitters cache via summary merge: stored state IS the
+        // k-counter summary, re-merged with the mergeable-summaries
+        // operation; appended rows enter as exact single-item summaries
+        // (cnt = ub = 1, zero error). State O(k) per group by
+        // construction. The replay contract is the summary's BOUNDS —
+        // like HLL, the cached answer is a valid summary of the full
+        // data, bit-identical to a one-shot run only while the group
+        // stays <= k distinct items (where the summary is exact and
+        // never shrinks); the bounded-error regime is envelope-checked
+        // in IncrementalAggSpec.
+        val n = s"_s${i}_hh"
+        val c = fc(Shims.column(g.child))
+        Some(Decomposed(
+          Seq(StateSpec(n, asCol, MHeavyHitters(g.k),
+            unit = Some(when(c.isNotNull,
+              array(struct(c.as("item"), lit(1L).as("cnt"),
+                lit(1L).as("ub"))))
+              .otherwise(array()).cast(g.dataType)))),
+          col(n).cast(agg.dataType)))
       case m: CentralMomentAgg
           if m.isInstanceOf[Skewness] || m.isInstanceOf[Kurtosis] =>
         // skewness/kurtosis via mergeable raw power sums (n, Σx, Σx², Σx³,
@@ -789,6 +812,9 @@ object Decompose {
         Shims.column(graft.functions.BoundedTopKMerge(
           Shims.expression(col(spec.name)), k, smallest)
           .toAggregateExpression())
+      case MHeavyHitters(k) =>
+        Shims.column(graft.functions.MisraGriesMerge(
+          Shims.expression(col(spec.name)), k).toAggregateExpression())
     }
     merged.cast(storedType).as(spec.name)
   }

@@ -1309,6 +1309,43 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log2.messages.exists(_.startsWith("redim hit")), log2.messages)
   }
 
+  test("heavy hitters through the cache: bounds hold in the shrinking regime") {
+    import graft.functions.functions.heavy_hitters
+    // wide item domain (user_id % 97 ~ 97 items) against k=16: partials
+    // SHRINK, so the cached summary carries real error — the contract is
+    // the bounds envelope, not counter equality (the HLL precedent)
+    val k = 16
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(heavy_hitters((col("user_id") % 97).cast("string"), k).as("hh"))
+    val (warmDF, log) = coldAppendWarm("hhsketch")(q)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    val exact = eventsFull.filter(col("value") > 1)
+      .groupBy(date_trunc("month", col("ts")).as("month"),
+        (col("user_id") % 97).cast("string").as("item"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val groupN = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = warmDF.collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val month = row.getTimestamp(0)
+      val hh = row.getSeq[Row](1)
+        .map(e => (e.getString(0), e.getLong(1), e.getLong(2)))
+      assert(hh.length <= k, s"$month: ${hh.length} counters")
+      val present = hh.map(_._1).toSet
+      hh.foreach { case (item, cnt, ub) =>
+        val t = exact((month, item))
+        assert(cnt <= t && t <= ub, s"$month/$item bounds $cnt/$t/$ub")
+      }
+      val thr = groupN(month) / (k + 1)
+      exact.foreach { case ((m, item), t) =>
+        if (m == month && t > thr)
+          assert(present.contains(item), s"heavy $item missing in $month")
+      }
+    }
+  }
+
   test("refilter: dimension slice answered from warm drill-down state, zero fact rows scanned") {
     val (early, late, splitUs) = split()
     val work = tmpDir("refilter-spec")

@@ -831,6 +831,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotSmall.forall(_ >= 0L))
   }
 
+  test("misra_gries: bounds hold, heavy items present, merge is a fixed point") {
+    import graft.functions.functions.{heavy_hitters, heavy_hitters_merge}
+    import spark.implicits._
+    // zipf-ish stream over a 2000-item domain: item_i appears ~2000/i times
+    val rows = (1 to 2000).flatMap(i => Seq.fill(2000 / i)(s"item_$i"))
+    val n = rows.length.toLong
+    val exact = rows.groupBy(identity).map { case (it, xs) =>
+      (it, xs.length.toLong) }
+    val k = 50
+    val thr = n / (k + 1)
+    val heavy = exact.filter(_._2 > thr).keySet
+    def check(got: Seq[(String, Long, Long)], tag: String): Unit = {
+      assert(got.length <= k, s"$tag: ${got.length} counters > k")
+      got.foreach { case (it, cnt, ub) =>
+        val t = exact(it)
+        assert(cnt <= t && t <= ub, s"$tag: $it bounds $cnt/$t/$ub")
+      }
+      assert(heavy.subsetOf(got.map(_._1).toSet),
+        s"$tag: missing heavy ${heavy -- got.map(_._1).toSet}")
+      // sorted (cnt desc, item asc)
+      assert(got == got.sortBy { case (it, cnt, _) => (-cnt, it) }, tag)
+    }
+    // 8 partitions force partial buffers through serialize/merge
+    val df = rows.toDF("item").repartition(8)
+    val got = df.agg(heavy_hitters(col("item"), k).as("hh")).first()
+      .getSeq[Row](0).map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    check(got, "direct")
+    // summary-over-summary: per-partition summaries re-aggregated keep
+    // the same contract (the stored-state shape the cache merge needs)
+    val parts = df.groupBy(spark_partition_id().as("p"))
+      .agg(heavy_hitters(col("item"), k).as("hh"))
+    val merged = parts.agg(heavy_hitters_merge(col("hh"), k).as("hh"))
+      .first().getSeq[Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    check(merged, "merged")
+    // SQL face == Column face on a tiny exact case (n <= k: no error)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_heavy_hitters(x, 8) AS hh FROM VALUES
+           ('a'), ('b'), ('a'), ('c'), ('a'), ('b') AS t(x)""").first()
+      .getSeq[Row](0).map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql == Seq(("a", 3L, 3L), ("b", 2L, 2L), ("c", 1L, 1L)), viaSql)
+  }
+
   test("sql-registered native functions match the column api") {
     import graft.functions.functions._
     graft.functions.GraftFunctions.register(spark)
