@@ -131,6 +131,32 @@ import graft.log.{CacheLog, NoOpLog}
   *                              (case-insensitive); empty set = feature
   *                              off. No reference analog (its fingerprint
   *                              is all-or-nothing, src/aggregate.rs:89).
+  * @param remeasureFromSupersetState MEASURE subsumption: on an
+  *                              exact-fingerprint MISS, probe for warm
+  *                              state of the SAME plan (same child, same
+  *                              grouping — keyed by a measure-erased BASE
+  *                              fingerprint) whose measure set is a
+  *                              SUPERSET of this query's, and answer by
+  *                              projecting out just the state columns this
+  *                              query needs (dashboards run count-only
+  *                              variants of count+sum+avg panels
+  *                              constantly). Unlike grain/dimension
+  *                              subsumption no re-aggregation happens at
+  *                              all: each measure's partial state is a
+  *                              deterministic function of (child,
+  *                              grouping, measure), so the projected
+  *                              columns are byte-for-byte the state this
+  *                              query would have captured — the replay is
+  *                              answer-identical, and the put then stores
+  *                              the projection under THIS fingerprint.
+  *                              Measures are matched by single-measure
+  *                              twin fingerprints, so "the same measure"
+  *                              means Catalyst-canonically the same
+  *                              expression. ON by default; it only
+  *                              engages on a miss and never changes
+  *                              answers. No reference analog (its
+  *                              fingerprint is all-or-nothing,
+  *                              src/aggregate.rs:89).
   * @param percentileSketchState ON (default): numeric percentile /
   *                              approx_percentile state past 4096
   *                              distinct values per group compresses
@@ -168,6 +194,7 @@ final case class QueryCacheConfig(
     staticDimensionTables: Set[String] = Set.empty,
     regrainFromFinerState: Boolean = true,
     redimDimensionColumns: Set[String] = Set.empty,
+    remeasureFromSupersetState: Boolean = true,
     percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {
 

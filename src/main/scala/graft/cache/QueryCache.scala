@@ -66,13 +66,59 @@ trait QueryCache {
   private[graft] def recordedSourcePaths(fingerprint: String): Set[String] =
     Option(sourceIndex.get(fingerprint)).getOrElse(Set.empty)
 
-  /** Forget the recorded paths of a dropped entry. Implementations MUST
-    * call this from every path that removes an entry (invalidate, LRU
-    * eviction, TTL expiry) — otherwise the index outlives the entries
-    * and grows with every fingerprint a long session ever cached. */
+  /** Forget the recorded paths (and measure-index row) of a dropped
+    * entry. Implementations MUST call this from every path that removes
+    * an entry (invalidate, LRU eviction, TTL expiry) — otherwise the
+    * indexes outlive the entries and grow with every fingerprint a long
+    * session ever cached. */
   protected final def dropSourcePaths(fingerprint: String): Unit = {
-    sourceIndex.remove(fingerprint); ()
+    sourceIndex.remove(fingerprint)
+    Option(fpToBase.remove(fingerprint)).foreach { base =>
+      val m = baseIndex.get(base)
+      if (m != null) {
+        m.remove(fingerprint)
+        if (m.isEmpty) { baseIndex.remove(base, m); () }
+      }
+    }
   }
+
+  // ------------------------------------------- measure-subsumption index
+
+  /** base fingerprint (plan + grouping, measures erased) → entries
+    * sharing it, each carrying its measure descriptors: single-measure
+    * twin fingerprint → that measure's state column names in the stored
+    * schema. Recorded by the executor just before put. Process-local;
+    * [[ParquetQueryCache]] additionally persists the rows in its meta so
+    * measure subsumption survives restarts. */
+  private val baseIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(String, Seq[String])]]]()
+  private val fpToBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def recordMeasures(fingerprint: String, baseFp: String,
+      measures: Seq[(String, Seq[String])]): Unit = {
+    fpToBase.put(fingerprint, baseFp)
+    baseIndex.computeIfAbsent(baseFp,
+      _ => new java.util.concurrent.ConcurrentHashMap())
+      .put(fingerprint, measures)
+    ()
+  }
+
+  private[graft] def recordedMeasures(
+      fingerprint: String): Option[(String, Seq[(String, Seq[String])])] =
+    Option(fpToBase.get(fingerprint)).flatMap { base =>
+      Option(baseIndex.get(base)).flatMap(m => Option(m.get(fingerprint)))
+        .map((base, _))
+    }
+
+  /** entries recorded under `baseFp`: (fingerprint, measure descriptors) */
+  private[graft] def entriesForBase(
+      baseFp: String): Seq[(String, Seq[(String, Seq[String])])] =
+    Option(baseIndex.get(baseFp)).map { m =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.toSeq
+    }.getOrElse(Seq.empty)
 
   /** Invalidate every entry whose source tables include `table` — the
     * one-call remedy after updating a table declared in
@@ -323,6 +369,47 @@ final class ParquetQueryCache(rootDir: String,
     }
   }
 
+  /** Measure-subsumption probe support across processes: the in-process
+    * index first (fresh by construction), then a root-directory scan of
+    * head metas for entries written by OTHER processes. The scan is one
+    * head-meta read per entry, memoized for `sweepIntervalMs` — probes
+    * only fire on cold exact-fingerprint misses, so the cost profile
+    * matches the global sweep's; an entry another process wrote within
+    * the last interval may take one interval to become probe-visible
+    * (its direct fingerprint hit is never delayed — get() reads disk). */
+  // 0L sentinel (not Long.MinValue): `now - memoMs` must not overflow
+  @volatile private var baseScanMemo:
+    (Long, Map[String, Seq[(String, Seq[(String, Seq[String])])]]) =
+    (0L, Map.empty)
+
+  override private[graft] def entriesForBase(
+      baseFp: String): Seq[(String, Seq[(String, Seq[String])])] = {
+    val local = super.entriesForBase(baseFp)
+    val now = System.currentTimeMillis()
+    if (now - baseScanMemo._1 > sweepIntervalMs) {
+      val scanned = try {
+        val spark = SparkSession.active
+        val root = new Path(rootDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) Map.empty[String,
+          Seq[(String, Seq[(String, Seq[String])])]]
+        else fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { d =>
+          try latestMeta(fs, d.getPath).filterNot(_.tombstone)
+            .filter(m => m.baseFp.nonEmpty && m.fingerprint.nonEmpty)
+            .map(m => (m.baseFp, (m.fingerprint, m.measures)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Seq[(String, Seq[(String, Seq[String])])]]
+      }
+      baseScanMemo = (now, scanned)
+    }
+    val seen = local.map(_._1).toSet
+    local ++ baseScanMemo._2.getOrElse(baseFp, Seq.empty)
+      .filterNot(e => seen.contains(e._1))
+  }
+
   override def put(fingerprint: String, timestampMicros: Long,
       state: DataFrame): DataFrame = {
     val spark = state.sparkSession
@@ -360,8 +447,14 @@ final class ParquetQueryCache(rootDir: String,
         org.apache.spark.sql.graftshim.Shims.queryExecution(state).analyzed)
         .filterNot(p => rootStr.nonEmpty && underRoot(p)).distinct
     } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    // measure-index rows recorded by the executor just before this put:
+    // persisted in the meta (with the fingerprint itself — directories
+    // are keyed by its hash) so measure subsumption works cross-process
+    val (baseFp, measures) = recordedMeasures(fingerprint)
+      .getOrElse(("", Seq.empty))
     writeMetaAtomic(fs, dir,
-      Meta(timestampMicros, dataDir, state.schema, srcPaths), version)
+      Meta(timestampMicros, dataDir, state.schema, srcPaths,
+        fingerprint, baseFp, measures), version)
     // DEFERRED cleanup: a reader that resolved the previous meta — or a
     // long warm scan still streaming an older data-<v> — must not get
     // FileNotFound mid-read. Superseded versions stay on disk until they
@@ -548,7 +641,9 @@ final class ParquetQueryCache(rootDir: String,
 
 object ParquetQueryCache {
   final case class Meta(timestampMicros: Long, dataDir: String,
-      schema: StructType, sourcePaths: Seq[String] = Seq.empty) {
+      schema: StructType, sourcePaths: Seq[String] = Seq.empty,
+      fingerprint: String = "", baseFp: String = "",
+      measures: Seq[(String, Seq[String])] = Seq.empty) {
     /** version = leading numeric component of the data dir name
       * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
     def version: Long =
@@ -603,7 +698,17 @@ object ParquetQueryCache {
       // newline-joined; absent in metas written before r6 (treated as
       // "unknown sources" — invalidateForTable skips those entries)
       fieldOpt("sourcePaths").map(_.split('\n').toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      fieldOpt("fingerprint").getOrElse(""),
+      fieldOpt("baseFp").getOrElse(""),
+      // one line per measure: `descriptor|col1,col2`; absent in metas
+      // written before r9 (entry simply never matches a measure probe)
+      fieldOpt("measures").map(_.split('\n').toSeq.filter(_.nonEmpty).map {
+        line =>
+          val i = line.indexOf('|')
+          (line.substring(0, i),
+            line.substring(i + 1).split(',').toSeq.filter(_.nonEmpty))
+      }).getOrElse(Seq.empty))
   }
 
   private def writeMetaAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
@@ -615,8 +720,10 @@ object ParquetQueryCache {
         case '\n' => "\\n"
         case c => c.toString
       }
+    val measureBlob = meta.measures
+      .map { case (d, cols) => s"$d|${cols.mkString(",")}" }.mkString("\n")
     val json =
-      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}"}"""
+      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}"}"""
     // per-writer temp name: two concurrent puts that computed the SAME
     // version (both read the same head) must not share a temp path — a
     // shared `.meta-<v>.json.tmp` lets one writer's rename steal the

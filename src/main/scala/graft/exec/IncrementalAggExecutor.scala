@@ -491,6 +491,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // answered from the UNFILTERED drill-down's warm state — the state
       // rows with matching dim keys are exactly this query's groups
       .orElse(dimFilterState(c, stateSchema))
+      // measure subsumption: a subset-measure query answered by
+      // projecting the needed state columns out of a warm superset entry
+      .orElse(supersetMeasureState(c, stateSchema))
 
     val merged = entry match {
       case Some(cs) =>
@@ -594,6 +597,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           "spark.sql.shuffle.partitions" ->
             math.max(4, spark.sparkContext.defaultParallelism / 8).toString)
       else Seq.empty
+    // measure-index row recorded BEFORE the put so a durable cache can
+    // persist it in the same meta commit (ParquetQueryCache reads the
+    // recorded row inside put)
+    if (config.remeasureFromSupersetState) phase("put.recordMeasures")(
+      config.cache.recordMeasures(c.fingerprint, baseFingerprint(c.agg),
+        measureRows(c)))
     // confs go on a CLONED session (never mutate the user's session —
     // a save/restore races concurrent queries); rebind the state plan
     val stored = phase("cache.put")(
@@ -816,6 +825,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           val fp2 = Fingerprint.of(subAgg) + fpSuffix
           config.cache.get(fp2)
             .filter(cs => schemaCompatible(cs.schema, stateSchema))
+            // composes with measure subsumption: the finer twin may exist
+            // only as a measure-superset entry — project its columns
+            // first, then re-truncate like any regrain hit
+            .orElse(supersetMeasureState(c.copy(agg = subAgg), stateSchema))
             .map { cs =>
               config.log.info(c.fingerprint,
                 s"regrain hit: replaying $finer-grain state " +
@@ -892,6 +905,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // termination: each level grooms one more declared dim and the
         // candidate list excludes already-grouped ones.
         .orElse(supersetDimState(c.copy(agg = twin), twinSchema, depth + 1))
+        // composes with measure subsumption: the drill-down may exist
+        // only as a measure-superset entry — project, then merge the
+        // dim key away below
+        .orElse(supersetMeasureState(c.copy(agg = twin), twinSchema))
         .map { cs =>
           config.log.info(c.fingerprint,
             s"redim hit: replaying (${attr.name})-keyed superset state " +
@@ -995,6 +1012,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // sliced dimension strips its conjunct at the next level)
         .orElse(supersetDimState(c.copy(agg = twin), twinSchema, depth + 1))
         .orElse(dimFilterState(c.copy(agg = twin), twinSchema, depth + 1))
+        // and with measure subsumption: the unfiltered drill-down may
+        // exist only as a measure-superset entry
+        .orElse(supersetMeasureState(c.copy(agg = twin), twinSchema))
         .map { cs =>
           config.log.info(c.fingerprint,
             s"refilter hit: replaying (${attr.name})-keyed unfiltered state " +
@@ -1006,6 +1026,92 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             s => cs.read(s).filter(pred).drop(gExtra))
         }
     }.headOption
+  }
+
+  // --------------------------------------------- measure subsumption
+
+  /** measure-erased output list: the plan's identity minus its aggregate
+    * list — same child + same grouping ⇒ same base fingerprint. Alias
+    * names canonicalize away, so wrapping non-named grouping expressions
+    * is fingerprint-stable. */
+  private def baseTwinOutputs(agg: Aggregate): Seq[NamedExpression] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val gs: Seq[NamedExpression] = agg.groupingExpressions.map {
+      case ne: NamedExpression => ne
+      case e => Alias(e, "_b")()
+    }
+    if (gs.nonEmpty) gs else Seq(Alias(Literal(1), "_b")())
+  }
+
+  private def baseFingerprint(agg: Aggregate): String =
+    Fingerprint.of(agg.copy(aggregateExpressions = baseTwinOutputs(agg))) +
+      fpSuffix
+
+  /** one measure's identity under this plan: the base twin plus exactly
+    * that AggregateExpression — "same measure" means Catalyst-canonically
+    * the same expression over the same child and grouping */
+  private def measureDescriptor(agg: Aggregate,
+      ae: AggregateExpression): String =
+    Fingerprint.of(agg.copy(
+      aggregateExpressions = baseTwinOutputs(agg) :+ Alias(ae, "_m")())) +
+      fpSuffix
+
+  /** this query's measure rows for the index: descriptor → its state
+    * column names (positional within the measure, stable across queries
+    * because Decompose is deterministic per measure) */
+  private def measureRows(c: Cacheable): Seq[(String, Seq[String])] =
+    c.aggExprs.zip(c.decomps).map { case (ae, d) =>
+      (measureDescriptor(c.agg, ae), d.state.map(_.name))
+    }
+
+  /** On an exact-fingerprint miss: look for warm state of the SAME plan
+    * (same child + grouping, matched by the measure-erased base
+    * fingerprint) computed for a SUPERSET of this query's measures, and
+    * answer by projecting out exactly the state columns this query
+    * needs, renamed to its own positional state names. Unlike grain/
+    * dimension subsumption nothing re-aggregates: each measure's partial
+    * state is a deterministic function of (child, grouping, measure), so
+    * the projected columns are byte-for-byte the state this query would
+    * have captured — and the put then stores the projection under THIS
+    * fingerprint, so the next run hits directly. */
+  private def supersetMeasureState(c: Cacheable,
+      stateSchema: StructType): Option[graft.cache.CachedState] = {
+    if (!config.remeasureFromSupersetState) return None
+    val needed = measureRows(c)
+    val nGroup = c.agg.groupingExpressions.length
+    config.cache.entriesForBase(baseFingerprint(c.agg)).view
+      .filter(_._1 != c.fingerprint)
+      .flatMap { case (fp2, stored) =>
+        val storedMap = stored.toMap
+        val covers = stored.size == storedMap.size && needed.forall {
+          case (d, names) => storedMap.get(d).exists(_.length == names.length)
+        }
+        if (!covers) None
+        else config.cache.get(fp2).flatMap { cs =>
+          val byName = cs.schema.fields.map(f => f.name -> f).toMap
+          val sel = cs.schema.take(nGroup).map(f => col(f.name)) ++
+            needed.flatMap { case (d, names) =>
+              storedMap(d).zip(names).map { case (from, to) =>
+                col(from).as(to)
+              }
+            }
+          val projSchema = try {
+            Some(StructType(cs.schema.take(nGroup) ++ needed.flatMap {
+              case (d, names) => storedMap(d).zip(names).map {
+                case (from, to) => byName(from).copy(name = to)
+              }
+            }))
+          } catch { case _: NoSuchElementException => None }
+          projSchema.filter(schemaCompatible(_, stateSchema)).map { ps =>
+            config.log.info(c.fingerprint,
+              s"remeasure hit: replaying measure-superset state " +
+                s"${fp2.take(12)} projected to ${needed.length} of " +
+                s"${stored.size} measures")
+            graft.cache.CachedState(cs.timestampMicros, ps,
+              s => cs.read(s).select(sel: _*))
+          }
+        }
+      }.headOption
   }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {

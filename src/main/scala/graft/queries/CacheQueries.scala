@@ -393,6 +393,34 @@ object CacheQueries {
           .select(col("day"), col("e.item").as("event_type"),
             col("e.cnt").as("cnt"), col("e.ub").as("ub"))
       }),
+    // measure SUBSUMPTION (panel ↔ single stat): after a cold→append→warm
+    // cycle of the full (cnt, sum, min) hourly panel, the first-ever
+    // sighting of the count-only variant is an exact-fingerprint miss but
+    // a REMEASURE hit — the warm entry's state columns for count are
+    // projected out (byte-identical to what this query would have
+    // captured; no re-aggregation at all) and no fact row below the
+    // panel's watermark is rescanned (zero-scan pinned in
+    // IncrementalAggSpec). The count-only answer is what the oracle
+    // checks against the full table.
+    "qc_incr_remeasure" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "remeasure")
+      val cache = new MemoryQueryCache()
+      def panel(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cntOnly(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(panel(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(panel(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(cntOnly(s.read.parquet(work)))
+    }),
     // FILTER (WHERE …) across the whitelist (round 8): the predicate
     // folds into each state's partial/unit by null-masking data children —
     // conditional dashboard aggregates cache like their plain forms
@@ -617,6 +645,11 @@ object CacheQueries {
            event_type, count(*) AS cnt, count(*) AS ub
          FROM events WHERE value > 1
          GROUP BY 1, 2""",
+    "qc_incr_remeasure" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt
+         FROM events WHERE value > 1
+         GROUP BY 1""",
     "qc_incr_regrain" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

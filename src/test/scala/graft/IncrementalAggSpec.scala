@@ -1309,6 +1309,153 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log2.messages.exists(_.startsWith("redim hit")), log2.messages)
   }
 
+  test("remeasure: subset-measure query answered from warm superset state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("remeasure-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def wide(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def narrow(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // warm the superset panel: cold + append + warm hit
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(wide(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(wide(spark.read.parquet(work))).collect()
+
+    // first-ever count-only sighting: remeasure hit; delta entirely
+    // above the superset watermark, so parquet stats prune every fact row
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val narrowDF = QueryCacheSession(spark, cfg(log2))
+      .run(narrow(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      narrowDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("remeasure hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"count-only query scanned ${recs.sum()} fact rows — remeasure rescanned history")
+    assertSameRows(narrowDF, narrow(eventsFull), tol = 1e-9)
+
+    // the remeasure run stored count-only state under its own
+    // fingerprint: second sighting is a direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(narrow(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("remeasure hit")), log3.messages)
+  }
+
+  test("remeasure isolation: missing measure, differing child, strict crossover") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("remeasure-iso")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def wide(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None, strict: Boolean = false) =
+      QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = nowUs, strictUpperBound = strict, log = log)
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(wide(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(wide(spark.read.parquet(work))).collect()
+
+    // (a) a measure OUTSIDE the warm set (max) — covers check fails
+    val logA = new RecordingLog
+    val dfA = QueryCacheSession(spark, cfg(logA))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), max("value").as("max_value")))
+    dfA.collect()
+    assert(!logA.messages.exists(_.startsWith("remeasure hit")), logA.messages)
+    assert(logA.messages.exists(_.startsWith("cache miss")), logA.messages)
+
+    // (b) a different child (filter changed) — base fingerprint differs
+    val logB = new RecordingLog
+    QueryCacheSession(spark, cfg(logB))
+      .run(spark.read.parquet(work).filter(col("value") > 2)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))).collect()
+    assert(!logB.messages.exists(_.startsWith("remeasure hit")), logB.messages)
+
+    // (c) strict-mode crossover — the fpSuffix keeps the bands apart
+    val logC = new RecordingLog
+    QueryCacheSession(spark, cfg(logC, strict = true))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))).collect()
+    assert(!logC.messages.exists(_.startsWith("remeasure hit")), logC.messages)
+
+    // (d) flag off — probe disabled even though a superset is warm
+    val logD = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logD,
+        remeasureFromSupersetState = false))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))).collect()
+    assert(!logD.messages.exists(_.startsWith("remeasure hit")), logD.messages)
+  }
+
+  test("composed subsumption: day-only subset measures from warm hour superset state") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("remeasure-composed")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def wideHour(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def narrowDay(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the hour-grain (cnt, sum) panel is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(wideHour(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(wideHour(spark.read.parquet(work))).collect()
+    // first-ever day/count-only sighting: no day state at any measure
+    // set, no hour count-only state — the regrain probe's finer twin
+    // resolves through measure subsumption, then re-truncates
+    val log = new RecordingLog
+    val dayDF = QueryCacheSession(spark, cfg(log))
+      .run(narrowDay(spark.read.parquet(work)))
+    assertSameRows(dayDF, narrowDay(eventsFull), tol = 1e-9)
+    assert(log.messages.exists(_.startsWith("regrain hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("remeasure hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // stored day/count-only state under its own fingerprint: direct hit
+    val log2 = new RecordingLog
+    QueryCacheSession(spark, cfg(log2))
+      .run(narrowDay(spark.read.parquet(work))).collect()
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(!log2.messages.exists(_.startsWith("remeasure hit")), log2.messages)
+  }
+
   test("heavy hitters through the cache: bounds hold in the shrinking regime") {
     import graft.functions.functions.heavy_hitters
     // wide item domain (user_id % 97 ~ 97 items) against k=16: partials
@@ -1621,6 +1768,19 @@ class IncrementalAggSpec extends AnyFunSuite {
       .run(roll(spark.read.parquet(work)))
     assertSameRows(rollDF, roll(eventsFull), tol = 1e-9)
     assert(logR.messages.exists(_.startsWith("redim hit")), logR.messages)
+
+    // measure subsumption from a FRESH handle: the probe has no
+    // in-process index rows, so the match comes entirely from the
+    // persisted meta (baseFp + measure descriptors + fingerprint)
+    def cntOnly(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val logM = new RecordingLog
+    val cntDF = QueryCacheSession(spark, QueryCacheConfig(
+        new ParquetQueryCache(root), defaultTemporalColumn = "ts", log = logM))
+      .run(cntOnly(spark.read.parquet(work)))
+    assertSameRows(cntDF, cntOnly(eventsFull), tol = 1e-9)
+    assert(logM.messages.exists(_.startsWith("remeasure hit")), logM.messages)
   }
 
   test("regrain bails when the grain literal appears outside the group key") {
