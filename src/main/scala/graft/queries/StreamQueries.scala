@@ -500,10 +500,38 @@ object StreamQueries {
         sum(len).as("total_chars"),
         min(len).as("min_chars"),
         max(len).as("max_chars"))
+    }),
+
+    // streaming heavy hitters: the Misra-Gries summary as a windowed
+    // streaming aggregate — its buffer serializes into the state store
+    // between micro-batches and merges with the mergeable-summaries
+    // operation, so per-window state stays O(k) no matter how many items
+    // the stream carries. Exact regime here (≤5 event types per hour <
+    // k=8): the summary never shrinks, cnt == true count == ub, and the
+    // exploded rows are the plain per-(hour, type) counts the batch
+    // oracle reproduces.
+    "q_stream_freq" -> ((s, d) => withNanosConf(s) { iso =>
+      import graft.functions.functions.heavy_hitters
+      val name = sinkName("freq", d)
+      val agg = StreamingAgg.windowedAgg(
+        eventsStream(iso, d), "ts", "1 hour", watermarkDelay = "10 minutes",
+        groupCols = Seq.empty,
+        aggCols = Seq(heavy_hitters(col("event_type"), 8).as("hh")))
+      runToCompletion(agg, name, mode = "complete")
+      iso.table(name)
+        .select(col("window.start").as("hour"), explode(col("hh")).as("e"))
+        .select(col("hour"), col("e.item").as("event_type"),
+          col("e.cnt").as("cnt"), col("e.ub").as("ub"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // exact regime (hourly event_type domain < k): summary rows ARE the
+    // per-(hour, type) counts, with zero accumulated error (ub = cnt)
+    "q_stream_freq" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type, count(*) AS cnt, count(*) AS ub
+         FROM events GROUP BY 1, 2""",
     "q_stream_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            event_type, count(*) AS cnt,
