@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.functions.{cosine_similarity, nearest_centroid}
@@ -424,10 +424,23 @@ object IVF {
     * bound prunes most cells (cost ≈ matching cells, like a 100 TB
     * partition-pruned read of the ivf_cell layout); on isotropic data it
     * degrades to a full scan — never returns less than the true top-k. */
+  /** Exact pruned top-k. `pred` enables FILTERED vector search (the
+    * metadata-restricted top-k every vector store serves): candidates
+    * are PRE-filtered — the predicate applies inside each cell scan,
+    * right next to the cell equi-filter, so at scale both push down to
+    * the same parquet scan and a selective predicate reads a fraction
+    * of each probed cell. Pruning stays lossless: cell radii computed
+    * over the UNFILTERED index upper-bound every member's cosine, so
+    * they bound the filtered subset's too; cells are pruned against the
+    * k-th best FILTERED cosine (post-filter rerank of an unfiltered
+    * shortlist, by contrast, can return < k rows under a selective
+    * predicate — this never does). */
   def searchExact(indexed: DataFrame, model: Model, query: Seq[Float],
-      k: Int = 10, idCol: String = "vec_id", embCol: String = "embedding")
-      : DataFrame = {
+      k: Int = 10, idCol: String = "vec_id", embCol: String = "embedding",
+      pred: Option[Column] = None): DataFrame = {
     def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    def filtered(df: DataFrame): DataFrame =
+      pred.map(df.filter).getOrElse(df)
     val q = array(query.map(lit): _*)
     val radii = cellRadii(indexed, model, "ivf_cell", embCol)
     val qa = query.map(_.toDouble).toArray
@@ -446,15 +459,16 @@ object IVF {
       return indexed.limit(0)
         .select(col(idCol), lit(0.0d).as("cosine"))
     val best = ordered.head
-    val bestTop = indexed.filter(col("ivf_cell") === best)
+    val bestTop = filtered(indexed.filter(col("ivf_cell") === best))
       .select(cosine_similarity(col(embCol), q).as("cosine"))
       .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc).limit(k).collect()
-    // running k-th best; if the first cell holds fewer than k vectors the
-    // bound can't prune anything yet (kth = -∞ probes every cell)
+    // running k-th best; if the first cell holds fewer than k (filtered)
+    // vectors the bound can't prune anything yet (kth = -∞ probes every
+    // cell)
     val kth = if (bestTop.length < k) -2.0 else bestTop.last.getDouble(0)
     val probes = ordered.filter(i => i == best || bound(i) >= kth)
-    indexed.filter(col("ivf_cell").isin(probes: _*))
+    filtered(indexed.filter(col("ivf_cell").isin(probes: _*)))
       .select(col(idCol), cosine_similarity(col(embCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -510,6 +510,23 @@ object PipelineQueries {
       IVF.searchExact(IVF.index(emb, model), model, q, k = 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
+    // FILTERED vector search (the metadata-restricted top-k every vector
+    // store serves): exact IVF search under `label = 2` (~10% of the
+    // corpus). The predicate applies INSIDE each probed cell scan (pushes
+    // to the parquet scan next to the cell filter), cells prune against
+    // the k-th best FILTERED cosine — still lossless, unfiltered radii
+    // upper-bound the filtered subset — and unlike post-filter rerank the
+    // result never comes up short of k under a selective predicate
+    "q_ann_filtered" -> ((s, d) => {
+      import graft.operators.IVF
+      val emb = embeddings(s, d)
+      val model = IVF.fitCached(emb, k = 32, sampleN = 1024, iters = 6)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      IVF.searchExact(IVF.index(emb, model), model, q, k = 10,
+          pred = Some(col("label") === 2))
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
     // batched EXACT kNN join (every 400th vector as the query table):
     // two ivf_cell equi-joins + per-query candidate windows, lossless
     // cell-bound pruning — oracle = the full brute-force cross join
@@ -1097,6 +1114,16 @@ object PipelineQueries {
            round(CAST(list_cosine_similarity(embedding,
              (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine
          FROM embeddings
+         ORDER BY list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+           vec_id ASC
+         LIMIT 10""",
+    "q_ann_filtered" ->
+      """SELECT vec_id,
+           round(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine
+         FROM embeddings
+         WHERE label = 2
          ORDER BY list_cosine_similarity(embedding,
              (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
            vec_id ASC

@@ -227,6 +227,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == brute)
   }
 
+  test("IVF filtered search equals filtered brute force, incl. under-k predicates") {
+    import graft.operators.IVF
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val model = IVF.fit(emb, k = 16, sampleN = 512, iters = 4)
+    val indexed = IVF.index(emb, model)
+    def brute(pred: org.apache.spark.sql.Column) =
+      Similarity.bruteForceTopK(emb.filter(pred), q, k = 10)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    def filtered(pred: org.apache.spark.sql.Column) =
+      IVF.searchExact(indexed, model, q, k = 10, pred = Some(pred))
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    // moderate predicate (~10% of the corpus): exact pre-filtered top-10
+    val p1 = col("label") === 2
+    assert(filtered(p1) == brute(p1))
+    // highly selective predicate with FEWER than k matching rows: the
+    // pre-filter returns all of them (a post-filter rerank of an
+    // unfiltered shortlist would come up short instead)
+    val p2 = pmod(col("vec_id"), lit(97)) === lit(3)
+    val f2 = filtered(p2)
+    assert(f2 == brute(p2))
+    assert(f2.nonEmpty && f2.length == emb.filter(p2).count())
+  }
+
   test("asof join equals the naive quadratic definition") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
       .limit(200)
