@@ -131,6 +131,32 @@ import graft.log.{CacheLog, NoOpLog}
   *                              (case-insensitive); empty set = feature
   *                              off. No reference analog (its fingerprint
   *                              is all-or-nothing, src/aggregate.rs:89).
+  * @param rejoinFromFactState JOIN subsumption (eager-aggregation
+  *                              replay): a query aggregating a fact ⋈
+  *                              declared-static-dim join by DIM
+  *                              attributes (`GROUP BY day, c_mktsegment`)
+  *                              can, on an exact-fingerprint miss,
+  *                              answer from the warm state of the plain
+  *                              FACT query grouped by the JOIN KEY
+  *                              (`GROUP BY day, user_id`): the state
+  *                              re-joins the static dim on the key, the
+  *                              key merges away, and no fact row below
+  *                              the watermark is rescanned. Sound by the
+  *                              aggregate-join commute (Yan & Larson,
+  *                              VLDB'95 eager aggregation): with inner
+  *                              join on one equi-pair, measures
+  *                              referencing only fact columns, and
+  *                              grouping split cleanly by side, each
+  *                              state row joining m dim rows lands in
+  *                              exactly the m groups its underlying fact
+  *                              rows would have — multiplicity included.
+  *                              One fact-grained state serves EVERY
+  *                              dimension breakdown (by segment, by
+  *                              nation, …). Requires the dim side
+  *                              declared in staticDimensionTables (the
+  *                              same contract the direct cached-join
+  *                              path needs). ON by default; engages only
+  *                              on a miss and never changes answers.
   * @param remeasureFromSupersetState MEASURE subsumption: on an
   *                              exact-fingerprint MISS, probe for warm
   *                              state of the SAME plan (same child, same
@@ -195,6 +221,7 @@ final case class QueryCacheConfig(
     regrainFromFinerState: Boolean = true,
     redimDimensionColumns: Set[String] = Set.empty,
     remeasureFromSupersetState: Boolean = true,
+    rejoinFromFactState: Boolean = true,
     percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {
 

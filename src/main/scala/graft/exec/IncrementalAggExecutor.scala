@@ -491,6 +491,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // answered from the UNFILTERED drill-down's warm state — the state
       // rows with matching dim keys are exactly this query's groups
       .orElse(dimFilterState(c, stateSchema))
+      // join subsumption: a dim-attribute breakdown over a fact ⋈
+      // static-dim join answered from the fact query's join-key-grained
+      // warm state, re-joined to the dim
+      .orElse(rejoinFactState(c, stateSchema))
       // measure subsumption: a subset-measure query answered by
       // projecting the needed state columns out of a warm superset entry
       .orElse(supersetMeasureState(c, stateSchema))
@@ -1026,6 +1030,126 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             s => cs.read(s).filter(pred).drop(gExtra))
         }
     }.headOption
+  }
+
+  // ------------------------------------------------ join subsumption
+
+  /** On an exact-fingerprint miss: a query aggregating a fact ⋈
+    * declared-static-dim INNER join by DIM attributes can be answered
+    * from the warm state of the plain FACT query grouped by the JOIN
+    * KEY — the state re-joins the (static) dim on the key, dim group
+    * expressions evaluate over the joined dim columns, and the key
+    * merges away through the normal merge aggregation. One fact-grained
+    * state serves every dimension breakdown.
+    *
+    * Soundness (eager aggregation, Yan & Larson VLDB'95): with a single
+    * equi-pair inner join, measures referencing only fact columns, and
+    * every grouping expression referencing exactly one side, a state row
+    * joining m dim rows contributes to exactly the m groups its
+    * underlying fact rows reach in the direct plan — multiplicity and
+    * dropped null/unmatched keys included. Chain filters between the
+    * aggregate and the join must be fact-only (they transplant to the
+    * twin); the dim side must be declared static — the same staleness
+    * contract the direct cached-join path already requires. */
+  private def rejoinFactState(c: Cacheable,
+      stateSchema: StructType): Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.Inner
+    if (!config.rejoinFromFactState) return None
+    // V1 shape: Filter / SubqueryAlias / pass-through-Project chain over
+    // exactly one join
+    var filters = List.empty[Expression] // outermost-first
+    def peel(p: LogicalPlan): Option[Join] = p match {
+      case Filter(cond, ch) => filters = filters :+ cond; peel(ch)
+      case SubqueryAlias(_, ch) => peel(ch)
+      case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) =>
+        peel(ch)
+      case jn: Join => Some(jn)
+      case _ => None
+    }
+    val j = peel(c.agg.child).getOrElse(return None)
+    if (j.joinType != Inner) return None
+    val (factSide, dimSide) =
+      if (j.left.outputSet.subsetOf(c.staticOuts)) (j.right, j.left)
+      else if (j.right.outputSet.subsetOf(c.staticOuts)) (j.left, j.right)
+      else return None
+    val (fk, pk) = j.condition match {
+      case Some(EqualTo(a: Attribute, b: Attribute)) =>
+        if (factSide.outputSet.contains(a) && dimSide.outputSet.contains(b))
+          (a, b)
+        else if (factSide.outputSet.contains(b) &&
+          dimSide.outputSet.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    if (!filters.forall(_.references.subsetOf(factSide.outputSet)))
+      return None
+    // grouping splits cleanly by side; measures (incl. any expression
+    // around them in the output) reference only fact columns
+    val groups = c.agg.groupingExpressions
+    val factIdx = groups.zipWithIndex.collect {
+      case (g, i) if g.references.nonEmpty &&
+        g.references.subsetOf(factSide.outputSet) => i
+    }
+    val dimIdx = groups.zipWithIndex.collect {
+      case (g, i) if g.references.nonEmpty &&
+        g.references.subsetOf(dimSide.outputSet) => i
+    }
+    if (factIdx.length + dimIdx.length != groups.length) return None
+    val measureOuts = c.agg.aggregateExpressions.filter(
+      _.exists(_.isInstanceOf[AggregateExpression]))
+    if (!measureOuts.forall(_.references.subsetOf(factSide.outputSet)))
+      return None
+    // twin: the plain fact query grouped by (fact groups, join key)
+    val factGroups = factIdx.map(groups(_))
+    val fkPos = factGroups.indexWhere {
+      case a: Attribute => a.semanticEquals(fk)
+      case _ => false
+    }
+    val twinGroups =
+      if (fkPos >= 0) factGroups else factGroups :+ (fk: Expression)
+    val fkTwinIdx = if (fkPos >= 0) fkPos else factGroups.length
+    def echoOf(g: Expression): NamedExpression =
+      c.agg.aggregateExpressions.find { o =>
+        (o match { case Alias(ch, _) => ch; case x => x }).semanticEquals(g)
+      }.getOrElse(g match {
+        case ne: NamedExpression => ne
+        case e => Alias(e, "_b")()
+      })
+    val twinChild = filters.foldRight(factSide)((cond, ch) => Filter(cond, ch))
+    val twin = c.agg.copy(
+      groupingExpressions = twinGroups,
+      aggregateExpressions = twinGroups.map(echoOf) ++ measureOuts,
+      child = twinChild)
+    val fp2 = Fingerprint.of(twin) + fpSuffix
+    val nGroup = groups.length
+    val twinStateSchema = StructType(
+      twinGroups.zipWithIndex.map { case (g, i) =>
+        org.apache.spark.sql.types.StructField(s"_g$i", g.dataType)
+      } ++ stateSchema.drop(nGroup))
+    config.cache.get(fp2)
+      .filter(cs => schemaCompatible(cs.schema, twinStateSchema))
+      // composes with measure subsumption: the fact-keyed twin may exist
+      // only as a measure-superset entry
+      .orElse(supersetMeasureState(c.copy(agg = twin), twinStateSchema))
+      .map { cs =>
+        config.log.info(c.fingerprint,
+          s"rejoin hit: replaying (${fk.name})-keyed fact state " +
+            s"${fp2.take(12)} re-joined to the static dimension")
+        val stateCols = stateSchema.drop(nGroup).map(f => col(f.name))
+        graft.cache.CachedState(cs.timestampMicros, stateSchema, { s =>
+          val dimDF = Shims.ofRows(s, dimSide)
+          val groupSel: Seq[Column] = groups.zipWithIndex.map {
+            case (g, i) =>
+              val t = factIdx.indexOf(i)
+              if (t >= 0) col(s"_g$t").as(s"_g$i")
+              else Shims.column(g).as(s"_g$i")
+          }
+          cs.read(s)
+            .join(dimDF, col(s"_g$fkTwinIdx") === Shims.column(pk))
+            .select(groupSel ++ stateCols: _*)
+        })
+      }
   }
 
   // --------------------------------------------- measure subsumption

@@ -393,6 +393,34 @@ object CacheQueries {
           .select(col("day"), col("e.item").as("event_type"),
             col("e.cnt").as("cnt"), col("e.ub").as("ub"))
       }),
+    // join SUBSUMPTION (fact grain ↔ dim breakdown): after a
+    // cold→append→warm cycle of the PLAIN fact query grouped by
+    // (day, user_id), the first-ever sighting of the fact ⋈ customer
+    // breakdown by (c_mktsegment, day) is an exact-fingerprint miss but
+    // a REJOIN hit — the fact-keyed state re-joins the declared-static
+    // customer dim on the key, the key merges away, and no fact row
+    // below the watermark is rescanned (pinned in IncrementalAggSpec).
+    // One fact-grained state serves every dimension breakdown.
+    "qc_incr_rejoin" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "rejoin")
+      val cache = new MemoryQueryCache()
+      def factQ(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      def joinQ(df: DataFrame) = df.filter(col("value") > 1)
+        .join(Tables.customer(s, d), df("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withStaticDimensions("customer")
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(factQ(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(factQ(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(joinQ(s.read.parquet(work)))
+    }),
     // measure SUBSUMPTION (panel ↔ single stat): after a cold→append→warm
     // cycle of the full (cnt, sum, min) hourly panel, the first-ever
     // sighting of the count-only variant is an exact-fingerprint miss but
@@ -650,6 +678,13 @@ object CacheQueries {
            count(*) AS cnt
          FROM events WHERE value > 1
          GROUP BY 1""",
+    "qc_incr_rejoin" ->
+      """SELECT c_mktsegment, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE value > 1
+         GROUP BY 1, 2""",
     "qc_incr_regrain" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

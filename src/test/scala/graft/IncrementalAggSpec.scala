@@ -1456,6 +1456,134 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log2.messages.exists(_.startsWith("remeasure hit")), log2.messages)
   }
 
+  test("rejoin: dim breakdown answered from warm fact-keyed state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rejoin-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    // the plain fact query, keyed by (day, join key)
+    def factQ(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    // the dim breakdown over the fact ⋈ customer join
+    def joinQ(df: DataFrame) = df.filter(col("value") > 1)
+      .join(Tables.customer(spark, sf0001), df("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withStaticDimensions("customer")
+    // warm ONLY the fact-keyed state: cold + append + warm
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(factQ(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(factQ(spark.read.parquet(work))).collect()
+
+    // first-ever join-breakdown sighting: rejoin hit; only the dim table
+    // and the pruned-empty fact delta are scanned — assert no fact ROW
+    // is read by comparing against the dim's row count
+    val dimRows = Tables.customer(spark, sf0001).count()
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val joinDF = QueryCacheSession(spark, cfg(log2))
+      .run(joinQ(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      joinDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("rejoin hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    // the replay reads the dim (twice: replay join + delta join) but
+    // must not rescan fact history (delta files prune to zero rows)
+    assert(recs.sum() <= 2 * dimRows,
+      s"join breakdown read ${recs.sum()} rows (dim=$dimRows) — rejoin rescanned fact history")
+    assertSameRows(joinDF, joinQ(eventsFull), tol = 1e-9)
+
+    // stored its own dim-keyed state: second sighting is a direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(joinQ(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("rejoin hit")), log3.messages)
+  }
+
+  test("rejoin isolation: left join, dim measures, mixed grouping, extra conjunct, flag off") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rejoin-iso")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def factQ(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None,
+        rejoin: Boolean = true) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log,
+      rejoinFromFactState = rejoin).withStaticDimensions("customer")
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(factQ(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(factQ(spark.read.parquet(work))).collect()
+    val cust = Tables.customer(spark, sf0001)
+
+    // (a) LEFT join: null-extended fact rows have no state analog
+    val logA = new RecordingLog
+    QueryCacheSession(spark, cfg(logA))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .join(cust, col("user_id") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))).collect()
+    assert(!logA.messages.exists(_.startsWith("rejoin hit")), logA.messages)
+
+    // (b) a measure referencing the DIM side — not in the fact state
+    val logB = new RecordingLog
+    QueryCacheSession(spark, cfg(logB))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum("c_acctbal").as("bal"))).collect()
+    assert(!logB.messages.exists(_.startsWith("rejoin hit")), logB.messages)
+
+    // (c) a grouping expression mixing both sides
+    val logC = new RecordingLog
+    QueryCacheSession(spark, cfg(logC))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy((col("user_id") + col("c_custkey")).as("k"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))).collect()
+    assert(!logC.messages.exists(_.startsWith("rejoin hit")), logC.messages)
+
+    // (d) an extra join conjunct — not the single-equi-pair shape
+    val logD = new RecordingLog
+    QueryCacheSession(spark, cfg(logD))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .join(cust, col("user_id") === col("c_custkey") &&
+          col("c_acctbal") > 0)
+        .groupBy(col("c_mktsegment"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))).collect()
+    assert(!logD.messages.exists(_.startsWith("rejoin hit")), logD.messages)
+
+    // (e) flag off
+    val logE = new RecordingLog
+    QueryCacheSession(spark, cfg(logE, rejoin = false))
+      .run(spark.read.parquet(work).filter(col("value") > 1)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))).collect()
+    assert(!logE.messages.exists(_.startsWith("rejoin hit")), logE.messages)
+  }
+
   test("heavy hitters through the cache: bounds hold in the shrinking regime") {
     import graft.functions.functions.heavy_hitters
     // wide item domain (user_id % 97 ~ 97 items) against k=16: partials
