@@ -1909,6 +1909,26 @@ class IncrementalAggSpec extends AnyFunSuite {
       .run(cntOnly(spark.read.parquet(work)))
     assertSameRows(cntDF, cntOnly(eventsFull), tol = 1e-9)
     assert(logM.messages.exists(_.startsWith("remeasure hit")), logM.messages)
+
+    // join subsumption from a fresh handle: warm the fact-keyed state on
+    // disk, then answer the dim breakdown through the meta round-trip
+    def factQ(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def joinQ(df: DataFrame) = df.filter(col("value") > 1)
+      .join(Tables.customer(spark, sf0001), df("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    QueryCacheSession(spark, QueryCacheConfig(new ParquetQueryCache(root),
+        defaultTemporalColumn = "ts").withStaticDimensions("customer"))
+      .run(factQ(spark.read.parquet(work))).collect()
+    val logJ = new RecordingLog
+    val joinDF = QueryCacheSession(spark, QueryCacheConfig(
+        new ParquetQueryCache(root), defaultTemporalColumn = "ts", log = logJ)
+      .withStaticDimensions("customer"))
+      .run(joinQ(spark.read.parquet(work)))
+    assertSameRows(joinDF, joinQ(eventsFull), tol = 1e-9)
+    assert(logJ.messages.exists(_.startsWith("rejoin hit")), logJ.messages)
   }
 
   test("regrain bails when the grain literal appears outside the group key") {

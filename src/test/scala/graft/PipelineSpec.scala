@@ -249,6 +249,14 @@ class PipelineSpec extends AnyFunSuite {
     val f2 = filtered(p2)
     assert(f2 == brute(p2))
     assert(f2.nonEmpty && f2.length == emb.filter(p2).count())
+    // the predicate reaches the parquet scan: probed-cell reads carry
+    // PushedFilters on label, so at scale a selective predicate reads a
+    // fraction of each cell rather than post-filtering it
+    val planStr = IVF.searchExact(indexed, model, q, k = 10,
+      pred = Some(p1)).queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") &&
+      planStr.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
+      s"label filter not pushed to the scan:\n$planStr")
   }
 
   test("asof join equals the naive quadratic definition") {
