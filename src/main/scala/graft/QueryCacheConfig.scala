@@ -183,6 +183,31 @@ import graft.log.{CacheLog, NoOpLog}
   *                              answers. No reference analog (its
   *                              fingerprint is all-or-nothing,
   *                              src/aggregate.rs:89).
+  * @param rerangeFromUnboundedState RANGE subsumption on the temporal
+  *                              bucket (the "show me June" / "this week"
+  *                              dashboard slice): a query whose filter
+  *                              carries bucket-ALIGNED range conjuncts on
+  *                              the raw temporal column (`ts >= L AND
+  *                              ts < U` with `date_trunc(grain, L) = L`)
+  *                              can, on an exact-fingerprint miss, answer
+  *                              from the warm state of the same plan
+  *                              WITHOUT those conjuncts, sliced on the
+  *                              temporal bucket key. An aligned range
+  *                              equals a union of COMPLETE buckets, so
+  *                              per retained group the contributing row
+  *                              multiset is identical — exact for every
+  *                              measure, including measures over the
+  *                              temporal column itself. At micros
+  *                              resolution every comparison normalizes
+  *                              (`ts > v` ≡ `ts >= v+1µs`, `ts <= v` ≡
+  *                              `ts < v+1µs`), so BETWEEN slices too;
+  *                              unaligned bounds bail to a plain miss.
+  *                              One unbounded warm entry serves every
+  *                              aligned time-window panel. ON by
+  *                              default; engages only on a miss and
+  *                              never changes answers. No reference
+  *                              analog (all-or-nothing fingerprint,
+  *                              src/aggregate.rs:89).
   * @param percentileSketchState ON (default): numeric percentile /
   *                              approx_percentile state past 4096
   *                              distinct values per group compresses
@@ -222,6 +247,7 @@ final case class QueryCacheConfig(
     redimDimensionColumns: Set[String] = Set.empty,
     remeasureFromSupersetState: Boolean = true,
     rejoinFromFactState: Boolean = true,
+    rerangeFromUnboundedState: Boolean = true,
     percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {
 

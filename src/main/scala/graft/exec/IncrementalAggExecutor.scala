@@ -483,6 +483,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       .orElse(
         if (config.regrainFromFinerState) finerGrainState(c, stateSchema)
         else None)
+      // range subsumption: an aligned time-window slice answered from
+      // the UNBOUNDED twin's warm state sliced on the bucket key
+      .orElse(rerangeBucketState(c, stateSchema))
       // dimension subsumption: a roll-up answered from its drill-down's
       // warm state by merging the extra key away (opt-in via
       // config.redimDimensionColumns)
@@ -909,6 +912,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // termination: each level grooms one more declared dim and the
         // candidate list excludes already-grouped ones.
         .orElse(supersetDimState(c.copy(agg = twin), twinSchema, depth + 1))
+        // and with range subsumption: the drill-down may be warm only
+        // as the UNBOUNDED twin of a time-window slice
+        .orElse(rerangeBucketState(c.copy(agg = twin), twinSchema, depth + 1))
         // composes with measure subsumption: the drill-down may exist
         // only as a measure-superset entry — project, then merge the
         // dim key away below
@@ -1016,6 +1022,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // sliced dimension strips its conjunct at the next level)
         .orElse(supersetDimState(c.copy(agg = twin), twinSchema, depth + 1))
         .orElse(dimFilterState(c.copy(agg = twin), twinSchema, depth + 1))
+        // and with range subsumption: the unfiltered drill-down may be
+        // warm only as the UNBOUNDED twin of a time-window slice
+        .orElse(rerangeBucketState(c.copy(agg = twin), twinSchema, depth + 1))
         // and with measure subsumption: the unfiltered drill-down may
         // exist only as a measure-superset entry
         .orElse(supersetMeasureState(c.copy(agg = twin), twinSchema))
@@ -1030,6 +1039,122 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             s => cs.read(s).filter(pred).drop(gExtra))
         }
     }.headOption
+  }
+
+  // ----------------------------------------------- range subsumption
+
+  /** On an exact-fingerprint miss: a query whose filter carries
+    * bucket-ALIGNED range conjuncts on the raw temporal column can be
+    * answered from the warm state of the same plan WITHOUT those
+    * conjuncts, sliced on the temporal bucket key (the "show me June" /
+    * "this week" dashboard slice — one unbounded warm entry serves every
+    * aligned window).
+    *
+    * Soundness: an aligned range is a union of COMPLETE buckets, so for
+    * every retained group the multiset of contributing rows is identical
+    * between "filter the fact rows by the range" and "keep the whole
+    * bucket" — wherever the Filter sits among the accepted shapes
+    * (Filter/Project/Join chains; rows added by stripping carry an
+    * out-of-range or NULL bucket and are sliced away, and no accepted
+    * operator lets an added row affect a retained row). That makes the
+    * slice exact for EVERY measure, including measures over the temporal
+    * column itself — no confinement analysis needed, unlike regrain. At
+    * micros resolution every comparison has an aligned normal form
+    * (`ts > v` ≡ `ts >= v+1µs`, `ts <= v` ≡ `ts < v+1µs`), so BETWEEN
+    * slices too.
+    *
+    * Bails: non-date_trunc temporal bucket (window buckets carry their
+    * own alignment), grouping sets (Expand NULLs the bucket slot for
+    * subtotal rows, so a bucket slice would drop subtotals), unaligned
+    * or non-foldable bounds, conjuncts whose attribute is not the
+    * fact-side temporal attribute. */
+  private def rerangeBucketState(c: Cacheable, stateSchema: StructType,
+      depth: Int = 0): Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal,
+      TruncTimestamp}
+    if (!config.rerangeFromUnboundedState || depth >= 3) return None
+    val gIdx = c.temporalGroupIdx.getOrElse(return None)
+    val groupKey = c.agg.groupingExpressions(gIdx)
+    val trunc = TemporalGroupBy.resolveThroughChild(groupKey, c.agg.child) match {
+      case t: TruncTimestamp if t.format.foldable && (t.timestamp match {
+        case a: Attribute => a.semanticEquals(c.temporalAttr)
+        case _ => false
+      }) => t
+      case _ => return None
+    }
+    if (c.agg.child.exists(_.isInstanceOf[Expand])) return None
+    val tDt = c.temporalAttr.dataType
+    def aligned(micros: Long): Boolean =
+      trunc.copy(timestamp = Literal(micros, tDt)).eval() == micros
+    def litMicros(e: Expression): Option[Long] = e match {
+      case l if l.foldable && l.dataType == tDt && l.references.isEmpty =>
+        Option(l.eval()).collect { case v: Long => v }
+      case _ => None
+    }
+    def isT(e: Expression): Boolean = e match {
+      case a: Attribute =>
+        a.semanticEquals(c.temporalAttr) && !c.staticOuts.contains(a)
+      case _ => false
+    }
+    def plus1(m: Long): Option[Long] =
+      if (m < Long.MaxValue) Some(m + 1) else None
+    // conjunct → inclusive lower (Left) / exclusive upper (Right) bucket
+    // bound, only when the normalized boundary is bucket-aligned
+    def bound(cj: Expression): Option[Either[Long, Long]] = cj match {
+      case GreaterThanOrEqual(t, v) if isT(t) =>
+        litMicros(v).filter(aligned).map(Left(_))
+      case LessThanOrEqual(v, t) if isT(t) =>
+        litMicros(v).filter(aligned).map(Left(_))
+      case GreaterThan(t, v) if isT(t) =>
+        litMicros(v).flatMap(plus1).filter(aligned).map(Left(_))
+      case LessThan(v, t) if isT(t) =>
+        litMicros(v).flatMap(plus1).filter(aligned).map(Left(_))
+      case LessThan(t, v) if isT(t) =>
+        litMicros(v).filter(aligned).map(Right(_))
+      case GreaterThan(v, t) if isT(t) =>
+        litMicros(v).filter(aligned).map(Right(_))
+      case LessThanOrEqual(t, v) if isT(t) =>
+        litMicros(v).flatMap(plus1).filter(aligned).map(Right(_))
+      case GreaterThanOrEqual(v, t) if isT(t) =>
+        litMicros(v).flatMap(plus1).filter(aligned).map(Right(_))
+      case _ => None
+    }
+    val cands = ArrayBuffer.empty[(Expression, Either[Long, Long])]
+    c.agg.child.foreach {
+      case Filter(cond, _) =>
+        splitConj(cond).foreach(cj => bound(cj).foreach(b => cands += ((cj, b))))
+      case _ => ()
+    }
+    if (cands.isEmpty) return None
+    val twin = c.agg.copy(child = cands.foldLeft(c.agg.child) {
+      case (p, (cj, _)) => stripConjunct(p, cj)
+    })
+    val fp2 = Fingerprint.of(twin) + fpSuffix
+    val gName = s"_g$gIdx"
+    val pred = cands.map {
+      case (_, Left(l)) => col(gName) >= Shims.column(Literal(l, tDt))
+      case (_, Right(u)) => col(gName) < Shims.column(Literal(u, tDt))
+    }.reduce(_ && _)
+    config.cache.get(fp2)
+      .filter(cs => schemaCompatible(cs.schema, stateSchema))
+      // composes with the rest of the family: the unbounded twin may be
+      // warm only at a finer grain, as a drill-down, behind another
+      // strippable dim conjunct, or as a measure-superset entry
+      .orElse(
+        if (config.regrainFromFinerState)
+          finerGrainState(c.copy(agg = twin), stateSchema)
+        else None)
+      .orElse(supersetDimState(c.copy(agg = twin), stateSchema, depth + 1))
+      .orElse(dimFilterState(c.copy(agg = twin), stateSchema, depth + 1))
+      .orElse(supersetMeasureState(c.copy(agg = twin), stateSchema))
+      .map { cs =>
+        config.log.info(c.fingerprint,
+          s"rerange hit: replaying unbounded state ${fp2.take(12)} sliced " +
+            s"by ${cands.length} aligned bound(s) on $gName")
+        graft.cache.CachedState(cs.timestampMicros, cs.schema,
+          s => cs.read(s).filter(pred))
+      }
   }
 
   // ------------------------------------------------ join subsumption

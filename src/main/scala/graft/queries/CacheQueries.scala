@@ -318,6 +318,37 @@ object CacheQueries {
         .run(drill(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(slice(s.read.parquet(work)))
     }),
+    // range SUBSUMPTION (aligned time window ↔ unbounded): after a
+    // cold→append→warm cycle of the UNBOUNDED hourly aggregate, the
+    // first-ever sighting of the one-week WINDOW (day-aligned bounds on
+    // the raw ts, so the window is a union of complete hour buckets) is
+    // an exact-fingerprint miss but a RERANGE hit — the unbounded state
+    // replays sliced on the bucket key, and no fact row below the
+    // watermark is rescanned (zero-scan pinned in IncrementalAggSpec).
+    // The returned window is what the oracle checks against the full
+    // table.
+    "qc_incr_rerange" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "rerange")
+      val cache = new MemoryQueryCache()
+      def unbounded(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def window(df: DataFrame) = df
+        .filter(col("value") > 1 &&
+          col("ts") >= "2024-01-08 00:00:00" && col("ts") < "2024-01-15 00:00:00")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(unbounded(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(unbounded(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(window(s.read.parquet(work)))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -705,6 +736,15 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value
          FROM events WHERE value > 1 AND event_type = 'click'
+         GROUP BY 1""",
+    "qc_incr_rerange" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events
+         WHERE value > 1 AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'
          GROUP BY 1""",
     // sketch envelope: the Spark side emits rank-check BOOLEANS (and the
     // exact group count); the oracle asserts the same months with TRUE —

@@ -1690,6 +1690,128 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log3.messages.exists(_.startsWith("refilter hit")), log3.messages)
   }
 
+  test("rerange: aligned window slice answered from warm unbounded state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rerange-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def agg(df: DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("ts").as("last_ts"))
+    def unbounded(df: DataFrame) = agg(df.filter(col("value") > 1))
+    def win(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= "2024-01-08 00:00:00" && col("ts") < "2024-01-15 00:00:00"))
+    // inclusive-upper form: ts <= last micro of Jan 14 ≡ ts < Jan 15
+    def winIncl(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") > "2024-01-07 23:59:59.999999" &&
+      col("ts") <= "2024-01-14 23:59:59.999999"))
+    // half-hour lower bound is NOT hour-aligned — must bail to plain miss
+    def winMisaligned(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= "2024-01-08 00:30:00"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the unbounded hourly query is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(unbounded(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(unbounded(spark.read.parquet(work))).collect()
+
+    // first-ever sighting of the week window: rerange hit; delta sits
+    // entirely above the unbounded watermark, so parquet stats prune
+    // every fact row — including a max(ts) measure over the temporal
+    // column itself, which bucket-complete slicing keeps exact
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val winDF = QueryCacheSession(spark, cfg(log2))
+      .run(win(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      winDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("rerange hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"window slice scanned ${recs.sum()} fact rows — rerange rescanned history")
+    assertSameRows(winDF, win(eventsFull), tol = 1e-9)
+
+    // strict/inclusive bounds normalize (+1µs) to the same aligned window
+    val logIncl = new RecordingLog
+    val inclDF = QueryCacheSession(spark, cfg(logIncl))
+      .run(winIncl(spark.read.parquet(work)))
+    assertSameRows(inclDF, winIncl(eventsFull), tol = 1e-9)
+    assert(logIncl.messages.exists(_.startsWith("rerange hit")), logIncl.messages)
+
+    // the rerange run stored sliced state under its own fingerprint:
+    // second sighting is a direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(win(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("rerange hit")), log3.messages)
+
+    // a bound that does not sit on a bucket boundary never reranges —
+    // plain miss, still correct
+    val logM = new RecordingLog
+    val misDF = QueryCacheSession(spark, cfg(logM))
+      .run(winMisaligned(spark.read.parquet(work)))
+    assertSameRows(misDF, winMisaligned(eventsFull), tol = 1e-9)
+    assert(!logM.messages.exists(_.startsWith("rerange hit")), logM.messages)
+
+    // flag off: the same cold window runs as a plain miss
+    val logOff = new RecordingLog
+    val offDF = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts", log = logOff,
+        rerangeFromUnboundedState = false))
+      .run(win(spark.read.parquet(work)))
+    assertSameRows(offDF, win(eventsFull), tol = 1e-9)
+    assert(!logOff.messages.exists(_.startsWith("rerange hit")), logOff.messages)
+  }
+
+  test("rerange composes with refilter: windowed dim slice from warm unbounded drill-down") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rerange-composed")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def winSlice(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type") === "click" &&
+        col("ts") >= "2024-01-08 00:00:00" && col("ts") < "2024-01-15 00:00:00")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withRedimDimensions("event_type")
+    // ONLY the unbounded (hour, event_type) drill-down is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // cold window+slice: rerange strips the bounds, refilter strips the
+    // dim conjunct, the drill-down state slices on both keys
+    val log = new RecordingLog
+    val df = QueryCacheSession(spark, cfg(log))
+      .run(winSlice(spark.read.parquet(work)))
+    assertSameRows(df, winSlice(eventsFull), tol = 1e-9)
+    assert(log.messages.exists(_.startsWith("rerange hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("refilter hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
   test("recursive subsumption: two extra dims merge away; double slice strips both") {
     val (early, late, splitUs) = split()
     val work = tmpDir("redim-recursive")
