@@ -208,6 +208,25 @@ import graft.log.{CacheLog, NoOpLog}
   *                              never changes answers. No reference
   *                              analog (all-or-nothing fingerprint,
   *                              src/aggregate.rs:89).
+  * @param rehopFromTumblingState HOP subsumption: a SLIDING-window
+  *                              aggregate (`window(ts, '1 hour',
+  *                              '15 minutes')`) can, on an exact-
+  *                              fingerprint miss, answer from warm state
+  *                              of the same plan bucketed TUMBLING at
+  *                              the slide — each fine bucket lies inside
+  *                              exactly duration/slide hop windows, so
+  *                              the replay explodes state rows into
+  *                              their hops and the merge folds them.
+  *                              One tumbling state at the slide serves
+  *                              every hopping variant over it, instead
+  *                              of each variant maintaining state that
+  *                              multiplies every appended row ×n through
+  *                              Expand. Pinned to the analyzer's
+  *                              TimeWindowing plan shape; gap windows
+  *                              (slide > duration) and durations that
+  *                              are not slide multiples bail. ON by
+  *                              default; engages only on a miss and
+  *                              never changes answers.
   * @param percentileSketchState ON (default): numeric percentile /
   *                              approx_percentile state past 4096
   *                              distinct values per group compresses
@@ -248,6 +267,7 @@ final case class QueryCacheConfig(
     remeasureFromSupersetState: Boolean = true,
     rejoinFromFactState: Boolean = true,
     rerangeFromUnboundedState: Boolean = true,
+    rehopFromTumblingState: Boolean = true,
     percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {
 

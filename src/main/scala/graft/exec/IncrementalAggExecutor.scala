@@ -486,6 +486,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // range subsumption: an aligned time-window slice answered from
       // the UNBOUNDED twin's warm state sliced on the bucket key
       .orElse(rerangeBucketState(c, stateSchema))
+      // hop subsumption: a sliding-window aggregate answered from the
+      // tumbling-at-the-slide twin's warm state exploded into its hops
+      .orElse(rehopFromSlideState(c, stateSchema))
       // dimension subsumption: a roll-up answered from its drill-down's
       // warm state by merging the extra key away (opt-in via
       // config.redimDimensionColumns)
@@ -1154,6 +1157,156 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             s"by ${cands.length} aligned bound(s) on $gName")
         graft.cache.CachedState(cs.timestampMicros, cs.schema,
           s => cs.read(s).filter(pred))
+      }
+  }
+
+  // ------------------------------------------------- hop subsumption
+
+  /** On an exact-fingerprint miss: a SLIDING-window aggregate
+    * (`window(ts, '1 hour', '15 minutes')`) can be answered from the warm
+    * state of the same plan bucketed TUMBLING at the slide
+    * (`window(ts, '15 minutes')`) — each fine bucket b lies inside
+    * exactly duration/slide hop windows (those starting at
+    * b, b−s, …, b−(n−1)s), so the replay explodes every tumbling state
+    * row into its n hop windows and the normal merge folds them. Exact:
+    * the rows contributing to hop window W are precisely the rows of the
+    * n fine buckets W covers (same offset arithmetic, and Spark's
+    * analyzer filters NULL ts on both shapes).
+    *
+    * The scale story: maintaining hopping state directly multiplies every
+    * appended row ×n through Expand on each delta; ONE tumbling state at
+    * the slide serves every hopping variant over it (1h/15m, 2h/15m, …)
+    * and its own drill-downs, with the ×n work deferred to state-sized
+    * replay. Detection is pinned to the analyzer's TimeWindowing output
+    * (Filter(isnotnull(ts)) over Expand whose projections are the k-shifted
+    * window struct + pass-through columns); every projection is verified
+    * to be the k·slide shift of the first, and the tumbling twin is the
+    * first projection with its duration literal re-pointed at the slide —
+    * fingerprint-identical to a user-written tumbling query. Anything
+    * off-shape (gap windows n=1, duration not a slide multiple, foreign
+    * Expand) bails to a plain miss. */
+  private def rehopFromSlideState(c: Cacheable, stateSchema: StructType)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, Literal}
+    import org.apache.spark.sql.types.LongType
+    if (!config.rehopFromTumblingState) return None
+    val (cond, ex) = c.agg.child match {
+      case Filter(f, e: Expand) => (f, e)
+      case _ => return None
+    }
+    def isWindowStruct(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.StructType(fs) =>
+          fs.length == 2 && fs(0).name == "start" && fs(1).name == "end" &&
+            fs.forall(_.dataType == TimestampType)
+        case _ => false
+      }
+    val windowAttr = ex.output.headOption.collect {
+      case a: Attribute if isWindowStruct(a.dataType) => a
+    }.getOrElse(return None)
+    val gIdx = c.agg.groupingExpressions.indexWhere {
+      case a: Attribute => a.semanticEquals(windowAttr)
+      case _ => false
+    }
+    if (gIdx < 0) return None
+    val n = ex.projections.length
+    if (n < 2) return None
+    // past here the plan IS a sliding-window aggregate — log why a
+    // probe declines so off-shape variants are diagnosable
+    def bailHop(msg: String): Option[graft.cache.CachedState] = {
+      config.log.info(c.fingerprint, s"rehop bail: $msg")
+      None
+    }
+    // a pure multiple-of-slide sliding window filters only isnotnull(ts);
+    // a non-multiple duration adds window-membership conjuncts (each of
+    // the ceil(d/s) candidate windows may not contain ts) — those windows
+    // are not unions of complete slide buckets, so no tumbling twin is
+    // sound
+    if (!splitConj(cond).forall {
+      case IsNotNull(a: Attribute) => a.semanticEquals(c.temporalAttr)
+      case _ => false
+    }) return bailHop(
+      "window-membership filter above Expand — duration is not a slide multiple")
+    // pass-through shape: output = windowAttr +: child.output, and every
+    // projection carries the child columns through untouched
+    val passOk = ex.output.length == 1 + ex.child.output.length &&
+      ex.output.drop(1).zip(ex.child.output).forall {
+        case (x, y) => x.semanticEquals(y)
+      } &&
+      ex.projections.forall(p => p.length == 1 + ex.child.output.length &&
+        p.drop(1).zip(ex.child.output).forall {
+          case (x: Attribute, y) => x.semanticEquals(y)
+          case _ => false
+        })
+    if (!passOk) return bailHop("expand is not pass-through shaped")
+    val struct0 = ex.projections.head.head
+    val slides = struct0.collect {
+      case r: org.apache.spark.sql.catalyst.expressions.Remainder
+          if r.right.isInstanceOf[Literal] &&
+            r.right.dataType == LongType &&
+            r.right.asInstanceOf[Literal].value.isInstanceOf[Long] =>
+        r.right.asInstanceOf[Literal].value.asInstanceOf[Long]
+    }.distinct
+    val slide = slides match {
+      case Seq(s) if s > 0 && s <= Long.MaxValue / n => s
+      case _ => return bailHop(s"no single slide literal (found $slides)")
+    }
+    val duration = slide * n
+    // every later projection must be the k·slide shift of the first. The
+    // shifting site is structural, not a literal value (the offset 0 also
+    // appears at NON-shifting sites inside the modulo): it is the
+    // Subtract whose left subtree contains the bucketing Remainder and
+    // whose right is the window-start offset literal — one such site in
+    // the struct's start field, one in its end.
+    def shiftBy(e: Expression, delta: Long): Expression = e.transform {
+      case s: org.apache.spark.sql.catalyst.expressions.Subtract
+          if s.left.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Remainder]) &&
+            s.right.isInstanceOf[Literal] && s.right.dataType == LongType &&
+            s.right.asInstanceOf[Literal].value.isInstanceOf[Long] =>
+        val v = s.right.asInstanceOf[Literal].value.asInstanceOf[Long]
+        s.copy(right = Literal(v + delta, LongType))
+    }
+    val shiftOk = (1 until n).forall { k =>
+      shiftBy(struct0, k * slide).semanticEquals(ex.projections(k).head)
+    }
+    if (!shiftOk) return bailHop("projections are not k-slide shifts of the first")
+    // the tumbling-at-slide twin: the k=0 window struct with its single
+    // duration literal re-pointed at the slide
+    var patched = 0
+    val twinStruct = struct0.transform {
+      case Literal(d: Long, LongType) if d == duration =>
+        patched += 1
+        Literal(slide, LongType)
+    }
+    if (patched != 1) return bailHop(s"duration literal $duration found $patched times in the window struct")
+    val alias = Alias(twinStruct, "window")(exprId = windowAttr.exprId)
+    val twin = c.agg.copy(child = Project(alias +: ex.child.output,
+      Filter(IsNotNull(c.temporalAttr), ex.child)))
+    val fp2 = Fingerprint.of(twin) + fpSuffix
+    config.cache.get(fp2)
+      .filter(cs => schemaCompatible(cs.schema, stateSchema))
+      // composes: the tumbling twin may be warm only as a drill-down,
+      // behind a strippable dim conjunct, or as a measure-superset entry
+      .orElse(supersetDimState(c.copy(agg = twin), stateSchema))
+      .orElse(dimFilterState(c.copy(agg = twin), stateSchema))
+      .orElse(supersetMeasureState(c.copy(agg = twin), stateSchema))
+      .map { cs =>
+        config.log.info(c.fingerprint,
+          s"rehop hit: replaying ${slide}µs tumbling state ${fp2.take(12)} " +
+            s"exploded ×$n into ${duration}µs hop windows")
+        val gName = s"_g$gIdx"
+        graft.cache.CachedState(cs.timestampMicros, cs.schema, { s =>
+          import org.apache.spark.sql.functions.{explode, struct, typedlit, unix_micros}
+          val df = cs.read(s)
+          val startUs = unix_micros(col(s"$gName.start"))
+          df.withColumn("_hop_k", explode(typedlit((0L until n.toLong).toSeq)))
+            .withColumn(gName, struct(
+              timestamp_micros(startUs - col("_hop_k") * lit(slide)).as("start"),
+              timestamp_micros(startUs - col("_hop_k") * lit(slide) + lit(duration))
+                .as("end")))
+            .drop("_hop_k")
+        })
       }
   }
 

@@ -349,6 +349,37 @@ object CacheQueries {
         .run(unbounded(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(window(s.read.parquet(work)))
     }),
+    // hop SUBSUMPTION (sliding ↔ tumbling): after a cold→append→warm
+    // cycle of the TUMBLING 15-minute aggregate, the first-ever sighting
+    // of the 1-hour/15-minute SLIDING window is an exact-fingerprint miss
+    // but a REHOP hit — each tumbling state row explodes into the 4 hop
+    // windows that cover its bucket and the merge folds them; no fact row
+    // below the tumbling watermark is rescanned (zero-scan pinned in
+    // IncrementalAggSpec). One fine tumbling state serves every hopping
+    // variant instead of each variant ×4-ing every appended row through
+    // Expand. The returned hop series is what the oracle checks.
+    "qc_incr_hopping" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "hopping")
+      val cache = new MemoryQueryCache()
+      def tum(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def hop(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(tum(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(tum(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(hop(s.read.parquet(work)))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("cnt"), col("sum_value"), col("min_value"))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -737,6 +768,22 @@ object CacheQueries {
            min(value) AS min_value
          FROM events WHERE value > 1 AND event_type = 'click'
          GROUP BY 1""",
+    // hop windows replayed in DuckDB: each row lands in the 4 sliding
+    // windows whose starts are its 15-minute bucket minus k*15m, k=0..3
+    // (time_bucket's 2000-01-01 origin and Spark's epoch origin agree at
+    // 15-minute alignment)
+    "qc_incr_hopping" ->
+      """WITH hop AS (
+           SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                    - k.k * INTERVAL '15 minutes' AS TIMESTAMP) AS ws,
+                  value
+           FROM events, (SELECT unnest(range(0,4)) AS k) k
+           WHERE value > 1)
+         SELECT ws, CAST(ws + INTERVAL '1 hour' AS TIMESTAMP) AS we,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM hop GROUP BY ws""",
     "qc_incr_rerange" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            count(*) AS cnt,

@@ -1812,6 +1812,129 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
+  test("rehop: sliding window answered from warm tumbling state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rehop-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def tum(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def hop(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    // 1 hour is NOT a multiple of 25 minutes — must bail to a plain miss
+    def hopOdd(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "1 hour", "25 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the tumbling 15-minute query is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(tum(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(tum(spark.read.parquet(work))).collect()
+
+    // first-ever sighting of the 1h/15m hopping window: rehop hit; the
+    // tumbling state explodes ×4 into hop windows, delta entirely above
+    // the tumbling watermark so parquet stats prune every fact row
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val hopDF = QueryCacheSession(spark, cfg(log2))
+      .run(hop(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      hopDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("rehop hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"hopping query scanned ${recs.sum()} fact rows — rehop rescanned history")
+    assertSameRows(hopDF.select(col("w.start"), col("w.end"),
+        col("cnt"), col("sum_value"), col("min_value")),
+      hop(eventsFull).select(col("w.start"), col("w.end"),
+        col("cnt"), col("sum_value"), col("min_value")), tol = 1e-9)
+
+    // the rehop run stored hopping state under its own fingerprint:
+    // second sighting is a direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(hop(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("rehop hit")), log3.messages)
+
+    // a duration that is not a slide multiple never rehops (the analyzer
+    // still builds ceil(d/s)=3 shifted projections, but no tumbling twin
+    // is sound) — plain miss, still correct
+    val logOdd = new RecordingLog
+    val oddDF = QueryCacheSession(spark, cfg(logOdd))
+      .run(hopOdd(spark.read.parquet(work)))
+    assertSameRows(oddDF.select(col("w.start"), col("cnt"),
+        col("sum_value"), col("min_value")),
+      hopOdd(eventsFull).select(col("w.start"), col("cnt"),
+        col("sum_value"), col("min_value")), tol = 1e-9)
+    assert(!logOdd.messages.exists(_.startsWith("rehop hit")), logOdd.messages)
+    assert(logOdd.messages.exists(_.startsWith("rehop bail")), logOdd.messages)
+
+    // flag off: the same cold hopping query runs as a plain miss
+    val logOff = new RecordingLog
+    val offDF = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts", log = logOff,
+        rehopFromTumblingState = false))
+      .run(hop(spark.read.parquet(work)))
+    assertSameRows(offDF.select(col("w.start"), col("cnt"), col("sum_value")),
+      hop(eventsFull).select(col("w.start"), col("cnt"), col("sum_value")),
+      tol = 1e-9)
+    assert(!logOff.messages.exists(_.startsWith("rehop hit")), logOff.messages)
+  }
+
+  test("rehop composes with refilter: hopping dim slice from warm tumbling drill-down") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rehop-composed")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def hopSlice(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type") === "click")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .withRedimDimensions("event_type")
+    // ONLY the tumbling (15m, event_type) drill-down is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // cold hopping slice: rehop synthesizes the tumbling twin, refilter
+    // strips the dim conjunct and slices the drill-down state
+    val log = new RecordingLog
+    val df = QueryCacheSession(spark, cfg(log))
+      .run(hopSlice(spark.read.parquet(work)))
+    assertSameRows(df.select(col("w.start"), col("cnt"), col("sum_value")),
+      hopSlice(eventsFull).select(col("w.start"), col("cnt"), col("sum_value")),
+      tol = 1e-9)
+    assert(log.messages.exists(_.startsWith("rehop hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("refilter hit")), log.messages)
+  }
+
   test("recursive subsumption: two extra dims merge away; double slice strips both") {
     val (early, late, splitUs) = split()
     val work = tmpDir("redim-recursive")
