@@ -227,6 +227,30 @@ import graft.log.{CacheLog, NoOpLog}
   *                              are not slide multiples bail. ON by
   *                              default; engages only on a miss and
   *                              never changes answers.
+  * @param factorizedJoinState   TWO-FACT join aggregates: an aggregate
+  *                              over an inner equi-join of two GROWING
+  *                              tables (no declared-static side) is
+  *                              decomposed into two per-side twin
+  *                              aggregates at (join key × side-pure
+  *                              group) grain — each twin is a plain
+  *                              single-table cacheable aggregate the
+  *                              normal machinery maintains incrementally
+  *                              under its own fingerprint and watermark —
+  *                              plus a state-sized combine join that
+  *                              multiplies counts/sums by the other
+  *                              side's multiplicity (eager aggregation
+  *                              applied to BOTH sides, Yan & Larson '95;
+  *                              the factorized-IVM idea of DBToaster).
+  *                              Appends to EITHER table are absorbed by
+  *                              that side's delta scan alone; the fact
+  *                              tables are never rescanned. Supported:
+  *                              inner attr=attr equi-joins, side-pure
+  *                              filters/grouping, side-pure count/sum/
+  *                              min/max/avg measures (no DISTINCT, no
+  *                              cross-side measures) — anything else
+  *                              runs vanilla. ON by default; engages
+  *                              only after the single-state decision
+  *                              bails and never changes answers.
   * @param percentileSketchState ON (default): numeric percentile /
   *                              approx_percentile state past 4096
   *                              distinct values per group compresses
@@ -268,6 +292,7 @@ final case class QueryCacheConfig(
     rejoinFromFactState: Boolean = true,
     rerangeFromUnboundedState: Boolean = true,
     rehopFromTumblingState: Boolean = true,
+    factorizedJoinState: Boolean = true,
     percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {
 

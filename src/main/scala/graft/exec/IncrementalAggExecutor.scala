@@ -91,8 +91,21 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   def rewritePlan(spark: SparkSession, analyzed: LogicalPlan): Option[LogicalPlan] = {
     phase("decide")(decide(analyzed)) match {
       case Left((fp, reason)) =>
-        config.log.info(fp, s"not caching: $reason")
-        None
+        // two-fact join aggregates: after the single-state decision bails,
+        // try the factorized decomposition (two per-side twin states plus
+        // a state-sized combine — see factorizedJoinRewrite)
+        val factorized =
+          if (config.factorizedJoinState)
+            try phase("factorized")(factorizedJoinRewrite(spark, analyzed))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                config.log.warn(fp,
+                  s"factorized join rewrite failed, running uncached: ${e.getMessage}")
+                None
+            }
+          else None
+        if (factorized.isEmpty) config.log.info(fp, s"not caching: $reason")
+        factorized
       case Right(c) =>
         config.log.info(c.fingerprint,
           s"query valid for caching, temporal column ${c.temporalAttr.name}")
@@ -1308,6 +1321,275 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             .drop("_hop_k")
         })
       }
+  }
+
+  // ------------------------------------- factorized two-fact join
+
+  /** An aggregate over an inner equi-join of two GROWING tables — the
+    * shape the single-state path must reject (appends to either side
+    * invalidate a state keyed on the join output). Factorization makes it
+    * incremental anyway: push the aggregate to BOTH sides (eager
+    * aggregation, Yan & Larson VLDB'95 — the same commute rejoinFactState
+    * uses one-sided; as two-sided delta avoidance it is the factorized
+    * incremental-view-maintenance idea of DBToaster, Koch et al.):
+    *
+    *   twinA = A grouped by (join key, A-pure groups):
+    *             count(*) + A-side measures
+    *   twinB = B grouped by (join key, B-pure groups):
+    *             count(*) + B-side measures
+    *   answer = twinA ⋈ twinB on key, grouped by the original groups,
+    *            each A measure scaled by B's row count and vice versa
+    *            (count* = Σ cntA·cntB, sum(a.x) = Σ sumA·cntB,
+    *             min/max pass through, avg = scaled sum / scaled count)
+    *
+    * Each twin is a plain single-table aggregate, so it is handed
+    * straight back to [[rewritePlan]]: it gets its own fingerprint,
+    * watermark, durable-cache entry, and every subsumption — an append
+    * to EITHER table is absorbed by that side's normal delta scan, and
+    * the fact tables are never rescanned. The combine join is
+    * state-sized (|keys × A-groups| ⋈ |keys × B-groups|), exact for any
+    * multiplicity, and NULL join keys drop on both the vanilla and the
+    * factorized path (inner equi-join semantics).
+    *
+    * Guardrails (anything else runs vanilla, reason logged): inner
+    * attr=attr equi-joins only; filters, grouping expressions and
+    * measures side-pure; measures limited to count/sum/min/max and
+    * non-decimal avg; no DISTINCT, no FILTER clauses, no subqueries.
+    * Both twins must individually pass the cacheability decision BEFORE
+    * either executes, so a half-cacheable query never pays a one-sided
+    * state job.
+    *
+    * Join TREES recurse: a twin over A ⋈ B is itself an aggregate over
+    * an inner equi-join, whose rewrite re-enters this factorization one
+    * level down — a three-table join decomposes into three leaf states
+    * and two state-sized combines (pinned in IncrementalAggSpec). */
+  private def factorizedJoinRewrite(spark: SparkSession,
+      analyzed: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Average, Count, Max, Min, Sum}
+    import org.apache.spark.sql.functions.{coalesce, count => fcount,
+      max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.types.DecimalType
+
+    val aggs = analyzed.collect { case a: Aggregate => a }
+    if (aggs.size != 1) return None
+    val agg = aggs.head
+    val fp = Fingerprint.of(agg) + fpSuffix
+    def bail(msg: String): Option[LogicalPlan] = {
+      config.log.info(fp, s"factorized join bail: $msg")
+      None
+    }
+    def hasSub(es: Seq[Expression]): Boolean = es.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+
+    // peel Filter / pruning-Project wrappers down to the join
+    val filterConjs = ArrayBuffer.empty[Expression]
+    def peel(p: LogicalPlan): Option[Join] = p match {
+      case Filter(c, ch) => filterConjs ++= splitConj(c); peel(ch)
+      case SubqueryAlias(_, ch) => peel(ch)
+      case v: View => peel(v.child)
+      case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) =>
+        peel(ch)
+      case join: Join => Some(join)
+      case _ => None
+    }
+    val j = peel(agg.child).getOrElse(return None)
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+      return bail(s"${j.joinType.sql} join — factorization is inner-only " +
+        "(outer null-extension is not a product of per-side counts)")
+    if (!agg.expressions.forall(_.deterministic) || hasSub(agg.expressions))
+      return bail("non-deterministic or subquery aggregate expression")
+    if (!j.condition.forall(_.deterministic) || hasSub(j.condition.toSeq) ||
+        j.condition.exists(graft.analysis.NowBounds.containsNow))
+      return bail("join condition not run-stable")
+    if (filterConjs.exists(c => !c.deterministic || hasSub(Seq(c))))
+      return bail("non-deterministic or subquery filter")
+
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    val pairs: Seq[(Attribute, Attribute)] =
+      splitConj(j.condition.getOrElse(return bail("join without condition")))
+        .map {
+          case EqualTo(l: Attribute, r: Attribute)
+              if leftOut.contains(l) && rightOut.contains(r) => (l, r)
+          case EqualTo(l: Attribute, r: Attribute)
+              if leftOut.contains(r) && rightOut.contains(l) => (r, l)
+          case other => return bail(s"non-equi join conjunct: ${other.sql}")
+        }
+
+    // side-pure classification: filters push into the twins, grouping
+    // expressions evaluate inside them
+    val (lFilters, rest) = filterConjs.partition(_.references.subsetOf(leftOut))
+    val (rFilters, cross) = rest.partition(_.references.subsetOf(rightOut))
+    if (cross.nonEmpty)
+      return bail(s"cross-side filter conjunct: ${cross.head.sql}")
+    val groupSide: Seq[Boolean] = agg.groupingExpressions.map { g =>
+      if (g.references.subsetOf(leftOut)) true
+      else if (g.references.subsetOf(rightOut)) false
+      else return bail(s"cross-side grouping expression: ${g.sql}")
+    }
+
+    // measures: what each twin must carry, and how the combine
+    // reconstitutes the original aggregate from state × the other
+    // side's multiplicity
+    final case class FM(left: Boolean, twinCols: Seq[(String, Column)],
+        combine: Column)
+    def sideOf(e: Expression): Option[Boolean] =
+      if (e.references.subsetOf(leftOut)) Some(true)
+      else if (e.references.subsetOf(rightOut)) Some(false)
+      else None
+    def pfx(left: Boolean) = if (left) "_a" else "_b"
+    def cntOther(left: Boolean) = col(if (left) "_bcnt" else "_acnt")
+    val aggExprs = distinctAggExprs(agg.aggregateExpressions)
+    val fms: Seq[FM] = aggExprs.zipWithIndex.map { case (ae, i) =>
+      if (ae.isDistinct) return bail(s"DISTINCT aggregate: ${ae.sql}")
+      if (ae.filter.nonEmpty) return bail(s"FILTER clause: ${ae.sql}")
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.references.isEmpty) =>
+          FM(left = true, Nil,
+            coalesce(fsum(col("_acnt") * col("_bcnt")), lit(0L)))
+        case c: Count =>
+          val s = sideOf(c).getOrElse(
+            return bail(s"cross-side measure: ${ae.sql}"))
+          FM(s, Seq(s"${pfx(s)}m$i" -> Shims.column(ae)),
+            coalesce(fsum(col(s"${pfx(s)}m$i") * cntOther(s)), lit(0L)))
+        case s: Sum =>
+          val sd = sideOf(s).getOrElse(
+            return bail(s"cross-side measure: ${ae.sql}"))
+          FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+            fsum(col(s"${pfx(sd)}m$i") * cntOther(sd)))
+        case m: Min =>
+          val sd = sideOf(m).getOrElse(
+            return bail(s"cross-side measure: ${ae.sql}"))
+          FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+            fmin(col(s"${pfx(sd)}m$i")))
+        case m: Max =>
+          val sd = sideOf(m).getOrElse(
+            return bail(s"cross-side measure: ${ae.sql}"))
+          FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+            fmax(col(s"${pfx(sd)}m$i")))
+        case a: Average if !a.dataType.isInstanceOf[DecimalType] =>
+          val sd = sideOf(a).getOrElse(
+            return bail(s"cross-side measure: ${ae.sql}"))
+          val (sn, cn) = (s"${pfx(sd)}s$i", s"${pfx(sd)}c$i")
+          FM(sd, Seq(sn -> fsum(Shims.column(a.child)),
+            cn -> fcount(Shims.column(a.child))),
+            fsum(col(sn) * cntOther(sd)) / fsum(col(cn) * cntOther(sd)))
+        case other =>
+          return bail(s"measure not factorizable over a join: ${other.sql}" +
+            " (count/sum/min/max/avg only)")
+      }
+    }
+
+    // per-side twin aggregates at (join key × side-pure groups) grain
+    def twinDF(side: LogicalPlan, fs: Seq[Expression], keyCols: Seq[Column],
+        gCols: Seq[Column], ms: Seq[(String, Column)]): DataFrame = {
+      val filtered = fs.foldLeft(Shims.ofRows(spark, side))(
+        (d, f) => d.filter(Shims.column(f)))
+      val aggCols = ms.map { case (n, c) => c.as(n) }
+      filtered.groupBy((keyCols ++ gCols): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    val twinA = twinDF(j.left, lFilters.toSeq,
+      pairs.zipWithIndex.map { case ((l, _), i) => Shims.column(l).as(s"_ka$i") },
+      agg.groupingExpressions.zipWithIndex.collect {
+        case (g, jx) if groupSide(jx) => Shims.column(g).as(s"_ga$jx") },
+      ("_acnt" -> fcount(lit(1))) +: fms.filter(_.left).flatMap(_.twinCols))
+    val twinB = twinDF(j.right, rFilters.toSeq,
+      pairs.zipWithIndex.map { case ((_, r), i) => Shims.column(r).as(s"_kb$i") },
+      agg.groupingExpressions.zipWithIndex.collect {
+        case (g, jx) if !groupSide(jx) => Shims.column(g).as(s"_gb$jx") },
+      ("_bcnt" -> fcount(lit(1))) +: fms.filterNot(_.left).flatMap(_.twinCols))
+
+    // both twins must pass the decision BEFORE either executes — a
+    // one-sided state job for a query that then runs vanilla is pure
+    // waste. A twin that is ITSELF an aggregate over an inner equi-join
+    // (the query joined three growing tables) is accepted too: its
+    // rewrite re-enters this factorization one level down, so join TREES
+    // decompose recursively into per-leaf states (strictly smaller side
+    // subtrees each level — termination by construction).
+    def factorizableShape(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate => a
+    }.exists { a =>
+      var ok = true
+      def walk(n: LogicalPlan): Option[Join] = n match {
+        case Filter(_, ch) => walk(ch)
+        case SubqueryAlias(_, ch) => walk(ch)
+        case v: View => walk(v.child)
+        case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) =>
+          walk(ch)
+        case join: Join => Some(join)
+        case _ => None
+      }
+      walk(a.child).exists { jj =>
+        ok = jj.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+          jj.condition.exists(cnd => splitConj(cnd).forall {
+            case EqualTo(_: Attribute, _: Attribute) => true
+            case _ => false
+          })
+        ok
+      }
+    }
+    val aPlan = Shims.queryExecution(twinA).analyzed
+    val bPlan = Shims.queryExecution(twinB).analyzed
+    decide(aPlan) match {
+      case Left((_, reason)) if !factorizableShape(aPlan) =>
+        return bail(s"left twin not cacheable: $reason")
+      case _ => ()
+    }
+    decide(bPlan) match {
+      case Left((_, reason)) if !factorizableShape(bPlan) =>
+        return bail(s"right twin not cacheable: $reason")
+      case _ => ()
+    }
+    val aAns = rewritePlan(spark, aPlan).map(Shims.ofRows(spark, _))
+      .getOrElse(return bail("left twin rewrite declined"))
+    val bAns = rewritePlan(spark, bPlan).map(Shims.ofRows(spark, _))
+      .getOrElse(return bail("right twin rewrite declined"))
+
+    // state-sized combine: join the twins on the key, regroup on the
+    // original grouping expressions' twin columns, scale measures
+    val cond = pairs.indices.map(i => aAns(s"_ka$i") === bAns(s"_kb$i"))
+      .reduce(_ && _)
+    val joined = aAns.join(bAns, cond, "inner")
+    val finalGroupCols = agg.groupingExpressions.indices.map(jx =>
+      col(if (groupSide(jx)) s"_ga$jx" else s"_gb$jx"))
+    val combineCols = fms.zipWithIndex.map { case (f, i) => f.combine.as(s"_r$i") }
+    val resultDF =
+      if (finalGroupCols.isEmpty) joined.agg(combineCols.head, combineCols.tail: _*)
+      else joined.groupBy(finalGroupCols: _*)
+        .agg(combineCols.head, combineCols.tail: _*)
+
+    // original output expressions over the combine's columns (same
+    // rewrite scheme as execute()'s finalize)
+    def rewriteOut(e: Expression): Expression = {
+      val gIdx = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (gIdx >= 0)
+        UnresolvedAttribute(Seq(if (groupSide(gIdx)) s"_ga$gIdx" else s"_gb$gIdx"))
+      else e match {
+        case ae: AggregateExpression =>
+          val i = aggExprs.indexWhere(_.semanticEquals(ae))
+          require(i >= 0, s"unmapped aggregate ${ae.sql}")
+          Cast(UnresolvedAttribute(Seq(s"_r$i")), ae.dataType)
+        case _ => e.withNewChildren(e.children.map(rewriteOut))
+      }
+    }
+    val outCols: Seq[Column] = agg.aggregateExpressions.map { o =>
+      val core = o match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      Shims.column(rewriteOut(core)).as(o.name)
+    }
+    val finalCore = resultDF.select(outCols: _*)
+    val finalPlan = Shims.queryExecution(finalCore).analyzed
+    val aligned = Project(
+      finalPlan.output.zip(agg.output).map { case (na, oo) =>
+        Alias(na, oo.name)(exprId = oo.exprId)
+      }, finalPlan)
+    config.log.info(fp, "factorized join: answered from two per-side twin " +
+      "states combined at join-key grain")
+    Some(analyzed.transformUp { case n if n eq agg => aligned })
   }
 
   // ------------------------------------------------ join subsumption

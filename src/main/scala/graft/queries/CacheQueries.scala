@@ -483,6 +483,53 @@ object CacheQueries {
         .run(factQ(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(joinQ(s.read.parquet(work)))
     }),
+    // FACTORIZED two-fact join: clicks ⋈ purchases are BOTH growing
+    // tables — no static side to declare, so no single state is sound.
+    // The factorized path splits the aggregate into two twin states
+    // (per-user hourly click stats; per-user purchase stats), each
+    // incrementally maintained under its own watermark, and a
+    // state-sized combine that scales each side's counts/sums by the
+    // other side's multiplicity (eager aggregation both sides). The
+    // cold→append-BOTH→warm cycle's warm answer — with neither fact
+    // table rescanned below its watermark (zero-scan pinned in
+    // IncrementalAggSpec) — is what the oracle checks against a plain
+    // join over the full tables.
+    "qc_incr_factjoin" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factjoin"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      def part(t: String) = ev.filter(col("event_type") === t)
+        .select("ts", "user_id", "value")
+      part("click").filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      part("purchase").filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(a("value")).as("sum_click_value"),
+          min(b("value")).as("min_purchase_value"),
+          max(a("value")).as("max_click_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      part("click").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/a")
+      part("purchase").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
     // measure SUBSUMPTION (panel ↔ single stat): after a cold→append→warm
     // cycle of the full (cnt, sum, min) hourly panel, the first-ever
     // sighting of the count-only variant is an exact-fingerprint miss but
@@ -747,6 +794,18 @@ object CacheQueries {
          FROM events JOIN customer ON user_id = c_custkey
          WHERE value > 1
          GROUP BY 1, 2""",
+    "qc_incr_factjoin" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value,
+           min(b.value) AS min_purchase_value,
+           max(a.value) AS max_click_value
+         FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
     "qc_incr_regrain" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS cnt,

@@ -146,7 +146,7 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
-  test("bail: joins under the aggregate are not cached") {
+  test("joins under the aggregate: factorized when possible, vanilla when flagged off") {
     val log = new RecordingLog
     val qcs = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
       defaultTemporalColumn = "ts", log = log))
@@ -154,8 +154,17 @@ class IncrementalAggSpec extends AnyFunSuite {
     val joined = ev.as("a").join(ev.as("b"), "event_id")
       .agg(count(lit(1)).as("cnt"))
     val out = qcs.run(joined)
-    assert(out.collect().head.getLong(0) > 0)
-    assert(log.messages.exists(_.contains("not cacheable")), log.messages)
+    // event_id is unique, so the self equi-join has exactly one row per event
+    assert(out.collect().head.getLong(0) == ev.count())
+    // round 9: an inner equi-join with no declared-static side is now
+    // answered by the FACTORIZED path instead of bailing
+    assert(log.messages.exists(_.startsWith("factorized join: answered")), log.messages)
+    // with the flag off, the historical join bail applies
+    val log2 = new RecordingLog
+    val off = QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+      defaultTemporalColumn = "ts", log = log2, factorizedJoinState = false))
+    assert(off.run(joined).collect().head.getLong(0) == ev.count())
+    assert(log2.messages.exists(_.contains("not cacheable")), log2.messages)
   }
 
   test("exact count distinct caches via set-union state") {
@@ -1810,6 +1819,188 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("rerange hit")), log.messages)
     assert(log.messages.exists(_.startsWith("refilter hit")), log.messages)
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
+  test("factorized join: both-sides-growing join aggregate, appends absorbed per side") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factjoin-a")
+    val workB = tmpDir("factjoin-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def q(a: DataFrame, b: DataFrame) = {
+      a.join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(a("value")).as("sum_click"),
+          min(b("value")).as("min_purchase"),
+          max(a("value")).as("max_click"),
+          avg(b("value")).as("avg_purchase"))
+    }
+    // vanilla reference from fresh disk reads: deriving both sides from
+    // the same eventsFull plan is a self-join whose a("...")/b("...")
+    // refs Spark cannot disambiguate (trivially-true-predicate trap)
+    def vanilla = q(spark.read.parquet(workA), spark.read.parquet(workB))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+
+    // cold: the factorized rewrite engages, both twins miss and store
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB))).collect()
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")), log1.messages)
+    assert(log1.messages.count(_.startsWith("cache miss")) == 2, log1.messages)
+
+    // append to BOTH tables; warm run hits both twin states and equals
+    // vanilla over the full data. Controlled `now` (= just past the data)
+    // so the later one-sided append can sit above the watermark.
+    val maxUs = eventsFull.selectExpr("CAST(max(unix_micros(ts)) AS LONG)")
+      .first().getLong(0) + 1L
+    part(late, "click").write.mode("append").parquet(workA)
+    part(late, "purchase").write.mode("append").parquet(workB)
+    val log2 = new RecordingLog
+    val warmDF = QueryCacheSession(spark, cfg(log2, Some(maxUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(warmDF, vanilla)
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")), log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+
+    // second warm with NO new appends: both twin deltas prune to zero
+    // fact rows (parquet stats), the combine runs purely on state
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val again = QueryCacheSession(spark, cfg(nowUs = Some(maxUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      again.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recs.sum() == 0L,
+      s"no-append warm run scanned ${recs.sum()} fact rows — the " +
+        "factorized path rescanned a fact table")
+
+    // one-sided append ABOVE the watermark (the append contract: new rows
+    // arrive later than the previous run's now): only the click twin's
+    // delta has rows, the purchase twin prunes to zero
+    part(late, "click")
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(maxUs - splitUs)))
+      .write.mode("append").parquet(workA)
+    val oneSided = QueryCacheSession(spark, cfg())
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(oneSided, vanilla)
+  }
+
+  test("factorized join recurses over a three-table join tree") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val wa = tmpDir("factjoin3-a")
+    val wb = tmpDir("factjoin3-b")
+    val wc = tmpDir("factjoin3-c")
+    part(early, "click").write.mode("overwrite").parquet(wa)
+    part(early, "purchase").write.mode("overwrite").parquet(wb)
+    part(early, "signup").write.mode("overwrite").parquet(wc)
+    val cache = new MemoryQueryCache()
+    def q(a: DataFrame, b: DataFrame, c: DataFrame) =
+      a.join(b, a("user_id") === b("user_id"), "inner")
+        .join(c, a("user_id") === c("user_id"), "inner")
+        .groupBy(date_trunc("day", a("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum(a("value")).as("sum_click"),
+          min(c("value")).as("min_signup"))
+    def read3 = (spark.read.parquet(wa), spark.read.parquet(wb),
+      spark.read.parquet(wc))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+
+    // cold: the (A⋈B) twin is itself an aggregate over an inner
+    // equi-join, so the factorization recurses — two factorized levels,
+    // THREE leaf states (clicks/purchases/signups), each missing once
+    val log1 = new RecordingLog
+    locally {
+      val (a, b, c) = read3
+      QueryCacheSession(spark, cfg(log1, Some(splitUs))).run(q(a, b, c)).collect()
+    }
+    assert(log1.messages.count(_.startsWith("factorized join: answered")) == 2,
+      log1.messages)
+    assert(log1.messages.count(_.startsWith("cache miss")) == 3, log1.messages)
+
+    // append to all three; warm run hits all three leaf states and
+    // equals vanilla over the full tables
+    part(late, "click").write.mode("append").parquet(wa)
+    part(late, "purchase").write.mode("append").parquet(wb)
+    part(late, "signup").write.mode("append").parquet(wc)
+    val log2 = new RecordingLog
+    val warm = locally {
+      val (a, b, c) = read3
+      QueryCacheSession(spark, cfg(log2)).run(q(a, b, c))
+    }
+    val vanilla = locally { val (a, b, c) = read3; q(a, b, c) }
+    assertSameRows(warm, vanilla)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 3, log2.messages)
+    assert(log2.messages.count(_.startsWith("factorized join: answered")) == 2,
+      log2.messages)
+  }
+
+  test("factorized join: outer joins, cross-side measures, and flag-off run vanilla") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factjoin-bail-a")
+    val workB = tmpDir("factjoin-bail-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+
+    def run(log: RecordingLog, flag: Boolean = true)(
+        q: (DataFrame, DataFrame) => DataFrame): DataFrame =
+      QueryCacheSession(spark, QueryCacheConfig(new MemoryQueryCache(),
+        defaultTemporalColumn = "ts", log = log, factorizedJoinState = flag))
+        .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+
+    // outer join: factorization is inner-only — vanilla, still correct
+    def qOuter(a: DataFrame, b: DataFrame) =
+      a.join(b, a("user_id") === b("user_id"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+    // vanilla references from fresh disk reads (self-join lineage trap —
+    // see the sibling test)
+    def vanilla(q: (DataFrame, DataFrame) => DataFrame): DataFrame =
+      q(spark.read.parquet(workA), spark.read.parquet(workB))
+    val logOuter = new RecordingLog
+    assertSameRows(run(logOuter)(qOuter), vanilla(qOuter))
+    assert(!logOuter.messages.exists(_.startsWith("factorized join: answered")),
+      logOuter.messages)
+    assert(logOuter.messages.exists(_.contains("factorized join bail")),
+      logOuter.messages)
+
+    // cross-side measure: sum(a.value * b.value) is not a product of
+    // per-side states — vanilla, still correct
+    def qCross(a: DataFrame, b: DataFrame) =
+      a.join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(sum(a("value") * b("value")).as("xsum"))
+    val logCross = new RecordingLog
+    assertSameRows(run(logCross)(qCross), vanilla(qCross))
+    assert(!logCross.messages.exists(_.startsWith("factorized join: answered")),
+      logCross.messages)
+
+    // flag off: the same inner query runs vanilla
+    def qInner(a: DataFrame, b: DataFrame) =
+      a.join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+    val logOff = new RecordingLog
+    assertSameRows(run(logOff, flag = false)(qInner), vanilla(qInner))
+    assert(!logOff.messages.exists(_.contains("factorized join")), logOff.messages)
   }
 
   test("rehop: sliding window answered from warm tumbling state, zero fact rows scanned") {
