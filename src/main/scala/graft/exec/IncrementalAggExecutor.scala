@@ -570,7 +570,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         val state =
           if (stateSpecs.forall(_.unit.isDefined)) {
             val unitCols = groupCols ++ stateSpecs.map(s =>
-              s.unit.get.cast(stateSchema(s.name).dataType).as(s.name))
+              s.unit.get.cast(Decompose.nullTolerant(
+                stateSchema(s.name).dataType)).as(s.name))
             cs.read(spark).unionByName(newData.select(unitCols: _*))
           } else cs.read(spark).unionByName(partialState(newData))
         val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
@@ -1443,9 +1444,23 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     def cntOther(left: Boolean) = col(if (left) "_bcnt" else "_acnt")
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)
     val fms: Seq[FM] = aggExprs.zipWithIndex.map { case (ae, i) =>
-      if (ae.isDistinct) return bail(s"DISTINCT aggregate: ${ae.sql}")
       if (ae.filter.nonEmpty) return bail(s"FILTER clause: ${ae.sql}")
       ae.aggregateFunction match {
+        // count(DISTINCT x): multiplicity-FREE like min/max, so the twin
+        // keeps the distinct set per (key × group) — the same set-union
+        // state the single-table exact-distinct path uses — and the
+        // combine unions the sets of the group's matched keys
+        case c: Count if ae.isDistinct && c.children.size == 1 =>
+          import org.apache.spark.sql.functions.{array_distinct, collect_list,
+            collect_set, flatten, size => fsize}
+          val e = c.children.head
+          val sd = sideOf(e).getOrElse(
+            return bail(s"cross-side measure: ${ae.sql}"))
+          val n = s"${pfx(sd)}d$i"
+          FM(sd, Seq(n -> collect_set(Shims.column(e))),
+            fsize(array_distinct(flatten(collect_list(col(n))))))
+        case _ if ae.isDistinct =>
+          return bail(s"DISTINCT aggregate not factorizable: ${ae.sql}")
         case c: Count if c.children.forall(_.references.isEmpty) =>
           FM(left = true, Nil,
             coalesce(fsum(col("_acnt") * col("_bcnt")), lit(0L)))
@@ -1811,9 +1826,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         if (rest.isEmpty) ch else Filter(rest.reduce(And(_, _)), ch)
     }
 
+  /** value-type compatibility — nullability-erased, because the unit/
+    * merge casts target the null-tolerant form and a state that merged
+    * through a union acquires nullable array elements the cold partial's
+    * schema does not have */
   private def schemaCompatible(a: StructType, b: StructType): Boolean =
     a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
-      x.name == y.name && x.dataType == y.dataType
+      x.name == y.name &&
+        Decompose.nullTolerant(x.dataType) == Decompose.nullTolerant(y.dataType)
     }
 }
 

@@ -516,7 +516,8 @@ object CacheQueries {
         .agg(count(lit(1)).as("cnt"),
           dsum(a("value")).as("sum_click_value"),
           min(b("value")).as("min_purchase_value"),
-          max(a("value")).as("max_click_value"))
+          max(a("value")).as("max_click_value"),
+          countDistinct(a("user_id")).as("n_users"))
       def cfg(now: Option[Long]) = QueryCacheConfig(cache,
         defaultTemporalColumn = "ts", overrideNowMicros = now)
       QueryCacheSession(s, cfg(Some(splitMicros)))
@@ -803,7 +804,8 @@ object CacheQueries {
            count(*) AS cnt,
            CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value,
            min(b.value) AS min_purchase_value,
-           max(a.value) AS max_click_value
+           max(a.value) AS max_click_value,
+           count(DISTINCT a.user_id) AS n_users
          FROM a JOIN b ON a.user_id = b.user_id
          GROUP BY 1""",
     "qc_incr_regrain" ->

@@ -788,8 +788,29 @@ object Decompose {
   /** Merge aggregation for a state column, given the stored state schema
     * (casts the re-aggregated value back to the stored type so the schema
     * is stable across arbitrarily many merge generations). */
+  /** Deep nullability erasure for cast TARGETS. Catalyst refuses casts
+    * that narrow nullability (array<long, nullable elems> →
+    * array<long, non-null elems> is DATATYPE_MISMATCH even though the
+    * value types match), and the set-union unit form
+    * `when(x.isNotNull, array(x)).otherwise(array())` is typed with
+    * nullable elements while collect_set's state type is not — casting
+    * to the nullable-everywhere form keeps the VALUE types aligned (the
+    * cast's actual job) without fighting the analyzer over nullability
+    * the union will re-widen anyway. */
+  def nullTolerant(dt: DataType): DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(nullTolerant(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(nullTolerant(k), nullTolerant(v),
+        valueContainsNull = true)
+    case StructType(fields) =>
+      StructType(fields.map(f =>
+        f.copy(dataType = nullTolerant(f.dataType), nullable = true)))
+    case other => other
+  }
+
   def mergeColumn(spec: StateSpec, stateSchema: StructType): Column = {
-    val storedType: DataType = stateSchema(spec.name).dataType
+    val storedType: DataType = nullTolerant(stateSchema(spec.name).dataType)
     val merged = spec.merge match {
       case MSum => sum(col(spec.name))
       case MMin => min(col(spec.name))

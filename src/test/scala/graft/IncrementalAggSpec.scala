@@ -174,6 +174,11 @@ class IncrementalAggSpec extends AnyFunSuite {
     val (warmDF, log) = coldAppendWarm("cdistinct")(q)
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
     assertSameRows(warmDF, q(eventsFull))
+    // round 9: the warm run must actually take the unit fast path — the
+    // set-union unit's nullable-element array used to fail the cast to
+    // collect_set's non-null-element state type, silently degrading every
+    // distinct warm run to vanilla ("cache rewrite failed")
+    assert(!log.messages.exists(_.contains("cache rewrite failed")), log.messages)
   }
 
   test("sum/avg(DISTINCT) cache via set-union state and hit warm") {
@@ -1837,7 +1842,8 @@ class IncrementalAggSpec extends AnyFunSuite {
           sum(a("value")).as("sum_click"),
           min(b("value")).as("min_purchase"),
           max(a("value")).as("max_click"),
-          avg(b("value")).as("avg_purchase"))
+          avg(b("value")).as("avg_purchase"),
+          countDistinct(a("user_id")).as("n_users"))
     }
     // vanilla reference from fresh disk reads: deriving both sides from
     // the same eventsFull plan is a self-join whose a("...")/b("...")
@@ -1897,6 +1903,104 @@ class IncrementalAggSpec extends AnyFunSuite {
     val oneSided = QueryCacheSession(spark, cfg())
       .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
     assertSameRows(oneSided, vanilla)
+  }
+
+  test("no whitelisted state silently falls back on the warm path") {
+    // the round-9 distinct bug class: a warm run that logs "cache hit"
+    // can still throw INSIDE the rewrite (unit/merge cast, schema drift)
+    // and silently degrade to vanilla — correct answers, no speedup, and
+    // only this assertion notices. One cycle per state family.
+    val cases: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "counts" -> (df => df.groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"), sum("value").as("s"),
+        min("value").as("mn"), max("value").as("mx"), avg("value").as("av"))),
+      "moments" -> (df => df.groupBy(col("event_type")).agg(
+        var_samp("value").as("v"), stddev_pop("value").as("sd"),
+        skewness("value").as("sk"), kurtosis("value").as("ku"))),
+      "corr" -> (df => df.groupBy(col("event_type")).agg(
+        corr(col("value"), col("user_id").cast("double")).as("c"),
+        covar_samp(col("value"), col("user_id").cast("double")).as("cv"))),
+      "distinct" -> (df => df.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("cd"),
+        sum_distinct(col("user_id")).as("sd"))),
+      "collectset" -> (df => df.groupBy(col("event_type")).agg(
+        sort_array(collect_set(col("user_id"))).as("us"))),
+      "maxby" -> (df => df.groupBy(col("event_type")).agg(
+        max_by(col("user_id"), col("value")).as("mb"),
+        min_by(col("user_id"), col("value")).as("nb"))),
+      "bools" -> (df => df.groupBy(col("event_type")).agg(
+        bool_and(col("value") > 0).as("ba"), bool_or(col("value") > 100).as("bo"))),
+      "bits" -> (df => df.groupBy(col("event_type")).agg(
+        bit_and(col("user_id")).as("band"), bit_or(col("user_id")).as("bor"),
+        bit_xor(col("user_id")).as("bxor"))),
+      "percentile" -> (df => df.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("approx_percentile(value, 0.9)").as("p90"))),
+      "mode" -> (df => df.groupBy(col("event_type")).agg(
+        expr("mode(user_id)").as("m"))),
+      "hll" -> (df => df.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("acd"))))
+    cases.foreach { case (tag, q) =>
+      val (warmDF, log) = coldAppendWarm(s"sweep-$tag")(q)
+      warmDF.collect()
+      assert(log.messages.exists(_.startsWith("cache hit")),
+        s"$tag never hit: ${log.messages}")
+      assert(!log.messages.exists(_.contains("cache rewrite failed")),
+        s"$tag silently fell back: ${log.messages}")
+      assert(!log.messages.exists(_.startsWith("not caching")),
+        s"$tag was not cacheable: ${log.messages}")
+    }
+  }
+
+  test("factorized join composes: durable twins across sessions, remeasure for subset measures") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factjoin-dur-a")
+    val workB = tmpDir("factjoin-dur-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+    val cacheDir = tmpDir("factjoin-dur-cache")
+    def freshCache() = new graft.cache.ParquetQueryCache(cacheDir)
+    def q(a: DataFrame, b: DataFrame) =
+      a.join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), sum(a("value")).as("sum_click"),
+          min(b("value")).as("min_purchase"))
+    def qCnt(a: DataFrame, b: DataFrame) =
+      a.join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+    def vanilla(f: (DataFrame, DataFrame) => DataFrame) =
+      f(spark.read.parquet(workA), spark.read.parquet(workB))
+    def cfg(log: RecordingLog, nowUs: Option[Long] = None) =
+      QueryCacheConfig(freshCache(), defaultTemporalColumn = "ts",
+        overrideNowMicros = nowUs, log = log)
+
+    // cold session: twin states land on disk
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB))).collect()
+    part(late, "click").write.mode("append").parquet(workA)
+    part(late, "purchase").write.mode("append").parquet(workB)
+
+    // warm run through a FRESH cache handle (new session): both twin
+    // states round-trip through parquet
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(warm, vanilla(q))
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")), log2.messages)
+
+    // count-only variant, fresh handle again: each twin is a measure
+    // SUBSET of its warm superset twin — remeasure answers both through
+    // the durable measure index, composing inside the factorization
+    val log3 = new RecordingLog
+    val cntDF = QueryCacheSession(spark, cfg(log3))
+      .run(qCnt(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(cntDF, vanilla(qCnt))
+    assert(log3.messages.count(_.startsWith("remeasure hit")) == 2, log3.messages)
+    assert(log3.messages.exists(_.startsWith("factorized join: answered")), log3.messages)
   }
 
   test("factorized join recurses over a three-table join tree") {
