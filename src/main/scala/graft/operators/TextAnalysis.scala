@@ -254,6 +254,16 @@ object TextAnalysis {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    tfidfScore(tf, topK, idCol)
+  }
+
+  /** The TF-IDF scoring core over a pre-aggregated (idCol, token, tf)
+    * frame — shared verbatim by [[tfidfTopTerms]] and
+    * [[IncrementalText.tfidfTopTermsFromIndex]] so the one-shot and
+    * index-served paths are bit-identical by construction (every input —
+    * df, n_docs — derives from `tf` alone). */
+  private[graft] def tfidfScore(tf: DataFrame, topK: Int, idCol: String)
+      : DataFrame = {
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
     val nd = tf.agg(count_distinct(col(idCol)).as("n_docs"))
     val tfidf = round(
@@ -304,6 +314,19 @@ object TextAnalysis {
           .as("avgdl"))
     val tf = toks.filter(col("token").isin(queryTerms: _*))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, stats, queryTerms, k1, b, topK, idCol)
+  }
+
+  /** The BM25 scoring core over pre-aggregated inputs — shared verbatim
+    * by [[bm25]] (which derives the inputs from the raw corpus) and
+    * [[IncrementalText.bm25FromIndex]] (which reads them from a durable
+    * index), so the two paths are bit-identical by construction.
+    * `tf`: one row per (idCol, token ∈ queryTerms) with its count;
+    * `dl`: one row per token-bearing doc with its length;
+    * `stats`: one row (n_docs, avgdl). */
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k1: Double, b: Double, topK: Int,
+      idCol: String): DataFrame = {
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
     val tfD = col("tf").cast("double")
     val dfD = col("df_docs").cast("double")
