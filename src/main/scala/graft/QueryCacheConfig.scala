@@ -227,6 +227,25 @@ import graft.log.{CacheLog, NoOpLog}
   *                              are not slide multiples bail. ON by
   *                              default; engages only on a miss and
   *                              never changes answers.
+  * @param regroupFromDrilldownState GROUPING-SET subsumption: a
+  *                              rollup/cube/grouping-sets query can, on
+  *                              an exact-fingerprint miss, answer from
+  *                              warm state of the PLAIN drill-down over
+  *                              all its group columns — each grouping
+  *                              set is a merge-away of the full grain,
+  *                              so the replay re-expands every state
+  *                              row into the query's grouping sets
+  *                              (nulling the absent keys, synthesizing
+  *                              the grouping id) and the normal merge
+  *                              re-aggregates the subtotals, exactly
+  *                              how Spark itself computes rollups from
+  *                              raw rows — but over state rows instead
+  *                              of the fact table. The full-grain set
+  *                              need not even be among the query's sets
+  *                              (GROUPING SETS ((a),(b)) answers from
+  *                              warm (a,b) state). ON by default;
+  *                              engages only on a miss and never
+  *                              changes answers.
   * @param factorizedJoinState   TWO-FACT join aggregates: an aggregate
   *                              over an inner equi-join of two GROWING
   *                              tables (no declared-static side) is
@@ -292,6 +311,7 @@ final case class QueryCacheConfig(
     rejoinFromFactState: Boolean = true,
     rerangeFromUnboundedState: Boolean = true,
     rehopFromTumblingState: Boolean = true,
+    regroupFromDrilldownState: Boolean = true,
     factorizedJoinState: Boolean = true,
     percentileSketchState: Boolean = true,
     log: CacheLog = NoOpLog) {

@@ -502,6 +502,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // hop subsumption: a sliding-window aggregate answered from the
       // tumbling-at-the-slide twin's warm state exploded into its hops
       .orElse(rehopFromSlideState(c, stateSchema))
+      // grouping-set subsumption: a rollup/cube answered from the plain
+      // full-grain drill-down's warm state re-expanded per grouping set
+      .orElse(regroupFromDrilldownState(c, stateSchema))
       // dimension subsumption: a roll-up answered from its drill-down's
       // warm state by merging the extra key away (opt-in via
       // config.redimDimensionColumns)
@@ -1320,6 +1323,142 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               timestamp_micros(startUs - col("_hop_k") * lit(slide) + lit(duration))
                 .as("end")))
             .drop("_hop_k")
+        })
+      }
+  }
+
+  // ------------------------------------- grouping-set subsumption
+
+  /** On an exact-fingerprint miss: a rollup/cube/grouping-sets query can
+    * be answered from the warm state of the PLAIN drill-down over all its
+    * group columns. Every grouping set is a merge-away of the full grain,
+    * so the replay re-expands each full-grain state row into the query's
+    * grouping sets — keys absent from a set become NULL, the grouping-id
+    * slot becomes that set's literal — and the normal merge re-aggregates
+    * the subtotals. That is exactly how Spark's own Expand+Aggregate
+    * computes grouping sets from raw rows, applied to mergeable STATE
+    * rows instead of the fact table; exactness is the state-merge
+    * contract (the same argument as dimension subsumption, per set).
+    *
+    * The full grain does not have to be among the query's sets:
+    * `GROUPING SETS ((a),(b))` still answers from warm `(a,b)` state.
+    * Detection is pinned to the analyzer's shape — Aggregate whose child
+    * is Expand, group slots carrying a single defining attribute
+    * (null-literal in subtotal projections), exactly one all-literal
+    * grouping-id slot, measures referencing pass-through slots only —
+    * and the twin inlines the bucketing Project's aliases so its
+    * fingerprint matches a user-written drill-down. Anything off-shape
+    * bails to a plain miss. */
+  private def regroupFromDrilldownState(c: Cacheable, stateSchema: StructType)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    if (!config.regroupFromDrilldownState) return None
+    if (c.dynamicBound.isDefined) return None
+    val ex = c.agg.child match {
+      case e: Expand => e
+      case _ => return None
+    }
+    def bailRg(msg: String): Option[graft.cache.CachedState] = {
+      config.log.info(c.fingerprint, s"regroup bail: $msg")
+      None
+    }
+    // every grouping expression must be an Expand output slot
+    val groupSlots: Seq[(Int, Int)] =
+      c.agg.groupingExpressions.zipWithIndex.map { case (g, j) =>
+        g match {
+          case a: Attribute =>
+            val s = ex.output.indexWhere(_.semanticEquals(a))
+            if (s < 0) return bailRg(s"group expression is not an Expand slot: ${g.sql}")
+            (j, s)
+          case _ =>
+            return bailRg(s"group expression is not an Expand output attribute: ${g.sql}")
+        }
+      }
+    // the grouping-id slot: a literal in EVERY projection
+    val (gidGroups, keyGroups) = groupSlots.partition { case (_, s) =>
+      ex.projections.forall(_(s).isInstanceOf[Literal])
+    }
+    val (gidIdx, gidSlot) = gidGroups match {
+      case Seq(one) => one
+      case other => return bailRg(
+        s"expected exactly one grouping-id slot, found ${other.size}")
+    }
+    // key slots: one defining attribute, nulled in subtotal projections
+    val defAttr: Map[Int, Attribute] = keyGroups.map { case (j, s) =>
+      val vals = ex.projections.map(_(s))
+      val attrs = vals.collect { case a: Attribute => a }.distinct
+      if (attrs.size != 1 || !vals.forall {
+        case _: Attribute => true
+        case l: Literal => l.value == null
+        case _ => false
+      }) return bailRg(s"group slot $s is not attr-or-null with one defining attribute")
+      j -> attrs.head
+    }.toMap
+    // measures (and the filter-widened temporal attr) must ride through
+    // pass-through slots — an aggregate over a grouping-set slot sees
+    // per-set NULLs the drill-down state cannot reproduce
+    if (!c.aggExprs.flatMap(_.references.toSeq)
+        .forall(ex.child.outputSet.contains))
+      return bailRg("a measure references a grouping-set slot")
+    // the twin drill-down: the bucketing Project's aliases inlined, so
+    // the plan is shaped exactly like a user-written groupBy
+    val (projAliases, twinChild) = ex.child match {
+      case Project(list, ch) =>
+        (list.collect { case al: Alias => al.exprId -> al.child }.toMap, ch)
+      case other =>
+        (Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+          other)
+    }
+    val twinGroups: Seq[Expression] = keyGroups.map { case (j, _) =>
+      val a = defAttr(j)
+      projAliases.getOrElse(a.exprId,
+        if (twinChild.outputSet.contains(a)) a
+        else return bailRg(s"defining attribute ${a.name} not resolvable below Expand"))
+    }
+    if (!twinGroups.flatMap(_.references.toSeq).forall(twinChild.outputSet.contains) ||
+        !c.aggExprs.flatMap(_.references.toSeq).forall(twinChild.outputSet.contains))
+      return bailRg("twin expressions do not resolve against the pre-Expand input")
+    val twinOutputs: Seq[NamedExpression] =
+      twinGroups.zipWithIndex.map {
+        case (a: Attribute, _) => a
+        case (e, i) => Alias(e, s"g$i")()
+      } ++ c.aggExprs.zipWithIndex.map { case (ae, i) => Alias(ae, s"a$i")() }
+    val twin = Aggregate(twinGroups, twinOutputs, twinChild)
+    val fp2 = Fingerprint.of(twin) + fpSuffix
+    // the twin's state layout: this query's groups minus the gid slot,
+    // renumbered; identical state columns
+    val mOf: Map[Int, Int] = keyGroups.map(_._1).zipWithIndex.toMap
+    val twinStateSchema = StructType(
+      keyGroups.zipWithIndex.map { case ((j, _), m) =>
+        stateSchema(s"_g$j").copy(name = s"_g$m")
+      } ++ stateSchema.fields.filterNot(_.name.startsWith("_g")))
+    config.cache.get(fp2)
+      .filter(cs => schemaCompatible(cs.schema, twinStateSchema))
+      // composes: the drill-down may be warm only as a deeper drill-down,
+      // behind a strippable dim conjunct, or as a measure-superset entry
+      .orElse(supersetDimState(c.copy(agg = twin), twinStateSchema))
+      .orElse(dimFilterState(c.copy(agg = twin), twinStateSchema))
+      .orElse(supersetMeasureState(c.copy(agg = twin), twinStateSchema))
+      .map { cs =>
+        config.log.info(c.fingerprint,
+          s"regroup hit: replaying drill-down state ${fp2.take(12)} " +
+            s"through ${ex.projections.length} grouping sets")
+        val stateColNames = stateSchema.fields.map(_.name)
+          .filterNot(_.startsWith("_g")).toSeq
+        graft.cache.CachedState(cs.timestampMicros, stateSchema, { s =>
+          val df = cs.read(s)
+          ex.projections.map { p =>
+            val gCols = c.agg.groupingExpressions.indices.map { j =>
+              val cc =
+                if (j == gidIdx) Shims.column(p(gidSlot))
+                else p(groupSlots.find(_._1 == j).get._2) match {
+                  case _: Attribute => col(s"_g${mOf(j)}")
+                  case _ => lit(null).cast(stateSchema(s"_g$j").dataType)
+                }
+              cc.as(s"_g$j")
+            }
+            df.select(gCols ++ stateColNames.map(col): _*)
+          }.reduce(_ unionByName _)
         })
       }
   }

@@ -189,6 +189,34 @@ object CacheQueries {
         df.rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       }),
+    // grouping-set SUBSUMPTION (drill-down ↔ rollup): after a
+    // cold→append→warm cycle of the PLAIN (day, event_type) drill-down,
+    // the first-ever ROLLUP sighting is an exact-fingerprint miss but a
+    // REGROUP hit — every drill-down state row re-expands through the 3
+    // grouping sets (absent keys nulled, grouping id synthesized) and the
+    // merge re-aggregates the subtotals; no fact row below the
+    // drill-down's watermark is rescanned (zero-scan pinned in
+    // IncrementalAggSpec, which also covers CUBE and GROUPING SETS
+    // without the full grain). The rollup answer is what the oracle
+    // checks.
+    "qc_incr_regroup" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "regroup2")
+      val cache = new MemoryQueryCache()
+      def drill(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      def roll(df: DataFrame) = df.filter(col("value") > 1)
+        .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(drill(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(drill(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(roll(s.read.parquet(work)))
+    }),
     // boolean/bitwise mergeable folds (every/any, bit_and/or/xor) —
     // self-decomposing states through the cold → append → warm cycle
     "qc_incr_bits" -> ((s, d) =>
@@ -747,6 +775,12 @@ object CacheQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events
+         GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
+    "qc_incr_regroup" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events WHERE value > 1
          GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
     "qc_incr_bits" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

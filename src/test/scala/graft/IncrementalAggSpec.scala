@@ -2107,6 +2107,93 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!logOff.messages.exists(_.contains("factorized join")), logOff.messages)
   }
 
+  test("regroup: rollup/cube/grouping-sets answered from warm drill-down state, zero fact rows scanned") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("regroup-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def roll(df: DataFrame) = df.filter(col("value") > 1)
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cube2(df: DataFrame) = df.filter(col("value") > 1)
+      .cube(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the plain (day, event_type) drill-down is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(drill(spark.read.parquet(work))).collect()
+
+    // first-ever ROLLUP sighting: regroup hit — the drill-down state
+    // re-expands through the 3 grouping sets; the delta sits entirely
+    // above the drill-down watermark so parquet stats prune every row
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val rollDF = QueryCacheSession(spark, cfg(log2))
+      .run(roll(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      rollDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("regroup hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"rollup scanned ${recs.sum()} fact rows — regroup rescanned history")
+    assertSameRows(rollDF, roll(spark.read.parquet(work)).where(lit(true)),
+      tol = 1e-9)
+
+    // CUBE (different fingerprint, 4 sets incl. the et-only subtotal the
+    // rollup lacks): same drill-down state serves it
+    val log3 = new RecordingLog
+    val cubeDF = QueryCacheSession(spark, cfg(log3))
+      .run(cube2(spark.read.parquet(work)))
+    assertSameRows(cubeDF, cube2(spark.read.parquet(work)), tol = 1e-9)
+    assert(log3.messages.exists(_.startsWith("regroup hit")), log3.messages)
+
+    // GROUPING SETS without the full grain: still answered from (day, et)
+    spark.read.parquet(work).createOrReplaceTempView("regroup_events")
+    def gsets() = spark.sql(
+      """SELECT date_trunc('day', ts) AS day, event_type,
+           count(1) AS cnt, sum(value) AS sum_value
+         FROM regroup_events WHERE value > 1
+         GROUP BY GROUPING SETS ((date_trunc('day', ts)), (event_type))""")
+    val log4 = new RecordingLog
+    val gsDF = QueryCacheSession(spark, cfg(log4)).run(gsets())
+    assertSameRows(gsDF, gsets(), tol = 1e-9)
+    assert(log4.messages.exists(_.startsWith("regroup hit")), log4.messages)
+
+    // second rollup sighting: the regroup run stored rollup state under
+    // its own fingerprint — direct hit now
+    val log5 = new RecordingLog
+    QueryCacheSession(spark, cfg(log5))
+      .run(roll(spark.read.parquet(work))).collect()
+    assert(log5.messages.exists(_.startsWith("cache hit")), log5.messages)
+    assert(!log5.messages.exists(_.startsWith("regroup hit")), log5.messages)
+
+    // flag off: cold rollup runs as a plain miss
+    val logOff = new RecordingLog
+    val offDF = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts", log = logOff,
+        regroupFromDrilldownState = false))
+      .run(roll(spark.read.parquet(work)))
+    assertSameRows(offDF, roll(spark.read.parquet(work)), tol = 1e-9)
+    assert(!logOff.messages.exists(_.startsWith("regroup hit")), logOff.messages)
+  }
+
   test("rehop: sliding window answered from warm tumbling state, zero fact rows scanned") {
     val (early, late, splitUs) = split()
     val work = tmpDir("rehop-spec")
