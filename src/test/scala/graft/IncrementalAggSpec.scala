@@ -2282,6 +2282,60 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!logOff.messages.exists(_.startsWith("rehop hit")), logOff.messages)
   }
 
+  test("stream-warmed tumbling state serves a cold hopping query across the batch/stream seam") {
+    val (early, late, _) = split()
+    val work = tmpDir("rehop-stream")
+    val chk = tmpDir("rehop-stream-chk")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    val cfg = QueryCacheConfig(cache, defaultTemporalColumn = "ts", log = log)
+    def tum(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def hop(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    // a STREAM keeps the tumbling state fresh (two ticks: initial load,
+    // then the appended files — checkpoint resume)
+    val warmer = new graft.streaming.CacheWarmer(spark, cfg,
+      Seq(() => tum(spark.read.parquet(work))))
+    warmer.attach(graft.streaming.CacheWarmer.tickSource(spark, work, "ts"), chk)
+      .awaitTermination()
+    late.write.mode("append").parquet(work)
+    warmer.attach(graft.streaming.CacheWarmer.tickSource(spark, work, "ts"), chk)
+      .awaitTermination()
+
+    // the user's first-ever HOPPING query never runs cold: the stream-
+    // warmed tumbling state rehops into it (the warmer stamps strict-mode
+    // state, so the batch probe runs strict too), and the delta above the
+    // stream's high-water mark prunes to zero fact rows
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val hopDF = QueryCacheSession(spark,
+        QueryCacheConfig(cache, defaultTemporalColumn = "ts", log = log2)
+          .withStrictUpperBound)
+      .run(hop(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      hopDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("rehop hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"hopping query scanned ${recs.sum()} fact rows after stream warming")
+    assertSameRows(
+      hopDF.select(col("w.start"), col("cnt"), col("sum_value")),
+      hop(spark.read.parquet(work))
+        .select(col("w.start"), col("cnt"), col("sum_value")), tol = 1e-9)
+  }
+
   test("rehop composes with refilter: hopping dim slice from warm tumbling drill-down") {
     val (early, late, splitUs) = split()
     val work = tmpDir("rehop-composed")
