@@ -559,6 +559,48 @@ object CacheQueries {
       QueryCacheSession(s, cfg(None))
         .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
     }),
+    // RECURSIVE factorization over a join TREE: clicks ⋈ purchases ⋈
+    // signups, all three growing. The (clicks ⋈ purchases) twin is
+    // itself an aggregate over an inner equi-join, so the factorization
+    // re-enters one level down — three leaf states, two state-sized
+    // combines, appends to any table absorbed by that leaf's delta alone.
+    "qc_incr_factjoin3" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factjoin3"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      def part(t: String) = ev.filter(col("event_type") === t)
+        .select("ts", "user_id", "value")
+      Seq("click" -> "a", "purchase" -> "b", "signup" -> "c").foreach {
+        case (t, sub) =>
+          part(t).filter(col("ts") < splitTs).write.parquet(s"$base/$sub")
+      }
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame, c: DataFrame) = a
+        .join(b, a("user_id") === b("user_id"), "inner")
+        .join(c, a("user_id") === c("user_id"), "inner")
+        .groupBy(date_trunc("day", a("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(a("value")).as("sum_click_value"),
+          min(c("value")).as("min_signup_value"))
+      def run(now: Option[Long]) = QueryCacheSession(s, QueryCacheConfig(
+          cache, defaultTemporalColumn = "ts", overrideNowMicros = now))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b"),
+          s.read.parquet(s"$base/c")))
+      run(Some(splitMicros)).collect()
+      Seq("click" -> "a", "purchase" -> "b", "signup" -> "c").foreach {
+        case (t, sub) => part(t).filter(col("ts") >= splitTs)
+          .write.mode("append").parquet(s"$base/$sub")
+      }
+      ev.unpersist()
+      run(None)
+    }),
     // measure SUBSUMPTION (panel ↔ single stat): after a cold→append→warm
     // cycle of the full (cnt, sum, min) hourly panel, the first-ever
     // sighting of the count-only variant is an exact-fingerprint miss but
@@ -841,6 +883,19 @@ object CacheQueries {
            max(a.value) AS max_click_value,
            count(DISTINCT a.user_id) AS n_users
          FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
+    "qc_incr_factjoin3" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, value FROM events
+                    WHERE event_type = 'signup')
+         SELECT CAST(date_trunc('day', a.ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value,
+           min(c.value) AS min_signup_value
+         FROM a JOIN b ON a.user_id = b.user_id
+                JOIN c ON a.user_id = c.user_id
          GROUP BY 1""",
     "qc_incr_regrain" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
