@@ -1523,18 +1523,35 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     def hasSub(es: Seq[Expression]): Boolean = es.exists(_.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
 
-    // peel Filter / pruning-Project wrappers down to the join
+    // peel Filter / Project wrappers down to the join. Alias-bearing
+    // Projects (the optimizer pulls grouping expressions out as
+    // `_groupingexpression` aliases; users compute columns before
+    // grouping) are INLINED: their definitions substitute into the
+    // aggregate's expressions below, so classification and the twins see
+    // expressions over the join sides' own attributes.
     val filterConjs = ArrayBuffer.empty[Expression]
+    val aliasMaps = ArrayBuffer.empty[
+      Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]]
     def peel(p: LogicalPlan): Option[Join] = p match {
-      case Filter(c, ch) => filterConjs ++= splitConj(c); peel(ch)
+      case Filter(cnd, ch) => filterConjs ++= splitConj(cnd); peel(ch)
       case SubqueryAlias(_, ch) => peel(ch)
       case v: View => peel(v.child)
-      case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) =>
+      case Project(list, ch)
+          if list.forall(ne => ne.isInstanceOf[Attribute] ||
+            ne.isInstanceOf[Alias]) =>
+        val m = list.collect { case al: Alias => al.exprId -> al.child }.toMap
+        if (m.nonEmpty) aliasMaps += m
         peel(ch)
       case join: Join => Some(join)
       case _ => None
     }
     val j = peel(agg.child).getOrElse(return None)
+    // top-down alias application: an upper project's aliases may reference
+    // a lower project's output, so each map applies in peel order
+    def inline(e: Expression): Expression =
+      aliasMaps.foldLeft(e)((ex, m) => ex.transformUp {
+        case a: Attribute if m.contains(a.exprId) => m(a.exprId)
+      })
     if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
       return bail(s"${j.joinType.sql} join — factorization is inner-only " +
         "(outer null-extension is not a product of per-side counts)")
@@ -1558,13 +1575,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           case other => return bail(s"non-equi join conjunct: ${other.sql}")
         }
 
-    // side-pure classification: filters push into the twins, grouping
-    // expressions evaluate inside them
-    val (lFilters, rest) = filterConjs.partition(_.references.subsetOf(leftOut))
+    // side-pure classification on the INLINED forms: filters push into
+    // the twins, grouping expressions evaluate inside them
+    val inlFilters = filterConjs.map(inline)
+    val inlGroups = agg.groupingExpressions.map(inline)
+    val (lFilters, rest) = inlFilters.partition(_.references.subsetOf(leftOut))
     val (rFilters, cross) = rest.partition(_.references.subsetOf(rightOut))
     if (cross.nonEmpty)
       return bail(s"cross-side filter conjunct: ${cross.head.sql}")
-    val groupSide: Seq[Boolean] = agg.groupingExpressions.map { g =>
+    val groupSide: Seq[Boolean] = inlGroups.map { g =>
       if (g.references.subsetOf(leftOut)) true
       else if (g.references.subsetOf(rightOut)) false
       else return bail(s"cross-side grouping expression: ${g.sql}")
@@ -1582,7 +1601,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     def pfx(left: Boolean) = if (left) "_a" else "_b"
     def cntOther(left: Boolean) = col(if (left) "_bcnt" else "_acnt")
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)
-    val fms: Seq[FM] = aggExprs.zipWithIndex.map { case (ae, i) =>
+    val inlAggExprs = aggExprs.map(ae =>
+      inline(ae).asInstanceOf[AggregateExpression])
+    val fms: Seq[FM] = inlAggExprs.zipWithIndex.map { case (ae, i) =>
       if (ae.filter.nonEmpty) return bail(s"FILTER clause: ${ae.sql}")
       ae.aggregateFunction match {
         // count(DISTINCT x): multiplicity-FREE like min/max, so the twin
@@ -1646,12 +1667,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
     val twinA = twinDF(j.left, lFilters.toSeq,
       pairs.zipWithIndex.map { case ((l, _), i) => Shims.column(l).as(s"_ka$i") },
-      agg.groupingExpressions.zipWithIndex.collect {
+      inlGroups.zipWithIndex.collect {
         case (g, jx) if groupSide(jx) => Shims.column(g).as(s"_ga$jx") },
       ("_acnt" -> fcount(lit(1))) +: fms.filter(_.left).flatMap(_.twinCols))
     val twinB = twinDF(j.right, rFilters.toSeq,
       pairs.zipWithIndex.map { case ((_, r), i) => Shims.column(r).as(s"_kb$i") },
-      agg.groupingExpressions.zipWithIndex.collect {
+      inlGroups.zipWithIndex.collect {
         case (g, jx) if !groupSide(jx) => Shims.column(g).as(s"_gb$jx") },
       ("_bcnt" -> fcount(lit(1))) +: fms.filterNot(_.left).flatMap(_.twinCols))
 

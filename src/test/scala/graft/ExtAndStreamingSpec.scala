@@ -38,6 +38,46 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("transparent mode: two-fact join aggregates factorize through the rule") {
+    // the optimizer-stage plan interposes a pulled-out _groupingexpression
+    // Project between the Aggregate and the Join — the factorized peel
+    // inlines alias-bearing Projects, so the rule path factorizes the
+    // same queries the facade does
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheTransparent.enable(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    try {
+      val workA = tmpDir("transparent_fj_a")
+      val workB = tmpDir("transparent_fj_b")
+      val ev = Tables.events(spark, sf0001)
+      ev.filter(col("event_type") === "click")
+        .select("ts", "user_id", "value").write.mode("overwrite").parquet(workA)
+      ev.filter(col("event_type") === "purchase")
+        .select("ts", "user_id", "value").write.mode("overwrite").parquet(workB)
+      def q() = {
+        val a = spark.read.parquet(workA)
+        val b = spark.read.parquet(workB)
+        a.join(b, a("user_id") === b("user_id"), "inner")
+          .groupBy(date_trunc("hour", a("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"), sum(a("value")).as("sv"))
+      }
+      def render() = q().collect().map(_.toSeq.map {
+        case d: Double => f"$d%.6e"
+        case x => String.valueOf(x)
+      }.mkString("|")).sorted.toSeq
+      val r1 = render()
+      val r2 = render()
+      assert(r1 == r2)
+      assert(log.messages.exists(_.startsWith("factorized join: answered")),
+        log.messages)
+      assert(log.messages.count(_.startsWith("cache hit")) >= 2, log.messages)
+      // vanilla comparison with the rule disabled
+      QueryCacheTransparent.disable(spark)
+      assert(render() == r1)
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
   test("transparent mode: median/percentile lowering caches through the rule") {
     // the optimizer-rule path sees median AFTER ReplaceExpressions (the
     // Percentile replacement), the facade sees the source form — both

@@ -251,6 +251,56 @@ class IncrementalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("factorized-join twins converge across a two-table append chain") {
+    // both join sides GROW: each chunk splits into an A part and a B part
+    // (either may be empty — a naturally one-sided append), and after
+    // every step the cached answer must equal a full recompute over
+    // everything written to both tables so far.
+    val params = Gen.Parameters.default
+    (1 to 3).foreach { caseNo =>
+      val c = genCase.pureApply(params, Seed(777L + caseNo))
+      val sorted = c.rows.sortBy(_._1).toVector
+      val n = sorted.length
+      val cuts = Seq(n / 4, n / 2, 3 * n / 4).distinct.filter(i => i > 0 && i < n)
+      val chunks = (Seq(0) ++ cuts ++ Seq(n)).sliding(2)
+        .map { case Seq(a, b) => sorted.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val workA = tmpDir(s"fjchainA$caseNo")
+      val workB = tmpDir(s"fjchainB$caseNo")
+      val cache = new MemoryQueryCache()
+      val log = new RecordingLog
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("service") === b("service"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"), sum(a("value")).as("sv"),
+          min(b("value")).as("mb"))
+      def render(df: DataFrame) = df.collect().map(_.toSeq.map {
+        case d: Double => f"${d + 0.0}%.6e" // 6 SIG digits; +0.0 folds -0.0
+        case x => String.valueOf(x)
+      }).map(_.mkString("|")).sorted.toSeq
+      chunks.zipWithIndex.foreach { case (chunk, k) =>
+        val (aIdx, bIdx) = chunk.zipWithIndex.partition(_._2 % 2 == 0)
+        val (aPart, bPart) = (aIdx.map(_._1), bIdx.map(_._1))
+        val mode = if (k == 0) "overwrite" else "append"
+        toDF(aPart).write.mode(mode).parquet(workA)
+        toDF(bPart).write.mode(mode).parquet(workB)
+        val now = chunks.lift(k + 1).map(_.head._1)
+        val sess = QueryCacheSession(spark, QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = now, log = log))
+        val got = render(sess.run(
+          q(spark.read.parquet(workA), spark.read.parquet(workB))))
+        val want = render(
+          q(spark.read.parquet(workA), spark.read.parquet(workB)))
+        assert(got == want,
+          s"factjoin chain step $k: $got vs $want; log=${log.messages}")
+      }
+      assert(log.messages.count(_.startsWith("factorized join: answered")) ==
+        chunks.length, log.messages)
+      val hits = log.messages.count(_.startsWith("cache hit"))
+      assert(hits >= 2 * (chunks.length - 1),
+        s"expected ${2 * (chunks.length - 1)} twin hits, got $hits: ${log.messages}")
+    }
+  }
+
   test("state converges across a 4-run append chain (every run a hit)") {
     val params = Gen.Parameters.default
     (1 to 3).foreach { caseNo =>
