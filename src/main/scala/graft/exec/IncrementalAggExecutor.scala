@@ -1552,9 +1552,18 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       aliasMaps.foldLeft(e)((ex, m) => ex.transformUp {
         case a: Attribute if m.contains(a.exprId) => m(a.exprId)
       })
-    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-      return bail(s"${j.joinType.sql} join — factorization is inner-only " +
-        "(outer null-extension is not a product of per-side counts)")
+    // inner joins scale each side by the other's multiplicity; semi/anti
+    // joins are multiplicity-FREE (every A row appears 0 or 1 times), so
+    // measures pass through unscaled and twin B is pure key membership.
+    // Outer joins bail: null-extension is not a product of per-side counts.
+    val scaled = j.joinType match {
+      case org.apache.spark.sql.catalyst.plans.Inner => true
+      case org.apache.spark.sql.catalyst.plans.LeftSemi |
+          org.apache.spark.sql.catalyst.plans.LeftAnti => false
+      case jt =>
+        return bail(s"${jt.sql} join — factorization covers inner/semi/anti " +
+          "(outer null-extension is not a product of per-side counts)")
+    }
     if (!agg.expressions.forall(_.deterministic) || hasSub(agg.expressions))
       return bail("non-deterministic or subquery aggregate expression")
     if (!j.condition.forall(_.deterministic) || hasSub(j.condition.toSeq) ||
@@ -1600,6 +1609,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       else None
     def pfx(left: Boolean) = if (left) "_a" else "_b"
     def cntOther(left: Boolean) = col(if (left) "_bcnt" else "_acnt")
+    // inner joins scale by the other side's row count; semi/anti pass
+    // state through untouched (multiplicity 0/1 — and the 0 case is the
+    // combine join's own filtering)
+    def scale(cc: Column, left: Boolean): Column =
+      if (scaled) cc * cntOther(left) else cc
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)
     val inlAggExprs = aggExprs.map(ae =>
       inline(ae).asInstanceOf[AggregateExpression])
@@ -1623,17 +1637,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           return bail(s"DISTINCT aggregate not factorizable: ${ae.sql}")
         case c: Count if c.children.forall(_.references.isEmpty) =>
           FM(left = true, Nil,
-            coalesce(fsum(col("_acnt") * col("_bcnt")), lit(0L)))
+            coalesce(fsum(scale(col("_acnt"), left = true)), lit(0L)))
         case c: Count =>
           val s = sideOf(c).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           FM(s, Seq(s"${pfx(s)}m$i" -> Shims.column(ae)),
-            coalesce(fsum(col(s"${pfx(s)}m$i") * cntOther(s)), lit(0L)))
+            coalesce(fsum(scale(col(s"${pfx(s)}m$i"), s)), lit(0L)))
         case s: Sum =>
           val sd = sideOf(s).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
-            fsum(col(s"${pfx(sd)}m$i") * cntOther(sd)))
+            fsum(scale(col(s"${pfx(sd)}m$i"), sd)))
         case m: Min =>
           val sd = sideOf(m).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
@@ -1650,7 +1664,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           val (sn, cn) = (s"${pfx(sd)}s$i", s"${pfx(sd)}c$i")
           FM(sd, Seq(sn -> fsum(Shims.column(a.child)),
             cn -> fcount(Shims.column(a.child))),
-            fsum(col(sn) * cntOther(sd)) / fsum(col(cn) * cntOther(sd)))
+            fsum(scale(col(sn), sd)) / fsum(scale(col(cn), sd)))
         case other =>
           return bail(s"measure not factorizable over a join: ${other.sql}" +
             " (count/sum/min/max/avg only)")
@@ -1726,7 +1740,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // original grouping expressions' twin columns, scale measures
     val cond = pairs.indices.map(i => aAns(s"_ka$i") === bAns(s"_kb$i"))
       .reduce(_ && _)
-    val joined = aAns.join(bAns, cond, "inner")
+    val joined = aAns.join(bAns, cond,
+      j.joinType.sql.toLowerCase.replace(" ", "_"))
     val finalGroupCols = agg.groupingExpressions.indices.map(jx =>
       col(if (groupSide(jx)) s"_ga$jx" else s"_gb$jx"))
     val combineCols = fms.zipWithIndex.map { case (f, i) => f.combine.as(s"_r$i") }

@@ -559,6 +559,46 @@ object CacheQueries {
       QueryCacheSession(s, cfg(None))
         .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
     }),
+    // FACTORIZED SEMI join (EXISTS over two growing tables): hourly click
+    // stats restricted to users with a BIG purchase — multiplicity-free,
+    // so the per-(user, hour) click state passes through unscaled and the
+    // purchase twin is pure filtered key membership. Both tables append
+    // between runs; warm answer rescans nothing below the watermarks.
+    "qc_incr_factsemi" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factsemi"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      def part(t: String) = ev.filter(col("event_type") === t)
+        .select("ts", "user_id", "value")
+      part("click").filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      part("purchase").filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = {
+        val bf = b.filter(col("value") > 50)
+        a.join(bf, a("user_id") === bf("user_id"), "left_semi")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_click_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      }
+      def run(now: Option[Long]) = QueryCacheSession(s, QueryCacheConfig(
+          cache, defaultTemporalColumn = "ts", overrideNowMicros = now))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+      run(Some(splitMicros)).collect()
+      part("click").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/a")
+      part("purchase").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      run(None)
+    }),
     // RECURSIVE factorization over a join TREE: clicks ⋈ purchases ⋈
     // signups, all three growing. The (clicks ⋈ purchases) twin is
     // itself an aggregate over an inner equi-join, so the factorization
@@ -883,6 +923,18 @@ object CacheQueries {
            max(a.value) AS max_click_value,
            count(DISTINCT a.user_id) AS n_users
          FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
+    "qc_incr_factsemi" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value,
+           count(DISTINCT a.user_id) AS n_users
+         FROM a
+         WHERE EXISTS (SELECT 1 FROM events b
+                       WHERE b.event_type = 'purchase'
+                         AND b.value > 50 AND b.user_id = a.user_id)
          GROUP BY 1""",
     "qc_incr_factjoin3" ->
       """WITH a AS (SELECT ts, user_id, value FROM events

@@ -2003,6 +2003,62 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log3.messages.exists(_.startsWith("factorized join: answered")), log3.messages)
   }
 
+  test("factorized semi/anti join: EXISTS and NOT EXISTS share the same twin states") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factsemi-a")
+    val workB = tmpDir("factsemi-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def q(joinType: String)(a: DataFrame, b: DataFrame) = {
+      val bf = b.filter(col("value") > 50) // B-side filter = EXISTS predicate
+      a.join(bf, a("user_id") === bf("user_id"), joinType)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_click"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    def reads = (spark.read.parquet(workA), spark.read.parquet(workB))
+
+    // cold EXISTS: two twin misses
+    val log1 = new RecordingLog
+    locally { val (a, b) = reads
+      QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+        .run(q("left_semi")(a, b)).collect() }
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")), log1.messages)
+    assert(log1.messages.count(_.startsWith("cache miss")) == 2, log1.messages)
+
+    // first-ever NOT EXISTS: the semi and anti variants decompose into
+    // IDENTICAL twins (A stats at (user, hour); filtered B membership),
+    // so the anti query hits BOTH states without ever having run
+    val log2 = new RecordingLog
+    locally { val (a, b) = reads
+      QueryCacheSession(spark, cfg(log2, Some(splitUs)))
+        .run(q("left_anti")(a, b)).collect() }
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")), log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+    assert(!log2.messages.exists(_.startsWith("cache miss")), log2.messages)
+
+    // append both; warm semi and anti equal vanilla over the full tables
+    part(late, "click").write.mode("append").parquet(workA)
+    part(late, "purchase").write.mode("append").parquet(workB)
+    Seq("left_semi", "left_anti").foreach { jt =>
+      val log = new RecordingLog
+      val got = locally { val (a, b) = reads
+        QueryCacheSession(spark, cfg(log)).run(q(jt)(a, b)) }
+      val want = locally { val (a, b) = reads; q(jt)(a, b) }
+      assertSameRows(got, want)
+      assert(log.messages.exists(_.startsWith("factorized join: answered")),
+        s"$jt: ${log.messages}")
+      assert(log.messages.count(_.startsWith("cache hit")) == 2,
+        s"$jt: ${log.messages}")
+    }
+  }
+
   test("factorized join recurses over a three-table join tree") {
     val (early, late, splitUs) = split()
     def part(df: DataFrame, t: String) = df
