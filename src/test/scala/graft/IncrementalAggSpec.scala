@@ -2250,6 +2250,35 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!logOff.messages.exists(_.startsWith("regroup hit")), logOff.messages)
   }
 
+  test("regroup works through the durable cache across sessions") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("regroup-durable")
+    early.write.mode("overwrite").parquet(work)
+    val cacheDir = tmpDir("regroup-durable-cache")
+    def freshCache() = new graft.cache.ParquetQueryCache(cacheDir)
+    def drill(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def roll(df: DataFrame) = df.filter(col("value") > 1)
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def cfg(log: RecordingLog, nowUs: Option[Long] = None) =
+      QueryCacheConfig(freshCache(), defaultTemporalColumn = "ts",
+        overrideNowMicros = nowUs, log = log)
+    // drill-down warmed through one handle; every later run takes a FRESH
+    // handle, so the rollup's regroup probe reads the meta/state from disk
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(drill(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg(new RecordingLog))
+      .run(drill(spark.read.parquet(work))).collect()
+    val log = new RecordingLog
+    val rollDF = QueryCacheSession(spark, cfg(log))
+      .run(roll(spark.read.parquet(work)))
+    assertSameRows(rollDF, roll(spark.read.parquet(work)), tol = 1e-9)
+    assert(log.messages.exists(_.startsWith("regroup hit")), log.messages)
+  }
+
   test("rehop: sliding window answered from warm tumbling state, zero fact rows scanned") {
     val (early, late, splitUs) = split()
     val work = tmpDir("rehop-spec")
