@@ -200,14 +200,35 @@ import graft.log.{CacheLog, NoOpLog}
   *                              temporal column itself. At micros
   *                              resolution every comparison normalizes
   *                              (`ts > v` ≡ `ts >= v+1µs`, `ts <= v` ≡
-  *                              `ts < v+1µs`), so BETWEEN slices too;
-  *                              unaligned bounds bail to a plain miss.
+  *                              `ts < v+1µs`), so BETWEEN slices too.
   *                              One unbounded warm entry serves every
   *                              aligned time-window panel. ON by
   *                              default; engages only on a miss and
   *                              never changes answers. No reference
   *                              analog (all-or-nothing fingerprint,
   *                              src/aggregate.rs:89).
+  * @param rangeCompensationScan UNALIGNED range bounds under rerange
+  *                              (`ts >= '..06:30'` against hour
+  *                              buckets): the window's complete interior
+  *                              buckets replay from the unbounded warm
+  *                              state as above, and the ≤ 2 partial EDGE
+  *                              slivers are answered by a bounded
+  *                              COMPENSATION SCAN — the original query
+  *                              filtered to the sliver ranges (below the
+  *                              twin's watermark), partially aggregated,
+  *                              unioned into the replayed state. Exact
+  *                              for every measure (the edge bucket's
+  *                              rows come only from the sliver scan +
+  *                              delta; the interior slice excludes that
+  *                              bucket). The warm scan is ≤ 2
+  *                              bucket-widths of fact — parquet min/max
+  *                              pruning applies to the pushed ts range —
+  *                              instead of the whole window on a plain
+  *                              miss. Fixed-width grains only (second/
+  *                              minute/hour/day/week); OFF restores the
+  *                              aligned-bounds-only behavior. ON by
+  *                              default; engages only on a miss and
+  *                              never changes answers.
   * @param rehopFromTumblingState HOP subsumption: a SLIDING-window
   *                              aggregate (`window(ts, '1 hour',
   *                              '15 minutes')`) can, on an exact-
@@ -263,9 +284,19 @@ import graft.log.{CacheLog, NoOpLog}
   *                              Appends to EITHER table are absorbed by
   *                              that side's delta scan alone; the fact
   *                              tables are never rescanned. Supported:
-  *                              inner attr=attr equi-joins, side-pure
-  *                              filters/grouping, side-pure count/sum/
-  *                              min/max/avg measures (no DISTINCT, no
+  *                              inner / left-semi / left-anti and LEFT/
+  *                              RIGHT/FULL OUTER attr=attr equi-joins
+  *                              (the combine join carries the outer
+  *                              type: a state row without a partner
+  *                              survives null-extended, the missing
+  *                              side's count coalesces to multiplicity
+  *                              1, and the NULL state columns reproduce
+  *                              the vanilla null-extension — which
+  *                              requires bare-column grouping/measures
+  *                              and no filters on a null-extendable
+  *                              side), side-pure filters/grouping,
+  *                              side-pure count/sum/min/max/avg and
+  *                              count(DISTINCT col) measures (no
   *                              cross-side measures) — anything else
   *                              runs vanilla. ON by default; engages
   *                              only after the single-state decision
@@ -310,6 +341,7 @@ final case class QueryCacheConfig(
     remeasureFromSupersetState: Boolean = true,
     rejoinFromFactState: Boolean = true,
     rerangeFromUnboundedState: Boolean = true,
+    rangeCompensationScan: Boolean = true,
     rehopFromTumblingState: Boolean = true,
     regroupFromDrilldownState: Boolean = true,
     factorizedJoinState: Boolean = true,

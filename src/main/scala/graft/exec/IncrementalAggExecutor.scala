@@ -1083,11 +1083,28 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * (`ts > v` ≡ `ts >= v+1µs`, `ts <= v` ≡ `ts < v+1µs`), so BETWEEN
     * slices too.
     *
+    * UNALIGNED bounds (config.rangeCompensationScan, default on): a
+    * bound inside a bucket splits the window into complete INTERIOR
+    * buckets — answered from the sliced state as above — plus at most
+    * two partial EDGE SLIVERS, answered by a bounded compensation scan:
+    * the original child filtered to the sliver range (and below the
+    * twin's watermark), partially aggregated, and unioned into the
+    * replayed state. The edge bucket's group key truncates sliver rows
+    * onto itself and the interior slice excludes that bucket, so the
+    * merge re-aggregates the sliver partial with only this run's delta —
+    * exactly the rows the vanilla filter keeps there. At 100 TB the warm
+    * scan is ≤ 2 bucket-widths of fact (parquet min/max row-group
+    * pruning applies — the sliver predicate is a pushed ts range)
+    * instead of the whole window. Fixed-width grains only
+    * (second/minute/hour/day/week; day/week step through trunc itself so
+    * DST-variable widths stay correct); month+ slivers run vanilla.
+    *
     * Bails: non-date_trunc temporal bucket (window buckets carry their
     * own alignment), grouping sets (Expand NULLs the bucket slot for
-    * subtotal rows, so a bucket slice would drop subtotals), unaligned
-    * or non-foldable bounds, conjuncts whose attribute is not the
-    * fact-side temporal attribute. */
+    * subtotal rows, so a bucket slice would drop subtotals),
+    * non-foldable bounds, conjuncts whose attribute is not the
+    * fact-side temporal attribute, dynamic-bound queries with slivers,
+    * windows inside < 2 complete buckets (no state value — plain miss). */
   private def rerangeBucketState(c: Cacheable, stateSchema: StructType,
       depth: Int = 0): Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.catalyst.expressions.{
@@ -1105,8 +1122,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
     if (c.agg.child.exists(_.isInstanceOf[Expand])) return None
     val tDt = c.temporalAttr.dataType
-    def aligned(micros: Long): Boolean =
-      trunc.copy(timestamp = Literal(micros, tDt)).eval() == micros
+    def truncOf(m: Long): Option[Long] =
+      Option(trunc.copy(timestamp = Literal(m, tDt)).eval())
+        .collect { case v: Long => v }
+    def aligned(micros: Long): Boolean = truncOf(micros).contains(micros)
     def litMicros(e: Expression): Option[Long] = e match {
       case l if l.foldable && l.dataType == tDt && l.references.isEmpty =>
         Option(l.eval()).collect { case v: Long => v }
@@ -1119,25 +1138,22 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
     def plus1(m: Long): Option[Long] =
       if (m < Long.MaxValue) Some(m + 1) else None
-    // conjunct → inclusive lower (Left) / exclusive upper (Right) bucket
-    // bound, only when the normalized boundary is bucket-aligned
+    // conjunct → raw ROW-level inclusive-lower (Left) / exclusive-upper
+    // (Right) bound in micros (µs normal forms make every comparison
+    // half-open; alignment is judged on the COMBINED window below)
     def bound(cj: Expression): Option[Either[Long, Long]] = cj match {
-      case GreaterThanOrEqual(t, v) if isT(t) =>
-        litMicros(v).filter(aligned).map(Left(_))
-      case LessThanOrEqual(v, t) if isT(t) =>
-        litMicros(v).filter(aligned).map(Left(_))
+      case GreaterThanOrEqual(t, v) if isT(t) => litMicros(v).map(Left(_))
+      case LessThanOrEqual(v, t) if isT(t) => litMicros(v).map(Left(_))
       case GreaterThan(t, v) if isT(t) =>
-        litMicros(v).flatMap(plus1).filter(aligned).map(Left(_))
+        litMicros(v).flatMap(plus1).map(Left(_))
       case LessThan(v, t) if isT(t) =>
-        litMicros(v).flatMap(plus1).filter(aligned).map(Left(_))
-      case LessThan(t, v) if isT(t) =>
-        litMicros(v).filter(aligned).map(Right(_))
-      case GreaterThan(v, t) if isT(t) =>
-        litMicros(v).filter(aligned).map(Right(_))
+        litMicros(v).flatMap(plus1).map(Left(_))
+      case LessThan(t, v) if isT(t) => litMicros(v).map(Right(_))
+      case GreaterThan(v, t) if isT(t) => litMicros(v).map(Right(_))
       case LessThanOrEqual(t, v) if isT(t) =>
-        litMicros(v).flatMap(plus1).filter(aligned).map(Right(_))
+        litMicros(v).flatMap(plus1).map(Right(_))
       case GreaterThanOrEqual(v, t) if isT(t) =>
-        litMicros(v).flatMap(plus1).filter(aligned).map(Right(_))
+        litMicros(v).flatMap(plus1).map(Right(_))
       case _ => None
     }
     val cands = ArrayBuffer.empty[(Expression, Either[Long, Long])]
@@ -1147,15 +1163,66 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case _ => ()
     }
     if (cands.isEmpty) return None
+    // the conjuncts' intersection as one half-open row window [rowL, rowU)
+    val lowers = cands.collect { case (_, Left(l)) => l }
+    val uppers = cands.collect { case (_, Right(u)) => u }
+    val rowL: Option[Long] = if (lowers.isEmpty) None else Some(lowers.max)
+    val rowU: Option[Long] = if (uppers.isEmpty) None else Some(uppers.min)
+    if (rowL.exists(l => rowU.exists(_ <= l))) return None // empty window
+    // fixed-width grains support sliver compensation; the step loop
+    // walks through trunc itself so a DST-variable day/week still lands
+    // on the true next bucket start
+    val widthOpt: Option[Long] =
+      Option(trunc.format.eval()).map(_.toString.toLowerCase).collect {
+        case "second" => 1000000L
+        case "minute" => 60L * 1000000L
+        case "hour" => 3600L * 1000000L
+        case "day" | "dd" => 86400L * 1000000L
+        case "week" => 7L * 86400L * 1000000L
+      }
+    def nextBucketStart(b0: Long): Option[Long] = widthOpt.flatMap { w =>
+      var cand = b0 + w
+      var t = truncOf(cand)
+      var tries = 0
+      while (t.exists(_ <= b0) && tries < 3) {
+        cand += 3600L * 1000000L; t = truncOf(cand); tries += 1
+      }
+      t.filter(_ > b0)
+    }
+    // aligned interior bounds + the edge slivers a compensation scan
+    // must cover ([row bound, bucket boundary) half-open ranges)
+    val sliverRanges = ArrayBuffer.empty[(Long, Long)]
+    val iL: Option[Long] = rowL match {
+      case Some(l) if aligned(l) => Some(l)
+      case Some(l) =>
+        if (!config.rangeCompensationScan) return None
+        val nb = truncOf(l).flatMap(nextBucketStart).getOrElse(return None)
+        sliverRanges += ((l, math.min(nb, rowU.getOrElse(nb))))
+        Some(nb)
+      case None => None
+    }
+    val iU: Option[Long] = rowU match {
+      case Some(u) if aligned(u) => Some(u)
+      case Some(u) =>
+        if (!config.rangeCompensationScan) return None
+        val fb = truncOf(u).getOrElse(return None)
+        sliverRanges += ((math.max(fb, rowL.getOrElse(fb)), u))
+        Some(fb)
+      case None => None
+    }
+    // whole window inside < 2 complete buckets: no state value — plain
+    // miss (the cold run stores this query's own state for next time)
+    if (iL.exists(l => iU.exists(_ <= l))) return None
+    // a dynamic bound's answer-time re-application composes with the
+    // pure slice but not with a sliver partial — keep them apart
+    if (sliverRanges.nonEmpty && c.dynamicBound.nonEmpty) return None
     val twin = c.agg.copy(child = cands.foldLeft(c.agg.child) {
       case (p, (cj, _)) => stripConjunct(p, cj)
     })
     val fp2 = Fingerprint.of(twin) + fpSuffix
     val gName = s"_g$gIdx"
-    val pred = cands.map {
-      case (_, Left(l)) => col(gName) >= Shims.column(Literal(l, tDt))
-      case (_, Right(u)) => col(gName) < Shims.column(Literal(u, tDt))
-    }.reduce(_ && _)
+    val pred = (iL.map(l => col(gName) >= Shims.column(Literal(l, tDt))).toSeq ++
+      iU.map(u => col(gName) < Shims.column(Literal(u, tDt)))).reduce(_ && _)
     config.cache.get(fp2)
       .filter(cs => schemaCompatible(cs.schema, stateSchema))
       // composes with the rest of the family: the unbounded twin may be
@@ -1171,9 +1238,37 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       .map { cs =>
         config.log.info(c.fingerprint,
           s"rerange hit: replaying unbounded state ${fp2.take(12)} sliced " +
-            s"by ${cands.length} aligned bound(s) on $gName")
-        graft.cache.CachedState(cs.timestampMicros, cs.schema,
-          s => cs.read(s).filter(pred))
+            s"by ${cands.length} bound(s) on $gName" +
+            (if (sliverRanges.isEmpty) ""
+             else s" + compensation scan over ${sliverRanges.length} " +
+               "partial edge bucket(s)"))
+        if (sliverRanges.isEmpty)
+          graft.cache.CachedState(cs.timestampMicros, cs.schema,
+            s => cs.read(s).filter(pred))
+        else {
+          val svs = sliverRanges.toList
+          graft.cache.CachedState(cs.timestampMicros, cs.schema, { s =>
+            // partial state over the sliver rows BELOW the twin's
+            // watermark (rows >= watermark arrive through the normal
+            // delta scan). The sliver predicate is a pushed ts range —
+            // parquet min/max row-group pruning bounds the scan to ≤ 2
+            // bucket-widths of fact regardless of history size.
+            val tsC = Shims.column(c.temporalAttr)
+            val sliverPred = svs.map { case (lo, hi) =>
+              tsC >= Shims.column(Literal(lo, tDt)) &&
+                tsC < Shims.column(Literal(hi, tDt))
+            }.reduce(_ || _)
+            val src = Shims.ofRows(s, c.child).filter(sliverPred &&
+              tsC < Shims.column(Literal(cs.timestampMicros, tDt)))
+            val groupCols = c.agg.groupingExpressions.zipWithIndex.map {
+              case (e, jx) => Shims.column(e).as(s"_g$jx") }
+            val partialCols =
+              c.decomps.flatMap(_.state).map(sp => sp.partial.as(sp.name))
+            cs.read(s).filter(pred).unionByName(
+              src.groupBy(groupCols: _*)
+                .agg(partialCols.head, partialCols.tail: _*))
+          })
+        }
       }
   }
 
@@ -1491,13 +1586,19 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * multiplicity, and NULL join keys drop on both the vanilla and the
     * factorized path (inner equi-join semantics).
     *
-    * Guardrails (anything else runs vanilla, reason logged): inner
-    * attr=attr equi-joins only; filters, grouping expressions and
+    * Guardrails (anything else runs vanilla, reason logged): attr=attr
+    * equi-joins only (inner, left-semi/anti, and LEFT/RIGHT/FULL OUTER —
+    * the combine join carries the outer type, a missing partner's count
+    * coalesces to multiplicity 1, and the NULL state columns reproduce
+    * the vanilla null-extension); filters, grouping expressions and
     * measures side-pure; measures limited to count/sum/min/max and
-    * non-decimal avg; no DISTINCT, no FILTER clauses, no subqueries.
-    * Both twins must individually pass the cacheability decision BEFORE
-    * either executes, so a half-cacheable query never pays a one-sided
-    * state job.
+    * non-decimal avg; no DISTINCT (except count(DISTINCT col)), no
+    * FILTER clauses, no subqueries. A null-extendable side additionally
+    * requires bare-column grouping/measures and no filters (state-grain
+    * null-extension must equal row-grain null-extension). Both twins
+    * must individually pass the cacheability decision BEFORE either
+    * executes, so a half-cacheable query never pays a one-sided state
+    * job.
     *
     * Join TREES recurse: a twin over A ⋈ B is itself an aggregate over
     * an inner equi-join, whose rewrite re-enters this factorization one
@@ -1555,14 +1656,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // inner joins scale each side by the other's multiplicity; semi/anti
     // joins are multiplicity-FREE (every A row appears 0 or 1 times), so
     // measures pass through unscaled and twin B is pure key membership.
-    // Outer joins bail: null-extension is not a product of per-side counts.
-    val scaled = j.joinType match {
-      case org.apache.spark.sql.catalyst.plans.Inner => true
+    // OUTER joins factorize too: the combine join carries the SAME outer
+    // type, so a state row without a partner survives null-extended with
+    // the other side's count column NULL — exactly one preserved row per
+    // underlying preserved fact row once that side's count coalesces to 1
+    // (an unmatched A key's cntA rows each appear once). aNullable /
+    // bNullable record which side's state columns can be NULL-extended
+    // in the combine — those sides get extra guardrails below, because
+    // null-extension happens at STATE grain here but at ROW grain in the
+    // vanilla plan (sound only when the per-row value under a missing
+    // partner is NULL on both paths).
+    val (scaled, aNullable, bNullable) = j.joinType match {
+      case org.apache.spark.sql.catalyst.plans.Inner => (true, false, false)
+      case org.apache.spark.sql.catalyst.plans.LeftOuter => (true, false, true)
+      case org.apache.spark.sql.catalyst.plans.RightOuter => (true, true, false)
+      case org.apache.spark.sql.catalyst.plans.FullOuter => (true, true, true)
       case org.apache.spark.sql.catalyst.plans.LeftSemi |
-          org.apache.spark.sql.catalyst.plans.LeftAnti => false
+          org.apache.spark.sql.catalyst.plans.LeftAnti => (false, false, false)
       case jt =>
-        return bail(s"${jt.sql} join — factorization covers inner/semi/anti " +
-          "(outer null-extension is not a product of per-side counts)")
+        return bail(s"${jt.sql} join — factorization covers " +
+          "inner/semi/anti/left/right/full equi-joins")
     }
     if (!agg.expressions.forall(_.deterministic) || hasSub(agg.expressions))
       return bail("non-deterministic or subquery aggregate expression")
@@ -1592,10 +1705,31 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val (rFilters, cross) = rest.partition(_.references.subsetOf(rightOut))
     if (cross.nonEmpty)
       return bail(s"cross-side filter conjunct: ${cross.head.sql}")
+    // a WHERE conjunct on a null-extendable side does NOT commute into
+    // that side's twin: the vanilla plan applies it AFTER null-extension
+    // (dropping preserved rows whose nulls fail it), while the twin would
+    // apply it BEFORE the join (turning previously-matched keys into
+    // null-extended survivors). Either direction changes the answer.
+    if (aNullable && lFilters.nonEmpty)
+      return bail("filter on the null-extended left side of an outer join")
+    if (bNullable && rFilters.nonEmpty)
+      return bail("filter on the null-extended right side of an outer join")
     val groupSide: Seq[Boolean] = inlGroups.map { g =>
       if (g.references.subsetOf(leftOut)) true
       else if (g.references.subsetOf(rightOut)) false
       else return bail(s"cross-side grouping expression: ${g.sql}")
+    }
+    // on a null-extendable side, state-grain null-extension must equal
+    // row-grain null-extension: a bare attribute is NULL on both paths
+    // for a missing partner, but an expression may not be (e.g.
+    // coalesce(b.x, 0) evaluates to 0 per row in the vanilla plan while
+    // the combine's NULL state column yields NULL) — require bare attrs.
+    def nullFaithful(e: Expression, left: Boolean): Boolean =
+      !(if (left) aNullable else bNullable) || e.isInstanceOf[Attribute]
+    inlGroups.zip(groupSide).foreach { case (g, sd) =>
+      if (!nullFaithful(g, sd))
+        return bail(s"grouping expression on the null-extended side " +
+          s"of an outer join (bare columns only): ${g.sql}")
     }
 
     // measures: what each twin must carry, and how the combine
@@ -1608,10 +1742,21 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       else if (e.references.subsetOf(rightOut)) Some(false)
       else None
     def pfx(left: Boolean) = if (left) "_a" else "_b"
-    def cntOther(left: Boolean) = col(if (left) "_bcnt" else "_acnt")
-    // inner joins scale by the other side's row count; semi/anti pass
-    // state through untouched (multiplicity 0/1 — and the 0 case is the
-    // combine join's own filtering)
+    // a side's count column, coalesced to 1 when an outer combine can
+    // NULL-extend it: a preserved state row without a partner stands for
+    // its own rows appearing exactly ONCE each (multiplicity 1), and a
+    // missing side contributes multiplicity 1 to count(*)
+    def cntOf(left: Boolean): Column = {
+      val cc = col(if (left) "_acnt" else "_bcnt")
+      if (if (left) aNullable else bNullable) coalesce(cc, lit(1L)) else cc
+    }
+    def cntOther(left: Boolean) = cntOf(!left)
+    // inner/outer joins scale by the other side's row count (missing
+    // partner ⇒ 1, and the measure column itself is NULL on rows where
+    // its OWN side is the missing partner — sum/min/max/count skip it,
+    // matching the vanilla NULLs); semi/anti pass state through untouched
+    // (multiplicity 0/1 — and the 0 case is the combine join's own
+    // filtering)
     def scale(cc: Column, left: Boolean): Column =
       if (scaled) cc * cntOther(left) else cc
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)
@@ -1630,37 +1775,60 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           val e = c.children.head
           val sd = sideOf(e).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          if (!nullFaithful(e, sd)) return bail(
+            s"measure expression on the null-extended side of an outer " +
+              s"join (bare columns only): ${ae.sql}")
           val n = s"${pfx(sd)}d$i"
           FM(sd, Seq(n -> collect_set(Shims.column(e))),
             fsize(array_distinct(flatten(collect_list(col(n))))))
         case _ if ae.isDistinct =>
           return bail(s"DISTINCT aggregate not factorizable: ${ae.sql}")
+        // count(*): matched keys contribute cntA·cntB rows; a preserved
+        // state row whose partner is missing contributes its own count
+        // once (the missing side coalesces to multiplicity 1)
         case c: Count if c.children.forall(_.references.isEmpty) =>
           FM(left = true, Nil,
-            coalesce(fsum(scale(col("_acnt"), left = true)), lit(0L)))
+            coalesce(fsum(
+              if (scaled) cntOf(left = true) * cntOf(left = false)
+              else col("_acnt")), lit(0L)))
         case c: Count =>
           val s = sideOf(c).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          if (!c.children.forall(nullFaithful(_, s))) return bail(
+            s"measure expression on the null-extended side of an outer " +
+              s"join (bare columns only): ${ae.sql}")
           FM(s, Seq(s"${pfx(s)}m$i" -> Shims.column(ae)),
             coalesce(fsum(scale(col(s"${pfx(s)}m$i"), s)), lit(0L)))
         case s: Sum =>
           val sd = sideOf(s).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          if (!nullFaithful(s.child, sd)) return bail(
+            s"measure expression on the null-extended side of an outer " +
+              s"join (bare columns only): ${ae.sql}")
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fsum(scale(col(s"${pfx(sd)}m$i"), sd)))
         case m: Min =>
           val sd = sideOf(m).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          if (!nullFaithful(m.child, sd)) return bail(
+            s"measure expression on the null-extended side of an outer " +
+              s"join (bare columns only): ${ae.sql}")
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fmin(col(s"${pfx(sd)}m$i")))
         case m: Max =>
           val sd = sideOf(m).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          if (!nullFaithful(m.child, sd)) return bail(
+            s"measure expression on the null-extended side of an outer " +
+              s"join (bare columns only): ${ae.sql}")
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fmax(col(s"${pfx(sd)}m$i")))
         case a: Average if !a.dataType.isInstanceOf[DecimalType] =>
           val sd = sideOf(a).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          if (!nullFaithful(a.child, sd)) return bail(
+            s"measure expression on the null-extended side of an outer " +
+              s"join (bare columns only): ${ae.sql}")
           val (sn, cn) = (s"${pfx(sd)}s$i", s"${pfx(sd)}c$i")
           FM(sd, Seq(sn -> fsum(Shims.column(a.child)),
             cn -> fcount(Shims.column(a.child))),
@@ -1711,7 +1879,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         case _ => None
       }
       walk(a.child).exists { jj =>
-        ok = jj.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+        ok = (jj.joinType match {
+          case org.apache.spark.sql.catalyst.plans.Inner |
+              org.apache.spark.sql.catalyst.plans.LeftOuter |
+              org.apache.spark.sql.catalyst.plans.RightOuter |
+              org.apache.spark.sql.catalyst.plans.FullOuter => true
+          case _ => false
+        }) &&
           jj.condition.exists(cnd => splitConj(cnd).forall {
             case EqualTo(_: Attribute, _: Attribute) => true
             case _ => false

@@ -377,6 +377,37 @@ object CacheQueries {
         .run(unbounded(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(window(s.read.parquet(work)))
     }),
+    // rerange with COMPENSATION SCAN (unaligned bounds): same warm
+    // unbounded hourly state, but the window's bounds sit INSIDE hour
+    // buckets (06:30 / 18:45). The complete interior buckets replay from
+    // the sliced state; the two partial edge slivers are answered by a
+    // bounded scan of the fact table restricted to the sliver ranges
+    // (≤ 2 bucket-widths — parquet min/max pruning applies), partially
+    // aggregated and unioned into the state before the merge. Exact for
+    // every measure; the warm unaligned answer is what the oracle checks
+    // against the full table.
+    "qc_incr_rerange_comp" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "rerangecomp")
+      val cache = new MemoryQueryCache()
+      def unbounded(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def window(df: DataFrame) = df
+        .filter(col("value") > 1 &&
+          col("ts") >= "2024-01-08 06:30:00" && col("ts") < "2024-01-14 18:45:00")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(unbounded(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(unbounded(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(window(s.read.parquet(work)))
+    }),
     // hop SUBSUMPTION (sliding ↔ tumbling): after a cold→append→warm
     // cycle of the TUMBLING 15-minute aggregate, the first-ever sighting
     // of the 1-hour/15-minute SLIDING window is an exact-fingerprint miss
@@ -588,6 +619,48 @@ object CacheQueries {
             dsum(col("value")).as("sum_click_value"),
             countDistinct(col("user_id")).as("n_users"))
       }
+      def run(now: Option[Long]) = QueryCacheSession(s, QueryCacheConfig(
+          cache, defaultTemporalColumn = "ts", overrideNowMicros = now))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+      run(Some(splitMicros)).collect()
+      part("click").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/a")
+      part("purchase").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      run(None)
+    }),
+    // FACTORIZED LEFT OUTER join: hourly click stats with per-user
+    // purchase enrichment where some click users have NO purchases —
+    // the combine join carries the outer type, so a click-side state row
+    // without a purchase partner survives null-extended (its purchase
+    // measures NULL, its multiplicity coalesced to 1), exactly matching
+    // the vanilla null-extension. Both tables append between runs; warm
+    // answer rescans nothing below the watermarks.
+    "qc_incr_factouter" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factouter"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      def part(t: String) = ev.filter(col("event_type") === t)
+        .select("ts", "user_id", "value")
+      part("click").filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      part("purchase").filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("user_id"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(a("value")).as("sum_click_value"),
+          min(b("value")).as("min_purchase_value"),
+          count(b("value")).as("n_purchase_vals"),
+          countDistinct(a("user_id")).as("n_users"))
       def run(now: Option[Long]) = QueryCacheSession(s, QueryCacheConfig(
           cache, defaultTemporalColumn = "ts", overrideNowMicros = now))
         .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
@@ -936,6 +1009,19 @@ object CacheQueries {
                        WHERE b.event_type = 'purchase'
                          AND b.value > 50 AND b.user_id = a.user_id)
          GROUP BY 1""",
+    "qc_incr_factouter" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value,
+           min(b.value) AS min_purchase_value,
+           count(b.value) AS n_purchase_vals,
+           count(DISTINCT a.user_id) AS n_users
+         FROM a LEFT JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
     "qc_incr_factjoin3" ->
       """WITH a AS (SELECT ts, user_id, value FROM events
                     WHERE event_type = 'click'),
@@ -994,6 +1080,15 @@ object CacheQueries {
          FROM events
          WHERE value > 1 AND ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1""",
+    "qc_incr_rerange_comp" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events
+         WHERE value > 1 AND ts >= TIMESTAMP '2024-01-08 06:30:00'
+           AND ts < TIMESTAMP '2024-01-14 18:45:00'
          GROUP BY 1""",
     // sketch envelope: the Spark side emits rank-check BOOLEANS (and the
     // exact group count); the oracle asserts the same months with TRUE —

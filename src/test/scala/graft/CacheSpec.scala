@@ -293,14 +293,23 @@ class CacheSpec extends AnyFunSuite {
     }
     val r1 = runner(8)
     val r2 = runner(8)
-    // a bounded number of invalidation rounds: enough to land between
-    // runners' get/put cycles, few enough that late iterations warm-hit
+    // invalidation rounds until ONE live entry is caught, then stop so
+    // late iterations warm-hit. (A fixed 4×300ms window failed
+    // spuriously on a loaded machine where no put committed inside it.)
     val inv = submit {
       val admin = new ParquetQueryCache(dir)
-      (0 until 4).foreach { _ =>
+      var rounds = 0
+      while (invalidations.get() == 0 && rounds < 400 &&
+          !(r1.isDone && r2.isDone)) {
         Thread.sleep(300)
         invalidations.addAndGet(admin.invalidateForTable(work))
+        rounds += 1
       }
+      // runners already done with nothing caught mid-run: their last put
+      // is a live committed entry — a final sweep catches it, keeping the
+      // "caught a live entry" precondition meaningful on any schedule
+      if (invalidations.get() == 0)
+        invalidations.addAndGet(admin.invalidateForTable(work))
     }
     pool.shutdown()
     assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))

@@ -1773,13 +1773,31 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
     assert(!log3.messages.exists(_.startsWith("rerange hit")), log3.messages)
 
-    // a bound that does not sit on a bucket boundary never reranges —
-    // plain miss, still correct
+    // a bound inside a bucket reranges WITH COMPENSATION: the complete
+    // interior buckets replay from state, the half-hour edge sliver is
+    // answered by a bounded scan — exact even for max(ts) over the
+    // temporal column itself (the edge bucket's rows come only from the
+    // sliver scan + delta; the interior slice excludes that bucket)
     val logM = new RecordingLog
     val misDF = QueryCacheSession(spark, cfg(logM))
       .run(winMisaligned(spark.read.parquet(work)))
     assertSameRows(misDF, winMisaligned(eventsFull), tol = 1e-9)
-    assert(!logM.messages.exists(_.startsWith("rerange hit")), logM.messages)
+    assert(logM.messages.exists(m => m.startsWith("rerange hit") &&
+      m.contains("compensation scan over 1 partial edge bucket(s)")),
+      logM.messages)
+
+    // compensation off: an unaligned bound bails to a plain miss, still
+    // correct (fresh window so the run above's own stored state can't hit)
+    def winMisaligned2(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= "2024-01-09 10:45:00"))
+    val logMOff = new RecordingLog
+    val misOffDF = QueryCacheSession(spark, QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", log = logMOff,
+        rangeCompensationScan = false))
+      .run(winMisaligned2(spark.read.parquet(work)))
+    assertSameRows(misOffDF, winMisaligned2(eventsFull), tol = 1e-9)
+    assert(!logMOff.messages.exists(_.startsWith("rerange hit")),
+      logMOff.messages)
 
     // flag off: the same cold window runs as a plain miss
     val logOff = new RecordingLog
@@ -1824,6 +1842,61 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("rerange hit")), log.messages)
     assert(log.messages.exists(_.startsWith("refilter hit")), log.messages)
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
+  test("rerange compensation: both-ends-unaligned window from warm state + sliver scans") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rerange-comp")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def agg(df: DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max(col("ts")).as("last_ts"))
+    def unbounded(df: DataFrame) = agg(df.filter(col("value") > 1))
+    // both bounds sit INSIDE hour buckets — two edge slivers
+    def win(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= "2024-01-08 06:30:00" && col("ts") < "2024-01-14 18:45:00"))
+    // whole window inside ONE bucket: no complete interior bucket — no
+    // state value, must run as a plain miss
+    def tiny(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= "2024-01-08 10:15:00" && col("ts") < "2024-01-08 10:45:00"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the unbounded hourly query is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(unbounded(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(unbounded(spark.read.parquet(work))).collect()
+
+    // first sighting: interior buckets replay from state, the two edge
+    // slivers come from the bounded compensation scan; exact even for
+    // max(ts) over the temporal column itself (edge-bucket rows come
+    // only from the sliver scan + delta)
+    val log = new RecordingLog
+    val df = QueryCacheSession(spark, cfg(log))
+      .run(win(spark.read.parquet(work)))
+    assertSameRows(df, win(eventsFull), tol = 1e-9)
+    assert(log.messages.exists(m => m.startsWith("rerange hit") &&
+      m.contains("compensation scan over 2 partial edge bucket(s)")),
+      log.messages)
+
+    // the compensated run stored this query's own full state — second
+    // sighting is a direct hit, no rerange
+    val log2 = new RecordingLog
+    QueryCacheSession(spark, cfg(log2))
+      .run(win(spark.read.parquet(work))).collect()
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(!log2.messages.exists(_.startsWith("rerange hit")), log2.messages)
+
+    // sub-bucket window: bails to a plain miss, still correct
+    val log3 = new RecordingLog
+    val tinyDF = QueryCacheSession(spark, cfg(log3))
+      .run(tiny(spark.read.parquet(work)))
+    assertSameRows(tinyDF, tiny(eventsFull), tol = 1e-9)
+    assert(!log3.messages.exists(_.startsWith("rerange hit")), log3.messages)
   }
 
   test("factorized join: both-sides-growing join aggregate, appends absorbed per side") {
@@ -2059,6 +2132,98 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 
+  test("factorized outer join: null-extension preserved, nullable-side guardrails bail") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    // restrict purchases to even users so unmatched click users EXIST —
+    // the null-extension path is actually exercised
+    def purchases(df: DataFrame) =
+      part(df, "purchase").filter(col("user_id") % 2 === 0)
+    val workA = tmpDir("factouter-a")
+    val workB = tmpDir("factouter-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    purchases(early).write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def q(a: DataFrame, b: DataFrame) = a
+      .join(b, a("user_id") === b("user_id"), "left_outer")
+      .groupBy(date_trunc("hour", a("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(a("value")).as("sum_click"),
+        min(b("value")).as("min_purchase"),
+        count(b("value")).as("n_purchase"),
+        avg(b("value")).as("avg_purchase"),
+        countDistinct(b("user_id")).as("n_buyers"))
+    def reads = (spark.read.parquet(workA), spark.read.parquet(workB))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+
+    // the fixture really has unmatched click rows (left-join null extension)
+    locally { val (a, b) = reads
+      assert(a.join(b, a("user_id") === b("user_id"), "left_anti").count() > 0,
+        "fixture lost its unmatched click users — the test is vacuous") }
+
+    // cold: factorized, both twins miss and store
+    val log1 = new RecordingLog
+    locally { val (a, b) = reads
+      QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+        .run(q(a, b)).collect() }
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")), log1.messages)
+    assert(log1.messages.count(_.startsWith("cache miss")) == 2, log1.messages)
+
+    // append BOTH sides; warm == vanilla over the full tables (incl.
+    // null-extended groups: hours whose users bought nothing have NULL
+    // min/avg and zero n_purchase)
+    part(late, "click").write.mode("append").parquet(workA)
+    purchases(late).write.mode("append").parquet(workB)
+    val log2 = new RecordingLog
+    val warm = locally { val (a, b) = reads
+      QueryCacheSession(spark, cfg(log2)).run(q(a, b)) }
+    val vanilla = locally { val (a, b) = reads; q(a, b) }
+    assertSameRows(warm, vanilla)
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")), log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+
+    // guardrail: a WHERE conjunct on the null-extended side does not
+    // commute into the twin — bail to vanilla, answers still correct
+    val logF = new RecordingLog
+    val fGot = locally { val (a, b) = reads
+      val j = a.join(b, a("user_id") === b("user_id"), "left_outer")
+      QueryCacheSession(spark, cfg(logF)).run(
+        j.filter(b("value") > 10)
+          .groupBy(date_trunc("hour", a("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))) }
+    val fWant = locally { val (a, b) = reads
+      a.join(b, a("user_id") === b("user_id"), "left_outer")
+        .filter(b("value") > 10)
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt")) }
+    assertSameRows(fGot, fWant)
+    assert(logF.messages.exists(_.contains(
+      "filter on the null-extended right side")), logF.messages)
+    assert(!logF.messages.exists(_.startsWith("factorized join: answered")),
+      logF.messages)
+
+    // guardrail: a non-bare measure on the null-extended side (its value
+    // under a missing partner is NOT null per row) bails to vanilla
+    val logE = new RecordingLog
+    val eGot = locally { val (a, b) = reads
+      QueryCacheSession(spark, cfg(logE)).run(
+        a.join(b, a("user_id") === b("user_id"), "left_outer")
+          .groupBy(date_trunc("hour", a("ts")).as("hour"))
+          .agg(sum(coalesce(b("value"), lit(0.0))).as("s"))) }
+    val eWant = locally { val (a, b) = reads
+      a.join(b, a("user_id") === b("user_id"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(sum(coalesce(b("value"), lit(0.0))).as("s")) }
+    assertSameRows(eGot, eWant, tol = 1e-9)
+    assert(logE.messages.exists(_.contains(
+      "measure expression on the null-extended side")), logE.messages)
+    assert(!logE.messages.exists(_.startsWith("factorized join: answered")),
+      logE.messages)
+  }
+
   test("factorized join recurses over a three-table join tree") {
     val (early, late, splitUs) = split()
     def part(df: DataFrame, t: String) = df
@@ -2111,7 +2276,7 @@ class IncrementalAggSpec extends AnyFunSuite {
       log2.messages)
   }
 
-  test("factorized join: outer joins, cross-side measures, and flag-off run vanilla") {
+  test("factorized join: unsupported shapes and flag-off run vanilla") {
     val (early, late, splitUs) = split()
     def part(df: DataFrame, t: String) = df
       .filter(col("event_type") === t).select("ts", "user_id", "value")
@@ -2126,21 +2291,12 @@ class IncrementalAggSpec extends AnyFunSuite {
         defaultTemporalColumn = "ts", log = log, factorizedJoinState = flag))
         .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
 
-    // outer join: factorization is inner-only — vanilla, still correct
-    def qOuter(a: DataFrame, b: DataFrame) =
-      a.join(b, a("user_id") === b("user_id"), "left_outer")
-        .groupBy(date_trunc("hour", a("ts")).as("hour"))
-        .agg(count(lit(1)).as("cnt"))
+    // left outer joins now FACTORIZE (see the dedicated outer test);
+    // this test keeps the still-unsupported shapes pinned vanilla
     // vanilla references from fresh disk reads (self-join lineage trap —
     // see the sibling test)
     def vanilla(q: (DataFrame, DataFrame) => DataFrame): DataFrame =
       q(spark.read.parquet(workA), spark.read.parquet(workB))
-    val logOuter = new RecordingLog
-    assertSameRows(run(logOuter)(qOuter), vanilla(qOuter))
-    assert(!logOuter.messages.exists(_.startsWith("factorized join: answered")),
-      logOuter.messages)
-    assert(logOuter.messages.exists(_.contains("factorized join bail")),
-      logOuter.messages)
 
     // cross-side measure: sum(a.value * b.value) is not a product of
     // per-side states — vanilla, still correct
