@@ -711,6 +711,136 @@ object IncrementalDedup {
     * concurrent batch is appending to.
     *
     * @return per compacted table: path -> (rowsBefore, rowsAfter) */
+  // --------------------------------------------- incremental CLUSTERING
+
+  /** Append-only near-duplicate CLUSTER maintenance — incremental
+    * connected components over the growing duplicate-pair stream, the
+    * missing incremental member of the dedup family (exact / near / span
+    * / embed dedup all judge a batch against history; this keeps the
+    * CLUSTER LABELS current so survivor selection never recomputes
+    * components over the whole corpus).
+    *
+    * Pairs-driven: the caller feeds each batch's duplicate pairs
+    * (`id_a`, `id_b` — from [[nearDedupAppend]], [[Dedup.minhashPairs]],
+    * embed pairs, any detector). Durable state under `indexDir`:
+    *
+    *   - `labels/`  (id, label): one APPEND-ONLY row per node ever seen,
+    *     stamped with its component's min id at insert time;
+    *   - `remaps/`  (src, dst): the APPEND-ONLY merge log — a batch that
+    *     connects two existing components records `old root → new root`
+    *     (dst < src always: roots are component MINIMA, so merging only
+    *     lowers them — the log is acyclic by construction).
+    *
+    * A batch's work is BATCH-SIZED, never corpus-sized: endpoints look
+    * up their current roots (a broadcast semi-join against `labels/` —
+    * one index scan, no exchange of the label table — then the merge-log
+    * closure, a pointer-doubled self-join of a table bounded by the
+    * number of merges ever), the pair set CONTRACTS to root space, and
+    * [[Dedup.clusters]] runs on the contracted graph (old roots + new
+    * ids — |batch pairs| edges). New ids append to `labels/`; moved
+    * roots append to `remaps/`. [[resolvedClusters]] equals the one-shot
+    * [[Dedup.clusters]] over the cumulative pair set EXACTLY (components
+    * are order-free and min labels compose: the min of a merged
+    * component is the min over its constituent roots) — pinned in
+    * IncrementalClusterSpec by a generated multi-batch property.
+    *
+    * Crash contract (same as the other appenders): the two appends are
+    * not atomic — re-send the batch after a failure. A replayed batch is
+    * a no-op: endpoints resolve to already-merged roots, the contracted
+    * components re-derive, src==dst remaps are dropped, and known ids
+    * anti-join away. `remaps/` is written FIRST (a lost `labels/` append
+    * replays cleanly; the reverse order would leave old members split
+    * from the new ids' labels until replay). [[compactIndex]] folds the
+    * merge log into `labels/` so read-time closure stays shallow. */
+  def clusterAppend(spark: SparkSession, indexDir: String, pairs: DataFrame,
+      maxDriverEdges: Long = 1L << 18): Unit = {
+    val labelsDir = s"$indexDir/labels"
+    val remapsDir = s"$indexDir/remaps"
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b")).localCheckpoint()
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct().localCheckpoint()
+    val haveLabels = indexBytes(fs, labelsDir) > 0
+    // current root of every KNOWN endpoint: stored label resolved
+    // through the merge-log closure
+    val closure = remapClosure(spark, remapsDir).localCheckpoint()
+    val known = (if (haveLabels)
+        spark.read.parquet(labelsDir).join(nodes, Seq("id"), "left_semi")
+          .join(closure, col("label") === closure("src"), "left")
+          .select(col("id"), coalesce(col("dst"), col("label")).as("root"))
+      else spark.range(0).select(col("id"), col("id").as("root"))
+      ).localCheckpoint()
+    // contract the batch graph to root space (unknown endpoints are
+    // their own roots) and re-cluster — batch-sized work
+    val ka = known.select(col("id").as("a"), col("root").as("ra"))
+    val kb = known.select(col("id").as("b"), col("root").as("rb"))
+    val contracted = e.join(ka, Seq("a"), "left").join(kb, Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("id_a"),
+        coalesce(col("rb"), col("b")).as("id_b"))
+    val lab = Dedup.clusters(contracted, maxDriverEdges = maxDriverEdges)
+      .select(col("id").as("node"), col("cluster_id").as("newRoot"))
+      .localCheckpoint()
+    // merge log first (see crash contract above): roots that moved
+    val remapNew = known.select(col("root")).distinct()
+      .join(lab, col("root") === col("node"))
+      .filter(col("newRoot") =!= col("root"))
+      .select(col("root").as("src"), col("newRoot").as("dst"))
+      .localCheckpoint()
+    if (remapNew.count() > 0)
+      remapNew.write.mode("append").parquet(remapsDir)
+    // then the new ids, stamped with their final component min
+    val newIds = if (haveLabels)
+      nodes.join(spark.read.parquet(labelsDir), Seq("id"), "left_anti")
+    else nodes
+    val newLabels = newIds.join(lab, newIds("id") === lab("node"))
+      .select(col("id"), col("newRoot").as("label")).localCheckpoint()
+    if (newLabels.count() > 0)
+      newLabels.write.mode("append").parquet(labelsDir)
+  }
+
+  /** Every node ever fed to [[clusterAppend]] with its CURRENT component
+    * label (= the component's min id): `labels/` joined through the
+    * merge-log closure. Equals the one-shot [[Dedup.clusters]] over the
+    * cumulative pair multiset. */
+  def resolvedClusters(spark: SparkSession, indexDir: String): DataFrame = {
+    val closure = remapClosure(spark, s"$indexDir/remaps")
+    spark.read.parquet(s"$indexDir/labels")
+      .join(closure, col("label") === closure("src"), "left")
+      .select(col("id"), coalesce(col("dst"), col("label")).as("cluster_id"))
+  }
+
+  /** The merge log transitively CLOSED: (src → final root) for every
+    * root that ever moved. Pointer doubling over the log — a table
+    * bounded by the number of merges, log₂(chain) self-join rounds;
+    * chains only grow one hop per batch and [[compactIndex]] resets them
+    * to zero. Conflicting duplicates (replayed batches) collapse
+    * deterministically to the min target. */
+  private[graft] def remapClosure(spark: SparkSession,
+      remapsDir: String): DataFrame = {
+    val fs = new Path(remapsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (indexBytes(fs, remapsDir) == 0)
+      return spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+    var m = spark.read.parquet(remapsDir)
+      .groupBy(col("src")).agg(org.apache.spark.sql.functions.min(col("dst")).as("dst"))
+      .localCheckpoint()
+    var iters = 0
+    def unresolved(d: DataFrame): Boolean =
+      d.join(d.select(col("src").as("_s")), col("dst") === col("_s"),
+        "left_semi").limit(1).count() > 0
+    while (iters < 64 && unresolved(m)) {
+      val l = m.select(col("src"), col("dst"))
+      val r = m.select(col("src").as("_rs"), col("dst").as("_rd"))
+      m = l.join(r, col("dst") === col("_rs"), "left")
+        .select(col("src"), coalesce(col("_rd"), col("dst")).as("dst"))
+        .localCheckpoint()
+      iters += 1
+    }
+    m
+  }
+
   def compactIndex(spark: SparkSession, indexDir: String,
       indexBuckets: Int = 32): Map[String, (Long, Long)] = {
     val fs = new Path(indexDir)
@@ -763,6 +893,17 @@ object IncrementalDedup {
     compactAuto(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"))
     compactAuto(s"$indexDir/sigs", "sigs", Seq("id"))
     compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"))
+    // incremental-cluster state: fold the merge log into labels/ so the
+    // read-time remap closure resets to depth zero
+    val remapsDir = s"$indexDir/remaps"
+    if (indexBytes(fs, remapsDir) > 0 && indexBytes(fs, s"$indexDir/labels") > 0) {
+      val before = spark.read.parquet(remapsDir).count()
+      val folded = resolvedClusters(spark, indexDir)
+        .select(col("id"), col("cluster_id").as("label")).localCheckpoint()
+      folded.write.mode("overwrite").parquet(s"$indexDir/labels")
+      fs.delete(new Path(remapsDir), true)
+      out(remapsDir) = (before, 0L)
+    }
     out.toMap
   }
 

@@ -244,6 +244,45 @@ object StreamQueries {
           dsum(col("c_value")).as("sum_click_value"))
     }),
 
+    // stream-STREAM FULL OUTER interval join — completes the matrix
+    // (inner = join2, left outer = join3): unmatched rows of BOTH sides
+    // null-extend — errors with no preceding click AND clicks never
+    // attributed to any error. Each side's outer tail flushes when the
+    // OTHER side's watermark passes it, so the sentinel pair (error -1,
+    // click -2, +1 day) advances both watermarks past the fixture and
+    // the no-data micro-batch evicts every real row. require()s pin that
+    // both null-extension directions actually reached the sink; the
+    // rollup keys on coalesce(e_user, c_user) so the batch FULL JOIN
+    // reproduces it exactly.
+    "q_stream_join4" -> ((s, d) => {
+      val iso = s.newSession()
+      val name = sinkName("join4", d)
+      val dir = sentinelEventsDir(iso, d)
+      val schema = iso.read.parquet(dir).schema
+      def stream() = iso.readStream.schema(schema).parquet(dir)
+      val errors = stream().filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val joined = StreamingJoin.intervalFullOuter(errors, clicks,
+        key = (col("e_user"), col("c_user")),
+        leftTs = "e_ts", rightTs = "c_ts",
+        lookback = "30 MINUTES", watermarkDelay = "10 minutes")
+      runToCompletion(joined, name, mode = "append")
+      val sink = iso.table(name)
+      require(sink.filter(col("c_ts").isNull && col("e_user") >= 0)
+        .limit(1).count() > 0, "no error-side null extension reached the sink")
+      require(sink.filter(col("e_ts").isNull && col("c_user") >= 0)
+        .limit(1).count() > 0, "no click-side null extension reached the sink")
+      sink.filter(coalesce(col("e_user"), col("c_user")) >= 0)
+        .groupBy(coalesce(col("e_user"), col("c_user")).as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("e_ts")).as("n_err"),
+          count(col("c_ts")).as("n_clk"),
+          dsum(col("c_value")).as("sum_click_value"))
+    }),
+
     // STREAMING INGESTION × the durable span index: the corpus arrives
     // as three ordered micro-batches (one phase file per trigger);
     // foreachBatch runs IncrementalDedup.spanDedupAppend against one
@@ -580,6 +619,20 @@ object StreamQueries {
              AS sum_click_value
          FROM (SELECT * FROM events WHERE event_type = 'error') e
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id
+          AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+         GROUP BY 1""",
+    // full outer: both null-extension directions in one rollup keyed on
+    // whichever side is present
+    "q_stream_join4" ->
+      """SELECT coalesce(e.user_id, c.user_id) AS user_id,
+           count(*) AS n_rows,
+           count(e.ts) AS n_err,
+           count(c.ts) AS n_clk,
+           CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_click_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id
           AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
          GROUP BY 1""",

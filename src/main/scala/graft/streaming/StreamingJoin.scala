@@ -64,4 +64,25 @@ object StreamingJoin {
         col(rightTs) <= col(leftTs),
       "left_outer")
   }
+
+  /** FULL OUTER interval join — completes the stream-stream matrix:
+    * unmatched rows of BOTH sides null-extend (errors with no preceding
+    * click AND clicks never attributed to an error). The interval
+    * condition bounds each side's event time relative to the other, so
+    * the symmetric-hash state stays O(rows per key-horizon) on both
+    * sides; each side's null-extended results emit when the OTHER
+    * side's watermark proves no match can arrive. Drive both watermarks
+    * past the data's end (sentinel rows on both feeds) when the
+    * complete outer set is required on a bounded run. */
+  def intervalFullOuter(left: DataFrame, right: DataFrame,
+      key: (Column, Column), leftTs: String, rightTs: String,
+      lookback: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      key._1 === key._2 &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      "full_outer")
+  }
 }
