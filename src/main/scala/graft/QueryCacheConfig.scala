@@ -98,8 +98,20 @@ import graft.log.{CacheLog, NoOpLog}
   *                              UTC (minute⊂hour⊂day⊂week, day⊂month⊂
   *                              quarter⊂year — the session contract
   *                              already pins UTC, sources/Tables). The
-  *                              reference shares the all-or-nothing
-  *                              fingerprint limitation this lifts
+  *                              same flag also gates the WINDOW-bucket
+  *                              form (retumbleFromFinerState): a coarse
+  *                              TUMBLING window (`window(ts,'1 hour')`)
+  *                              answers from warm finer tumbling state
+  *                              whose duration divides it
+  *                              (`'15 minutes'`) — epoch-aligned
+  *                              default-start windows nest exactly, the
+  *                              replay re-buckets fine starts with the
+  *                              analyzer's own arithmetic, and hopping
+  *                              queries compose through it (hop → its
+  *                              tumbling-at-slide twin → an even finer
+  *                              tumbling state). The reference shares
+  *                              the all-or-nothing fingerprint
+  *                              limitation this lifts
   *                              (src/aggregate.rs:89). ON by default —
   *                              it only engages on an exact-fingerprint
   *                              MISS and never changes answers.

@@ -502,6 +502,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // hop subsumption: a sliding-window aggregate answered from the
       // tumbling-at-the-slide twin's warm state exploded into its hops
       .orElse(rehopFromSlideState(c, stateSchema))
+      // tumbling-grain subsumption: a coarse tumbling window answered
+      // from a finer tumbling twin's warm state re-bucketed
+      .orElse(retumbleFromFinerState(c, stateSchema))
       // grouping-set subsumption: a rollup/cube answered from the plain
       // full-grain drill-down's warm state re-expanded per grouping set
       .orElse(regroupFromDrilldownState(c, stateSchema))
@@ -1399,10 +1402,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     config.cache.get(fp2)
       .filter(cs => schemaCompatible(cs.schema, stateSchema))
       // composes: the tumbling twin may be warm only as a drill-down,
-      // behind a strippable dim conjunct, or as a measure-superset entry
+      // behind a strippable dim conjunct, as a measure-superset entry —
+      // or at a FINER tumbling grain (a 1h/15m hop whose 15m twin is
+      // cold still answers from warm 5m tumbling state, two levels deep)
       .orElse(supersetDimState(c.copy(agg = twin), stateSchema))
       .orElse(dimFilterState(c.copy(agg = twin), stateSchema))
       .orElse(supersetMeasureState(c.copy(agg = twin), stateSchema))
+      .orElse(retumbleFromFinerState(c.copy(agg = twin), stateSchema))
       .map { cs =>
         config.log.info(c.fingerprint,
           s"rehop hit: replaying ${slide}µs tumbling state ${fp2.take(12)} " +
@@ -1420,6 +1426,113 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             .drop("_hop_k")
         })
       }
+  }
+
+  // ------------------------------------- tumbling-grain subsumption
+
+  /** On an exact-fingerprint miss: a TUMBLING-window aggregate
+    * (`window(ts, '1 hour')`) can be answered from the warm state of
+    * the same plan tumbling at a FINER duration that divides it
+    * (`window(ts, '15 minutes')`) — the window-bucket analog of
+    * [[finerGrainState]] (which only covers date_trunc grains) and the
+    * converse of [[rehopFromSlideState]]'s tumbling twin. With the
+    * default epoch-aligned start, every fine bucket lies inside exactly
+    * one coarse bucket, so the replay re-buckets each fine state row
+    * (start → start − start mod D, the same arithmetic the analyzer's
+    * own bucketing uses) and the normal merge re-aggregates — exact by
+    * the state-merge contract (the coarse group's row multiset is the
+    * union of its nested fine buckets').
+    *
+    * Detection is pinned to the analyzer's tumbling TimeWindowing
+    * shape: Project(windowStruct alias +: pass-through child output,
+    * Filter(isnotnull(ts), child)), one bucketing Remainder literal D,
+    * and every long literal in the struct ∈ {0, D} — a custom
+    * startTime bails to a plain miss. A fixed ladder of finer
+    * durations dividing D probes coarsest-first (fewest state rows to
+    * merge). Derives the window group index structurally (not from
+    * temporalGroupIdx) so [[rehopFromSlideState]] can compose through
+    * it: a 1h/15m hopping query whose 15m tumbling twin is cold still
+    * answers from warm 5m tumbling state. Gated by the same
+    * regrainFromFinerState flag — it IS temporal grain subsumption,
+    * for window buckets. */
+  private def retumbleFromFinerState(c: Cacheable, stateSchema: StructType)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, Literal}
+    import org.apache.spark.sql.types.LongType
+    if (!config.regrainFromFinerState) return None
+    val (wAlias, rest, flt) = c.agg.child match {
+      case Project((al: Alias) +: tail, f: Filter) => (al, tail, f)
+      case _ => return None
+    }
+    def isWindowStruct(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.StructType(fs) =>
+          fs.length == 2 && fs(0).name == "start" && fs(1).name == "end" &&
+            fs.forall(_.dataType == TimestampType)
+        case _ => false
+      }
+    if (!isWindowStruct(wAlias.dataType)) return None
+    val gIdx = c.agg.groupingExpressions.indexWhere {
+      case a: Attribute => a.exprId == wAlias.exprId
+      case _ => false
+    }
+    if (gIdx < 0) return None
+    if (!splitConj(flt.condition).forall {
+      case IsNotNull(a: Attribute) => a.semanticEquals(c.temporalAttr)
+      case _ => false
+    }) return None
+    val ch = flt.child
+    if (rest.length != ch.output.length || !rest.zip(ch.output).forall {
+      case (x: Attribute, y) => x.semanticEquals(y)
+      case _ => false
+    }) return None
+    val struct0 = wAlias.child
+    val ds = struct0.collect {
+      case r: org.apache.spark.sql.catalyst.expressions.Remainder
+          if r.right.isInstanceOf[Literal] && r.right.dataType == LongType &&
+            r.right.asInstanceOf[Literal].value.isInstanceOf[Long] =>
+        r.right.asInstanceOf[Literal].value.asInstanceOf[Long]
+    }.distinct
+    val d = ds match {
+      case Seq(v) if v > 0 => v
+      case _ => return None
+    }
+    // pinned default-startTime shape: every long literal is 0 or D
+    if (!struct0.collect { case Literal(v: Long, LongType) => v }
+        .forall(v => v == 0L || v == d)) return None
+    val gName = s"_g$gIdx"
+    val ladder = Seq(86400L, 43200L, 21600L, 14400L, 10800L, 7200L, 3600L,
+      1800L, 1200L, 900L, 600L, 300L, 60L, 1L).map(_ * 1000000L)
+    ladder.filter(f => f < d && d % f == 0).view.flatMap { f =>
+      val fineStruct = struct0.transform {
+        case Literal(v: Long, LongType) if v == d => Literal(f, LongType)
+      }
+      val twinAlias = Alias(fineStruct, wAlias.name)(exprId = wAlias.exprId)
+      val twin = c.agg.copy(child = Project(twinAlias +: rest, flt))
+      val fp2 = Fingerprint.of(twin) + fpSuffix
+      config.cache.get(fp2)
+        .filter(cs => schemaCompatible(cs.schema, stateSchema))
+        // composes: the fine tumbling twin may be warm only as a
+        // drill-down, behind a strippable dim conjunct, or as a
+        // measure-superset entry
+        .orElse(supersetDimState(c.copy(agg = twin), stateSchema))
+        .orElse(dimFilterState(c.copy(agg = twin), stateSchema))
+        .orElse(supersetMeasureState(c.copy(agg = twin), stateSchema))
+        .map { cs =>
+          config.log.info(c.fingerprint,
+            s"retumble hit: replaying ${f}µs tumbling state ${fp2.take(12)} " +
+              s"re-bucketed to ${d}µs windows")
+          graft.cache.CachedState(cs.timestampMicros, cs.schema, { s =>
+            import org.apache.spark.sql.functions.{pmod, struct, unix_micros}
+            val df = cs.read(s)
+            val startUs = unix_micros(col(s"$gName.start"))
+            val cUs = startUs - pmod(startUs, lit(d))
+            df.withColumn(gName, struct(
+              timestamp_micros(cUs).as("start"),
+              timestamp_micros(cUs + lit(d)).as("end")))
+          })
+        }
+    }.headOption
   }
 
   // ------------------------------------- grouping-set subsumption

@@ -439,6 +439,37 @@ object CacheQueries {
         .select(col("w.start").as("ws"), col("w.end").as("we"),
           col("cnt"), col("sum_value"), col("min_value"))
     }),
+    // tumbling-GRAIN subsumption (coarse tumbling ↔ fine tumbling):
+    // after a cold→append→warm cycle of the 15-minute TUMBLING
+    // aggregate, the first-ever sighting of the 1-HOUR tumbling window
+    // is an exact-fingerprint miss but a RETUMBLE hit — every 15-minute
+    // state row re-buckets into the hour window that contains it
+    // (epoch-aligned windows nest exactly) and the merge re-aggregates;
+    // no fact row below the fine watermark is rescanned (zero-scan
+    // pinned in IncrementalAggSpec). The returned hour series is what
+    // the oracle checks.
+    "qc_incr_retumble" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "retumble")
+      val cache = new MemoryQueryCache()
+      def fine(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def coarse(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(fine(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(fine(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(coarse(s.read.parquet(work)))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("cnt"), col("sum_value"), col("min_value"))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -1072,6 +1103,18 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value
          FROM hop GROUP BY ws""",
+    // 1-hour tumbling windows replayed in DuckDB (time_bucket's
+    // 2000-01-01 origin and Spark's epoch origin agree at hour
+    // alignment)
+    "qc_incr_retumble" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS ws,
+           CAST(time_bucket(INTERVAL '1 hour', ts)
+                + INTERVAL '1 hour' AS TIMESTAMP) AS we,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events WHERE value > 1
+         GROUP BY 1, 2""",
     "qc_incr_rerange" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            count(*) AS cnt,

@@ -2523,6 +2523,111 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!logOff.messages.exists(_.startsWith("rehop hit")), logOff.messages)
   }
 
+  test("retumble: coarse tumbling window answered from warm finer tumbling state") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("retumble-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def q(dur: String)(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), dur).as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def flat(df: DataFrame) = df.select(col("w.start"), col("w.end"),
+      col("cnt"), col("sum_value"), col("min_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the fine 15-minute tumbling query is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(q("15 minutes")(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(q("15 minutes")(spark.read.parquet(work))).collect()
+
+    // first-ever 1-hour tumbling query: retumble hit — every fine state
+    // row re-buckets into its containing hour, delta above the fine
+    // watermark prunes to zero fact rows
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val hourDF = QueryCacheSession(spark, cfg(log2))
+      .run(q("1 hour")(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      hourDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("retumble hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"coarse tumbling query scanned ${recs.sum()} fact rows — retumble rescanned history")
+    assertSameRows(flat(hourDF), flat(q("1 hour")(eventsFull)), tol = 1e-9)
+
+    // second sighting: the retumble run stored hour state — direct hit
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(q("1 hour")(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("retumble hit")), log3.messages)
+
+    // a duration the fine grain does not divide never retumbles —
+    // plain miss, still correct (25 min is not a multiple of 15)
+    val logOdd = new RecordingLog
+    val oddDF = QueryCacheSession(spark, cfg(logOdd))
+      .run(q("25 minutes")(spark.read.parquet(work)))
+    assertSameRows(flat(oddDF), flat(q("25 minutes")(eventsFull)), tol = 1e-9)
+    assert(!logOdd.messages.exists(_.startsWith("retumble hit")), logOdd.messages)
+
+    // flag off (regrainFromFinerState gates both faces): plain miss
+    val logOff = new RecordingLog
+    val offDF = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts", log = logOff,
+        regrainFromFinerState = false))
+      .run(q("1 hour")(spark.read.parquet(work)))
+    assertSameRows(flat(offDF), flat(q("1 hour")(eventsFull)), tol = 1e-9)
+    assert(!logOff.messages.exists(_.startsWith("retumble hit")), logOff.messages)
+  }
+
+  test("rehop composes with retumble: hopping query served from a 5-minute tumbling state") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rehop-retumble")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def fine(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def hop(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def flat(df: DataFrame) = df.select(col("w.start"), col("w.end"),
+      col("cnt"), col("sum_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the 5-minute tumbling query is ever warmed — neither the
+    // hopping query nor its 15-minute tumbling twin has ever run
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(fine(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(fine(spark.read.parquet(work))).collect()
+
+    // hop probes its 15m tumbling twin (cold) → retumble finds the warm
+    // 5m state two levels down: re-bucket 5m→15m, then explode ×4
+    val log = new RecordingLog
+    val hopDF = QueryCacheSession(spark, cfg(log))
+      .run(hop(spark.read.parquet(work)))
+    assertSameRows(flat(hopDF), flat(hop(eventsFull)), tol = 1e-9)
+    assert(log.messages.exists(_.startsWith("rehop hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("retumble hit")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+  }
+
   test("stream-warmed tumbling state serves a cold hopping query across the batch/stream seam") {
     val (early, late, _) = split()
     val work = tmpDir("rehop-stream")
