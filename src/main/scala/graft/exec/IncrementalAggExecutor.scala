@@ -505,6 +505,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // tumbling-grain subsumption: a coarse tumbling window answered
       // from a finer tumbling twin's warm state re-bucketed
       .orElse(retumbleFromFinerState(c, stateSchema))
+      // re-spelling: a tumbling window answered from the date_trunc
+      // spelling's warm state re-keyed to window structs
+      .orElse(rewindowFromTruncState(c, stateSchema))
       // grouping-set subsumption: a rollup/cube answered from the plain
       // full-grain drill-down's warm state re-expanded per grouping set
       .orElse(regroupFromDrilldownState(c, stateSchema))
@@ -1455,11 +1458,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * answers from warm 5m tumbling state. Gated by the same
     * regrainFromFinerState flag — it IS temporal grain subsumption,
     * for window buckets. */
-  private def retumbleFromFinerState(c: Cacheable, stateSchema: StructType)
-      : Option[graft.cache.CachedState] = {
+  /** The analyzer's tumbling TimeWindowing plan shape, structurally
+    * verified: Project(windowStruct alias +: pass-through child output,
+    * Filter(isnotnull(ts), child)), one bucketing Remainder literal D,
+    * every long literal in the struct ∈ {0, D} (custom startTime fails
+    * the match). Shared by retumble and rewindow. */
+  private final case class TumblingShape(wAlias: Alias,
+      rest: Seq[NamedExpression], flt: Filter, gIdx: Int, durationUs: Long)
+
+  private def tumblingShape(c: Cacheable): Option[TumblingShape] = {
     import org.apache.spark.sql.catalyst.expressions.{IsNotNull, Literal}
     import org.apache.spark.sql.types.LongType
-    if (!config.regrainFromFinerState) return None
     val (wAlias, rest, flt) = c.agg.child match {
       case Project((al: Alias) +: tail, f: Filter) => (al, tail, f)
       case _ => return None
@@ -1500,6 +1509,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // pinned default-startTime shape: every long literal is 0 or D
     if (!struct0.collect { case Literal(v: Long, LongType) => v }
         .forall(v => v == 0L || v == d)) return None
+    Some(TumblingShape(wAlias, rest, flt, gIdx, d))
+  }
+
+  private def retumbleFromFinerState(c: Cacheable, stateSchema: StructType)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.LongType
+    if (!config.regrainFromFinerState) return None
+    val TumblingShape(wAlias, rest, flt, gIdx, d) =
+      tumblingShape(c).getOrElse(return None)
+    val struct0 = wAlias.child
     val gName = s"_g$gIdx"
     val ladder = Seq(86400L, 43200L, 21600L, 14400L, 10800L, 7200L, 3600L,
       1800L, 1200L, 900L, 600L, 300L, 60L, 1L).map(_ * 1000000L)
@@ -1530,6 +1550,94 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             df.withColumn(gName, struct(
               timestamp_micros(cUs).as("start"),
               timestamp_micros(cUs + lit(d)).as("end")))
+          })
+        }
+    }.headOption
+  }
+
+  // ------------------------------------- window ↔ date_trunc re-spelling
+
+  /** On an exact-fingerprint miss: a TUMBLING-window aggregate whose
+    * duration has a calendar-grain equivalent (`window(ts, '1 hour')`)
+    * can be answered from the warm state of the same plan spelled with
+    * `date_trunc('hour', ts)` — dashboards mix the two spellings (SQL
+    * authors write date_trunc, streaming authors write window), and in
+    * a UTC session they induce the IDENTICAL row partition for
+    * second/minute/hour/day (window buckets are epoch-aligned;
+    * date_trunc follows the session timezone — any other session TZ
+    * bails; week is excluded: date_trunc anchors Monday, a 7-day window
+    * anchors the epoch Thursday). The replay drops the trunc state's
+    * NULL group (a window query filters isnotnull(ts); date_trunc maps
+    * null ts to a null group) and re-keys each timestamp bucket to its
+    * (start, start+D) struct — the merge re-aggregates nothing, it is a
+    * pure re-spelling.
+    *
+    * The twin is the user-shaped date_trunc plan: the window Project
+    * and its isnotnull Filter strip away, the group key (and its output
+    * alias) swap to TruncTimestamp over the same child — canonically
+    * identical to what the analyzer produces for a hand-written
+    * date_trunc query. Composes with grain subsumption: the hour-trunc
+    * twin may be warm only at MINUTE grain, and regrain lifts it first
+    * (pinned in the spec). Both literal casings probe (the fingerprint
+    * keeps literal case, regrain precedent). Gated by
+    * regrainFromFinerState — it is the same one-temporal-state-serves-
+    * many-spellings family. */
+  private def rewindowFromTruncState(c: Cacheable, stateSchema: StructType)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
+    if (!config.regrainFromFinerState) return None
+    val TumblingShape(wAlias, _, flt, gIdx, d) =
+      tumblingShape(c).getOrElse(return None)
+    val fmt = d match {
+      case 1000000L => "second"
+      case 60000000L => "minute"
+      case 3600000000L => "hour"
+      case 86400000000L => "day"
+      case _ => return None
+    }
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    if (!Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00").contains(tz)) return None
+    val gName = s"_g$gIdx"
+    // the twin's state keys the bucket as a bare timestamp
+    val twinSchema = StructType(stateSchema.fields.map(f =>
+      if (f.name == gName) f.copy(dataType = TimestampType) else f))
+    Seq(fmt, fmt.toUpperCase).view.flatMap { f =>
+      val trunc = TruncTimestamp(Literal(f), c.temporalAttr, Some(tz))
+      def swap(e: Expression): Expression = e.transformUp {
+        case a: Attribute if a.exprId == wAlias.exprId => trunc
+      }
+      val twinAggs: Seq[NamedExpression] = c.agg.aggregateExpressions.map {
+        ne => swap(ne) match {
+          case n: NamedExpression => n
+          case other => Alias(other, ne.name)()
+        }
+      }
+      val twin = Aggregate(c.agg.groupingExpressions.map(swap), twinAggs,
+        flt.child)
+      val fp2 = Fingerprint.of(twin) + fpSuffix
+      // the original window query carries temporalGroupIdx = None (the
+      // analyzer's struct is not a recognized bucketing fn); the trunc
+      // twin's group AT gIdx is a real date_trunc — set the index so
+      // grain subsumption can lift a finer-grain entry for it
+      val cTwin = c.copy(agg = twin, temporalGroupIdx = Some(gIdx))
+      config.cache.get(fp2)
+        .filter(cs => schemaCompatible(cs.schema, twinSchema))
+        // composes: the trunc twin may be warm only at a finer grain,
+        // as a drill-down, behind a dim conjunct, or as a superset panel
+        .orElse(finerGrainState(cTwin, twinSchema))
+        .orElse(supersetDimState(cTwin, twinSchema))
+        .orElse(dimFilterState(cTwin, twinSchema))
+        .orElse(supersetMeasureState(cTwin, twinSchema))
+        .map { cs =>
+          config.log.info(c.fingerprint,
+            s"rewindow hit: replaying date_trunc('$f') state ${fp2.take(12)} " +
+              s"re-keyed to ${d}µs window structs")
+          graft.cache.CachedState(cs.timestampMicros, stateSchema, { s =>
+            import org.apache.spark.sql.functions.{struct, unix_micros}
+            cs.read(s).filter(col(gName).isNotNull)
+              .withColumn(gName, struct(
+                col(gName).as("start"),
+                timestamp_micros(unix_micros(col(gName)) + lit(d)).as("end")))
           })
         }
     }.headOption

@@ -470,6 +470,37 @@ object CacheQueries {
         .select(col("w.start").as("ws"), col("w.end").as("we"),
           col("cnt"), col("sum_value"), col("min_value"))
     }),
+    // window ↔ date_trunc RE-SPELLING: after a cold→append→warm cycle
+    // of the date_trunc('hour') spelling, the first-ever sighting of the
+    // window('1 hour') spelling of the same panel is an exact-fingerprint
+    // miss but a REWINDOW hit — in a UTC session the two spellings induce
+    // the identical row partition, so the trunc state re-keys to window
+    // structs (null group dropped: window filters isnotnull(ts)) with no
+    // re-aggregation and no fact row below the watermark rescanned
+    // (zero-scan pinned in IncrementalAggSpec). The window-spelled series
+    // is what the oracle checks.
+    "qc_incr_rewindow" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "rewindow")
+      val cache = new MemoryQueryCache()
+      def dtq(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def winq(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(dtq(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(dtq(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(winq(s.read.parquet(work)))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("cnt"), col("sum_value"), col("min_value"))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -1107,6 +1138,15 @@ object CacheQueries {
     // 2000-01-01 origin and Spark's epoch origin agree at hour
     // alignment)
     "qc_incr_retumble" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS ws,
+           CAST(time_bucket(INTERVAL '1 hour', ts)
+                + INTERVAL '1 hour' AS TIMESTAMP) AS we,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events WHERE value > 1
+         GROUP BY 1, 2""",
+    "qc_incr_rewindow" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS ws,
            CAST(time_bucket(INTERVAL '1 hour', ts)
                 + INTERVAL '1 hour' AS TIMESTAMP) AS we,

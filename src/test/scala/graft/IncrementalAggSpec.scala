@@ -2628,6 +2628,89 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
   }
 
+  test("rewindow: a tumbling window answered from the date_trunc spelling's warm state") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rewindow-spec")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def dt(grain: String)(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc(grain, col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def win(dur: String)(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), dur).as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    def flat(df: DataFrame) = df.select(col("w.start"), col("w.end"),
+      col("cnt"), col("sum_value"), col("min_value"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // ONLY the date_trunc('hour') spelling is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(dt("hour")(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg())
+      .run(dt("hour")(spark.read.parquet(work))).collect()
+
+    // composes with regrain: a DAY window probes while ONLY hour-trunc
+    // state exists (before any window spelling is ever cached) — the
+    // day-trunc twin lifts the hour-trunc state through finerGrainState,
+    // then rewindow re-keys it to day structs
+    val log4 = new RecordingLog
+    val dayDF = QueryCacheSession(spark, cfg(log4))
+      .run(win("1 day")(spark.read.parquet(work)))
+    assertSameRows(flat(dayDF), flat(win("1 day")(eventsFull)), tol = 1e-9)
+    assert(log4.messages.exists(_.startsWith("rewindow hit")), log4.messages)
+    assert(log4.messages.exists(_.startsWith("regrain hit")), log4.messages)
+
+    // first-ever window('1 hour') spelling: rewindow hit, zero fact rows
+    // below the watermark rescanned
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val winDF = QueryCacheSession(spark, cfg(log2))
+      .run(win("1 hour")(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      winDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("rewindow hit")), log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"window spelling scanned ${recs.sum()} fact rows — rewindow rescanned history")
+    assertSameRows(flat(winDF), flat(win("1 hour")(eventsFull)), tol = 1e-9)
+
+    // second sighting: direct hit under the window spelling's own fp
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(win("1 hour")(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assert(!log3.messages.exists(_.startsWith("rewindow hit")), log3.messages)
+
+    // a duration with no calendar-grain equivalent never rewindows
+    val logOdd = new RecordingLog
+    val oddDF = QueryCacheSession(spark, cfg(logOdd))
+      .run(win("30 minutes")(spark.read.parquet(work)))
+    assertSameRows(flat(oddDF), flat(win("30 minutes")(eventsFull)), tol = 1e-9)
+    assert(!logOdd.messages.exists(_.startsWith("rewindow hit")), logOdd.messages)
+
+    // flag off: plain miss, still correct
+    val logOff = new RecordingLog
+    val offDF = QueryCacheSession(spark, QueryCacheConfig(
+        new MemoryQueryCache(), defaultTemporalColumn = "ts", log = logOff,
+        regrainFromFinerState = false))
+      .run(win("1 hour")(spark.read.parquet(work)))
+    assertSameRows(flat(offDF), flat(win("1 hour")(eventsFull)), tol = 1e-9)
+    assert(!logOff.messages.exists(_.startsWith("rewindow hit")), logOff.messages)
+  }
+
   test("stream-warmed tumbling state serves a cold hopping query across the batch/stream seam") {
     val (early, late, _) = split()
     val work = tmpDir("rehop-stream")
