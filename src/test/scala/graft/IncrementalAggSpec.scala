@@ -2765,6 +2765,59 @@ class IncrementalAggSpec extends AnyFunSuite {
         .select(col("w.start"), col("cnt"), col("sum_value")), tol = 1e-9)
   }
 
+  test("stream-warmed date_trunc state serves a cold window-spelled query across the seam") {
+    val (early, late, _) = split()
+    val work = tmpDir("rewindow-stream")
+    val chk = tmpDir("rewindow-stream-chk")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    val cfg = QueryCacheConfig(cache, defaultTemporalColumn = "ts", log = log)
+    def dtq(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    def winq(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    // a STREAM keeps the SQL-spelled hourly state fresh (two ticks:
+    // initial load, then the appended files — checkpoint resume)
+    val warmer = new graft.streaming.CacheWarmer(spark, cfg,
+      Seq(() => dtq(spark.read.parquet(work))))
+    warmer.attach(graft.streaming.CacheWarmer.tickSource(spark, work, "ts"), chk)
+      .awaitTermination()
+    late.write.mode("append").parquet(work)
+    warmer.attach(graft.streaming.CacheWarmer.tickSource(spark, work, "ts"), chk)
+      .awaitTermination()
+
+    // the first-ever STREAMING-spelled panel never runs cold: the
+    // stream-warmed trunc state re-keys into it and the delta above the
+    // stream's high-water mark prunes to zero fact rows
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    val winDF = QueryCacheSession(spark,
+        QueryCacheConfig(cache, defaultTemporalColumn = "ts", log = log2)
+          .withStrictUpperBound)
+      .run(winq(spark.read.parquet(work)))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      winDF.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("rewindow hit")), log2.messages)
+    assert(recs.sum() == 0L,
+      s"window-spelled query scanned ${recs.sum()} fact rows after stream warming")
+    assertSameRows(
+      winDF.select(col("w.start"), col("cnt"), col("sum_value")),
+      winq(spark.read.parquet(work))
+        .select(col("w.start"), col("cnt"), col("sum_value")), tol = 1e-9)
+  }
+
   test("rehop composes with refilter: hopping dim slice from warm tumbling drill-down") {
     val (early, late, splitUs) = split()
     val work = tmpDir("rehop-composed")
