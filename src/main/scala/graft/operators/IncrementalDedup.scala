@@ -811,6 +811,23 @@ object IncrementalDedup {
       .select(col("id"), coalesce(col("dst"), col("label")).as("cluster_id"))
   }
 
+  /** Corpus rows that SURVIVE incremental near-dup clustering: drop
+    * every doc that is a NON-canonical member of a cluster (its resolved
+    * label is some other doc's id); docs in no cluster — never fed to
+    * [[clusterAppend]] in any pair — survive untouched. Equals the
+    * one-shot [[Dedup.dropNearDuplicates]] over the cumulative pair set
+    * by the [[resolvedClusters]] equivalence, but the per-epoch cost is
+    * one anti-join against the label index instead of recomputing
+    * components over the whole corpus. */
+  def clusterSurvivors(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val dropped = resolvedClusters(spark, indexDir)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** The merge log transitively CLOSED: (src → final root) for every
     * root that ever moved. Pointer doubling over the log — a table
     * bounded by the number of merges, log₂(chain) self-join rounds;

@@ -365,6 +365,26 @@ object PipelineQueries {
       }
       IncrementalDedup.resolvedClusters(s, idx)
     }),
+    // incremental SURVIVOR selection over the durable cluster index:
+    // after the three clusterAppend batches, the survivor set (drop
+    // every non-canonical cluster member) must equal the one-shot
+    // dropNearDuplicates over the full corpus — the q_dedup_survivors
+    // oracle verbatim, now answered by one anti-join against the label
+    // index instead of recomputing components corpus-wide.
+    "q_dedup_incr_survivors" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(documents(s, d), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .withColumn("ph", greatest(pmod(col("id_a"), lit(3)),
+          pmod(col("id_b"), lit(3))))
+        .localCheckpoint()
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        "survivors_" + new java.io.File(d).getName)
+      (0 to 2).foreach { ph =>
+        IncrementalDedup.clusterAppend(s, idx, pairs.filter(col("ph") === ph))
+      }
+      IncrementalDedup.clusterSurvivors(documents(s, d), idx)
+        .select("doc_id", "n_chars")
+    }),
     // pretraining prep chain over the NEW ops: strip duplicated spans,
     // gate on the CLEAN token count, concat-and-slice pack what's left —
     // one fused plan (span pipeline + window cumsum), no intermediate
@@ -2306,6 +2326,33 @@ object PipelineQueries {
            SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
          comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
          SELECT id, cluster_id FROM comp""",
+    // incremental survivors == one-shot survivors (same components CTE)
+    "q_dedup_incr_survivors" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents),
+         sizes AS (SELECT id, len(sh) AS sz FROM sh),
+         inv AS (SELECT id, unnest(sh) AS s FROM sh),
+         shared AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+           FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)""",
     // connected components of the exact pair set via transitive closure
     // (recursive CTE), survivors = min-id per component + singletons
     "q_dedup_survivors" ->

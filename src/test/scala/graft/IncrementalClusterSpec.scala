@@ -71,6 +71,25 @@ class IncrementalClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterSurvivors equals one-shot dropNearDuplicates on the cumulative pairs") {
+    val dir = tmpDir("cluster-survivors")
+    // docs 1..8; pairs arrive in two batches and chain {1,2,3} + {5,6}
+    val docs = (1L to 8L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((1L, 2L), (5L, 6L))
+    val b2 = Seq((2L, 3L))
+    IncrementalDedup.clusterAppend(spark, dir, pairsDF(b1))
+    IncrementalDedup.clusterAppend(spark, dir, pairsDF(b2))
+    val got = IncrementalDedup.clusterSurvivors(docs, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Dedup.dropNearDuplicates(docs,
+      pairsDF(b1 ++ b2).withColumn("jaccard", lit(1.0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"$got vs $want")
+    // cluster minima + never-paired docs survive
+    assert(got == Set(1L, 4L, 5L, 7L, 8L))
+  }
+
   test("compactIndex folds the merge log; resolution unchanged, appends continue") {
     val dir = tmpDir("cluster-compact")
     IncrementalDedup.clusterAppend(spark, dir, pairsDF(Seq((1L, 2L), (3L, 4L))))
