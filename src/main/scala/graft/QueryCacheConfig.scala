@@ -336,6 +336,38 @@ import graft.log.{CacheLog, NoOpLog}
   *                              can keep them apart. Flipping the flag
   *                              against a live cache is therefore a
   *                              MISS, not a wrong answer.
+  * @param lateRescanBandMicros  opt-in LATE-DATA tolerance for the batch
+  *                              cache (closes the biggest real-user
+  *                              hazard the S1 contract leaves open): a
+  *                              row that lands in the table AFTER a
+  *                              caching run with event time BELOW that
+  *                              run's watermark is invisible to the
+  *                              normal delta scan (`ts >= wm`) forever.
+  *                              With a band B declared, every warm run
+  *                              lowers its effective watermark to the
+  *                              temporal-bucket FLOOR of (wm − B):
+  *                              state buckets at/after the floor are
+  *                              DROPPED and the delta scan re-reads
+  *                              them from the fact table, REPLACING
+  *                              their state — exact for every measure,
+  *                              because a dropped bucket's rows then
+  *                              come only from the re-scan (the same
+  *                              bucket-granularity argument as range
+  *                              slicing). Costs one band-width of
+  *                              re-scan per warm run (pushed ts range —
+  *                              parquet row-group pruning and the
+  *                              derived partition conjunct both apply),
+  *                              which at 100 TB is the append-sized
+  *                              regime, not the history. Requires a
+  *                              date_trunc temporal bucket group key
+  *                              (replacement needs the bucket column;
+  *                              grouping sets NULL the slot) — other
+  *                              shapes log a warning and run with the
+  *                              plain watermark. Rows arriving later
+  *                              than the band are STILL missed: the
+  *                              band is a declared tolerance, not a
+  *                              guarantee. None (default) = off, the
+  *                              reference's S1 behavior.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(
@@ -358,6 +390,7 @@ final case class QueryCacheConfig(
     regroupFromDrilldownState: Boolean = true,
     factorizedJoinState: Boolean = true,
     percentileSketchState: Boolean = true,
+    lateRescanBandMicros: Option[Long] = None,
     log: CacheLog = NoOpLog) {
 
   def withStaticDimensions(tables: String*): QueryCacheConfig =
@@ -393,6 +426,11 @@ final case class QueryCacheConfig(
     copy(overrideNowMicros = Some(us))
 
   def withStrictUpperBound: QueryCacheConfig = copy(strictUpperBound = true)
+
+  /** Declare a late-data tolerance: warm runs re-scan (and state-replace)
+    * every temporal bucket overlapping `[wm − band, wm)`. */
+  def withLateRescanBand(band: java.time.Duration): QueryCacheConfig =
+    copy(lateRescanBandMicros = Some(band.toNanos / 1000L))
 
   /** reference: allow_temporal_column, src/lib.rs:63-71 */
   def allowTemporalColumn(name: String): Boolean = {

@@ -527,7 +527,57 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // projecting the needed state columns out of a warm superset entry
       .orElse(supersetMeasureState(c, stateSchema))
 
-    val merged = entry match {
+    // ---- late re-scan band (closes S1's late-data miss within a declared
+    // tolerance; see QueryCacheConfig.lateRescanBandMicros): lower the
+    // effective watermark to the bucket FLOOR of (wm − band), DROP state
+    // buckets at/after it, and let the normal delta scan re-read them —
+    // bucket-grain replacement, exact for every measure because a dropped
+    // bucket's rows then come only from the re-scan (the same argument as
+    // range slicing). The floor is bucket-aligned by construction, so
+    // `bucket(ts) >= floor ⟺ ts >= floor` and the delta scan's pushed
+    // `ts >= floor` bound re-reads exactly the dropped buckets' rows.
+    // NULL-bucket state rows (NULL event time) are kept — no event time,
+    // no lateness notion, and the delta never re-reads them. Grouping
+    // sets bail (Expand NULLs the bucket slot for subtotal rows, so a
+    // bucket comparison would drop subtotal state).
+    val banded = (entry, config.lateRescanBandMicros) match {
+      case (Some(cs), Some(band)) if band > 0 =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val tDt = c.temporalAttr.dataType
+        val floorOpt =
+          if (c.agg.child.exists(_.isInstanceOf[Expand])) None
+          else temporalBucketTrunc(c).flatMap { case (gIdx, trunc) =>
+            Option(trunc.copy(timestamp =
+              Literal(cs.timestampMicros - band, tDt)).eval())
+              .collect { case b: Long => (gIdx, b) }
+          }
+        floorOpt match {
+          case Some((gIdx, b)) if b < cs.timestampMicros =>
+            config.log.info(c.fingerprint,
+              s"late re-scan band: effective watermark ${cs.timestampMicros} " +
+                s"-> $b (band buckets dropped from state and re-scanned)")
+            val gName = s"_g$gIdx"
+            Some(graft.cache.CachedState(b, cs.schema, s =>
+              cs.read(s).filter(col(gName) < Shims.column(Literal(b, tDt)) ||
+                col(gName).isNull)))
+          case _ =>
+            config.log.warn(c.fingerprint,
+              "lateRescanBand declared but the query has no plain " +
+                "date_trunc temporal bucket group — band skipped, normal " +
+                "watermark used (bucket replacement needs the bucket key)")
+            entry
+        }
+      case _ => entry
+    }
+    // an ACTIVE band must also re-read declared-static union branches over
+    // the band (their contributions to the dropped buckets left the state
+    // like everyone else's) — so branch pruning is disabled for this run
+    val bandActive = (banded, entry) match {
+      case (Some(b2), Some(e)) => b2.timestampMicros < e.timestampMicros
+      case _ => false
+    }
+
+    val merged = banded match {
       case Some(cs) =>
         config.cache.stats.recordHit()
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
@@ -539,7 +589,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // and parquet stats prune an all-historical static branch to zero
         // row groups anyway.
         val deltaDF =
-          if (c.staticUnionBranches.nonEmpty && !config.strictUpperBound) {
+          if (c.staticUnionBranches.nonEmpty && !config.strictUpperBound &&
+              !bandActive) {
             val pruned = effectiveChild.transformUp {
               case u: Union if u.children.exists(ch =>
                   c.staticUnionBranches.exists(_ eq ch)) =>
@@ -1111,21 +1162,29 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * non-foldable bounds, conjuncts whose attribute is not the
     * fact-side temporal attribute, dynamic-bound queries with slivers,
     * windows inside < 2 complete buckets (no state value — plain miss). */
-  private def rerangeBucketState(c: Cacheable, stateSchema: StructType,
-      depth: Int = 0): Option[graft.cache.CachedState] = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal,
-      TruncTimestamp}
-    if (!config.rerangeFromUnboundedState || depth >= 3) return None
+  /** The temporal group key resolved to `date_trunc(grain, temporalAttr)`
+    * when it has exactly that shape — shared by range subsumption and the
+    * late re-scan band (both need to evaluate bucket floors). */
+  private def temporalBucketTrunc(c: Cacheable): Option[(Int,
+      org.apache.spark.sql.catalyst.expressions.TruncTimestamp)] = {
+    import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
     val gIdx = c.temporalGroupIdx.getOrElse(return None)
     val groupKey = c.agg.groupingExpressions(gIdx)
-    val trunc = TemporalGroupBy.resolveThroughChild(groupKey, c.agg.child) match {
+    TemporalGroupBy.resolveThroughChild(groupKey, c.agg.child) match {
       case t: TruncTimestamp if t.format.foldable && (t.timestamp match {
         case a: Attribute => a.semanticEquals(c.temporalAttr)
         case _ => false
-      }) => t
-      case _ => return None
+      }) => Some((gIdx, t))
+      case _ => None
     }
+  }
+
+  private def rerangeBucketState(c: Cacheable, stateSchema: StructType,
+      depth: Int = 0): Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    if (!config.rerangeFromUnboundedState || depth >= 3) return None
+    val (gIdx, trunc) = temporalBucketTrunc(c).getOrElse(return None)
     if (c.agg.child.exists(_.isInstanceOf[Expand])) return None
     val tDt = c.temporalAttr.dataType
     def truncOf(m: Long): Option[Long] =
@@ -1260,9 +1319,30 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             // parquet min/max row-group pruning bounds the scan to ≤ 2
             // bucket-widths of fact regardless of history size.
             val tsC = Shims.column(c.temporalAttr)
+            // derived partition predicate, mirroring the delta path: with
+            // a declared DATE partition column the sliver's ts range
+            // implies part BETWEEN date(lo) AND date(hi) — date() is
+            // monotone and hi's date bound is inclusive because ts < hi
+            // rows may still fall on date(hi). Directory-level pruning:
+            // a date-partitioned layout then lists only the ≤ 2 edge
+            // buckets' partitions instead of every history directory
+            // (row-group min/max alone still reads all the footers).
+            // Perf only — the conjunct is implied, results unchanged.
+            val partAttr = config.temporalPartitionColumn.flatMap { pc =>
+              c.child.output.find(a => a.name.equalsIgnoreCase(pc) &&
+                !c.staticOuts.contains(a))
+            }
             val sliverPred = svs.map { case (lo, hi) =>
-              tsC >= Shims.column(Literal(lo, tDt)) &&
+              val base = tsC >= Shims.column(Literal(lo, tDt)) &&
                 tsC < Shims.column(Literal(hi, tDt))
+              partAttr.map { pa =>
+                val paC = Shims.column(pa)
+                base &&
+                  paC >= org.apache.spark.sql.functions.to_date(
+                    Shims.column(Literal(lo, tDt))) &&
+                  paC <= org.apache.spark.sql.functions.to_date(
+                    Shims.column(Literal(hi, tDt)))
+              }.getOrElse(base)
             }.reduce(_ || _)
             val src = Shims.ofRows(s, c.child).filter(sliverPred &&
               tsC < Shims.column(Literal(cs.timestampMicros, tDt)))
@@ -1830,9 +1910,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{
       Average, Count, Max, Min, Sum}
-    import org.apache.spark.sql.functions.{coalesce, count => fcount,
+    import org.apache.spark.sql.functions.{coalesce, when, count => fcount,
       max => fmax, min => fmin, sum => fsum}
-    import org.apache.spark.sql.types.DecimalType
 
     val aggs = analyzed.collect { case a: Aggregate => a }
     if (aggs.size != 1) return None
@@ -1984,7 +2063,38 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val inlAggExprs = aggExprs.map(ae =>
       inline(ae).asInstanceOf[AggregateExpression])
     val fms: Seq[FM] = inlAggExprs.zipWithIndex.map { case (ae, i) =>
-      if (ae.filter.nonEmpty) return bail(s"FILTER clause: ${ae.sql}")
+      // FILTER clause: a side-pure predicate commutes into that side's
+      // twin exactly like a WHERE conjunct — the twin's aggregate carries
+      // the FILTER itself (`sum(x) FILTER (WHERE p)` per key × group) and
+      // the combine scales as usual. Like WHERE conjuncts it must not sit
+      // on a null-extendable side: vanilla evaluates it AFTER
+      // null-extension, so an `IS NULL`-shaped predicate would match
+      // null-extended rows the twin never saw. The predicate must also
+      // share the measure's side — a cross-pairing (sum(a.x) FILTER
+      // (WHERE b.y > 0)) needs a dedicated filtered-multiplicity column
+      // and stays bailed.
+      val filtSide: Option[Boolean] = ae.filter match {
+        case None => None
+        case Some(p) =>
+          if (!p.deterministic || hasSub(Seq(p)))
+            return bail(s"non-deterministic or subquery FILTER: ${ae.sql}")
+          val sd = sideOf(p).getOrElse(
+            return bail(s"cross-side FILTER predicate: ${ae.sql}"))
+          if (if (sd) aNullable else bNullable)
+            return bail(
+              s"FILTER on the null-extended side of an outer join: ${ae.sql}")
+          Some(sd)
+      }
+      // measure side, reconciled with the FILTER predicate's side
+      // (count(*) FILTER takes the filter's side directly in its case). A
+      // function value, not a def: `return bail` must leave the enclosing
+      // rewrite, not the helper.
+      val withFilt: Option[Boolean] => Option[Boolean] = {
+        case Some(sd) if filtSide.exists(_ != sd) =>
+          return bail(
+            s"FILTER predicate and measure on different sides: ${ae.sql}")
+        case other => other
+      }
       ae.aggregateFunction match {
         // count(DISTINCT x): multiplicity-FREE like min/max, so the twin
         // keeps the distinct set per (key × group) — the same set-union
@@ -1993,9 +2103,18 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         case c: Count if ae.isDistinct && c.children.size == 1 =>
           import org.apache.spark.sql.functions.{array_distinct, collect_list,
             collect_set, flatten, size => fsize}
-          val e = c.children.head
-          val sd = sideOf(e).getOrElse(
+          val e0 = c.children.head
+          val sd = withFilt(sideOf(e0)).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
+          // FILTER folds into the collected value: when(p, e) is NULL on
+          // rejected rows and collect_set skips NULLs — the set is exactly
+          // the distinct e over rows passing p, like the vanilla plan
+          val e = ae.filter match {
+            case Some(p) => org.apache.spark.sql.catalyst.expressions.If(
+              p, e0, org.apache.spark.sql.catalyst.expressions.Literal(
+                null, e0.dataType))
+            case None => e0
+          }
           if (!nullFaithful(e, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
@@ -2008,12 +2127,22 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // state row whose partner is missing contributes its own count
         // once (the missing side coalesces to multiplicity 1)
         case c: Count if c.children.forall(_.references.isEmpty) =>
-          FM(left = true, Nil,
-            coalesce(fsum(
-              if (scaled) cntOf(left = true) * cntOf(left = false)
-              else col("_acnt")), lit(0L)))
+          filtSide match {
+            case None =>
+              FM(left = true, Nil,
+                coalesce(fsum(
+                  if (scaled) cntOf(left = true) * cntOf(left = false)
+                  else col("_acnt")), lit(0L)))
+            case Some(sd) =>
+              // count(*) FILTER (WHERE p): the predicate's side carries a
+              // dedicated filtered-count column (the twin aggregate keeps
+              // the FILTER), scaled by the other side's multiplicity like
+              // any side-pure count
+              FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+                coalesce(fsum(scale(col(s"${pfx(sd)}m$i"), sd)), lit(0L)))
+          }
         case c: Count =>
-          val s = sideOf(c).getOrElse(
+          val s = withFilt(sideOf(c)).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!c.children.forall(nullFaithful(_, s))) return bail(
             s"measure expression on the null-extended side of an outer " +
@@ -2021,7 +2150,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           FM(s, Seq(s"${pfx(s)}m$i" -> Shims.column(ae)),
             coalesce(fsum(scale(col(s"${pfx(s)}m$i"), s)), lit(0L)))
         case s: Sum =>
-          val sd = sideOf(s).getOrElse(
+          val sd = withFilt(sideOf(s)).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(s.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
@@ -2029,7 +2158,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fsum(scale(col(s"${pfx(sd)}m$i"), sd)))
         case m: Min =>
-          val sd = sideOf(m).getOrElse(
+          val sd = withFilt(sideOf(m)).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(m.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
@@ -2037,23 +2166,49 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fmin(col(s"${pfx(sd)}m$i")))
         case m: Max =>
-          val sd = sideOf(m).getOrElse(
+          val sd = withFilt(sideOf(m)).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(m.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
           FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fmax(col(s"${pfx(sd)}m$i")))
-        case a: Average if !a.dataType.isInstanceOf[DecimalType] =>
-          val sd = sideOf(a).getOrElse(
+        case a: Average =>
+          val sd = withFilt(sideOf(a)).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(a.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
           val (sn, cn) = (s"${pfx(sd)}s$i", s"${pfx(sd)}c$i")
-          FM(sd, Seq(sn -> fsum(Shims.column(a.child)),
-            cn -> fcount(Shims.column(a.child))),
-            fsum(scale(col(sn), sd)) / fsum(scale(col(cn), sd)))
+          // a FILTER folds into the summed/counted value: when(p, child)
+          // is NULL on rejected rows and sum/count skip NULLs.
+          // Decimal input keeps the exact decimal sum (same contract as
+          // the single-table path, rewrite/Decompose Average case); the
+          // combine's division result is cast back to the original avg
+          // type by rewriteOut's Cast, so precision/scale match vanilla.
+          val childC = ae.filter match {
+            case Some(p) => when(Shims.column(p), Shims.column(a.child))
+            case None => Shims.column(a.child)
+          }
+          val combine = a.child.dataType match {
+            case dt: org.apache.spark.sql.types.DecimalType =>
+              // type-controlled exact division: the multiplicity scaling
+              // widened the summed numerator to decimal(38, s), and an
+              // unconstrained division by a long would overflow 38 digits
+              // so Spark's precision-loss rule cuts the result scale to 6
+              // — BELOW the s+4 scale the avg type needs, silently
+              // rounding the answer (caught by the differential spec).
+              // Casting the operands down first keeps the division result
+              // at scale s+8 ≥ s+5, so the final cast to the avg type
+              // rounds the exact rational the same way vanilla does.
+              // (Numerator magnitudes beyond 10^(30−s) would overflow to
+              // NULL — far past any realistic aggregate.)
+              import org.apache.spark.sql.types.DecimalType
+              fsum(scale(col(sn), sd)).cast(DecimalType(30, dt.scale)) /
+                fsum(scale(col(cn), sd)).cast(DecimalType(12, 0))
+            case _ => fsum(scale(col(sn), sd)) / fsum(scale(col(cn), sd))
+          }
+          FM(sd, Seq(sn -> fsum(childC), cn -> fcount(childC)), combine)
         case other =>
           return bail(s"measure not factorizable over a join: ${other.sql}" +
             " (count/sum/min/max/avg only)")

@@ -758,6 +758,7 @@ object IncrementalDedup {
     val remapsDir = s"$indexDir/remaps"
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompactLeftover(fs, labelsDir)
     val e = pairs.select(col("id_a").cast("long").as("a"),
       col("id_b").cast("long").as("b")).localCheckpoint()
     val nodes = e.select(col("a").as("id"))
@@ -805,6 +806,9 @@ object IncrementalDedup {
     * merge-log closure. Equals the one-shot [[Dedup.clusters]] over the
     * cumulative pair multiset. */
   def resolvedClusters(spark: SparkSession, indexDir: String): DataFrame = {
+    recoverCompactLeftover(new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      s"$indexDir/labels")
     val closure = remapClosure(spark, s"$indexDir/remaps")
     spark.read.parquet(s"$indexDir/labels")
       .join(closure, col("label") === closure("src"), "left")
@@ -847,14 +851,23 @@ object IncrementalDedup {
     def unresolved(d: DataFrame): Boolean =
       d.join(d.select(col("src").as("_s")), col("dst") === col("_s"),
         "left_semi").limit(1).count() > 0
-    while (iters < 64 && unresolved(m)) {
+    var pending = unresolved(m)
+    while (iters < 64 && pending) {
       val l = m.select(col("src"), col("dst"))
       val r = m.select(col("src").as("_rs"), col("dst").as("_rd"))
       m = l.join(r, col("dst") === col("_rs"), "left")
         .select(col("src"), coalesce(col("_rd"), col("dst")).as("dst"))
         .localCheckpoint()
+      pending = unresolved(m)
       iters += 1
     }
+    // pointer doubling covers 2^64-deep chains in 64 rounds, so this is
+    // practically unreachable — but a partially-resolved closure would
+    // silently mislabel clusters; fail loudly instead
+    if (pending) throw new IllegalStateException(
+      s"remapClosure($remapsDir) did not converge after $iters " +
+        "pointer-doubling rounds — merge log may be cyclic/corrupt; " +
+        "rebuild the index or run compactIndex from a backup")
     m
   }
 
@@ -865,13 +878,16 @@ object IncrementalDedup {
     def exists(p: String) = fs.exists(new Path(p))
     val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
 
-    def compactPlain(dir: String): Unit = if (exists(dir)) {
-      val df = spark.read.parquet(dir)
-      val before = df.count()
-      val d = df.distinct().localCheckpoint()
-      val after = d.count()
-      if (after < before) d.write.mode("overwrite").parquet(dir)
-      out(dir) = (before, after)
+    def compactPlain(dir: String): Unit = {
+      recoverCompactLeftover(fs, dir)
+      if (exists(dir)) {
+        val df = spark.read.parquet(dir)
+        val before = df.count()
+        val d = df.distinct().localCheckpoint()
+        val after = d.count()
+        if (after < before) swapInPlace(fs, dir, d)
+        out(dir) = (before, after)
+      }
     }
     def compactBucketed(dir: String, part: String,
         bucketCols: Seq[String]): Unit = if (exists(dir)) {
@@ -882,12 +898,29 @@ object IncrementalDedup {
       val d = src.distinct().localCheckpoint()
       val after = d.count()
       if (after < before) {
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        fs.delete(new Path(dir), true)
-        d.write.mode("overwrite").format("parquet").option("path", dir)
+        // same tmp-dir-then-swap discipline as promoteToBucketed: the
+        // compacted bucketed copy becomes durable at a sibling path while
+        // the live files stay put (the checkpointed `d` lives in executor
+        // storage — never the only copy of index state)
+        val tmp = new Path(dir + ".compact")
+        val tmpTable = table + "_tmp"
+        fs.delete(tmp, true)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+        d.write.mode("overwrite").format("parquet")
+          .option("path", tmp.toString)
           .bucketBy(indexBuckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
-          .saveAsTable(table)
+          .saveAsTable(tmpTable)
+        val ddl = spark.table(tmpTable).schema.toDDL
+        spark.sql(s"DROP TABLE $tmpTable") // external: the files stay put
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        fs.delete(new Path(dir), true)
+        if (!fs.rename(tmp, new Path(dir)))
+          throw new java.io.IOException(s"compaction rename $tmp -> $dir failed")
+        val cols = bucketCols.mkString(", ")
+        spark.sql(s"CREATE TABLE $table ($ddl) USING parquet " +
+          s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $indexBuckets BUCKETS " +
+          s"LOCATION '$dir'")
       }
       out(dir) = (before, after)
     }
@@ -911,17 +944,57 @@ object IncrementalDedup {
     compactAuto(s"$indexDir/sigs", "sigs", Seq("id"))
     compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"))
     // incremental-cluster state: fold the merge log into labels/ so the
-    // read-time remap closure resets to depth zero
+    // read-time remap closure resets to depth zero. labels/ is the SOLE
+    // durable copy of every cluster membership ever recorded, so the
+    // folded copy is written to a sibling dir and rename-swapped (a plain
+    // overwrite deletes-then-writes: a crash mid-write would lose it
+    // unrecoverably, unlike clusterAppend whose contract is batch
+    // re-send). remaps/ is deleted only after the swap completes — a
+    // crash before that point replays the fold idempotently.
     val remapsDir = s"$indexDir/remaps"
+    recoverCompactLeftover(fs, s"$indexDir/labels")
     if (indexBytes(fs, remapsDir) > 0 && indexBytes(fs, s"$indexDir/labels") > 0) {
       val before = spark.read.parquet(remapsDir).count()
       val folded = resolvedClusters(spark, indexDir)
         .select(col("id"), col("cluster_id").as("label")).localCheckpoint()
-      folded.write.mode("overwrite").parquet(s"$indexDir/labels")
+      swapInPlace(fs, s"$indexDir/labels", folded)
       fs.delete(new Path(remapsDir), true)
       out(remapsDir) = (before, 0L)
     }
     out.toMap
+  }
+
+  /** Crash-safe in-place rewrite (the promoteToBucketed discipline): the
+    * new copy is written COMPLETE to a durable `.compact` sibling while
+    * the live files stay put, then swapped in with two metadata ops. At
+    * no point is the only durable copy a half-written dir; the window
+    * between delete and rename is healed by [[recoverCompactLeftover]]. */
+  private def swapInPlace(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, d: DataFrame): Unit = {
+    val tmp = new Path(dir + ".compact")
+    val dst = new Path(dir)
+    fs.delete(tmp, true) // leftovers of an interrupted earlier attempt
+    d.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compaction rename $tmp -> $dir failed")
+  }
+
+  /** Heal an interrupted [[swapInPlace]]. Only-tmp-exists means the
+    * original was already deleted, which only happens AFTER the tmp copy
+    * is complete — rename it into place. Both-exist means the crash hit
+    * during the tmp write; the original is intact and authoritative
+    * (compaction is idempotent), so drop the partial tmp. */
+  private def recoverCompactLeftover(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val tmp = new Path(dir + ".compact")
+    val dst = new Path(dir)
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dst)) {
+        if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+          s"compaction recovery rename $tmp -> $dir failed")
+      } else fs.delete(tmp, true)
+    }
   }
 
   /** Fresh per-run index dir under java.io.tmpdir (test/query scaffold). */

@@ -652,6 +652,92 @@ object CacheQueries {
       QueryCacheSession(s, cfg(None))
         .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
     }),
+    // FACTORIZED join with FILTER-clause measures: a side-pure FILTER
+    // predicate commutes into its side's twin exactly like a WHERE
+    // conjunct — the twin aggregate carries the FILTER itself and the
+    // combine scales by the other side's multiplicity as usual. Covers
+    // count(*) FILTER (reference-free measure takes the filter's side),
+    // filtered sum, and a filtered min on the OTHER side.
+    "qc_incr_factfilter" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factfilter"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val aPart = ev.filter(col("event_type") === "click")
+        .select("ts", "user_id", "value")
+      val bPart = ev.filter(col("event_type") === "purchase")
+        .selectExpr("ts", "user_id", "value AS pvalue")
+      aPart.filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      bPart.filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          expr("count(*) FILTER (WHERE value > 50)").as("n_big_clicks"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) " +
+            "FILTER (WHERE value > 20) AS DOUBLE)").as("sum_mid_click"),
+          expr("min(pvalue) FILTER (WHERE pvalue > 10)")
+            .as("min_big_purchase"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      aPart.filter(col("ts") >= splitTs).write.mode("append").parquet(s"$base/a")
+      bPart.filter(col("ts") >= splitTs).write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
+    // FACTORIZED join with a DECIMAL avg: the twin keeps the exact
+    // decimal sum (same contract as the single-table Decompose path) and
+    // the combine's division is cast back to Spark's decimal avg type —
+    // previously this measure bailed the whole factorization.
+    "qc_incr_factdecavg" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factdecavg"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      def part(t: String) = ev.filter(col("event_type") === t)
+        .select("ts", "user_id", "value")
+      part("click").filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      part("purchase").filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(avg(a("value").cast("decimal(12,4)")).cast("double"), 6)
+            .as("avg_click_value"),
+          dsum(b("value")).as("sum_purchase_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      part("click").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/a")
+      part("purchase").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
     // FACTORIZED SEMI join (EXISTS over two growing tables): hourly click
     // stats restricted to users with a BIG purchase — multiplicity-free,
     // so the per-(user, hour) click state passes through unscaled and the
@@ -936,7 +1022,51 @@ object CacheQueries {
           .agg(
             count(lit(1)).as("cnt"),
             dsum(col("value")).as("sum_value"))
-      })
+      }),
+    // LATE-DATA re-scan band: a slice of rows with event time BELOW the
+    // cold run's watermark (every third event in the 2 days before the
+    // split) is HELD OUT of the cold write and lands together with the
+    // fresh append — the reference's S1 contract silently loses such rows
+    // forever. The warm run declares a 3-day tolerance
+    // (withLateRescanBand): its effective watermark drops to the day
+    // floor of (wm − 3d), the band's day buckets are dropped from state
+    // and re-scanned, so the late rows are folded in and the answer
+    // equals vanilla over the full table — which is what the oracle
+    // checks. max(value) included: bucket REPLACEMENT is exact even for
+    // non-subtractable measures.
+    "qc_incr_lateband" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/lateband"
+      val workPath = new Path(work)
+      val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(workPath)) fs.delete(workPath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(splitMicros - 2 * dayUs)) &&
+        col("ts") < splitTs && col("event_id") % 3 === 0
+      ev.filter(col("ts") < splitTs && !isLate)
+        .write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(3))
+      def q(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= splitTs || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1057,6 +1187,32 @@ object CacheQueries {
            min(b.value) AS min_purchase_value,
            max(a.value) AS max_click_value,
            count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
+    "qc_incr_factfilter" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id, value AS pvalue FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           count(*) FILTER (WHERE value > 50) AS n_big_clicks,
+           CAST(sum(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE value > 20) AS DOUBLE) AS sum_mid_click,
+           min(pvalue) FILTER (WHERE pvalue > 10) AS min_big_purchase
+         FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
+    "qc_incr_factdecavg" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           round(CAST(avg(CAST(a.value AS DECIMAL(12,4))) AS DOUBLE), 6)
+             AS avg_click_value,
+           CAST(sum(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_purchase_value
          FROM a JOIN b ON a.user_id = b.user_id
          GROUP BY 1""",
     "qc_incr_factsemi" ->
@@ -1303,6 +1459,15 @@ object CacheQueries {
            SELECT CAST(o_orderdate AS TIMESTAMP) AS ts,
                   o_totalprice AS value FROM orders
          ) u
+         GROUP BY 1""",
+    // vanilla over the FULL table: the warm banded run must have folded
+    // the late-arriving rows back in
+    "qc_incr_lateband" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
          GROUP BY 1"""
   )
 }

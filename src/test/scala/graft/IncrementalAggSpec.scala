@@ -3232,4 +3232,178 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(math.abs(rankOf(got.getDouble(2)) - 0.9) <= 0.02,
       s"p90 rank ${rankOf(got.getDouble(2))}")
   }
+
+  test("factorized join: FILTER-clause measures and decimal avg") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factfilt-a")
+    val workB = tmpDir("factfilt-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def q(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+      a.join(bb, a("user_id") === bb("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          // count(*) FILTER: reference-free measure takes the filter's side
+          expr("count(*) FILTER (WHERE value > 50)").as("n_big"),
+          expr("sum(value) FILTER (WHERE value > 20)").as("sum_mid"),
+          // filtered min on the OTHER side — multiplicity-free
+          expr("min(pvalue) FILTER (WHERE pvalue > 10)").as("min_bigp"),
+          // decimal avg: exact decimal sums in the twin, division cast
+          // back to Spark's decimal avg type in the combine
+          avg(a("value").cast("decimal(12,4)")).as("avg_click"))
+    }
+    def vanilla = q(spark.read.parquet(workA), spark.read.parquet(workB))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB))).collect()
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")),
+      log1.messages)
+    part(late, "click").write.mode("append").parquet(workA)
+    part(late, "purchase").write.mode("append").parquet(workB)
+    val log2 = new RecordingLog
+    val warmDF = QueryCacheSession(spark, cfg(log2))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(warmDF, vanilla)
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")),
+      log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+
+    // guardrail: FILTER on the null-extended side of an outer join bails
+    // (vanilla evaluates the predicate AFTER null-extension — an IS NULL
+    // shape would match null-extended rows the twin never saw)
+    def qOuter(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+      a.join(bb, a("user_id") === bb("user_id"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(expr("count(*) FILTER (WHERE pvalue IS NULL)").as("n_unmatched"))
+    }
+    val logO = new RecordingLog
+    val outerDF = QueryCacheSession(spark, cfg(logO))
+      .run(qOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(!logO.messages.exists(_.startsWith("factorized join: answered")),
+      logO.messages)
+    assertSameRows(outerDF,
+      qOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
+
+    // guardrail: FILTER predicate and measure on different sides bails
+    // (needs a dedicated filtered-multiplicity column — unsupported)
+    def qCross(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+      a.join(bb, a("user_id") === bb("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(expr("sum(value) FILTER (WHERE pvalue > 10)").as("s"))
+    }
+    val logX = new RecordingLog
+    val crossDF = QueryCacheSession(spark, cfg(logX))
+      .run(qCross(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(!logX.messages.exists(_.startsWith("factorized join: answered")),
+      logX.messages)
+    assertSameRows(crossDF,
+      qCross(spark.read.parquet(workA), spark.read.parquet(workB)))
+  }
+
+  test("late re-scan band: late rows fold in, warm scan is band-bounded") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    // every third event in the 2 days below the split arrives LATE —
+    // held out of the cold write, appended together with the fresh rows
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband")
+    graft.sources.Layouts.writeTimeSeriesPartitioned(
+      ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate), work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withTemporalPartitioning("ts_day")
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    graft.sources.Layouts.writeTimeSeriesPartitioned(
+      ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate),
+      work, mode = "append")
+    // the warm scan may read AT MOST the band + appended rows: effective
+    // watermark = UTC day floor of (wm − 3d); the day-partitioned layout
+    // plus the derived ts_day conjunct makes the bound directory-exact
+    val floorUs = (splitUs - 3 * dayUs) / dayUs * dayUs
+    val bandBound = spark.read.parquet(work)
+      .filter(col("ts") >= timestamp_micros(lit(floorUs))).count()
+    val total = spark.read.parquet(work).count()
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    // the warm fact scan runs INSIDE run() (merge + driver put), so the
+    // listener brackets the whole warm cycle, not just the replay collect
+    spark.sparkContext.addSparkListener(listener)
+    val warmDF = try {
+      val df = QueryCacheSession(spark, cfg(None))
+        .run(q(spark.read.parquet(work)))
+      df.collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+      df
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log.messages.exists(_.startsWith("late re-scan band")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // the banded warm answer equals vanilla over the FULL data — the
+    // late rows were folded back in (max(value) included: bucket
+    // REPLACEMENT is exact even for non-subtractable measures)
+    assertSameRows(warmDF, q(eventsFull))
+    assert(recs.sum() > 0 && recs.sum() <= bandBound && bandBound < total,
+      s"warm read ${recs.sum()} rows; band bound $bandBound of $total")
+  }
+
+  test("late re-scan band without a temporal bucket group skips loudly") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband-global")
+    ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    // GLOBAL aggregate: no bucket key, so state rows can't be replaced
+    // at bucket grain — the band must skip with a warning, not corrupt
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate)
+      .write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    val got = warmDF.collect()
+    assert(log.messages.exists(_.contains("band skipped")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // the documented residual: late rows stay missed without a bucket key
+    val expect = q(ev.filter(!isLate)).collect()
+    assert(got.head.getLong(0) == expect.head.getLong(0),
+      s"${got.head} vs $expect — band either corrupted state or silently engaged")
+  }
 }
