@@ -61,10 +61,12 @@ object IncrementalDedup {
   def indexInit(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(indexDir, "keys")}")
-    val w = winners(docs, idCol, textCol)
-    w.write.mode("overwrite").parquet(indexDir)
-    docs.join(w.select(col(idCol)), Seq(idCol), "left_semi")
+    graft.util.WriterLease.withLease(spark, indexDir, "indexInit") {
+      spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(indexDir, "keys")}")
+      val w = winners(docs, idCol, textCol)
+      w.write.mode("overwrite").parquet(indexDir)
+      docs.join(w.select(col(idCol)), Seq(idCol), "left_semi")
+    }
   }
 
   /** Dedup one append batch against the index: returns the batch rows
@@ -83,7 +85,8 @@ object IncrementalDedup {
   def dedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       indexBuckets: Int = 32,
-      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame =
+      graft.util.WriterLease.withLease(spark, indexDir, "dedupAppend") {
     val table = indexTableName(indexDir, "keys")
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -170,7 +173,8 @@ object IncrementalDedup {
       threshold: Double = 0.5, n: Int = 3, k: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
       indexBuckets: Int = 32,
-      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame =
+      graft.util.WriterLease.withLease(spark, indexDir, "nearDedupAppend") {
     val bandsDir = s"$indexDir/bands"
     val sigsDir = s"$indexDir/sigs"
     val bandsTable = indexTableName(indexDir, "bands")
@@ -463,7 +467,8 @@ object IncrementalDedup {
       iters: Int = 6, seed: Long = 42L,
       idCol: String = "vec_id", embCol: String = "embedding",
       indexBuckets: Int = 32,
-      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame =
+      graft.util.WriterLease.withLease(spark, indexDir, "embedDedupAppend") {
     import graft.functions.functions.cosine_similarity
     val vecsDir = s"$indexDir/vecs"
     val modelDir = s"$indexDir/model"
@@ -638,7 +643,8 @@ object IncrementalDedup {
   def spanDedupAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
       gram: Int = 8, idCol: String = "doc_id", textCol: String = "text",
       indexBuckets: Int = 32,
-      bucketReadThresholdBytes: Long = 256L << 20): DataFrame = {
+      bucketReadThresholdBytes: Long = 256L << 20): DataFrame =
+      graft.util.WriterLease.withLease(spark, indexDir, "spanDedupAppend") {
     val gramsDir = s"$indexDir/grams"
     val table = indexTableName(indexDir, "grams")
     val fs = new Path(indexDir)
@@ -753,7 +759,8 @@ object IncrementalDedup {
     * from the new ids' labels until replay). [[compactIndex]] folds the
     * merge log into `labels/` so read-time closure stays shallow. */
   def clusterAppend(spark: SparkSession, indexDir: String, pairs: DataFrame,
-      maxDriverEdges: Long = 1L << 18): Unit = {
+      maxDriverEdges: Long = 1L << 18): Unit =
+      graft.util.WriterLease.withLease(spark, indexDir, "clusterAppend") {
     val labelsDir = s"$indexDir/labels"
     val remapsDir = s"$indexDir/remaps"
     val fs = new Path(indexDir)
@@ -872,7 +879,8 @@ object IncrementalDedup {
   }
 
   def compactIndex(spark: SparkSession, indexDir: String,
-      indexBuckets: Int = 32): Map[String, (Long, Long)] = {
+      indexBuckets: Int = 32): Map[String, (Long, Long)] =
+      graft.util.WriterLease.withLease(spark, indexDir, "compactIndex") {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new Path(p))

@@ -57,7 +57,8 @@ object IncrementalText {
     * duplicates, resolved deterministically to the max text) are dropped,
     * which is also what makes a crash-replayed batch a no-op. */
   def bm25Append(spark: SparkSession, indexDir: String, batch: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): Long = {
+      textCol: String = "text", idCol: String = "doc_id"): Long =
+      graft.util.WriterLease.withLease(spark, indexDir, "bm25Append") {
     val fs = fsOf(spark, indexDir)
     val ids = batch.select(col(idCol)).distinct()
     val novelIds = (if (hasBatches(spark, indexDir))
@@ -146,7 +147,8 @@ object IncrementalText {
     * its duration (the old batch dirs are removed before the compacted
     * one commits). */
   def compactIndex(spark: SparkSession, indexDir: String,
-      partitions: Int = 0): Unit = {
+      partitions: Int = 0): Unit =
+      graft.util.WriterLease.withLease(spark, indexDir, "compactIndex") {
     if (!hasBatches(spark, indexDir)) return
     val fs = fsOf(spark, indexDir)
     val tf0 = spark.read.parquet(s"${committedDir(indexDir)}/*/tf")

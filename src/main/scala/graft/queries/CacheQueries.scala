@@ -1023,6 +1023,30 @@ object CacheQueries {
             count(lit(1)).as("cnt"),
             dsum(col("value")).as("sum_value"))
       }),
+    // SESSION-WINDOW incremental caching: the session_window group key
+    // flows through the machinery as an opaque bucket whose attribute
+    // carries spark.sessionWindow metadata — so the partial-state and
+    // warm-merge aggregations plan Spark's own MergingSessions, merging
+    // OVERLAPPING session rows instead of equal keys. State = merged
+    // sessions (closed ones plus the open frontier); appended rows enter
+    // as provisional (ts, ts+gap) rows and chain onto the frontier
+    // session exactly like the vanilla plan (session merge is associative
+    // over interval-tagged partials). The oracle reproduces Spark's
+    // session semantics with lag/cumulative-sum sessionization.
+    "qc_incr_session" -> ((s, d) =>
+      coldAppendWarm(s, d, "session") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("value")).as("sum_value"),
+            max(col("value")).as("max_value"))
+          .select(
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("event_type"), col("cnt"), col("sum_value"),
+            col("max_value"))
+      }),
     // LATE-DATA re-scan band: a slice of rows with event time BELOW the
     // cold run's watermark (every third event in the 2 days before the
     // split) is HELD OUT of the cold write and lands together with the
@@ -1460,6 +1484,27 @@ object CacheQueries {
                   o_totalprice AS value FROM orders
          ) u
          GROUP BY 1""",
+    // lag/cumulative-sum sessionization: a row chains when it is STRICTLY
+    // within the gap of the previous row (Spark's session end is
+    // exclusive); session end = last ts + gap
+    "qc_incr_session" ->
+      """WITH m AS (
+           SELECT event_type, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+           FROM events WHERE value > 1
+         ), g AS (
+           SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         )
+         SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM g GROUP BY event_type, sid""",
     // vanilla over the FULL table: the warm banded run must have folded
     // the late-arriving rows back in
     "qc_incr_lateband" ->

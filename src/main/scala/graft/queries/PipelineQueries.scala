@@ -164,6 +164,14 @@ object PipelineQueries {
       TextAnalysis.chunksByTokenBudget(documents(s, d), budget = 48,
         tokenizer = graft.operators.BpeBytesTokenizer(
           graft.operators.BpeBytesTokenizer.demoMerges))),
+    // BPE merge TRAINING — the learning half of the tokenizer seam: a
+    // distributed pair-count/argmax/merge loop over the distinct-word
+    // table learns the ranked merges [[BpeTokenizer.fromTable]] loads.
+    // The oracle replays the identical algorithm as 8 unrolled SQL
+    // stages (materialized CTEs; left-to-right `replace` over a
+    // bracket-delimited symbol string == the trainer's greedy fold).
+    "q_text_bpe_train" -> ((s, d) =>
+      graft.operators.BpeTrainer.trainDF(documents(s, d), numMerges = 8)),
     // Gopher-style intra-document repetition signals: dup word / bigram /
     // line fractions — pure codegen map stage, zero shuffles
     "q_text_repetition" -> ((s, d) =>
@@ -1165,6 +1173,44 @@ object PipelineQueries {
                FROM bpe) z
          WHERE rn = 1)"""
 
+  /** The BPE-training oracle, generated for k merges: stage i counts
+    * adjacent pairs of the bracket-delimited segmentation, argmaxes with
+    * the trainer's exact tie-break, and replace()-applies the merge. */
+  private def bpeTrainOracle(k: Int): String = {
+    val stages = (0 until k).map { i =>
+      s"""pairs_$i AS MATERIALIZED (
+           SELECT lst[j] AS a, lst[j + 1] AS b, freq
+           FROM (SELECT string_split(trim(seg, '<>'), '><') AS lst, freq
+                 FROM seg_$i),
+                UNNEST(range(1, len(lst))) AS t(j)
+         ),
+         best_$i AS MATERIALIZED (
+           SELECT a, b FROM pairs_$i GROUP BY a, b
+           ORDER BY sum(freq) DESC, a, b LIMIT 1
+         ),
+         seg_${i + 1} AS MATERIALIZED (
+           SELECT replace(seg,
+             '<' || (SELECT a FROM best_$i) || '><' ||
+               (SELECT b FROM best_$i) || '>',
+             '<' || (SELECT a || b FROM best_$i) || '>') AS seg, freq
+           FROM seg_$i
+         )"""
+    }
+    val union = (0 until k)
+      .map(i => s"SELECT $i AS rank, a, b FROM best_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH words0 AS MATERIALIZED (
+         SELECT w AS word, count(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+         WHERE w <> '' GROUP BY 1
+       ),
+       seg_0 AS MATERIALIZED (
+         SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seg, freq
+         FROM words0
+       ),${stages.mkString(",")}
+       $union"""
+  }
+
   val oracle: Map[String, String] = Map(
     // PQ + 256-deep exact rerank returns exactly the brute-force top-k
     // on this corpus (shortlist ⊇ true top-10 verified at every SF)
@@ -1864,6 +1910,16 @@ object PipelineQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS before
                 FROM dt) u""",
+    // BPE TRAINING replayed as 8 unrolled SQL stages (one per learned
+    // merge; generated — see bpeTrainOracle). Each stage counts adjacent
+    // symbol pairs from a bracket-delimited segmentation string, takes
+    // the (count DESC, a, b) argmax, and applies the merge with a plain
+    // left-to-right `replace` — which equals the trainer's greedy fold
+    // because every symbol is fully bracket-delimited (no cross-boundary
+    // false matches) and SQL replace consumes matches left-to-right.
+    // CTEs are MATERIALIZED: the naive inlining re-expands each stage ~3x
+    // per level — exponential in the merge count.
+    "q_text_bpe_train" -> bpeTrainOracle(8),
     // BPE family: btok replays the pinned merge order per distinct word
     "q_text_bpe" ->
       s"""WITH RECURSIVE $bpePrelude,

@@ -3310,6 +3310,67 @@ class IncrementalAggSpec extends AnyFunSuite {
       qCross(spark.read.parquet(workA), spark.read.parquet(workB)))
   }
 
+  test("session windows: warm equals vanilla, open frontier chains across the seam") {
+    // session_window grouping flows through the generic machinery as an
+    // opaque bucket key (like tumbling structs) — with one crucial twist:
+    // the group attribute carries spark.sessionWindow metadata, so every
+    // re-grouping (partial state, warm union merge) plans Spark's own
+    // MergingSessions, which merges OVERLAPPING session rows instead of
+    // equal keys. Session merge is associative over interval-tagged
+    // partials (transitive interval overlap = the row-level gap chaining),
+    // so state-sessions ∪ delta-provisional-rows re-merge EXACTLY —
+    // including a session left open at the watermark that new rows extend.
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("event_type"), col("cnt"), col("sum_value"), col("max_value"))
+    val (warmDF, log) = coldAppendWarm("session")(q)
+    assertSameRows(warmDF, q(eventsFull))
+    assert(log.messages.count(_.startsWith("cache miss")) == 1, log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+
+    // frontier proof with a WIDE gap (12h ≫ the ~3.6h median event
+    // spacing): most sessions chain, so the session left open at the
+    // watermark is guaranteed to absorb delta rows — if equal-key
+    // grouping ever replaced MergingSessions here, the straddling
+    // session would come back split in two and the compare would fail.
+    // Also exercises the DURABLE store: the sessionWindow metadata must
+    // survive the parquet state round-trip for the warm merge to plan
+    // MergingSessions at all.
+    def qWide(df: DataFrame) = df
+      .groupBy(session_window(col("ts"), "12 hours"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("cnt"), col("min_value"))
+    val (early, late, splitUs) = split()
+    val work = tmpDir("session-wide")
+    early.write.mode("overwrite").parquet(work)
+    val cacheDir = tmpDir("session-wide-cache")
+    val cache = new graft.cache.ParquetQueryCache(cacheDir)
+    val log2 = new RecordingLog
+    QueryCacheSession(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs),
+      log = log2)).run(qWide(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    // fresh durable handle: state must round-trip through parquet
+    val warm2 = QueryCacheSession(spark, QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir),
+      defaultTemporalColumn = "ts", log = log2))
+      .run(qWide(spark.read.parquet(work)))
+    assertSameRows(warm2, qWide(eventsFull))
+    assert(log2.messages.count(_.startsWith("cache hit")) == 1, log2.messages)
+    // the straddling session really exists: some cold-state session must
+    // have been extended (its end grew past the split watermark)
+    val straddle = qWide(eventsFull).filter(
+      col("session_start") < timestamp_micros(lit(splitUs)) &&
+        col("session_end") > timestamp_micros(lit(splitUs))).count()
+    assert(straddle > 0, "no session straddles the split — test is vacuous")
+  }
+
   test("late re-scan band: late rows fold in, warm scan is band-bounded") {
     val ev = eventsFull
     val splitUs = ev

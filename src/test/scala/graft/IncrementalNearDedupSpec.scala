@@ -391,4 +391,40 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     val report = IncrementalDedup.compactIndex(spark, idx)
     assert(report(s"$idx/grams")._1 == report(s"$idx/grams")._2)
   }
+
+  test("durable indexes are single-writer: a second live writer fails fast") {
+    import graft.util.WriterLease
+    val idx = IncrementalDedup.scratchIndexDir(spark, "lease-race")
+    val docs = Tables.documents(spark, sf0001).limit(20)
+    IncrementalDedup.indexInit(docs, idx)
+    // writer 1 holds the lease (an in-flight append); writer 2 must fail
+    // FAST with a diagnosable error instead of interleaving appends with
+    // a possible compaction and corrupting the only durable copy
+    WriterLease.withLease(spark, idx, "holder") {
+      val e = intercept[WriterLease.ConcurrentWriterException] {
+        IncrementalDedup.dedupAppend(spark, idx, docs)
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+      assert(e.getMessage.contains("holder"), e.getMessage)
+    }
+    // lease released on every exit path: the next append proceeds
+    IncrementalDedup.dedupAppend(spark, idx, docs).collect()
+    // and the lease file lives OUTSIDE the index dir, so the flat
+    // parquet listing never sees it and promotion's dir swap can't
+    // silently drop it
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".writer.lease")))
+
+    // a crashed writer's STALE lease is broken after the horizon: a
+    // leftover lease older than staleMs must not wedge the pipeline
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(idx.stripSuffix("/") + ".writer.lease"),
+      false)
+    out.write("crashed@0\n".getBytes("UTF-8")); out.close()
+    Thread.sleep(20)
+    var ran = false
+    WriterLease.withLease(spark, idx, "breaker", staleMs = 1L) { ran = true }
+    assert(ran, "stale lease was not broken")
+  }
 }

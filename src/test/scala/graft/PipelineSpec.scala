@@ -1430,4 +1430,33 @@ class PipelineSpec extends AnyFunSuite {
       .count()
     assert(shortNonLast == 0)
   }
+
+  test("BPE trainer: greedy overlap semantics, round-trip into the tokenizer") {
+    import graft.operators.{BpeTokenizer, BpeTrainer}
+    val sp = spark
+    import sp.implicits._
+    // hand case pinning the reference semantics: "aaa" x3 + "ab" x2.
+    // pair counts round 1: (a,a)=6 (overlapping occurrences BOTH count),
+    // (a,b)=2 -> merge (a,a); applied LEFT-TO-RIGHT greedily "aaa"
+    // becomes [aa, a] (not [a, aa]). Round 2 counts (aa,a)=3, (a,b)=2
+    // -> merge (aa,a).
+    val tiny = Seq.fill(3)("aaa").map(Tuple1(_)) ++ Seq.fill(2)("ab").map(Tuple1(_))
+    val m = BpeTrainer.train(tiny.toDF("text"), numMerges = 2)
+    assert(m == Seq((0, "a", "a"), (1, "aa", "a")), m.toString)
+
+    // trained merges load straight into the inference tokenizer: with
+    // (a,a) then (aa,a) learned, "aaaa" tokenizes to [aa+a, a] = 2 pieces
+    // under rank order (rank-0 merge applies everywhere first)
+    val tok = BpeTokenizer.fromTable(
+      BpeTrainer.trainDF(tiny.toDF("text"), numMerges = 2))
+    val n = Seq(Tuple1("aaaa")).toDF("t")
+      .select(tok.count($"t").as("n")).first().getLong(0)
+    assert(n == 2L, s"expected 2 BPE pieces for 'aaaa', got $n")
+
+    // deterministic tie-break: equal counts resolve to the
+    // lexicographically smallest (a, b)
+    val ties = Seq("xy", "ab").map(Tuple1(_))
+    val t = BpeTrainer.train(ties.toDF("text"), numMerges = 1)
+    assert(t == Seq((0, "a", "b")), t.toString)
+  }
 }
