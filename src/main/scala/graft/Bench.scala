@@ -125,10 +125,13 @@ object Bench {
     // systematically on whichever leg always runs second, biasing every
     // per-rep ratio the same way — alternation turns that drift into
     // symmetric noise the median absorbs.
-    // default 5 (was 7 through r10): the r10 driver bench overran its
-    // wall-clock window (rc=124); 5 paired reps keep a median that absorbs
-    // two outliers while cutting the incremental section ~30%
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // 7 paired reps: at ×8192 each leg is seconds, so reps cost ~6 s each
+    // while the median's robustness grows — the r11 trial at 5 reps saw
+    // per-rep overhead ratios swing 0.28–2.01 on identical scans (IO
+    // noise) and the median land outside the gate. The r10 wall-clock
+    // blowup came from the 2× query pass and the ×16384 table build, not
+    // reps; the whole 7-rep run fits ~15 min.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val caches = Vector.fill(reps)(new MemoryQueryCache())
 

@@ -544,27 +544,41 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case (Some(cs), Some(band)) if band > 0 =>
         import org.apache.spark.sql.catalyst.expressions.Literal
         val tDt = c.temporalAttr.dataType
+        // (group index, bucket floor of wm − band, key-is-window-struct):
+        // date_trunc keys floor through the trunc expression itself;
+        // tumbling-window keys floor with the window arithmetic
+        // (t − ((t − start) mod D)), any anchor. Session windows can't
+        // band at a fixed floor — a frontier session ending past the
+        // floor may START before it, and its early rows would not be
+        // re-read — so they fall through to the loud skip.
         val floorOpt =
           if (c.agg.child.exists(_.isInstanceOf[Expand])) None
           else temporalBucketTrunc(c).flatMap { case (gIdx, trunc) =>
             Option(trunc.copy(timestamp =
               Literal(cs.timestampMicros - band, tDt)).eval())
-              .collect { case b: Long => (gIdx, b) }
-          }
+              .collect { case b: Long => (gIdx, b, false) }
+          }.orElse(tumblingShape(c).map { sh =>
+            val t = cs.timestampMicros - band
+            val m0 = (t - sh.startUs) % sh.durationUs
+            val m = if (m0 < 0) m0 + sh.durationUs else m0
+            (sh.gIdx, t - m, true)
+          })
         floorOpt match {
-          case Some((gIdx, b)) if b < cs.timestampMicros =>
+          case Some((gIdx, b, isStruct)) if b < cs.timestampMicros =>
             config.log.info(c.fingerprint,
               s"late re-scan band: effective watermark ${cs.timestampMicros} " +
                 s"-> $b (band buckets dropped from state and re-scanned)")
             val gName = s"_g$gIdx"
+            val keyCol = if (isStruct) col(s"$gName.start") else col(gName)
             Some(graft.cache.CachedState(b, cs.schema, s =>
-              cs.read(s).filter(col(gName) < Shims.column(Literal(b, tDt)) ||
-                col(gName).isNull)))
+              cs.read(s).filter(keyCol < Shims.column(Literal(b, tDt)) ||
+                keyCol.isNull)))
           case _ =>
             config.log.warn(c.fingerprint,
-              "lateRescanBand declared but the query has no plain " +
-                "date_trunc temporal bucket group — band skipped, normal " +
-                "watermark used (bucket replacement needs the bucket key)")
+              "lateRescanBand declared but the query has no date_trunc " +
+                "or tumbling-window temporal bucket group — band skipped, " +
+                "normal watermark used (bucket replacement needs the " +
+                "bucket key)")
             entry
         }
       case _ => entry
@@ -1541,10 +1555,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   /** The analyzer's tumbling TimeWindowing plan shape, structurally
     * verified: Project(windowStruct alias +: pass-through child output,
     * Filter(isnotnull(ts), child)), one bucketing Remainder literal D,
-    * every long literal in the struct ∈ {0, D} (custom startTime fails
-    * the match). Shared by retumble and rewindow. */
+    * one startTime literal S (the Remainder's left operand is always
+    * `conv(ts) − S`; the default start is S = 0), every long literal in
+    * the struct ∈ {0, D, S}. Shared by retumble and rewindow; consumers
+    * that assume epoch alignment must check startUs == 0. */
   private final case class TumblingShape(wAlias: Alias,
-      rest: Seq[NamedExpression], flt: Filter, gIdx: Int, durationUs: Long)
+      rest: Seq[NamedExpression], flt: Filter, gIdx: Int, durationUs: Long,
+      startUs: Long)
 
   private def tumblingShape(c: Cacheable): Option[TumblingShape] = {
     import org.apache.spark.sql.catalyst.expressions.{IsNotNull, Literal}
@@ -1576,20 +1593,32 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case _ => false
     }) return None
     val struct0 = wAlias.child
-    val ds = struct0.collect {
+    val rems = struct0.collect {
       case r: org.apache.spark.sql.catalyst.expressions.Remainder
           if r.right.isInstanceOf[Literal] && r.right.dataType == LongType &&
-            r.right.asInstanceOf[Literal].value.isInstanceOf[Long] =>
-        r.right.asInstanceOf[Literal].value.asInstanceOf[Long]
-    }.distinct
+            r.right.asInstanceOf[Literal].value.isInstanceOf[Long] => r
+    }
+    val ds = rems.map(_.right.asInstanceOf[Literal].value.asInstanceOf[Long])
+      .distinct
     val d = ds match {
       case Seq(v) if v > 0 => v
       case _ => return None
     }
-    // pinned default-startTime shape: every long literal is 0 or D
+    // the startTime offset: the Remainder's left operand is always
+    // `conv(ts) − S` (S = 0 for the default anchor)
+    val starts = rems.map(_.left match {
+      case org.apache.spark.sql.catalyst.expressions.Subtract(
+          _, Literal(s: Long, LongType), _) => s
+      case _ => return None
+    }).distinct
+    val startUs = starts match {
+      case Seq(v) if v >= 0 && v < d => v
+      case _ => return None
+    }
+    // pinned shape: every long literal is 0, D, or the start offset
     if (!struct0.collect { case Literal(v: Long, LongType) => v }
-        .forall(v => v == 0L || v == d)) return None
-    Some(TumblingShape(wAlias, rest, flt, gIdx, d))
+        .forall(v => v == 0L || v == d || v == startUs)) return None
+    Some(TumblingShape(wAlias, rest, flt, gIdx, d, startUs))
   }
 
   private def retumbleFromFinerState(c: Cacheable, stateSchema: StructType)
@@ -1597,8 +1626,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.LongType
     if (!config.regrainFromFinerState) return None
-    val TumblingShape(wAlias, rest, flt, gIdx, d) =
+    val TumblingShape(wAlias, rest, flt, gIdx, d, startUs) =
       tumblingShape(c).getOrElse(return None)
+    // the divisor-ladder nesting argument assumes epoch-aligned windows;
+    // a custom anchor (startTime) does not nest against the ladder
+    if (startUs != 0L) return None
     val struct0 = wAlias.child
     val gName = s"_g$gIdx"
     val ladder = Seq(86400L, 43200L, 21600L, 14400L, 10800L, 7200L, 3600L,
@@ -1666,13 +1698,21 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       : Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
     if (!config.regrainFromFinerState) return None
-    val TumblingShape(wAlias, _, flt, gIdx, d) =
+    val TumblingShape(wAlias, _, flt, gIdx, d, startUs) =
       tumblingShape(c).getOrElse(return None)
-    val fmt = d match {
-      case 1000000L => "second"
-      case 60000000L => "minute"
-      case 3600000000L => "hour"
-      case 86400000000L => "day"
+    // calendar-grain equivalents. Epoch-anchored (startTime = 0):
+    // second/minute/hour/day. WEEK is the shifted-anchor case:
+    // date_trunc('week') anchors MONDAY while epoch (1970-01-01) is a
+    // Thursday, so the week-equivalent window is
+    // `window(ts, '7 days', '7 days', '4 days')` — startTime 4 days
+    // lands the buckets on Mondays (verified equal in UTC; the UTC
+    // session gate below covers both cases).
+    val fmt = (d, startUs) match {
+      case (1000000L, 0L) => "second"
+      case (60000000L, 0L) => "minute"
+      case (3600000000L, 0L) => "hour"
+      case (86400000000L, 0L) => "day"
+      case (604800000000L, 345600000000L) => "week"
       case _ => return None
     }
     val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
@@ -2036,7 +2076,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // reconstitutes the original aggregate from state × the other
     // side's multiplicity
     final case class FM(left: Boolean, twinCols: Seq[(String, Column)],
-        combine: Column)
+        combine: Column,
+        /** columns this measure needs on the OPPOSITE side's twin (the
+          * filtered-multiplicity column of a cross-side FILTER) */
+        otherCols: Seq[(String, Column)] = Nil)
     def sideOf(e: Expression): Option[Boolean] =
       if (e.references.subsetOf(leftOut)) Some(true)
       else if (e.references.subsetOf(rightOut)) Some(false)
@@ -2063,38 +2106,45 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val inlAggExprs = aggExprs.map(ae =>
       inline(ae).asInstanceOf[AggregateExpression])
     val fms: Seq[FM] = inlAggExprs.zipWithIndex.map { case (ae, i) =>
-      // FILTER clause: a side-pure predicate commutes into that side's
-      // twin exactly like a WHERE conjunct — the twin's aggregate carries
-      // the FILTER itself (`sum(x) FILTER (WHERE p)` per key × group) and
-      // the combine scales as usual. Like WHERE conjuncts it must not sit
-      // on a null-extendable side: vanilla evaluates it AFTER
-      // null-extension, so an `IS NULL`-shaped predicate would match
-      // null-extended rows the twin never saw. The predicate must also
-      // share the measure's side — a cross-pairing (sum(a.x) FILTER
-      // (WHERE b.y > 0)) needs a dedicated filtered-multiplicity column
-      // and stays bailed.
+      // FILTER clause: a side-pure predicate on the MEASURE'S OWN side
+      // commutes into that side's twin exactly like a WHERE conjunct —
+      // the twin's aggregate carries the FILTER itself (`sum(x) FILTER
+      // (WHERE p)` per key × group) and the combine scales as usual.
+      // Like WHERE conjuncts it must not sit on a null-extendable side:
+      // vanilla evaluates it AFTER null-extension, so an `IS NULL`-shaped
+      // predicate would match null-extended rows the twin never saw.
+      // A CROSS-pairing (`sum(a.x) FILTER (WHERE p(b))`) factorizes over
+      // INNER joins through a dedicated FILTERED-MULTIPLICITY column on
+      // the predicate's side (fn = count of that side's rows passing p,
+      // per key × group): every joined row pairs one X row with one Y
+      // row, so Σ_rows x·[p(y)] = Σ_keys sumX_k(x)·cntYp_k, min/max
+      // qualify where fn > 0, and avg divides the fn-scaled sums. Outer
+      // joins bail (a missing partner's multiplicity under a predicate
+      // is not 1) and semi/anti bail (no multiplicity to filter).
       val filtSide: Option[Boolean] = ae.filter match {
         case None => None
         case Some(p) =>
           if (!p.deterministic || hasSub(Seq(p)))
             return bail(s"non-deterministic or subquery FILTER: ${ae.sql}")
           val sd = sideOf(p).getOrElse(
-            return bail(s"cross-side FILTER predicate: ${ae.sql}"))
+            return bail(s"FILTER predicate references both sides: ${ae.sql}"))
           if (if (sd) aNullable else bNullable)
             return bail(
               s"FILTER on the null-extended side of an outer join: ${ae.sql}")
           Some(sd)
       }
-      // measure side, reconciled with the FILTER predicate's side
-      // (count(*) FILTER takes the filter's side directly in its case). A
-      // function value, not a def: `return bail` must leave the enclosing
-      // rewrite, not the helper.
-      val withFilt: Option[Boolean] => Option[Boolean] = {
-        case Some(sd) if filtSide.exists(_ != sd) =>
-          return bail(
-            s"FILTER predicate and measure on different sides: ${ae.sql}")
-        case other => other
-      }
+      // cross = predicate on the OPPOSITE side of the measure. A function
+      // value, not a def: `return bail` must leave the enclosing rewrite.
+      val crossOf: Boolean => Boolean = mSide =>
+        filtSide.exists(_ != mSide) && {
+          if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+            return bail("cross-side FILTER factorizes over inner joins " +
+              s"only: ${ae.sql}")
+          true
+        }
+      // the filtered-multiplicity column on the predicate's side
+      def fnSpec: (String, Column) = (s"${pfx(filtSide.get)}f$i",
+        fcount(when(Shims.column(ae.filter.get), lit(1))))
       ae.aggregateFunction match {
         // count(DISTINCT x): multiplicity-FREE like min/max, so the twin
         // keeps the distinct set per (key × group) — the same set-union
@@ -2104,23 +2154,34 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           import org.apache.spark.sql.functions.{array_distinct, collect_list,
             collect_set, flatten, size => fsize}
           val e0 = c.children.head
-          val sd = withFilt(sideOf(e0)).getOrElse(
+          val sd = sideOf(e0).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
-          // FILTER folds into the collected value: when(p, e) is NULL on
-          // rejected rows and collect_set skips NULLs — the set is exactly
-          // the distinct e over rows passing p, like the vanilla plan
-          val e = ae.filter match {
-            case Some(p) => org.apache.spark.sql.catalyst.expressions.If(
-              p, e0, org.apache.spark.sql.catalyst.expressions.Literal(
-                null, e0.dataType))
-            case None => e0
+          if (crossOf(sd)) {
+            // cross-side FILTER: keep the full per-key distinct set on
+            // the measure's side; the combine only unions sets of keys
+            // whose partner has fn > 0 rows passing the predicate
+            val n = s"${pfx(sd)}d$i"
+            FM(sd, Seq(n -> collect_set(Shims.column(e0))),
+              fsize(array_distinct(flatten(collect_list(
+                when(col(fnSpec._1) > 0, col(n)))))),
+              otherCols = Seq(fnSpec))
+          } else {
+            // same-side FILTER folds into the collected value: when(p, e)
+            // is NULL on rejected rows and collect_set skips NULLs — the
+            // set is exactly the distinct e over rows passing p
+            val e = ae.filter match {
+              case Some(p) => org.apache.spark.sql.catalyst.expressions.If(
+                p, e0, org.apache.spark.sql.catalyst.expressions.Literal(
+                  null, e0.dataType))
+              case None => e0
+            }
+            if (!nullFaithful(e, sd)) return bail(
+              s"measure expression on the null-extended side of an outer " +
+                s"join (bare columns only): ${ae.sql}")
+            val n = s"${pfx(sd)}d$i"
+            FM(sd, Seq(n -> collect_set(Shims.column(e))),
+              fsize(array_distinct(flatten(collect_list(col(n))))))
           }
-          if (!nullFaithful(e, sd)) return bail(
-            s"measure expression on the null-extended side of an outer " +
-              s"join (bare columns only): ${ae.sql}")
-          val n = s"${pfx(sd)}d$i"
-          FM(sd, Seq(n -> collect_set(Shims.column(e))),
-            fsize(array_distinct(flatten(collect_list(col(n))))))
         case _ if ae.isDistinct =>
           return bail(s"DISTINCT aggregate not factorizable: ${ae.sql}")
         // count(*): matched keys contribute cntA·cntB rows; a preserved
@@ -2142,54 +2203,88 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 coalesce(fsum(scale(col(s"${pfx(sd)}m$i"), sd)), lit(0L)))
           }
         case c: Count =>
-          val s = withFilt(sideOf(c)).getOrElse(
+          val s = sideOf(c).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!c.children.forall(nullFaithful(_, s))) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
-          FM(s, Seq(s"${pfx(s)}m$i" -> Shims.column(ae)),
+          if (crossOf(s))
+            // count(x) FILTER p(other): per key, cntX(x) rows each pair
+            // with exactly fn partner rows passing p
+            FM(s, Seq(s"${pfx(s)}m$i" ->
+              Shims.column(ae.copy(filter = None))),
+              coalesce(fsum(col(s"${pfx(s)}m$i") * col(fnSpec._1)), lit(0L)),
+              otherCols = Seq(fnSpec))
+          else FM(s, Seq(s"${pfx(s)}m$i" -> Shims.column(ae)),
             coalesce(fsum(scale(col(s"${pfx(s)}m$i"), s)), lit(0L)))
         case s: Sum =>
-          val sd = withFilt(sideOf(s)).getOrElse(
+          val sd = sideOf(s).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(s.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
-          FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+          if (crossOf(sd))
+            // fn = 0 keys must contribute NOTHING (not 0): a group whose
+            // every partner fails the predicate sums over no rows, which
+            // is NULL — gate with when(fn > 0, ...) so fsum skips them
+            FM(sd, Seq(s"${pfx(sd)}m$i" ->
+              Shims.column(ae.copy(filter = None))),
+              fsum(when(col(fnSpec._1) > 0,
+                col(s"${pfx(sd)}m$i") * col(fnSpec._1))),
+              otherCols = Seq(fnSpec))
+          else FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fsum(scale(col(s"${pfx(sd)}m$i"), sd)))
         case m: Min =>
-          val sd = withFilt(sideOf(m)).getOrElse(
+          val sd = sideOf(m).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(m.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
-          FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+          if (crossOf(sd))
+            // min/max are multiplicity-free: a key's value qualifies iff
+            // ANY partner row passes the predicate
+            FM(sd, Seq(s"${pfx(sd)}m$i" ->
+              Shims.column(ae.copy(filter = None))),
+              fmin(when(col(fnSpec._1) > 0, col(s"${pfx(sd)}m$i"))),
+              otherCols = Seq(fnSpec))
+          else FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fmin(col(s"${pfx(sd)}m$i")))
         case m: Max =>
-          val sd = withFilt(sideOf(m)).getOrElse(
+          val sd = sideOf(m).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(m.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
-          FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
+          if (crossOf(sd))
+            FM(sd, Seq(s"${pfx(sd)}m$i" ->
+              Shims.column(ae.copy(filter = None))),
+              fmax(when(col(fnSpec._1) > 0, col(s"${pfx(sd)}m$i"))),
+              otherCols = Seq(fnSpec))
+          else FM(sd, Seq(s"${pfx(sd)}m$i" -> Shims.column(ae)),
             fmax(col(s"${pfx(sd)}m$i")))
         case a: Average =>
-          val sd = withFilt(sideOf(a)).getOrElse(
+          val sd = sideOf(a).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(a.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
               s"join (bare columns only): ${ae.sql}")
           val (sn, cn) = (s"${pfx(sd)}s$i", s"${pfx(sd)}c$i")
-          // a FILTER folds into the summed/counted value: when(p, child)
-          // is NULL on rejected rows and sum/count skip NULLs.
+          val cross = crossOf(sd)
+          // a same-side FILTER folds into the summed/counted value:
+          // when(p, child) is NULL on rejected rows and sum/count skip
+          // NULLs. A cross-side FILTER keeps the twin sums unfiltered
+          // and weights them by fn in the combine.
           // Decimal input keeps the exact decimal sum (same contract as
           // the single-table path, rewrite/Decompose Average case); the
           // combine's division result is cast back to the original avg
           // type by rewriteOut's Cast, so precision/scale match vanilla.
           val childC = ae.filter match {
-            case Some(p) => when(Shims.column(p), Shims.column(a.child))
-            case None => Shims.column(a.child)
+            case Some(p) if !cross =>
+              when(Shims.column(p), Shims.column(a.child))
+            case _ => Shims.column(a.child)
           }
+          def weigh(cc: Column): Column =
+            if (cross) cc * col(fnSpec._1) else scale(cc, sd)
           val combine = a.child.dataType match {
             case dt: org.apache.spark.sql.types.DecimalType =>
               // type-controlled exact division: the multiplicity scaling
@@ -2204,11 +2299,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               // (Numerator magnitudes beyond 10^(30−s) would overflow to
               // NULL — far past any realistic aggregate.)
               import org.apache.spark.sql.types.DecimalType
-              fsum(scale(col(sn), sd)).cast(DecimalType(30, dt.scale)) /
-                fsum(scale(col(cn), sd)).cast(DecimalType(12, 0))
-            case _ => fsum(scale(col(sn), sd)) / fsum(scale(col(cn), sd))
+              fsum(weigh(col(sn))).cast(DecimalType(30, dt.scale)) /
+                fsum(weigh(col(cn))).cast(DecimalType(12, 0))
+            case _ => fsum(weigh(col(sn))) / fsum(weigh(col(cn)))
           }
-          FM(sd, Seq(sn -> fsum(childC), cn -> fcount(childC)), combine)
+          FM(sd, Seq(sn -> fsum(childC), cn -> fcount(childC)), combine,
+            otherCols = if (cross) Seq(fnSpec) else Nil)
         case other =>
           return bail(s"measure not factorizable over a join: ${other.sql}" +
             " (count/sum/min/max/avg only)")
@@ -2227,12 +2323,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       pairs.zipWithIndex.map { case ((l, _), i) => Shims.column(l).as(s"_ka$i") },
       inlGroups.zipWithIndex.collect {
         case (g, jx) if groupSide(jx) => Shims.column(g).as(s"_ga$jx") },
-      ("_acnt" -> fcount(lit(1))) +: fms.filter(_.left).flatMap(_.twinCols))
+      ("_acnt" -> fcount(lit(1))) +: (fms.filter(_.left).flatMap(_.twinCols)
+        ++ fms.filterNot(_.left).flatMap(_.otherCols)))
     val twinB = twinDF(j.right, rFilters.toSeq,
       pairs.zipWithIndex.map { case ((_, r), i) => Shims.column(r).as(s"_kb$i") },
       inlGroups.zipWithIndex.collect {
         case (g, jx) if !groupSide(jx) => Shims.column(g).as(s"_gb$jx") },
-      ("_bcnt" -> fcount(lit(1))) +: fms.filterNot(_.left).flatMap(_.twinCols))
+      ("_bcnt" -> fcount(lit(1))) +: (fms.filterNot(_.left)
+        .flatMap(_.twinCols) ++ fms.filter(_.left).flatMap(_.otherCols)))
 
     // both twins must pass the decision BEFORE either executes — a
     // one-sided state job for a query that then runs vanilla is pure

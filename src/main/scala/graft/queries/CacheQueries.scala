@@ -501,6 +501,33 @@ object CacheQueries {
         .select(col("w.start").as("ws"), col("w.end").as("we"),
           col("cnt"), col("sum_value"), col("min_value"))
     }),
+    // WEEK re-spelling — the shifted-anchor case: date_trunc('week')
+    // anchors MONDAY while epoch is a Thursday, so the equivalent window
+    // spelling is window(ts, '7 days', '7 days', startTime='4 days').
+    // Only the day-trunc spelling is ever warmed; the week-window query
+    // answers by regrain (day ⊂ week) + rewindow re-key, no fact rescan.
+    "qc_incr_rewindow_week" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "rewindowwk")
+      val cache = new MemoryQueryCache()
+      def dtq(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      def winq(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(dtq(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(dtq(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(winq(s.read.parquet(work)))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("cnt"), col("sum_value"), col("max_value"))
+    }),
     // continuous HIGH-CARDINALITY domain through the cache cycle: a
     // per-row jitter makes every value distinct (~10k per month-group),
     // pushing the percentile state past the sketch threshold (4096), so
@@ -685,7 +712,11 @@ object CacheQueries {
           expr("CAST(sum(CAST(value AS DECIMAL(18,4))) " +
             "FILTER (WHERE value > 20) AS DOUBLE)").as("sum_mid_click"),
           expr("min(pvalue) FILTER (WHERE pvalue > 10)")
-            .as("min_big_purchase"))
+            .as("min_big_purchase"),
+          // CROSS-side pairing: purchase sum gated by a click predicate —
+          // the click twin carries the filtered-multiplicity column
+          expr("CAST(sum(CAST(pvalue AS DECIMAL(18,4))) " +
+            "FILTER (WHERE value > 50) AS DOUBLE)").as("sum_purch_bigclick"))
       def cfg(now: Option[Long]) = QueryCacheConfig(cache,
         defaultTemporalColumn = "ts", overrideNowMicros = now)
       QueryCacheSession(s, cfg(Some(splitMicros)))
@@ -1223,7 +1254,9 @@ object CacheQueries {
            count(*) FILTER (WHERE value > 50) AS n_big_clicks,
            CAST(sum(CAST(value AS DECIMAL(18,4)))
              FILTER (WHERE value > 20) AS DOUBLE) AS sum_mid_click,
-           min(pvalue) FILTER (WHERE pvalue > 10) AS min_big_purchase
+           min(pvalue) FILTER (WHERE pvalue > 10) AS min_big_purchase,
+           CAST(sum(CAST(pvalue AS DECIMAL(18,4)))
+             FILTER (WHERE value > 50) AS DOUBLE) AS sum_purch_bigclick
          FROM a JOIN b ON a.user_id = b.user_id
          GROUP BY 1""",
     "qc_incr_factdecavg" ->
@@ -1333,6 +1366,15 @@ object CacheQueries {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value
+         FROM events WHERE value > 1
+         GROUP BY 1, 2""",
+    // Monday-anchored weeks == date_trunc('week') buckets
+    "qc_incr_rewindow_week" ->
+      """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS ws,
+           CAST(date_trunc('week', ts) + INTERVAL '7 days' AS TIMESTAMP) AS we,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
          FROM events WHERE value > 1
          GROUP BY 1, 2""",
     "qc_incr_rerange" ->

@@ -2701,6 +2701,30 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(flat(oddDF), flat(win("30 minutes")(eventsFull)), tol = 1e-9)
     assert(!logOdd.messages.exists(_.startsWith("rewindow hit")), logOdd.messages)
 
+    // WEEK — the shifted-anchor case: date_trunc('week') anchors MONDAY
+    // while epoch (1970-01-01) is a Thursday, so the week-equivalent
+    // spelling is window(ts, '7 days', '7 days', startTime = '4 days').
+    // Composes with regrain like the day case: the week-trunc twin lifts
+    // the warm HOUR-trunc state (hour ⊂ week), then rewindow re-keys it.
+    def winWeek(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"))
+    val logW = new RecordingLog
+    val weekDF = QueryCacheSession(spark, cfg(logW))
+      .run(winWeek(spark.read.parquet(work)))
+    assertSameRows(flat(weekDF), flat(winWeek(eventsFull)), tol = 1e-9)
+    assert(logW.messages.exists(_.startsWith("rewindow hit")), logW.messages)
+    assert(logW.messages.exists(_.startsWith("regrain hit")), logW.messages)
+
+    // the EPOCH-anchored 7-day window (Thursday buckets) has NO calendar
+    // equivalent and must NOT borrow Monday-anchored week-trunc state
+    val logT = new RecordingLog
+    val thuDF = QueryCacheSession(spark, cfg(logT))
+      .run(win("7 days")(spark.read.parquet(work)))
+    assertSameRows(flat(thuDF), flat(win("7 days")(eventsFull)), tol = 1e-9)
+    assert(!logT.messages.exists(_.startsWith("rewindow hit")), logT.messages)
+
     // flag off: plain miss, still correct
     val logOff = new RecordingLog
     val offDF = QueryCacheSession(spark, QueryCacheConfig(
@@ -3293,21 +3317,44 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(outerDF,
       qOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
 
-    // guardrail: FILTER predicate and measure on different sides bails
-    // (needs a dedicated filtered-multiplicity column — unsupported)
+    // CROSS-side FILTER (predicate on the measure's opposite side): the
+    // predicate's side carries a filtered-multiplicity column and the
+    // combine weighs/gates by it — sums scale by fn, min/max qualify
+    // where fn > 0, count(DISTINCT) unions sets of fn>0 keys
     def qCross(a: DataFrame, b: DataFrame) = {
       val bb = b.withColumnRenamed("value", "pvalue")
-      a.join(bb, a("user_id") === bb("user_id"), "inner")
+        .withColumnRenamed("user_id", "puid")
+      a.join(bb, a("user_id") === bb("puid"), "inner")
         .groupBy(date_trunc("hour", a("ts")).as("hour"))
-        .agg(expr("sum(value) FILTER (WHERE pvalue > 10)").as("s"))
+        .agg(expr("sum(value) FILTER (WHERE pvalue > 10)").as("s"),
+          expr("count(value) FILTER (WHERE pvalue > 10)").as("c"),
+          expr("min(value) FILTER (WHERE pvalue > 50)").as("mn"),
+          expr("avg(value) FILTER (WHERE pvalue > 10)").as("av"),
+          expr("count(DISTINCT user_id) FILTER (WHERE pvalue > 50)").as("du"))
     }
     val logX = new RecordingLog
     val crossDF = QueryCacheSession(spark, cfg(logX))
       .run(qCross(spark.read.parquet(workA), spark.read.parquet(workB)))
-    assert(!logX.messages.exists(_.startsWith("factorized join: answered")),
+    assert(logX.messages.exists(_.startsWith("factorized join: answered")),
       logX.messages)
     assertSameRows(crossDF,
       qCross(spark.read.parquet(workA), spark.read.parquet(workB)))
+
+    // guardrail: a cross-side FILTER over an OUTER join bails (a missing
+    // partner's multiplicity under a predicate is not 1)
+    def qCrossOuter(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+      a.join(bb, a("user_id") === bb("user_id"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(expr("sum(value) FILTER (WHERE pvalue > 10)").as("s"))
+    }
+    val logXO = new RecordingLog
+    val crossOuterDF = QueryCacheSession(spark, cfg(logXO))
+      .run(qCrossOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(!logXO.messages.exists(_.startsWith("factorized join: answered")),
+      logXO.messages)
+    assertSameRows(crossOuterDF,
+      qCrossOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
   }
 
   test("session windows: warm equals vanilla, open frontier chains across the seam") {
@@ -3431,6 +3478,41 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull))
     assert(recs.sum() > 0 && recs.sum() <= bandBound && bandBound < total,
       s"warm read ${recs.sum()} rows; band bound $bandBound of $total")
+  }
+
+  test("late re-scan band covers tumbling-window buckets") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband-window")
+    ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    // WINDOW-struct bucket key: the band floors with the window
+    // arithmetic and drops state rows on the struct's start field
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+      .select(col("w.start").as("ws"), col("cnt"), col("sum_value"),
+        col("max_value"))
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate)
+      .write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    assert(log.messages.exists(_.startsWith("late re-scan band")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull))
   }
 
   test("late re-scan band without a temporal bucket group skips loudly") {
