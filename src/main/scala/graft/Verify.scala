@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: outputTimestampType deliberately stays at the INT96
+      // default here — the driver's DuckDB compare reads the RESULT
+      // parquet files this main writes, and annotated micros
+      // (isAdjustedToUTC) reads back as TIMESTAMPTZ on the DuckDB side,
+      // hash-mismatching every timestamp cell. Scan-pruning of scratch
+      // tables is a perf concern the bench session covers; correctness
+      // dumps keep the historical convention.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -424,7 +424,19 @@ final class ParquetQueryCache(rootDir: String,
     // the loser's directory becomes an orphan collected by cleanup below)
     val dataDir = s"data-$version-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataPath = new Path(dir, dataDir)
-    state.write.mode("overwrite").parquet(dataPath.toString)
+    // state files carry their own timestamp type regardless of session
+    // defaults: Spark still defaults parquet timestamps to INT96, which
+    // has NO column statistics — a replay-side bucket-range filter
+    // (range subsumption, the late re-scan band) could then never
+    // row-group-prune large state. Same discipline as Layouts writes.
+    val prevTsType =
+      spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try state.write.mode("overwrite").parquet(dataPath.toString)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
     // source tables persisted in the meta: invalidateForTable then works
     // from ANY process, not just the writer's (the state plan reads the
     // source table on both cold and warm runs; the cache's own replay

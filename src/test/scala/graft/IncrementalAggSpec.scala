@@ -3416,6 +3416,37 @@ class IncrementalAggSpec extends AnyFunSuite {
       col("session_start") < timestamp_micros(lit(splitUs)) &&
         col("session_end") > timestamp_micros(lit(splitUs))).count()
     assert(straddle > 0, "no session straddles the split — test is vacuous")
+
+    // scan bound: a third run with NO new appends merges purely from
+    // state — the delta (ts >= wm, wm past max ts) prunes to ZERO fact
+    // rows via parquet stats, proving session replay never rescans
+    // history (the state itself reads from the durable cache's parquet,
+    // which is session-count-sized, not fact-sized)
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) t.taskMetrics.inputMetrics match {
+          case m => recs.add(m.recordsRead)
+        }
+    }
+    val stateRows = qWide(eventsFull).count() // sessions == state rows
+    val log3 = new RecordingLog
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      QueryCacheSession(spark, QueryCacheConfig(
+        new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", log = log3))
+        .run(qWide(spark.read.parquet(work))).collect()
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // bound = a few state-sized reads (the durable state parquet is read
+    // by the merge union, the replay, and a possible guard pass) — the
+    // fact table contributes ZERO rows (delta pruned above max ts)
+    assert(recs.sum() <= 4 * stateRows,
+      s"no-append session warm run read ${recs.sum()} rows " +
+        s"(state is $stateRows sessions) — it rescanned fact history; " +
+        s"log: ${log3.messages}")
   }
 
   test("late re-scan band: late rows fold in, warm scan is band-bounded") {
