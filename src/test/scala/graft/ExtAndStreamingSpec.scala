@@ -38,6 +38,35 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("transparent mode: session windows cache through the rule") {
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheTransparent.enable(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    try {
+      val work = tmpDir("transparent-session")
+      Tables.events(spark, sf0001).write.mode("overwrite").parquet(work)
+      val ev = spark.read.parquet(work)
+      // the optimizer-stage plan keeps the session_window attribute (it is
+      // already an attribute, so PullOutGroupingExpressions leaves it) —
+      // the sessionWindow metadata must survive into the cached state and
+      // the warm MergingSessions merge exactly like the facade path
+      def q() = ev.filter(col("value") > 1)
+        .groupBy(session_window(col("ts"), "45 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+        .select(col("session_window.start").as("ss"), col("event_type"),
+          col("cnt"), col("sv"))
+      val r1 = q().collect()
+      val r2 = q().collect()
+      assert(r1.sortBy(_.toString).toSeq == r2.sortBy(_.toString).toSeq)
+      assert(log.messages.exists(_.startsWith("cache miss")), log.messages)
+      assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+      QueryCacheTransparent.disable(spark)
+      assert(q().collect().sortBy(_.toString).toSeq ==
+        r1.sortBy(_.toString).toSeq)
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
   test("transparent mode: two-fact join aggregates factorize through the rule") {
     // the optimizer-stage plan interposes a pulled-out _groupingexpression
     // Project between the Aggregate and the Join — the factorized peel
