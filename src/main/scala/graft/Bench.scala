@@ -263,18 +263,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // ×8192 ⇒ ~0.8B event rows (~6.5 GB parquet): the full-history scan
-    // costs seconds while a 1% warm run is bounded below by cold-file-open
-    // latency on the appended files — fixed cost that does NOT grow with
-    // history, so the measured wall-clock ratio approaches the
-    // scan-reduction regime the cache targets (at ×64 every run was
-    // dominated by job scheduling + planning, which says nothing about
-    // scan savings). Default was ×16384 through r10; halved so the driver
-    // bench fits its wall-clock window (r10 rc=124) — the scale-invariant
-    // number is warm_scan_reduction (a ROW ratio), which is already
-    // asymptotic at this size; set SPARK_GRAFT_BENCH_MULT=16384 to
-    // reproduce the old wall-clock regime.
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "8192").toInt
+    // ×16384 ⇒ ~1.6B event rows (~13 GB parquet): the full-history scan
+    // then costs seconds while a 1% warm run is bounded below by fixed
+    // costs that do NOT grow with history, so the measured ratio
+    // approaches the scan-reduction regime the cache targets. An r11
+    // experiment at ×8192 measured the calm-machine full scan at ~2.2 s
+    // against a ~0.44 s warm floor — the ≥5 speedup gate then sits at
+    // zero margin BY CONSTRUCTION. The r10 wall-clock blowout came from
+    // the unconditional 2× query pass (now flagged-only) and 165→171
+    // queries, not the multiplier: at ×16384 with the slimmed pass the
+    // whole run projects ~21-23 min, inside the window the r8 driver
+    // bench (28.5 min) proved.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "16384").toInt
     // previous round's per-query artifact, read BEFORE this run
     // overwrites it (feeds the regressions key below)
     val prevArtifactName =
@@ -330,6 +330,12 @@ object Bench {
         .getOrElse(Map.empty)
     }.getOrElse(Map.empty)
     def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
+      // a SIGTERM'd session must ABORT the pass, not keep "measuring":
+      // every remaining query would fail in milliseconds against the
+      // dying context and the tail-write would poison the next run's
+      // regression baseline with ~5 ms "times" (observed r11)
+      if (spark.sparkContext.isStopped)
+        throw new IllegalStateException("SparkContext stopped mid-bench")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
