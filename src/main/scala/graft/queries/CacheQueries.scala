@@ -1054,6 +1054,45 @@ object CacheQueries {
             count(lit(1)).as("cnt"),
             dsum(col("value")).as("sum_value"))
       }),
+    // the late re-scan band over TUMBLING-WINDOW buckets: same held-out
+    // late slice as qc_incr_lateband, but the bucket key is a window
+    // struct — the band floors with the window arithmetic and drops
+    // state rows on the struct's start field
+    "qc_incr_lateband_win" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/latebandwin"
+      val workPath = new Path(work)
+      val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(workPath)) fs.delete(workPath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(splitMicros - 2 * dayUs)) &&
+        col("ts") < splitTs && col("event_id") % 3 === 0
+      ev.filter(col("ts") < splitTs && !isLate)
+        .write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(3))
+      def q(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("cnt"), col("sum_value"), col("max_value"))
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= splitTs || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    }),
     // SESSION-WINDOW incremental caching: the session_window group key
     // flows through the machinery as an opaque bucket whose attribute
     // carries spark.sessionWindow metadata — so the partial-state and
@@ -1547,6 +1586,15 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            max(value) AS max_value
          FROM g GROUP BY event_type, sid""",
+    "qc_incr_lateband_win" ->
+      """SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS ws,
+           CAST(time_bucket(INTERVAL '6 hours', ts)
+                + INTERVAL '6 hours' AS TIMESTAMP) AS we,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY 1, 2""",
     // vanilla over the FULL table: the warm banded run must have folded
     // the late-arriving rows back in
     "qc_incr_lateband" ->
