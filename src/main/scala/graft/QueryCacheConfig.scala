@@ -366,8 +366,13 @@ import graft.log.{CacheLog, NoOpLog}
   *                              plain watermark. Rows arriving later
   *                              than the band are STILL missed: the
   *                              band is a declared tolerance, not a
-  *                              guarantee. None (default) = off, the
-  *                              reference's S1 behavior.
+  *                              guarantee. Under FACTORIZED joins the
+  *                              band applies per twin — a partner twin
+  *                              keyed by the join key alone has no
+  *                              time-disjoint buckets to replace, so
+  *                              its late rows keep the S1 residual
+  *                              (it logs the skip). None (default) =
+  *                              off, the reference's S1 behavior.
   * @param log                   decision log (src/log.rs)
   */
 final case class QueryCacheConfig(

@@ -3546,6 +3546,56 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warmDF, q(eventsFull))
   }
 
+  test("late re-scan band composes with factorized joins (temporal twin banded, keyed twin skips)") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("lateband-fact-a")
+    val workB = tmpDir("lateband-fact-b")
+    // late rows held out of the TEMPORAL side (clicks) only: the click
+    // twin groups by (user × hour), so the band can bucket-replace its
+    // state. The purchase twin is keyed by join key ALONE — no temporal
+    // bucket, so its state cannot be time-replaced and the band SKIPS
+    // loudly there (late partner-side rows keep the S1 residual; a
+    // user-keyed state has no time-disjoint buckets to drop).
+    part(ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate),
+      "click").write.mode("overwrite").parquet(workA)
+    part(ev.filter(col("ts") < timestamp_micros(lit(splitUs))),
+      "purchase").write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    def q(a: DataFrame, b: DataFrame) = a
+      .join(b, a("user_id") === b("user_id"), "inner")
+      .groupBy(date_trunc("hour", a("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum(a("value")).as("sum_click"),
+        min(b("value")).as("min_purchase"))
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB))).collect()
+    part(ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate),
+      "click").write.mode("append").parquet(workA)
+    part(ev.filter(col("ts") >= timestamp_micros(lit(splitUs))),
+      "purchase").write.mode("append").parquet(workB)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(warmDF,
+      q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(log.messages.exists(_.startsWith("factorized join: answered")),
+      log.messages)
+    // the temporal twin lowered its watermark; the keyed twin skipped
+    assert(log.messages.count(_.startsWith("late re-scan band")) >= 1,
+      log.messages)
+    assert(log.messages.exists(_.contains("band skipped")), log.messages)
+  }
+
   test("late re-scan band without a temporal bucket group skips loudly") {
     val ev = eventsFull
     val splitUs = ev
