@@ -292,6 +292,14 @@ object Bench {
       // INT96 (the legacy default) has no usable stats and no predicate
       // pushdown — micros keeps the watermark filter prunable
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // the bench machine freezes for minutes under IO thrash (observed:
+      // sys time 216 min in a 26 min run) — at the default 10 s
+      // heartbeat the local executor then exits after 60 misses and
+      // takes the whole single-JVM run down mid-table-write. Local mode
+      // has no real liveness question to answer; wide timeouts make the
+      // run survive the stall instead of dying to it.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
