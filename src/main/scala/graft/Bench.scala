@@ -429,12 +429,27 @@ object Bench {
     // to a file too (best-effort; the println stays the contract).
     // BENCH_LOCAL.json is DEFINED as the exclusive sf0.1 artifact —
     // dev-loop runs at other scales must not clobber it (it happened
-    // twice), so they persist to a per-sf name instead.
-    def persist(json: String): Unit =
+    // twice), so they persist to a per-sf name instead. Partial snapshots
+    // go to a `.partial` SIDECAR and only a COMPLETE run renames over the
+    // canonical name — r11 overwrote the previous round's complete
+    // artifact with a "partial":true one the moment the query pass ended,
+    // so a mid-run kill destroyed the only complete baseline.
+    val partialName = prevArtifactName + ".partial"
+    def persistPartial(json: String): Unit =
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(prevArtifactName), json + "\n")
+        java.nio.file.Paths.get(partialName), json + "\n")
       catch { case _: Throwable => () }
-    persist(renderJson(Map.empty, partial = true))
+    def persistFinal(json: String): Unit =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(partialName), json + "\n")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(partialName),
+          java.nio.file.Paths.get(prevArtifactName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
+    persistPartial(renderJson(Map.empty, partial = true))
 
     try warmupCachePath(spark) catch { case _: Throwable => () }
     // dev: SPARK_GRAFT_PCTS=0.01 runs a single append fraction
@@ -457,12 +472,22 @@ object Bench {
           e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
           Map(s"incremental_failed_${tag}pct" -> 1.0)
         })
-        persist(renderJson(incr, partial = p != pcts.last))
+        persistPartial(renderJson(incr, partial = p != pcts.last))
       }
     val failed = incr.keys.exists(_.startsWith("incremental_failed"))
     val json = renderJson(incr, partial = failed)
-    persist(json)
+    if (failed) persistPartial(json) else persistFinal(json)
     println(json)
+    // LAST line = compact gates-only object: the full artifact line above
+    // is ~40 KB and the driver's tail capture has truncated it mid-object
+    // every round (BENCH_r11.parsed: null despite rc=0). Any tail window
+    // that contains this final short line parses completely.
+    def gate(k: String): String =
+      incr.get(k).map(v => String.format(
+        java.util.Locale.ROOT, "%.4f", Double.box(v))).getOrElse("null")
+    println(s"""{"metric":"gates","bench_schema":5,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"warm_scan_reduction_1pct":${
+      (for { c <- incr.get("vanilla_1pct_rows"); w <- incr.get("warm_1pct_rows"); if w > 0 }
+        yield num(c / w)).getOrElse("null")},"partial":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

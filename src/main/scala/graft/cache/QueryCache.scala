@@ -429,13 +429,16 @@ final class ParquetQueryCache(rootDir: String,
     // has NO column statistics — a replay-side bucket-range filter
     // (range subsumption, the late re-scan band) could then never
     // row-group-prune large state. Same discipline as Layouts writes.
-    val prevTsType =
-      spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try state.write.mode("overwrite").parquet(dataPath.toString)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    // The override rides an ISOLATED cloned session, not a set/restore on
+    // the shared one: a concurrent query's parquet write inside the
+    // window would silently inherit the override, and two overlapping
+    // puts could restore in the wrong order and corrupt the session conf
+    // permanently.
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") { s =>
+      org.apache.spark.sql.graftshim.Shims.ofRows(s,
+        org.apache.spark.sql.graftshim.Shims.queryExecution(state).logical)
+        .write.mode("overwrite").parquet(dataPath.toString)
     }
     // source tables persisted in the meta: invalidateForTable then works
     // from ANY process, not just the writer's (the state plan reads the

@@ -17,13 +17,28 @@ import org.apache.spark.sql.SparkSession
   * inside it: layout promotion and compaction rename-swap the dir
   * wholesale, which would silently drop an in-dir lease mid-hold — is
   * created with `FileSystem.create(p, overwrite = false)`, an atomic
-  * create-if-absent on HDFS-compatible
-  * filesystems (local, HDFS; object stores without atomic create fall
-  * back to best-effort, the same caveat every Hadoop lock file carries).
-  * The lease holds a holder tag + wall-clock stamp. A lease older than
-  * `staleMs` is presumed abandoned by a crashed writer and is broken:
-  * the breaker deletes it and retries the atomic create once (losing the
-  * race to another breaker is then a clean fail-fast, not corruption).
+  * create-if-absent on HDFS-compatible filesystems (local, HDFS; object
+  * stores without atomic create fall back to best-effort, the same caveat
+  * every Hadoop lock file carries). The lease holds a unique holder id
+  * (caller tag + nonce) and a wall-clock stamp, and is RENEWED while
+  * held: a daemon heartbeat bumps the lease mtime every `staleMs / 4`,
+  * so a legitimate write or compaction that outlasts the horizon keeps
+  * its exclusivity instead of getting "broken" mid-hold. Only a lease
+  * whose holder stopped heartbeating for `staleMs` is presumed crashed.
+  *
+  * Breaking a stale lease is rename-based, not delete-based: the breaker
+  * atomically renames the lease aside (exactly one concurrent breaker
+  * wins the rename), then RE-CHECKS the captured file's age — if the
+  * rename actually captured a fresh lease (one a faster breaker
+  * re-created between this breaker's age check and its rename), the
+  * captured file is renamed back and this breaker fails fast. A
+  * delete-based break cannot detect that race: the delete destroys the
+  * evidence along with the fresh lease.
+  *
+  * Release verifies ownership: the lease is deleted only if it still
+  * carries THIS holder's id, so a holder that was (wrongly or rightly)
+  * broken and superseded cannot delete the successor's lease on exit.
+  *
   * Readers never take the lease — index reads are snapshot-consistent
   * against append-only dirs and rename-swapped compactions.
   */
@@ -32,20 +47,32 @@ object WriterLease {
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
 
-  /** default staleness horizon: long enough for any real batch append,
-    * short enough that a crashed writer doesn't wedge the pipeline */
+  /** default staleness horizon: long enough to absorb heartbeat jitter
+    * (the holder renews 4× per horizon), short enough that a crashed
+    * writer doesn't wedge the pipeline */
   val DefaultStaleMs: Long = 30L * 60L * 1000L
 
   private def leasePath(dir: String) =
     new Path(dir.stripSuffix("/") + ".writer.lease")
 
-  private def tryCreate(fs: FileSystem, p: Path, tag: String): Boolean =
+  private def tryCreate(fs: FileSystem, p: Path, holderId: String): Boolean =
     try {
       val out = fs.create(p, false)
-      try out.write(s"$tag@${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+      try out.write(s"$holderId@${System.currentTimeMillis()}\n".getBytes("UTF-8"))
       finally out.close()
       true
     } catch { case _: java.io.IOException => false }
+
+  private def readContent(fs: FileSystem, p: Path): Option[String] =
+    try Some(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)),
+      "UTF-8").trim)
+    catch { case _: java.io.IOException => None }
+
+  /** age since last heartbeat (mtime renewal counts), MaxValue if gone */
+  private def ageMs(fs: FileSystem, p: Path): Long =
+    try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => Long.MaxValue }
 
   /** Run `f` holding the exclusive writer lease on `dir`; release on every
     * exit path. Throws [[ConcurrentWriterException]] when another live
@@ -56,28 +83,71 @@ object WriterLease {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = p.getParent
     if (parent != null) fs.mkdirs(parent) // first append: parent may not exist
-    var acquired = tryCreate(fs, p, tag)
-    if (!acquired) {
-      val age = try System.currentTimeMillis() -
-        fs.getFileStatus(p).getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      if (age > staleMs) {
-        // presumed crashed holder: break and retry the atomic create ONCE
-        // — losing that race to a concurrent breaker fails fast below
-        try fs.delete(p, false) catch { case _: java.io.IOException => () }
-        acquired = tryCreate(fs, p, tag)
+    // nonce makes the id unique per acquisition, so release/heartbeat can
+    // verify THIS hold still owns the file (a bare tag would collide with
+    // a retry of the same operation)
+    val holderId =
+      s"$tag#${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    def owned(): Boolean =
+      readContent(fs, p).exists(_.startsWith(holderId + "@"))
+    var acquired = tryCreate(fs, p, holderId)
+    if (!acquired && ageMs(fs, p) > staleMs) {
+      // presumed crashed holder (no heartbeat for a full horizon): break
+      // via ATOMIC RENAME so a concurrent breaker race is detectable —
+      // exactly one rename captures the file; the capture is then
+      // re-verified before anything is destroyed
+      val captured = new Path(
+        p.toString + ".breaking." +
+          java.util.UUID.randomUUID().toString.takeWhile(_ != '-'))
+      val renamed = try fs.rename(p, captured)
+      catch { case _: java.io.IOException => false }
+      if (renamed) {
+        if (ageMs(fs, captured) > staleMs) {
+          // genuinely stale: discard it and take the lease
+          try fs.delete(captured, false) catch { case _: java.io.IOException => () }
+          acquired = tryCreate(fs, p, holderId)
+        } else {
+          // the rename captured a FRESH lease — a faster breaker already
+          // broke the stale one and re-created between our age check and
+          // our rename. Undo: put the live lease back and fail fast.
+          try { if (!fs.rename(captured, p)) fs.delete(captured, false) }
+          catch { case _: java.io.IOException => () }
+        }
+      } else {
+        // another breaker won the rename; the atomic create resolves the
+        // remaining race cleanly — at most one of us acquires
+        acquired = tryCreate(fs, p, holderId)
       }
     }
     if (!acquired) {
-      val holder = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)),
-        "UTF-8").trim
-      catch { case _: java.io.IOException => "<unreadable>" }
+      val holder = readContent(fs, p).getOrElse("<unreadable>")
       throw new ConcurrentWriterException(
         s"index $dir already has a live writer ($holder); these indexes " +
           "are single-writer — serialize appends, or delete the lease " +
           "file if the holder is known dead")
     }
-    try f finally { try fs.delete(p, false) catch { case _: Throwable => () } }
+    // heartbeat: renew the lease mtime 4× per horizon while `f` runs, so
+    // a large compaction exceeding staleMs keeps its exclusivity. The
+    // renewal re-verifies ownership first — if the lease was broken and
+    // reacquired by someone else despite the heartbeat (e.g. a long GC
+    // pause past the horizon), bumping the successor's mtime would extend
+    // a lease we don't hold.
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      val interval = math.max(250L, staleMs / 4)
+      while (!stop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try { if (owned()) fs.setTimes(p, System.currentTimeMillis(), -1) }
+        catch { case _: java.io.IOException => () }
+      }
+    }, s"writer-lease-heartbeat-$tag")
+    beat.setDaemon(true)
+    beat.start()
+    try f finally {
+      stop.countDown()
+      beat.join(5000)
+      // delete only if still ours: a superseded holder must not delete
+      // the successor's lease on exit
+      try { if (owned()) fs.delete(p, false) } catch { case _: Throwable => () }
+    }
   }
 }

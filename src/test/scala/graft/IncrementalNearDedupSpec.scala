@@ -427,4 +427,27 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     WriterLease.withLease(spark, idx, "breaker", staleMs = 1L) { ran = true }
     assert(ran, "stale lease was not broken")
   }
+
+  test("a held lease outliving the stale horizon is renewed, not broken") {
+    import graft.util.WriterLease
+    val idx = IncrementalDedup.scratchIndexDir(spark, "lease-renew")
+    // the holder's work outlasts staleMs — the heartbeat (staleMs/4,
+    // floor 250 ms) must keep the lease fresh, so a second writer
+    // arriving AFTER the horizon still fails fast instead of "breaking"
+    // a live writer mid-compaction (the exact corruption the lease
+    // exists to prevent)
+    WriterLease.withLease(spark, idx, "longhold", staleMs = 700L) {
+      Thread.sleep(1200)
+      val e = intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(spark, idx, "late", staleMs = 700L) {
+          fail("second writer broke a live, heartbeating lease")
+        }
+      }
+      assert(e.getMessage.contains("longhold"), e.getMessage)
+    }
+    // released cleanly (ownership-checked delete) despite the contention
+    var ran = false
+    WriterLease.withLease(spark, idx, "next", staleMs = 700L) { ran = true }
+    assert(ran)
+  }
 }
