@@ -1204,9 +1204,20 @@ object PipelineQueries {
            SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
          WHERE w <> '' GROUP BY 1
        ),
+       -- the '<sym>' segmentation below is only faithful while no word
+       -- contains a literal bracket; a corpus change that introduces one
+       -- must fail LOUDLY here, not hash-mismatch mysteriously (the
+       -- trainer operates on raw characters and would diverge silently)
+       guard AS MATERIALIZED (
+         SELECT CASE WHEN count(*) > 0 THEN error(
+           'bpe oracle: corpus words contain literal < or > - ' ||
+           'the bracket-delimited segmentation is unsound here')
+           ELSE 0 END AS ok
+         FROM words0 WHERE word LIKE '%<%' OR word LIKE '%>%'
+       ),
        seg_0 AS MATERIALIZED (
          SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seg, freq
-         FROM words0
+         FROM words0, guard
        ),${stages.mkString(",")}
        $union"""
   }

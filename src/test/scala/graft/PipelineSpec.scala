@@ -1459,4 +1459,21 @@ class PipelineSpec extends AnyFunSuite {
     val t = BpeTrainer.train(ties.toDF("text"), numMerges = 1)
     assert(t == Seq((0, "a", "b")), t.toString)
   }
+
+  test("BPE trainer: batched rounds equal the one-merge-at-a-time sequence") {
+    import graft.operators.BpeTrainer
+    // batch=1 IS the literal reference loop (one argmax, one apply, per
+    // merge); the default batched mode selects a disjoint prefix per pair
+    // count and must produce the IDENTICAL ranked sequence on real text —
+    // including rounds where the walk stops early on a shared symbol or
+    // a token collision and degrades the batch
+    val corpus = docs.limit(120)
+    val seq1 = BpeTrainer.train(corpus, numMerges = 48, batch = 1)
+    val seqN = BpeTrainer.train(corpus, numMerges = 48)
+    assert(seq1.size == 48, s"corpus ran dry at ${seq1.size} merges")
+    assert(seqN == seq1,
+      seqN.zip(seq1).find { case (a, b) => a != b }
+        .map { case (a, b) => s"first divergence: batched=$a sequential=$b" }
+        .getOrElse("length mismatch"))
+  }
 }
