@@ -544,41 +544,54 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case (Some(cs), Some(band)) if band > 0 =>
         import org.apache.spark.sql.catalyst.expressions.Literal
         val tDt = c.temporalAttr.dataType
-        // (group index, bucket floor of wm − band, key-is-window-struct):
-        // date_trunc keys floor through the trunc expression itself;
-        // tumbling-window keys floor with the window arithmetic
-        // (t − ((t − start) mod D)), any anchor. Session windows can't
-        // band at a fixed floor — a frontier session ending past the
-        // floor may START before it, and its early rows would not be
-        // re-read — so they fall through to the loud skip.
-        val floorOpt =
-          if (c.agg.child.exists(_.isInstanceOf[Expand])) None
-          else temporalBucketTrunc(c).flatMap { case (gIdx, trunc) =>
-            Option(trunc.copy(timestamp =
-              Literal(cs.timestampMicros - band, tDt)).eval())
-              .collect { case b: Long => (gIdx, b, false) }
-          }.orElse(tumblingShape(c).map { sh =>
-            val t = cs.timestampMicros - band
-            val m0 = (t - sh.startUs) % sh.durationUs
-            val m = if (m0 < 0) m0 + sh.durationUs else m0
-            (sh.gIdx, t - m, true)
-          })
-        floorOpt match {
-          case Some((gIdx, b, isStruct)) if b < cs.timestampMicros =>
+        // shape dispatch, most specific first: grouping sets band on the
+        // full-grain slot and re-expand; session windows derive their
+        // floor from the state's own intervals; plain date_trunc /
+        // tumbling buckets floor arithmetically.
+        val bandedOpt: Option[graft.cache.CachedState] =
+          if (c.agg.child.isInstanceOf[Expand])
+            expandLateBand(spark, c, cs, band)
+          else sessionGroupIdx(c) match {
+            case Some(sIdx) => sessionLateBand(spark, c, cs, band, sIdx)
+            case None =>
+              // (group index, bucket floor of wm − band, window-struct?):
+              // date_trunc keys floor through the trunc expression itself;
+              // tumbling-window keys floor with the window arithmetic
+              // (t − ((t − start) mod D)), any anchor.
+              val floorOpt = temporalBucketTrunc(c).flatMap {
+                case (gIdx, trunc) =>
+                  Option(trunc.copy(timestamp =
+                    Literal(cs.timestampMicros - band, tDt)).eval())
+                    .collect { case b: Long => (gIdx, b, false) }
+              }.orElse(tumblingShape(c).map { sh =>
+                val t = cs.timestampMicros - band
+                val m0 = (t - sh.startUs) % sh.durationUs
+                val m = if (m0 < 0) m0 + sh.durationUs else m0
+                (sh.gIdx, t - m, true)
+              })
+              floorOpt.collect {
+                case (gIdx, b, isStruct) if b < cs.timestampMicros =>
+                  val gName = s"_g$gIdx"
+                  val keyCol =
+                    if (isStruct) col(s"$gName.start") else col(gName)
+                  graft.cache.CachedState(b, cs.schema, s =>
+                    cs.read(s).filter(
+                      keyCol < Shims.column(Literal(b, tDt)) ||
+                        keyCol.isNull))
+              }
+          }
+        bandedOpt match {
+          case Some(cs2) =>
             config.log.info(c.fingerprint,
               s"late re-scan band: effective watermark ${cs.timestampMicros} " +
-                s"-> $b (band buckets dropped from state and re-scanned)")
-            val gName = s"_g$gIdx"
-            val keyCol = if (isStruct) col(s"$gName.start") else col(gName)
-            Some(graft.cache.CachedState(b, cs.schema, s =>
-              cs.read(s).filter(keyCol < Shims.column(Literal(b, tDt)) ||
-                keyCol.isNull)))
-          case _ =>
+                s"-> ${cs2.timestampMicros} (band state dropped and re-scanned)")
+            Some(cs2)
+          case None =>
             config.log.warn(c.fingerprint,
-              "lateRescanBand declared but the query has no date_trunc " +
-                "or tumbling-window temporal bucket group — band skipped, " +
-                "normal watermark used (bucket replacement needs the " +
-                "bucket key)")
+              "lateRescanBand declared but the query shape supports no " +
+                "band floor (needs a date_trunc/tumbling bucket, a " +
+                "session window, or grouping sets containing the full " +
+                "grain) — band skipped, normal watermark used")
             entry
         }
       case _ => entry
@@ -1193,6 +1206,170 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
   }
 
+  /** group index of the session_window key, if the query groups by one —
+    * the analyzer marks its attribute with `spark.sessionWindow` metadata
+    * (the same marker that makes the merge aggregations plan
+    * MergingSessions) */
+  private def sessionGroupIdx(c: Cacheable): Option[Int] = {
+    val i = c.agg.groupingExpressions.indexWhere {
+      case a: Attribute => a.metadata.contains("spark.sessionWindow")
+      case _ => false
+    }
+    if (i >= 0) Some(i) else None
+  }
+
+  /** Late re-scan band for SESSION-WINDOW aggregates — the floor is
+    * STATE-DERIVED, not arithmetic: a fixed floor at wm − band is unsound
+    * because a session ending inside the band may have STARTED before it,
+    * and dropping that session while re-scanning only `ts ≥ floor` would
+    * lose its early rows. Instead the cut point Q is the largest instant
+    * ≤ (wm − band) that lies strictly inside NO state session (any key):
+    * sessions of one key never chain across such a point (they would
+    * have merged), so every session with `end > Q` has `start ≥ Q` —
+    * dropping exactly those and re-scanning `ts ≥ Q` re-reads exactly
+    * their rows, while kept sessions (`end ≤ Q`) have all rows at
+    * `ts ≤ end − gap < Q` and are never re-read. Exact for every
+    * measure; the usual bucket-replacement argument with sessions as
+    * the buckets and Q as the boundary. Q is computed with one ordered
+    * pass over the state (candidates = session starts + the band floor
+    * itself, valid when the running max of earlier ends does not cross):
+    * continuously-active keys regress Q to their open session's start —
+    * inherent, those rows genuinely must re-merge — and the pass is
+    * state-sized, not fact-sized. */
+  private def sessionLateBand(spark: SparkSession, c: Cacheable,
+      cs: graft.cache.CachedState, band: Long, sIdx: Int)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max, unix_micros}
+    val g = s"_g$sIdx"
+    val floor0 = cs.timestampMicros - band
+    val st = cs.read(spark).filter(col(g).isNotNull)
+      .select(unix_micros(col(s"$g.start")).as("s"),
+        unix_micros(col(s"$g.end")).as("e"))
+    // synthetic candidate = the band floor itself: it qualifies exactly
+    // when no session spans it (its own end never reaches later rows —
+    // anything ordered after it is filtered out by s ≤ floor0)
+    val cand = st.unionByName(spark.range(1)
+      .select(lit(floor0).as("s"), lit(floor0).as("e")))
+    val w = Window.orderBy(col("s"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val row = cand.withColumn("pmax", max(col("e")).over(w))
+      .filter(col("s") <= lit(floor0) &&
+        (col("pmax").isNull || col("pmax") <= col("s")))
+      .agg(max(col("s"))).first()
+    if (row.isNullAt(0)) return None
+    val q = row.getLong(0)
+    if (q >= cs.timestampMicros) return None
+    Some(graft.cache.CachedState(q, cs.schema, s =>
+      cs.read(s).filter(col(g).isNull ||
+        unix_micros(col(s"$g.end")) <= lit(q))))
+  }
+
+  /** Late re-scan band for GROUPING-SET aggregates (rollup/cube/GROUPING
+    * SETS containing the full grain). Expand NULLs the bucket slot in
+    * subtotal projections, so subtotal state rows cannot be
+    * bucket-dropped directly — but the FULL-GRAIN set's rows are keyed by
+    * the real bucket, and every other set is a merge-away of the full
+    * grain (the regroup contract). So the band: keep only full-grain
+    * state rows below the bucket floor, RE-EXPAND them into every
+    * projection (absent keys nulled, that set's grouping-id literal) and
+    * discard all other state rows; the delta scan from the floor flows
+    * through the query's own Expand and regenerates every set's partials
+    * for the re-read rows. Exact per set: the kept/re-scanned split
+    * partitions raw rows by bucket, and each set's aggregate is a merge
+    * over that partition. Requires exactly one full-grain projection
+    * (rollup and cube always have one) and a date_trunc temporal bucket
+    * among the key slots; anything else returns None → loud skip. */
+  private def expandLateBand(spark: SparkSession, c: Cacheable,
+      cs: graft.cache.CachedState, band: Long)
+      : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
+    val ex = c.agg.child match {
+      case e: Expand => e
+      case _ => return None
+    }
+    val groupSlots: Seq[(Int, Int)] =
+      c.agg.groupingExpressions.zipWithIndex.map { case (gr, j) =>
+        gr match {
+          case a: Attribute =>
+            val s0 = ex.output.indexWhere(_.semanticEquals(a))
+            if (s0 < 0) return None
+            (j, s0)
+          case _ => return None
+        }
+      }
+    val (gidGroups, keyGroups) = groupSlots.partition { case (_, s0) =>
+      ex.projections.forall(_(s0).isInstanceOf[Literal])
+    }
+    val (gidIdx, gidSlot) = gidGroups match {
+      case Seq(one) => one
+      case _ => return None
+    }
+    val defAttr: Map[Int, Attribute] = keyGroups.map { case (j, s0) =>
+      val vals = ex.projections.map(_(s0))
+      val attrs = vals.collect { case a: Attribute => a }.distinct
+      if (attrs.size != 1 || !vals.forall {
+        case _: Attribute => true
+        case l: Literal => l.value == null
+        case _ => false
+      }) return None
+      j -> attrs.head
+    }.toMap
+    val liveOf: Seq[Set[Int]] = ex.projections.map(p =>
+      keyGroups.collect {
+        case (j, s0) if p(s0).isInstanceOf[Attribute] => j }.toSet)
+    val fullProj = liveOf.zipWithIndex.collect {
+      case (l, i) if l.size == keyGroups.size => i
+    } match {
+      case Seq(one) => one
+      case _ => return None // no (or duplicate) full-grain set
+    }
+    val projAliases = ex.child match {
+      case Project(list, _) =>
+        list.collect { case al: Alias => al.exprId -> al.child }.toMap
+      case _ => Map.empty[
+        org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+    }
+    val (bIdx, trunc) = keyGroups.flatMap { case (j, _) =>
+      projAliases.getOrElse(defAttr(j).exprId, defAttr(j)) match {
+        case t: TruncTimestamp if t.format.foldable && (t.timestamp match {
+          case a: Attribute => a.semanticEquals(c.temporalAttr)
+          case _ => false
+        }) => Some((j, t))
+        case _ => None
+      }
+    } match {
+      case Seq(one) => one
+      case _ => return None
+    }
+    val tDt = c.temporalAttr.dataType
+    val b = Option(trunc.copy(timestamp =
+      Literal(cs.timestampMicros - band, tDt)).eval())
+      .collect { case v: Long => v }.getOrElse(return None)
+    if (b >= cs.timestampMicros) return None
+    val gidLits: Seq[Literal] =
+      ex.projections.map(_(gidSlot).asInstanceOf[Literal])
+    Some(graft.cache.CachedState(b, cs.schema, { s =>
+      val stateCols = cs.schema.fields.map(_.name)
+        .filterNot(_.startsWith("_g")).toSeq
+      // full-grain rows below the floor (NULL buckets = NULL event time
+      // rows: kept, never re-read), re-expanded into every set
+      val fullRows = cs.read(s)
+        .filter(col(s"_g$gidIdx") === Shims.column(gidLits(fullProj)))
+        .filter(col(s"_g$bIdx") < Shims.column(Literal(b, tDt)) ||
+          col(s"_g$bIdx").isNull)
+      ex.projections.indices.map { p =>
+        fullRows.select((c.agg.groupingExpressions.indices.map { j =>
+          val cc =
+            if (j == gidIdx) Shims.column(gidLits(p))
+            else if (liveOf(p)(j)) col(s"_g$j")
+            else lit(null).cast(cs.schema(s"_g$j").dataType)
+          cc.as(s"_g$j")
+        } ++ stateCols.map(col)): _*)
+      }.reduce(_ unionByName _)
+    }))
+  }
+
   private def rerangeBucketState(c: Cacheable, stateSchema: StructType,
       depth: Int = 0): Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.catalyst.expressions.{
@@ -1206,7 +1383,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         .collect { case v: Long => v }
     def aligned(micros: Long): Boolean = truncOf(micros).contains(micros)
     def litMicros(e: Expression): Option[Long] = e match {
-      case l if l.foldable && l.dataType == tDt && l.references.isEmpty =>
+      // now() leaves are foldable yet UNEVALUABLE pre-optimization
+      // (ComputeCurrentTime has not run on an analyzed plan) — a facade-
+      // mode dynamic conjunct reaching this eval would throw, so exclude
+      // them: the dynamic bound is never a static range candidate, it is
+      // re-applied over bucket starts at answer time
+      case l if l.foldable && l.dataType == tDt && l.references.isEmpty &&
+          !graft.analysis.NowBounds.containsNow(l) =>
         Option(l.eval()).collect { case v: Long => v }
       case _ => None
     }
@@ -1292,9 +1475,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // whole window inside < 2 complete buckets: no state value — plain
     // miss (the cold run stores this query's own state for next time)
     if (iL.exists(l => iU.exists(_ <= l))) return None
-    // a dynamic bound's answer-time re-application composes with the
-    // pure slice but not with a sliver partial — keep them apart
-    if (sliverRanges.nonEmpty && c.dynamicBound.nonEmpty) return None
+    // a dynamic bound composes with slivers: state is unbounded on both
+    // sides and the frozen bound re-applies over bucket STARTS at answer
+    // time — a sliver partial carries the edge bucket's start as its
+    // group key, so the bucket-granularity filter treats it exactly like
+    // a replayed state row. The sliver SCAN strips the dynamic conjunct
+    // (below), mirroring the delta scan: evaluating it row-level at scan
+    // time would contradict bucket-start semantics.
     val twin = c.agg.copy(child = cands.foldLeft(c.agg.child) {
       case (p, (cj, _)) => stripConjunct(p, cj)
     })
@@ -1358,7 +1545,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                     Shims.column(Literal(hi, tDt)))
               }.getOrElse(base)
             }.reduce(_ || _)
-            val src = Shims.ofRows(s, c.child).filter(sliverPred &&
+            val sliverChild = c.dynamicBound match {
+              case Some(bnd) => stripConjunct(c.child, bnd)
+              case None => c.child
+            }
+            val src = Shims.ofRows(s, sliverChild).filter(sliverPred &&
               tsC < Shims.column(Literal(cs.timestampMicros, tDt)))
             val groupCols = c.agg.groupingExpressions.zipWithIndex.map {
               case (e, jx) => Shims.column(e).as(s"_g$jx") }
@@ -2064,12 +2255,30 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // for a missing partner, but an expression may not be (e.g.
     // coalesce(b.x, 0) evaluates to 0 per row in the vanilla plan while
     // the combine's NULL state column yields NULL) — require bare attrs.
+    // constant-fold `e` with every one of that side's columns replaced by
+    // NULL — the value a null-extended row would feed it. None when the
+    // substituted form doesn't fold (conservative: nothing is proven).
+    def nullSubstituted(e: Expression, left: Boolean): Option[Any] = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val side = if (left) leftOut else rightOut
+      try {
+        val nulled = e.transform {
+          case a: Attribute if side.contains(a) => Literal(null, a.dataType)
+        }
+        if (nulled.foldable) Some(nulled.eval()) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
     def nullFaithful(e: Expression, left: Boolean): Boolean =
-      !(if (left) aNullable else bNullable) || e.isInstanceOf[Attribute]
+      !(if (left) aNullable else bNullable) || e.isInstanceOf[Attribute] ||
+        // null-ANNIHILATING expression (CAST(x), date_trunc(x), x + 1, …):
+        // a missing partner's row-grain value is NULL, matching the
+        // combine's state-grain NULL-extension — same proof style as
+        // Catalyst's EliminateOuterJoin null substitution
+        nullSubstituted(e, left).contains(null)
     inlGroups.zip(groupSide).foreach { case (g, sd) =>
       if (!nullFaithful(g, sd))
         return bail(s"grouping expression on the null-extended side " +
-          s"of an outer join (bare columns only): ${g.sql}")
+          s"of an outer join (NULL-faithful expressions only): ${g.sql}")
     }
 
     // measures: what each twin must carry, and how the combine
@@ -2084,6 +2293,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       if (e.references.subsetOf(leftOut)) Some(true)
       else if (e.references.subsetOf(rightOut)) Some(false)
       else None
+    // proof that a side-pure predicate cannot pass on a NULL-extended row:
+    // if the null-substituted fold is provably not TRUE (false or NULL
+    // under three-valued logic), null-extended rows contribute nothing on
+    // both the vanilla and the factorized path. Catalyst's
+    // EliminateOuterJoin uses the same null-substitution test (public
+    // Spark optimizer rule); a form that fails to fold is NOT proven.
+    def nullRejecting(p: Expression, left: Boolean): Boolean =
+      nullSubstituted(p, left).exists(_ != true)
     def pfx(left: Boolean) = if (left) "_a" else "_b"
     // a side's count column, coalesced to 1 when an outer combine can
     // NULL-extend it: a preserved state row without a partner stands for
@@ -2113,14 +2330,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // Like WHERE conjuncts it must not sit on a null-extendable side:
       // vanilla evaluates it AFTER null-extension, so an `IS NULL`-shaped
       // predicate would match null-extended rows the twin never saw.
-      // A CROSS-pairing (`sum(a.x) FILTER (WHERE p(b))`) factorizes over
-      // INNER joins through a dedicated FILTERED-MULTIPLICITY column on
-      // the predicate's side (fn = count of that side's rows passing p,
+      // A CROSS-pairing (`sum(a.x) FILTER (WHERE p(b))`) factorizes
+      // through a dedicated FILTERED-MULTIPLICITY column on the
+      // predicate's side (fn = count of that side's rows passing p,
       // per key × group): every joined row pairs one X row with one Y
       // row, so Σ_rows x·[p(y)] = Σ_keys sumX_k(x)·cntYp_k, min/max
-      // qualify where fn > 0, and avg divides the fn-scaled sums. Outer
-      // joins bail (a missing partner's multiplicity under a predicate
-      // is not 1) and semi/anti bail (no multiplicity to filter).
+      // qualify where fn > 0, and avg divides the fn-scaled sums.
+      // OUTER joins compose too — the combine's fn column NULL-extends
+      // exactly where vanilla's partner rows are missing:
+      //  · missing PREDICATE side ⇒ fn IS NULL ⇒ every `fn > 0` gate and
+      //    `· fn` product is NULL ⇒ the key contributes nothing — which
+      //    matches vanilla iff the predicate cannot pass on a null-
+      //    extended row, so a filter on a null-extendable side requires a
+      //    PROVEN NULL-INTOLERANT predicate (all that side's columns
+      //    nulled ⇒ not TRUE; vanilla evaluates FILTER after
+      //    null-extension, reference has no FILTER-over-join caching);
+      //  · missing MEASURE side ⇒ the measure state column is NULL ⇒
+      //    sum/min/max/count(x) skip it, matching vanilla's per-row NULL
+      //    measure values (count(*) never lands here: its value column
+      //    rides the predicate's own side).
+      // Semi/anti bail (no multiplicity to filter).
       val filtSide: Option[Boolean] = ae.filter match {
         case None => None
         case Some(p) =>
@@ -2128,20 +2357,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             return bail(s"non-deterministic or subquery FILTER: ${ae.sql}")
           val sd = sideOf(p).getOrElse(
             return bail(s"FILTER predicate references both sides: ${ae.sql}"))
-          if (if (sd) aNullable else bNullable)
+          if ((if (sd) aNullable else bNullable) && !nullRejecting(p, sd))
             return bail(
-              s"FILTER on the null-extended side of an outer join: ${ae.sql}")
+              "FILTER on the null-extended side of an outer join is sound " +
+                s"only for provably null-intolerant predicates: ${ae.sql}")
           Some(sd)
       }
-      // cross = predicate on the OPPOSITE side of the measure. A function
-      // value, not a def: `return bail` must leave the enclosing rewrite.
-      val crossOf: Boolean => Boolean = mSide =>
-        filtSide.exists(_ != mSide) && {
-          if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-            return bail("cross-side FILTER factorizes over inner joins " +
-              s"only: ${ae.sql}")
-          true
-        }
+      // cross = predicate on the OPPOSITE side of the measure
+      val crossOf: Boolean => Boolean = mSide => filtSide.exists(_ != mSide)
       // the filtered-multiplicity column on the predicate's side
       def fnSpec: (String, Column) = (s"${pfx(filtSide.get)}f$i",
         fcount(when(Shims.column(ae.filter.get), lit(1))))
@@ -2177,7 +2400,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             }
             if (!nullFaithful(e, sd)) return bail(
               s"measure expression on the null-extended side of an outer " +
-                s"join (bare columns only): ${ae.sql}")
+                s"join (NULL-faithful expressions only): ${ae.sql}")
             val n = s"${pfx(sd)}d$i"
             FM(sd, Seq(n -> collect_set(Shims.column(e))),
               fsize(array_distinct(flatten(collect_list(col(n))))))
@@ -2207,7 +2430,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!c.children.forall(nullFaithful(_, s))) return bail(
             s"measure expression on the null-extended side of an outer " +
-              s"join (bare columns only): ${ae.sql}")
+              s"join (NULL-faithful expressions only): ${ae.sql}")
           if (crossOf(s))
             // count(x) FILTER p(other): per key, cntX(x) rows each pair
             // with exactly fn partner rows passing p
@@ -2222,7 +2445,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(s.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
-              s"join (bare columns only): ${ae.sql}")
+              s"join (NULL-faithful expressions only): ${ae.sql}")
           if (crossOf(sd))
             // fn = 0 keys must contribute NOTHING (not 0): a group whose
             // every partner fails the predicate sums over no rows, which
@@ -2239,7 +2462,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(m.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
-              s"join (bare columns only): ${ae.sql}")
+              s"join (NULL-faithful expressions only): ${ae.sql}")
           if (crossOf(sd))
             // min/max are multiplicity-free: a key's value qualifies iff
             // ANY partner row passes the predicate
@@ -2254,7 +2477,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(m.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
-              s"join (bare columns only): ${ae.sql}")
+              s"join (NULL-faithful expressions only): ${ae.sql}")
           if (crossOf(sd))
             FM(sd, Seq(s"${pfx(sd)}m$i" ->
               Shims.column(ae.copy(filter = None))),
@@ -2267,7 +2490,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             return bail(s"cross-side measure: ${ae.sql}"))
           if (!nullFaithful(a.child, sd)) return bail(
             s"measure expression on the null-extended side of an outer " +
-              s"join (bare columns only): ${ae.sql}")
+              s"join (NULL-faithful expressions only): ${ae.sql}")
           val (sn, cn) = (s"${pfx(sd)}s$i", s"${pfx(sd)}c$i")
           val cross = crossOf(sd)
           // a same-side FILTER folds into the summed/counted value:
@@ -2293,14 +2516,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               // so Spark's precision-loss rule cuts the result scale to 6
               // — BELOW the s+4 scale the avg type needs, silently
               // rounding the answer (caught by the differential spec).
-              // Casting the operands down first keeps the division result
-              // at scale s+8 ≥ s+5, so the final cast to the avg type
-              // rounds the exact rational the same way vanilla does.
-              // (Numerator magnitudes beyond 10^(30−s) would overflow to
-              // NULL — far past any realistic aggregate.)
+              // The operand casts REPRODUCE vanilla Average's
+              // evaluateExpression typing exactly: sum buffer
+              // decimal(min(38, p+10), s), count cast to LongDecimal
+              // (20, 0) — so the Divide plans the identical result type
+              // and rounds identical half-ties, and a numerator past
+              // p+10 digits overflows to NULL exactly where vanilla's
+              // CheckOverflowInSum does.
               import org.apache.spark.sql.types.DecimalType
-              fsum(weigh(col(sn))).cast(DecimalType(30, dt.scale)) /
-                fsum(weigh(col(cn))).cast(DecimalType(12, 0))
+              fsum(weigh(col(sn)))
+                .cast(DecimalType(math.min(38, dt.precision + 10), dt.scale)) /
+                fsum(weigh(col(cn))).cast(DecimalType(20, 0))
             case _ => fsum(weigh(col(sn))) / fsum(weigh(col(cn)))
           }
           FM(sd, Seq(sn -> fsum(childC), cn -> fcount(childC)), combine,

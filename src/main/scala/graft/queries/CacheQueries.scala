@@ -408,6 +408,43 @@ object CacheQueries {
         .run(unbounded(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(window(s.read.parquet(work)))
     }),
+    // rerange compensation COMPOSED with a DYNAMIC lower bound: the warm
+    // twin is the `ts >= now() − 20 days` hourly aggregate (state cached
+    // unbounded, bound re-applied over bucket starts at answer time with
+    // now() frozen per run); the first sighting of the same query PLUS a
+    // both-ends-unaligned static window strips the static conjuncts to
+    // that twin, slices the interior buckets, answers the two edge
+    // slivers with a bounded compensation scan (dynamic conjunct
+    // stripped — it is bucket-granular, not row-level), and re-applies
+    // the frozen bound over bucket starts across replayed, sliver, and
+    // delta rows alike. Both nows are pinned (warm = max(ts)+1s) so the
+    // oracle can express the bucket-granularity bound statically.
+    "qc_incr_dynbound_rerange" -> ((s, d) => {
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "dynrerange")
+      val cache = new MemoryQueryCache()
+      def agg(df: DataFrame) = df
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"))
+      def dyn(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+        col("ts") >= expr("now() - INTERVAL 20 DAYS")))
+      def win(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+        col("ts") >= expr("now() - INTERVAL 20 DAYS") &&
+        col("ts") >= "2024-01-08 06:30:00" &&
+        col("ts") < "2024-01-14 18:45:00"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withDynamicBounds
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(dyn(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(Some(maxUs + 1000000L)))
+        .run(dyn(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(Some(maxUs + 1000000L)))
+        .run(win(s.read.parquet(work)))
+    }),
     // hop SUBSUMPTION (sliding ↔ tumbling): after a cold→append→warm
     // cycle of the TUMBLING 15-minute aggregate, the first-ever sighting
     // of the 1-hour/15-minute SLIDING window is an exact-fingerprint miss
@@ -717,6 +754,54 @@ object CacheQueries {
           // the click twin carries the filtered-multiplicity column
           expr("CAST(sum(CAST(pvalue AS DECIMAL(18,4))) " +
             "FILTER (WHERE value > 50) AS DOUBLE)").as("sum_purch_bigclick"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      aPart.filter(col("ts") >= splitTs).write.mode("append").parquet(s"$base/a")
+      bPart.filter(col("ts") >= splitTs).write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
+    // FACTORIZED LEFT OUTER join with FILTER measures in BOTH
+    // directions: cross-side predicates on the null-extended purchase
+    // side are PROVEN NULL-INTOLERANT (null-substitution fold, the
+    // EliminateOuterJoin test), so a missing-partner key's fn IS NULL
+    // and every fn gate skips it — matching vanilla, whose null-extended
+    // rows cannot pass `pvalue > …` either. Measures on the null-
+    // extended side ride the same proof (CAST(NULL) is NULL — state-
+    // grain null-extension equals row-grain).
+    "qc_incr_factfilter_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factfiltout"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val aPart = ev.filter(col("event_type") === "click")
+        .select("ts", "user_id", "value")
+      val bPart = ev.filter(col("event_type") === "purchase")
+        .selectExpr("ts", "user_id AS puid", "value AS pvalue")
+      aPart.filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      bPart.filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("puid"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) " +
+            "FILTER (WHERE pvalue > 10) AS DOUBLE)").as("sum_click_bigp"),
+          expr("min(value) FILTER (WHERE pvalue > 50)").as("min_click_bigp"),
+          expr("CAST(sum(CAST(pvalue AS DECIMAL(18,4))) " +
+            "FILTER (WHERE value > 20) AS DOUBLE)").as("sum_purch_midclick"),
+          expr("count(*) FILTER (WHERE pvalue > 50)").as("n_bigp"))
       def cfg(now: Option[Long]) = QueryCacheConfig(cache,
         defaultTemporalColumn = "ts", overrideNowMicros = now)
       QueryCacheSession(s, cfg(Some(splitMicros)))
@@ -1160,10 +1245,120 @@ object CacheQueries {
         .write.mode("append").parquet(work)
       ev.unpersist()
       QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    }),
+    // late re-scan band over SESSION WINDOWS: the floor cannot be a fixed
+    // instant (a frontier session ending inside the band may start before
+    // it) — the executor derives the cut from the STATE's own intervals:
+    // the largest point at/below (wm − band) inside no session, drops
+    // every session ending after it, and re-scans from it. The held-out
+    // late slice (rows below the cold watermark) lands with the fresh
+    // append and must merge into/extend the re-read sessions so warm ==
+    // vanilla over the full table, which is what the oracle checks.
+    "qc_incr_lateband_session" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/latebandsess"
+      val workPath = new Path(work)
+      val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(workPath)) fs.delete(workPath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(splitMicros - 2 * dayUs)) &&
+        col("ts") < splitTs && col("event_id") % 3 === 0
+      ev.filter(col("ts") < splitTs && !isLate)
+        .write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(3))
+      def q(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+        .select(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("event_type"), col("cnt"), col("sum_value"),
+          col("max_value"))
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= splitTs || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    }),
+    // late re-scan band over GROUPING SETS: Expand NULLs the day slot in
+    // subtotal rows, so the band keeps only FULL-GRAIN state rows below
+    // the floor and re-expands them into every grouping set; the delta
+    // re-scan regenerates all sets' partials for the dropped buckets'
+    // rows (including the held-out late slice). Warm rollup == vanilla
+    // rollup over the full table — subtotals and grand total included.
+    "qc_incr_lateband_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/latebandroll"
+      val workPath = new Path(work)
+      val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(workPath)) fs.delete(workPath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(splitMicros - 2 * dayUs)) &&
+        col("ts") < splitTs && col("event_id") % 3 === 0
+      ev.filter(col("ts") < splitTs && !isLate)
+        .write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(3))
+      def q(df: DataFrame) = df.filter(col("value") > 1)
+        .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= splitTs || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "qc_incr_lateband_session" ->
+      """WITH m AS (
+           SELECT event_type, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+           FROM events WHERE value > 1
+         ), g AS (
+           SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         )
+         SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM g GROUP BY event_type, sid""",
+    "qc_incr_lateband_rollup" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
     "qc_incr_total" ->
       """SELECT count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
@@ -1297,6 +1492,21 @@ object CacheQueries {
            CAST(sum(CAST(pvalue AS DECIMAL(18,4)))
              FILTER (WHERE value > 50) AS DOUBLE) AS sum_purch_bigclick
          FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
+    "qc_incr_factfilter_outer" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id AS puid, value AS pvalue FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE pvalue > 10) AS DOUBLE) AS sum_click_bigp,
+           min(value) FILTER (WHERE pvalue > 50) AS min_click_bigp,
+           CAST(sum(CAST(pvalue AS DECIMAL(18,4)))
+             FILTER (WHERE value > 20) AS DOUBLE) AS sum_purch_midclick,
+           count(*) FILTER (WHERE pvalue > 50) AS n_bigp
+         FROM a LEFT JOIN b ON a.user_id = b.puid
          GROUP BY 1""",
     "qc_incr_factdecavg" ->
       """WITH a AS (SELECT ts, user_id, value FROM events
@@ -1433,6 +1643,20 @@ object CacheQueries {
          FROM events
          WHERE value > 1 AND ts >= TIMESTAMP '2024-01-08 06:30:00'
            AND ts < TIMESTAMP '2024-01-14 18:45:00'
+         GROUP BY 1""",
+    // warm now pinned to max(ts)+1s; the dynamic bound is bucket-granular
+    // (an hour qualifies by its START), the static window is row-level
+    "qc_incr_dynbound_rerange" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value
+         FROM events
+         WHERE value > 1 AND ts >= TIMESTAMP '2024-01-08 06:30:00'
+           AND ts < TIMESTAMP '2024-01-14 18:45:00'
+           AND CAST(date_trunc('hour', ts) AS TIMESTAMP) >=
+             (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY
+              FROM events)
          GROUP BY 1""",
     // sketch envelope: the Spark side emits rank-check BOOLEANS (and the
     // exact group count); the oracle asserts the same months with TRUE —

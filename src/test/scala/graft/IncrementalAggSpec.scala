@@ -1899,6 +1899,56 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log3.messages.exists(_.startsWith("rerange hit")), log3.messages)
   }
 
+  test("rerange compensation composes with a dynamic lower bound") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("rerange-dyn")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def agg(df: DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max(col("ts")).as("last_ts"))
+    def dyn(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= (current_timestamp() - expr("INTERVAL 20 DAYS"))))
+    // the dynamic bound PLUS a both-ends-unaligned static window: the
+    // static conjuncts strip to the dynamic twin, interior buckets slice
+    // from its state, the two edge slivers come from a compensation scan
+    // (with the dynamic conjunct stripped — it is bucket-granular, not
+    // row-level), and the frozen bound re-applies over bucket starts at
+    // answer time, cutting interior buckets AND the lower sliver alike
+    def win(df: DataFrame) = agg(df.filter(col("value") > 1 &&
+      col("ts") >= (current_timestamp() - expr("INTERVAL 20 DAYS")) &&
+      col("ts") >= "2024-01-08 06:30:00" && col("ts") < "2024-01-14 18:45:00"))
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log,
+      dynamicBoundBucketGranularity = true)
+    // ONLY the unbounded dynamic query is ever warmed
+    QueryCacheSession(spark, cfg(nowUs = Some(splitUs)))
+      .run(dyn(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val warmNow = eventsFull
+      .selectExpr("max(unix_micros(ts))").first().getLong(0) + 1
+    QueryCacheSession(spark, cfg(nowUs = Some(warmNow)))
+      .run(dyn(spark.read.parquet(work))).collect()
+    // first sighting of the windowed variant: rerange hit with 2 slivers
+    // (used to bail outright when a dynamic bound coexisted with slivers)
+    val log = new RecordingLog
+    val df = QueryCacheSession(spark, cfg(log, Some(warmNow)))
+      .run(win(spark.read.parquet(work)))
+    assert(log.messages.exists(m => m.startsWith("rerange hit") &&
+      m.contains("compensation scan over 2 partial edge bucket(s)")),
+      log.messages)
+    // expected: row-level static window, bucket-granularity dynamic bound
+    // (bound rounded UP to the next hour start — ~Jan 11, inside the window)
+    val boundUs = warmNow - 20L * 86400L * 1000000L
+    val alignedUs = ((boundUs + 3599999999L) / 3600000000L) * 3600000000L
+    val want = agg(eventsFull.filter(col("value") > 1 &&
+      col("ts") >= timestamp_micros(lit(alignedUs)) &&
+      col("ts") >= "2024-01-08 06:30:00" && col("ts") < "2024-01-14 18:45:00"))
+    assertSameRows(df, want, tol = 1e-9)
+  }
+
   test("factorized join: both-sides-growing join aggregate, appends absorbed per side") {
     val (early, late, splitUs) = split()
     def part(df: DataFrame, t: String) = df
@@ -3340,8 +3390,10 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(crossDF,
       qCross(spark.read.parquet(workA), spark.read.parquet(workB)))
 
-    // guardrail: a cross-side FILTER over an OUTER join bails (a missing
-    // partner's multiplicity under a predicate is not 1)
+    // a cross-side FILTER over an OUTER join factorizes when the
+    // predicate is provably null-intolerant: a missing-partner key has
+    // fn IS NULL, so every fn gate skips it — matching vanilla, whose
+    // null-extended rows cannot pass `pvalue > 10` either
     def qCrossOuter(a: DataFrame, b: DataFrame) = {
       val bb = b.withColumnRenamed("value", "pvalue")
       a.join(bb, a("user_id") === bb("user_id"), "left_outer")
@@ -3351,10 +3403,107 @@ class IncrementalAggSpec extends AnyFunSuite {
     val logXO = new RecordingLog
     val crossOuterDF = QueryCacheSession(spark, cfg(logXO))
       .run(qCrossOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
-    assert(!logXO.messages.exists(_.startsWith("factorized join: answered")),
+    assert(logXO.messages.exists(_.startsWith("factorized join: answered")),
       logXO.messages)
     assertSameRows(crossOuterDF,
       qCrossOuter(spark.read.parquet(workA), spark.read.parquet(workB)))
+  }
+
+  test("factorized join: FILTER clauses over outer joins") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factfiltout-a")
+    val workB = tmpDir("factfiltout-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    // LEFT OUTER, filters in BOTH directions: cross-side predicates on
+    // the null-extended B side (proven null-intolerant — fn NULL/0 keys
+    // contribute nothing, like vanilla's failed predicate), measures on
+    // the null-extended side gated by a preserved-side predicate, and a
+    // count(*) FILTER on each side
+    def qLeft(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+        .withColumnRenamed("user_id", "puid")
+      a.join(bb, a("user_id") === bb("puid"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("sum(value) FILTER (WHERE pvalue > 10)").as("s_cross"),
+          expr("count(value) FILTER (WHERE pvalue > 10)").as("c_cross"),
+          expr("min(value) FILTER (WHERE pvalue > 50)").as("mn_cross"),
+          expr("avg(value) FILTER (WHERE pvalue > 10)").as("av_cross"),
+          expr("count(DISTINCT user_id) FILTER (WHERE pvalue > 50)")
+            .as("du_cross"),
+          expr("sum(pvalue) FILTER (WHERE value > 20)").as("s_rev"),
+          expr("max(pvalue) FILTER (WHERE value > 20)").as("mx_rev"),
+          // null-ANNIHILATING measure expression on the null-extended
+          // side: CAST(NULL) is NULL, so state-grain null-extension
+          // equals row-grain — proven by null substitution, not bare-attr
+          expr("sum(CAST(pvalue AS DECIMAL(18,4))) FILTER (WHERE value > 20)")
+            .as("s_rev_dec"),
+          expr("count(*) FILTER (WHERE value > 50)").as("n_a"),
+          expr("count(*) FILTER (WHERE pvalue > 50)").as("n_b"))
+    }
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(qLeft(spark.read.parquet(workA), spark.read.parquet(workB)))
+      .collect()
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")),
+      log1.messages)
+    part(late, "click").write.mode("append").parquet(workA)
+    part(late, "purchase").write.mode("append").parquet(workB)
+    val log2 = new RecordingLog
+    val warmDF = QueryCacheSession(spark, cfg(log2))
+      .run(qLeft(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assertSameRows(warmDF,
+      qLeft(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")),
+      log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+
+    // FULL OUTER: NULL-faithful grouping/measures (state-grain
+    // null-extension must equal row-grain — date_trunc(NULL) is NULL, so
+    // the expression group is provable), filters on both (now
+    // both-nullable) sides — each requires the null-intolerance proof
+    def qFull(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+        .withColumnRenamed("user_id", "puid")
+      a.join(bb, a("user_id") === bb("puid"), "full_outer")
+        .groupBy(date_trunc("day", a("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("sum(value) FILTER (WHERE pvalue > 10)").as("s_cross"),
+          expr("min(pvalue) FILTER (WHERE value > 20)").as("mn_rev"),
+          expr("count(*) FILTER (WHERE value > 50)").as("n_a"))
+    }
+    val logF = new RecordingLog
+    val fullDF = QueryCacheSession(spark, cfg(logF))
+      .run(qFull(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(logF.messages.exists(_.startsWith("factorized join: answered")),
+      logF.messages)
+    assertSameRows(fullDF,
+      qFull(spark.read.parquet(workA), spark.read.parquet(workB)))
+
+    // guardrail: an IS-NULL-shaped cross-side predicate on the
+    // null-extended side is NOT null-intolerant — vanilla counts
+    // null-extended rows through it, the twins never see them — bail
+    def qIsNull(a: DataFrame, b: DataFrame) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+        .withColumnRenamed("user_id", "puid")
+      a.join(bb, a("user_id") === bb("puid"), "left_outer")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(expr("sum(value) FILTER (WHERE pvalue IS NULL)").as("s"))
+    }
+    val logN = new RecordingLog
+    val isNullDF = QueryCacheSession(spark, cfg(logN))
+      .run(qIsNull(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(!logN.messages.exists(_.startsWith("factorized join: answered")),
+      logN.messages)
+    assertSameRows(isNullDF,
+      qIsNull(spark.read.parquet(workA), spark.read.parquet(workB)))
   }
 
   test("session windows: warm equals vanilla, open frontier chains across the seam") {
@@ -3543,6 +3692,98 @@ class IncrementalAggSpec extends AnyFunSuite {
       .run(q(spark.read.parquet(work)))
     assert(log.messages.exists(_.startsWith("late re-scan band")), log.messages)
     assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(eventsFull))
+  }
+
+  test("late re-scan band: session windows use a state-derived floor") {
+    import spark.implicits._
+    // the case a FIXED floor gets wrong: key "a" has one continuous
+    // session STRADDLING the arithmetic floor (wm − band). Dropping it
+    // while re-scanning only ts ≥ floor would lose its early rows — the
+    // state-derived cut must regress to that session's start, so the
+    // whole session re-reads and re-merges with the band's late rows.
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24 * hourUs
+    val t0 = java.sql.Timestamp.valueOf("2024-03-10 00:00:00").getTime * 1000L
+    val splitUs = t0 + 10 * dayUs
+    val floor0 = splitUs - dayUs // band = 1 day
+    // key a: rows every 10 min from floor0 − 2h to floor0 + 1h (one
+    // 30-min-gap session spanning the floor); key b: separate old
+    // sessions well below the floor, one LATE row inside the band, and
+    // fresh rows after the split for both keys
+    val aRows = (0 to 18).map(i =>
+      (floor0 - 2 * hourUs + i * 600L * 1000000L, "a", 10.0))
+    val bOld = Seq(
+      (floor0 - 3 * dayUs, "b", 20.0),
+      (floor0 - 2 * dayUs, "b", 21.0))
+    val bLate = Seq((floor0 + 2 * hourUs, "b", 22.0))
+    val fresh = Seq(
+      (splitUs + hourUs, "a", 30.0),
+      (splitUs + 2 * hourUs, "b", 31.0))
+    def toDf(rows: Seq[(Long, String, Double)]) = rows
+      .toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"))
+    val work = tmpDir("lateband-session")
+    toDf(aRows ++ bOld).write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withLateRescanBand(java.time.Duration.ofDays(1))
+    def q(df: DataFrame) = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("event_type"),
+        col("cnt"), col("sum_value"), col("max_value"))
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    toDf(bLate ++ fresh).write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    // the derived cut regressed to a's session start, NOT the fixed floor
+    val aStart = floor0 - 2 * hourUs
+    assert(log.messages.exists(_.contains(s"-> $aStart")),
+      s"expected state-derived floor $aStart in: ${log.messages}")
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    assertSameRows(warmDF, q(toDf(aRows ++ bOld ++ bLate ++ fresh)))
+  }
+
+  test("late re-scan band: grouping sets band the full grain and re-expand") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband-rollup")
+    ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    // Expand used to bail from the band outright; now the full-grain
+    // set's rows are banded on the real day bucket and re-expanded into
+    // the subtotal/grand-total sets, whose old state rows are discarded
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+    QueryCacheSession(spark, cfg(Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate)
+      .write.mode("append").parquet(work)
+    val warmDF = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    assert(log.messages.exists(_.startsWith("late re-scan band")), log.messages)
+    assert(log.messages.exists(_.startsWith("cache hit")), log.messages)
+    // subtotal and grand-total rows must reflect the folded-in late rows
+    // too — they were rebuilt from banded full-grain state + delta
     assertSameRows(warmDF, q(eventsFull))
   }
 
