@@ -396,6 +396,20 @@ final case class QueryCacheConfig(
     factorizedJoinState: Boolean = true,
     percentileSketchState: Boolean = true,
     lateRescanBandMicros: Option[Long] = None,
+    /** internal bucketing grain for NO-GROUP-BY aggregates with a dynamic
+      * lower bound (reference README.md:132's own sketch: "rewrite the
+      * aggregation to include a group_by clause, then filter, then
+      * aggregate again") — the bound qualifies buckets by their START at
+      * this grain, the same bucket-granularity semantics the grouped
+      * dynamic-bound path defines. date_trunc grains only. */
+    dynamicBoundInternalGrain: String = "hour",
+    /** cache SIMPLE FILTER QUERIES (no aggregate) as materialized row
+      * state — reference README.md:130's first roadmap item. State = the
+      * query's own output rows at the watermark; a warm run unions the
+      * replayed rows with a pushed `ts >= wm` delta scan. Incremental
+      * materialized view over append-only sources; capacity-guarded like
+      * aggregate state. */
+    filterQueryState: Boolean = true,
     log: CacheLog = NoOpLog) {
 
   def withStaticDimensions(tables: String*): QueryCacheConfig =

@@ -104,8 +104,38 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 None
             }
           else None
-        if (factorized.isEmpty) config.log.info(fp, s"not caching: $reason")
-        factorized
+        // no-GROUP-BY aggregate under a dynamic lower bound (reference
+        // README.md:132 TODO): bucket internally, bound over bucket
+        // starts, re-aggregate — see dynNoGroupRewrite
+        val dynNoGroup =
+          if (factorized.isEmpty && config.dynamicBoundBucketGranularity)
+            try phase("dyn-nogroup")(dynNoGroupRewrite(spark, analyzed))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                config.log.warn(fp,
+                  s"no-group dynamic bound rewrite failed, running uncached: ${e.getMessage}")
+                None
+            }
+          else None
+        // simple filter queries (reference README.md:130 TODO): cache
+        // the row result itself as an incremental materialized view
+        val filterRows =
+          if (factorized.isEmpty && dynNoGroup.isEmpty)
+            try phase("filter-rows")(filterQueryRewrite(spark, analyzed))
+            catch {
+              case e: CacheCapacityExceeded =>
+                config.log.warn(fp,
+                  s"row state too large, running uncached: ${e.getMessage}")
+                None
+              case scala.util.control.NonFatal(e) =>
+                config.log.warn(fp,
+                  s"filter-query rewrite failed, running uncached: ${e.getMessage}")
+                None
+            }
+          else None
+        val alt = factorized.orElse(dynNoGroup).orElse(filterRows)
+        if (alt.isEmpty) config.log.info(fp, s"not caching: $reason")
+        alt
       case Right(c) =>
         config.log.info(c.fingerprint,
           s"query valid for caching, temporal column ${c.temporalAttr.name}")
@@ -2184,30 +2214,6 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       aliasMaps.foldLeft(e)((ex, m) => ex.transformUp {
         case a: Attribute if m.contains(a.exprId) => m(a.exprId)
       })
-    // inner joins scale each side by the other's multiplicity; semi/anti
-    // joins are multiplicity-FREE (every A row appears 0 or 1 times), so
-    // measures pass through unscaled and twin B is pure key membership.
-    // OUTER joins factorize too: the combine join carries the SAME outer
-    // type, so a state row without a partner survives null-extended with
-    // the other side's count column NULL — exactly one preserved row per
-    // underlying preserved fact row once that side's count coalesces to 1
-    // (an unmatched A key's cntA rows each appear once). aNullable /
-    // bNullable record which side's state columns can be NULL-extended
-    // in the combine — those sides get extra guardrails below, because
-    // null-extension happens at STATE grain here but at ROW grain in the
-    // vanilla plan (sound only when the per-row value under a missing
-    // partner is NULL on both paths).
-    val (scaled, aNullable, bNullable) = j.joinType match {
-      case org.apache.spark.sql.catalyst.plans.Inner => (true, false, false)
-      case org.apache.spark.sql.catalyst.plans.LeftOuter => (true, false, true)
-      case org.apache.spark.sql.catalyst.plans.RightOuter => (true, true, false)
-      case org.apache.spark.sql.catalyst.plans.FullOuter => (true, true, true)
-      case org.apache.spark.sql.catalyst.plans.LeftSemi |
-          org.apache.spark.sql.catalyst.plans.LeftAnti => (false, false, false)
-      case jt =>
-        return bail(s"${jt.sql} join — factorization covers " +
-          "inner/semi/anti/left/right/full equi-joins")
-    }
     if (!agg.expressions.forall(_.deterministic) || hasSub(agg.expressions))
       return bail("non-deterministic or subquery aggregate expression")
     if (!j.condition.forall(_.deterministic) || hasSub(j.condition.toSeq) ||
@@ -2218,6 +2224,27 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
     val leftOut = j.left.outputSet
     val rightOut = j.right.outputSet
+    // constant-fold `e` with every one of that side's columns replaced by
+    // NULL — the value a null-extended row would feed it. None when the
+    // substituted form doesn't fold (conservative: nothing is proven).
+    def nullSubstituted(e: Expression, left: Boolean): Option[Any] = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val side = if (left) leftOut else rightOut
+      try {
+        val nulled = e.transform {
+          case a: Attribute if side.contains(a) => Literal(null, a.dataType)
+        }
+        if (nulled.foldable) Some(nulled.eval()) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    // proof that a side-pure predicate cannot pass on a NULL-extended row:
+    // if the null-substituted fold is provably not TRUE (false or NULL
+    // under three-valued logic), null-extended rows contribute nothing on
+    // both the vanilla and the factorized path. Catalyst's
+    // EliminateOuterJoin uses the same null-substitution test (public
+    // Spark optimizer rule); a form that fails to fold is NOT proven.
+    def nullRejecting(p: Expression, left: Boolean): Boolean =
+      nullSubstituted(p, left).exists(_ != true)
     val pairs: Seq[(Attribute, Attribute)] =
       splitConj(j.condition.getOrElse(return bail("join without condition")))
         .map {
@@ -2236,11 +2263,62 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val (rFilters, cross) = rest.partition(_.references.subsetOf(rightOut))
     if (cross.nonEmpty)
       return bail(s"cross-side filter conjunct: ${cross.head.sql}")
-    // a WHERE conjunct on a null-extendable side does NOT commute into
-    // that side's twin: the vanilla plan applies it AFTER null-extension
-    // (dropping preserved rows whose nulls fail it), while the twin would
-    // apply it BEFORE the join (turning previously-matched keys into
-    // null-extended survivors). Either direction changes the answer.
+    // OUTER-JOIN DEMOTION (Catalyst's EliminateOuterJoin, applied here
+    // because the rewrite sees the ANALYZED plan): a null-REJECTING WHERE
+    // conjunct on a null-extended side drops every row that side was
+    // null-extended into, so the outer join degenerates — left/right
+    // lose their outer-ness entirely, full outer loses the rejected
+    // side's null-extension. Everything below (twin construction,
+    // nullability guardrails, the combine join) uses the demoted type.
+    val effJoinType: org.apache.spark.sql.catalyst.plans.JoinType = {
+      import org.apache.spark.sql.catalyst.plans._
+      def rejL = lFilters.exists(nullRejecting(_, left = true))
+      def rejR = rFilters.exists(nullRejecting(_, left = false))
+      val eff = j.joinType match {
+        case LeftOuter if rejR => Inner
+        case RightOuter if rejL => Inner
+        case FullOuter if rejL && rejR => Inner
+        case FullOuter if rejL => LeftOuter
+        case FullOuter if rejR => RightOuter
+        case other => other
+      }
+      if (eff != j.joinType)
+        config.log.info(fp, s"factorized join: ${j.joinType.sql} demoted " +
+          s"to ${eff.sql} (null-rejecting filter on the null-extended side)")
+      eff
+    }
+    // inner joins scale each side by the other's multiplicity; semi/anti
+    // joins are multiplicity-FREE (every A row appears 0 or 1 times), so
+    // measures pass through unscaled and twin B is pure key membership.
+    // OUTER joins factorize too: the combine join carries the SAME outer
+    // type, so a state row without a partner survives null-extended with
+    // the other side's count column NULL — exactly one preserved row per
+    // underlying preserved fact row once that side's count coalesces to 1
+    // (an unmatched A key's cntA rows each appear once). aNullable /
+    // bNullable record which side's state columns can be NULL-extended
+    // in the combine — those sides get extra guardrails below, because
+    // null-extension happens at STATE grain here but at ROW grain in the
+    // vanilla plan (sound only when the per-row value under a missing
+    // partner is NULL on both paths).
+    val (scaled, aNullable, bNullable) = effJoinType match {
+      case org.apache.spark.sql.catalyst.plans.Inner => (true, false, false)
+      case org.apache.spark.sql.catalyst.plans.LeftOuter => (true, false, true)
+      case org.apache.spark.sql.catalyst.plans.RightOuter => (true, true, false)
+      case org.apache.spark.sql.catalyst.plans.FullOuter => (true, true, true)
+      case org.apache.spark.sql.catalyst.plans.LeftSemi |
+          org.apache.spark.sql.catalyst.plans.LeftAnti => (false, false, false)
+      case jt =>
+        return bail(s"${jt.sql} join — factorization covers " +
+          "inner/semi/anti/left/right/full equi-joins")
+    }
+    // a WHERE conjunct on a (post-demotion) null-extendable side does NOT
+    // commute into that side's twin: the vanilla plan applies it AFTER
+    // null-extension (dropping preserved rows whose nulls fail it), while
+    // the twin would apply it BEFORE the join (turning previously-matched
+    // keys into null-extended survivors). Either direction changes the
+    // answer — and a conjunct that WOULD have collapsed the extension was
+    // already consumed by the demotion above, so what bails here is the
+    // genuinely null-tolerant residue (IS NULL shapes, coalesce guards).
     if (aNullable && lFilters.nonEmpty)
       return bail("filter on the null-extended left side of an outer join")
     if (bNullable && rFilters.nonEmpty)
@@ -2255,19 +2333,6 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // for a missing partner, but an expression may not be (e.g.
     // coalesce(b.x, 0) evaluates to 0 per row in the vanilla plan while
     // the combine's NULL state column yields NULL) — require bare attrs.
-    // constant-fold `e` with every one of that side's columns replaced by
-    // NULL — the value a null-extended row would feed it. None when the
-    // substituted form doesn't fold (conservative: nothing is proven).
-    def nullSubstituted(e: Expression, left: Boolean): Option[Any] = {
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      val side = if (left) leftOut else rightOut
-      try {
-        val nulled = e.transform {
-          case a: Attribute if side.contains(a) => Literal(null, a.dataType)
-        }
-        if (nulled.foldable) Some(nulled.eval()) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
     def nullFaithful(e: Expression, left: Boolean): Boolean =
       !(if (left) aNullable else bNullable) || e.isInstanceOf[Attribute] ||
         // null-ANNIHILATING expression (CAST(x), date_trunc(x), x + 1, …):
@@ -2293,14 +2358,6 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       if (e.references.subsetOf(leftOut)) Some(true)
       else if (e.references.subsetOf(rightOut)) Some(false)
       else None
-    // proof that a side-pure predicate cannot pass on a NULL-extended row:
-    // if the null-substituted fold is provably not TRUE (false or NULL
-    // under three-valued logic), null-extended rows contribute nothing on
-    // both the vanilla and the factorized path. Catalyst's
-    // EliminateOuterJoin uses the same null-substitution test (public
-    // Spark optimizer rule); a form that fails to fold is NOT proven.
-    def nullRejecting(p: Expression, left: Boolean): Boolean =
-      nullSubstituted(p, left).exists(_ != true)
     def pfx(left: Boolean) = if (left) "_a" else "_b"
     // a side's count column, coalesced to 1 when an outer combine can
     // NULL-extend it: a preserved state row without a partner stands for
@@ -2615,7 +2672,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val cond = pairs.indices.map(i => aAns(s"_ka$i") === bAns(s"_kb$i"))
       .reduce(_ && _)
     val joined = aAns.join(bAns, cond,
-      j.joinType.sql.toLowerCase.replace(" ", "_"))
+      effJoinType.sql.toLowerCase.replace(" ", "_"))
     val finalGroupCols = agg.groupingExpressions.indices.map(jx =>
       col(if (groupSide(jx)) s"_ga$jx" else s"_gb$jx"))
     val combineCols = fms.zipWithIndex.map { case (f, i) => f.combine.as(s"_r$i") }
@@ -2654,6 +2711,285 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     config.log.info(fp, "factorized join: answered from two per-side twin " +
       "states combined at join-key grain")
     Some(analyzed.transformUp { case n if n eq agg => aligned })
+  }
+
+  /** Reference README.md:130-132's LAST unimplemented roadmap item: an
+    * aggregation with NO GROUP BY under a DYNAMIC lower bound
+    * (`SELECT count(*), sum(v) FROM t WHERE ts >= now() - INTERVAL 1
+    * DAY`). The reference sketches the fix itself — "rewrite the
+    * aggregation to include a group_by clause, then filter, then
+    * aggregate again" — and that is exactly this rewrite: an internal
+    * bucket group at `config.dynamicBoundInternalGrain` over the bound's
+    * temporal column turns the query into the SUPPORTED grouped
+    * dynamic-bound shape (state cached unbounded, frozen bound
+    * re-applied over bucket starts at answer time), and a final
+    * no-group aggregate folds the surviving buckets back into the
+    * original single row. Bound semantics are therefore
+    * bucket-granularity at the internal grain — the same contract the
+    * grouped path defines, one grain knob instead of one per query.
+    *
+    * Measures: count/sum/min/max re-aggregate from their bucket
+    * finalizes directly (count via sum, empty-result coalesce to 0);
+    * avg splits into sum+count bucket columns and divides with vanilla
+    * Average's exact typing (decimal p+10 / LongDecimal). Row-level
+    * FILTER clauses commute into the buckets unchanged. DISTINCT
+    * aggregates bail (their bucket finalizes don't re-aggregate). */
+  private def dynNoGroupRewrite(spark: SparkSession,
+      analyzed: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Average, Count, Max, Min, Sum}
+    import org.apache.spark.sql.functions.{coalesce, count => fcount,
+      max => fmax, min => fmin, sum => fsum, when}
+    import org.apache.spark.sql.types.DecimalType
+
+    val aggs = analyzed.collect { case a: Aggregate => a }
+    if (aggs.size != 1) return None
+    val agg = aggs.head
+    if (agg.groupingExpressions.nonEmpty) return None
+    val fp = Fingerprint.of(agg) + fpSuffix
+    def bail(msg: String): Option[LogicalPlan] = {
+      config.log.info(fp, s"no-group dynamic bound bail: $msg")
+      None
+    }
+    def hasSub(es: Seq[Expression]): Boolean = es.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    if (!agg.expressions.forall(_.deterministic) || hasSub(agg.expressions))
+      return None
+    // the filter chain must contain exactly one dynamic lower bound (and
+    // nothing unstable) — otherwise this rewrite has no reason to exist
+    // (no bound) or no soundness story (unstable filters)
+    val needles = config.temporalColumns.map(_.toLowerCase) +
+      config.defaultTemporalColumn.toLowerCase
+    var found: Option[Expression] = None
+    var ok = true
+    def walk(p: LogicalPlan): Unit = if (ok) p match {
+      case Filter(cond, ch) =>
+        graft.analysis.Stability.find(cond, needles) match {
+          case graft.analysis.Stability.Found(b) =>
+            if (found.isEmpty) { found = Some(b); walk(ch) } else ok = false
+          case graft.analysis.Stability.Stable => walk(ch)
+          case _ => ok = false
+        }
+      case Project(es, ch) if es.forall(_.deterministic) && !hasSub(es) =>
+        walk(ch)
+      case SubqueryAlias(_, ch) => walk(ch)
+      case v: View => walk(v.child)
+      case _ => ()
+    }
+    walk(agg.child)
+    if (!ok) return None
+    val bound = found.getOrElse(return None)
+    // the bound's unique temporal column, present on the aggregate input
+    val tAttr = bound.references.toSeq
+      .filter(a => needles.contains(a.name.toLowerCase)) match {
+      case Seq(one) => one
+      case _ => return bail("bound references no unique temporal column")
+    }
+    if (!agg.child.outputSet.contains(tAttr))
+      return bail(s"temporal column ${tAttr.name} pruned below the aggregate")
+
+    val childDF = Shims.ofRows(spark, agg.child)
+    val aggExprs = distinctAggExprs(agg.aggregateExpressions)
+    // (twin bucket columns, re-aggregation over them)
+    final case class RM(twinCols: Seq[(String, Column)], combine: Column)
+    val rms: Seq[RM] = aggExprs.zipWithIndex.map { case (ae, i) =>
+      if (ae.isDistinct)
+        return bail(s"DISTINCT aggregate does not re-aggregate: ${ae.sql}")
+      if (ae.filter.exists(p => !p.deterministic || hasSub(Seq(p))))
+        return bail(s"non-deterministic or subquery FILTER: ${ae.sql}")
+      ae.aggregateFunction match {
+        case _: Count =>
+          RM(Seq(s"_m$i" -> Shims.column(ae)),
+            coalesce(fsum(col(s"_m$i")), lit(0L)))
+        case _: Sum =>
+          RM(Seq(s"_m$i" -> Shims.column(ae)), fsum(col(s"_m$i")))
+        case _: Min =>
+          RM(Seq(s"_m$i" -> Shims.column(ae)), fmin(col(s"_m$i")))
+        case _: Max =>
+          RM(Seq(s"_m$i" -> Shims.column(ae)), fmax(col(s"_m$i")))
+        case a: Average =>
+          val (sn, cn) = (s"_s$i", s"_c$i")
+          val childC = ae.filter match {
+            case Some(p) => when(Shims.column(p), Shims.column(a.child))
+            case None => Shims.column(a.child)
+          }
+          val combine = a.child.dataType match {
+            case dt: DecimalType =>
+              // vanilla Average typing (same contract as the factorized
+              // combine): sum at decimal(min(38,p+10),s), count at
+              // LongDecimal — identical result type and rounding
+              fsum(col(sn))
+                .cast(DecimalType(math.min(38, dt.precision + 10), dt.scale)) /
+                fsum(col(cn)).cast(DecimalType(20, 0))
+            case _ => fsum(col(sn)) / fsum(col(cn))
+          }
+          RM(Seq(sn -> fsum(childC), cn -> fcount(childC)), combine)
+        case other =>
+          return bail(s"measure does not re-aggregate from bucket " +
+            s"finalizes: ${other.sql} (count/sum/min/max/avg only)")
+      }
+    }
+
+    // the internal-grain twin IS the supported grouped dynamic-bound
+    // shape — hand it to the normal machinery (cache, watermark, answer-
+    // time bound over bucket starts, every subsumption)
+    val bucket = org.apache.spark.sql.functions.date_trunc(
+      config.dynamicBoundInternalGrain, Shims.column(tAttr))
+    val twinAggCols = rms.flatMap(_.twinCols).map { case (n, c) => c.as(n) }
+    val twinDF = childDF.groupBy(bucket.as("_dynb"))
+      .agg(twinAggCols.head, twinAggCols.tail: _*)
+    val twinPlan = Shims.queryExecution(twinDF).analyzed
+    val twinAns = rewritePlan(spark, twinPlan).map(Shims.ofRows(spark, _))
+      .getOrElse(return bail("internal-grain twin rewrite declined"))
+
+    val combineCols = rms.zipWithIndex.map { case (r, i) => r.combine.as(s"_r$i") }
+    val resultDF = twinAns.agg(combineCols.head, combineCols.tail: _*)
+    def rewriteOut(e: Expression): Expression = e match {
+      case ae: AggregateExpression =>
+        val i = aggExprs.indexWhere(_.semanticEquals(ae))
+        require(i >= 0, s"unmapped aggregate ${ae.sql}")
+        Cast(UnresolvedAttribute(Seq(s"_r$i")), ae.dataType)
+      case _ => e.withNewChildren(e.children.map(rewriteOut))
+    }
+    val outCols: Seq[Column] = agg.aggregateExpressions.map { o =>
+      val core = o match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      Shims.column(rewriteOut(core)).as(o.name)
+    }
+    val finalPlan = Shims.queryExecution(resultDF.select(outCols: _*)).analyzed
+    val aligned = Project(
+      finalPlan.output.zip(agg.output).map { case (na, oo) =>
+        Alias(na, oo.name)(exprId = oo.exprId)
+      }, finalPlan)
+    config.log.info(fp, "no-group dynamic bound: answered via the " +
+      s"internal ${config.dynamicBoundInternalGrain}-grain bucketed twin")
+    Some(analyzed.transformUp { case n if n eq agg => aligned })
+  }
+
+  /** Reference README.md:130's FIRST roadmap item ("Simple filter
+    * queries — this should be simple enough"): cache a no-aggregate
+    * Project/Filter chain over an append-only scan as MATERIALIZED ROW
+    * STATE — an automatically-maintained incremental materialized view.
+    *
+    * State = the chain's own output rows at the watermark. A warm run
+    * answers `state ∪ delta` where the delta re-runs the chain with
+    * `ts >= wm` INJECTED AT THE SCAN LEAF (below any projection that
+    * pruned the temporal column), so it pushes to parquet and scans only
+    * the append — the row-level analogue of the aggregate path's
+    * watermark filter, with the trivial partition-by-watermark exactness
+    * argument (a row has ts < wm xor ts >= wm; NULL-ts rows are captured
+    * cold and never re-read, like the aggregate path). The merged rows
+    * are stored back under this run's timestamp, so state grows by
+    * exactly the append. Same S1 contract as aggregates: future-dated
+    * rows double under the default mode and strictUpperBound closes it
+    * by bounding both capture and answer at `ts < now`.
+    *
+    * Scale shape: the put is a distributed parquet write for the durable
+    * cache (result-sized, no driver funnel) and capacity-guarded
+    * (CacheCapacityExceeded → vanilla) for the memory cache. Queries
+    * with a dynamic bound, now(), subqueries, non-determinism, joins, or
+    * no Filter at all (a bare table copy) run vanilla. Parents above the
+    * chain (Sort, the session's own operators) re-apply over the union
+    * unchanged — row multiset equality makes them order-safe. */
+  private def filterQueryRewrite(spark: SparkSession,
+      analyzed: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      GreaterThanOrEqual, LessThan, Literal}
+    if (!config.filterQueryState) return None
+    if (analyzed.exists {
+      case _: Aggregate => true
+      case _: Join => true
+      case _: Union => true
+      case _ => false
+    }) return None
+    // the cacheable chain: strip alias/sort wrappers from the root, then
+    // require Project*/Filter+ over a single scan leaf
+    def descend(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, ch) => descend(ch)
+      case v: View => descend(v.child)
+      case s: Sort => descend(s.child)
+      case other => other
+    }
+    val chain = descend(analyzed)
+    val needles = config.temporalColumns.map(_.toLowerCase) +
+      config.defaultTemporalColumn.toLowerCase
+    def hasSub(es: Seq[Expression]): Boolean = es.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    var nFilters = 0
+    var leaf: Option[LogicalPlan] = None
+    var ok = true
+    def walk(p: LogicalPlan): Unit = if (ok) p match {
+      case Filter(cond, ch) =>
+        if (!cond.deterministic || hasSub(Seq(cond))) ok = false
+        else Stability.find(cond, needles) match {
+          case Stability.Stable => nFilters += 1; walk(ch)
+          case _ => ok = false // dynamic bounds / now() rows: vanilla
+        }
+      case Project(es, ch) =>
+        if (es.forall(_.deterministic) && !hasSub(es)) walk(ch) else ok = false
+      case SubqueryAlias(_, ch) => walk(ch)
+      case v: View => walk(v.child)
+      case l if Shims.isScanLeaf(l) && leaf.isEmpty => leaf = Some(l)
+      case _ => ok = false
+    }
+    walk(chain)
+    if (!ok || nFilters == 0 || leaf.isEmpty) return None
+    val scanLeaf = leaf.get
+    // temporal column on the SCAN LEAF (the chain's projection may prune
+    // it — the delta conjunct injects below the projection)
+    val tAttr = scanLeaf.output.find(a =>
+      needles.contains(a.name.toLowerCase) &&
+        a.dataType == TimestampType).getOrElse(return None)
+
+    val fp = Fingerprint.of(chain) + ":rows" + fpSuffix
+    val now = config.nowMicros()
+    val tDt = tAttr.dataType
+    def boundedAtLeaf(lower: Option[Long]): LogicalPlan =
+      chain.transformUp {
+        case l if l eq scanLeaf =>
+          val conjs =
+            lower.map(wm =>
+              GreaterThanOrEqual(tAttr, Literal(wm, tDt))).toSeq ++
+              (if (config.strictUpperBound)
+                Seq(LessThan(tAttr, Literal(now, tDt)))
+              else Nil)
+          conjs.reduceOption(And).map(Filter(_, l)).getOrElse(l)
+      }
+    val entry = config.cache.get(fp)
+      .filter { cs =>
+        val compat = schemaCompatible(cs.schema, StructType(chain.output.map(
+          a => org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable))))
+        if (!compat) config.log.warn(fp,
+          "cached row-state schema mismatch — treating as miss")
+        compat
+      }
+    val merged = entry match {
+      case Some(cs) =>
+        config.log.info(fp, s"cache hit (rows): replaying materialized " +
+          s"rows, delta scan from ${cs.timestampMicros}")
+        cs.read(spark).unionByName(
+          Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros))))
+      case None =>
+        config.log.info(fp,
+          "cache miss (rows): materializing filter-query rows")
+        Shims.ofRows(spark, boundedAtLeaf(None))
+    }
+    val stored = config.cache.put(fp, now, merged)
+    config.cache.recordSourcePaths(fp, Shims.sourcePaths(chain))
+    graft.plans.CacheReplayStrategy.register(spark)
+    val storedPlan = Shims.queryExecution(stored).analyzed
+    val aligned = Project(
+      storedPlan.output.zip(chain.output).map { case (na, oo) =>
+        Alias(na, oo.name)(exprId = oo.exprId)
+      }, storedPlan)
+    val marked = graft.plans.CacheReplayMarker(aligned, fp,
+      hit = entry.isDefined,
+      watermarkMicros = entry.map(_.timestampMicros))
+    Some(analyzed.transformUp { case n if n eq chain => marked })
   }
 
   // ------------------------------------------------ join subsumption

@@ -161,6 +161,35 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       }
     }),
+    // SIMPLE FILTER QUERY (no aggregate) — the reference's first roadmap
+    // item (README.md:130): the row result itself is the cached state (an
+    // automatically-maintained incremental materialized view); the warm
+    // run replays the materialized rows and unions a pushed ts >= wm
+    // delta scan of the append only (scan pin in IncrementalAggSpec).
+    "qc_incr_select" -> ((s, d) =>
+      coldAppendWarm(s, d, "select") { df =>
+        df.filter(col("value") > 50 && col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), col("value"))
+      }),
+    // NO-GROUP-BY aggregate with a dynamic lower bound — the reference's
+    // last unimplemented roadmap item (README.md:132), built with its own
+    // sketch: an internal hour-grain bucket group makes it the supported
+    // grouped dynamic-bound shape (state unbounded, frozen bound over
+    // bucket starts), then a final no-group aggregate folds the buckets
+    // back to one row. Warm now pinned to max(ts)+1s so the oracle can
+    // state the hour-bucket-granularity bound statically.
+    "qc_incr_dynbound_total" -> ((s, d) => {
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      coldAppendWarm(s, d, "dyntotal", dynamicBounds = true,
+        warmNowMicros = Some(maxUs + 1000000L)) { df =>
+        df.filter(col("value") > 1 &&
+            col("ts") >= expr("now() - INTERVAL 20 DAYS"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+      }
+    }),
     // sum/avg(DISTINCT) via the same set-union state as exact
     // count-distinct, summed at finalize. Exact-typed columns only: the
     // distinct sets here are integers/decimals, so the finalize fold is
@@ -813,6 +842,52 @@ object CacheQueries {
       QueryCacheSession(s, cfg(None))
         .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
     }),
+    // OUTER-JOIN DEMOTION (Catalyst's EliminateOuterJoin applied inside
+    // the factorization, which sees the ANALYZED plan): a LEFT OUTER
+    // join under a null-REJECTING WHERE conjunct on the null-extended
+    // side is plan-equivalent to the INNER join — the conjunct drops
+    // every null-extended row — so it demotes, the conjunct commutes
+    // into the purchase twin like any inner-side filter, and the demoted
+    // spelling SHARES twin states with the inner spelling (warm-hit
+    // pinned in IncrementalAggSpec).
+    "qc_incr_factdemote" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factdemote"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val aPart = ev.filter(col("event_type") === "click")
+        .select("ts", "user_id", "value")
+      val bPart = ev.filter(col("event_type") === "purchase")
+        .selectExpr("ts AS pts", "user_id AS puid", "value AS pvalue")
+      aPart.filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      bPart.filter(col("pts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("puid"), "left_outer")
+        .filter(col("pvalue") > 10)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sum_click_value"),
+          min(col("pvalue")).as("min_purchase_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      aPart.filter(col("ts") >= splitTs).write.mode("append").parquet(s"$base/a")
+      bPart.filter(col("pts") >= splitTs).write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
     // FACTORIZED join with a DECIMAL avg: the twin keeps the exact
     // decimal sum (same contract as the single-table Decompose path) and
     // the combine's division is cast back to Spark's decimal avg type —
@@ -1399,6 +1474,20 @@ object CacheQueries {
          WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) >=
            (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
          GROUP BY 1""",
+    "qc_incr_select" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value > 50 AND event_type <> 'error'""",
+    // bound at the internal HOUR grain's bucket starts (the no-group
+    // rewrite's documented bucket-granularity semantics), now = max+1s
+    "qc_incr_dynbound_total" ->
+      """SELECT count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+         FROM events
+         WHERE value > 1 AND CAST(date_trunc('hour', ts) AS TIMESTAMP) >=
+           (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY
+            FROM events)""",
     "qc_incr_distinct_sums" ->
       """SELECT event_type,
            CAST(sum(DISTINCT user_id) AS BIGINT) AS sum_users,
@@ -1492,6 +1581,21 @@ object CacheQueries {
            CAST(sum(CAST(pvalue AS DECIMAL(18,4)))
              FILTER (WHERE value > 50) AS DOUBLE) AS sum_purch_bigclick
          FROM a JOIN b ON a.user_id = b.user_id
+         GROUP BY 1""",
+    // the LEFT JOIN + null-rejecting WHERE is plan-equivalent to INNER —
+    // DuckDB's optimizer makes the same EliminateOuterJoin simplification
+    "qc_incr_factdemote" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id AS puid, value AS pvalue FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_click_value,
+           min(pvalue) AS min_purchase_value
+         FROM a LEFT JOIN b ON a.user_id = b.puid
+         WHERE pvalue > 10
          GROUP BY 1""",
     "qc_incr_factfilter_outer" ->
       """WITH a AS (SELECT ts, user_id, value FROM events

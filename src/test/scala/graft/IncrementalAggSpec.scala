@@ -711,6 +711,115 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warm, want)
   }
 
+  test("no-GROUP-BY aggregate with a dynamic lower bound: bucketed twin + re-aggregate") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("dyn-nogroup")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    // reference README.md:132's own unimplemented TODO shape
+    def q(df: DataFrame) = df
+      .filter(col("value") > 1 &&
+        col("ts") >= (current_timestamp() - expr("INTERVAL 2 HOURS")))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        min("value").as("mn"), max("value").as("mx"),
+        avg(col("value").cast("decimal(12,4)")).as("av"))
+    def cfg(log: RecordingLog, nowUs: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log,
+      dynamicBoundBucketGranularity = true)
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    assert(log1.messages.exists(_.startsWith("no-group dynamic bound: answered")),
+      log1.messages)
+    late.write.mode("append").parquet(work)
+    val warmNow = eventsFull
+      .selectExpr("max(unix_micros(ts))").first().getLong(0) + 1
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2, Some(warmNow)))
+      .run(q(spark.read.parquet(work)))
+    // the internal hour-grain twin must be a warm hit, not a re-scan
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    // expected: bucket-granularity bound at the internal hour grain —
+    // vanilla with the bound rounded UP to the next hour start
+    val boundUs = warmNow - 2L * 3600L * 1000000L
+    val alignedUs = ((boundUs + 3599999999L) / 3600000000L) * 3600000000L
+    val want = eventsFull
+      .filter(col("value") > 1 &&
+        col("ts") >= timestamp_micros(lit(alignedUs)))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        min("value").as("mn"), max("value").as("mx"),
+        avg(col("value").cast("decimal(12,4)")).as("av"))
+    assertSameRows(warm, want)
+    // a zero-surviving-bucket bound: count coalesces to 0, the rest NULL
+    val farNow = warmNow + 365L * 86400L * 1000000L
+    val log3 = new RecordingLog
+    val empty = QueryCacheSession(spark, cfg(log3, Some(farNow)))
+      .run(q(spark.read.parquet(work))).collect()
+    assert(empty.length == 1 && empty.head.getLong(0) == 0L &&
+      empty.head.isNullAt(1), empty.mkString(","))
+  }
+
+  test("simple filter queries cache as materialized rows, delta-scan the append") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("filter-rows")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    // reference README.md:130's first roadmap item — no aggregate at all
+    def q(df: DataFrame) = df
+      .filter(col("value") > 50 && col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+    def cfg(log: RecordingLog, nowUs: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = nowUs,
+      log = log)
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    assert(log1.messages.exists(_.startsWith("cache miss (rows)")),
+      log1.messages)
+    late.write.mode("append").parquet(work)
+    val lateCount = late.count()
+    // warm: replay + delta; the pushed ts >= wm bound must prune every
+    // pre-split file (early/late live in separate files, min/max stats)
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    spark.sparkContext.addSparkListener(listener)
+    val warmDF =
+      try {
+        val df = QueryCacheSession(spark, cfg(log2))
+          .run(q(spark.read.parquet(work)))
+        df.collect()
+        Thread.sleep(1000) // listener bus drains asynchronously
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("cache hit (rows)")),
+      log2.messages)
+    assert(recs.sum() <= lateCount,
+      s"warm filter query scanned ${recs.sum()} rows (> append $lateCount) " +
+        "— history was rescanned")
+    assertSameRows(warmDF, q(eventsFull))
+    // a Sort above the chain re-applies over the union unchanged
+    val log3 = new RecordingLog
+    val sorted = QueryCacheSession(spark, cfg(log3))
+      .run(q(spark.read.parquet(work)).orderBy(col("event_id")))
+    assert(log3.messages.exists(_.startsWith("cache hit (rows)")),
+      log3.messages)
+    val got = sorted.collect().map(_.getLong(0)).toSeq
+    val want = q(eventsFull).orderBy(col("event_id")).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == want)
+    // a bare projection with no filter is a table copy — never cached
+    val log4 = new RecordingLog
+    QueryCacheSession(spark, cfg(log4))
+      .run(spark.read.parquet(work).select(col("event_id"))).collect()
+    assert(!log4.messages.exists(_.contains("(rows)")), log4.messages)
+  }
+
   test("strict upper bound: future-dated rows are not double counted") {
     // craft: one row dated AFTER the cold run's now; reference contract S1
     // double-counts it; strict mode must not.
@@ -2235,18 +2344,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log2.messages.exists(_.startsWith("factorized join: answered")), log2.messages)
     assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
 
-    // guardrail: a WHERE conjunct on the null-extended side does not
-    // commute into the twin — bail to vanilla, answers still correct
+    // guardrail: a null-TOLERANT WHERE conjunct on the null-extended side
+    // (passes on null-extended rows, so it neither demotes the join nor
+    // commutes into the twin) — bail to vanilla, answers still correct.
+    // (A null-REJECTING conjunct here demotes to inner and factorizes —
+    // covered by the EliminateOuterJoin demotion test.)
     val logF = new RecordingLog
     val fGot = locally { val (a, b) = reads
       val j = a.join(b, a("user_id") === b("user_id"), "left_outer")
       QueryCacheSession(spark, cfg(logF)).run(
-        j.filter(b("value") > 10)
+        j.filter(b("value").isNull || b("value") > 10)
           .groupBy(date_trunc("hour", a("ts")).as("hour"))
           .agg(count(lit(1)).as("cnt"))) }
     val fWant = locally { val (a, b) = reads
       a.join(b, a("user_id") === b("user_id"), "left_outer")
-        .filter(b("value") > 10)
+        .filter(b("value").isNull || b("value") > 10)
         .groupBy(date_trunc("hour", a("ts")).as("hour"))
         .agg(count(lit(1)).as("cnt")) }
     assertSameRows(fGot, fWant)
@@ -3504,6 +3616,87 @@ class IncrementalAggSpec extends AnyFunSuite {
       logN.messages)
     assertSameRows(isNullDF,
       qIsNull(spark.read.parquet(workA), spark.read.parquet(workB)))
+  }
+
+  test("factorized join: null-rejecting WHERE demotes the outer join (EliminateOuterJoin)") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    val workA = tmpDir("factdemote-a")
+    val workB = tmpDir("factdemote-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    part(early, "purchase").write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog = new RecordingLog,
+        nowUs: Option[Long] = None) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    def base(a: DataFrame, b: DataFrame, joinType: String) = {
+      val bb = b.withColumnRenamed("value", "pvalue")
+        .withColumnRenamed("user_id", "puid")
+        .withColumnRenamed("ts", "pts")
+      a.join(bb, a("user_id") === bb("puid"), joinType)
+    }
+    def measure(df: DataFrame) = df
+      .filter(col("pvalue") > 10) // null-REJECTING conjunct on the B side
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        min(col("pvalue")).as("mp"))
+    // the INNER spelling warms the twins; the LEFT-OUTER + WHERE spelling
+    // is plan-equivalent (the conjunct drops every null-extended row) and
+    // must DEMOTE to the same twins — warm hit on first sighting
+    def qInner(a: DataFrame, b: DataFrame) = measure(base(a, b, "inner"))
+    def qLeft(a: DataFrame, b: DataFrame) = measure(base(a, b, "left_outer"))
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(qInner(spark.read.parquet(workA), spark.read.parquet(workB)))
+      .collect()
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")),
+      log1.messages)
+    part(late, "click").write.mode("append").parquet(workA)
+    part(late, "purchase").write.mode("append").parquet(workB)
+    val log2 = new RecordingLog
+    val leftDF = QueryCacheSession(spark, cfg(log2))
+      .run(qLeft(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(log2.messages.exists(_.contains("demoted to INNER")), log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2,
+      s"demoted spelling must hit the inner spelling's twins: ${log2.messages}")
+    assertSameRows(leftDF,
+      qLeft(spark.read.parquet(workA), spark.read.parquet(workB)))
+
+    // FULL OUTER with the same B-side conjunct demotes to RIGHT OUTER:
+    // the conjunct drops every row where B is null-extended — exactly the
+    // LEFT-only rows — so the left side loses its preservation while the
+    // A side stays null-extendable (bare-attr rules still apply to A
+    // measures).
+    def qFull(a: DataFrame, b: DataFrame) = base(a, b, "full_outer")
+      .filter(col("pvalue") > 10)
+      .groupBy(col("puid"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    val logF = new RecordingLog
+    val fullDF = QueryCacheSession(spark, cfg(logF))
+      .run(qFull(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(logF.messages.exists(_.contains("demoted to RIGHT OUTER")),
+      logF.messages)
+    assert(logF.messages.exists(_.startsWith("factorized join: answered")),
+      logF.messages)
+    assertSameRows(fullDF,
+      qFull(spark.read.parquet(workA), spark.read.parquet(workB)))
+
+    // a null-TOLERANT conjunct (coalesce guard: TRUE on null-extended
+    // rows) must NOT demote — and then bails as a filter on the
+    // null-extended side, running vanilla but correct
+    def qTol(a: DataFrame, b: DataFrame) = base(a, b, "left_outer")
+      .filter(coalesce(col("pvalue"), lit(11.0)) > 10)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    val logT = new RecordingLog
+    val tolDF = QueryCacheSession(spark, cfg(logT))
+      .run(qTol(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(!logT.messages.exists(_.contains("demoted")), logT.messages)
+    assert(!logT.messages.exists(_.startsWith("factorized join: answered")),
+      logT.messages)
+    assertSameRows(tolDF,
+      qTol(spark.read.parquet(workA), spark.read.parquet(workB)))
   }
 
   test("session windows: warm equals vanilla, open frontier chains across the seam") {
