@@ -48,6 +48,17 @@ trait QueryCache {
     * CachedAggregateExec does at src/aggregate.rs:680-688). */
   def put(fingerprint: String, timestampMicros: Long, state: DataFrame): DataFrame
 
+  /** APPEND `delta` to an existing entry instead of rewriting it — the
+    * O(append) path for ROW-state entries (materialized filter queries),
+    * whose warm merge is a pure union: rewriting a large materialized
+    * view per run is O(result), a non-starter at scale. Returns the new
+    * full replay when the cache supports appends AND an appendable head
+    * exists; None → the caller falls back to a full put. Aggregate state
+    * must NEVER use this (its merge rewrites every group row). Default:
+    * unsupported. */
+  def putAppend(fingerprint: String, timestampMicros: Long,
+      delta: DataFrame): Option[DataFrame] = None
+
   def invalidate(fingerprint: String): Unit
 
   // ------------------------------------------------- source-path remedy
@@ -331,7 +342,12 @@ final class ParquetQueryCache(rootDir: String,
     maxEntries: Int = 0,
     maxBytes: Long = 0L,
     ttlMs: Long = 0L,
-    sweepIntervalMs: Long = 60L * 1000) extends QueryCache {
+    sweepIntervalMs: Long = 60L * 1000,
+    /** row-state append-chain length before putAppend declines and the
+      * caller's full put compacts the chain into one segment: bounds the
+      * per-scan file-listing fan-out without ever rewriting on the hot
+      * path more than once per `appendChainMax` runs */
+    appendChainMax: Int = 64) extends QueryCache {
   import ParquetQueryCache._
 
   // keyHash(fp) → fp, learned from this process's own get/put traffic:
@@ -363,9 +379,9 @@ final class ParquetQueryCache(rootDir: String,
     val dir = new Path(rootDir, key)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestMeta(fs, dir).filterNot(_.tombstone).map { meta =>
-      val dataPath = new Path(dir, meta.dataDir).toString
+      val dataPaths = meta.allDataDirs.map(d => new Path(dir, d).toString)
       CachedState(meta.timestampMicros, meta.schema,
-        s => s.read.schema(meta.schema).parquet(dataPath))
+        s => s.read.schema(meta.schema).parquet(dataPaths: _*))
     }
   }
 
@@ -480,6 +496,46 @@ final class ParquetQueryCache(rootDir: String,
     spark.read.schema(state.schema).parquet(dataPath.toString)
   }
 
+  /** O(append) commit for row-state entries: write ONLY the delta as a
+    * new segment and commit a meta whose data is the previous chain plus
+    * that segment — readers see the old complete chain or the new one
+    * (same temp+rename atomicity as put). At `appendChainMax` segments
+    * the method declines and the caller's full put compacts the chain.
+    * Concurrent appends race like concurrent puts: one meta rename wins,
+    * the loser's segment becomes an unreferenced orphan reaped by
+    * cleanup, and the loser's returned replay is still self-consistent
+    * for its own run's watermark. */
+  override def putAppend(fingerprint: String, timestampMicros: Long,
+      delta: DataFrame): Option[DataFrame] = {
+    val spark = delta.sparkSession
+    val key = QueryCache.keyHash(fingerprint)
+    hashToFp.put(key, fingerprint)
+    val dir = new Path(rootDir, key)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = latestMeta(fs, dir).filterNot(_.tombstone).getOrElse(return None)
+    if (old.allDataDirs.size >= appendChainMax) return None // compact
+    if (old.schema.length != delta.schema.length ||
+        !old.schema.fields.zip(delta.schema.fields).forall {
+          case (a, b) => a.name == b.name && a.dataType == b.dataType
+        }) return None
+    val version = math.max(timestampMicros, old.version + 1)
+    val dataDir = s"data-$version-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dataPath = new Path(dir, dataDir)
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") { s =>
+      org.apache.spark.sql.graftshim.Shims.ofRows(s,
+        org.apache.spark.sql.graftshim.Shims.queryExecution(delta).logical)
+        .write.mode("overwrite").parquet(dataPath.toString)
+    }
+    writeMetaAtomic(fs, dir,
+      Meta(timestampMicros, dataDir, old.schema, old.sourcePaths,
+        fingerprint, old.baseFp, old.measures,
+        extraDataDirs = old.allDataDirs), version)
+    try cleanup(fs, dir) catch { case _: Exception => () }
+    val paths = (dataDir +: old.allDataDirs).map(d => new Path(dir, d).toString)
+    Some(spark.read.schema(old.schema).parquet(paths: _*))
+  }
+
   /** Global bounds sweep (the durable counterpart of MemoryQueryCache's
     * maxEntries/TTL): TTL-expires entries not WRITTEN for `ttlMs`, then
     * capacity-evicts least-recently-written entries past `maxEntries` /
@@ -549,26 +605,29 @@ final class ParquetQueryCache(rootDir: String,
         .stripSuffix(".json").toLongOption.map(v => (v, e)))
       .sortBy(-_._1)
     // ONE read per meta file (on an object store each read is a remote
-    // GET; the orphan pass below reuses this map instead of re-reading)
-    val metaDataDir: Map[Long, String] = metas.flatMap { case (v, e) =>
-      try Some(v -> readMeta(fs, e.getPath).dataDir)
+    // GET; the orphan pass below reuses this map instead of re-reading).
+    // A meta references its WHOLE data-dir set: append-chain metas (row
+    // state) share segments with their ancestors, so liveness must be
+    // judged per DIR across all kept metas, never per meta.
+    val metaDataDirs: Map[Long, Seq[String]] = metas.flatMap { case (v, e) =>
+      try Some(v -> readMeta(fs, e.getPath).allDataDirs)
       catch { case _: Exception => None }
     }.toMap
     // under a tombstone head the entry is dead: no reader will resolve
     // an older version on purpose, so only the tombstone itself is kept
     // and everything below it ages out after the grace window
     val headIsTomb = metas.headOption
-      .flatMap(m => metaDataDir.get(m._1)).exists(_.endsWith("-tomb"))
+      .flatMap(m => metaDataDirs.get(m._1)).exists(_.exists(_.endsWith("-tomb")))
     val keepN = if (headIsTomb) 1 else math.max(1, keepVersions)
     val keptMetas = metas.take(keepN)
     val liveDataDirs: Set[String] =
-      keptMetas.flatMap(m => metaDataDir.get(m._1)).toSet
-    val referencedDirs: Set[String] = metaDataDir.values.toSet
+      keptMetas.flatMap(m => metaDataDirs.getOrElse(m._1, Nil)).toSet
+    val referencedDirs: Set[String] = metaDataDirs.values.flatten.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     metas.drop(keepN).foreach { case (v, e) =>
       if (e.getModificationTime < cutoff) {
         try {
-          metaDataDir.get(v).filterNot(liveDataDirs.contains)
+          metaDataDirs.getOrElse(v, Nil).filterNot(liveDataDirs.contains)
             .foreach(d => fs.delete(new Path(dir, d), true))
           fs.delete(e.getPath, false)
         } catch { case _: Exception => () }
@@ -658,7 +717,13 @@ object ParquetQueryCache {
   final case class Meta(timestampMicros: Long, dataDir: String,
       schema: StructType, sourcePaths: Seq[String] = Seq.empty,
       fingerprint: String = "", baseFp: String = "",
-      measures: Seq[(String, Seq[String])] = Seq.empty) {
+      measures: Seq[(String, Seq[String])] = Seq.empty,
+      /** append-chain tail (row-state entries): the entry's data is the
+        * UNION of `dataDir` (the newest segment — its name carries the
+        * version) and these older segments, committed together in one
+        * atomic meta so readers see a complete chain or the previous one */
+      extraDataDirs: Seq[String] = Seq.empty) {
+    def allDataDirs: Seq[String] = dataDir +: extraDataDirs
     /** version = leading numeric component of the data dir name
       * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
     def version: Long =
@@ -723,7 +788,10 @@ object ParquetQueryCache {
           val i = line.indexOf('|')
           (line.substring(0, i),
             line.substring(i + 1).split(',').toSeq.filter(_.nonEmpty))
-      }).getOrElse(Seq.empty))
+      }).getOrElse(Seq.empty),
+      // append-chain tail; absent in metas written before r12
+      fieldOpt("extraDataDirs").map(_.split('\n').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
 
   private def writeMetaAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
@@ -738,7 +806,7 @@ object ParquetQueryCache {
     val measureBlob = meta.measures
       .map { case (d, cols) => s"$d|${cols.mkString(",")}" }.mkString("\n")
     val json =
-      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}"}"""
+      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}","extraDataDirs":"${esc(meta.extraDataDirs.mkString("\n"))}"}"""
     // per-writer temp name: two concurrent puts that computed the SAME
     // version (both read the same head) must not share a temp path — a
     // shared `.meta-<v>.json.tmp` lets one writer's rename steal the

@@ -2958,27 +2958,70 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               else Nil)
           conjs.reduceOption(And).map(Filter(_, l)).getOrElse(l)
       }
+    def rowSchema(p: LogicalPlan) = StructType(p.output.map(
+      a => org.apache.spark.sql.types.StructField(
+        a.name, a.dataType, a.nullable)))
+    // ROW-STATE SUBSUMPTION: on an exact-fingerprint miss, a NARROWER
+    // filter answers from a WIDER twin's materialized rows — strip a
+    // conjunct whose columns survive the projection, look the twin up,
+    // and re-apply the conjunct over the replayed rows (state rows passed
+    // every other conjunct already, so re-filtering is exactly the narrow
+    // result below the twin's watermark; the delta scan runs the narrow
+    // chain itself). Recursive to depth 2: a doubly-narrowed slice
+    // answers from the doubly-wider view. Same lattice idea as the
+    // aggregate path's dimFilterState, at row grain.
+    val namesUnique = chain.output.map(_.name.toLowerCase).distinct.size ==
+      chain.output.size
+    def rowProbe(p: LogicalPlan, depth: Int): Option[graft.cache.CachedState] = {
+      if (depth > 2 || !namesUnique) return None
+      val conjs = ArrayBuffer.empty[Expression]
+      p.foreach {
+        case Filter(cond, _) => splitConj(cond).foreach(conjs += _)
+        case _ => ()
+      }
+      conjs.filter(_.references.subsetOf(p.outputSet)).to(LazyList)
+        .flatMap { cj =>
+          val twin = stripConjunct(p, cj)
+          val fp2 = Fingerprint.of(twin) + ":rows" + fpSuffix
+          config.cache.get(fp2)
+            .filter(cs => schemaCompatible(cs.schema, rowSchema(twin)))
+            .orElse(rowProbe(twin, depth + 1))
+            .map { cs =>
+              config.log.info(fp, s"refilter (rows) hit: replaying wider " +
+                s"twin ${fp2.take(12)} re-filtered by ${cj.sql}")
+              val cjCol = Shims.column(cj.transform {
+                case a: Attribute => UnresolvedAttribute(Seq(a.name))
+              })
+              graft.cache.CachedState(cs.timestampMicros, cs.schema,
+                s => cs.read(s).filter(cjCol))
+            }
+        }.headOption
+    }
     val entry = config.cache.get(fp)
       .filter { cs =>
-        val compat = schemaCompatible(cs.schema, StructType(chain.output.map(
-          a => org.apache.spark.sql.types.StructField(
-            a.name, a.dataType, a.nullable))))
+        val compat = schemaCompatible(cs.schema, rowSchema(chain))
         if (!compat) config.log.warn(fp,
           "cached row-state schema mismatch — treating as miss")
         compat
       }
-    val merged = entry match {
+      .orElse(rowProbe(chain, 1))
+    // hit: O(append) commit when the cache supports it (ParquetQueryCache
+    // writes only the delta segment — rewriting a large materialized view
+    // per run would be O(result)); otherwise a full put of the union.
+    // The append path's returned replay reads parquet, so the answer
+    // never rescans the source beyond the one delta write.
+    val stored = entry match {
       case Some(cs) =>
         config.log.info(fp, s"cache hit (rows): replaying materialized " +
           s"rows, delta scan from ${cs.timestampMicros}")
-        cs.read(spark).unionByName(
-          Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros))))
+        val delta = Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros)))
+        config.cache.putAppend(fp, now, delta).getOrElse(
+          config.cache.put(fp, now, cs.read(spark).unionByName(delta)))
       case None =>
         config.log.info(fp,
           "cache miss (rows): materializing filter-query rows")
-        Shims.ofRows(spark, boundedAtLeaf(None))
+        config.cache.put(fp, now, Shims.ofRows(spark, boundedAtLeaf(None)))
     }
-    val stored = config.cache.put(fp, now, merged)
     config.cache.recordSourcePaths(fp, Shims.sourcePaths(chain))
     graft.plans.CacheReplayStrategy.register(spark)
     val storedPlan = Shims.queryExecution(stored).analyzed

@@ -171,6 +171,23 @@ object CacheQueries {
         df.filter(col("value") > 50 && col("event_type") =!= "error")
           .select(col("event_id"), col("user_id"), col("value"))
       }),
+    // the same filter-query row state through the DURABLE parquet cache:
+    // the warm run commits an O(append) delta SEGMENT (meta chains data
+    // dirs atomically) instead of rewriting the materialized view —
+    // pinned in IncrementalAggSpec; here the oracle checks the replayed
+    // chain equals the vanilla filter over the full table
+    "qc_incr_select_durable" -> ((s, d) => {
+      val cacheDir =
+        s"${sys.props("java.io.tmpdir")}/graft_qc_cache_rows/${new java.io.File(d).getName}"
+      val p = new Path(cacheDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      coldAppendWarm(s, d, "select_durable",
+        cacheFactory = () => new graft.cache.ParquetQueryCache(cacheDir)) { df =>
+        df.filter(col("value") > 50 && col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), col("value"))
+      }
+    }),
     // NO-GROUP-BY aggregate with a dynamic lower bound — the reference's
     // last unimplemented roadmap item (README.md:132), built with its own
     // sketch: an internal hour-grain bucket group makes it the supported
@@ -1475,6 +1492,9 @@ object CacheQueries {
            (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
          GROUP BY 1""",
     "qc_incr_select" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value > 50 AND event_type <> 'error'""",
+    "qc_incr_select_durable" ->
       """SELECT event_id, user_id, value FROM events
          WHERE value > 50 AND event_type <> 'error'""",
     // bound at the internal HOUR grain's bucket starts (the no-group

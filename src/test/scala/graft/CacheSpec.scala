@@ -40,6 +40,53 @@ class CacheSpec extends AnyFunSuite {
   test("ParquetQueryCache contract")(
     roundTrip(new ParquetQueryCache(tmpDir("pqcache"))))
 
+  test("ParquetQueryCache putAppend chains delta segments, compacts at the cap") {
+    import spark.implicits._
+    val dir = tmpDir("pq-append")
+    val c = new ParquetQueryCache(dir, appendChainMax = 3, graceMs = 0L)
+    def rows(r: Range) = r.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    def segs(): Int = {
+      val root = new java.io.File(dir)
+      val entry = root.listFiles().filter(_.isDirectory).head
+      val metas = entry.listFiles().map(_.getName)
+        .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+      val head = metas.maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+      val json = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(entry, head).toPath))
+      // head dataDir + newline-separated extraDataDirs
+      1 + json.split("\"extraDataDirs\":\"").last.takeWhile(_ != '"')
+        .split("\\\\n").count(_.nonEmpty)
+    }
+    // memory caches don't support appends — the default declines
+    assert(new MemoryQueryCache().putAppend("x", 1L, rows(0 until 1)).isEmpty)
+    // vacant entry: putAppend declines (nothing to chain onto)
+    assert(c.putAppend("fp", 1L, rows(0 until 3)).isEmpty)
+    c.put("fp", 1L, rows(0 until 3))
+    assert(segs() == 1)
+    val r2 = c.putAppend("fp", 2L, rows(3 until 5))
+    assert(r2.isDefined && r2.get.count() == 5)
+    assert(segs() == 2)
+    val r3 = c.putAppend("fp", 3L, rows(5 until 6))
+    assert(r3.isDefined && r3.get.count() == 6)
+    assert(segs() == 3)
+    // chain at the cap: decline; the caller full-puts (compaction)
+    assert(c.putAppend("fp", 4L, rows(6 until 7)).isEmpty)
+    c.put("fp", 4L, rows(0 until 7))
+    assert(segs() == 1)
+    // replay through get() unions the whole chain at every step
+    val got = c.get("fp").get
+    assert(got.timestampMicros == 4L)
+    assert(got.read(spark).as[(Long, String)].collect().sorted.toSeq ==
+      (0 until 7).map(i => (i.toLong, s"v$i")))
+    // schema drift declines (caller's full put re-materializes)
+    assert(c.putAppend("fp", 5L,
+      Seq((1, 2)).toDF("a", "b")).isEmpty)
+    // a fresh reader (new cache handle) sees the chained entry intact
+    val c2 = new ParquetQueryCache(dir)
+    val again = c2.get("fp").get
+    assert(again.read(spark).count() == 7)
+  }
+
   test("MemoryQueryCache capacity guard") {
     val cache = new MemoryQueryCache(maxStateRows = 2)
     intercept[CacheCapacityExceeded](cache.put("fp", 1L, stateDF))

@@ -818,6 +818,77 @@ class IncrementalAggSpec extends AnyFunSuite {
     QueryCacheSession(spark, cfg(log4))
       .run(spark.read.parquet(work).select(col("event_id"))).collect()
     assert(!log4.messages.exists(_.contains("(rows)")), log4.messages)
+
+    // ROW SUBSUMPTION: a narrower slice (extra conjunct on a projected
+    // column) first-sights as a refilter hit — the wider view's rows
+    // replay re-filtered, the delta runs the narrow chain
+    def narrow(df: DataFrame) = q(df).filter(col("value") < 90)
+    val log5 = new RecordingLog
+    val narrowDF = QueryCacheSession(spark, cfg(log5))
+      .run(narrow(spark.read.parquet(work)))
+    assert(log5.messages.exists(_.startsWith("refilter (rows) hit")),
+      log5.messages)
+    assertSameRows(narrowDF, narrow(eventsFull))
+    // the subsumed run stored the narrow view's own rows — second
+    // sighting is a direct hit
+    val log6 = new RecordingLog
+    QueryCacheSession(spark, cfg(log6))
+      .run(narrow(spark.read.parquet(work))).collect()
+    assert(log6.messages.exists(_.startsWith("cache hit (rows)")) &&
+      !log6.messages.exists(_.startsWith("refilter (rows)")), log6.messages)
+    // a conjunct on a NON-projected column cannot re-apply over state —
+    // plain miss, still correct
+    def unprobed(df: DataFrame) = df
+      .filter(col("value") > 50 && col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val log7 = new RecordingLog
+    val uDF = QueryCacheSession(spark, cfg(log7))
+      .run(unprobed(spark.read.parquet(work)))
+    assert(!log7.messages.exists(_.startsWith("refilter (rows)")),
+      log7.messages)
+    assertSameRows(uDF, unprobed(eventsFull))
+  }
+
+  test("filter-query rows through the durable cache: warm runs append, never rewrite") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("filter-rows-durable")
+    val cacheDir = tmpDir("filter-rows-cache")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new graft.cache.ParquetQueryCache(cacheDir)
+    def q(df: DataFrame) = df.filter(col("value") > 50)
+      .select(col("event_id"), col("value"))
+    def cfg(log: RecordingLog, nowUs: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = nowUs,
+      log = log)
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("cache hit (rows)")),
+      log2.messages)
+    assertSameRows(warm, q(eventsFull))
+    // the warm put was an O(append) segment commit, not a full rewrite:
+    // the head meta carries the cold segment in extraDataDirs
+    val entryDir = new java.io.File(cacheDir).listFiles()
+      .filter(_.isDirectory).head
+    val headMeta = entryDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+      .maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(entryDir, headMeta).toPath))
+    assert(json.split("\"extraDataDirs\":\"").last.takeWhile(_ != '"').nonEmpty,
+      s"warm filter-query put rewrote the full row state: $json")
+    // a fresh session over a fresh cache handle replays the chain
+    val log3 = new RecordingLog
+    val again = QueryCacheSession(spark,
+      QueryCacheConfig(new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", log = log3))
+      .run(q(spark.read.parquet(work)))
+    assert(log3.messages.exists(_.startsWith("cache hit (rows)")),
+      log3.messages)
+    assertSameRows(again, q(eventsFull))
   }
 
   test("strict upper bound: future-dated rows are not double counted") {
