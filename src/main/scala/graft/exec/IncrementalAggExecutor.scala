@@ -2899,6 +2899,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     import org.apache.spark.sql.catalyst.expressions.{
       GreaterThanOrEqual, LessThan, Literal}
     if (!config.filterQueryState) return None
+    if (analyzed.isStreaming) return None
     if (analyzed.exists {
       case _: Aggregate => true
       case _: Join => true

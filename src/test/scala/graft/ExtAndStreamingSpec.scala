@@ -38,6 +38,31 @@ class ExtAndStreamingSpec extends AnyFunSuite {
     } finally QueryCacheTransparent.disable(spark)
   }
 
+  test("transparent mode: filter queries materialize rows through the rule") {
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheTransparent.enable(spark, QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", log = log))
+    try {
+      val work = tmpDir("transparent-rows")
+      Tables.events(spark, sf0001).write.mode("overwrite").parquet(work)
+      val ev = spark.read.parquet(work)
+      // NO aggregate anywhere — the agg-free routing path
+      def q() = ev.filter(col("value") > 50).select(col("event_id"),
+        col("value"))
+      val r1 = q().collect()
+      val r2 = q().collect()
+      assert(r1.sortBy(_.toString).toSeq == r2.sortBy(_.toString).toSeq)
+      assert(log.messages.exists(_.startsWith("cache miss (rows)")),
+        log.messages)
+      assert(log.messages.exists(_.startsWith("cache hit (rows)")),
+        log.messages)
+      QueryCacheTransparent.disable(spark)
+      assert(q().collect().sortBy(_.toString).toSeq ==
+        r1.sortBy(_.toString).toSeq)
+    } finally QueryCacheTransparent.disable(spark)
+  }
+
   test("transparent mode: session windows cache through the rule") {
     val cache = new MemoryQueryCache()
     val log = new RecordingLog
