@@ -2998,7 +2998,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             }
         }.headOption
     }
-    val entry = config.cache.get(fp)
+    val entry0 = config.cache.get(fp)
       .filter { cs =>
         val compat = schemaCompatible(cs.schema, rowSchema(chain))
         if (!compat) config.log.warn(fp,
@@ -3006,6 +3006,31 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         compat
       }
       .orElse(rowProbe(chain, 1))
+    // late re-scan band at ROW grain: when the temporal column survives
+    // the projection, lower the effective watermark to wm − band, drop
+    // state rows at/after it and let the delta re-read them — no bucket
+    // alignment needed, rows partition by the raw cut (NULL-ts rows kept,
+    // never re-read — same as the aggregate path). A pruned temporal
+    // column can't identify the band's rows in state — loud skip.
+    val (entry, bandApplied) = (entry0, config.lateRescanBandMicros) match {
+      case (Some(cs), Some(band)) if band > 0 =>
+        chain.output.find(_.semanticEquals(tAttr)) match {
+          case Some(outT) =>
+            val floor = cs.timestampMicros - band
+            config.log.info(fp, s"late re-scan band (rows): effective " +
+              s"watermark ${cs.timestampMicros} -> $floor")
+            (Some(graft.cache.CachedState(floor, cs.schema, s =>
+              cs.read(s).filter(col(outT.name) <
+                Shims.column(org.apache.spark.sql.catalyst.expressions
+                  .Literal(floor, tDt)) || col(outT.name).isNull))), true)
+          case None =>
+            config.log.warn(fp, "lateRescanBand declared but the row " +
+              "state's projection pruned the temporal column — band " +
+              "skipped, normal watermark used")
+            (entry0, false)
+        }
+      case _ => (entry0, false)
+    }
     // hit: O(append) commit when the cache supports it (ParquetQueryCache
     // writes only the delta segment — rewriting a large materialized view
     // per run would be O(result)); otherwise a full put of the union.
@@ -3016,7 +3041,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         config.log.info(fp, s"cache hit (rows): replaying materialized " +
           s"rows, delta scan from ${cs.timestampMicros}")
         val delta = Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros)))
-        config.cache.putAppend(fp, now, delta).getOrElse(
+        // a banded hit REPLACES the band's rows, so the stored chain
+        // (which still contains them) must be rewritten, never appended —
+        // appending the re-read band would duplicate it
+        val appended =
+          if (bandApplied) None else config.cache.putAppend(fp, now, delta)
+        appended.getOrElse(
           config.cache.put(fp, now, cs.read(spark).unionByName(delta)))
       case None =>
         config.log.info(fp,

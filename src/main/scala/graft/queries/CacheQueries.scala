@@ -1384,6 +1384,48 @@ object CacheQueries {
       ev.unpersist()
       QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
     }),
+    // late re-scan band COMPOSED with a DYNAMIC lower bound: the band
+    // lowers the effective watermark to the day floor of (wm − band),
+    // drops those state buckets and re-reads them (folding in the
+    // held-out late slice), while the frozen now()-bound re-applies over
+    // bucket starts at answer time across replayed and re-read buckets
+    // alike. Both nows pinned (warm = max(ts)+1s) so the oracle is static.
+    "qc_incr_lateband_dyn" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/latebanddyn"
+      val workPath = new Path(work)
+      val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(workPath)) fs.delete(workPath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(splitMicros - 2 * dayUs)) &&
+        col("ts") < splitTs && col("event_id") % 3 === 0
+      ev.filter(col("ts") < splitTs && !isLate)
+        .write.mode("overwrite").parquet(work)
+      val cache = new MemoryQueryCache()
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withDynamicBounds
+        .withLateRescanBand(java.time.Duration.ofDays(3))
+      def q(df: DataFrame) = df
+        .filter(col("value") > 1 &&
+          col("ts") >= expr("now() - INTERVAL 25 DAYS"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= splitTs || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(Some(maxUs + 1000000L)))
+        .run(q(s.read.parquet(work)))
+    }),
     // late re-scan band over GROUPING SETS: Expand NULLs the day slot in
     // subtotal rows, so the band keeps only FULL-GRAIN state rows below
     // the floor and re-expands them into every grouping set; the delta
@@ -1444,6 +1486,18 @@ object CacheQueries {
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            max(value) AS max_value
          FROM g GROUP BY event_type, sid""",
+    // the dynamic bound is day-bucket-granular; late rows must be folded
+    // in by the band, so the oracle is simply the full-table answer
+    "qc_incr_lateband_dyn" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events
+         WHERE value > 1 AND CAST(date_trunc('day', ts) AS TIMESTAMP) >=
+           (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 25 DAY
+            FROM events)
+         GROUP BY 1""",
     "qc_incr_lateband_rollup" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            count(*) AS cnt,

@@ -711,6 +711,54 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warm, want)
   }
 
+  test("late re-scan band composes with a dynamic lower bound") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    // held-out late slice: below the cold watermark, inside the band
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband-dyn")
+    ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log,
+      dynamicBoundBucketGranularity = true)
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    def q(df: DataFrame) = df
+      .filter(col("value") > 1 &&
+        col("ts") >= (current_timestamp() - expr("INTERVAL 25 DAYS")))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate)
+      .write.mode("append").parquet(work)
+    val warmNow = ev
+      .selectExpr("max(unix_micros(ts))").first().getLong(0) + 1
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2, Some(warmNow)))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("late re-scan band")),
+      log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    // expected: the late rows folded in (band re-read), bound applied at
+    // day-bucket starts with the warm frozen now
+    val boundUs = warmNow - 25L * dayUs
+    val alignedUs = ((boundUs + dayUs - 1) / dayUs) * dayUs
+    val want = ev
+      .filter(col("value") > 1 &&
+        col("ts") >= timestamp_micros(lit(alignedUs)))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    assertSameRows(warm, want)
+  }
+
   test("no-GROUP-BY aggregate with a dynamic lower bound: bucketed twin + re-aggregate") {
     val (early, late, splitUs) = split()
     val work = tmpDir("dyn-nogroup")
@@ -847,6 +895,55 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log7.messages.exists(_.startsWith("refilter (rows)")),
       log7.messages)
     assertSameRows(uDF, unprobed(eventsFull))
+  }
+
+  test("late re-scan band at row grain: filter-query state folds late rows in") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband-rows")
+    ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = now,
+      log = log).withLateRescanBand(java.time.Duration.ofDays(3))
+    // ts survives the projection — the band can identify state rows
+    def q(df: DataFrame) = df.filter(col("value") > 50)
+      .select(col("event_id"), col("ts"), col("value"))
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate)
+      .write.mode("append").parquet(work)
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("late re-scan band (rows)")),
+      log2.messages)
+    assertSameRows(warm, q(eventsFull))
+    // the banded put rewrote the state — a further run must not see
+    // duplicated band rows
+    val log3 = new RecordingLog
+    val again = QueryCacheSession(spark, cfg(log3))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(again, q(eventsFull))
+    // ts pruned from the projection: loud skip, normal watermark — and
+    // the held-out late rows are then (correctly, per the raw S1
+    // contract) NOT in the warm answer of a fresh entry warmed the same
+    // way; here we only pin the loud skip on a warm hit
+    def qNoTs(df: DataFrame) = df.filter(col("value") > 50)
+      .select(col("event_id"), col("value"))
+    QueryCacheSession(spark, cfg(new RecordingLog))
+      .run(qNoTs(spark.read.parquet(work))).collect()
+    val log4 = new RecordingLog
+    QueryCacheSession(spark, cfg(log4))
+      .run(qNoTs(spark.read.parquet(work))).collect()
+    assert(log4.messages.exists(_.contains(
+      "projection pruned the temporal column")), log4.messages)
   }
 
   test("filter-query rows through the durable cache: warm runs append, never rewrite") {
