@@ -2902,10 +2902,28 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     if (analyzed.isStreaming) return None
     if (analyzed.exists {
       case _: Aggregate => true
-      case _: Join => true
       case _: Union => true
       case _ => false
     }) return None
+    // joins are allowed ONLY as fact ⋈ declared-static-dim (inner, or
+    // outer preserving the fact side): appended fact rows join the
+    // unchanged dims and the delta's output rows are exactly the new
+    // result rows — the same staleness contract the aggregate path's
+    // static-dim joins carry. Anything else runs vanilla.
+    def staticSide(side: LogicalPlan): Boolean = {
+      val leavesOk = side.collectLeaves().forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          true
+        case l if Shims.isScanLeaf(l) =>
+          config.isDeclaredStatic(Shims.sourcePaths(l))
+        case _ => false
+      }
+      leavesOk && side.collect { case n => n }.forall(_.expressions.forall(
+        e => e.deterministic &&
+          !e.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) &&
+          !graft.analysis.NowBounds.containsNow(e)))
+    }
     // the cacheable chain: strip alias/sort wrappers from the root, then
     // require Project*/Filter+ over a single scan leaf
     def descend(p: LogicalPlan): LogicalPlan = p match {
@@ -2933,6 +2951,22 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         if (es.forall(_.deterministic) && !hasSub(es)) walk(ch) else ok = false
       case SubqueryAlias(_, ch) => walk(ch)
       case v: View => walk(v.child)
+      case jn: Join =>
+        import org.apache.spark.sql.catalyst.plans.{
+          Inner, LeftOuter, RightOuter}
+        val okCond = jn.condition.exists(c => c.deterministic &&
+          !hasSub(Seq(c)) && !graft.analysis.NowBounds.containsNow(c))
+        if (!okCond) ok = false
+        else (jn.joinType, staticSide(jn.left), staticSide(jn.right)) match {
+          // fact preserved / dim inner only (a dim on the outer side is
+          // merge-unsound: an appended fact row could match a previously
+          // null-extended dim row and REMOVE an output row)
+          case (Inner, _, true) => walk(jn.left)
+          case (Inner, true, _) => walk(jn.right)
+          case (LeftOuter, _, true) => walk(jn.left)
+          case (RightOuter, true, _) => walk(jn.right)
+          case _ => ok = false
+        }
       case l if Shims.isScanLeaf(l) && leaf.isEmpty => leaf = Some(l)
       case _ => ok = false
     }

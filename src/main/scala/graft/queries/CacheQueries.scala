@@ -171,6 +171,18 @@ object CacheQueries {
         df.filter(col("value") > 50 && col("event_type") =!= "error")
           .select(col("event_id"), col("user_id"), col("value"))
       }),
+    // filter-query rows over a fact ⋈ DECLARED-STATIC-DIM join — the
+    // incremental star-join materialized view: appended fact rows join
+    // the unchanged dim in the delta and union onto the replayed rows
+    // (same staleness contract as the aggregate path's static-dim joins)
+    "qc_incr_select_join" -> ((s, d) =>
+      coldAppendWarm(s, d, "select_join",
+        staticDims = Seq("customer")) { df =>
+        df.filter(col("value") > 50)
+          .join(Tables.customer(s, d), df("user_id") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("event_id"), col("value"), col("c_name"))
+      }),
     // the same filter-query row state through the DURABLE parquet cache:
     // the warm run commits an O(append) delta SEGMENT (meta chains data
     // dirs atomically) instead of rewriting the materialized view —
@@ -1551,6 +1563,10 @@ object CacheQueries {
     "qc_incr_select_durable" ->
       """SELECT event_id, user_id, value FROM events
          WHERE value > 50 AND event_type <> 'error'""",
+    "qc_incr_select_join" ->
+      """SELECT event_id, value, c_name
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE value > 50 AND c_mktsegment = 'BUILDING'""",
     // bound at the internal HOUR grain's bucket starts (the no-group
     // rewrite's documented bucket-granularity semantics), now = max+1s
     "qc_incr_dynbound_total" ->

@@ -946,6 +946,55 @@ class IncrementalAggSpec extends AnyFunSuite {
       "projection pruned the temporal column")), log4.messages)
   }
 
+  test("filter-query rows over a fact-static-dim join: incremental star-join view") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("filter-rows-join")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long] = None,
+        dims: Seq[String] = Seq("customer")) = {
+      val base = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = now, log = log)
+      if (dims.nonEmpty) base.withStaticDimensions(dims: _*) else base
+    }
+    // fact ⋈ declared-static dim, filters on both sides, no aggregate —
+    // the materialized star-join view; appended fact rows join the
+    // unchanged dim in the delta
+    def q(df: DataFrame) = df
+      .filter(col("value") > 50)
+      .join(Tables.customer(spark, sf0001),
+        df("user_id") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("event_id"), col("value"), col("c_name"))
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    assert(log1.messages.exists(_.startsWith("cache miss (rows)")),
+      log1.messages)
+    late.write.mode("append").parquet(work)
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("cache hit (rows)")),
+      log2.messages)
+    assertSameRows(warm, q(eventsFull))
+    // undeclared dim: the join is not provably static — vanilla
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3, dims = Nil))
+      .run(q(spark.read.parquet(work))).collect()
+    assert(!log3.messages.exists(_.contains("(rows)")), log3.messages)
+    // dim on the OUTER side is merge-unsound — vanilla
+    def qOuter(df: DataFrame) = df
+      .filter(col("value") > 50)
+      .join(Tables.customer(spark, sf0001),
+        df("user_id") === col("c_custkey"), "right_outer")
+      .select(col("event_id"), col("c_name"))
+    val log4 = new RecordingLog
+    QueryCacheSession(spark, cfg(log4))
+      .run(qOuter(spark.read.parquet(work))).collect()
+    assert(!log4.messages.exists(_.contains("(rows)")), log4.messages)
+  }
+
   test("filter-query rows through the durable cache: warm runs append, never rewrite") {
     val (early, late, splitUs) = split()
     val work = tmpDir("filter-rows-durable")
