@@ -527,6 +527,29 @@ final class ParquetQueryCache(rootDir: String,
         org.apache.spark.sql.graftshim.Shims.queryExecution(delta).logical)
         .write.mode("overwrite").parquet(dataPath.toString)
     }
+    // an all-empty delta (a no-op refresh) must not grow the chain — an
+    // empty segment per refresh would force a full-view compaction every
+    // appendChainMax refreshes of an UNCHANGED view. The written files'
+    // parquet footers give the row count driver-side, no Spark job; on
+    // zero the segment is dropped, no meta commits, and the watermark
+    // intentionally stays put (the next delta scan prunes to the same
+    // nothing).
+    val deltaRows = try {
+      import scala.jdk.CollectionConverters._
+      fs.listStatus(dataPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }.sum
+    } catch { case scala.util.control.NonFatal(_) => -1L } // unknown: keep
+    if (deltaRows == 0L) {
+      try fs.delete(dataPath, true) catch { case _: Exception => () }
+      val paths = old.allDataDirs.map(d => new Path(dir, d).toString)
+      return Some(spark.read.schema(old.schema).parquet(paths: _*))
+    }
     writeMetaAtomic(fs, dir,
       Meta(timestampMicros, dataDir, old.schema, old.sourcePaths,
         fingerprint, old.baseFp, old.measures,

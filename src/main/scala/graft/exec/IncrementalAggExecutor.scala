@@ -3077,7 +3077,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         val delta = Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros)))
         // a banded hit REPLACES the band's rows, so the stored chain
         // (which still contains them) must be rewritten, never appended —
-        // appending the re-read band would duplicate it
+        // appending the re-read band would duplicate it. putAppend itself
+        // detects an all-empty delta from the written segment's parquet
+        // footers and skips the meta commit (a no-op refresh must not
+        // grow the chain toward a pointless full-view compaction).
         val appended =
           if (bandApplied) None else config.cache.putAppend(fp, now, delta)
         appended.getOrElse(

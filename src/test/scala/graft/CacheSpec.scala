@@ -78,6 +78,14 @@ class CacheSpec extends AnyFunSuite {
     assert(got.timestampMicros == 4L)
     assert(got.read(spark).as[(Long, String)].collect().sorted.toSeq ==
       (0 until 7).map(i => (i.toLong, s"v$i")))
+    // an EMPTY delta neither commits a meta nor grows the chain — the
+    // returned replay is the unchanged old chain (no-op refresh contract)
+    val segsBefore = segs()
+    val rEmpty = c.putAppend("fp", 5L, rows(0 until 0))
+    assert(rEmpty.isDefined && rEmpty.get.count() == 7)
+    assert(segs() == segsBefore)
+    assert(c.get("fp").get.timestampMicros == 4L,
+      "an empty append advanced the watermark")
     // schema drift declines (caller's full put re-materializes)
     assert(c.putAppend("fp", 5L,
       Seq((1, 2)).toDF("a", "b")).isEmpty)

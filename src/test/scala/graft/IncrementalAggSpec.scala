@@ -1035,6 +1035,23 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(log3.messages.exists(_.startsWith("cache hit (rows)")),
       log3.messages)
     assertSameRows(again, q(eventsFull))
+    // a NO-OP refresh (nothing appended since) commits nothing: no new
+    // meta version, no empty segment — at scale an empty segment per
+    // dashboard refresh would force a full-view compaction every
+    // appendChainMax refreshes of an unchanged view
+    def metaCount(): Int = entryDir.listFiles().map(_.getName)
+      .count(n => n.startsWith("meta-") && n.endsWith(".json"))
+    val metasBefore = metaCount()
+    val log4 = new RecordingLog
+    val noop = QueryCacheSession(spark,
+      QueryCacheConfig(new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", log = log4))
+      .run(q(spark.read.parquet(work)))
+    assert(log4.messages.exists(_.startsWith("cache hit (rows)")),
+      log4.messages)
+    assertSameRows(noop, q(eventsFull))
+    assert(metaCount() == metasBefore,
+      "a no-op refresh committed a new meta version")
   }
 
   test("strict upper bound: future-dated rows are not double counted") {
