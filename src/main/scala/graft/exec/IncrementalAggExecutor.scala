@@ -698,10 +698,45 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case None =>
         config.cache.stats.recordMiss()
         config.log.info(c.fingerprint, "cache miss")
+        // MV → AGGREGATE subsumption: a COLD aggregate whose input chain
+        // was materialized as a row view (the filter-query cache) builds
+        // its first state from (view replay ∪ the view's own delta)
+        // instead of scanning history — the view's rows ARE the chain's
+        // rows below its watermark, so partial-aggregating replay ∪ delta
+        // equals partial-aggregating the full chain, for EVERY measure
+        // (row-grain identity, no decomposability argument needed). The
+        // replay re-aliases the view's columns back to the chain's
+        // original exprIds so group/measure expressions resolve
+        // unchanged. Capture modes align by construction (the row fp
+        // carries the same fpSuffix), so strict-band semantics and the
+        // S1 future-row contract are exactly the view's own. Dynamic
+        // bounds and static union branches keep the plain cold scan
+        // (their chain shape is not what the view stored).
+        val mvSrc: Option[DataFrame] =
+          if (config.filterQueryState && c.dynamicBound.isEmpty &&
+              c.staticUnionBranches.isEmpty) {
+            val fpRows = Fingerprint.of(c.child) + ":rows" + fpSuffix
+            config.cache.get(fpRows).filter { rcs =>
+              rcs.schema.length == c.child.output.length &&
+                rcs.schema.fields.zip(c.child.output).forall { case (f, a) =>
+                  f.name == a.name && f.dataType == a.dataType }
+            }.map { rcs =>
+              config.log.info(c.fingerprint, "cold state from materialized " +
+                s"row view (view wm=${rcs.timestampMicros}) — history " +
+                "scan skipped")
+              val readPlan = Shims.queryExecution(rcs.read(spark)).analyzed
+              val aligned = Project(
+                c.child.output.zip(readPlan.output).map { case (oo, na) =>
+                  Alias(na, oo.name)(exprId = oo.exprId) }, readPlan)
+              Shims.ofRows(spark, aligned).unionByName(
+                childDF.filter(tsCol >=
+                  timestamp_micros(lit(rcs.timestampMicros))))
+            }
+          } else None
         // the partial aggregation already yields exactly one state row per
         // group, and every merge op is identity on a single row — the
         // miss path skips the merge exchange+aggregation entirely
-        partialState(childDF)
+        partialState(mvSrc.getOrElse(childDF))
     }
 
     // store merged state stamped with this run's start time — hit or miss

@@ -171,6 +171,31 @@ object CacheQueries {
         df.filter(col("value") > 50 && col("event_type") =!= "error")
           .select(col("event_id"), col("user_id"), col("value"))
       }),
+    // MV → AGGREGATE subsumption: a COLD aggregate whose input chain was
+    // materialized as a row view builds its first state from (view
+    // replay ∪ the view's delta) instead of scanning history — row-grain
+    // identity, exact for every measure (history-skip pinned in
+    // IncrementalAggSpec). The returned first-sighting aggregate is what
+    // the oracle checks against the full table.
+    "qc_incr_select_agg" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "selectagg")
+      val cache = new MemoryQueryCache()
+      def view(df: DataFrame) = df
+        .filter(col("value") > 1 && col("event_type") =!= "error")
+        .select(col("ts"), col("event_type"), col("value"))
+      def agg(df: DataFrame) = view(df)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(view(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None))
+        .run(view(s.read.parquet(work))).collect()
+      QueryCacheSession(s, cfg(None)).run(agg(s.read.parquet(work)))
+    }),
     // filter-query rows over a fact ⋈ DECLARED-STATIC-DIM join — the
     // incremental star-join materialized view: appended fact rows join
     // the unchanged dim in the delta and union onto the replayed rows
@@ -1567,6 +1592,14 @@ object CacheQueries {
       """SELECT event_id, value, c_name
          FROM events JOIN customer ON user_id = c_custkey
          WHERE value > 50 AND c_mktsegment = 'BUILDING'""",
+    "qc_incr_select_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events
+         WHERE value > 1 AND event_type <> 'error'
+         GROUP BY 1, 2""",
     // bound at the internal HOUR grain's bucket starts (the no-group
     // rewrite's documented bucket-granularity semantics), now = max+1s
     "qc_incr_dynbound_total" ->

@@ -995,6 +995,63 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!log4.messages.exists(_.contains("(rows)")), log4.messages)
   }
 
+  test("cold aggregate warms from a materialized row view: history scan skipped") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("mv-to-agg")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = now,
+      log = log)
+    // the materialized view over the chain (filters + projection)
+    def view(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type") =!= "error")
+      .select(col("ts"), col("event_type"), col("value"))
+    // an aggregate over the SAME chain — its first sighting must build
+    // cold state from the view's rows + the view's delta, never the
+    // history files
+    def agg(df: DataFrame) = view(df)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(view(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val lateCount = late.count()
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    spark.sparkContext.addSparkListener(listener)
+    val aggDF =
+      try {
+        val df = QueryCacheSession(spark, cfg(log2))
+          .run(agg(spark.read.parquet(work)))
+        df.collect()
+        Thread.sleep(1000)
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("cold state from materialized")),
+      log2.messages)
+    // memory-cache view replay is driver-held — the only file input is
+    // the view's delta scan over the append
+    assert(recs.sum() <= lateCount,
+      s"cold aggregate scanned ${recs.sum()} rows (> append $lateCount) " +
+        "— history was rescanned despite the warm view")
+    assertSameRows(aggDF, agg(eventsFull))
+    // the subsumed run stored REAL aggregate state — the second sighting
+    // is a plain warm hit
+    val log3 = new RecordingLog
+    val again = QueryCacheSession(spark, cfg(log3))
+      .run(agg(spark.read.parquet(work)))
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assertSameRows(again, agg(eventsFull))
+  }
+
   test("filter-query rows through the durable cache: warm runs append, never rewrite") {
     val (early, late, splitUs) = split()
     val work = tmpDir("filter-rows-durable")
