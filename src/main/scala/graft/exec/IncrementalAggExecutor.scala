@@ -1295,32 +1295,65 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * their rows, while kept sessions (`end ≤ Q`) have all rows at
     * `ts ≤ end − gap < Q` and are never re-read. Exact for every
     * measure; the usual bucket-replacement argument with sessions as
-    * the buckets and Q as the boundary. Q is computed with one ordered
-    * pass over the state (candidates = session starts + the band floor
-    * itself, valid when the running max of earlier ends does not cross):
-    * continuously-active keys regress Q to their open session's start —
-    * inherent, those rows genuinely must re-merge — and the pass is
-    * state-sized, not fact-sized. */
+    * the buckets and Q as the boundary. Q is a prefix-max computation over
+    * start-ordered candidates (session starts + the band floor itself,
+    * valid when the running max of earlier ends does not cross),
+    * computed SCALABLY: per-day-bucket end maxima, a driver-side running
+    * max across the ordered buckets (one row per day of state span), and
+    * a bucket-partitioned window for the within-bucket remainder — no
+    * global single-partition sort. Continuously-active keys regress Q to
+    * their open session's start — inherent, those rows genuinely must
+    * re-merge — and the whole computation is state-sized, not
+    * fact-sized. */
   private def sessionLateBand(spark: SparkSession, c: Cacheable,
       cs: graft.cache.CachedState, band: Long, sIdx: Int)
       : Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{max, unix_micros}
+    import org.apache.spark.sql.functions.{broadcast, max, unix_micros}
     val g = s"_g$sIdx"
     val floor0 = cs.timestampMicros - band
+    // sessions at/below the arithmetic floor: later sessions can neither
+    // be candidates nor contribute to any candidate's prefix max
     val st = cs.read(spark).filter(col(g).isNotNull)
       .select(unix_micros(col(s"$g.start")).as("s"),
         unix_micros(col(s"$g.end")).as("e"))
+      .filter(col("s") <= lit(floor0))
     // synthetic candidate = the band floor itself: it qualifies exactly
     // when no session spans it (its own end never reaches later rows —
     // anything ordered after it is filtered out by s ≤ floor0)
+    // integer DIV, not double division+floor: session starts are
+    // positive epoch micros and s/W as doubles could round at exact
+    // bucket boundaries near 2^53
     val cand = st.unionByName(spark.range(1)
       .select(lit(floor0).as("s"), lit(floor0).as("e")))
-    val w = Window.orderBy(col("s"))
+      .withColumn("b", org.apache.spark.sql.functions.expr(
+        "s DIV 86400000000"))
+    // pmax(c) = max end among sessions with start < c, computed as a
+    // SCALABLE prefix max instead of a global-ordered window (which
+    // single-partitions all candidates): per-day-bucket end maxima →
+    // driver-side running max across the ordered buckets (one row per
+    // day of state span — bounded and tiny) → broadcast back, and the
+    // strictly-within-bucket remainder via a window PARTITIONED by
+    // bucket. Same strict-inequality frame as the global window (ties on
+    // s exclude each other on both paths).
+    val bucketRows = cand.groupBy(col("b"))
+      .agg(max(col("e")).as("bmax"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = Long.MinValue
+    val prefixRows = bucketRows.map { case (b, bmax) =>
+      val before = run
+      run = math.max(run, bmax)
+      (b, before)
+    }.filter(_._2 != Long.MinValue).toSeq
+    import spark.implicits._
+    val prefixDF = broadcast(prefixRows.toDF("b", "pbefore"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("s"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val row = cand.withColumn("pmax", max(col("e")).over(w))
-      .filter(col("s") <= lit(floor0) &&
-        (col("pmax").isNull || col("pmax") <= col("s")))
+    val row = cand.join(prefixDF, Seq("b"), "left_outer")
+      .withColumn("pin", max(col("e")).over(wIn))
+      .withColumn("pmax", org.apache.spark.sql.functions.greatest(
+        col("pin"), col("pbefore")))
+      .filter(col("pmax").isNull || col("pmax") <= col("s"))
       .agg(max(col("s"))).first()
     if (row.isNullAt(0)) return None
     val q = row.getLong(0)
