@@ -2993,11 +2993,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           !graft.analysis.NowBounds.containsNow(e)))
     }
     // the cacheable chain: strip alias/sort wrappers from the root, then
-    // require Project*/Filter+ over a single scan leaf
+    // require Project*/Filter+ over a single scan leaf. A LIMIT descends
+    // only when a Sort lies beneath it (ORDER BY … LIMIT k — the top-k
+    // dashboard over the view; both re-apply over the union, total order
+    // keeps the k deterministic exactly as in the vanilla plan). A bare
+    // un-sorted LIMIT stays vanilla: it answers from an arbitrary subset
+    // and materializing the FULL chain for it would be pure waste.
+    def sortBeneath(p: LogicalPlan): Boolean = p match {
+      case GlobalLimit(_, ch) => sortBeneath(ch)
+      case LocalLimit(_, ch) => sortBeneath(ch)
+      case SubqueryAlias(_, ch) => sortBeneath(ch)
+      case v: View => sortBeneath(v.child)
+      case _: Sort => true
+      case _ => false
+    }
     def descend(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, ch) => descend(ch)
       case v: View => descend(v.child)
       case s: Sort => descend(s.child)
+      case gl @ GlobalLimit(_, ch) if sortBeneath(gl) => descend(ch)
+      case ll @ LocalLimit(_, ch) if sortBeneath(ll) => descend(ch)
       case other => other
     }
     val chain = descend(analyzed)

@@ -867,6 +867,24 @@ class IncrementalAggSpec extends AnyFunSuite {
       .run(spark.read.parquet(work).select(col("event_id"))).collect()
     assert(!log4.messages.exists(_.contains("(rows)")), log4.messages)
 
+    // ORDER BY … LIMIT k above the chain: the top-k dashboard over the
+    // view — Sort+Limit re-apply over the union, answering from the warm
+    // rows; a BARE un-sorted LIMIT stays vanilla (arbitrary-subset
+    // semantics, materializing the full chain for it is waste)
+    val logL = new RecordingLog
+    val topk = QueryCacheSession(spark, cfg(logL))
+      .run(q(spark.read.parquet(work)).orderBy(col("value").desc,
+        col("event_id")).limit(7))
+    assert(logL.messages.exists(_.startsWith("cache hit (rows)")),
+      logL.messages)
+    val wantTopk = q(eventsFull).orderBy(col("value").desc,
+      col("event_id")).limit(7).collect().toSeq
+    assert(topk.collect().toSeq == wantTopk)
+    val logB = new RecordingLog
+    QueryCacheSession(spark, cfg(logB))
+      .run(q(spark.read.parquet(work)).limit(7)).collect()
+    assert(!logB.messages.exists(_.contains("(rows)")), logB.messages)
+
     // ROW SUBSUMPTION: a narrower slice (extra conjunct on a projected
     // column) first-sights as a refilter hit — the wider view's rows
     // replay re-filtered, the delta runs the narrow chain
