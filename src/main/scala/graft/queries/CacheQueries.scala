@@ -115,6 +115,28 @@ object CacheQueries {
     }),
     // transparent optimizer-rule mode: plain DataFrame actions, no facade
     // call — the warm result is materialized before the rule is removed
+    // TRANSPARENT-mode row cache: a plain agg-free df.filter(...).select
+    // routes through the injected pre-CBO rule, materializes cold, and
+    // warm-hits after the append — no facade call anywhere
+    "qc_incr_transparent_rows" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "transrows")
+      val cache = new MemoryQueryCache()
+      def q() = s.read.parquet(work)
+        .filter(col("value") > 50 && col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("value"))
+      import graft.ext.QueryCacheTransparent
+      try {
+        QueryCacheTransparent.enable(s, graft.QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts", overrideNowMicros = Some(splitMicros)))
+        q().collect() // cold: rows materialize through the rule
+        appendRest()
+        QueryCacheTransparent.configure(graft.QueryCacheConfig(cache,
+          defaultTemporalColumn = "ts"))
+        val warmRows = q().collect() // warm hit, still transparent
+        s.createDataFrame(
+          java.util.Arrays.asList(warmRows: _*), q().schema)
+      } finally QueryCacheTransparent.disable(s)
+    }),
     "qc_incr_transparent" -> ((s, d) => {
       val (work, splitMicros, appendRest) = splitWrite(s, d, "transparent")
       val cache = new MemoryQueryCache()
@@ -1583,6 +1605,9 @@ object CacheQueries {
            (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
          GROUP BY 1""",
     "qc_incr_select" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value > 50 AND event_type <> 'error'""",
+    "qc_incr_transparent_rows" ->
       """SELECT event_id, user_id, value FROM events
          WHERE value > 50 AND event_type <> 'error'""",
     "qc_incr_select_durable" ->
