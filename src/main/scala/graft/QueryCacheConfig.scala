@@ -410,6 +410,18 @@ final case class QueryCacheConfig(
       * materialized view over append-only sources; capacity-guarded like
       * aggregate state. */
     filterQueryState: Boolean = true,
+    /** admission guard for COLD row-state puts (filterQueryState): the
+      * Catalyst size estimate of the chain's optimized plan must sit at
+      * or below this many bytes, or the view is declined (loud log,
+      * query runs vanilla). MemoryQueryCache already capacity-guards
+      * every put by rows; this guard exists for DURABLE caches, where a
+      * broad filter over a large table would otherwise silently write a
+      * result-sized copy of the data on first touch. Plan-stats based —
+      * zero extra I/O; a conservative estimate that admits a too-big
+      * view is still caught by the memory cache's row guard, and a
+      * durable over-admission costs one bounded write, not a loop
+      * (warm runs append deltas only). Default 16 GiB. */
+    maxRowStateBytes: Long = 16L << 30,
     log: CacheLog = NoOpLog) {
 
   def withStaticDimensions(tables: String*): QueryCacheConfig =

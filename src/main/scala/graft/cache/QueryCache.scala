@@ -59,6 +59,21 @@ trait QueryCache {
   def putAppend(fingerprint: String, timestampMicros: Long,
       delta: DataFrame): Option[DataFrame] = None
 
+  /** Segment-grain BANDED refresh for row-state chains: a late re-scan
+    * band re-reads [floor, now) from the source and must REPLACE the
+    * state's rows at/after `floorMicros` — a full put would rewrite the
+    * whole view, O(result) per warm run. A chain-aware cache instead
+    * keeps every segment wholly below the floor verbatim, re-filters
+    * only the STRADDLING segments to `temporalCol < floor OR IS NULL`,
+    * unions them with `bandDelta` (the caller's source re-scan from the
+    * floor) into ONE new segment, and commits atomically — O(band +
+    * recent appends) written bytes, not O(view). Returns the new full
+    * replay; None → the caller falls back to a full put (which also
+    * compacts). Default: unsupported. */
+  private[graft] def refreshBand(fingerprint: String, timestampMicros: Long,
+      temporalCol: String, floorMicros: Long,
+      bandDelta: DataFrame): Option[DataFrame] = None
+
   def invalidate(fingerprint: String): Unit
 
   // ------------------------------------------------- source-path remedy
@@ -553,9 +568,148 @@ final class ParquetQueryCache(rootDir: String,
     writeMetaAtomic(fs, dir,
       Meta(timestampMicros, dataDir, old.schema, old.sourcePaths,
         fingerprint, old.baseFp, old.measures,
-        extraDataDirs = old.allDataDirs), version)
+        extraDataDirs = old.allDataDirs,
+        // carry the known-max map forward (the new segment stays
+        // "unknown" until a banded refresh resolves it from footers)
+        segMaxTs = old.segMaxTs), version)
     try cleanup(fs, dir) catch { case _: Exception => () }
     val paths = (dataDir +: old.allDataDirs).map(d => new Path(dir, d).toString)
+    Some(spark.read.schema(old.schema).parquet(paths: _*))
+  }
+
+  /** Segment-grain banded refresh — see the trait doc. Keep test: a
+    * segment's known max(temporalCol) sits strictly below the floor
+    * (NULL-ts rows never count toward the max and are keep-safe: the
+    * band drops only rows AT/AFTER the floor). Max values come from the
+    * meta's memoized map first, then from parquet footer column stats
+    * (we force TIMESTAMP_MICROS at write time precisely so these stats
+    * exist — INT96 has none); a segment with missing/foreign stats is
+    * "unknown" and gets rewritten, never kept wrongly. */
+  override private[graft] def refreshBand(fingerprint: String,
+      timestampMicros: Long, temporalCol: String, floorMicros: Long,
+      bandDelta: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val spark = bandDelta.sparkSession
+    val key = QueryCache.keyHash(fingerprint)
+    hashToFp.put(key, fingerprint)
+    val dir = new Path(rootDir, key)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val old = latestMeta(fs, dir).filterNot(_.tombstone).getOrElse(return None)
+    val tField = old.schema.fields.find(_.name == temporalCol)
+      .getOrElse(return None)
+    if (tField.dataType !=
+        org.apache.spark.sql.types.TimestampType) return None
+    // max(temporalCol) of one segment from its parquet footers: one
+    // driver-side footer read per file, no Spark job. None = unknown.
+    def footerMax(seg: String): Option[Long] = try {
+      val segPath = new Path(dir, seg)
+      val files = fs.listStatus(segPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      var mx = Long.MinValue
+      var known = true
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          if (b.getRowCount > 0) {
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == temporalCol) match {
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null) known = false
+                else if (!st.hasNonNullValue) {
+                  // stats present but no non-null value: every row in
+                  // the chunk is NULL-ts — keep-safe, constrains nothing
+                  if (st.getNumNulls < b.getRowCount) known = false
+                } else st.genericGetMax match {
+                  case l: java.lang.Long => mx = math.max(mx, l.longValue)
+                  case _ => known = false
+                }
+              case None => known = false
+            }
+          }
+        } finally r.close()
+      }
+      if (known) Some(mx) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    // footer-derived row count of a just-written segment (driver-side,
+    // no Spark job); -1 = unknown
+    def footerRows(seg: String): Long = try {
+      fs.listStatus(new Path(dir, seg))
+        .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }.sum
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+    val recorded = old.segMaxTs.toMap
+    val resolved: Map[String, Option[Long]] = old.allDataDirs.map { s =>
+      s -> recorded.get(s).map(Some(_)).getOrElse(footerMax(s))
+    }.toMap
+    val (keep, straddle) = old.allDataDirs.partition(s =>
+      resolved(s).exists(_ < floorMicros))
+    // the banded commit SPLITS into two segments: the straddlers' rows
+    // below the floor become a SETTLED segment (its max is < floor, so
+    // every future refresh keeps it verbatim — without the split, the
+    // newest segment would straddle every floor forever and each refresh
+    // would rewrite the whole view), and the band re-scan becomes the
+    // ACTIVE segment. Steady state therefore writes O(append + band) per
+    // run: the settle part is the watermark's advance since the last
+    // refresh, the band part is the declared tolerance.
+    if (keep.size + 2 >= appendChainMax) return None // full put compacts
+    val version = math.max(timestampMicros, old.version + 1)
+    val floorCol = org.apache.spark.sql.graftshim.Shims.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(floorMicros,
+        org.apache.spark.sql.types.TimestampType))
+    def writeSeg(df: DataFrame, tag: String): String = {
+      val name =
+        s"data-$version-$tag${java.util.UUID.randomUUID.toString.take(8)}"
+      org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") { s =>
+        org.apache.spark.sql.graftshim.Shims.ofRows(s,
+          org.apache.spark.sql.graftshim.Shims.queryExecution(df).logical)
+          .write.mode("overwrite").parquet(new Path(dir, name).toString)
+      }
+      name
+    }
+    val settledDir: Option[String] = if (straddle.isEmpty) None else {
+      val d = writeSeg(
+        spark.read.schema(old.schema)
+          .parquet(straddle.map(x => new Path(dir, x).toString): _*)
+          .filter(col(temporalCol) < floorCol || col(temporalCol).isNull),
+        "s")
+      if (footerRows(d) == 0L) { // straddlers held only band rows
+        try fs.delete(new Path(dir, d), true) catch { case _: Exception => () }
+        None
+      } else Some(d)
+    }
+    val bandDir = writeSeg(bandDelta, "b")
+    // no-op refresh: nothing settled AND the band re-scan found nothing —
+    // committing an empty segment per dashboard refresh would grow the
+    // chain toward a pointless compaction (same hazard putAppend guards
+    // against)
+    if (settledDir.isEmpty && straddle.isEmpty && footerRows(bandDir) == 0L) {
+      try fs.delete(new Path(dir, bandDir), true)
+      catch { case _: Exception => () }
+      val paths = old.allDataDirs.map(d => new Path(dir, d).toString)
+      return Some(spark.read.schema(old.schema).parquet(paths: _*))
+    }
+    // memoize every max this refresh learned (kept + settled segments'
+    // values are final — segments are immutable) plus the band's own
+    val tail = settledDir.toSeq ++ keep
+    val segMax = tail.flatMap(s => resolved.get(s).flatten.orElse(
+      footerMax(s)).map(s -> _)) ++
+      footerMax(bandDir).map(bandDir -> _).toSeq
+    writeMetaAtomic(fs, dir,
+      Meta(timestampMicros, bandDir, old.schema, old.sourcePaths,
+        fingerprint, old.baseFp, old.measures,
+        extraDataDirs = tail, segMaxTs = segMax), version)
+    try cleanup(fs, dir) catch { case _: Exception => () }
+    val paths = (bandDir +: tail).map(d => new Path(dir, d).toString)
     Some(spark.read.schema(old.schema).parquet(paths: _*))
   }
 
@@ -745,7 +899,15 @@ object ParquetQueryCache {
         * UNION of `dataDir` (the newest segment — its name carries the
         * version) and these older segments, committed together in one
         * atomic meta so readers see a complete chain or the previous one */
-      extraDataDirs: Seq[String] = Seq.empty) {
+      extraDataDirs: Seq[String] = Seq.empty,
+      /** per-segment MAX of the view's temporal column (micros), for the
+        * segments whose max is known — the banded-refresh keep test
+        * (segment wholly below the floor ⇒ kept verbatim). Learned lazily:
+        * refreshBand resolves unknown segments from parquet footer column
+        * stats and memoizes here; putAppend carries the map forward. A
+        * missing segment is simply "unknown" and gets rewritten — never a
+        * correctness issue. */
+      segMaxTs: Seq[(String, Long)] = Seq.empty) {
     def allDataDirs: Seq[String] = dataDir +: extraDataDirs
     /** version = leading numeric component of the data dir name
       * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
@@ -814,7 +976,14 @@ object ParquetQueryCache {
       }).getOrElse(Seq.empty),
       // append-chain tail; absent in metas written before r12
       fieldOpt("extraDataDirs").map(_.split('\n').toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      // one line per known segment max: `dataDir|maxTsMicros`; absent in
+      // metas written before r13 (banded refresh falls back to footers)
+      fieldOpt("segMaxTs").map(_.split('\n').toSeq.filter(_.nonEmpty).map {
+        line =>
+          val i = line.lastIndexOf('|')
+          (line.substring(0, i), line.substring(i + 1).toLong)
+      }).getOrElse(Seq.empty))
   }
 
   private def writeMetaAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
@@ -828,8 +997,10 @@ object ParquetQueryCache {
       }
     val measureBlob = meta.measures
       .map { case (d, cols) => s"$d|${cols.mkString(",")}" }.mkString("\n")
+    val segMaxBlob = meta.segMaxTs
+      .map { case (d, mx) => s"$d|$mx" }.mkString("\n")
     val json =
-      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}","extraDataDirs":"${esc(meta.extraDataDirs.mkString("\n"))}"}"""
+      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}","extraDataDirs":"${esc(meta.extraDataDirs.mkString("\n"))}","segMaxTs":"${esc(segMaxBlob)}"}"""
     // per-writer temp name: two concurrent puts that computed the SAME
     // version (both read the same head) must not share a temp path — a
     // shared `.meta-<v>.json.tmp` lets one writer's rename steal the

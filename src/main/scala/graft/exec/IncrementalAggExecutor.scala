@@ -715,8 +715,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         val mvSrc: Option[DataFrame] =
           if (config.filterQueryState && c.dynamicBound.isEmpty &&
               c.staticUnionBranches.isEmpty) {
-            val fpRows = Fingerprint.of(c.child) + ":rows" + fpSuffix
-            config.cache.get(fpRows).filter { rcs =>
+            // rowViewLookup probes the exact row fingerprint AND the
+            // refilter lattice: a cold aggregate whose chain adds a
+            // conjunct absent from the warm view still cold-starts from
+            // the wider view re-filtered — row-grain identity holds for
+            // the re-filtered replay exactly as for the exact view
+            rowViewLookup(c.child, c.fingerprint).filter { rcs =>
               rcs.schema.length == c.child.output.length &&
                 rcs.schema.fields.zip(c.child.output).forall { case (f, a) =>
                   f.name == a.name && f.dataType == a.dataType }
@@ -3076,9 +3080,6 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               else Nil)
           conjs.reduceOption(And).map(Filter(_, l)).getOrElse(l)
       }
-    def rowSchema(p: LogicalPlan) = StructType(p.output.map(
-      a => org.apache.spark.sql.types.StructField(
-        a.name, a.dataType, a.nullable)))
     // ROW-STATE SUBSUMPTION: on an exact-fingerprint miss, a NARROWER
     // filter answers from a WIDER twin's materialized rows — strip a
     // conjunct whose columns survive the projection, look the twin up,
@@ -3088,41 +3089,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // chain itself). Recursive to depth 2: a doubly-narrowed slice
     // answers from the doubly-wider view. Same lattice idea as the
     // aggregate path's dimFilterState, at row grain.
-    val namesUnique = chain.output.map(_.name.toLowerCase).distinct.size ==
-      chain.output.size
-    def rowProbe(p: LogicalPlan, depth: Int): Option[graft.cache.CachedState] = {
-      if (depth > 2 || !namesUnique) return None
-      val conjs = ArrayBuffer.empty[Expression]
-      p.foreach {
-        case Filter(cond, _) => splitConj(cond).foreach(conjs += _)
-        case _ => ()
-      }
-      conjs.filter(_.references.subsetOf(p.outputSet)).to(LazyList)
-        .flatMap { cj =>
-          val twin = stripConjunct(p, cj)
-          val fp2 = Fingerprint.of(twin) + ":rows" + fpSuffix
-          config.cache.get(fp2)
-            .filter(cs => schemaCompatible(cs.schema, rowSchema(twin)))
-            .orElse(rowProbe(twin, depth + 1))
-            .map { cs =>
-              config.log.info(fp, s"refilter (rows) hit: replaying wider " +
-                s"twin ${fp2.take(12)} re-filtered by ${cj.sql}")
-              val cjCol = Shims.column(cj.transform {
-                case a: Attribute => UnresolvedAttribute(Seq(a.name))
-              })
-              graft.cache.CachedState(cs.timestampMicros, cs.schema,
-                s => cs.read(s).filter(cjCol))
-            }
-        }.headOption
-    }
-    val entry0 = config.cache.get(fp)
-      .filter { cs =>
-        val compat = schemaCompatible(cs.schema, rowSchema(chain))
-        if (!compat) config.log.warn(fp,
-          "cached row-state schema mismatch — treating as miss")
-        compat
-      }
-      .orElse(rowProbe(chain, 1))
+    val entry0 = rowViewLookup(chain, fp)
     // late re-scan band at ROW grain: when the temporal column survives
     // the projection, lower the effective watermark to wm − band, drop
     // state rows at/after it and let the delta re-read them — no bucket
@@ -3160,18 +3127,44 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         val delta = Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros)))
         // a banded hit REPLACES the band's rows, so the stored chain
         // (which still contains them) must be rewritten, never appended —
-        // appending the re-read band would duplicate it. putAppend itself
-        // detects an all-empty delta from the written segment's parquet
-        // footers and skips the meta commit (a no-op refresh must not
-        // grow the chain toward a pointless full-view compaction).
-        val appended =
-          if (bandApplied) None else config.cache.putAppend(fp, now, delta)
-        appended.getOrElse(
+        // appending the re-read band would duplicate it. A chain-aware
+        // cache does the replacement at SEGMENT grain (refreshBand):
+        // segments wholly below the floor are kept verbatim and only the
+        // straddling tail + the band re-read commit as one new segment —
+        // O(append + band) written bytes per warm run, not O(view). The
+        // full-put fallback covers caches without chains (memory) and
+        // the compaction case. putAppend itself detects an all-empty
+        // delta from the written segment's parquet footers and skips the
+        // meta commit (a no-op refresh must not grow the chain toward a
+        // pointless full-view compaction).
+        val committed =
+          if (bandApplied)
+            chain.output.find(_.semanticEquals(tAttr)).flatMap(outT =>
+              config.cache.refreshBand(fp, now, outT.name,
+                cs.timestampMicros, delta))
+          else config.cache.putAppend(fp, now, delta)
+        committed.getOrElse(
           config.cache.put(fp, now, cs.read(spark).unionByName(delta)))
       case None =>
+        // COLD-PUT ADMISSION GUARD: a broad filter over a large table
+        // would materialize a result-sized copy on first touch — the
+        // memory cache row-guards every put, but a durable cache has no
+        // natural ceiling. Decline admission when Catalyst's size
+        // estimate of the optimized chain exceeds the configured budget
+        // (plan stats: file sizes × filter selectivity — zero extra I/O).
+        val coldDf = Shims.ofRows(spark, boundedAtLeaf(None))
+        val estBytes =
+          try Shims.queryExecution(coldDf).optimizedPlan.stats.sizeInBytes
+          catch { case _: Exception => BigInt(0) }
+        if (estBytes > config.maxRowStateBytes) {
+          config.log.warn(fp, s"row-state admission declined: estimated " +
+            s"$estBytes bytes > maxRowStateBytes=${config.maxRowStateBytes}" +
+            " — running vanilla (narrow the filter or raise the budget)")
+          return None
+        }
         config.log.info(fp,
           "cache miss (rows): materializing filter-query rows")
-        config.cache.put(fp, now, Shims.ofRows(spark, boundedAtLeaf(None)))
+        config.cache.put(fp, now, coldDf)
     }
     config.cache.recordSourcePaths(fp, Shims.sourcePaths(chain))
     graft.plans.CacheReplayStrategy.register(spark)
@@ -3395,6 +3388,58 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
     case x => Seq(x)
+  }
+
+  /** Materialized-row-view lookup for a Project/Filter `chain`: the exact
+    * row fingerprint first, then REFILTER subsumption — a NARROWER chain
+    * answers from a WIDER twin's materialized rows by stripping a conjunct
+    * whose columns survive the projection and re-applying it over the
+    * replayed rows (state rows passed every other conjunct already, so
+    * re-filtering is exactly the narrow result below the twin's
+    * watermark). Recursive to depth 2. Shared by the filter-query rewrite
+    * (its delta scan runs the narrow chain itself) and the MV→aggregate
+    * cold start (a cold aggregate over a narrower chain skips the history
+    * scan through the wider warm view re-filtered). */
+  private def rowViewLookup(chain: LogicalPlan,
+      logFp: String): Option[graft.cache.CachedState] = {
+    def rowSchema(p: LogicalPlan) = StructType(p.output.map(
+      a => org.apache.spark.sql.types.StructField(
+        a.name, a.dataType, a.nullable)))
+    val namesUnique = chain.output.map(_.name.toLowerCase).distinct.size ==
+      chain.output.size
+    def rowProbe(p: LogicalPlan, depth: Int): Option[graft.cache.CachedState] = {
+      if (depth > 2 || !namesUnique) return None
+      val conjs = ArrayBuffer.empty[Expression]
+      p.foreach {
+        case Filter(cond, _) => splitConj(cond).foreach(conjs += _)
+        case _ => ()
+      }
+      conjs.filter(_.references.subsetOf(p.outputSet)).to(LazyList)
+        .flatMap { cj =>
+          val twin = stripConjunct(p, cj)
+          val fp2 = Fingerprint.of(twin) + ":rows" + fpSuffix
+          config.cache.get(fp2)
+            .filter(cs => schemaCompatible(cs.schema, rowSchema(twin)))
+            .orElse(rowProbe(twin, depth + 1))
+            .map { cs =>
+              config.log.info(logFp, s"refilter (rows) hit: replaying " +
+                s"wider twin ${fp2.take(12)} re-filtered by ${cj.sql}")
+              val cjCol = Shims.column(cj.transform {
+                case a: Attribute => UnresolvedAttribute(Seq(a.name))
+              })
+              graft.cache.CachedState(cs.timestampMicros, cs.schema,
+                s => cs.read(s).filter(cjCol))
+            }
+        }.headOption
+    }
+    config.cache.get(Fingerprint.of(chain) + ":rows" + fpSuffix)
+      .filter { cs =>
+        val compat = schemaCompatible(cs.schema, rowSchema(chain))
+        if (!compat) config.log.warn(logFp,
+          "cached row-state schema mismatch — treating as miss")
+        compat
+      }
+      .orElse(rowProbe(chain, 1))
   }
 
   /** remove one conjunct (the dynamic bound) from every Filter carrying it */

@@ -218,6 +218,71 @@ object CacheQueries {
         .run(view(s.read.parquet(work))).collect()
       QueryCacheSession(s, cfg(None)).run(agg(s.read.parquet(work)))
     }),
+    // MV → aggregate COMPOSED with row subsumption: the cold aggregate's
+    // chain carries a conjunct (value < 90) ABSENT from the materialized
+    // view — the refilter lattice answers its cold start from the WIDER
+    // warm view re-filtered, still skipping the history scan (pinned in
+    // IncrementalAggSpec). The oracle checks the first-sighting answer.
+    "qc_incr_select_agg_sub" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "selectaggsub")
+      val cache = new MemoryQueryCache()
+      def view(df: DataFrame) = df
+        .filter(col("value") > 1 && col("event_type") =!= "error")
+        .select(col("ts"), col("event_type"), col("value"))
+      def agg(df: DataFrame) = view(df).filter(col("value") < 90)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(view(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None)).run(agg(s.read.parquet(work)))
+    }),
+    // banded ROW VIEW through the DURABLE cache: held-out late rows fold
+    // back in via the late re-scan band, and the banded commit is
+    // SEGMENT-GRAIN where the chain allows (refreshBand keeps segments
+    // wholly below the floor and rewrites only the straddling tail +
+    // band — the O(append + band) pin lives in IncrementalAggSpec; here
+    // the oracle checks the replayed view equals vanilla over the full
+    // table). Three runs build a real chain before the banded one.
+    "qc_incr_select_band" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      def pct(p: Double) = ev.selectExpr(
+        s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)")
+        .first().getLong(0)
+      val (t1, t2) = (pct(0.6), pct(0.8))
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/selectband"
+      val cacheDir =
+        s"${sys.props("java.io.tmpdir")}/graft_qc_cache_rowband/$sfTag"
+      Seq(work, cacheDir).foreach { x =>
+        val p = new Path(x)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(t2 - dayUs / 2)) &&
+        col("ts") < timestamp_micros(lit(t2)) && col("event_id") % 3 === 0
+      def cfg(now: Option[Long]) = QueryCacheConfig(
+        new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(1))
+      def q(df: DataFrame) = df.filter(col("value") > 50)
+        .select(col("event_id"), col("ts"), col("value"))
+      ev.filter(col("ts") < timestamp_micros(lit(t1)) && !isLate)
+        .write.mode("overwrite").parquet(work)
+      QueryCacheSession(s, cfg(Some(t1))).run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= timestamp_micros(lit(t1)) &&
+          col("ts") < timestamp_micros(lit(t2)) && !isLate)
+        .write.mode("append").parquet(work)
+      QueryCacheSession(s, cfg(Some(t2))).run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= timestamp_micros(lit(t2)) || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    }),
     // filter-query rows over a fact ⋈ DECLARED-STATIC-DIM join — the
     // incremental star-join materialized view: appended fact rows join
     // the unchanged dim in the delta and union onto the replayed rows
@@ -1397,6 +1462,53 @@ object CacheQueries {
       ev.unpersist()
       QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
     }),
+    // late re-scan band COMPOSED with a FACTORIZED two-fact join: the
+    // band applies PER TWIN — the click twin groups by (user × hour), so
+    // its state bucket-replaces and the held-out late CLICK rows fold
+    // back in; the purchase twin is keyed by join key alone (no temporal
+    // bucket) and skips the band loudly — late partner-side rows keep
+    // the documented S1 residual, so the oracle holds out late rows on
+    // the TEMPORAL side only (spec pins the per-twin banded/skip split).
+    "qc_incr_lateband_fact" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/latebandfact"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(splitMicros - 2 * dayUs)) &&
+        col("ts") < splitTs && col("event_id") % 3 === 0
+      def part(t: String) = ev.filter(col("event_type") === t)
+        .select("ts", "user_id", "value")
+      part("click").filter(col("ts") < splitTs && !isLate)
+        .write.parquet(s"$base/a")
+      part("purchase").filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(3))
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("user_id"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(a("value")).as("sum_click_value"),
+          min(b("value")).as("min_purchase_value"))
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      part("click").filter(col("ts") >= splitTs || isLate)
+        .write.mode("append").parquet(s"$base/a")
+      part("purchase").filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
     // late re-scan band over SESSION WINDOWS: the floor cannot be a fixed
     // instant (a frontier session ending inside the band may start before
     // it) — the executor derives the cut from the STATE's own intervals:
@@ -1625,6 +1737,33 @@ object CacheQueries {
          FROM events
          WHERE value > 1 AND event_type <> 'error'
          GROUP BY 1, 2""",
+    "qc_incr_select_agg_sub" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events
+         WHERE value > 1 AND value < 90 AND event_type <> 'error'
+         GROUP BY 1, 2""",
+    // the banded row view folds every held-out late row back in, so the
+    // replayed chain equals the vanilla filter over the full table
+    "qc_incr_select_band" ->
+      """SELECT event_id, ts, value FROM events WHERE value > 50""",
+    // late rows held out on the TEMPORAL (click) side only — the click
+    // twin's band folds them in; purchase appends are all >= the
+    // watermark and absorb through the normal delta
+    "qc_incr_lateband_fact" ->
+      """SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_click_value,
+           min(b.value) AS min_purchase_value
+         FROM (SELECT ts, user_id, value FROM events
+               WHERE event_type = 'click') a
+         JOIN (SELECT ts, user_id, value FROM events
+               WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id
+         GROUP BY 1""",
     // bound at the internal HOUR grain's bucket starts (the no-group
     // rewrite's documented bucket-granularity semantics), now = max+1s
     "qc_incr_dynbound_total" ->

@@ -109,9 +109,22 @@ object WriterLease {
         } else {
           // the rename captured a FRESH lease — a faster breaker already
           // broke the stale one and re-created between our age check and
-          // our rename. Undo: put the live lease back and fail fast.
-          try { if (!fs.rename(captured, p)) fs.delete(captured, false) }
-          catch { case _: java.io.IOException => () }
+          // our rename. Undo: put the live lease back and fail fast. If
+          // the rename-back itself loses (a THIRD writer's tryCreate
+          // landed while the lease path was vacant), do NOT delete the
+          // captured file: it is the live faster-breaker's lease, and
+          // destroying it would let that holder keep running `f` while
+          // believing it is exclusive. Park it where it is — the unique
+          // `.breaking.` path — and log; the faster-breaker's heartbeat
+          // notices the loss (it re-verifies ownership each beat and
+          // escalates, below) so at most one writer proceeds.
+          val back = try fs.rename(captured, p)
+          catch { case _: java.io.IOException => false }
+          if (!back) System.err.println(
+            s"[graft] WriterLease: could not restore captured fresh lease " +
+              s"$captured to $p (a third writer re-created the lease); " +
+              "leaving it parked — its holder's heartbeat will detect the " +
+              "loss and abort")
         }
       } else {
         // another breaker won the rename; the atomic create resolves the
@@ -131,18 +144,49 @@ object WriterLease {
     // renewal re-verifies ownership first — if the lease was broken and
     // reacquired by someone else despite the heartbeat (e.g. a long GC
     // pause past the horizon), bumping the successor's mtime would extend
-    // a lease we don't hold.
+    // a lease we don't hold. Ownership loss mid-hold ESCALATES: the beat
+    // stops renewing, logs loudly, and withLease throws after `f` returns
+    // — the caller must not treat a write that lost exclusivity mid-way
+    // as safely committed. The interval is clamped to staleMs/2 so a tiny
+    // horizon (tests use sub-second ones) still renews inside it.
     val stop = new java.util.concurrent.CountDownLatch(1)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
-      val interval = math.max(250L, staleMs / 4)
-      while (!stop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try { if (owned()) fs.setTimes(p, System.currentTimeMillis(), -1) }
-        catch { case _: java.io.IOException => () }
+      val interval =
+        math.max(20L, math.min(math.max(250L, staleMs / 4), staleMs / 2))
+      while (!lost.get &&
+          !stop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          readContent(fs, p) match {
+            case Some(c) if c.startsWith(holderId + "@") =>
+              fs.setTimes(p, System.currentTimeMillis(), -1)
+            case Some(other) =>
+              // a different holder's content is DEFINITIVE loss — a
+              // breaker judged us stale and a successor took over
+              lost.set(true)
+              System.err.println(
+                s"[graft] WriterLease LOST mid-hold on $dir (tag=$tag): " +
+                  s"lease now held by $other; this writer's exclusivity " +
+                  "is void and withLease will throw on completion")
+            case None =>
+              // lease file vacant (mid-break or deleted): reclaim it
+              // atomically; if someone else wins the create, the next
+              // beat reads their content and declares loss above
+              tryCreate(fs, p, holderId); ()
+          }
+        } catch { case _: java.io.IOException => () }
       }
     }, s"writer-lease-heartbeat-$tag")
     beat.setDaemon(true)
     beat.start()
-    try f finally {
+    try {
+      val result = f
+      if (lost.get)
+        throw new ConcurrentWriterException(
+          s"writer lease on $dir was broken mid-hold (tag=$tag): another " +
+            "writer may have run concurrently; treat this write as suspect")
+      result
+    } finally {
       stop.countDown()
       beat.join(5000)
       // delete only if still ours: a superseded holder must not delete

@@ -1129,6 +1129,195 @@ class IncrementalAggSpec extends AnyFunSuite {
       "a no-op refresh committed a new meta version")
   }
 
+  test("banded refresh on a durable row view is segment-grain: chain prefix kept, O(band) write") {
+    val ev = eventsFull
+    def pct(p: Double) = ev.selectExpr(
+      s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)").first().getLong(0)
+    val (t1, t2, t3) = (pct(0.4), pct(0.55), pct(0.7))
+    val bandUs = (t3 - t2) / 2
+    val floor = t3 - bandUs // midpoint of (t2, t3): S3 straddles, S1/S2 don't
+    val isLate = col("ts") >= timestamp_micros(lit(floor)) &&
+      col("ts") < timestamp_micros(lit(t3)) && col("event_id") % 3 === 0
+    val work = tmpDir("band-segment-work")
+    val cacheDir = tmpDir("band-segment-cache")
+    def q(df: DataFrame) = df.filter(col("value") > 50)
+      .select(col("event_id"), col("ts"), col("value"))
+    def cfg(log: RecordingLog, nowUs: Option[Long], banded: Boolean) = {
+      val c = QueryCacheConfig(new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      if (banded) c.copy(lateRescanBandMicros = Some(bandUs)) else c
+    }
+    // three-run chain: cold put (S1) + two putAppend segments (S2, S3)
+    ev.filter(col("ts") < timestamp_micros(lit(t1)))
+      .write.mode("overwrite").parquet(work)
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(t1), banded = false))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(t1)) &&
+        col("ts") < timestamp_micros(lit(t2)))
+      .write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(t2), banded = false))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(t2)) &&
+        col("ts") < timestamp_micros(lit(t3)) && !isLate)
+      .write.mode("append").parquet(work)
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(t3), banded = false))
+      .run(q(spark.read.parquet(work))).collect()
+    val entryDir = new java.io.File(cacheDir).listFiles()
+      .filter(_.isDirectory).head
+    def headMetaJson(): String = {
+      val name = entryDir.listFiles().map(_.getName)
+        .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+        .maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(entryDir, name).toPath))
+    }
+    def metaField(json: String, f: String): String =
+      json.split("\"" + f + "\":\"").last.takeWhile(_ != '"')
+    val before = headMetaJson()
+    val s3Dir = metaField(before, "dataDir")
+    val prefixDirs = metaField(before, "extraDataDirs")
+      .split("\\\\n").toSeq.filter(_.nonEmpty) // S2, S1
+    assert(prefixDirs.size == 2, s"expected a 3-segment chain: $before")
+    val prefixMTimes = prefixDirs.map(d =>
+      d -> new java.io.File(entryDir, d).lastModified).toMap
+    // late rows land inside the band window, plus the genuinely-new tail
+    ev.filter(isLate || col("ts") >= timestamp_micros(lit(t3)))
+      .write.mode("append").parquet(work)
+    val log4 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log4, None, banded = true))
+      .run(q(spark.read.parquet(work)))
+    assert(log4.messages.exists(_.startsWith("late re-scan band (rows)")),
+      log4.messages)
+    assertSameRows(warm, q(eventsFull))
+    // SEGMENT-GRAIN pin: the head meta keeps S1+S2 verbatim (same dirs,
+    // files untouched); the straddling S3 split into a SETTLED segment
+    // (rows below the floor — kept verbatim by every future refresh) and
+    // the band head — the banded warm run wrote O(band + straddle), not
+    // O(view)
+    val after = headMetaJson()
+    val keptDirs = metaField(after, "extraDataDirs")
+      .split("\\\\n").toSeq.filter(_.nonEmpty)
+    assert(prefixDirs.forall(keptDirs.contains),
+      s"banded refresh did not keep the chain prefix: kept=$keptDirs " +
+        s"expected ⊇ $prefixDirs")
+    assert(!keptDirs.contains(s3Dir) && metaField(after, "dataDir") != s3Dir,
+      "the straddling segment was not replaced")
+    prefixDirs.foreach { d =>
+      assert(new java.io.File(entryDir, d).lastModified == prefixMTimes(d),
+        s"kept segment $d was rewritten")
+    }
+    // the learned per-segment maxima are memoized for the next refresh
+    assert(metaField(after, "segMaxTs").contains("data-"), after)
+    // the band head holds ONLY the re-scan ([floor, now)); the settled
+    // segment only S3's below-floor rows — together band + straddle
+    val headRows = spark.read.parquet(
+      new java.io.File(entryDir, metaField(after, "dataDir")).toString).count()
+    val viewRows = q(eventsFull).count()
+    val expectedBand = q(eventsFull)
+      .filter(col("ts") >= timestamp_micros(lit(floor))).count()
+    assert(headRows <= expectedBand && headRows < viewRows,
+      s"band head has $headRows rows (band bound $expectedBand, " +
+        s"view $viewRows) — the refresh rewrote more than the band")
+    val settled = keptDirs.filterNot(prefixDirs.contains)
+    assert(settled.size == 1, s"expected one settled segment in $keptDirs")
+    val settledRows = spark.read.parquet(
+      new java.io.File(entryDir, settled.head).toString).count()
+    val expectedSettled = q(eventsFull)
+      .filter(col("ts") >= timestamp_micros(lit(t2)) &&
+        col("ts") < timestamp_micros(lit(floor))).count()
+    assert(settledRows == expectedSettled,
+      s"settled segment has $settledRows rows, expected $expectedSettled")
+    // a further banded run still answers exactly (no duplicated band);
+    // its floor (real now − band) is beyond all data, so it is also a
+    // NO-OP refresh: the chain must not grow
+    val metasAfterBand = headMetaJson()
+    val log5 = new RecordingLog
+    val again = QueryCacheSession(spark, cfg(log5, None, banded = true))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(again, q(eventsFull))
+    assert(headMetaJson() == metasAfterBand,
+      "a no-op banded refresh committed a new meta version")
+  }
+
+  test("cold aggregate subsumes through the row-view refilter lattice") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("mv-agg-refilter")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = now,
+      log = log)
+    // the WIDE materialized view
+    def view(df: DataFrame) = df
+      .filter(col("value") > 1 && col("event_type") =!= "error")
+      .select(col("ts"), col("event_type"), col("value"))
+    // a cold aggregate whose chain adds a conjunct ABSENT from the view:
+    // its first sighting must cold-start from the wider view re-filtered
+    // (refilter lattice), never the history files
+    def agg(df: DataFrame) = view(df).filter(col("value") < 90)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(view(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val lateCount = late.count()
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    spark.sparkContext.addSparkListener(listener)
+    val aggDF =
+      try {
+        val df = QueryCacheSession(spark, cfg(log2))
+          .run(agg(spark.read.parquet(work)))
+        df.collect()
+        Thread.sleep(1000)
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("refilter (rows) hit")),
+      log2.messages)
+    assert(log2.messages.exists(_.startsWith("cold state from materialized")),
+      log2.messages)
+    assert(recs.sum() <= lateCount,
+      s"subsumed cold aggregate scanned ${recs.sum()} rows (> append " +
+        s"$lateCount) — history was rescanned despite the warm wider view")
+    assertSameRows(aggDF, agg(eventsFull))
+    // real aggregate state was stored — second sighting is a warm hit
+    val log3 = new RecordingLog
+    val again = QueryCacheSession(spark, cfg(log3))
+      .run(agg(spark.read.parquet(work)))
+    assert(log3.messages.exists(_.startsWith("cache hit")), log3.messages)
+    assertSameRows(again, agg(eventsFull))
+  }
+
+  test("row-state admission guard: over-budget cold view declines, runs vanilla") {
+    val (early, _, splitUs) = split()
+    val work = tmpDir("row-admission-work")
+    val cacheDir = tmpDir("row-admission-cache")
+    early.write.mode("overwrite").parquet(work)
+    def q(df: DataFrame) = df.filter(col("value") > 50)
+      .select(col("event_id"), col("value"))
+    val log = new RecordingLog
+    val res = QueryCacheSession(spark, QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir),
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(splitUs),
+      maxRowStateBytes = 1L, log = log))
+      .run(q(spark.read.parquet(work)))
+    assert(log.messages.exists(_.startsWith("row-state admission declined")),
+      log.messages)
+    assertSameRows(res, q(early))
+    // nothing was written: no entry directory holds a data segment
+    val dirs = Option(new java.io.File(cacheDir).listFiles())
+      .getOrElse(Array.empty)
+    assert(dirs.forall(d => !d.isDirectory ||
+      d.listFiles().forall(!_.getName.startsWith("data-"))),
+      "an over-budget cold row view was written despite the guard")
+  }
+
   test("strict upper bound: future-dated rows are not double counted") {
     // craft: one row dated AFTER the cold run's now; reference contract S1
     // double-counts it; strict mode must not.
