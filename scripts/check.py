@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local pre-flight replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [--present-only]
+
+--present-only: skip oracle entries with no spark output dir (for
+sampled runs — `graft.Verify --sample` dumps ~20 queries, not all).
 
 For each <name> dir in verifyOutDir: load spark parquet result, run the
 matching oracle_sql.json SQL in DuckDB against views over <sfDir>'s
@@ -24,7 +27,7 @@ def norm(v):
 def key(row):
     return tuple((x is None, str(x)) for x in row)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, present_only=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -36,6 +39,7 @@ def main(sf_dir, out_dir):
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
+            if present_only: continue
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             want = con.execute(sql).fetchdf()
@@ -82,4 +86,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--present-only"]
+    sys.exit(main(args[0], args[1], "--present-only" in sys.argv))

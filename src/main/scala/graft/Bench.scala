@@ -485,9 +485,15 @@ object Bench {
     def gate(k: String): String =
       incr.get(k).map(v => String.format(
         java.util.Locale.ROOT, "%.4f", Double.box(v))).getOrElse("null")
-    println(s"""{"metric":"gates","bench_schema":5,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"warm_scan_reduction_1pct":${
+    val gatesJson = s"""{"metric":"gates","bench_schema":5,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"warm_scan_reduction_1pct":${
       (for { c <- incr.get("vanilla_1pct_rows"); w <- incr.get("warm_1pct_rows"); if w > 0 }
-        yield num(c / w)).getOrElse("null")},"partial":$failed,"sf":"$sfDir"}""")
+        yield num(c / w)).getOrElse("null")},"partial":$failed,"sf":"$sfDir"}"""
+    println(gatesJson)
+    // sidecar file: the gates object survives even if the driver's tail
+    // capture misses stdout entirely — byte-parseable on its own
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_GATES.json"), gatesJson + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

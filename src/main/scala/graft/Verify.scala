@@ -4,8 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** `--sample` subset: ~20 queries chosen to cover the SCALE-DEPENDENT
+    * regimes the sf0.01 oracle gate never reaches — the percentile sketch
+    * escape (>4096 distinct values/group), Misra-Gries shrinking, durable
+    * chains + banded row views, bucketed-index promotion thresholds in
+    * the incremental dedup family, IVF/PQ cell behavior at real
+    * cardinality, the BM25 inverted index under its writer lease, salted
+    * skew, and streaming resume. Run at sf0.1 per round (end-of-round
+    * sweep) so these regimes are oracle-checked at the bench scale. */
+  val SampleQueries: Set[String] = Set(
+    "qc_incr_hourly", "qc_incr_durable", "qc_incr_session",
+    "qc_incr_percentile_sketch", "qc_incr_heavyhitters",
+    "qc_incr_factjoin", "qc_incr_dynbound_total", "qc_incr_lateband",
+    "qc_incr_select_band", "qc_incr_select_agg_sub",
+    "q_dedup_incr_near", "q_dedup_incr_spans", "q_dedup_minhash",
+    "q_ann_ivf", "q_ann_pq", "q_knn_join", "q_embed_incr",
+    "q_text_bm25_incr", "q_text_bpe_train", "q_freq_topk",
+    "q_sketch_distinct", "q_agg_salted", "q_stream_resume")
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sample = args.contains("--sample")
+    val Array(sfDir, outDir) = args.filterNot(_ == "--sample")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +43,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names); driver sets nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      .orElse(if (sample) Some(SampleQueries) else None)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -476,6 +476,9 @@ object IncrementalDedup {
     val vecsTable = indexTableName(indexDir, "vecs")
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a compaction-time model refresh interrupted mid-commit must finish
+    // before this batch reads the (model, radii, vecs) triple
+    recoverIvfRefresh(spark, fs, indexDir)
     val haveIndex = fs.exists(new Path(modelDir)) &&
       indexBytes(fs, vecsDir) > 0
     if (!haveIndex) spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
@@ -878,13 +881,35 @@ object IncrementalDedup {
     m
   }
 
+  /** `refreshIvfModel`: opt-in RE-CLUSTER of the embedding index's frozen
+    * IVF model at compaction time. [[embedDedupAppend]] fits its
+    * centroids once on the first batch and freezes them — correct at any
+    * quality (the cell-pair bound is lossless under ANY fixed centroid
+    * set) but under DRIFT the first-batch model's cells skew: a few cells
+    * absorb most of the corpus and their ever-growing radii make the
+    * pruning keep almost every cell pair. The refresh rebuilds centroids
+    * from the index's OWN vectors (index-sized work, never a corpus
+    * rescan), re-assigns every indexed vector, and recomputes radii
+    * EXACTLY from the members (tighter than the grown running maxima).
+    * Dedup decisions are unaffected — past survivors are already
+    * recorded, and future batches verify exact cosine inside the (still
+    * lossless) pruned pairs; only pruning efficiency changes. The three
+    * dirs (model/radii/vecs) must stay mutually consistent, so the
+    * refresh stages complete copies first, then commits via a READY
+    * marker + per-dir swaps; [[recoverIvfRefresh]] replays an
+    * interrupted commit idempotently at the next lease acquisition. */
   def compactIndex(spark: SparkSession, indexDir: String,
-      indexBuckets: Int = 32): Map[String, (Long, Long)] =
+      indexBuckets: Int = 32,
+      refreshIvfModel: Boolean = false,
+      refreshSampleN: Int = 1024,
+      refreshIters: Int = 6,
+      refreshSeed: Long = 42L): Map[String, (Long, Long)] =
       graft.util.WriterLease.withLease(spark, indexDir, "compactIndex") {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new Path(p))
     val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    recoverIvfRefresh(spark, fs, indexDir)
 
     def compactPlain(dir: String): Unit = {
       recoverCompactLeftover(fs, dir)
@@ -951,6 +976,64 @@ object IncrementalDedup {
     compactAuto(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"))
     compactAuto(s"$indexDir/sigs", "sigs", Seq("id"))
     compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"))
+    // opt-in IVF model re-cluster (see the method doc): rebuild
+    // centroids from the index's own vectors, re-assign, recompute radii
+    // exactly, and commit the consistent (model, radii, vecs) triple via
+    // staged copies + READY marker
+    if (refreshIvfModel && exists(s"$indexDir/model") &&
+        indexBytes(fs, s"$indexDir/vecs") > 0) {
+      import graft.functions.functions.cosine_similarity
+      val vecsTable = indexTableName(indexDir, "vecs")
+      val oldModel = loadCentroids(spark, s"$indexDir/model")
+      val src = if (spark.catalog.tableExists(vecsTable)) spark.table(vecsTable)
+        else spark.read.parquet(s"$indexDir/vecs")
+      val nVecs = src.count()
+      val m2 = IVF.fit(src, oldModel.centroids.length, refreshSampleN,
+        refreshIters, refreshSeed, "id", "e")
+      // every indexed vector was placeable under the old model (non-zero
+      // norm), so reassignment against the new centroids never nulls
+      val reassigned = IVF.index(src.select(col("id"), col("e")), m2, "e")
+        .select(col("id"), col("e"), col("ivf_cell").as("cell"))
+        .localCheckpoint()
+      def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+      val centsLit = array(m2.centroids.map(c => array(c.map(lit): _*)): _*)
+      val radii2: Map[Int, Double] = reassigned.filter(col("cell").isNotNull)
+        .groupBy("cell")
+        .agg(min(cosine_similarity(col("e"),
+          element_at(centsLit, col("cell") + 1))).as("mc"))
+        .collect().map(r => r.getInt(0) -> math.acos(clamp(r.getDouble(1))))
+        .toMap
+      val stageModel = s"$indexDir/model.refresh"
+      val stageRadii = s"$indexDir/radii.refresh"
+      val stageVecs = s"$indexDir/vecs.refresh"
+      Seq(stageModel, stageRadii, stageVecs)
+        .foreach(p => fs.delete(new Path(p), true))
+      saveCentroids(spark, stageModel, m2)
+      saveRadii(spark, stageRadii, radii2)
+      // preserve the vecs layout: bucketed-by-cell when the catalog table
+      // exists (same bucket spec ⇒ the external table's metadata stays
+      // valid across the file swap), plain parquet otherwise
+      if (spark.catalog.tableExists(vecsTable)) {
+        val tmpTable = vecsTable + "_refresh"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+        reassigned.write.mode("overwrite").format("parquet")
+          .option("path", stageVecs)
+          .bucketBy(indexBuckets, "cell").sortBy("cell")
+          .saveAsTable(tmpTable)
+        spark.sql(s"DROP TABLE $tmpTable") // external: the files stay put
+      } else reassigned.write.mode("overwrite").parquet(stageVecs)
+      // READY marker only after every staged copy is complete; the swaps
+      // below (and their crash recovery) are then idempotent
+      val marker = new Path(indexDir, IvfRefreshMarker)
+      val mo = fs.create(marker, true); mo.close()
+      commitIvfRefresh(fs, indexDir)
+      // the external table's LOCATION is unchanged but its files are
+      // new — drop Spark's cached file listing or the next reader
+      // resolves the swapped-out part files (observed FAILED_READ_FILE)
+      if (spark.catalog.tableExists(vecsTable))
+        spark.sql(s"REFRESH TABLE $vecsTable")
+      out(s"$indexDir/ivf.refresh") = (nVecs, nVecs)
+    }
     // incremental-cluster state: fold the merge log into labels/ so the
     // read-time remap closure resets to depth zero. labels/ is the SOLE
     // durable copy of every cluster membership ever recorded, so the
@@ -986,6 +1069,44 @@ object IncrementalDedup {
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"compaction rename $tmp -> $dir failed")
+  }
+
+  /** marker proving every `.refresh`-staged dir of an IVF model refresh
+    * is COMPLETE — swaps after it are replayable */
+  private val IvfRefreshMarker = "ivf.refresh.READY"
+
+  /** Swap each staged `.refresh` dir into place and drop the marker.
+    * Idempotent: a dir whose stage is already gone was swapped by the
+    * interrupted run. Only called with the marker present (all stages
+    * complete) — under the writer lease. */
+  private def commitIvfRefresh(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    Seq("model", "radii", "vecs").foreach { part =>
+      val stage = new Path(s"$indexDir/$part.refresh")
+      val live = new Path(s"$indexDir/$part")
+      if (fs.exists(stage)) {
+        fs.delete(live, true)
+        if (!fs.rename(stage, live)) throw new java.io.IOException(
+          s"IVF refresh rename $stage -> $live failed")
+      }
+    }
+    fs.delete(new Path(indexDir, IvfRefreshMarker), false)
+    ()
+  }
+
+  /** Heal an interrupted IVF model refresh at lease acquisition: with
+    * the READY marker present the staged triple is complete — finish the
+    * swaps; without it any leftover stage is an incomplete write — the
+    * live triple is authoritative, discard the stages. */
+  private def recoverIvfRefresh(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Unit = {
+    if (fs.exists(new Path(indexDir, IvfRefreshMarker))) {
+      commitIvfRefresh(fs, indexDir)
+      val vecsTable = indexTableName(indexDir, "vecs")
+      if (spark.catalog.tableExists(vecsTable))
+        spark.sql(s"REFRESH TABLE $vecsTable")
+    } else Seq("model", "radii", "vecs").foreach(p =>
+      fs.delete(new Path(s"$indexDir/$p.refresh"), true))
   }
 
   /** Heal an interrupted [[swapInPlace]]. Only-tmp-exists means the

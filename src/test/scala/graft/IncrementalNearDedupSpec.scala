@@ -328,6 +328,60 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     assert(again.count() == 0, s"resend kept ${again.count()}")
   }
 
+  test("IVF model refresh at compaction preserves decisions, stays exchange-free") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("phase", pmod(col("vec_id"), lit(3)))
+    def run(tag: String, refreshAfter: Set[Int]): Set[Long] = {
+      val idx = IncrementalDedup.scratchIndexDir(spark, tag)
+      (0 to 2).map { ph =>
+        val kept = IncrementalDedup.embedDedupAppend(spark, idx,
+          emb.filter(col("phase") === ph), threshold = 0.4,
+          bucketReadThresholdBytes = 0)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        if (refreshAfter.contains(ph)) {
+          // a different seed guarantees the refit actually MOVES the
+          // centroids — the decision equality below must not depend on
+          // the model (pruning is lossless under any fixed centroid set)
+          val report = IncrementalDedup.compactIndex(spark, idx,
+            refreshIvfModel = true, refreshSeed = 7L)
+          assert(report.contains(s"$idx/ivf.refresh"), report.toString)
+        }
+        kept
+      }.reduce(_ ++ _)
+    }
+    val plain = run("embed-norefresh", Set.empty)
+    val refreshed = run("embed-refresh", Set(0, 1))
+    assert(plain == refreshed,
+      s"missing=${plain -- refreshed} extra=${refreshed -- plain}")
+    // the refreshed triple stays mutually consistent: radii cover every
+    // live cell, and every vec cell points into the model
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/embed-refresh"
+    val vecsTable = IncrementalDedup.indexTableName(idx, "vecs")
+    val cells = spark.table(vecsTable).select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val radii = spark.read.parquet(s"$idx/radii").select("cell")
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(radii), s"cells $cells not covered by radii $radii")
+    // the refresh preserved the bucketed layout: the cross-history join
+    // still reads vecs exchange-free off the bucketed scan
+    org.apache.spark.sql.graftshim.Shims.withIsolatedConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") { iso =>
+      val hist = iso.table(vecsTable).select(col("id").as("id_a"),
+        col("e").as("e_a"), col("cell").as("ca"))
+      import iso.implicits._
+      val cellPairs = broadcast(
+        (for { a <- cells; b <- cells } yield (a, b)).toSeq.toDF("ca", "cb"))
+      val yb = iso.table(vecsTable).limit(50).select(col("id").as("id_b"),
+        col("e").as("e_b"), col("cell").as("cb"))
+      val dropped = IncrementalDedup.embedDroppedVs(hist, yb, cellPairs,
+        ordered = false, threshold = 0.4)
+      pinBucketedScan(dropped.queryExecution.executedPlan, "/vecs",
+        wholePath = true)
+      assert(dropped.count() > 0)
+    }
+  }
+
   test("embedding bucketed path equals the small-index fast path") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("phase", pmod(col("vec_id"), lit(3)))

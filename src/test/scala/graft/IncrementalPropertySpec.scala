@@ -301,6 +301,81 @@ class IncrementalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("banded durable row-view chain converges across runs with late rows") {
+    // the REAL usage shape of refreshBand: band always on, every warm run
+    // banded, late rows (within the tolerance) arriving one run after
+    // their event time. Each run must equal vanilla over everything
+    // delivered so far, and across the cases at least one banded refresh
+    // must have kept a chain segment (segment-grain engaged, not the
+    // full-put fallback).
+    val params = Gen.Parameters.default
+    var sawKeptSegments = false
+    def render(rows: Array[Row]): Seq[String] = rows.map(_.toSeq.map {
+      case d: Double => f"${d + 0.0}%.6e"
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+    (1 to 3).foreach { caseNo =>
+      val c = genCase.pureApply(params, Seed(1313L + caseNo))
+      val sorted = c.rows.sortBy(_._1).toVector
+      val n = sorted.length
+      val cuts = Seq(n / 4, n / 2, 3 * n / 4).distinct.filter(i => i > 0 && i < n)
+      val chunks = (Seq(0) ++ cuts ++ Seq(n)).sliding(2)
+        .map { case Seq(a, b) => sorted.slice(a, b) }.filter(_.nonEmpty).toVector
+      val bandUs = 600L * 1000000L
+      val work = tmpDir(s"rowband$caseNo")
+      val cacheDir = tmpDir(s"rowband-cache$caseNo")
+      val log = new RecordingLog
+      def q(df: DataFrame) = df.filter(col("value") > 0)
+        .select(col("ts"), col("service"), col("value"))
+      var delivered = Vector.empty[(Long, String, Double)]
+      var held = Vector.empty[(Long, String, Double)]
+      chunks.zipWithIndex.foreach { case (chunk, k) =>
+        val wm = chunks.lift(k + 1).map(_.head._1)
+        // rows inside the last band/2 before this run's watermark arrive
+        // LATE — one run after their event time, still inside the band
+        val (lateNow, onTime) = wm match {
+          case Some(w) => chunk.partition(r => r._1 >= w - bandUs / 2)
+          case None => (Vector.empty[(Long, String, Double)], chunk)
+        }
+        val deliver = onTime ++ held
+        held = lateNow.toVector
+        toDF(deliver).write.mode(if (k == 0) "overwrite" else "append")
+          .parquet(work)
+        delivered ++= deliver
+        val cfg = QueryCacheConfig(new graft.cache.ParquetQueryCache(cacheDir),
+          defaultTemporalColumn = "ts", overrideNowMicros = wm, log = log)
+          .copy(lateRescanBandMicros = Some(bandUs))
+        val got = render(QueryCacheSession(spark, cfg)
+          .run(q(spark.read.parquet(work))).collect())
+        val want = render(q(toDF(delivered)).collect())
+        assert(got == want,
+          s"rowband case $caseNo step $k: $got vs $want; log=${log.messages}")
+      }
+      assert(held.isEmpty) // the last chunk has no watermark to hold past
+      val hits = log.messages.count(_.startsWith("cache hit (rows)"))
+      assert(hits >= chunks.length - 1,
+        s"expected ${chunks.length - 1} warm row hits, got $hits: " +
+          log.messages.toString)
+      // did any banded refresh keep a segment? (head meta extraDataDirs)
+      val kept = Option(new java.io.File(cacheDir).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).exists { entry =>
+          val metas = entry.listFiles().map(_.getName)
+            .filter(m => m.startsWith("meta-") && m.endsWith(".json"))
+          metas.nonEmpty && {
+            val head = metas.maxBy(
+              _.stripPrefix("meta-").stripSuffix(".json").toLong)
+            val json = new String(java.nio.file.Files.readAllBytes(
+              new java.io.File(entry, head).toPath))
+            json.split("\"extraDataDirs\":\"").last.takeWhile(_ != '"').nonEmpty
+          }
+        }
+      sawKeptSegments ||= kept
+    }
+    assert(sawKeptSegments,
+      "no case ever kept a chain segment across a banded refresh — " +
+        "segment-grain never engaged, every run fell back to a full put")
+  }
+
   test("state converges across a 4-run append chain (every run a hit)") {
     val params = Gen.Parameters.default
     (1 to 3).foreach { caseNo =>

@@ -817,7 +817,7 @@ class PipelineSpec extends AnyFunSuite {
       Array(0xFF.toByte, marker.toByte,
         ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
     val soi = Array(0xFF.toByte, 0xD8.toByte)
-    val app0 = seg(0xE0, "JFIF rest-of-app0".getBytes("ISO-8859-1"))
+    val app0 = seg(0xE0, "JFIF\u0000rest-of-app0".getBytes("ISO-8859-1"))
     // SOF0: precision 8, height 256, width 128, 3 components
     val sof0 = seg(0xC0, Array[Byte](8, 1, 0, 0, 0x80.toByte, 3))
     val jpeg = soi ++ app0 ++ sof0 ++ Array(0xFF.toByte, 0xDA.toByte)
@@ -968,7 +968,7 @@ class PipelineSpec extends AnyFunSuite {
     import graft.operators.TextClean
     import spark.implicits._
     val rows = Seq(
-      "<div id=1>Hello <b>world</b></div>   spaced\t\nout ",
+      "<div id=1>Hello <b>world</b></div>\u0000\u0007  spaced\t\nout ",
       "no markup here",
       "reach me at jane.doe+x@sub.example.org or +44 (20) 7946-0958, " +
         "server 192.168.0.1 port 8080")
