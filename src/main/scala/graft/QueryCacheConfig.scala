@@ -410,6 +410,17 @@ final case class QueryCacheConfig(
       * materialized view over append-only sources; capacity-guarded like
       * aggregate state. */
     filterQueryState: Boolean = true,
+    /** warm AGGREGATE commits go through the cache's O(append) chain
+      * (putAppend of this run's group-grained delta partials) instead of
+      * rewriting the whole merged state — on a durable cache a dashboard
+      * with millions of groups then writes only the appended groups per
+      * refresh. The answer merges the replayed chain with the same merge
+      * every warm run already performs, so chained and merged entries
+      * are interchangeable: flipping this flag against a live cache is
+      * always safe (no fingerprint split). Large deltas (≥ ~25% of the
+      * chain) and banded runs full-put, which also compacts; the memory
+      * cache does not chain (driver-held state, writes are cheap). */
+    aggregateStateAppend: Boolean = true,
     /** admission guard for COLD row-state puts (filterQueryState): the
       * Catalyst size estimate of the chain's optimized plan must sit at
       * or below this many bytes, or the view is declined (loud log,

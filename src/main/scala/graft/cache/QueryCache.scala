@@ -49,15 +49,27 @@ trait QueryCache {
   def put(fingerprint: String, timestampMicros: Long, state: DataFrame): DataFrame
 
   /** APPEND `delta` to an existing entry instead of rewriting it — the
-    * O(append) path for ROW-state entries (materialized filter queries),
-    * whose warm merge is a pure union: rewriting a large materialized
-    * view per run is O(result), a non-starter at scale. Returns the new
-    * full replay when the cache supports appends AND an appendable head
-    * exists; None → the caller falls back to a full put. Aggregate state
-    * must NEVER use this (its merge rewrites every group row). Default:
-    * unsupported. */
+    * O(append) path for chained entries. ROW-state entries (materialized
+    * filter queries) append their delta rows: the warm merge is a pure
+    * union and rewriting a large view per run is O(result). AGGREGATE
+    * entries append this run's group-grained delta PARTIALS: every
+    * consumer of aggregate state merges (state ∪ delta) before use, and
+    * the whitelisted merges are associative over partials, so a chain of
+    * partial segments replays identically to the merged state — the
+    * caller supplies `compactIfDeltaFraction` so a delta that repeats
+    * most of the groups compacts instead of multiplying answer-time
+    * reads. Returns the new full replay when the cache supports appends
+    * AND an appendable head exists; None → the caller falls back to a
+    * full put (which compacts). Default: unsupported. */
   def putAppend(fingerprint: String, timestampMicros: Long,
-      delta: DataFrame): Option[DataFrame] = None
+      delta: DataFrame,
+      /** decline (→ caller's full put compacts) when the delta holds at
+        * least this fraction of the resulting chain's rows — for
+        * AGGREGATE state chains, where every segment repeats its groups
+        * and a large delta would multiply answer-time state reads for no
+        * write saving. Row-grain views pass None: their segments
+        * partition the result, so segmentation never re-reads a row. */
+      compactIfDeltaFraction: Option[Double] = None): Option[DataFrame] = None
 
   /** Segment-grain BANDED refresh for row-state chains: a late re-scan
     * band re-reads [floor, now) from the source and must REPLACE the
@@ -520,13 +532,30 @@ final class ParquetQueryCache(rootDir: String,
     * the loser's segment becomes an unreferenced orphan reaped by
     * cleanup, and the loser's returned replay is still self-consistent
     * for its own run's watermark. */
+  /** footer-derived row count of one segment (driver-side, no Spark
+    * job); -1 = unknown */
+  private def footerRows(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, dir: Path,
+      seg: String): Long = try {
+    fs.listStatus(new Path(dir, seg))
+      .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+  } catch { case scala.util.control.NonFatal(_) => -1L }
+
   override def putAppend(fingerprint: String, timestampMicros: Long,
-      delta: DataFrame): Option[DataFrame] = {
+      delta: DataFrame,
+      compactIfDeltaFraction: Option[Double] = None): Option[DataFrame] = {
     val spark = delta.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val key = QueryCache.keyHash(fingerprint)
     hashToFp.put(key, fingerprint)
     val dir = new Path(rootDir, key)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     val old = latestMeta(fs, dir).filterNot(_.tombstone).getOrElse(return None)
     if (old.allDataDirs.size >= appendChainMax) return None // compact
     if (old.schema.length != delta.schema.length ||
@@ -549,21 +578,29 @@ final class ParquetQueryCache(rootDir: String,
     // zero the segment is dropped, no meta commits, and the watermark
     // intentionally stays put (the next delta scan prunes to the same
     // nothing).
-    val deltaRows = try {
-      import scala.jdk.CollectionConverters._
-      fs.listStatus(dataPath)
-        .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(f, spark.sparkContext.hadoopConfiguration)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally r.close()
-        }.sum
-    } catch { case scala.util.control.NonFatal(_) => -1L } // unknown: keep
+    val deltaRows = footerRows(fs, conf, dir, dataDir)
     if (deltaRows == 0L) {
       try fs.delete(dataPath, true) catch { case _: Exception => () }
       val paths = old.allDataDirs.map(d => new Path(dir, d).toString)
       return Some(spark.read.schema(old.schema).parquet(paths: _*))
+    }
+    // per-segment row counts: memoized values first, footers once for
+    // legacy segments (feeds the fraction rule and future appends)
+    val recordedRows = old.segRows.toMap
+    val chainRows: Seq[(String, Long)] = old.allDataDirs.map(s =>
+      s -> recordedRows.getOrElse(s, footerRows(fs, conf, dir, s)))
+    // delta-fraction compaction (aggregate chains): a delta this large
+    // re-merges about as cheaply as it chains, and chaining it would
+    // multiply answer-time state reads — decline, the caller's full put
+    // compacts. Unknown counts (-1) disable the rule conservatively.
+    val declineForFraction = compactIfDeltaFraction.exists { f =>
+      val oldTotal = chainRows.map(_._2).sum
+      deltaRows > 0 && oldTotal >= 0 && chainRows.forall(_._2 >= 0) &&
+        deltaRows.toDouble >= f * (oldTotal + deltaRows)
+    }
+    if (declineForFraction) {
+      try fs.delete(dataPath, true) catch { case _: Exception => () }
+      return None
     }
     writeMetaAtomic(fs, dir,
       Meta(timestampMicros, dataDir, old.schema, old.sourcePaths,
@@ -571,7 +608,9 @@ final class ParquetQueryCache(rootDir: String,
         extraDataDirs = old.allDataDirs,
         // carry the known-max map forward (the new segment stays
         // "unknown" until a banded refresh resolves it from footers)
-        segMaxTs = old.segMaxTs), version)
+        segMaxTs = old.segMaxTs,
+        segRows = chainRows.filter(_._2 >= 0) :+ (dataDir -> deltaRows)),
+      version)
     try cleanup(fs, dir) catch { case _: Exception => () }
     val paths = (dataDir +: old.allDataDirs).map(d => new Path(dir, d).toString)
     Some(spark.read.schema(old.schema).parquet(paths: _*))
@@ -634,18 +673,6 @@ final class ParquetQueryCache(rootDir: String,
       }
       if (known) Some(mx) else None
     } catch { case scala.util.control.NonFatal(_) => None }
-    // footer-derived row count of a just-written segment (driver-side,
-    // no Spark job); -1 = unknown
-    def footerRows(seg: String): Long = try {
-      fs.listStatus(new Path(dir, seg))
-        .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(f, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally r.close()
-        }.sum
-    } catch { case scala.util.control.NonFatal(_) => -1L }
     val recorded = old.segMaxTs.toMap
     val resolved: Map[String, Option[Long]] = old.allDataDirs.map { s =>
       s -> recorded.get(s).map(Some(_)).getOrElse(footerMax(s))
@@ -682,7 +709,7 @@ final class ParquetQueryCache(rootDir: String,
           .parquet(straddle.map(x => new Path(dir, x).toString): _*)
           .filter(col(temporalCol) < floorCol || col(temporalCol).isNull),
         "s")
-      if (footerRows(d) == 0L) { // straddlers held only band rows
+      if (footerRows(fs, conf, dir, d) == 0L) { // straddlers held only band rows
         try fs.delete(new Path(dir, d), true) catch { case _: Exception => () }
         None
       } else Some(d)
@@ -692,7 +719,8 @@ final class ParquetQueryCache(rootDir: String,
     // committing an empty segment per dashboard refresh would grow the
     // chain toward a pointless compaction (same hazard putAppend guards
     // against)
-    if (settledDir.isEmpty && straddle.isEmpty && footerRows(bandDir) == 0L) {
+    if (settledDir.isEmpty && straddle.isEmpty &&
+        footerRows(fs, conf, dir, bandDir) == 0L) {
       try fs.delete(new Path(dir, bandDir), true)
       catch { case _: Exception => () }
       val paths = old.allDataDirs.map(d => new Path(dir, d).toString)
@@ -704,10 +732,15 @@ final class ParquetQueryCache(rootDir: String,
     val segMax = tail.flatMap(s => resolved.get(s).flatten.orElse(
       footerMax(s)).map(s -> _)) ++
       footerMax(bandDir).map(bandDir -> _).toSeq
+    val recordedRows = old.segRows.toMap
+    val segRowCounts = (tail :+ bandDir).map(s =>
+      s -> recordedRows.getOrElse(s, footerRows(fs, conf, dir, s)))
+      .filter(_._2 >= 0)
     writeMetaAtomic(fs, dir,
       Meta(timestampMicros, bandDir, old.schema, old.sourcePaths,
         fingerprint, old.baseFp, old.measures,
-        extraDataDirs = tail, segMaxTs = segMax), version)
+        extraDataDirs = tail, segMaxTs = segMax,
+        segRows = segRowCounts), version)
     try cleanup(fs, dir) catch { case _: Exception => () }
     val paths = (bandDir +: tail).map(d => new Path(dir, d).toString)
     Some(spark.read.schema(old.schema).parquet(paths: _*))
@@ -907,7 +940,12 @@ object ParquetQueryCache {
         * stats and memoizes here; putAppend carries the map forward. A
         * missing segment is simply "unknown" and gets rewritten — never a
         * correctness issue. */
-      segMaxTs: Seq[(String, Long)] = Seq.empty) {
+      segMaxTs: Seq[(String, Long)] = Seq.empty,
+      /** per-segment row counts (footer-derived at commit time), feeding
+        * the delta-fraction compaction rule without re-reading footers of
+        * the whole chain on every append; missing segments resolve from
+        * footers once and memoize */
+      segRows: Seq[(String, Long)] = Seq.empty) {
     def allDataDirs: Seq[String] = dataDir +: extraDataDirs
     /** version = leading numeric component of the data dir name
       * (`data-<version>-<writer-uuid>`; plain `data-<version>` legacy) */
@@ -983,6 +1021,12 @@ object ParquetQueryCache {
         line =>
           val i = line.lastIndexOf('|')
           (line.substring(0, i), line.substring(i + 1).toLong)
+      }).getOrElse(Seq.empty),
+      // one line per segment row count: `dataDir|rows`; absent pre-r13
+      fieldOpt("segRows").map(_.split('\n').toSeq.filter(_.nonEmpty).map {
+        line =>
+          val i = line.lastIndexOf('|')
+          (line.substring(0, i), line.substring(i + 1).toLong)
       }).getOrElse(Seq.empty))
   }
 
@@ -999,8 +1043,10 @@ object ParquetQueryCache {
       .map { case (d, cols) => s"$d|${cols.mkString(",")}" }.mkString("\n")
     val segMaxBlob = meta.segMaxTs
       .map { case (d, mx) => s"$d|$mx" }.mkString("\n")
+    val segRowsBlob = meta.segRows
+      .map { case (d, r) => s"$d|$r" }.mkString("\n")
     val json =
-      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}","extraDataDirs":"${esc(meta.extraDataDirs.mkString("\n"))}","segMaxTs":"${esc(segMaxBlob)}"}"""
+      s"""{"timestampMicros":${meta.timestampMicros},"dataDir":"${esc(meta.dataDir)}","schema":"${esc(meta.schema.json)}","sourcePaths":"${esc(meta.sourcePaths.mkString("\n"))}","fingerprint":"${esc(meta.fingerprint)}","baseFp":"${esc(meta.baseFp)}","measures":"${esc(measureBlob)}","extraDataDirs":"${esc(meta.extraDataDirs.mkString("\n"))}","segMaxTs":"${esc(segMaxBlob)}","segRows":"${esc(segRowsBlob)}"}"""
     // per-writer temp name: two concurrent puts that computed the SAME
     // version (both read the same head) must not share a temp path — a
     // shared `.meta-<v>.json.tmp` lets one writer's rename steal the

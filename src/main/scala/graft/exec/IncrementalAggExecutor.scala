@@ -634,7 +634,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case _ => false
     }
 
-    val merged = banded match {
+    // (merged state, delta partials when the warm commit may CHAIN):
+    // `merged` is the full answer state; `deltaPartials` is just this
+    // run's append in state form — a putAppend-capable cache commits it
+    // as an O(append) segment instead of rewriting O(groups) state, and
+    // the answer merges the chain (the same merge the hit path already
+    // runs over state ∪ delta, so chains are sound for every whitelisted
+    // state). Banded runs never chain: the band DROPPED buckets from the
+    // effective state, and old chain segments would resurrect them.
+    val (merged, deltaPartials) = banded match {
       case Some(cs) =>
         config.cache.stats.recordHit()
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
@@ -692,9 +700,18 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             cs.read(spark).unionByName(newData.select(unitCols: _*))
           } else cs.read(spark).unionByName(partialState(newData))
         val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
-        if (groupCols.isEmpty) state.agg(mergeCols.head, mergeCols.tail: _*)
-        else state.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
-          .agg(mergeCols.head, mergeCols.tail: _*)
+        val mergedState =
+          if (groupCols.isEmpty) state.agg(mergeCols.head, mergeCols.tail: _*)
+          else state.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
+            .agg(mergeCols.head, mergeCols.tail: _*)
+        // the chained segment is GROUP-GRAINED partial state (one row per
+        // group present in the append), never per-row units — a unit
+        // segment would persist the raw append. `merged` stays lazy and
+        // never executes when the chain commit succeeds, so the delta is
+        // still scanned exactly once either way.
+        (mergedState,
+          if (bandActive || !config.aggregateStateAppend) None
+          else Some(partialState(newData)))
       case None =>
         config.cache.stats.recordMiss()
         config.log.info(c.fingerprint, "cache miss")
@@ -740,7 +757,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // the partial aggregation already yields exactly one state row per
         // group, and every merge op is identity on a single row — the
         // miss path skips the merge exchange+aggregation entirely
-        partialState(mvSrc.getOrElse(childDF))
+        (partialState(mvSrc.getOrElse(childDF)), None)
     }
 
     // store merged state stamped with this run's start time — hit or miss
@@ -784,14 +801,42 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       config.cache.recordMeasures(c.fingerprint, baseFingerprint(c.agg),
         measureRows(c)))
     // confs go on a CLONED session (never mutate the user's session —
-    // a save/restore races concurrent queries); rebind the state plan
-    val stored = phase("cache.put")(
-      Shims.withIsolatedConf(spark, stateConfs: _*) { s =>
-        val state = phase("put.rebind")(
-          if (s eq spark) merged
-          else Shims.ofRows(s, Shims.queryExecution(merged).analyzed))
-        phase("put.store")(config.cache.put(c.fingerprint, now, state))
-      })
+    // a save/restore races concurrent queries); rebind the state plan.
+    // WARM commits try the O(append) CHAIN first: a putAppend-capable
+    // cache writes only this run's group-grained delta partials as a new
+    // segment (the full merged state is never read OR written), and the
+    // answer below merges the replayed chain — the same merge the hit
+    // path runs, so chained and merged entries are interchangeable (no
+    // fingerprint split; flipping aggregateStateAppend against a live
+    // cache is safe). The cache declines (→ full put, which compacts)
+    // when the chain is at its cap or the delta is a large fraction of
+    // the chain — a 10%-of-table append re-merges about as cheaply as it
+    // chains, and chaining it would multiply answer-time state reads.
+    val chained: Option[DataFrame] = deltaPartials.flatMap { dp =>
+      phase("cache.putAppend")(
+        Shims.withIsolatedConf(spark, stateConfs: _*) { s =>
+          val d = phase("put.rebind")(
+            if (s eq spark) dp
+            else Shims.ofRows(s, Shims.queryExecution(dp).analyzed))
+          config.cache.putAppend(c.fingerprint, now, d,
+            compactIfDeltaFraction = Some(0.25))
+        })
+    }
+    val stored = chained match {
+      case Some(chain) =>
+        // multi-row-per-group partial state: one merge at answer time
+        val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
+        if (groupCols.isEmpty) chain.agg(mergeCols.head, mergeCols.tail: _*)
+        else chain.groupBy(groupCols.indices.map(j => col(s"_g$j")): _*)
+          .agg(mergeCols.head, mergeCols.tail: _*)
+      case None => phase("cache.put")(
+        Shims.withIsolatedConf(spark, stateConfs: _*) { s =>
+          val state = phase("put.rebind")(
+            if (s eq spark) merged
+            else Shims.ofRows(s, Shims.queryExecution(merged).analyzed))
+          phase("put.store")(config.cache.put(c.fingerprint, now, state))
+        })
+    }
     // index the entry by its source tables — the cache SPI's
     // invalidateForTable(path) remedy for declared-static dims that DID
     // change (recorded only after a successful put; a capacity-rejected

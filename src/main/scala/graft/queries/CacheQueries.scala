@@ -113,6 +113,46 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
       }
     }),
+    // durable aggregate CHAIN: three runs with SMALL appends so the warm
+    // commits go through putAppend (O(append) delta-partial segments,
+    // below the delta-fraction compaction threshold) and the answers
+    // merge the replayed chain — the oracle checks the chained answer
+    // equals vanilla over the full table (O(append) pin lives in
+    // IncrementalAggSpec)
+    "qc_incr_durable_chain" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      def pct(p: Double) = ev.selectExpr(
+        s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)")
+        .first().getLong(0)
+      val (t1, t2) = (pct(0.8), pct(0.9))
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/durchain"
+      val cacheDir =
+        s"${sys.props("java.io.tmpdir")}/graft_qc_cache_chain/$sfTag"
+      Seq(work, cacheDir).foreach { x =>
+        val p = new Path(x)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      def cfg(now: Option[Long]) = QueryCacheConfig(
+        new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      def q(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      ev.filter(col("ts") < timestamp_micros(lit(t1)))
+        .write.mode("overwrite").parquet(work)
+      QueryCacheSession(s, cfg(Some(t1))).run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= timestamp_micros(lit(t1)) &&
+          col("ts") < timestamp_micros(lit(t2)))
+        .write.mode("append").parquet(work)
+      QueryCacheSession(s, cfg(Some(t2))).run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= timestamp_micros(lit(t2)))
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    }),
     // transparent optimizer-rule mode: plain DataFrame actions, no facade
     // call — the warm result is materialized before the rule is removed
     // TRANSPARENT-mode row cache: a plain agg-free df.filter(...).select
@@ -1715,6 +1755,13 @@ object CacheQueries {
          FROM events
          WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) >=
            (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
+         GROUP BY 1""",
+    "qc_incr_durable_chain" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
          GROUP BY 1""",
     "qc_incr_select" ->
       """SELECT event_id, user_id, value FROM events

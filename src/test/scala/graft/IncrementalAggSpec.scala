@@ -1129,6 +1129,87 @@ class IncrementalAggSpec extends AnyFunSuite {
       "a no-op refresh committed a new meta version")
   }
 
+  test("durable aggregate warm runs chain O(append) partial segments") {
+    val ev = eventsFull
+    def pct(p: Double) = ev.selectExpr(
+      s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)").first().getLong(0)
+    val (t1, t2, t3) = (pct(0.5), pct(0.58), pct(0.62))
+    val work = tmpDir("agg-chain-work")
+    val cacheDir = tmpDir("agg-chain-cache")
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    def cfg(log: RecordingLog, nowUs: Option[Long]) = QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir),
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+    def load(cond: org.apache.spark.sql.Column, mode: String) =
+      ev.filter(cond).write.mode(mode).parquet(work)
+    load(col("ts") < timestamp_micros(lit(t1)), "overwrite")
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(t1)))
+      .run(q(spark.read.parquet(work))).collect()
+    val entryDir = new java.io.File(cacheDir).listFiles()
+      .filter(_.isDirectory).head
+    def headMetaJson(): String = {
+      val name = entryDir.listFiles().map(_.getName)
+        .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+        .maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(entryDir, name).toPath))
+    }
+    def metaField(json: String, f: String): String =
+      json.split("\"" + f + "\":\"").last.takeWhile(_ != '"')
+    // warm run 2: a SMALL append (~8% of time span → few new hour groups)
+    // commits an O(append) chain segment, never a state rewrite
+    load(col("ts") >= timestamp_micros(lit(t1)) &&
+      col("ts") < timestamp_micros(lit(t2)), "append")
+    val log2 = new RecordingLog
+    val warm2 = QueryCacheSession(spark, cfg(log2, Some(t2)))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    assertSameRows(warm2,
+      q(ev.filter(col("ts") < timestamp_micros(lit(t2)))))
+    val m2 = headMetaJson()
+    assert(metaField(m2, "extraDataDirs").nonEmpty,
+      s"warm aggregate run rewrote the full state instead of chaining: $m2")
+    // the chained segment holds only the APPEND's groups
+    val headRows = spark.read.parquet(
+      new java.io.File(entryDir, metaField(m2, "dataDir")).toString).count()
+    val appendGroups = ev.filter(col("ts") >= timestamp_micros(lit(t1)) &&
+        col("ts") < timestamp_micros(lit(t2)) && col("value") > 1)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    val allGroups = q(ev).count()
+    assert(headRows == appendGroups && headRows < allGroups,
+      s"chained segment has $headRows rows; append groups $appendGroups, " +
+        s"total groups $allGroups")
+    // warm run 3 extends the chain and still answers exactly
+    load(col("ts") >= timestamp_micros(lit(t2)) &&
+      col("ts") < timestamp_micros(lit(t3)), "append")
+    val warm3 = QueryCacheSession(spark, cfg(new RecordingLog, Some(t3)))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(warm3,
+      q(ev.filter(col("ts") < timestamp_micros(lit(t3)))))
+    assert(metaField(headMetaJson(), "extraDataDirs")
+      .split("\\\\n").count(_.nonEmpty) == 2, headMetaJson())
+    // a LARGE append (the remaining ~38% of the time span — a delta with
+    // ≥25% of the resulting groups) triggers the delta-fraction rule:
+    // full put, chain compacts to one segment
+    load(col("ts") >= timestamp_micros(lit(t3)), "append")
+    val warm4 = QueryCacheSession(spark, cfg(new RecordingLog, None))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(warm4, q(ev))
+    assert(metaField(headMetaJson(), "extraDataDirs").isEmpty,
+      s"a ~38%-of-groups delta chained instead of compacting: " +
+        headMetaJson())
+    // flipping the flag against the live cache is safe: chained and
+    // merged entries are interchangeable (both replay through the merge)
+    load(lit(false), "append") // no-op append, just re-run
+    val warm5 = QueryCacheSession(spark,
+      cfg(new RecordingLog, None).copy(aggregateStateAppend = false))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(warm5, q(ev))
+  }
+
   test("banded refresh on a durable row view is segment-grain: chain prefix kept, O(band) write") {
     val ev = eventsFull
     def pct(p: Double) = ev.selectExpr(
