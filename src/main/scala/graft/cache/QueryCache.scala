@@ -639,6 +639,12 @@ final class ParquetQueryCache(rootDir: String,
       .getOrElse(return None)
     if (tField.dataType !=
         org.apache.spark.sql.types.TimestampType) return None
+    // the band head must chain onto the stored schema exactly (same
+    // check putAppend applies) — a drifted schema full-puts instead
+    if (old.schema.length != bandDelta.schema.length ||
+        !old.schema.fields.zip(bandDelta.schema.fields).forall {
+          case (a, b) => a.name == b.name && a.dataType == b.dataType
+        }) return None
     // max(temporalCol) of one segment from its parquet footers: one
     // driver-side footer read per file, no Spark job. None = unknown.
     def footerMax(seg: String): Option[Long] = try {

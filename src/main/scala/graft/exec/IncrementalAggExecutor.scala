@@ -570,6 +570,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // no lateness notion, and the delta never re-reads them. Grouping
     // sets bail (Expand NULLs the bucket slot for subtotal rows, so a
     // bucket comparison would drop subtotal state).
+    // set when the band floor cuts on a PLAIN timestamp bucket column
+    // (non-struct date_trunc): (state column name, floor micros) — a
+    // chain-aware cache then commits the banded refresh at SEGMENT grain
+    // (refreshBand) instead of a full state rewrite. Struct window keys,
+    // sessions and grouping sets keep the full put.
+    var bandRefreshKey: Option[(String, Long)] = None
     val banded = (entry, config.lateRescanBandMicros) match {
       case (Some(cs), Some(band)) if band > 0 =>
         import org.apache.spark.sql.catalyst.expressions.Literal
@@ -602,6 +608,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               floorOpt.collect {
                 case (gIdx, b, isStruct) if b < cs.timestampMicros =>
                   val gName = s"_g$gIdx"
+                  if (!isStruct) bandRefreshKey = Some((gName, b))
                   val keyCol =
                     if (isStruct) col(s"$gName.start") else col(gName)
                   graft.cache.CachedState(b, cs.schema, s =>
@@ -708,9 +715,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // group present in the append), never per-row units — a unit
         // segment would persist the raw append. `merged` stays lazy and
         // never executes when the chain commit succeeds, so the delta is
-        // still scanned exactly once either way.
+        // still scanned exactly once either way. A banded run's delta
+        // partials are offered too, but ONLY when the floor cuts on a
+        // plain bucket column (bandRefreshKey) — they then go through
+        // refreshBand, never putAppend (appending a re-read band would
+        // duplicate it).
         (mergedState,
-          if (bandActive || !config.aggregateStateAppend) None
+          if (!config.aggregateStateAppend) None
+          else if (bandActive && bandRefreshKey.isEmpty) None
           else Some(partialState(newData)))
       case None =>
         config.cache.stats.recordMiss()
@@ -818,7 +830,15 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           val d = phase("put.rebind")(
             if (s eq spark) dp
             else Shims.ofRows(s, Shims.queryExecution(dp).analyzed))
-          config.cache.putAppend(c.fingerprint, now, d,
+          if (bandActive)
+            // banded refresh at segment grain: segments wholly below the
+            // bucket floor are kept verbatim, straddlers settle their
+            // below-floor partials, the band re-read is the new head —
+            // a banded dashboard writes O(band + append), not O(state)
+            bandRefreshKey.flatMap { case (gName, floor) =>
+              config.cache.refreshBand(c.fingerprint, now, gName, floor, d)
+            }
+          else config.cache.putAppend(c.fingerprint, now, d,
             compactIfDeltaFraction = Some(0.25))
         })
     }

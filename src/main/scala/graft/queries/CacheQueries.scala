@@ -1502,6 +1502,51 @@ object CacheQueries {
       ev.unpersist()
       QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
     }),
+    // late re-scan band through the DURABLE cache with aggregate CHAINS:
+    // the banded warm runs commit at SEGMENT grain (refreshBand — kept
+    // segments verbatim, straddlers settle their below-floor partials,
+    // the band re-read is the new head; O(band + append) per run, pinned
+    // in IncrementalAggSpec). Held-out late rows inside the band fold
+    // back in; the oracle checks the final chained answer over the full
+    // table.
+    "qc_incr_lateband_chain" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      def pct(p: Double) = ev.selectExpr(
+        s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)")
+        .first().getLong(0)
+      val (t1, t2) = (pct(0.6), pct(0.8))
+      val sfTag = new java.io.File(d).getName
+      val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/latebandchain"
+      val cacheDir =
+        s"${sys.props("java.io.tmpdir")}/graft_qc_cache_lbchain/$sfTag"
+      Seq(work, cacheDir).foreach { x =>
+        val p = new Path(x)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val dayUs = 86400L * 1000000L
+      val isLate = col("ts") >= timestamp_micros(lit(t2 - dayUs / 2)) &&
+        col("ts") < timestamp_micros(lit(t2)) && col("event_id") % 3 === 0
+      def cfg(now: Option[Long]) = QueryCacheConfig(
+        new graft.cache.ParquetQueryCache(cacheDir),
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+        .withLateRescanBand(java.time.Duration.ofDays(1))
+      def q(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+      ev.filter(col("ts") < timestamp_micros(lit(t1)) && !isLate)
+        .write.mode("overwrite").parquet(work)
+      QueryCacheSession(s, cfg(Some(t1))).run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= timestamp_micros(lit(t1)) &&
+          col("ts") < timestamp_micros(lit(t2)) && !isLate)
+        .write.mode("append").parquet(work)
+      QueryCacheSession(s, cfg(Some(t2))).run(q(s.read.parquet(work))).collect()
+      ev.filter(col("ts") >= timestamp_micros(lit(t2)) || isLate)
+        .write.mode("append").parquet(work)
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None)).run(q(s.read.parquet(work)))
+    }),
     // late re-scan band COMPOSED with a FACTORIZED two-fact join: the
     // band applies PER TWIN — the click twin groups by (user × hour), so
     // its state bucket-replaces and the held-out late CLICK rows fold
@@ -1757,6 +1802,13 @@ object CacheQueries {
            (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY FROM events)
          GROUP BY 1""",
     "qc_incr_durable_chain" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_lateband_chain" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,

@@ -1210,6 +1210,80 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warm5, q(ev))
   }
 
+  test("banded durable aggregate refreshes at segment grain across runs") {
+    val ev = eventsFull
+    def pct(p: Double) = ev.selectExpr(
+      s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)").first().getLong(0)
+    val (t1, t2) = (pct(0.6), pct(0.8))
+    val dayUs = 86400L * 1000000L
+    val bandUs = 1 * dayUs
+    // late rows: inside run 2's band window, held out until after run 2
+    val isLate = col("ts") >= timestamp_micros(lit(t2 - dayUs / 2)) &&
+      col("ts") < timestamp_micros(lit(t2)) && col("event_id") % 3 === 0
+    val work = tmpDir("agg-band-chain-work")
+    val cacheDir = tmpDir("agg-band-chain-cache")
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    def cfg(log: RecordingLog, nowUs: Option[Long]) = QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir),
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .copy(lateRescanBandMicros = Some(bandUs))
+    ev.filter(col("ts") < timestamp_micros(lit(t1)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(t1)))
+      .run(q(spark.read.parquet(work))).collect()
+    // warm banded run 2: the cold segment straddles the floor — it
+    // SETTLES (below-floor partials re-committed once) and the band
+    // re-read becomes the head
+    ev.filter(col("ts") >= timestamp_micros(lit(t1)) &&
+        col("ts") < timestamp_micros(lit(t2)) && !isLate)
+      .write.mode("append").parquet(work)
+    val log2 = new RecordingLog
+    val warm2 = QueryCacheSession(spark, cfg(log2, Some(t2)))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("late re-scan band")),
+      log2.messages)
+    assertSameRows(warm2,
+      q(ev.filter(col("ts") < timestamp_micros(lit(t2)) && !isLate)))
+    val entryDir = new java.io.File(cacheDir).listFiles()
+      .filter(_.isDirectory).head
+    def headMetaJson(): String = {
+      val name = entryDir.listFiles().map(_.getName)
+        .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+        .maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(entryDir, name).toPath))
+    }
+    def metaField(json: String, f: String): String =
+      json.split("\"" + f + "\":\"").last.takeWhile(_ != '"')
+    val m2 = headMetaJson()
+    val settled2 = metaField(m2, "extraDataDirs")
+      .split("\\\\n").toSeq.filter(_.nonEmpty)
+    assert(settled2.size == 1,
+      s"banded aggregate run did not commit at segment grain: $m2")
+    val settledMTime =
+      new java.io.File(entryDir, settled2.head).lastModified
+    // warm banded run 3: the settled segment is wholly below the new
+    // floor — kept verbatim; late rows (inside the band) fold back in
+    ev.filter(col("ts") >= timestamp_micros(lit(t2)) || isLate)
+      .write.mode("append").parquet(work)
+    val log3 = new RecordingLog
+    val warm3 = QueryCacheSession(spark, cfg(log3, None))
+      .run(q(spark.read.parquet(work)))
+    assertSameRows(warm3, q(ev))
+    val m3 = headMetaJson()
+    val kept3 = metaField(m3, "extraDataDirs")
+      .split("\\\\n").toSeq.filter(_.nonEmpty)
+    assert(kept3.contains(settled2.head),
+      s"run 3 did not keep run 2's settled segment: $m3")
+    assert(new java.io.File(entryDir, settled2.head).lastModified
+      == settledMTime, "the kept settled segment was rewritten")
+    // the struct-window shape keeps the full put (no segment refresh) —
+    // pinned by the existing tumbling lateband test staying green
+  }
+
   test("banded refresh on a durable row view is segment-grain: chain prefix kept, O(band) write") {
     val ev = eventsFull
     def pct(p: Double) = ev.selectExpr(
