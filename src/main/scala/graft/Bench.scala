@@ -231,6 +231,88 @@ object Bench {
     val warmVsVanilla =
       median(warms.zip(vanPosts).map { case (w, v) => v._1 / w._1 })
 
+    // DURABLE WARM-COMMIT A/B (1% block only): the same warm transition
+    // on a ParquetQueryCache with a HIGH-CARDINALITY grouping (user ×
+    // day — the headline no-group query's state is one row, which hides
+    // state-write cost entirely). Chained O(append) commit
+    // (aggregateStateAppend, the default) vs the full merged rewrite
+    // (flag off), cold state built once under strict bounds (the table
+    // already holds post-append rows) and CLONED per leg — both legs
+    // replay the identical cold→append transition. 3 paired reps,
+    // alternating order; ratio = median full/chain.
+    val durable: Map[String, Double] = if (tag != 1) Map.empty else try {
+      // per-entity rollup: event_id rides the timeline (corr ≈ 1.0 with
+      // ts, preserved by the ×mult id rewrite), so DIV 1024 yields a
+      // time-correlated key — ~1.6M groups at ×16384, of which a 1%
+      // append touches ~1%. That is the state-write-bound dashboard
+      // shape; the headline no-group query's one-row state hides the
+      // commit cost entirely.
+      def qHi(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(expr("event_id DIV 1024").as("ent"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      val cacheBase = s"${sys.props("java.io.tmpdir")}/graft_bench/durcache"
+      val cacheBasePath = new org.apache.hadoop.fs.Path(cacheBase)
+      if (fs.exists(cacheBasePath)) fs.delete(cacheBasePath, true)
+      val coldDir = s"$cacheBase/cold"
+      def cfgDur(dir: String, now: Option[Long], chain: Boolean) =
+        QueryCacheConfig(new graft.cache.ParquetQueryCache(dir),
+          defaultTemporalColumn = "ts", overrideNowMicros = now,
+          strictUpperBound = true)
+          .withTemporalPartitioning("ts_day")
+          .copy(aggregateStateAppend = chain)
+      QueryCacheSession(spark, cfgDur(coldDir, Some(splitUs), chain = true))
+        .run(qHi(tableWarm)).collect()
+      def copyDir(dst: String): Unit = {
+        val d = new org.apache.hadoop.fs.Path(dst)
+        fs.delete(d, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(coldDir), fs, d, false,
+          spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+      def dirBytes(dir: String): Double =
+        try fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
+          .getLength.toDouble
+        catch { case _: Throwable => -1.0 }
+      // (chain sec, full sec, chain bytes written, full bytes written):
+      // bytes are the scale-invariant face of the O(append) claim — at
+      // 100 TB the state is GBs and the written-bytes ratio IS the win,
+      // whatever local fixed costs do to sub-second timings
+      val legs = (0 until 3).map { i =>
+        val (cd, fd) = (s"$cacheBase/chain$i", s"$cacheBase/full$i")
+        copyDir(cd); copyDir(fd)
+        def leg(dir: String, chain: Boolean): (Double, Double) = {
+          val before = dirBytes(dir)
+          dropOsPageCache()
+          val sec = timedScan(QueryCacheSession(
+            spark, cfgDur(dir, None, chain = chain))
+            .run(qHi(tableWarm)).collect())._1
+          (sec, dirBytes(dir) - before)
+        }
+        if (i % 2 == 0) {
+          val c = leg(cd, chain = true); val f = leg(fd, chain = false)
+          (c._1, f._1, c._2, f._2)
+        } else {
+          val f = leg(fd, chain = false); val c = leg(cd, chain = true)
+          (c._1, f._1, c._2, f._2)
+        }
+      }
+      legs.zipWithIndex.flatMap { case ((c, f, cb, fb), i) => Seq(
+        s"durable_warm_${tag}pct_chain_rep$i" -> c,
+        s"durable_warm_${tag}pct_full_rep$i" -> f,
+        s"durable_warm_${tag}pct_chain_bytes_rep$i" -> cb,
+        s"durable_warm_${tag}pct_full_bytes_rep$i" -> fb) }.toMap ++ Map(
+        s"durable_warm_${tag}pct_chain_sec" -> median(legs.map(_._1)),
+        s"durable_warm_${tag}pct_full_sec" -> median(legs.map(_._2)),
+        s"durable_warm_chain_ratio_${tag}pct" ->
+          median(legs.map(l => l._2 / l._1)),
+        s"durable_warm_chain_bytes_ratio_${tag}pct" ->
+          median(legs.map(l => if (l._3 > 0) l._4 / l._3 else -1.0)))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] durable A/B failed: $e")
+      Map(s"durable_ab_failed_${tag}pct" -> 1.0)
+    }
+
     // per-rep raw seconds ride along (cold_1pct_rep0…) so a reader can
     // audit the run-to-run variance behind every median directly from the
     // artifact — one background stall is then visible, not hidden.
@@ -244,7 +326,7 @@ object Bench {
         colds.zipWithIndex.map { case (c, i) => s"cold_full_${tag}pct_rep$i" -> c._1 } ++
         vanPres.zipWithIndex.map { case (v, i) => s"vanilla_pre_${tag}pct_rep$i" -> v._1 } ++
         vanPosts.zipWithIndex.map { case (v, i) => s"vanilla_${tag}pct_rep$i" -> v._1 }).toMap
-    perRep ++ Map(
+    perRep ++ durable ++ Map(
       s"cold_${tag}pct_sec" -> median(coldPres.map(_._1)),
       s"cold_full_${tag}pct_sec" -> median(colds.map(_._1)),
       s"warm_${tag}pct_sec" -> median(warms.map(_._1)),
