@@ -376,6 +376,52 @@ class IncrementalPropertySpec extends AnyFunSuite {
         "segment-grain never engaged, every run fell back to a full put")
   }
 
+  test("durable chained aggregates converge across runs for every query shape") {
+    // every random query shape (sums, raw-sums stats, distinct sets,
+    // bit/bool folds, percentile histograms, mode, top-k heaps) through
+    // the DURABLE cache's O(append) chain: chunk sizes 50/10/10/30% so
+    // the small middle appends chain (delta fraction < 25%) and the big
+    // final append trips the compaction rule — both commit paths see
+    // every state type, and each run must equal vanilla.
+    val params = Gen.Parameters.default
+    def render(rows: Array[Row]): Seq[String] = rows.map(_.toSeq.map {
+      case d: Double => f"${d + 0.0}%.6e"
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+    (0 until nQueries).foreach { qi =>
+      val c = genCase.pureApply(params, Seed(777L + qi))
+      val sorted = c.rows.sortBy(_._1).toVector
+      val n = sorted.length
+      val cuts = Seq(n / 2, 6 * n / 10, 7 * n / 10)
+        .distinct.filter(i => i > 0 && i < n)
+      val chunks = (Seq(0) ++ cuts ++ Seq(n)).sliding(2)
+        .map { case Seq(a, b) => sorted.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val work = tmpDir(s"durchain-q$qi")
+      val cacheDir = tmpDir(s"durchain-cache-q$qi")
+      val log = new RecordingLog
+      var written = Vector.empty[(Long, String, Double)]
+      chunks.zipWithIndex.foreach { case (chunk, k) =>
+        toDF(chunk).write.mode(if (k == 0) "overwrite" else "append")
+          .parquet(work)
+        written ++= chunk
+        val now = chunks.lift(k + 1).map(_.head._1)
+        val sess = QueryCacheSession(spark, QueryCacheConfig(
+          new graft.cache.ParquetQueryCache(cacheDir),
+          defaultTemporalColumn = "ts", overrideNowMicros = now, log = log))
+        val got = render(sess.run(query(qi)(spark.read.parquet(work)))
+          .collect())
+        val want = render(query(qi)(toDF(written)).collect())
+        assert(got == want,
+          s"query $qi durable chain step $k: $got vs $want; " +
+            s"log=${log.messages}")
+      }
+      val hits = log.messages.count(_.startsWith("cache hit"))
+      assert(hits >= chunks.length - 1,
+        s"query $qi: expected ${chunks.length - 1} warm hits, got $hits: " +
+          log.messages.toString)
+    }
+  }
+
   test("state converges across a 4-run append chain (every run a hit)") {
     val params = Gen.Parameters.default
     (1 to 3).foreach { caseNo =>
