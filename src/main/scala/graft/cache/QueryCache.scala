@@ -523,15 +523,6 @@ final class ParquetQueryCache(rootDir: String,
     spark.read.schema(state.schema).parquet(dataPath.toString)
   }
 
-  /** O(append) commit for row-state entries: write ONLY the delta as a
-    * new segment and commit a meta whose data is the previous chain plus
-    * that segment — readers see the old complete chain or the new one
-    * (same temp+rename atomicity as put). At `appendChainMax` segments
-    * the method declines and the caller's full put compacts the chain.
-    * Concurrent appends race like concurrent puts: one meta rename wins,
-    * the loser's segment becomes an unreferenced orphan reaped by
-    * cleanup, and the loser's returned replay is still self-consistent
-    * for its own run's watermark. */
   /** footer-derived row count of one segment (driver-side, no Spark
     * job); -1 = unknown */
   private def footerRows(fs: org.apache.hadoop.fs.FileSystem,
@@ -547,6 +538,15 @@ final class ParquetQueryCache(rootDir: String,
       }.sum
   } catch { case scala.util.control.NonFatal(_) => -1L }
 
+  /** O(append) commit: write ONLY the delta as a new segment and commit
+    * a meta whose data is the previous chain plus that segment — readers
+    * see the old complete chain or the new one (same temp+rename
+    * atomicity as put). At `appendChainMax` segments, or when the delta
+    * trips `compactIfDeltaFraction`, the method declines and the
+    * caller's full put compacts the chain. Concurrent appends race like
+    * concurrent puts: one meta rename wins, the loser's segment becomes
+    * an unreferenced orphan reaped by cleanup, and the loser's returned
+    * replay is still self-consistent for its own run's watermark. */
   override def putAppend(fingerprint: String, timestampMicros: Long,
       delta: DataFrame,
       compactIfDeltaFraction: Option[Double] = None): Option[DataFrame] = {

@@ -46,6 +46,38 @@ object CacheReplayStrategy extends SparkStrategy {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(CacheReplayStrategy))
       spark.experimental.extraStrategies = cur :+ CacheReplayStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushThroughCacheReplay))
+      spark.experimental.extraOptimizations = opts :+ PushThroughCacheReplay
+  }
+}
+
+/** The marker is opaque to Catalyst's predicate pushdown (built-in rules
+  * match concrete node types), so a dashboard's parent filter —
+  * `…GROUP BY hour … WHERE/HAVING hour >= X` re-applied above the cache
+  * answer — would otherwise evaluate ABOVE the replay and the warm run
+  * would scan the whole stored state. This rule hoists a deterministic
+  * parent Filter below the marker and re-runs Catalyst's own
+  * PushDownPredicates on the subtree until stable, so the bound reaches
+  * the state scan (parquet row-group pruning on the bucket column — the
+  * reason state files are written TIMESTAMP_MICROS). Rows the metric
+  * counts are then the rows actually ANSWERED, post-filter. */
+object PushThroughCacheReplay
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case Filter(cond, m: CacheReplayMarker) if cond.deterministic =>
+      var inner: LogicalPlan = Filter(cond, m.child)
+      var i = 0
+      var changed = true
+      while (changed && i < 10) {
+        val next =
+          org.apache.spark.sql.graftshim.Shims.pushDownPredicates(inner)
+        changed = !next.fastEquals(inner)
+        inner = next
+        i += 1
+      }
+      m.copy(child = inner)
   }
 }
 

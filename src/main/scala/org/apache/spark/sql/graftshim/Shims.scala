@@ -86,6 +86,13 @@ object Shims {
       f(cloned)
     }
 
+  /** Catalyst's own predicate-pushdown rule, applied to a subtree — used
+    * to push a filter that was hoisted below a custom marker node down
+    * through the finalize Project / merge Aggregate to the scan (the
+    * optimizer's built-in batch cannot see through custom nodes). */
+  def pushDownPredicates(plan: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(plan)
+
   /** Is this plan node a scan leaf the cache rewrite may sit on top of?
     * (file relation, v2 relation, or in-memory rows for tests) */
   def isScanLeaf(p: LogicalPlan): Boolean = p match {

@@ -73,6 +73,42 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("GreaterThanOrEqual(ts,"), plan)
   }
 
+  test("parent bucket filter pushes through the chained replay's merge to the chain scan") {
+    val ev = Tables.events(spark, sf0001)
+    val t1 = ev.selectExpr(
+      "CAST(percentile_approx(unix_micros(ts), 0.9) AS LONG)")
+      .first().getLong(0)
+    val work = tmpDir("chain-pushdown-work")
+    val cacheDir = tmpDir("chain-pushdown-cache")
+    def cfg(now: Option[Long]) = QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDir),
+      defaultTemporalColumn = "ts", overrideNowMicros = now)
+    // dashboard slice: a parent range filter on the bucket ABOVE the
+    // cached aggregate — it must re-apply over the replay and reach the
+    // chain's parquet scan as a pushed filter (through the finalize
+    // projection AND the chain-merge aggregate: the bound is on a
+    // grouping column, which Catalyst pushes below an Aggregate)
+    val cut = timestamp_micros(lit(t1 - 86400L * 1000000L))
+    def q(df: org.apache.spark.sql.DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .filter(col("hour") >= cut)
+    ev.filter(col("ts") < timestamp_micros(lit(t1)))
+      .write.mode("overwrite").parquet(work)
+    QueryCacheSession(spark, cfg(Some(t1))).run(q(spark.read.parquet(work)))
+      .collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(t1)))
+      .write.mode("append").parquet(work)
+    val warm = QueryCacheSession(spark, cfg(None))
+      .run(q(spark.read.parquet(work)))
+    val plan = planOf(warm)
+    // the warm commit chained (durable putAppend) — the answer reads the
+    // CACHE chain, and the parent bound is pushed into that scan
+    assert(plan.contains(new java.io.File(cacheDir).getName), plan)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(_g0"), plan)
+  }
+
   test("cache replay is visible in EXPLAIN with hit status and row metric") {
     val work = tmpDir("planshape_replay")
     val ev = Tables.events(spark, sf0001)
