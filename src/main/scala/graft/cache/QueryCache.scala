@@ -635,10 +635,21 @@ final class ParquetQueryCache(rootDir: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     val old = latestMeta(fs, dir).filterNot(_.tombstone).getOrElse(return None)
-    val tField = old.schema.fields.find(_.name == temporalCol)
-      .getOrElse(return None)
-    if (tField.dataType !=
-        org.apache.spark.sql.types.TimestampType) return None
+    // temporalCol may be a one-level struct path ("_g0.start" — tumbling
+    // window bucket keys): resolve through the struct for the type check;
+    // footer stats and the column filter below address the nested column
+    // by the same dot path
+    val tType: Option[org.apache.spark.sql.types.DataType] =
+      temporalCol.split('.') match {
+        case Array(a) => old.schema.fields.find(_.name == a).map(_.dataType)
+        case Array(a, b) => old.schema.fields.find(_.name == a)
+          .map(_.dataType).flatMap {
+            case s: StructType => s.fields.find(_.name == b).map(_.dataType)
+            case _ => None
+          }
+        case _ => None
+      }
+    if (!tType.contains(org.apache.spark.sql.types.TimestampType)) return None
     // the band head must chain onto the stored schema exactly (same
     // check putAppend applies) — a drifted schema full-puts instead
     if (old.schema.length != bandDelta.schema.length ||

@@ -570,11 +570,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // no lateness notion, and the delta never re-reads them. Grouping
     // sets bail (Expand NULLs the bucket slot for subtotal rows, so a
     // bucket comparison would drop subtotal state).
-    // set when the band floor cuts on a PLAIN timestamp bucket column
-    // (non-struct date_trunc): (state column name, floor micros) — a
-    // chain-aware cache then commits the banded refresh at SEGMENT grain
-    // (refreshBand) instead of a full state rewrite. Struct window keys,
-    // sessions and grouping sets keep the full put.
+    // set when the band floor cuts on a timestamp bucket column — plain
+    // date_trunc ("_gN") or a tumbling-window struct's start
+    // ("_gN.start"): (state column path, floor micros). A chain-aware
+    // cache then commits the banded refresh at SEGMENT grain
+    // (refreshBand) instead of a full state rewrite. Sessions and
+    // grouping sets keep the full put.
     var bandRefreshKey: Option[(String, Long)] = None
     val banded = (entry, config.lateRescanBandMicros) match {
       case (Some(cs), Some(band)) if band > 0 =>
@@ -608,7 +609,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
               floorOpt.collect {
                 case (gIdx, b, isStruct) if b < cs.timestampMicros =>
                   val gName = s"_g$gIdx"
-                  if (!isStruct) bandRefreshKey = Some((gName, b))
+                  bandRefreshKey =
+                    Some((if (isStruct) s"$gName.start" else gName, b))
                   val keyCol =
                     if (isStruct) col(s"$gName.start") else col(gName)
                   graft.cache.CachedState(b, cs.schema, s =>

@@ -1280,8 +1280,40 @@ class IncrementalAggSpec extends AnyFunSuite {
       s"run 3 did not keep run 2's settled segment: $m3")
     assert(new java.io.File(entryDir, settled2.head).lastModified
       == settledMTime, "the kept settled segment was rewritten")
-    // the struct-window shape keeps the full put (no segment refresh) —
-    // pinned by the existing tumbling lateband test staying green
+
+    // TUMBLING-WINDOW keys refresh at segment grain too: the band floor
+    // cuts on the struct's start field ("_gN.start" — footer stats and
+    // the straddle filter both address the nested column by dot path)
+    val workW = tmpDir("agg-band-chain-win-work")
+    val cacheDirW = tmpDir("agg-band-chain-win-cache")
+    def qw(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    def cfgW(log: RecordingLog, nowUs: Option[Long]) = QueryCacheConfig(
+      new graft.cache.ParquetQueryCache(cacheDirW),
+      defaultTemporalColumn = "ts", overrideNowMicros = nowUs, log = log)
+      .copy(lateRescanBandMicros = Some(bandUs))
+    ev.filter(col("ts") < timestamp_micros(lit(t1)) && !isLate)
+      .write.mode("overwrite").parquet(workW)
+    QueryCacheSession(spark, cfgW(new RecordingLog, Some(t1)))
+      .run(qw(spark.read.parquet(workW))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(t1)) || isLate)
+      .write.mode("append").parquet(workW)
+    val logW = new RecordingLog
+    val warmW = QueryCacheSession(spark, cfgW(logW, None))
+      .run(qw(spark.read.parquet(workW)))
+    assert(logW.messages.exists(_.startsWith("late re-scan band")),
+      logW.messages)
+    assertSameRows(warmW, qw(eventsFull))
+    val entryDirW = new java.io.File(cacheDirW).listFiles()
+      .filter(_.isDirectory).head
+    val headW = entryDirW.listFiles().map(_.getName)
+      .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+      .maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+    val jsonW = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(entryDirW, headW).toPath))
+    assert(metaField(jsonW, "extraDataDirs").nonEmpty,
+      s"banded tumbling-window run did not commit at segment grain: $jsonW")
   }
 
   test("banded refresh on a durable row view is segment-grain: chain prefix kept, O(band) write") {
