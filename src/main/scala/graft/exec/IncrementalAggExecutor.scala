@@ -3458,46 +3458,80 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   }
 
   /** Materialized-row-view lookup for a Project/Filter `chain`: the exact
-    * row fingerprint first, then REFILTER subsumption — a NARROWER chain
-    * answers from a WIDER twin's materialized rows by stripping a conjunct
-    * whose columns survive the projection and re-applying it over the
-    * replayed rows (state rows passed every other conjunct already, so
-    * re-filtering is exactly the narrow result below the twin's
-    * watermark). Recursive to depth 2. Shared by the filter-query rewrite
+    * row fingerprint first, then two subsumption probes —
+    *
+    *   REFILTER: a NARROWER chain answers from a WIDER twin's
+    *   materialized rows by stripping a conjunct whose columns survive
+    *   the projection and re-applying it over the replayed rows (state
+    *   rows passed every other conjunct already, so re-filtering is
+    *   exactly the narrow result below the twin's watermark);
+    *
+    *   REPROJECT: a COLUMN SLICE answers from the projection-stripped
+    *   twin — the chain's outermost Project removed exposes the
+    *   full-width view a user typically materializes first
+    *   (`df.filter(f)` with no select), and re-applying the projection
+    *   expressions (rebound by name) over the replayed full-width rows
+    *   is exactly the slice, row for row.
+    *
+    * Both recurse (depth 2), so a filtered column slice answers from
+    * the unfiltered full-width view. Shared by the filter-query rewrite
     * (its delta scan runs the narrow chain itself) and the MV→aggregate
     * cold start (a cold aggregate over a narrower chain skips the history
-    * scan through the wider warm view re-filtered). */
+    * scan through the wider warm view re-shaped). */
   private def rowViewLookup(chain: LogicalPlan,
       logFp: String): Option[graft.cache.CachedState] = {
     def rowSchema(p: LogicalPlan) = StructType(p.output.map(
       a => org.apache.spark.sql.types.StructField(
         a.name, a.dataType, a.nullable)))
-    val namesUnique = chain.output.map(_.name.toLowerCase).distinct.size ==
-      chain.output.size
+    def uniqueNames(p: LogicalPlan) =
+      p.output.map(_.name.toLowerCase).distinct.size == p.output.size
+    def probeTwin(twin: LogicalPlan, depth: Int)
+        : Option[graft.cache.CachedState] = {
+      val fp2 = Fingerprint.of(twin) + ":rows" + fpSuffix
+      config.cache.get(fp2)
+        .filter(cs => schemaCompatible(cs.schema, rowSchema(twin)))
+        .orElse(rowProbe(twin, depth + 1))
+    }
     def rowProbe(p: LogicalPlan, depth: Int): Option[graft.cache.CachedState] = {
-      if (depth > 2 || !namesUnique) return None
+      if (depth > 2 || !uniqueNames(p)) return None
       val conjs = ArrayBuffer.empty[Expression]
       p.foreach {
         case Filter(cond, _) => splitConj(cond).foreach(conjs += _)
         case _ => ()
       }
-      conjs.filter(_.references.subsetOf(p.outputSet)).to(LazyList)
+      val refilter = conjs.filter(_.references.subsetOf(p.outputSet))
+        .to(LazyList)
         .flatMap { cj =>
           val twin = stripConjunct(p, cj)
-          val fp2 = Fingerprint.of(twin) + ":rows" + fpSuffix
-          config.cache.get(fp2)
-            .filter(cs => schemaCompatible(cs.schema, rowSchema(twin)))
-            .orElse(rowProbe(twin, depth + 1))
-            .map { cs =>
-              config.log.info(logFp, s"refilter (rows) hit: replaying " +
-                s"wider twin ${fp2.take(12)} re-filtered by ${cj.sql}")
-              val cjCol = Shims.column(cj.transform {
-                case a: Attribute => UnresolvedAttribute(Seq(a.name))
-              })
-              graft.cache.CachedState(cs.timestampMicros, cs.schema,
-                s => cs.read(s).filter(cjCol))
-            }
+          probeTwin(twin, depth).map { cs =>
+            config.log.info(logFp, s"refilter (rows) hit: replaying " +
+              s"wider twin re-filtered by ${cj.sql}")
+            val cjCol = Shims.column(cj.transform {
+              case a: Attribute => UnresolvedAttribute(Seq(a.name))
+            })
+            graft.cache.CachedState(cs.timestampMicros, cs.schema,
+              s => cs.read(s).filter(cjCol))
+          }
         }.headOption
+      refilter.orElse(p match {
+        case Project(es, rest) if uniqueNames(rest) =>
+          probeTwin(rest, depth).map { cs =>
+            config.log.info(logFp, "reproject (rows) hit: replaying the " +
+              "full-width twin re-projected to the slice")
+            val cols = es.map { ne =>
+              val core = ne match {
+                case Alias(c, _) => c
+                case other => other
+              }
+              Shims.column(core.transform {
+                case a: Attribute => UnresolvedAttribute(Seq(a.name))
+              }).as(ne.name)
+            }
+            graft.cache.CachedState(cs.timestampMicros,
+              rowSchema(p), s => cs.read(s).select(cols: _*))
+          }
+        case _ => None
+      })
     }
     config.cache.get(Fingerprint.of(chain) + ":rows" + fpSuffix)
       .filter { cs =>

@@ -280,6 +280,24 @@ object CacheQueries {
       appendRest()
       QueryCacheSession(s, cfg(None)).run(agg(s.read.parquet(work)))
     }),
+    // ROW-VIEW REPROJECTION: the cold run materializes the FULL-WIDTH
+    // filtered view (no select); the warm first sighting of a COLUMN
+    // SLICE of the same filter answers from that view re-projected
+    // (reproject lattice — pinned in IncrementalAggSpec with the
+    // refilter composition); the oracle checks the slice's answer.
+    "qc_incr_select_proj" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "selectproj")
+      val cache = new MemoryQueryCache()
+      def wide(df: DataFrame) = df.filter(col("value") > 50)
+      def slice(df: DataFrame) = wide(df)
+        .select(col("event_id"), col("user_id"), col("value"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(wide(s.read.parquet(work))).collect()
+      appendRest()
+      QueryCacheSession(s, cfg(None)).run(slice(s.read.parquet(work)))
+    }),
     // banded ROW VIEW through the DURABLE cache: held-out late rows fold
     // back in via the late re-scan band, and the banded commit is
     // SEGMENT-GRAIN where the chain allows (refreshBand keeps segments
@@ -1848,6 +1866,8 @@ object CacheQueries {
     // replayed chain equals the vanilla filter over the full table
     "qc_incr_select_band" ->
       """SELECT event_id, ts, value FROM events WHERE value > 50""",
+    "qc_incr_select_proj" ->
+      """SELECT event_id, user_id, value FROM events WHERE value > 50""",
     // late rows held out on the TEMPORAL (click) side only — the click
     // twin's band folds them in; purchase appends are all >= the
     // watermark and absorb through the normal delta

@@ -1426,6 +1426,60 @@ class IncrementalAggSpec extends AnyFunSuite {
       "a no-op banded refresh committed a new meta version")
   }
 
+  test("row-view reprojection: a column slice answers from the full-width view") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("reproject-rows")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = now,
+      log = log)
+    // the FULL-WIDTH view a user materializes first: filter, no select
+    def wide(df: DataFrame) = df.filter(col("value") > 50)
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(wide(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    // a column slice of the same filter: first sighting replays the
+    // full-width twin re-projected; the delta runs the slice chain
+    def slice(df: DataFrame) = wide(df)
+      .select(col("event_id"), col("value"))
+    val log2 = new RecordingLog
+    val got = QueryCacheSession(spark, cfg(log2))
+      .run(slice(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.startsWith("reproject (rows) hit")),
+      log2.messages)
+    assertSameRows(got, slice(eventsFull))
+    // second sighting is a direct hit on the slice's own stored rows
+    val log3 = new RecordingLog
+    QueryCacheSession(spark, cfg(log3))
+      .run(slice(spark.read.parquet(work))).collect()
+    assert(log3.messages.exists(_.startsWith("cache hit (rows)")) &&
+      !log3.messages.exists(_.startsWith("reproject")), log3.messages)
+    // COMPOSITION (depth 2): a slice with an EXTRA conjunct strips the
+    // conjunct (refilter) then the projection (reproject) and still
+    // answers from the full-width view
+    def narrowSlice(df: DataFrame) = df
+      .filter(col("value") > 50 && col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+    val log4 = new RecordingLog
+    val got4 = QueryCacheSession(spark, cfg(log4))
+      .run(narrowSlice(spark.read.parquet(work)))
+    assert(log4.messages.exists(_.startsWith("refilter (rows) hit")) &&
+      log4.messages.exists(_.startsWith("reproject (rows) hit")),
+      log4.messages)
+    assertSameRows(got4, narrowSlice(eventsFull))
+    // a computed-expression slice re-applies the expression over the
+    // full-width replay
+    def computed(df: DataFrame) = wide(df)
+      .select(col("event_id"), (col("value") * 2).as("v2"))
+    val log5 = new RecordingLog
+    val got5 = QueryCacheSession(spark, cfg(log5))
+      .run(computed(spark.read.parquet(work)))
+    assert(log5.messages.exists(_.startsWith("reproject (rows) hit")),
+      log5.messages)
+    assertSameRows(got5, computed(eventsFull))
+  }
+
   test("cold aggregate subsumes through the row-view refilter lattice") {
     val (early, late, splitUs) = split()
     val work = tmpDir("mv-agg-refilter")
