@@ -18,6 +18,7 @@ object Verify {
     "qc_incr_factjoin", "qc_incr_dynbound_total", "qc_incr_lateband",
     "qc_incr_select_band", "qc_incr_select_agg_sub",
     "qc_incr_durable_chain", "qc_incr_lateband_chain",
+    "qc_incr_select_proj",
     "q_dedup_incr_near", "q_dedup_incr_spans", "q_dedup_minhash",
     "q_ann_ivf", "q_ann_pq", "q_knn_join", "q_embed_incr",
     "q_text_bm25_incr", "q_text_bpe_train", "q_freq_topk",
