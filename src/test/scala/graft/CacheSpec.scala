@@ -373,6 +373,81 @@ class CacheSpec extends AnyFunSuite {
     assert(hits.get() > 0, "no run ever warm-hit — race test degenerated")
   }
 
+  test("chained durable aggregates survive concurrent runners + invalidator") {
+    // the static-table stress above never appends, so warm commits are
+    // no-ops and the CHAIN path never engages. This variant grows the
+    // table in phases with a barrier between phases (within a phase the
+    // data is static, so the invariant stays exact): two runners race
+    // their putAppend chain commits against each other — one meta rename
+    // wins, the loser's segment orphans, and either complete chain holds
+    // the full content (both deltas cover [wm, now)) — while an
+    // invalidator tombstones the entry mid-run in one phase. Every
+    // answer must equal the phase's vanilla.
+    val dir = tmpDir("pqchainstress")
+    val work = tmpDir("pqchainstress-tbl")
+    val ev = Tables.events(spark, sf0001)
+    def pct(p: Double) = ev.selectExpr(
+      s"CAST(percentile_approx(unix_micros(ts), $p) AS LONG)").first().getLong(0)
+    val cutsUs = Seq(pct(0.5), pct(0.62), pct(0.74), pct(0.86))
+    val maxUs = ev.selectExpr("max(unix_micros(ts))").first().getLong(0)
+    val bounds = (Seq(Long.MinValue) ++ cutsUs ++ Seq(Long.MaxValue))
+      .sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    def q() = spark.read.parquet(work).filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        // DECIMAL sum: chained merges reorder additions, and a double
+        // sum's last-ulp wobble would fail the exact string compare
+        sum(col("value").cast("decimal(18,4)")).as("sv"),
+        max(col("value")).as("mx"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    var invalidations = 0
+    bounds.zipWithIndex.foreach { case ((lo, hi), phase) =>
+      ev.filter(col("ts") >= timestamp_micros(lit(lo)) &&
+          col("ts") < timestamp_micros(lit(hi)))
+        .write.mode(if (phase == 0) "overwrite" else "append").parquet(work)
+      val expect = q().collect().map(_.toString).sorted.toSeq
+      val nowUs = if (hi == Long.MaxValue) maxUs + 1000000L else hi
+      def runner() = pool.submit(new Runnable {
+        def run(): Unit = try {
+          val cache = new ParquetQueryCache(dir)
+          (0 until 3).foreach { _ =>
+            val got = QueryCacheSession(spark, QueryCacheConfig(cache,
+              defaultTemporalColumn = "ts",
+              overrideNowMicros = Some(nowUs)))
+              .run(q()).collect().map(_.toString).sorted.toSeq
+            if (got != expect)
+              errors.add(s"phase $phase wrong answer: ${got.size} vs " +
+                s"${expect.size} rows")
+          }
+        } catch { case t: Throwable => errors.add(t.toString); () }
+      })
+      val fs = Seq(runner(), runner()) ++
+        (if (phase == 2) Seq(pool.submit(new Runnable {
+          def run(): Unit = try {
+            Thread.sleep(200)
+            invalidations += new ParquetQueryCache(dir)
+              .invalidateForTable(work)
+          } catch { case t: Throwable => errors.add(t.toString); () }
+        })) else Nil)
+      fs.foreach(_.get(240, java.util.concurrent.TimeUnit.SECONDS))
+    }
+    pool.shutdown()
+    assert(errors.isEmpty, s"race defects: ${errors.toArray.mkString("; ")}")
+    assert(invalidations > 0, "invalidator never caught a live entry")
+    // the final (post-invalidation) phases rebuilt the entry and the
+    // last small appends CHAINED: the head meta carries a segment tail
+    val entryDir = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .maxBy(d => d.listFiles().map(_.lastModified).max)
+    val head = entryDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("meta-") && n.endsWith(".json"))
+      .maxBy(_.stripPrefix("meta-").stripSuffix(".json").toLong)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(entryDir, head).toPath))
+    assert(json.split("\"extraDataDirs\":\"").last.takeWhile(_ != '"').nonEmpty,
+      s"no warm commit ever chained under the race: $json")
+  }
+
   test("ParquetQueryCache invalidateForTable works cross-process via meta") {
     val dir = tmpDir("pqinv")
     val writer = new ParquetQueryCache(dir)
