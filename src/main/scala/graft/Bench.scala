@@ -287,7 +287,11 @@ object Bench {
           val sec = timedScan(QueryCacheSession(
             spark, cfgDur(dir, None, chain = chain))
             .run(qHi(tableWarm)).collect())._1
-          (sec, dirBytes(dir) - before)
+          val after = dirBytes(dir)
+          // -1 sentinel from a failed getContentSummary must not flow
+          // into the delta (a negative "bytes written" would poison the
+          // published ratio) — mark the leg's bytes unknown instead
+          (sec, if (before < 0 || after < 0) -1.0 else after - before)
         }
         if (i % 2 == 0) {
           val c = leg(cd, chain = true); val f = leg(fd, chain = false)
@@ -306,8 +310,12 @@ object Bench {
         s"durable_warm_${tag}pct_full_sec" -> median(legs.map(_._2)),
         s"durable_warm_chain_ratio_${tag}pct" ->
           median(legs.map(l => l._2 / l._1)),
-        s"durable_warm_chain_bytes_ratio_${tag}pct" ->
-          median(legs.map(l => if (l._3 > 0) l._4 / l._3 else -1.0)))
+        s"durable_warm_chain_bytes_ratio_${tag}pct" -> {
+          // only legs where BOTH sides measured (drop -1 sentinels)
+          val valid = legs.collect {
+            case l if l._3 > 0 && l._4 >= 0 => l._4 / l._3 }
+          if (valid.nonEmpty) median(valid) else -1.0
+        })
     } catch { case e: Throwable =>
       System.err.println(s"[bench] durable A/B failed: $e")
       Map(s"durable_ab_failed_${tag}pct" -> 1.0)

@@ -422,16 +422,20 @@ final case class QueryCacheConfig(
       * cache does not chain (driver-held state, writes are cheap). */
     aggregateStateAppend: Boolean = true,
     /** admission guard for COLD row-state puts (filterQueryState): the
-      * Catalyst size estimate of the chain's optimized plan must sit at
-      * or below this many bytes, or the view is declined (loud log,
-      * query runs vanilla). MemoryQueryCache already capacity-guards
-      * every put by rows; this guard exists for DURABLE caches, where a
-      * broad filter over a large table would otherwise silently write a
-      * result-sized copy of the data on first touch. Plan-stats based —
-      * zero extra I/O; a conservative estimate that admits a too-big
-      * view is still caught by the memory cache's row guard, and a
-      * durable over-admission costs one bounded write, not a loop
-      * (warm runs append deltas only). Default 16 GiB. */
+      * SUM of the chain's leaf relation sizes (source file bytes — an
+      * upper bound for the admitted chain shapes, since filters and
+      * projections only shrink and the star-join shape is fact-bounded)
+      * must sit at or below this many bytes, or the view is declined
+      * (loud log, query runs vanilla). MemoryQueryCache already
+      * capacity-guards every put by rows; this guard exists for DURABLE
+      * caches, where a broad filter over a large table would otherwise
+      * silently write a result-sized copy of the data on first touch.
+      * Zero extra I/O; an over-admission is still caught by the memory
+      * cache's row guard, and a durable over-admission costs one bounded
+      * write, not a loop (warm runs append deltas only). A selective
+      * filter over a genuinely huge source still declines (its result
+      * size is unknowable without column stats) — raise this budget
+      * consciously for that case. Default 16 GiB. */
     maxRowStateBytes: Long = 16L << 30,
     log: CacheLog = NoOpLog) {
 

@@ -609,7 +609,10 @@ final class ParquetQueryCache(rootDir: String,
         // carry the known-max map forward (the new segment stays
         // "unknown" until a banded refresh resolves it from footers)
         segMaxTs = old.segMaxTs,
-        segRows = chainRows.filter(_._2 >= 0) :+ (dataDir -> deltaRows)),
+        // never memoize an unknown (-1) count: it would pin the fraction
+        // rule off for the NEXT append too; left out, footers re-resolve
+        segRows = chainRows.filter(_._2 >= 0) ++
+          (if (deltaRows >= 0) Seq(dataDir -> deltaRows) else Nil)),
       version)
     try cleanup(fs, dir) catch { case _: Exception => () }
     val paths = (dataDir +: old.allDataDirs).map(d => new Path(dir, d).toString)

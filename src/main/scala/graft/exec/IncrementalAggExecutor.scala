@@ -716,12 +716,16 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // the chained segment is GROUP-GRAINED partial state (one row per
         // group present in the append), never per-row units — a unit
         // segment would persist the raw append. `merged` stays lazy and
-        // never executes when the chain commit succeeds, so the delta is
-        // still scanned exactly once either way. A banded run's delta
-        // partials are offered too, but ONLY when the floor cuts on a
-        // plain bucket column (bandRefreshKey) — they then go through
-        // refreshBand, never putAppend (appending a re-read band would
-        // duplicate it).
+        // never executes when the chain commit SUCCEEDS, so the common
+        // chained run scans the delta exactly once. A FRACTION-DECLINED
+        // commit (a ≥25%-of-chain delta) pays the delta twice — once for
+        // the discarded segment write, once inside the full put — an
+        // accepted amortized cost: it happens at most once per
+        // compaction cycle, on runs whose full state merge dominates the
+        // extra delta scan anyway. A banded run's delta partials are
+        // offered too, but ONLY when the floor cuts on a bucket column
+        // (bandRefreshKey) — they then go through refreshBand, never
+        // putAppend (appending a re-read band would duplicate it).
         (mergedState,
           if (!config.aggregateStateAppend) None
           else if (bandActive && bandRefreshKey.isEmpty) None
@@ -3156,7 +3160,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // chain itself). Recursive to depth 2: a doubly-narrowed slice
     // answers from the doubly-wider view. Same lattice idea as the
     // aggregate path's dimFilterState, at row grain.
-    val entry0 = rowViewLookup(chain, fp)
+    val entry0 = rowViewLookup(chain, fp, exactFp = Some(fp))
     // late re-scan band at ROW grain: when the temporal column survives
     // the projection, lower the effective watermark to wm − band, drop
     // state rows at/after it and let the delta re-read them — no bucket
@@ -3216,22 +3220,31 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // COLD-PUT ADMISSION GUARD: a broad filter over a large table
         // would materialize a result-sized copy on first touch — the
         // memory cache row-guards every put, but a durable cache has no
-        // natural ceiling. Decline admission when Catalyst's size
-        // estimate of the optimized chain exceeds the configured budget
-        // (plan stats: file sizes × filter selectivity — zero extra I/O).
-        val coldDf = Shims.ofRows(spark, boundedAtLeaf(None))
+        // natural ceiling. The estimate is the SUM of the chain's leaf
+        // relation sizes (file bytes — zero extra I/O), an upper bound
+        // for these chains: filters and projections only shrink, and the
+        // admitted join shape (fact ⋈ unique-keyed static dim) is
+        // fact-bounded. Catalyst's default size-only plan stats are
+        // deliberately NOT used — without CBO they ignore filter
+        // selectivity and MULTIPLY join children, which silently
+        // declined every star-join view beyond toy scale. A genuinely
+        // huge source still declines even for a selective filter (the
+        // result size is unknowable without column stats) — raise
+        // maxRowStateBytes consciously for that case.
         val estBytes =
-          try Shims.queryExecution(coldDf).optimizedPlan.stats.sizeInBytes
+          try chain.collectLeaves().map(l =>
+            try l.stats.sizeInBytes catch { case _: Exception => BigInt(0) })
+            .sum
           catch { case _: Exception => BigInt(0) }
         if (estBytes > config.maxRowStateBytes) {
-          config.log.warn(fp, s"row-state admission declined: estimated " +
+          config.log.warn(fp, s"row-state admission declined: source " +
             s"$estBytes bytes > maxRowStateBytes=${config.maxRowStateBytes}" +
             " — running vanilla (narrow the filter or raise the budget)")
           return None
         }
         config.log.info(fp,
           "cache miss (rows): materializing filter-query rows")
-        config.cache.put(fp, now, coldDf)
+        config.cache.put(fp, now, Shims.ofRows(spark, boundedAtLeaf(None)))
     }
     config.cache.recordSourcePaths(fp, Shims.sourcePaths(chain))
     graft.plans.CacheReplayStrategy.register(spark)
@@ -3478,8 +3491,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * (its delta scan runs the narrow chain itself) and the MV→aggregate
     * cold start (a cold aggregate over a narrower chain skips the history
     * scan through the wider warm view re-shaped). */
-  private def rowViewLookup(chain: LogicalPlan,
-      logFp: String): Option[graft.cache.CachedState] = {
+  private def rowViewLookup(chain: LogicalPlan, logFp: String,
+      exactFp: Option[String] = None): Option[graft.cache.CachedState] = {
     def rowSchema(p: LogicalPlan) = StructType(p.output.map(
       a => org.apache.spark.sql.types.StructField(
         a.name, a.dataType, a.nullable)))
@@ -3533,7 +3546,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         case _ => None
       })
     }
-    config.cache.get(Fingerprint.of(chain) + ":rows" + fpSuffix)
+    // the filter-query rewrite already computed the chain's row
+    // fingerprint (a full plan walk) — reuse it; the MV→aggregate probe
+    // computes it here
+    config.cache.get(exactFp.getOrElse(
+        Fingerprint.of(chain) + ":rows" + fpSuffix))
       .filter { cs =>
         val compat = schemaCompatible(cs.schema, rowSchema(chain))
         if (!compat) config.log.warn(logFp,

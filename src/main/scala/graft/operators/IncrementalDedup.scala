@@ -1016,7 +1016,12 @@ object IncrementalDedup {
       if (spark.catalog.tableExists(vecsTable)) {
         val tmpTable = vecsTable + "_refresh"
         spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-        reassigned.write.mode("overwrite").format("parquet")
+        // repartition by the bucket column first (the promoteToBucketed
+        // discipline): without it every input partition writes its own
+        // file per bucket and the refreshed layout fragments into up to
+        // partitions × buckets small files
+        reassigned.repartition(indexBuckets, col("cell"))
+          .write.mode("overwrite").format("parquet")
           .option("path", stageVecs)
           .bucketBy(indexBuckets, "cell").sortBy("cell")
           .saveAsTable(tmpTable)

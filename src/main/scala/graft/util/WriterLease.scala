@@ -169,10 +169,23 @@ object WriterLease {
                   s"lease now held by $other; this writer's exclusivity " +
                   "is void and withLease will throw on completion")
             case None =>
-              // lease file vacant (mid-break or deleted): reclaim it
-              // atomically; if someone else wins the create, the next
-              // beat reads their content and declares loss above
-              tryCreate(fs, p, holderId); ()
+              // unreadable OR missing. A transient read error must not
+              // abort a long compaction — only confirmed ABSENCE counts.
+              // A vacant lease while we believe we hold it means a
+              // breaker judged us stale: either a usurper already came
+              // AND WENT (re-creating our id here would mask that two
+              // writers mutated the index), or a breaker is mid-capture
+              // right now. Both void our exclusivity — escalate, never
+              // silently re-create.
+              val present =
+                try fs.exists(p) catch { case _: java.io.IOException => true }
+              if (!present) {
+                lost.set(true)
+                System.err.println(
+                  s"[graft] WriterLease LOST mid-hold on $dir (tag=$tag): " +
+                    "lease file vanished while held — a breaker judged " +
+                    "this holder stale; withLease will throw on completion")
+              }
           }
         } catch { case _: java.io.IOException => () }
       }

@@ -1426,6 +1426,55 @@ class IncrementalAggSpec extends AnyFunSuite {
       "a no-op banded refresh committed a new meta version")
   }
 
+  test("cold star-join aggregate warms from the star-join row view") {
+    val (early, late, splitUs) = split()
+    val work = tmpDir("mv-agg-star")
+    early.write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long] = None) = QueryCacheConfig(
+      cache, defaultTemporalColumn = "ts", overrideNowMicros = now,
+      log = log).withStaticDimensions("customer")
+    // the star-join row view: fact ⋈ declared-static dim, projected
+    def view(df: DataFrame) = df.filter(col("value") > 50)
+      .join(Tables.customer(spark, sf0001),
+        df("user_id") === col("c_custkey"))
+      .select(col("ts"), col("value"), col("c_mktsegment"))
+    // an aggregate over the SAME chain: its cold start must come from
+    // the view's rows ∪ the view's delta, never the history files
+    def agg(df: DataFrame) = view(df)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(view(spark.read.parquet(work))).collect()
+    late.write.mode("append").parquet(work)
+    val lateCount = late.count()
+    val dimCount = Tables.customer(spark, sf0001).count()
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val log2 = new RecordingLog
+    spark.sparkContext.addSparkListener(listener)
+    val aggDF =
+      try {
+        val df = QueryCacheSession(spark, cfg(log2))
+          .run(agg(spark.read.parquet(work)))
+        df.collect()
+        Thread.sleep(1000)
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log2.messages.exists(_.startsWith("cold state from materialized")),
+      log2.messages)
+    // the only file inputs are the delta fact rows + the (static) dim
+    assert(recs.sum() <= lateCount + dimCount,
+      s"cold star aggregate scanned ${recs.sum()} rows (> append " +
+        s"$lateCount + dim $dimCount) — history was rescanned")
+    assertSameRows(aggDF, agg(eventsFull))
+  }
+
   test("row-view reprojection: a column slice answers from the full-width view") {
     val (early, late, splitUs) = split()
     val work = tmpDir("reproject-rows")
