@@ -84,7 +84,14 @@ import graft.log.{CacheLog, NoOpLog}
   *                              (same matching rules — and the same
   *                              basename-collision caveat): every entry
   *                              whose plan read that table is dropped and
-  *                              the next run is a clean cold miss.
+  *                              the next run is a clean cold miss. For a
+  *                              BOUNDED rewrite of a FACT table — a
+  *                              backfill, a correction, an INSERT
+  *                              OVERWRITE of one partition — prefer
+  *                              `cache.repairRange(path, lo, hi)`: state
+  *                              survives, only the buckets covering
+  *                              [lo, hi) are dropped and re-scanned on
+  *                              the next warm run.
   * @param regrainFromFinerState answer a coarse-grain temporal query
   *                              (`date_trunc('day', ts)`) from warm
   *                              FINER-grain state (`'hour'`) when the

@@ -32,6 +32,14 @@ final case class CachedState(
   * executor treats it as "don't cache" and falls back to vanilla. */
 final class CacheCapacityExceeded(msg: String) extends RuntimeException(msg)
 
+/** One declared historical rewrite pending against a cache entry: rows of
+  * the entry's source table(s) with event time in `[loMicros, hiMicros)`
+  * were REWRITTEN in place (backfill / correction / INSERT OVERWRITE of a
+  * partition). `token` identifies the declaration so the consuming run
+  * clears exactly the ranges it applied — a repair declared DURING a warm
+  * run survives for the next one. */
+final case class RepairRange(loMicros: Long, hiMicros: Long, token: String)
+
 trait QueryCache {
   /** reference: src/cache.rs:11-13 (entry lookup by fingerprint) */
   def get(fingerprint: String): Option[CachedState]
@@ -111,6 +119,7 @@ trait QueryCache {
     * session ever cached. */
   protected final def dropSourcePaths(fingerprint: String): Unit = {
     sourceIndex.remove(fingerprint)
+    repairIndex.remove(fingerprint)
     Option(fpToBase.remove(fingerprint)).foreach { base =>
       val m = baseIndex.get(base)
       if (m != null) {
@@ -177,6 +186,67 @@ trait QueryCache {
     }
     n
   }
+
+  // ------------------------------------------------- repair-range remedy
+
+  /** fingerprint → repair ranges not yet consumed by a warm run.
+    * Process-local; [[ParquetQueryCache]] additionally persists each
+    * range as an atomic sidecar file in the entry's directory so the
+    * remedy reaches entries written by other processes and survives
+    * restarts. */
+  private val repairIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, Vector[RepairRange]]()
+
+  /** Declare that rows of `table` with event time in `[loMicros,
+    * hiMicros)` were REWRITTEN in place (a backfill / correction /
+    * INSERT OVERWRITE of a partition). Unlike [[invalidateForTable]] —
+    * which drops matching entries whole and forces a full history
+    * re-scan — every matching entry keeps its state and gets a PENDING
+    * REPAIR RANGE: its next warm run drops only the state buckets
+    * intersecting the range, re-scans just that window from the source
+    * (both ends pushed to parquet), and commits the repaired state.
+    * Shapes without a droppable bucket key rebuild loudly instead —
+    * still automatic, still correct, the cost invalidateForTable always
+    * paid. Until a run consumes the range the entry answers only its own
+    * exact-fingerprint query (which applies the repair in-flight);
+    * subsumption probes treat it as absent, so no other query can replay
+    * the stale rows. Table matching follows [[invalidateForTable]]'s
+    * rules (full path / basename / extension-less basename,
+    * case-insensitive). Returns the number of entries marked. */
+  def repairRange(table: String, loMicros: Long, hiMicros: Long): Int = {
+    require(loMicros < hiMicros, s"empty repair range [$loMicros, $hiMicros)")
+    var n = 0
+    sourceIndex.forEach { (fp, paths) =>
+      if (paths.exists(p => QueryCache.pathMatches(table, p))) {
+        addRepair(fp, RepairRange(loMicros, hiMicros,
+          java.util.UUID.randomUUID.toString.take(12)))
+        n += 1
+      }
+    }
+    n
+  }
+
+  protected final def addRepair(fingerprint: String, r: RepairRange): Unit = {
+    repairIndex.merge(fingerprint, Vector(r), (a, b) => a ++ b)
+    ()
+  }
+
+  /** repair ranges declared against `fingerprint` and not yet consumed */
+  private[graft] def pendingRepairs(fingerprint: String): Seq[RepairRange] =
+    Option(repairIndex.get(fingerprint)).getOrElse(Vector.empty)
+
+  /** forget consumed ranges (by token) after the run that applied them —
+    * token-scoped so a repair declared mid-run is never lost */
+  private[graft] def clearRepairs(fingerprint: String,
+      tokens: Seq[String]): Unit =
+    if (tokens.nonEmpty) {
+      val ts = tokens.toSet
+      repairIndex.computeIfPresent(fingerprint, (_, v) => {
+        val rest = v.filterNot(r => ts.contains(r.token))
+        if (rest.isEmpty) null else rest
+      })
+      ()
+    }
 }
 
 /** Monotone counters for one cache handle: `hits`/`misses` count decided
@@ -880,8 +950,11 @@ final class ParquetQueryCache(rootDir: String,
             (completed || age > abandonedMs))
           try fs.delete(e.getPath, true) catch { case _: Exception => () }
       }
-    // temp metas (per-writer unique names) left by crashed writers
-    entries.filter(e => !e.isDirectory && e.getPath.getName.startsWith(".meta-")
+    // temp metas / repair sidecars (per-writer unique names) left by
+    // crashed writers
+    entries.filter(e => !e.isDirectory &&
+        (e.getPath.getName.startsWith(".meta-") ||
+          e.getPath.getName.startsWith(".repair-"))
         && e.getPath.getName.endsWith(".tmp"))
       .foreach { e =>
         if (System.currentTimeMillis() - e.getModificationTime > abandonedMs)
@@ -918,6 +991,15 @@ final class ParquetQueryCache(rootDir: String,
     writeMetaAtomic(fs, dir,
       Meta(head.map(_.timestampMicros).getOrElse(0L), s"data-$version-tomb",
         head.map(_.schema).getOrElse(new StructType()), Seq.empty), version)
+    // a dead entry has nothing left to repair — drop pending sidecars so
+    // they don't linger in the dir (a fresh put over the tombstone would
+    // otherwise see stale ranges and pay a pointless bounded re-scan)
+    try fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("repair-") &&
+        p.getName.endsWith(".json"))
+      .foreach(p => try { fs.delete(p, false); () }
+        catch { case _: Exception => () })
+    catch { case _: Exception => () }
     try cleanup(fs, dir) catch { case _: Exception => () }
   }
 
@@ -940,6 +1022,90 @@ final class ParquetQueryCache(rootDir: String,
       } catch { case _: Exception => () }
     }
     n
+  }
+
+  /** Durable face of the repair remedy: sweep every entry's head meta for
+    * the table (like [[invalidateForTable]]) and persist each matching
+    * range as an atomic sidecar file `repair-<token>.json` in the entry's
+    * directory — visible to every process, survives restarts, one record
+    * per entry (the in-process super sweep is skipped: every live entry
+    * of this cache carries its source paths in its head meta, so the
+    * durable sweep is strictly more complete and avoids marking the same
+    * entry twice). */
+  override def repairRange(table: String, loMicros: Long,
+      hiMicros: Long): Int = {
+    require(loMicros < hiMicros, s"empty repair range [$loMicros, $hiMicros)")
+    val spark = SparkSession.active
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    var n = 0
+    fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+      try latestMeta(fs, d.getPath) match {
+        case Some(m) if !m.tombstone &&
+            m.sourcePaths.exists(p => QueryCache.pathMatches(table, p)) =>
+          val token = java.util.UUID.randomUUID.toString.take(12)
+          val body = s"""{"loMicros":$loMicros,"hiMicros":$hiMicros}"""
+          val tmp = new Path(d.getPath, s".repair-$token.json.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(body.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          if (fs.rename(tmp, new Path(d.getPath, s"repair-$token.json")))
+            n += 1
+        case _ => ()
+      } catch { case _: Exception => () }
+    }
+    n
+  }
+
+  override private[graft] def pendingRepairs(
+      fingerprint: String): Seq[RepairRange] = {
+    val durable = try {
+      val spark = SparkSession.active
+      val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Seq.empty[RepairRange]
+      else fs.listStatus(dir).map(_.getPath).toSeq
+        .filter(p => p.getName.startsWith("repair-") &&
+          p.getName.endsWith(".json"))
+        .flatMap { p =>
+          try {
+            val in = fs.open(p)
+            val txt = try {
+              val buf = new Array[Byte](4096)
+              val len = in.read(buf)
+              new String(buf, 0, math.max(0, len), StandardCharsets.UTF_8)
+            } finally in.close()
+            def num(k: String): Option[Long] = {
+              val i = txt.indexOf("\"" + k + "\":")
+              if (i < 0) None
+              else txt.substring(i + k.length + 3)
+                .takeWhile(c => c.isDigit || c == '-').toLongOption
+            }
+            for (lo <- num("loMicros"); hi <- num("hiMicros"))
+              yield RepairRange(lo, hi,
+                p.getName.stripPrefix("repair-").stripSuffix(".json"))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq.empty[RepairRange]
+    }
+    super.pendingRepairs(fingerprint) ++ durable
+  }
+
+  override private[graft] def clearRepairs(fingerprint: String,
+      tokens: Seq[String]): Unit = {
+    super.clearRepairs(fingerprint, tokens)
+    if (tokens.isEmpty) return
+    try {
+      val spark = SparkSession.active
+      val dir = new Path(rootDir, QueryCache.keyHash(fingerprint))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tokens.foreach { t =>
+        val p = new Path(dir, s"repair-$t.json")
+        try { fs.delete(p, false); () } catch { case _: Exception => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }
 

@@ -643,6 +643,58 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case _ => false
     }
 
+    // ---- REPAIR RANGES (cache.repairRange — declared historical
+    // rewrites): the table owner rewrote rows with event time in
+    // [lo, hi), so the state's copy of the covering buckets is stale.
+    // With a plain date_trunc or tumbling bucket key, drop EXACTLY those
+    // buckets and re-scan just the covering windows from the source
+    // (both ends pushed to parquet as raw ts bounds — exact for every
+    // measure, the late-band argument: a dropped bucket's rows come only
+    // from the re-scan). Other shapes (sessions, grouping sets,
+    // no-bucket grouping) REBUILD loudly — the cost invalidateForTable
+    // always paid, now automatic. Ranges at/after the effective
+    // watermark are free: the delta scan re-reads them anyway. Repaired
+    // runs never chain (old segments would resurrect dropped buckets)
+    // and always commit a full put.
+    val pendingRep = config.cache.pendingRepairs(c.fingerprint)
+    var repairScanRanges: Seq[(Long, Long)] = Nil
+    val afterRepair: Option[graft.cache.CachedState] =
+      if (pendingRep.isEmpty) banded
+      else banded match {
+        case None => None // entry gone/mismatched: the cold rebuild consumes
+        case Some(cs) =>
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val effWm = cs.timestampMicros
+          val ranges = IncrementalAggExecutor.mergeRanges(pendingRep.map(r =>
+            (r.loMicros, math.min(r.hiMicros, effWm))))
+          if (ranges.isEmpty) banded // all at/after the watermark
+          else repairSpans(c, ranges, effWm) match {
+            case Some((keyPath, spans0)) =>
+              val spans = IncrementalAggExecutor.mergeRanges(spans0)
+              config.log.info(c.fingerprint, s"repairing ${spans.size} " +
+                s"declared rewrite range(s) at bucket grain: dropping " +
+                s"state buckets + re-scanning " +
+                spans.map(s => s"[${s._1}, ${s._2})").mkString(", "))
+              repairScanRanges = spans
+              val tDt = c.temporalAttr.dataType
+              Some(graft.cache.CachedState(effWm, cs.schema, s => {
+                val k = col(keyPath)
+                val dropped = spans.map { case (lo, hi) =>
+                  k >= Shims.column(Literal(lo, tDt)) &&
+                    k < Shims.column(Literal(hi, tDt))
+                }.reduce(_ || _)
+                cs.read(s).filter(k.isNull || !dropped)
+              }))
+            case None =>
+              config.log.warn(c.fingerprint, "repair ranges pending but " +
+                "the query shape has no droppable bucket key (needs a " +
+                "date_trunc or tumbling-window group) — rebuilding state " +
+                "from scratch")
+              None
+          }
+      }
+    val repairActive = repairScanRanges.nonEmpty
+
     // (merged state, delta partials when the warm commit may CHAIN):
     // `merged` is the full answer state; `deltaPartials` is just this
     // run's append in state form — a putAppend-capable cache commits it
@@ -651,7 +703,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // runs over state ∪ delta, so chains are sound for every whitelisted
     // state). Banded runs never chain: the band DROPPED buckets from the
     // effective state, and old chain segments would resurrect them.
-    val (merged, deltaPartials) = banded match {
+    val (merged, deltaPartials) = afterRepair match {
       case Some(cs) =>
         config.cache.stats.recordHit()
         config.log.info(c.fingerprint, s"cache hit, watermark=${cs.timestampMicros}")
@@ -664,7 +716,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // row groups anyway.
         val deltaDF =
           if (c.staticUnionBranches.nonEmpty && !config.strictUpperBound &&
-              !bandActive) {
+              !bandActive && !repairActive) {
             val pruned = effectiveChild.transformUp {
               case u: Union if u.children.exists(ch =>
                   c.staticUnionBranches.exists(_ eq ch)) =>
@@ -696,6 +748,16 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 timestamp_micros(lit(cs.timestampMicros))))
           case None => newData0
         }
+        // repair re-scan: the covering bucket windows, re-read from the
+        // SAME (un-pruned when active) delta source — strictly below the
+        // effective watermark by construction, so no row is read twice
+        val newDataR =
+          if (!repairActive) newData
+          else newData.unionByName(deltaDF.filter(
+            repairScanRanges.map { case (lo, hi) =>
+              tsCol >= timestamp_micros(lit(lo)) &&
+                tsCol < timestamp_micros(lit(hi))
+            }.reduce(_ || _)))
         // when every state column has a per-row unit form, appended rows
         // feed the merge aggregation DIRECTLY (projected to state shape),
         // skipping the separate partial-aggregate exchange+stage; merge
@@ -706,8 +768,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             val unitCols = groupCols ++ stateSpecs.map(s =>
               s.unit.get.cast(Decompose.nullTolerant(
                 stateSchema(s.name).dataType)).as(s.name))
-            cs.read(spark).unionByName(newData.select(unitCols: _*))
-          } else cs.read(spark).unionByName(partialState(newData))
+            cs.read(spark).unionByName(newDataR.select(unitCols: _*))
+          } else cs.read(spark).unionByName(partialState(newDataR))
         val mergeCols = stateSpecs.map(s => Decompose.mergeColumn(s, stateSchema))
         val mergedState =
           if (groupCols.isEmpty) state.agg(mergeCols.head, mergeCols.tail: _*)
@@ -728,6 +790,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // putAppend (appending a re-read band would duplicate it).
         (mergedState,
           if (!config.aggregateStateAppend) None
+          else if (repairActive) None // old segments would resurrect buckets
           else if (bandActive && bandRefreshKey.isEmpty) None
           else Some(partialState(newData)))
       case None =>
@@ -791,7 +854,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // often sits in a handful of files — 32 MB splits keep its decode
     // parallel instead of serializing 1% of the table onto 1-2 tasks.
     val stateConfs =
-      if (entry.isDefined)
+      if (afterRepair.isDefined)
         Seq(
           "spark.sql.adaptive.enabled" -> "false",
           // ONE split per append file, not one split per append: with
@@ -863,6 +926,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           phase("put.store")(config.cache.put(c.fingerprint, now, state))
         })
     }
+    // repairs consumed: the committed state either bucket-repaired the
+    // declared ranges or was rebuilt from the post-rewrite table (also
+    // covers ranges wholly at/after the watermark — the delta re-read
+    // them). Token-scoped: a repair declared DURING this run keeps its
+    // own token and survives for the next one. Placed after the put so a
+    // CacheCapacityExceeded abort (vanilla fallback) never consumes.
+    if (pendingRep.nonEmpty)
+      config.cache.clearRepairs(c.fingerprint, pendingRep.map(_.token))
     // index the entry by its source tables — the cache SPI's
     // invalidateForTable(path) remedy for declared-static dims that DID
     // change (recorded only after a successful put; a capacity-rejected
@@ -933,8 +1004,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // a LocalRelation at optimization time, and CacheReplayExec then
     // answers collect() without launching a Spark job at all.
     val marked = graft.plans.CacheReplayMarker(aligned, c.fingerprint,
-      hit = entry.isDefined,
-      watermarkMicros = entry.map(_.timestampMicros))
+      hit = afterRepair.isDefined,
+      watermarkMicros = afterRepair.map(_.timestampMicros))
     analyzed.transformUp {
       case n if n eq c.agg => marked
     }
@@ -1074,7 +1145,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         if (!changed) None
         else {
           val fp2 = Fingerprint.of(subAgg) + fpSuffix
-          config.cache.get(fp2)
+          twinState(fp2)
             .filter(cs => schemaCompatible(cs.schema, stateSchema))
             // composes with measure subsumption: the finer twin may exist
             // only as a measure-superset entry — project its columns
@@ -1138,7 +1209,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         (stateSchema.take(nGroup) :+
           org.apache.spark.sql.types.StructField(gExtra, attr.dataType)) ++
           stateSchema.drop(nGroup))
-      config.cache.get(fp2)
+      twinState(fp2)
         .filter(cs => schemaCompatible(cs.schema, twinSchema))
         // COMPOSED subsumption: no warm drill-down at THIS grain — try
         // the drill-down's FINER-GRAIN twin (day-only ← warm (hour, dim)
@@ -1252,7 +1323,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         (stateSchema.take(nGroup) :+
           org.apache.spark.sql.types.StructField(gExtra, attr.dataType)) ++
           stateSchema.drop(nGroup))
-      config.cache.get(fp2)
+      twinState(fp2)
         .filter(cs => schemaCompatible(cs.schema, twinSchema))
         // composes with grain subsumption exactly like redim: no warm
         // drill-down at this grain — try its finer-grain twin
@@ -1344,6 +1415,66 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       }) => Some((gIdx, t))
       case _ => None
     }
+  }
+
+  /** Twin-state fetch for subsumption probes: an entry with PENDING
+    * repair ranges (cache.repairRange — a declared historical rewrite)
+    * still holds pre-rewrite rows. Only its own exact-fingerprint run may
+    * replay it, because that run applies the repair in-flight; a probe
+    * replaying it into ANOTHER query's state would bake the stale rows
+    * in. Probes therefore treat it as absent (the repair check runs only
+    * after the state exists — most probes miss and pay nothing). */
+  private def twinState(fp2: String): Option[graft.cache.CachedState] =
+    config.cache.get(fp2).filter(_ =>
+      config.cache.pendingRepairs(fp2).isEmpty)
+
+  /** Bucket-aligned repair spans for a set of declared rewrite ranges:
+    * (state bucket-key path, per-range [dropLo, scanHi) in micros), both
+    * ends bucket-aligned so a dropped bucket's rows come ONLY from the
+    * re-scan — the same exactness argument as the late re-scan band. The
+    * scan upper bound is the bucket AFTER the range's last bucket
+    * (clamped to the effective watermark: rows at/after it re-read via
+    * the delta scan anyway), so the source re-scan is a raw `ts` range
+    * pushed to parquet at both ends. None = the shape has no droppable
+    * bucket key (sessions, grouping sets, no-bucket grouping, an
+    * unmappable trunc grain) — the caller rebuilds loudly. */
+  private def repairSpans(c: Cacheable, ranges: Seq[(Long, Long)],
+      effWm: Long): Option[(String, Seq[(Long, Long)])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, TimestampAdd}
+    val tDt = c.temporalAttr.dataType
+    if (c.agg.child.isInstanceOf[Expand]) return None
+    if (sessionGroupIdx(c).isDefined) return None
+    temporalBucketTrunc(c).flatMap { case (gIdx, trunc) =>
+      IncrementalAggExecutor.truncAddUnit(trunc.format.eval() match {
+        case null => ""
+        case f => f.toString
+      }).flatMap { unit =>
+        val zid = trunc.timeZoneId.orElse(Some(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        val spans = ranges.map { case (lo, hi) =>
+          for {
+            tLo <- Option(trunc.copy(timestamp = Literal(lo, tDt)).eval())
+              .collect { case v: Long => v }
+            tHi <- Option(trunc.copy(timestamp = Literal(hi - 1, tDt)).eval())
+              .collect { case v: Long => v }
+            next <- Option(TimestampAdd(unit, Literal(1L),
+              Literal(tHi, tDt), zid).eval())
+              .collect { case v: Long => v }
+          } yield (tLo, math.min(next, effWm))
+        }
+        if (spans.forall(_.isDefined)) Some((s"_g$gIdx", spans.map(_.get)))
+        else None
+      }
+    }.orElse(tumblingShape(c).map { sh =>
+      def floor(t: Long) = {
+        val m0 = (t - sh.startUs) % sh.durationUs
+        val m = if (m0 < 0) m0 + sh.durationUs else m0
+        t - m
+      }
+      (s"_g${sh.gIdx}.start", ranges.map { case (lo, hi) =>
+        (floor(lo), math.min(floor(hi - 1) + sh.durationUs, effWm))
+      })
+    })
   }
 
   /** group index of the session_window key, if the query groups by one —
@@ -1662,7 +1793,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val gName = s"_g$gIdx"
     val pred = (iL.map(l => col(gName) >= Shims.column(Literal(l, tDt))).toSeq ++
       iU.map(u => col(gName) < Shims.column(Literal(u, tDt)))).reduce(_ && _)
-    config.cache.get(fp2)
+    twinState(fp2)
       .filter(cs => schemaCompatible(cs.schema, stateSchema))
       // composes with the rest of the family: the unbounded twin may be
       // warm only at a finer grain, as a drill-down, behind another
@@ -1860,7 +1991,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val twin = c.agg.copy(child = Project(alias +: ex.child.output,
       Filter(IsNotNull(c.temporalAttr), ex.child)))
     val fp2 = Fingerprint.of(twin) + fpSuffix
-    config.cache.get(fp2)
+    twinState(fp2)
       .filter(cs => schemaCompatible(cs.schema, stateSchema))
       // composes: the tumbling twin may be warm only as a drill-down,
       // behind a strippable dim conjunct, as a measure-superset entry —
@@ -2006,7 +2137,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       val twinAlias = Alias(fineStruct, wAlias.name)(exprId = wAlias.exprId)
       val twin = c.agg.copy(child = Project(twinAlias +: rest, flt))
       val fp2 = Fingerprint.of(twin) + fpSuffix
-      config.cache.get(fp2)
+      twinState(fp2)
         .filter(cs => schemaCompatible(cs.schema, stateSchema))
         // composes: the fine tumbling twin may be warm only as a
         // drill-down, behind a strippable dim conjunct, or as a
@@ -2104,7 +2235,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       // twin's group AT gIdx is a real date_trunc — set the index so
       // grain subsumption can lift a finer-grain entry for it
       val cTwin = c.copy(agg = twin, temporalGroupIdx = Some(gIdx))
-      config.cache.get(fp2)
+      twinState(fp2)
         .filter(cs => schemaCompatible(cs.schema, twinSchema))
         // composes: the trunc twin may be warm only at a finer grain,
         // as a drill-down, behind a dim conjunct, or as a superset panel
@@ -2232,7 +2363,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       keyGroups.zipWithIndex.map { case ((j, _), m) =>
         stateSchema(s"_g$j").copy(name = s"_g$m")
       } ++ stateSchema.fields.filterNot(_.name.startsWith("_g")))
-    config.cache.get(fp2)
+    twinState(fp2)
       .filter(cs => schemaCompatible(cs.schema, twinStateSchema))
       // composes: the drill-down may be warm only as a deeper drill-down,
       // behind a strippable dim conjunct, or as a measure-superset entry
@@ -3140,12 +3271,21 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val fp = Fingerprint.of(chain) + ":rows" + fpSuffix
     val now = config.nowMicros()
     val tDt = tAttr.dataType
-    def boundedAtLeaf(lower: Option[Long]): LogicalPlan =
+    // `repair`: declared rewrite windows re-read ALONGSIDE the delta —
+    // the temporal conjunct becomes (ts >= wm OR ts ∈ range …), an
+    // OR-of-ranges parquet row-group stats still prune
+    def boundedAtLeaf(lower: Option[Long],
+        repair: Seq[(Long, Long)] = Nil): LogicalPlan =
       chain.transformUp {
         case l if l eq scanLeaf =>
           val conjs =
-            lower.map(wm =>
-              GreaterThanOrEqual(tAttr, Literal(wm, tDt))).toSeq ++
+            lower.map { wm =>
+              val base: Expression = GreaterThanOrEqual(tAttr, Literal(wm, tDt))
+              repair.foldLeft(base)((acc, r) =>
+                org.apache.spark.sql.catalyst.expressions.Or(acc,
+                  And(GreaterThanOrEqual(tAttr, Literal(r._1, tDt)),
+                    LessThan(tAttr, Literal(r._2, tDt)))))
+            }.toSeq ++
               (if (config.strictUpperBound)
                 Seq(LessThan(tAttr, Literal(now, tDt)))
               else Nil)
@@ -3186,16 +3326,58 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         }
       case _ => (entry0, false)
     }
+    // REPAIR RANGES at row grain (cache.repairRange): rows in a declared
+    // rewrite window are dropped from the replayed state and re-read
+    // alongside the delta — no bucket alignment needed, rows partition
+    // by the raw ts cut (NULL-ts state rows kept, never re-read). A
+    // projection that pruned the temporal column can't identify the
+    // window's rows in state — loud rebuild (the invalidateForTable
+    // cost, now automatic). Repaired commits never append and never
+    // refresh at segment grain: mid-chain segments still hold the stale
+    // rows, so the run compacts with a full put.
+    val pendingRep = config.cache.pendingRepairs(fp)
+    var repairRanges: Seq[(Long, Long)] = Nil
+    val entryR: Option[graft.cache.CachedState] =
+      if (pendingRep.isEmpty) entry
+      else entry match {
+        case None => None // gone/mismatched: the cold rebuild consumes
+        case Some(cs) =>
+          val ranges = IncrementalAggExecutor.mergeRanges(pendingRep.map(r =>
+            (r.loMicros, math.min(r.hiMicros, cs.timestampMicros))))
+          if (ranges.isEmpty) entry // all at/after the (banded) watermark
+          else chain.output.find(_.semanticEquals(tAttr)) match {
+            case Some(outT) =>
+              config.log.info(fp, s"repairing ${ranges.size} declared " +
+                "rewrite range(s) at row grain: " +
+                ranges.map(r => s"[${r._1}, ${r._2})").mkString(", "))
+              repairRanges = ranges
+              Some(graft.cache.CachedState(cs.timestampMicros, cs.schema,
+                s => {
+                  val k = col(outT.name)
+                  val dropped = ranges.map { case (lo, hi) =>
+                    k >= Shims.column(Literal(lo, tDt)) &&
+                      k < Shims.column(Literal(hi, tDt))
+                  }.reduce(_ || _)
+                  cs.read(s).filter(k.isNull || !dropped)
+                }))
+            case None =>
+              config.log.warn(fp, "repair ranges pending but the row " +
+                "state's projection pruned the temporal column — " +
+                "rebuilding the view from scratch")
+              None
+          }
+      }
     // hit: O(append) commit when the cache supports it (ParquetQueryCache
     // writes only the delta segment — rewriting a large materialized view
     // per run would be O(result)); otherwise a full put of the union.
     // The append path's returned replay reads parquet, so the answer
     // never rescans the source beyond the one delta write.
-    val stored = entry match {
+    val stored = entryR match {
       case Some(cs) =>
         config.log.info(fp, s"cache hit (rows): replaying materialized " +
           s"rows, delta scan from ${cs.timestampMicros}")
-        val delta = Shims.ofRows(spark, boundedAtLeaf(Some(cs.timestampMicros)))
+        val delta = Shims.ofRows(spark,
+          boundedAtLeaf(Some(cs.timestampMicros), repairRanges))
         // a banded hit REPLACES the band's rows, so the stored chain
         // (which still contains them) must be rewritten, never appended —
         // appending the re-read band would duplicate it. A chain-aware
@@ -3209,7 +3391,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // meta commit (a no-op refresh must not grow the chain toward a
         // pointless full-view compaction).
         val committed =
-          if (bandApplied)
+          if (repairRanges.nonEmpty) None // mid-chain stale rows: full put
+          else if (bandApplied)
             chain.output.find(_.semanticEquals(tAttr)).flatMap(outT =>
               config.cache.refreshBand(fp, now, outT.name,
                 cs.timestampMicros, delta))
@@ -3246,6 +3429,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           "cache miss (rows): materializing filter-query rows")
         config.cache.put(fp, now, Shims.ofRows(spark, boundedAtLeaf(None)))
     }
+    // repairs consumed (bucket-repaired in-flight, rebuilt, or wholly
+    // at/after the watermark where the delta re-read them); token-scoped
+    // so a repair declared during this run survives for the next
+    if (pendingRep.nonEmpty)
+      config.cache.clearRepairs(fp, pendingRep.map(_.token))
     config.cache.recordSourcePaths(fp, Shims.sourcePaths(chain))
     graft.plans.CacheReplayStrategy.register(spark)
     val storedPlan = Shims.queryExecution(stored).analyzed
@@ -3254,8 +3442,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         Alias(na, oo.name)(exprId = oo.exprId)
       }, storedPlan)
     val marked = graft.plans.CacheReplayMarker(aligned, fp,
-      hit = entry.isDefined,
-      watermarkMicros = entry.map(_.timestampMicros))
+      hit = entryR.isDefined,
+      watermarkMicros = entryR.map(_.timestampMicros))
     Some(analyzed.transformUp { case n if n eq chain => marked })
   }
 
@@ -3354,7 +3542,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       twinGroups.zipWithIndex.map { case (g, i) =>
         org.apache.spark.sql.types.StructField(s"_g$i", g.dataType)
       } ++ stateSchema.drop(nGroup))
-    config.cache.get(fp2)
+    twinState(fp2)
       .filter(cs => schemaCompatible(cs.schema, twinStateSchema))
       // composes with measure subsumption: the fact-keyed twin may exist
       // only as a measure-superset entry
@@ -3438,7 +3626,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           case (d, names) => storedMap.get(d).exists(_.length == names.length)
         }
         if (!covers) None
-        else config.cache.get(fp2).flatMap { cs =>
+        else twinState(fp2).flatMap { cs =>
           val byName = cs.schema.fields.map(f => f.name -> f).toMap
           val sel = cs.schema.take(nGroup).map(f => col(f.name)) ++
             needed.flatMap { case (d, names) =>
@@ -3501,7 +3689,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     def probeTwin(twin: LogicalPlan, depth: Int)
         : Option[graft.cache.CachedState] = {
       val fp2 = Fingerprint.of(twin) + ":rows" + fpSuffix
-      config.cache.get(fp2)
+      twinState(fp2)
         .filter(cs => schemaCompatible(cs.schema, rowSchema(twin)))
         .orElse(rowProbe(twin, depth + 1))
     }
@@ -3548,9 +3736,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     }
     // the filter-query rewrite already computed the chain's row
     // fingerprint (a full plan walk) — reuse it; the MV→aggregate probe
-    // computes it here
-    config.cache.get(exactFp.getOrElse(
-        Fingerprint.of(chain) + ":rows" + fpSuffix))
+    // computes it here. The filter-query rewrite (exactFp set) takes the
+    // state even with pending repair ranges — it applies them in-flight;
+    // the MV→aggregate probe must NOT (it would bake stale rows into a
+    // fresh aggregate entry), so its exact lookup is repair-guarded like
+    // every twin.
+    val chainFp = exactFp.getOrElse(Fingerprint.of(chain) + ":rows" + fpSuffix)
+    (if (exactFp.isDefined) config.cache.get(chainFp)
+     else twinState(chainFp))
       .filter { cs =>
         val compat = schemaCompatible(cs.schema, rowSchema(chain))
         if (!compat) config.log.warn(logFp,
@@ -3580,6 +3773,38 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 }
 
 object IncrementalAggExecutor {
+  /** normalize declared rewrite ranges: drop empties, sort, coalesce
+    * overlapping/adjacent — a range declared twice (e.g. once in-process
+    * and once through a durable sidecar) must repair once, not re-scan
+    * twice */
+  private[graft] def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.filter(r => r._1 < r._2).sortBy(_._1)
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l, h)) if l <= hi =>
+        (lo, math.max(hi, h)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
+  /** date_trunc grain → the TimestampAdd unit that steps ONE bucket
+    * (calendar-correct for month/quarter/year, DST-correct for day/week
+    * under the same zone); None = sub-bucket grains trunc supports but a
+    * repair can't step (caller rebuilds) */
+  private[graft] def truncAddUnit(format: String): Option[String] =
+    format.toLowerCase match {
+      case "year" | "yyyy" | "yy" => Some("YEAR")
+      case "quarter" => Some("QUARTER")
+      case "month" | "mon" | "mm" => Some("MONTH")
+      case "week" => Some("WEEK")
+      case "day" | "dd" => Some("DAY")
+      case "hour" => Some("HOUR")
+      case "minute" => Some("MINUTE")
+      case "second" => Some("SECOND")
+      case "millisecond" => Some("MILLISECOND")
+      case "microsecond" => Some("MICROSECOND")
+      case _ => None
+    }
+
   /** state-schema per plan fingerprint, shared across executor instances
     * (a facade session builds a fresh executor per run) — saves one full
     * plan analysis per warm run. The schema of a fingerprint's partial

@@ -77,6 +77,61 @@ object CacheQueries {
     * and substitutes the finalize expression underneath them. */
   private def dsum(c: org.apache.spark.sql.Column) = Render.dsumd(c, 4)
 
+  /** cold → REWRITE HISTORY → repairRange → warm. The working copy's
+    * day-D slice (the UTC day at the 30th time percentile, all below the
+    * split) is first written CORRUPTED — a third of its rows missing and
+    * every value skewed — and the query runs cold over it. Then the
+    * corrupted files are REPLACED with the true rows (an INSERT OVERWRITE
+    * of one day), the tail appends, and `cache.repairRange(work,
+    * dayStart, dayEnd)` declares the rewrite. The returned warm result
+    * must equal the query over the PRISTINE full table — exactly what the
+    * oracle checks: an unrepaired cache would keep the corrupted
+    * contributions and hash-mismatch, while invalidateForTable's remedy
+    * would pay a full history re-scan the repair path avoids. */
+  def corruptRepairWarm(spark: SparkSession, sfDir: String, tag: String,
+      cacheFactory: () => graft.cache.QueryCache = {
+        val shared = new MemoryQueryCache(); () => shared
+      })(q: DataFrame => DataFrame): DataFrame = {
+    val ev = Tables.events(spark, sfDir).cache()
+    val splitMicros = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val p30 = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.3) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400000000L
+    val dayStartMicros = p30 - java.lang.Math.floorMod(p30, dayUs)
+    val dayEndMicros = dayStartMicros + dayUs
+    val sfTag = new java.io.File(sfDir).getName
+    val work = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/$tag"
+    val workPath = new Path(work)
+    val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(workPath)) fs.delete(workPath, true)
+    val splitTs = timestamp_micros(lit(splitMicros))
+    val inDay = col("ts") >= timestamp_micros(lit(dayStartMicros)) &&
+      col("ts") < timestamp_micros(lit(dayEndMicros))
+    ev.filter(col("ts") < splitTs && !inDay).write.parquet(s"$work/base")
+    ev.filter(col("ts") < splitTs && inDay && col("event_id") % 3 =!= 0)
+      .withColumn("value", col("value") * 2 + 1)
+      .write.parquet(s"$work/day")
+    def read(s: SparkSession) =
+      s.read.option("recursiveFileLookup", "true").parquet(work)
+    def cfg(cache: graft.cache.QueryCache, now: Option[Long]) =
+      QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = now)
+    QueryCacheSession(spark, cfg(cacheFactory(), Some(splitMicros)))
+      .run(q(read(spark))).collect()
+    // INSERT OVERWRITE day D with the true rows, then append the tail
+    fs.delete(new Path(s"$work/day"), true)
+    ev.filter(col("ts") < splitTs && inDay).write.parquet(s"$work/day")
+    ev.filter(col("ts") >= splitTs).write.parquet(s"$work/rest")
+    ev.unpersist()
+    val warmCache = cacheFactory()
+    val marked = warmCache.repairRange(work, dayStartMicros, dayEndMicros)
+    require(marked >= 1, s"repairRange matched no entries for $work")
+    QueryCacheSession(spark, cfg(warmCache, None)).run(q(read(spark)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // no-group-by path (reference README feature 2; demo.rs:26 shape)
     "qc_incr_total" -> ((s, d) =>
@@ -221,6 +276,41 @@ object CacheQueries {
         df.filter(col("ts") >= expr("now() - INTERVAL 20 DAYS"))
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      }
+    }),
+    // REPAIR RANGES — a declared historical rewrite (INSERT OVERWRITE of
+    // one day, corrected values + resurrected rows) repaired at BUCKET
+    // grain: cache.repairRange marks the entry, the warm run drops ONLY
+    // the state buckets covering the declared window and re-scans just
+    // that window + the append (invalidateForTable would drop the entry
+    // whole and re-scan ALL history). The cold state here was built over
+    // a CORRUPTED copy of the day — this oracle can only pass if the
+    // repair actually replaced those buckets with the rewritten rows.
+    "qc_incr_repair" -> ((s, d) =>
+      corruptRepairWarm(s, d, "repair") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+      }),
+    // the same declared rewrite against a MATERIALIZED ROW VIEW on the
+    // DURABLE cache: the repair drops the view's rows inside the window
+    // (raw-ts grain, no bucket alignment) and the delta scan re-reads
+    // (ts >= wm OR ts ∈ window) in one pushed pass; the pending range
+    // itself round-trips through a ParquetQueryCache sidecar file — the
+    // warm handle here is a FRESH instance, so the mark must survive
+    // storage like the state does.
+    "qc_incr_repair_rows" -> ((s, d) => {
+      val cacheDir = s"${sys.props("java.io.tmpdir")}/graft_qc_cache_repair/" +
+        new java.io.File(d).getName
+      val p = new Path(cacheDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      corruptRepairWarm(s, d, "repair_rows",
+        cacheFactory = () => new graft.cache.ParquetQueryCache(cacheDir)) { df =>
+        df.filter(col("value") > 50 && col("event_type") =!= "error")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       }
     }),
     // SIMPLE FILTER QUERY (no aggregate) — the reference's first roadmap
@@ -1833,6 +1923,17 @@ object CacheQueries {
            max(value) AS max_value
          FROM events WHERE value > 1
          GROUP BY 1""",
+    "qc_incr_repair" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_repair_rows" ->
+      """SELECT event_id, ts, user_id, value FROM events
+         WHERE value > 50 AND event_type <> 'error'""",
     "qc_incr_select" ->
       """SELECT event_id, user_id, value FROM events
          WHERE value > 50 AND event_type <> 'error'""",
