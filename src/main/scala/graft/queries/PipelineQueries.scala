@@ -240,6 +240,35 @@ object PipelineQueries {
       IncrementalText.bm25FromIndex(s, dir,
         queryTerms = Seq("spark", "hash", "window"), topK = 15)
     }),
+    // BM25 index MUTATIONS: a third of the corpus first arrives STALE
+    // (edited later), the upsert delivers the truth — only the changed
+    // third re-tokenizes, its higher-ver postings supersede the stale
+    // ones at read time, and the per-batch stats rows absorb the dl
+    // delta additively. An editorial delete then tombstones every 7th
+    // doc (replayed delete = no-op). The oracle replays one-shot BM25
+    // over exactly the LIVE corpus (true text, %7 docs removed) — stale
+    // postings leaking into a score, a wrong n_docs/avgdl after the
+    // mutation chain, or a resurrected deleted doc all hash-mismatch.
+    "q_text_bm25_upsert" -> ((s, d) => {
+      import graft.operators.IncrementalText
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_qc/" +
+        s"${new java.io.File(d).getName}/bm25idx_upsert"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val dd = documents(s, d)
+      IncrementalText.bm25Append(s, dir,
+        dd.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("text", concat(lit("stale "), substring(col("text"), 1, 24))))
+      IncrementalText.bm25Upsert(s, dir, dd)
+      IncrementalText.bm25Delete(s, dir,
+        dd.filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")))
+      // crash replay of the delete: already-dead ids are ignored
+      IncrementalText.bm25Delete(s, dir,
+        dd.filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")))
+      IncrementalText.bm25FromIndex(s, dir,
+        queryTerms = Seq("spark", "hash", "window"), topK = 15)
+    }),
     // count-min sketch frequency estimates for the exact top-20 tokens:
     // constant-width (4×1024-cell) partial state and shuffle regardless
     // of vocabulary size — all-integer output, no rounding anywhere
@@ -1813,6 +1842,47 @@ object PipelineQueries {
            (SELECT count(*) FROM documents) AS n_docs,
            CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
              / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM ne
+                WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         per AS (
+           SELECT tf.doc_id, tf.token,
+             round(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                           - CAST(df.df_docs AS DOUBLE) + 0.5)
+                        / (CAST(df.df_docs AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / stats.avgdl)))), 6) AS c
+           FROM tf JOIN df ON tf.token = df.token
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats)
+         SELECT doc_id,
+           round(coalesce(c0, 0.0) + coalesce(c1, 0.0)
+                 + coalesce(c2, 0.0), 4) AS bm25
+         FROM (
+           SELECT doc_id,
+             sum(CASE WHEN token = 'spark' THEN c END) AS c0,
+             sum(CASE WHEN token = 'hash' THEN c END) AS c1,
+             sum(CASE WHEN token = 'window' THEN c END) AS c2
+           FROM per GROUP BY doc_id) g
+         ORDER BY bm25 DESC, doc_id
+         LIMIT 15""",
+    // the mutation chain must land exactly on one-shot BM25 over the
+    // LIVE corpus: true text (stale versions superseded), %7 docs gone
+    "q_text_bm25_upsert" ->
+      """WITH live AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM live),
+         ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM ne GROUP BY 1),
+         stats AS (SELECT
+           (SELECT count(*) FROM live) AS n_docs,
+           CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+             / CAST((SELECT count(*) FROM live) AS DOUBLE) AS avgdl),
          tf AS (SELECT doc_id, token, count(*) AS tf FROM ne
                 WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
          df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),

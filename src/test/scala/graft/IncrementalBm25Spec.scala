@@ -70,6 +70,67 @@ class IncrementalBm25Spec extends AnyFunSuite {
       TextAnalysis.tfidfTopTerms(docs, topK = 3).collect().toSet)
   }
 
+  test("upsert re-indexes exactly the changed docs; scores equal one-shot " +
+      "over the final corpus; replay is a no-op") {
+    val dir = tmpDir("bm25idx-upsert")
+    // v1: a third of the corpus indexed with STALE text
+    val stale = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("text", concat(lit("STALE "), substring(col("text"), 1, 20)))
+    val nStale = IncrementalText.bm25Append(spark, dir, stale)
+    assert(nStale == stale.count())
+    // upsert the TRUE full corpus: the stale third re-indexes (content
+    // changed), the other two thirds are novel, nothing else tokenizes
+    val (novel, changed) = IncrementalText.bm25Upsert(spark, dir, docs)
+    assert(novel == docs.count() - stale.count(), s"novel=$novel")
+    assert(changed == stale.count(), s"changed=$changed")
+    // scores and stats now equal the one-shot operator over the truth —
+    // the superseded postings are dead, the additive stats row carried
+    // (new_dl − stale_dl)
+    assert(IncrementalText.indexedDocs(spark, dir) == docs.count())
+    assertSameScores(
+      IncrementalText.bm25FromIndex(spark, dir, terms),
+      TextAnalysis.bm25(docs, terms))
+    // crash replay: nothing's fingerprint changed the second time
+    assert(IncrementalText.bm25Upsert(spark, dir, docs) == ((0L, 0L)))
+    // the sibling scorer resolves liveness too
+    assert(
+      IncrementalText.tfidfTopTermsFromIndex(spark, dir, topK = 3)
+        .collect().toSet ==
+      TextAnalysis.tfidfTopTerms(docs, topK = 3).collect().toSet)
+  }
+
+  test("delete tombstones live docs only; a deleted doc can re-append; " +
+      "compaction drops the dead rows without changing a score") {
+    val dir = tmpDir("bm25idx-del")
+    IncrementalText.bm25Append(spark, dir, docs)
+    val gone = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val rest = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val nd = IncrementalText.bm25Delete(spark, dir, gone.select("doc_id"))
+    assert(nd == gone.count())
+    assert(IncrementalText.indexedDocs(spark, dir) == rest.count())
+    assertSameScores(
+      IncrementalText.bm25FromIndex(spark, dir, terms),
+      TextAnalysis.bm25(rest, terms))
+    // double delete / replay: no-op
+    assert(IncrementalText.bm25Delete(spark, dir, gone.select("doc_id")) == 0L)
+    // a deleted doc re-appends as NOVEL and resurrects (its new version
+    // outranks the tombstone)
+    val back = docs.filter(pmod(col("doc_id"), lit(14)) === 7)
+    assert(IncrementalText.bm25Append(spark, dir, back) == back.count())
+    val liveCorpus = rest.unionByName(back)
+    assertSameScores(
+      IncrementalText.bm25FromIndex(spark, dir, terms),
+      TextAnalysis.bm25(liveCorpus, terms))
+    assert(IncrementalText.indexedDocs(spark, dir) == liveCorpus.count())
+    // compaction physically drops tombstones + superseded postings;
+    // scores and stats are bit-identical after
+    IncrementalText.compactIndex(spark, dir, partitions = 4)
+    assertSameScores(
+      IncrementalText.bm25FromIndex(spark, dir, terms),
+      TextAnalysis.bm25(liveCorpus, terms))
+    assert(IncrementalText.indexedDocs(spark, dir) == liveCorpus.count())
+  }
+
   test("empty and token-free documents count toward n_docs like batch bm25") {
     val dir = tmpDir("bm25idx-empty")
     import spark.implicits._
