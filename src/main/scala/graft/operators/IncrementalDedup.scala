@@ -63,6 +63,7 @@ object IncrementalDedup {
     val spark = docs.sparkSession
     graft.util.WriterLease.withLease(spark, indexDir, "indexInit") {
       spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(indexDir, "keys")}")
+      dropGone(spark, indexDir) // a re-init claims the tombstones too
       val w = winners(docs, idCol, textCol)
       w.write.mode("overwrite").parquet(indexDir)
       docs.join(w.select(col(idCol)), Seq(idCol), "left_semi")
@@ -98,6 +99,18 @@ object IncrementalDedup {
       })
     val w = winners(batch, idCol, textCol)
     val novel = keysNovel(spark, indexDir, w, bucketed).localCheckpoint()
+    // a re-added gone content is novel again — clear its tombstone so a
+    // THIRD send dedups against this new copy. Cleared BEFORE the index
+    // append: a crash between the two steps then fails conservative
+    // (the old index row resurrects and the replayed batch drops the
+    // copy — a false drop, the module's usual crash direction — never a
+    // duplicate admitted).
+    goneKeys(spark, indexDir).foreach { g =>
+      val remaining = g.join(novel.select(col("_h1"), col("_h2")),
+        Seq("_h1", "_h2"), "left_anti").localCheckpoint()
+      if (remaining.count() < g.count())
+        writeGone(spark, indexDir, remaining)
+    }
     if (bucketed) appendBucketed(novel, indexDir, table, keyCols, indexBuckets)
     else novel.write.mode("append").parquet(indexDir)
     batch.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
@@ -111,12 +124,163 @@ object IncrementalDedup {
       w: DataFrame, bucketed: Boolean): DataFrame = {
     val idx = (if (bucketed) spark.table(indexTableName(indexDir, "keys"))
       else spark.read.parquet(indexDir)).select(col("_h1"), col("_h2"))
-    w.join(idx, Seq("_h1", "_h2"), "left_anti")
+    // tombstoned contents ([[dedupRemove]]) are not in the corpus anymore
+    // — subtract them so a re-send is novel again. Broadcast by
+    // construction (gone is bounded by outstanding removals), so the
+    // bucketed index scan stays exchange-free; the common no-removals
+    // case skips the node entirely.
+    val live = goneKeys(spark, indexDir).fold(idx)(g =>
+      idx.join(broadcast(g), Seq("_h1", "_h2"), "left_anti"))
+    w.join(live, Seq("_h1", "_h2"), "left_anti")
   }
 
-  /** Number of distinct contents the index currently covers. */
-  def indexSize(spark: SparkSession, indexDir: String): Long =
-    spark.read.parquet(indexDir).count()
+  /** Number of distinct LIVE contents the index currently covers
+    * (crash-replay duplicate rows and [[dedupRemove]] tombstones both
+    * excluded). */
+  def indexSize(spark: SparkSession, indexDir: String): Long = {
+    val keys = spark.read.parquet(indexDir).select(col("_h1"), col("_h2"))
+      .distinct()
+    goneKeys(spark, indexDir)
+      .fold(keys)(g => keys.join(broadcast(g), Seq("_h1", "_h2"), "left_anti"))
+      .count()
+  }
+
+  // ------------------------------------------------ content REMOVAL
+
+  /** tombstone snapshot for the exact-key index — a SIBLING dir (a subdir
+    * would pollute the flat parquet read of `indexDir` itself), holding
+    * versioned full snapshots `v-<n>-<uuid>`: the latest _SUCCESS-complete
+    * version wins, so every rewrite is atomic to readers and a crashed
+    * write is invisible. Bounded by OUTSTANDING removals (re-adds clear
+    * their rows; compaction resets it), so it stays broadcast-sized. */
+  private def goneDir(indexDir: String): String =
+    indexDir.stripSuffix("/") + "_gone"
+
+  private val goneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_h1",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_h2",
+      org.apache.spark.sql.types.LongType)))
+
+  // generic versioned-snapshot machinery, shared by every index type's
+  // tombstones: full snapshots `v-<n>-<uuid>`, the latest
+  // _SUCCESS-complete version wins (atomic to readers, crashed writes
+  // invisible), one predecessor kept for lease-free readers mid-scan
+  private def latestSnapVersion(fs: org.apache.hadoop.fs.FileSystem,
+      snapDir: String): Option[Path] = {
+    val dir = new Path(snapDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v-") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(p => p.getName.stripPrefix("v-").takeWhile(_.isDigit)
+        .foldLeft(0L)((a, c) => a * 10 + (c - '0')))
+      .lastOption
+  }
+
+  private def readSnap(spark: SparkSession, snapDir: String,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val fs = new Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestSnapVersion(fs, snapDir).map(p =>
+      spark.read.schema(schema).parquet(p.toString))
+  }
+
+  private def writeSnap(spark: SparkSession, snapDir: String,
+      df: DataFrame, cols: Seq[String]): Unit = {
+    val fs = new Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(snapDir)
+    val next = (if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("v-"))
+        .map(_.stripPrefix("v-").takeWhile(_.isDigit)
+          .foldLeft(0L)((a, c) => a * 10 + (c - '0')))
+        .foldLeft(0L)(math.max)) + 1L
+    val vName = f"v-$next%012d-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.select(cols.map(col): _*).distinct()
+      .write.parquet(new Path(dir, vName).toString)
+    // superseded versions: keep the immediate predecessor, reap older
+    val complete = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v-") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+    complete.dropRight(2).foreach(p =>
+      try { fs.delete(p, true); () } catch { case _: Exception => () })
+  }
+
+  private def dropSnap(spark: SparkSession, snapDir: String): Unit = {
+    val fs = new Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(snapDir)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** the tombstoned keys, None when no snapshot exists (the common,
+    * zero-overhead case: [[keysNovel]] skips the subtraction entirely) */
+  private def goneKeys(spark: SparkSession,
+      indexDir: String): Option[DataFrame] =
+    readSnap(spark, goneDir(indexDir), goneSchema)
+
+  private def writeGone(spark: SparkSession, indexDir: String,
+      df: DataFrame): Unit =
+    writeSnap(spark, goneDir(indexDir), df, Seq("_h1", "_h2"))
+
+  private def dropGone(spark: SparkSession, indexDir: String): Unit =
+    dropSnap(spark, goneDir(indexDir))
+
+  // ---- id-grain tombstones (near-dup / embed indexes, which key by id)
+
+  /** id tombstones live INSIDE the index dir (these layouts keep their
+    * tables in subdirs, so nothing flat-reads the root) */
+  private def goneIdsDir(indexDir: String): String =
+    s"${indexDir.stripSuffix("/")}/gone_ids"
+
+  private val goneIdsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def goneIds(spark: SparkSession,
+      indexDir: String): Option[DataFrame] =
+    readSnap(spark, goneIdsDir(indexDir), goneIdsSchema)
+
+  /** REMOVE contents from the index — the mutation face of
+    * [[dedupAppend]] (editorial takedown / erasure: a content removed
+    * from the corpus must be NOVEL again if it is ever re-sent, not
+    * silently dropped as a duplicate of a doc that no longer exists).
+    *
+    * O(removed + gone), never O(index): the matched keys land in the
+    * small versioned gone snapshot that [[keysNovel]] subtracts from the
+    * index scan (broadcast-sized — the bucketed exchange-free plan keeps
+    * its shape), and a batch that re-adds a gone content clears its row,
+    * so the snapshot is bounded by OUTSTANDING removals.
+    * [[compactIndex]] drops tombstoned keys physically and resets it.
+    *
+    * Self-guarding semantics: only keys whose recorded KEEPER id is
+    * among the removed rows tombstone — removing a doc whose content
+    * still lives in the corpus under a different keeper is a no-op, and
+    * so are replays / double-removes. Returns the contents tombstoned. */
+  def dedupRemove(spark: SparkSession, indexDir: String, removed: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Long =
+      graft.util.WriterLease.withLease(spark, indexDir, "dedupRemove") {
+    val table = indexTableName(indexDir, "keys")
+    val idx = if (spark.catalog.tableExists(table)) spark.table(table)
+      else spark.read.parquet(indexDir)
+    val gone0 = goneKeys(spark, indexDir)
+    val matched = removed.select(
+        seeded_hash64(col(textCol), lit(Seed1)).as("_h1"),
+        seeded_hash64(col(textCol), lit(Seed2)).as("_h2"),
+        col(idCol))
+      .join(idx, Seq("_h1", "_h2", idCol), "left_semi")
+      .select(col("_h1"), col("_h2")).distinct()
+    val fresh = gone0.fold(matched)(g =>
+      matched.join(g, Seq("_h1", "_h2"), "left_anti")).localCheckpoint()
+    val n = fresh.count()
+    if (n == 0L) return 0L
+    writeGone(spark, indexDir,
+      gone0.fold(fresh)(g => g.unionByName(fresh)))
+    n
+  }
 
   // ------------------------------------------------ incremental NEAR-dup
 
@@ -190,7 +354,18 @@ object IncrementalDedup {
       spark.sql(s"DROP TABLE IF EXISTS $sigsTable")
     }
 
-    val (shHashed, bnd) = batchSignatures(batch, n, k, bands, idCol, textCol)
+    // tombstoned ids ([[nearDedupRemove]]): their index rows stop
+    // suppressing (subtracted broadcast-side below), and batch rows
+    // CARRYING a tombstoned id are treated as already-seen — dropped
+    // from the output and never re-indexed, which keeps crash-replayed
+    // old batches no-ops (ids are immutable handles: restore content by
+    // re-ingesting under a fresh id)
+    val gone = goneIds(spark, indexDir)
+    val batchLive = gone.fold(batch)(g => batch.join(
+      broadcast(g.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti"))
+
+    val (shHashed, bnd) =
+      batchSignatures(batchLive, n, k, bands, idCol, textCol)
 
     // within-batch: smaller id wins, candidates from shared buckets
     val candWithin = bnd.as("x").join(bnd.as("y"),
@@ -227,7 +402,9 @@ object IncrementalDedup {
       Dedup.verifyJaccardPairs(candWithin, shHashed, threshold)
         .select(col("id_b").as("id")).distinct()
     } else if (!bucketedMode) {
-      val idxBands = spark.read.parquet(bandsDir)
+      val idxBands = gone.fold(spark.read.parquet(bandsDir))(g =>
+        spark.read.parquet(bandsDir)
+          .join(broadcast(g), Seq("id"), "left_anti"))
       val candCross = idxBands.as("x").join(bnd.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.band_hash") === col("y.band_hash"))
@@ -243,11 +420,11 @@ object IncrementalDedup {
           threshold)
         .select(col("id_b").as("id"))
       val droppedCross = crossDropped(spark, indexDir, bnd, shHashed,
-        threshold, indexBuckets)
+        threshold, indexBuckets, gone)
       droppedWithin.unionByName(droppedCross).distinct()
     }
 
-    val kept = batch.join(
+    val kept = batchLive.join(
         dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint() // decided BEFORE the index grows below
     // an all-short batch has nothing to index: a write of an empty frame
@@ -353,10 +530,15 @@ object IncrementalDedup {
     * IncrementalNearDedupSpec). */
   private[graft] def crossDropped(spark: SparkSession, indexDir: String,
       bnd: DataFrame, shHashed: DataFrame, threshold: Double,
-      indexBuckets: Int): DataFrame = {
-    val idxBands = bucketedIndexTable(spark, s"$indexDir/bands",
+      indexBuckets: Int,
+      gone: Option[DataFrame] = None): DataFrame = {
+    val idxBands0 = bucketedIndexTable(spark, s"$indexDir/bands",
       indexTableName(indexDir, "bands"), Seq("band_idx", "band_hash"),
       indexBuckets)
+    // tombstoned ids subtract via a broadcast anti-join: the bucketed
+    // band scan stays exchange-free
+    val idxBands = gone.fold(idxBands0)(g =>
+      idxBands0.join(broadcast(g), Seq("id"), "left_anti"))
     val idxSigs = requireHashedSigs(
       bucketedIndexTable(spark, s"$indexDir/sigs",
         indexTableName(indexDir, "sigs"), Seq("id"), indexBuckets),
@@ -368,6 +550,79 @@ object IncrementalDedup {
       .distinct()
     Dedup.verifyJaccardPairsAB(candCross, idxSigs, shHashed, threshold)
       .select(col("id_b").as("id"))
+  }
+
+  /** REMOVE documents (by id) from the near-dup index — the mutation
+    * face of [[nearDedupAppend]] (editorial takedown / erasure: a
+    * removed document must stop suppressing future near-duplicates of
+    * itself). O(removed + gone), never an index rewrite: matched ids
+    * land in a small versioned `gone_ids` snapshot that every index-side
+    * read subtracts via a forced broadcast (the bucketed exchange-free
+    * plan keeps its shape); [[compactIndex]] drops their rows physically
+    * and resets the snapshot.
+    *
+    * Ids are IMMUTABLE handles here: removal is permanent for the id —
+    * restore content by re-ingesting under a FRESH id (sigs are per-id
+    * shingle sets, so resurrecting an id could mix two content versions
+    * into one set and corrupt every Jaccard it appears in). Batch rows
+    * carrying a tombstoned id are treated as already-seen: dropped from
+    * the output, never re-indexed — a crash-replayed old batch stays a
+    * no-op. Unknown / already-removed ids no-op. Returns the number of
+    * ids tombstoned. */
+  def nearDedupRemove(spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long =
+      graft.util.WriterLease.withLease(spark, indexDir, "nearDedupRemove") {
+    val sigsDir = s"$indexDir/sigs"
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(sigsDir)) || indexBytes(fs, sigsDir) == 0L)
+      return 0L
+    val sigsTable = indexTableName(indexDir, "sigs")
+    val idx = if (spark.catalog.tableExists(sigsTable)) spark.table(sigsTable)
+      else spark.read.parquet(sigsDir)
+    val gone0 = goneIds(spark, indexDir)
+    val tgt = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(idx.select(col("id")), Seq("id"), "left_semi")
+    val fresh = gone0.fold(tgt)(g =>
+      tgt.join(g, Seq("id"), "left_anti")).localCheckpoint()
+    val n = fresh.count()
+    if (n == 0L) return 0L
+    writeSnap(spark, goneIdsDir(indexDir),
+      gone0.fold(fresh)(g => g.unionByName(fresh)), Seq("id"))
+    n
+  }
+
+  /** REMOVE vectors (by id) from the embedding near-dup index — the
+    * mutation face of [[embedDedupAppend]], same contract as
+    * [[nearDedupRemove]]: O(removed + gone) versioned `gone_ids`
+    * tombstones, broadcast-subtracted from the vecs scan (exchange-free
+    * shape preserved), permanent per id, batch rows carrying a
+    * tombstoned id treated as already-seen. Stored radii stay put:
+    * they are UPPER bounds per cell, so pruning remains lossless after
+    * a removal — only slightly less tight until [[compactIndex]] drops
+    * the rows physically (its opt-in model refresh recomputes radii
+    * from the surviving vectors). */
+  def embedDedupRemove(spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String = "vec_id"): Long =
+      graft.util.WriterLease.withLease(spark, indexDir, "embedDedupRemove") {
+    val vecsDir = s"$indexDir/vecs"
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(vecsDir)) || indexBytes(fs, vecsDir) == 0L)
+      return 0L
+    val vecsTable = indexTableName(indexDir, "vecs")
+    val idx = if (spark.catalog.tableExists(vecsTable)) spark.table(vecsTable)
+      else spark.read.parquet(vecsDir)
+    val gone0 = goneIds(spark, indexDir)
+    val tgt = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(idx.select(col("id")), Seq("id"), "left_semi")
+    val fresh = gone0.fold(tgt)(g =>
+      tgt.join(g, Seq("id"), "left_anti")).localCheckpoint()
+    val n = fresh.count()
+    if (n == 0L) return 0L
+    writeSnap(spark, goneIdsDir(indexDir),
+      gone0.fold(fresh)(g => g.unionByName(fresh)), Seq("id"))
+    n
   }
 
   /** Index format guard: format v2 stores `sh` xxhash64'd as
@@ -483,16 +738,23 @@ object IncrementalDedup {
       indexBytes(fs, vecsDir) > 0
     if (!haveIndex) spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
 
+    // tombstoned ids ([[embedDedupRemove]]): index rows stop suppressing,
+    // batch rows carrying a tombstoned id are already-seen (dropped,
+    // never re-indexed) — replayed old batches stay no-ops
+    val gone = goneIds(spark, indexDir)
+    val batchLive = gone.fold(batch)(g => batch.join(
+      broadcast(g.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti"))
+
     val model =
       if (haveIndex) loadCentroids(spark, modelDir)
       else {
-        val m = IVF.fit(batch, cells, sampleN, iters, seed, idCol, embCol)
+        val m = IVF.fit(batchLive, cells, sampleN, iters, seed, idCol, embCol)
         saveCentroids(spark, modelDir, m)
         m
       }
     val k = model.centroids.length
 
-    val assigned = IVF.index(batch, model, embCol)
+    val assigned = IVF.index(batchLive, model, embCol)
       .select(col(idCol).as("id"), col(embCol).as("e"),
         col("ivf_cell").as("cell"))
       .localCheckpoint()
@@ -542,13 +804,15 @@ object IncrementalDedup {
             indexBuckets)
           spark.table(vecsTable)
         } else spark.read.parquet(vecsDir)
-      val xCross = hist.select(col("id").as("id_a"), col("e").as("e_a"),
+      val histLive = gone.fold(hist)(g =>
+        hist.join(broadcast(g), Seq("id"), "left_anti"))
+      val xCross = histLive.select(col("id").as("id_a"), col("e").as("e_a"),
         col("cell").as("ca"))
       droppedWithin.unionByName(
         embedDroppedVs(xCross, yb, cellPairs, ordered = false, threshold))
     } else droppedWithin).distinct()
 
-    val kept = batch.join(
+    val kept = batchLive.join(
         dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint() // decided BEFORE the index grows below
     if (!placeable.isEmpty) {
@@ -911,24 +1175,25 @@ object IncrementalDedup {
     val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
     recoverIvfRefresh(spark, fs, indexDir)
 
-    def compactPlain(dir: String): Unit = {
+    def compactPlain(dir: String,
+        xform: DataFrame => DataFrame = identity): Unit = {
       recoverCompactLeftover(fs, dir)
       if (exists(dir)) {
         val df = spark.read.parquet(dir)
         val before = df.count()
-        val d = df.distinct().localCheckpoint()
+        val d = xform(df).distinct().localCheckpoint()
         val after = d.count()
         if (after < before) swapInPlace(fs, dir, d)
         out(dir) = (before, after)
       }
     }
-    def compactBucketed(dir: String, part: String,
-        bucketCols: Seq[String]): Unit = if (exists(dir)) {
+    def compactBucketed(dir: String, part: String, bucketCols: Seq[String],
+        xform: DataFrame => DataFrame = identity): Unit = if (exists(dir)) {
       val table = indexTableName(indexDir, part)
       val src = if (spark.catalog.tableExists(table)) spark.table(table)
         else spark.read.parquet(dir)
       val before = src.count()
-      val d = src.distinct().localCheckpoint()
+      val d = xform(src).distinct().localCheckpoint()
       val after = d.count()
       if (after < before) {
         // same tmp-dir-then-swap discipline as promoteToBucketed: the
@@ -961,21 +1226,37 @@ object IncrementalDedup {
     // layout-aware: a dir whose catalog table exists compacts THROUGH
     // the table (preserving the bucketed layout); a still-plain dir
     // compacts as bare parquet and stays plain
-    def compactAuto(dir: String, part: String,
-        bucketCols: Seq[String]): Unit =
+    def compactAuto(dir: String, part: String, bucketCols: Seq[String],
+        xform: DataFrame => DataFrame = identity): Unit =
       if (spark.catalog.tableExists(indexTableName(indexDir, part)))
-        compactBucketed(dir, part, bucketCols)
-      else compactPlain(dir)
+        compactBucketed(dir, part, bucketCols, xform)
+      else compactPlain(dir, xform)
 
-    // flat exact-dedup index: parquet files directly under indexDir
+    // flat exact-dedup index: parquet files directly under indexDir.
+    // Outstanding [[dedupRemove]] tombstones drop PHYSICALLY here (the
+    // rewrite anti-joins them away) and the snapshot resets — after
+    // compaction every surviving index row is live again.
     val flatFiles = exists(indexDir) &&
       fs.listStatus(new Path(indexDir)).exists(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (flatFiles) compactAuto(indexDir, "keys", Seq("_h1", "_h2"))
+    if (flatFiles) {
+      val gone = goneKeys(spark, indexDir)
+      compactAuto(indexDir, "keys", Seq("_h1", "_h2"),
+        df => gone.fold(df)(g =>
+          df.join(broadcast(g), Seq("_h1", "_h2"), "left_anti")))
+      if (gone.isDefined) dropGone(spark, indexDir)
+    }
     compactAuto(s"$indexDir/grams", "grams", Seq("h"))
-    compactAuto(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"))
-    compactAuto(s"$indexDir/sigs", "sigs", Seq("id"))
-    compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"))
+    // id tombstones (nearDedupRemove / embedDedupRemove) drop PHYSICALLY
+    // here from every id-keyed table, then the snapshot resets
+    val goneI = goneIds(spark, indexDir)
+    def dropIds(df: DataFrame): DataFrame =
+      goneI.fold(df)(g => df.join(broadcast(g), Seq("id"), "left_anti"))
+    compactAuto(s"$indexDir/bands", "bands", Seq("band_idx", "band_hash"),
+      dropIds)
+    compactAuto(s"$indexDir/sigs", "sigs", Seq("id"), dropIds)
+    compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"), dropIds)
+    if (goneI.isDefined) dropSnap(spark, goneIdsDir(indexDir))
     // opt-in IVF model re-cluster (see the method doc): rebuild
     // centroids from the index's own vectors, re-assign, recompute radii
     // exactly, and commit the consistent (model, radii, vecs) triple via
@@ -1137,6 +1418,7 @@ object IncrementalDedup {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    dropGone(spark, dir) // the sibling tombstone snapshot goes with it
     dir
   }
 }

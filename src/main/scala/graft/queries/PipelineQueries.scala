@@ -350,6 +350,30 @@ object PipelineQueries {
       val r2 = IncrementalDedup.dedupAppend(s, idx, p.filter(col("phase") === 2))
       r0.unionByName(r1).unionByName(r2).select(col("doc_id"), col("phase"))
     }),
+    // exact-dedup index MUTATION: after two phases, the keepers with
+    // doc_id % 5 == 0 are REMOVED from the corpus (dedupRemove — an
+    // O(removed) tombstone, never an index rewrite), so phase 2's
+    // re-occurrences of those contents are NOVEL again with a fresh
+    // keeper, while still-covered contents keep deduping. The oracle
+    // replays the phase-ordered keeper semantics with the removal in
+    // between — a tombstone that failed to bite (phase-2 copy dropped)
+    // or leaked (still-covered content re-admitted) hash-mismatches.
+    "q_dedup_incr_remove" -> ((s, d) => {
+      val p = documents(s, d)
+        .withColumn("phase", pmod(col("doc_id"), lit(3)))
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        "remove_" + new java.io.File(d).getName)
+      val r0 = IncrementalDedup.indexInit(p.filter(col("phase") === 0), idx)
+      val r1 = IncrementalDedup.dedupAppend(s, idx, p.filter(col("phase") === 1))
+      val kept01 = r0.unionByName(r1).localCheckpoint()
+      val removed = kept01.filter(pmod(col("doc_id"), lit(5)) === 0)
+      IncrementalDedup.dedupRemove(s, idx, removed)
+      // replayed removal: already-tombstoned keys no-op
+      IncrementalDedup.dedupRemove(s, idx, removed)
+      val r2 = IncrementalDedup.dedupAppend(s, idx, p.filter(col("phase") === 2))
+      kept01.filter(pmod(col("doc_id"), lit(5)) =!= 0).unionByName(r2)
+        .select(col("doc_id"), col("phase"))
+    }),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), threshold = 0.5)),
     // incremental NEAR-dup via the durable LSH band index: three
@@ -366,6 +390,32 @@ object PipelineQueries {
           p.filter(col("phase") === ph), threshold = 0.5)
       }
       parts.reduce(_.unionByName(_)).select(col("doc_id"), col("phase"))
+    }),
+    // near-dup index MUTATION: after phases 0-1, every id with
+    // doc_id % 5 == 0 is REMOVED (nearDedupRemove — id-grain tombstones,
+    // O(removed), broadcast-subtracted from the index side), so phase
+    // 2's near-duplicates of those docs are KEPT (their suppressors are
+    // gone) while everything else still dedups drop-if-any-earlier. The
+    // oracle replays exact-Jaccard suppression with the removed ids
+    // excluded from the suppressor set — a tombstone that failed to
+    // bite or leaked hash-mismatches.
+    "q_dedup_incr_nearrm" -> ((s, d) => {
+      val p = documents(s, d)
+        .withColumn("phase", pmod(col("doc_id"), lit(3)))
+      val idx = IncrementalDedup.scratchIndexDir(s,
+        "nearrm_" + new java.io.File(d).getName)
+      val k0 = IncrementalDedup.nearDedupAppend(s, idx,
+        p.filter(col("phase") === 0), threshold = 0.5)
+      val k1 = IncrementalDedup.nearDedupAppend(s, idx,
+        p.filter(col("phase") === 1), threshold = 0.5)
+      val r = p.filter(col("phase") <= 1 &&
+        pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
+      IncrementalDedup.nearDedupRemove(s, idx, r)
+      IncrementalDedup.nearDedupRemove(s, idx, r) // replay: no-op
+      val k2 = IncrementalDedup.nearDedupAppend(s, idx,
+        p.filter(col("phase") === 2), threshold = 0.5)
+      k0.unionByName(k1).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .unionByName(k2).select(col("doc_id"), col("phase"))
     }),
     // incremental duplicate-SPAN detection via the durable gram index:
     // three append batches; each reports spans duplicated within itself
@@ -2281,6 +2331,27 @@ object PipelineQueries {
          SELECT min(p.doc_id) AS doc_id, p.phase
          FROM p JOIN firstp ON p.text = firstp.text AND p.phase = firstp.ph
          GROUP BY p.text, p.phase""",
+    // phase-ordered keepers with the %5 takedown in between: a content
+    // whose phase-0/1 keeper was removed gets a FRESH phase-2 keeper;
+    // a surviving content's phase-2 copies still drop
+    "q_dedup_incr_remove" ->
+      """WITH p AS (
+           SELECT doc_id, text, doc_id % 3 AS phase FROM documents),
+         p01 AS (SELECT * FROM p WHERE phase <= 1),
+         firstp AS (SELECT text, min(phase) AS ph FROM p01 GROUP BY 1),
+         k01 AS (
+           SELECT min(p01.doc_id) AS doc_id, p01.phase, p01.text
+           FROM p01 JOIN firstp
+             ON p01.text = firstp.text AND p01.phase = firstp.ph
+           GROUP BY p01.text, p01.phase),
+         live01 AS (SELECT * FROM k01 WHERE doc_id % 5 <> 0),
+         r2 AS (
+           SELECT min(doc_id) AS doc_id, CAST(2 AS BIGINT) AS phase
+           FROM p WHERE phase = 2
+             AND text NOT IN (SELECT text FROM live01)
+           GROUP BY text)
+         SELECT doc_id, phase FROM live01
+         UNION ALL SELECT doc_id, phase FROM r2""",
     // composed curation chain: each stage's SQL is the already-proven
     // oracle body of its standalone query (dedup_exact / text_stats /
     // text_quality), composed via CTEs exactly as the Spark plan chains
@@ -2373,6 +2444,45 @@ object PipelineQueries {
          SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS phase
          FROM documents
          WHERE doc_id NOT IN (SELECT d FROM dropped)""",
+    // near-dup suppression with the %5 ids struck from the suppressor
+    // set for phase 2 (they were removed before that batch), and struck
+    // from the surviving output entirely
+    "q_dedup_incr_nearrm" ->
+      """WITH sh AS (
+           SELECT doc_id AS id, list_distinct(list_transform(
+             range(len(string_split(lower(text),' ')) - 2),
+             i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' '))) AS sh
+           FROM documents),
+         sizes AS (SELECT id, len(sh) AS sz FROM sh),
+         inv AS (SELECT id, unnest(sh) AS s FROM sh),
+         shared AS (
+           SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+           FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM shared
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5),
+         edges AS (
+           SELECT id_a AS e, id_b AS d FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         dropped01 AS (
+           SELECT DISTINCT d FROM edges
+           WHERE d % 3 <= 1 AND e % 3 <= 1
+             AND ((e % 3 < d % 3) OR (e % 3 = d % 3 AND e < d))),
+         dropped2 AS (
+           SELECT DISTINCT d FROM edges
+           WHERE d % 3 = 2 AND (
+             (e % 3 <= 1 AND e % 5 <> 0)
+             OR (e % 3 = 2 AND e < d)))
+         SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS phase FROM documents
+         WHERE doc_id % 3 <= 1 AND doc_id % 5 <> 0
+           AND doc_id NOT IN (SELECT d FROM dropped01)
+         UNION ALL
+         SELECT doc_id, CAST(2 AS BIGINT) AS phase FROM documents
+         WHERE doc_id % 3 = 2
+           AND doc_id NOT IN (SELECT d FROM dropped2)""",
     // incremental-span replay over raw gram STRINGS (stricter than the
     // hash: a Hash64 collision in the Spark path would fail here): a
     // position in phase p is duplicated iff its window's cumulative

@@ -328,6 +328,88 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     assert(again.count() == 0, s"resend kept ${again.count()}")
   }
 
+  test("nearDedupRemove: a removed doc stops suppressing, tombstoned ids " +
+      "stay dead, compaction drops their rows") {
+    import spark.implicits._
+    // 40 mutually non-matching docs (every 3-shingle carries an
+    // i-specific token, so cross-doc Jaccard is 0 and the only possible
+    // suppressor of a content is a copy of itself)
+    def mkDocs(ids: Seq[Long], shift: Long = 0L) = ids.map(i =>
+      (i + shift, s"unique words alpha$i beta$i gamma$i delta$i eps$i"))
+      .toDF("doc_id", "text")
+    val ids = (1L to 40L).toSeq
+    val idx = IncrementalDedup.scratchIndexDir(spark, "near-remove")
+    val k1 = IncrementalDedup.nearDedupAppend(spark, idx, mkDocs(ids))
+    assert(k1.count() == 40)
+    // exact resends suppress (J = 1 against history)
+    assert(IncrementalDedup.nearDedupAppend(spark, idx,
+      mkDocs(ids, shift = 1000L)).count() == 0)
+    // takedown of 5 contents: BOTH copies' ids (the original and the
+    // dropped resend are each indexed as suppressors)
+    val tgt = ids.take(5)
+    val rmIds = (tgt ++ tgt.map(_ + 1000L)).toDF("doc_id")
+    assert(IncrementalDedup.nearDedupRemove(spark, idx, rmIds) == 10L)
+    // replays no-op
+    assert(IncrementalDedup.nearDedupRemove(spark, idx, rmIds) == 0L)
+    // the removed contents re-admit under FRESH ids; untouched contents
+    // stay suppressed
+    val k2 = IncrementalDedup.nearDedupAppend(spark, idx,
+      mkDocs(ids, shift = 2000L))
+    assert(k2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      tgt.map(_ + 2000L).toSet, "exactly the removed contents re-admit")
+    // a replayed OLD batch carrying tombstoned ids is a no-op: those
+    // rows are already-seen, the rest still suppressed by history
+    assert(IncrementalDedup.nearDedupAppend(spark, idx,
+      mkDocs(ids, shift = 1000L)).count() == 0)
+    // compaction drops the tombstoned rows physically and resets the
+    // snapshot; the re-admitted copies now suppress
+    IncrementalDedup.compactIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/gone_ids")))
+    val sigIds = spark.read.parquet(s"$idx/sigs").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(tgt.forall(t => !sigIds.contains(t) && !sigIds.contains(t + 1000L)),
+      "tombstoned ids still in sigs after compaction")
+    assert(IncrementalDedup.nearDedupAppend(spark, idx,
+      mkDocs(ids, shift = 3000L)).count() == 0)
+  }
+
+  test("embedDedupRemove: removed vectors stop suppressing; radii stay " +
+      "lossless upper bounds") {
+    import spark.implicits._
+    // 24 one-hot vectors (dim 32): cross cosine 0, self cosine 1 — the
+    // only suppressor of a vector is a copy of itself
+    def mkVecs(ids: Seq[Long], shift: Long = 0L) = ids.map(i =>
+      (i + shift, Array.tabulate(32)(d =>
+        if (d == (i % 32).toInt) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ids = (1L to 24L).toSeq
+    val idx = IncrementalDedup.scratchIndexDir(spark, "embed-remove")
+    assert(IncrementalDedup.embedDedupAppend(spark, idx, mkVecs(ids),
+      threshold = 0.4, cells = 4).count() == 24)
+    assert(IncrementalDedup.embedDedupAppend(spark, idx,
+      mkVecs(ids, shift = 1000L), threshold = 0.4, cells = 4).count() == 0)
+    val tgt = ids.take(4)
+    val rmIds = (tgt ++ tgt.map(_ + 1000L)).toDF("vec_id")
+    assert(IncrementalDedup.embedDedupRemove(spark, idx, rmIds) == 8L)
+    assert(IncrementalDedup.embedDedupRemove(spark, idx, rmIds) == 0L)
+    val k2 = IncrementalDedup.embedDedupAppend(spark, idx,
+      mkVecs(ids, shift = 2000L), threshold = 0.4, cells = 4)
+    assert(k2.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      tgt.map(_ + 2000L).toSet, "exactly the removed vectors re-admit")
+    // replayed old batch carrying tombstoned ids: no-op
+    assert(IncrementalDedup.embedDedupAppend(spark, idx,
+      mkVecs(ids, shift = 1000L), threshold = 0.4, cells = 4).count() == 0)
+    // compaction drops the rows; the re-admitted copies now suppress
+    IncrementalDedup.compactIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/gone_ids")))
+    assert(IncrementalDedup.embedDedupAppend(spark, idx,
+      mkVecs(ids, shift = 3000L), threshold = 0.4, cells = 4).count() == 0)
+  }
+
   test("IVF model refresh at compaction preserves decisions, stays exchange-free") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("phase", pmod(col("vec_id"), lit(3)))
@@ -430,6 +512,38 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     val spanBucketed = spanRun("span-gate-bucketed", 0L)
     assert(spanPlain == spanBucketed,
       s"missing=${spanPlain -- spanBucketed} extra=${spanBucketed -- spanPlain}")
+  }
+
+  test("a tombstone snapshot keeps the bucketed novelty scan exchange-free") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("phase", pmod(col("doc_id"), lit(3)))
+    val idx = IncrementalDedup.scratchIndexDir(spark, "exact-gone-plan")
+    val r0 = IncrementalDedup.indexInit(docs.filter(col("phase") === 0), idx)
+    // promote immediately, then tombstone a few keepers
+    IncrementalDedup.dedupAppend(spark, idx, docs.filter(col("phase") === 1),
+      bucketReadThresholdBytes = 0L).collect()
+    val removed = r0.filter(pmod(col("doc_id"), lit(5)) === 0).localCheckpoint()
+    assert(IncrementalDedup.dedupRemove(spark, idx, removed) == removed.count())
+    // the gone subtraction must ride a BROADCAST anti-join: the big
+    // bucketed index side still reads pre-partitioned with zero shuffle
+    val w = IncrementalDedup.winners(docs.filter(col("phase") === 2),
+      "doc_id", "text")
+    val plan = IncrementalDedup.keysNovel(spark, idx, w, bucketed = true)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one exchange at most: the batch's winners; never the index scan
+    assert(shuffles <= 1, s"index side shuffled under tombstones:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      "(?i)broadcast".r.findFirstIn(plan).isDefined,
+      s"gone subtraction not broadcast:\n$plan")
+    // and the decisions still reflect the tombstones end-to-end through
+    // the bucketed path: every removed content re-admits exactly once
+    val back = removed.withColumn("doc_id", col("doc_id") + 1000000L)
+    assert(IncrementalDedup.dedupAppend(spark, idx, back,
+      bucketReadThresholdBytes = 0L).count() == removed.count())
+    assert(IncrementalDedup.dedupAppend(spark, idx,
+      back.withColumn("doc_id", col("doc_id") + 1000000L),
+      bucketReadThresholdBytes = 0L).count() == 0L)
   }
 
   test("span index growth is bounded by distinct windows across batches") {

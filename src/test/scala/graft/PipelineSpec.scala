@@ -1286,6 +1286,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(IncrementalDedup.indexSize(spark, idx) == got.size)
   }
 
+  test("dedup removal: a removed content re-admits once, non-keepers and " +
+      "replays no-op, compaction drops the tombstones physically") {
+    import graft.operators.IncrementalDedup
+    val p = docs.withColumn("phase", pmod(col("doc_id"), lit(3)))
+    val idx = IncrementalDedup.scratchIndexDir(spark, "spec-remove")
+    val r0 = IncrementalDedup.indexInit(p.filter(col("phase") === 0), idx)
+    val r1 = IncrementalDedup.dedupAppend(spark, idx,
+      p.filter(col("phase") === 1))
+    val kept = r0.unionByName(r1).localCheckpoint()
+    val total = IncrementalDedup.indexSize(spark, idx)
+
+    // editorial takedown of some keepers
+    val removed = kept.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .localCheckpoint()
+    val nRemoved = removed.count()
+    assert(nRemoved > 0, "fixture must remove something")
+    assert(IncrementalDedup.dedupRemove(spark, idx, removed) == nRemoved)
+    assert(IncrementalDedup.indexSize(spark, idx) == total - nRemoved)
+    // replay / double-remove: no-op
+    assert(IncrementalDedup.dedupRemove(spark, idx, removed) == 0L)
+    // removing a NON-keeper copy of surviving content is a no-op (the
+    // content still lives in the corpus under its keeper)
+    val nonKeeper = kept.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    assert(IncrementalDedup.dedupRemove(spark, idx, nonKeeper) == 0L)
+    assert(IncrementalDedup.indexSize(spark, idx) == total - nRemoved)
+
+    // a re-send of the removed contents (new ids) is NOVEL again …
+    val back = removed.withColumn("doc_id", col("doc_id") + 1000000L)
+    val readmitted = IncrementalDedup.dedupAppend(spark, idx, back)
+      .localCheckpoint()
+    assert(readmitted.count() == nRemoved)
+    assert(IncrementalDedup.indexSize(spark, idx) == total)
+    // … and exactly once: a THIRD send dedups against the new copy
+    val third = removed.withColumn("doc_id", col("doc_id") + 2000000L)
+    assert(IncrementalDedup.dedupAppend(spark, idx, third).count() == 0)
+
+    // compaction drops tombstoned keys physically and resets the
+    // snapshot; decisions are unchanged after
+    val rm2 = readmitted.limit(2).localCheckpoint()
+    val n2 = rm2.count()
+    assert(IncrementalDedup.dedupRemove(spark, idx, rm2) == n2)
+    IncrementalDedup.compactIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "_gone")),
+      "compaction must reset the tombstone snapshot")
+    assert(IncrementalDedup.indexSize(spark, idx) == total - n2)
+    assert(IncrementalDedup.dedupAppend(spark, idx,
+      rm2.withColumn("doc_id", col("doc_id") + 3000000L)).count() == n2)
+  }
+
   test("subword tokenizer: greedy longest match, char fallback, count parity") {
     import graft.operators.SubwordTokenizer
     val s = spark
