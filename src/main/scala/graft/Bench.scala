@@ -321,6 +321,93 @@ object Bench {
       Map(s"durable_ab_failed_${tag}pct" -> 1.0)
     }
 
+    // REPAIR vs INVALIDATE A/B (1% block only): a declared rewrite of
+    // ONE day deep in history, remedied the new way (cache.repairRange →
+    // the warm run drops only that day's buckets and re-scans the day +
+    // the delta, directory-pruned by the ts_day layout) against the old
+    // way (invalidateForTable → full-history cold rebuild). Same durable
+    // cache, same dashboard-grain state (ent × day — repair needs a
+    // bucket key), identical final state and answers on both legs. 3
+    // paired reps on cloned warm dirs, alternating order; ratios =
+    // median invalidate/repair for seconds AND scan rows — the rows
+    // ratio is the scale-invariant face: at 100 TB the rebuild rescans
+    // everything while the repair reads one day + the append.
+    val repairAb: Map[String, Double] = if (tag != 1) Map.empty else try {
+      def qRep(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          expr("event_id DIV 1024").as("ent"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      val cacheBase = s"${sys.props("java.io.tmpdir")}/graft_bench/repcache"
+      val cacheBasePath = new org.apache.hadoop.fs.Path(cacheBase)
+      if (fs.exists(cacheBasePath)) fs.delete(cacheBasePath, true)
+      val coldDir = s"$cacheBase/cold"
+      def cfgRep(dir: String, now: Option[Long]) =
+        QueryCacheConfig(new graft.cache.ParquetQueryCache(dir),
+          defaultTemporalColumn = "ts", overrideNowMicros = now,
+          strictUpperBound = true)
+          .withTemporalPartitioning("ts_day")
+      // cold over history, one warm settle on the post-append table —
+      // both legs then clone the same settled entry at the same watermark
+      QueryCacheSession(spark, cfgRep(coldDir, Some(splitUs)))
+        .run(qRep(tableWarm)).collect()
+      QueryCacheSession(spark, cfgRep(coldDir, None))
+        .run(qRep(tableWarm)).collect()
+      // the rewritten day: ~30th time percentile, UTC-day aligned — deep
+      // inside history so the repair's bounded re-scan has something to
+      // prove against the rebuild's full scan
+      val p30 = Tables.events(spark, sfDir).selectExpr(
+        "CAST(percentile_approx(unix_micros(ts), 0.3) AS LONG)")
+        .first().getLong(0)
+      val dayUs = 86400000000L
+      val dayLo = p30 - java.lang.Math.floorMod(p30, dayUs)
+      val dayHi = dayLo + dayUs
+      def copyDir(dst: String): Unit = {
+        val d = new org.apache.hadoop.fs.Path(dst)
+        fs.delete(d, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(coldDir), fs, d, false,
+          spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+      val legs = (0 until 3).map { i =>
+        val (rd, vd) = (s"$cacheBase/rep$i", s"$cacheBase/inv$i")
+        copyDir(rd); copyDir(vd)
+        def repLeg(): (Double, Long) = {
+          require(new graft.cache.ParquetQueryCache(rd)
+            .repairRange(work, dayLo, dayHi) >= 1, "repair matched nothing")
+          dropOsPageCache()
+          timedScan(QueryCacheSession(spark, cfgRep(rd, None))
+            .run(qRep(tableWarm)).collect())
+        }
+        def invLeg(): (Double, Long) = {
+          require(new graft.cache.ParquetQueryCache(vd)
+            .invalidateForTable(work) >= 1, "invalidate matched nothing")
+          dropOsPageCache()
+          timedScan(QueryCacheSession(spark, cfgRep(vd, None))
+            .run(qRep(tableWarm)).collect())
+        }
+        if (i % 2 == 0) { val r = repLeg(); val v = invLeg(); (r, v) }
+        else { val v = invLeg(); val r = repLeg(); (r, v) }
+      }
+      legs.zipWithIndex.flatMap { case (((rs, rr), (vs, vr)), i) => Seq(
+        s"repair_${tag}pct_rep$i" -> rs,
+        s"invalidate_${tag}pct_rep$i" -> vs,
+        s"repair_${tag}pct_rows_rep$i" -> rr.toDouble,
+        s"invalidate_${tag}pct_rows_rep$i" -> vr.toDouble) }.toMap ++ Map(
+        s"repair_${tag}pct_sec" -> median(legs.map(_._1._1)),
+        s"invalidate_${tag}pct_sec" -> median(legs.map(_._2._1)),
+        s"repair_speedup_${tag}pct" ->
+          median(legs.map(l => l._2._1 / l._1._1)),
+        s"repair_scan_reduction_${tag}pct" -> {
+          val valid = legs.collect {
+            case l if l._1._2 > 0 => l._2._2.toDouble / l._1._2 }
+          if (valid.nonEmpty) median(valid) else -1.0
+        })
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] repair A/B failed: $e")
+      Map(s"repair_ab_failed_${tag}pct" -> 1.0)
+    }
+
     // per-rep raw seconds ride along (cold_1pct_rep0…) so a reader can
     // audit the run-to-run variance behind every median directly from the
     // artifact — one background stall is then visible, not hidden.
@@ -334,7 +421,7 @@ object Bench {
         colds.zipWithIndex.map { case (c, i) => s"cold_full_${tag}pct_rep$i" -> c._1 } ++
         vanPres.zipWithIndex.map { case (v, i) => s"vanilla_pre_${tag}pct_rep$i" -> v._1 } ++
         vanPosts.zipWithIndex.map { case (v, i) => s"vanilla_${tag}pct_rep$i" -> v._1 }).toMap
-    perRep ++ durable ++ Map(
+    perRep ++ durable ++ repairAb ++ Map(
       s"cold_${tag}pct_sec" -> median(coldPres.map(_._1)),
       s"cold_full_${tag}pct_sec" -> median(colds.map(_._1)),
       s"warm_${tag}pct_sec" -> median(warms.map(_._1)),
@@ -512,7 +599,7 @@ object Bench {
         if w > 0
       } yield c / w
       val partialKey = if (partial) """"partial":true,""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":5,$partialKey"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"regressions":${fmt(regressions)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":6,$partialKey"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"regressions":${fmt(regressions)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
     }
     // self-preserving artifact: the driver captures stdout's tail, which
     // has truncated the per-query section before — persist the full line
@@ -575,7 +662,7 @@ object Bench {
     def gate(k: String): String =
       incr.get(k).map(v => String.format(
         java.util.Locale.ROOT, "%.4f", Double.box(v))).getOrElse("null")
-    val gatesJson = s"""{"metric":"gates","bench_schema":5,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"warm_scan_reduction_1pct":${
+    val gatesJson = s"""{"metric":"gates","bench_schema":6,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"repair_speedup_1pct":${gate("repair_speedup_1pct")},"repair_scan_reduction_1pct":${gate("repair_scan_reduction_1pct")},"warm_scan_reduction_1pct":${
       (for { c <- incr.get("vanilla_1pct_rows"); w <- incr.get("warm_1pct_rows"); if w > 0 }
         yield num(c / w)).getOrElse("null")},"partial":$failed,"sf":"$sfDir"}"""
     println(gatesJson)

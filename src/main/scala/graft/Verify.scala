@@ -19,6 +19,10 @@ object Verify {
     "qc_incr_select_band", "qc_incr_select_agg_sub",
     "qc_incr_durable_chain", "qc_incr_lateband_chain",
     "qc_incr_select_proj",
+    // the mutation story at bench scale: durable repair sidecars +
+    // OR-range pushdown over a big view; index tombstones under a
+    // 10× corpus; versioned doc liveness resolution at real tf size
+    "qc_incr_repair_rows", "q_dedup_incr_nearrm", "q_text_bm25_upsert",
     "q_dedup_incr_near", "q_dedup_incr_spans", "q_dedup_minhash",
     "q_ann_ivf", "q_ann_pq", "q_knn_join", "q_embed_incr",
     "q_text_bm25_incr", "q_text_bpe_train", "q_freq_topk",

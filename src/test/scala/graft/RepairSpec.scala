@@ -321,6 +321,72 @@ class RepairSpec extends AnyFunSuite {
     assertSameRows(warm2, slim(eventsFull))
   }
 
+  test("repairs flow through factorized-join twins: the temporal twin " +
+      "bucket-repairs, the partner twin rebuilds loudly, one warm run") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val p30 = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.3) AS LONG)")
+      .first().getLong(0)
+    val dayStart = p30 - java.lang.Math.floorMod(p30, dayUs)
+    val dayEnd = dayStart + dayUs
+    val base = tmpDir("rfact")
+    val splitTs = timestamp_micros(lit(splitUs))
+    val inDay = col("ts") >= timestamp_micros(lit(dayStart)) &&
+      col("ts") < timestamp_micros(lit(dayEnd))
+    def part(t: String) = ev.filter(col("event_type") === t)
+      .select(col("ts"), col("user_id"), col("value"))
+    // both fact tables get a CORRUPTED day (rows missing, values skewed)
+    for ((t, w) <- Seq(("click", s"$base/a"), ("purchase", s"$base/b"))) {
+      part(t).filter(col("ts") < splitTs && !inDay).write.parquet(s"$w/base")
+      part(t).filter(col("ts") < splitTs && inDay &&
+          pmod(col("user_id"), lit(3)) =!= 0)
+        .withColumn("value", col("value") * 2 + 1)
+        .write.parquet(s"$w/day")
+    }
+    def rd(w: String) =
+      spark.read.option("recursiveFileLookup", "true").parquet(w)
+    def q(a: DataFrame, b: DataFrame) = a
+      .join(b, a("user_id") === b("user_id"), "inner")
+      .groupBy(date_trunc("hour", a("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), sum(a("value")).as("sum_click"),
+        min(b("value")).as("min_purchase"))
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheSession(spark, cfg(cache, log, Some(splitUs)))
+      .run(q(rd(s"$base/a"), rd(s"$base/b"))).collect()
+    assert(log.messages.exists(_.startsWith("factorized join: answered")),
+      log.messages)
+    // INSERT OVERWRITE both days with the truth + append both tails
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((t, w) <- Seq(("click", s"$base/a"), ("purchase", s"$base/b"))) {
+      fs.delete(new Path(s"$w/day"), true)
+      part(t).filter(col("ts") < splitTs && inDay).write.parquet(s"$w/day")
+      part(t).filter(col("ts") >= splitTs).write.parquet(s"$w/rest")
+    }
+    // one declaration per rewritten table: the hour-bucketed click twin
+    // repairs at bucket grain, the key-only purchase twin has no bucket
+    // to drop and rebuilds loudly — both automatic, one warm run
+    assert(cache.repairRange(s"$base/a", dayStart, dayEnd) == 1)
+    assert(cache.repairRange(s"$base/b", dayStart, dayEnd) == 1)
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(cache, log2))
+      .run(q(rd(s"$base/a"), rd(s"$base/b")))
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")),
+      log2.messages)
+    assert(log2.messages.exists(
+      _.contains("repairing 1 declared rewrite range(s) at bucket grain")),
+      log2.messages)
+    assert(log2.messages.exists(_.contains("no droppable bucket key")),
+      log2.messages)
+    // vanilla over the rewritten work dirs (= the pristine full tables
+    // by construction; part() twice off `ev` would be a self-join)
+    assertSameRows(warm, q(rd(s"$base/a"), rd(s"$base/b")))
+  }
+
   test("ranges wholly at/after the watermark are consumed for free") {
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .groupBy(date_trunc("day", col("ts")).as("day"))
