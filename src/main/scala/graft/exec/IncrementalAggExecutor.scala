@@ -2700,14 +2700,45 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       def fnSpec: (String, Column) = (s"${pfx(filtSide.get)}f$i",
         fcount(when(Shims.column(ae.filter.get), lit(1))))
       ae.aggregateFunction match {
-        // count(DISTINCT x): multiplicity-FREE like min/max, so the twin
-        // keeps the distinct set per (key × group) — the same set-union
-        // state the single-table exact-distinct path uses — and the
-        // combine unions the sets of the group's matched keys
-        case c: Count if ae.isDistinct && c.children.size == 1 =>
-          import org.apache.spark.sql.functions.{array_distinct, collect_list,
-            collect_set, flatten, size => fsize}
-          val e0 = c.children.head
+        // count/sum/avg(DISTINCT x): multiplicity-FREE like min/max, so
+        // the twin keeps the distinct set per (key × group) — the same
+        // set-union state the single-table exact-distinct path uses —
+        // and the combine finalizes over the UNION of the group's
+        // matched keys' sets: count = its size, sum/avg = the
+        // single-table path's guarded fold (started/value struct, every
+        // step re-cast to the sum type — empty union finalizes NULL like
+        // the vanilla aggregate, a mid-fold decimal overflow stays NULL)
+        case f if ae.isDistinct && f.children.size == 1 &&
+            (f.isInstanceOf[Count] || f.isInstanceOf[Sum] ||
+              f.isInstanceOf[Average]) =>
+          import org.apache.spark.sql.functions.{aggregate => ffold,
+            array_distinct, collect_list, collect_set, flatten,
+            size => fsize, struct => fstruct}
+          def sumOfUnion(arr: Column,
+              sumT: org.apache.spark.sql.types.DataType): Column =
+            ffold(arr,
+              fstruct(lit(false).as("s"), lit(null).cast(sumT).as("v")),
+              (acc, x) => fstruct(lit(true).as("s"),
+                when(acc.getField("s"),
+                    (acc.getField("v") + x.cast(sumT)).cast(sumT))
+                  .otherwise(x.cast(sumT)).as("v")),
+              acc => acc.getField("v"))
+          val finOf: Column => Column = f match {
+            case _: Count => arr => fsize(arr)
+            case _: Sum => arr => sumOfUnion(arr, ae.dataType)
+            case av: Average =>
+              // decimal avg(DISTINCT) bails: vanilla Average's decimal
+              // division typing is not reproduced on this path
+              if (av.child.dataType
+                  .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+                return bail("avg(DISTINCT <decimal>) not factorizable " +
+                  s"(vanilla decimal Average typing): ${ae.sql}")
+              arr => when(fsize(arr) === 0,
+                  lit(null).cast(org.apache.spark.sql.types.DoubleType))
+                .otherwise(sumOfUnion(arr,
+                  org.apache.spark.sql.types.DoubleType) / fsize(arr))
+          }
+          val e0 = f.children.head
           val sd = sideOf(e0).getOrElse(
             return bail(s"cross-side measure: ${ae.sql}"))
           if (crossOf(sd)) {
@@ -2716,7 +2747,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             // whose partner has fn > 0 rows passing the predicate
             val n = s"${pfx(sd)}d$i"
             FM(sd, Seq(n -> collect_set(Shims.column(e0))),
-              fsize(array_distinct(flatten(collect_list(
+              finOf(array_distinct(flatten(collect_list(
                 when(col(fnSpec._1) > 0, col(n)))))),
               otherCols = Seq(fnSpec))
           } else {
@@ -2734,7 +2765,7 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 s"join (NULL-faithful expressions only): ${ae.sql}")
             val n = s"${pfx(sd)}d$i"
             FM(sd, Seq(n -> collect_set(Shims.column(e))),
-              fsize(array_distinct(flatten(collect_list(col(n))))))
+              finOf(array_distinct(flatten(collect_list(col(n))))))
           }
         case _ if ae.isDistinct =>
           return bail(s"DISTINCT aggregate not factorizable: ${ae.sql}")

@@ -1034,6 +1034,58 @@ object CacheQueries {
       QueryCacheSession(s, cfg(None))
         .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
     }),
+    // FACTORIZED join with sum/avg(DISTINCT) measures: the twins keep
+    // the same per-(join key × group) distinct sets count(DISTINCT)
+    // already used, and the combine finalizes over the UNION of the
+    // matched keys' sets with the single-table guarded fold — exact for
+    // the integral/decimal types the single-table qc_incr_distinct_sums
+    // pins, multiplicity-free so no scaling applies.
+    "qc_incr_factdistinct" -> ((s, d) => {
+      val ev = Tables.events(s, d).cache()
+      val splitMicros = ev
+        .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+        .first().getLong(0)
+      val sfTag = new java.io.File(d).getName
+      val base = s"${sys.props("java.io.tmpdir")}/graft_qc/$sfTag/factdistinct"
+      val basePath = new Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      val splitTs = timestamp_micros(lit(splitMicros))
+      val aPart = ev.filter(col("event_type") === "click")
+        .select("ts", "user_id", "value")
+      val bPart = ev.filter(col("event_type") === "purchase")
+        .selectExpr("ts", "user_id AS puid", "value AS pvalue")
+      aPart.filter(col("ts") < splitTs).write.parquet(s"$base/a")
+      bPart.filter(col("ts") < splitTs).write.parquet(s"$base/b")
+      val cache = new MemoryQueryCache()
+      def q(a: DataFrame, b: DataFrame) = a
+        .join(b, a("user_id") === b("puid"), "inner")
+        .groupBy(date_trunc("hour", a("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          count_distinct(a("user_id")).as("n_users"),
+          sum_distinct(a("user_id"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .cast("long").as("sum_users"),
+          round(expr("avg(DISTINCT CAST(user_id AS DOUBLE))"), 6)
+            .as("avg_user"),
+          sum_distinct(col("pvalue")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+            .cast("double").as("sum_d_pvalue"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now)
+      QueryCacheSession(s, cfg(Some(splitMicros)))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+        .collect()
+      aPart.filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/a")
+      bPart.filter(col("ts") >= splitTs)
+        .write.mode("append").parquet(s"$base/b")
+      ev.unpersist()
+      QueryCacheSession(s, cfg(None))
+        .run(q(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+    }),
     // FACTORIZED join with FILTER-clause measures: a side-pure FILTER
     // predicate commutes into its side's twin exactly like a WHERE
     // conjunct — the twin aggregate carries the FILTER itself and the
@@ -2091,6 +2143,20 @@ object CacheQueries {
          GROUP BY 1""",
     // the LEFT JOIN + null-rejecting WHERE is plan-equivalent to INNER —
     // DuckDB's optimizer makes the same EliminateOuterJoin simplification
+    "qc_incr_factdistinct" ->
+      """WITH a AS (SELECT ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+            b AS (SELECT user_id AS puid, value AS pvalue FROM events
+                    WHERE event_type = 'purchase')
+         SELECT CAST(date_trunc('hour', a.ts) AS TIMESTAMP) AS hour,
+           count(*) AS cnt,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(DISTINCT user_id) AS BIGINT) AS sum_users,
+           round(avg(DISTINCT CAST(user_id AS DOUBLE)), 6) AS avg_user,
+           CAST(sum(DISTINCT CAST(pvalue AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_d_pvalue
+         FROM a JOIN b ON a.user_id = b.puid
+         GROUP BY 1""",
     "qc_incr_factdemote" ->
       """WITH a AS (SELECT ts, user_id, value FROM events
                     WHERE event_type = 'click'),

@@ -2846,6 +2846,63 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(df, want, tol = 1e-9)
   }
 
+  test("factorized join: sum/avg(DISTINCT) via twin set states; decimal " +
+      "avg(DISTINCT) bails") {
+    val (early, late, splitUs) = split()
+    def part(df: DataFrame, t: String) = df
+      .filter(col("event_type") === t).select("ts", "user_id", "value")
+    def partB(df: DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .selectExpr("ts", "user_id AS puid", "value AS pvalue")
+    val workA = tmpDir("factdist-a")
+    val workB = tmpDir("factdist-b")
+    part(early, "click").write.mode("overwrite").parquet(workA)
+    partB(early).write.mode("overwrite").parquet(workB)
+    val cache = new MemoryQueryCache()
+    def q(a: DataFrame, b: DataFrame) = a
+      .join(b, a("user_id") === b("puid"), "inner")
+      .groupBy(date_trunc("hour", a("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum_distinct(a("user_id")).as("sum_users"),
+        round(expr("avg(DISTINCT CAST(user_id AS DOUBLE))"), 6)
+          .as("avg_user"),
+        sum_distinct(b("pvalue")).as("sum_d_purchase"))
+    def vanilla = q(spark.read.parquet(workA), spark.read.parquet(workB))
+    def cfg(log: RecordingLog, nowUs: Option[Long] = None) =
+      QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = nowUs, log = log)
+    val log1 = new RecordingLog
+    QueryCacheSession(spark, cfg(log1, Some(splitUs)))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+      .collect()
+    assert(log1.messages.exists(_.startsWith("factorized join: answered")),
+      log1.messages)
+    part(late, "click").write.mode("append").parquet(workA)
+    partB(late).write.mode("append").parquet(workB)
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2))
+      .run(q(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(log2.messages.exists(_.startsWith("factorized join: answered")),
+      log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 2, log2.messages)
+    assertSameRows(warm, vanilla)
+
+    // avg(DISTINCT <decimal>) bails loudly (vanilla decimal Average
+    // typing is not reproduced on the factorized path) — and the bail
+    // runs vanilla, still correct
+    def qDec(a: DataFrame, b: DataFrame) = a
+      .join(b, a("user_id") === b("puid"), "inner")
+      .groupBy(date_trunc("hour", a("ts")).as("hour"))
+      .agg(expr("avg(DISTINCT CAST(pvalue AS DECIMAL(18,4)))").as("avg_dec"))
+    val log3 = new RecordingLog
+    val dec = QueryCacheSession(spark, cfg(log3))
+      .run(qDec(spark.read.parquet(workA), spark.read.parquet(workB)))
+    assert(log3.messages.exists(_.contains("avg(DISTINCT <decimal>)")),
+      log3.messages)
+    assertSameRows(dec,
+      qDec(spark.read.parquet(workA), spark.read.parquet(workB)))
+  }
+
   test("factorized join: both-sides-growing join aggregate, appends absorbed per side") {
     val (early, late, splitUs) = split()
     def part(df: DataFrame, t: String) = df
