@@ -131,6 +131,15 @@ object Bench {
     // noise) and the median land outside the gate. The r10 wall-clock
     // blowup came from the 2× query pass and the ×16384 table build, not
     // reps; the whole 7-rep run fits ~15 min.
+    // shared by both A/B blocks: clone a settled cache dir per leg
+    def cloneDir(src: String, dst: String): Unit = {
+      val d = new org.apache.hadoop.fs.Path(dst)
+      fs.delete(d, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(src), fs, d, false,
+        spark.sparkContext.hadoopConfiguration)
+      ()
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val caches = Vector.fill(reps)(new MemoryQueryCache())
@@ -262,14 +271,7 @@ object Bench {
           .copy(aggregateStateAppend = chain)
       QueryCacheSession(spark, cfgDur(coldDir, Some(splitUs), chain = true))
         .run(qHi(tableWarm)).collect()
-      def copyDir(dst: String): Unit = {
-        val d = new org.apache.hadoop.fs.Path(dst)
-        fs.delete(d, true)
-        org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(coldDir), fs, d, false,
-          spark.sparkContext.hadoopConfiguration)
-        ()
-      }
+      def copyDir(dst: String): Unit = cloneDir(coldDir, dst)
       def dirBytes(dir: String): Double =
         try fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
           .getLength.toDouble
@@ -361,14 +363,7 @@ object Bench {
       val dayUs = 86400000000L
       val dayLo = p30 - java.lang.Math.floorMod(p30, dayUs)
       val dayHi = dayLo + dayUs
-      def copyDir(dst: String): Unit = {
-        val d = new org.apache.hadoop.fs.Path(dst)
-        fs.delete(d, true)
-        org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(coldDir), fs, d, false,
-          spark.sparkContext.hadoopConfiguration)
-        ()
-      }
+      def copyDir(dst: String): Unit = cloneDir(coldDir, dst)
       val legs = (0 until 3).map { i =>
         val (rd, vd) = (s"$cacheBase/rep$i", s"$cacheBase/inv$i")
         copyDir(rd); copyDir(vd)

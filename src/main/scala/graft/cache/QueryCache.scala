@@ -1068,13 +1068,18 @@ final class ParquetQueryCache(rootDir: String,
       else fs.listStatus(dir).map(_.getPath).toSeq
         .filter(p => p.getName.startsWith("repair-") &&
           p.getName.endsWith(".json"))
-        .flatMap { p =>
+        .map { p =>
+          val token = p.getName.stripPrefix("repair-").stripSuffix(".json")
           try {
             val in = fs.open(p)
             val txt = try {
+              // read to EOF — a remote stream may legally return fewer
+              // bytes per read() than the file holds
+              val out = new java.io.ByteArrayOutputStream()
               val buf = new Array[Byte](4096)
-              val len = in.read(buf)
-              new String(buf, 0, math.max(0, len), StandardCharsets.UTF_8)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+              new String(out.toByteArray, StandardCharsets.UTF_8)
             } finally in.close()
             def num(k: String): Option[Long] = {
               val i = txt.indexOf("\"" + k + "\":")
@@ -1082,10 +1087,21 @@ final class ParquetQueryCache(rootDir: String,
               else txt.substring(i + k.length + 3)
                 .takeWhile(c => c.isDigit || c == '-').toLongOption
             }
-            for (lo <- num("loMicros"); hi <- num("hiMicros"))
-              yield RepairRange(lo, hi,
-                p.getName.stripPrefix("repair-").stripSuffix(".json"))
-          } catch { case scala.util.control.NonFatal(_) => None }
+            (for (lo <- num("loMicros"); hi <- num("hiMicros"))
+              yield RepairRange(lo, hi, token))
+              // a sidecar that EXISTS but doesn't parse is a declared
+              // rewrite whose bounds are unknown — fail CONSERVATIVE
+              // with an all-history range (strictly contains whatever
+              // was declared; the consuming run repairs/rebuilds
+              // everything and clears the token), never silently drop
+              // it. Half-range bounds stay safely inside every calendar
+              // conversion (full MinValue micros overflows java.time).
+              .getOrElse(
+                RepairRange(Long.MinValue / 2, Long.MaxValue / 2, token))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              RepairRange(Long.MinValue / 2, Long.MaxValue / 2, token)
+          }
         }
     } catch {
       case scala.util.control.NonFatal(_) => Seq.empty[RepairRange]

@@ -738,10 +738,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         // by-name col(pc) could bind to (or be ambiguous with) a declared-
         // static dim column of the same name, silently filtering the dim
         // side of the delta instead of the appended fact rows
-        val newData = config.temporalPartitionColumn.flatMap { pc =>
+        val pcAttrOpt = config.temporalPartitionColumn.flatMap { pc =>
           effectiveChild.output.find(a => a.name.equalsIgnoreCase(pc) &&
             !c.staticOuts.contains(a))
-        } match {
+        }
+        val newData = pcAttrOpt match {
           case Some(pcAttr) =>
             newData0.filter(Shims.column(pcAttr) >=
               org.apache.spark.sql.functions.to_date(
@@ -750,13 +751,28 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         }
         // repair re-scan: the covering bucket windows, re-read from the
         // SAME (un-pruned when active) delta source — strictly below the
-        // effective watermark by construction, so no row is read twice
+        // effective watermark by construction, so no row is read twice.
+        // The derived partition conjunct applies PER WINDOW (part BETWEEN
+        // date(lo) AND date(hi−1µs), date() monotone, hi's bound
+        // inclusive because ts < hi rows can share hi's date) so a
+        // partitioned history directory-prunes the repair to its days
+        // instead of footer-reading every partition
         val newDataR =
           if (!repairActive) newData
           else newData.unionByName(deltaDF.filter(
             repairScanRanges.map { case (lo, hi) =>
-              tsCol >= timestamp_micros(lit(lo)) &&
+              val raw = tsCol >= timestamp_micros(lit(lo)) &&
                 tsCol < timestamp_micros(lit(hi))
+              pcAttrOpt match {
+                case Some(pcAttr) =>
+                  import org.apache.spark.sql.functions.to_date
+                  raw &&
+                    Shims.column(pcAttr) >=
+                      to_date(timestamp_micros(lit(lo))) &&
+                    Shims.column(pcAttr) <=
+                      to_date(timestamp_micros(lit(hi - 1)))
+                case None => raw
+              }
             }.reduce(_ || _)))
         // when every state column has a per-row unit form, appended rows
         // feed the merge aggregation DIRECTLY (projected to state shape),

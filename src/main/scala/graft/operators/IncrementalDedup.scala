@@ -64,6 +64,7 @@ object IncrementalDedup {
     graft.util.WriterLease.withLease(spark, indexDir, "indexInit") {
       spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(indexDir, "keys")}")
       dropGone(spark, indexDir) // a re-init claims the tombstones too
+      dropSnap(spark, readdedDir(indexDir))
       val w = winners(docs, idCol, textCol)
       w.write.mode("overwrite").parquet(indexDir)
       docs.join(w.select(col(idCol)), Seq(idCol), "left_semi")
@@ -100,16 +101,29 @@ object IncrementalDedup {
     val w = winners(batch, idCol, textCol)
     val novel = keysNovel(spark, indexDir, w, bucketed).localCheckpoint()
     // a re-added gone content is novel again — clear its tombstone so a
-    // THIRD send dedups against this new copy. Cleared BEFORE the index
-    // append: a crash between the two steps then fails conservative
-    // (the old index row resurrects and the replayed batch drops the
-    // copy — a false drop, the module's usual crash direction — never a
-    // duplicate admitted).
+    // THIRD send dedups against this new copy. The cleared keys' NEW
+    // keepers are recorded in the re-admission ledger FIRST (so a
+    // replayed old removal can never re-tombstone through the stale
+    // pre-removal index row), then the gone rewrite lands, then the
+    // index append: a crash anywhere between the steps fails
+    // conservative (the old index row resurrects and the replayed batch
+    // drops the copy — a false drop, the module's usual crash direction
+    // — never a duplicate admitted; a replayed batch re-records the
+    // same deterministic min-id winner).
     goneKeys(spark, indexDir).foreach { g =>
-      val remaining = g.join(novel.select(col("_h1"), col("_h2")),
-        Seq("_h1", "_h2"), "left_anti").localCheckpoint()
-      if (remaining.count() < g.count())
-        writeGone(spark, indexDir, remaining)
+      val cleared = novel.join(g, Seq("_h1", "_h2"), "left_semi")
+        .select(col("_h1"), col("_h2"),
+          col(idCol).cast("long").as("_id")).localCheckpoint()
+      if (cleared.count() > 0) {
+        val ra = readdedKeys(spark, indexDir).fold(cleared)(r =>
+          r.join(cleared.select(col("_h1"), col("_h2")),
+            Seq("_h1", "_h2"), "left_anti").unionByName(cleared))
+        writeSnap(spark, readdedDir(indexDir), ra,
+          Seq("_h1", "_h2", "_id"))
+        writeGone(spark, indexDir,
+          g.join(cleared.select(col("_h1"), col("_h2")),
+            Seq("_h1", "_h2"), "left_anti"))
+      }
     }
     if (bucketed) appendBucketed(novel, indexDir, table, keyCols, indexBuckets)
     else novel.write.mode("append").parquet(indexDir)
@@ -222,6 +236,31 @@ object IncrementalDedup {
       indexDir: String): Option[DataFrame] =
     readSnap(spark, goneDir(indexDir), goneSchema)
 
+  /** RE-ADMISSION keeper ledger `<indexDir>_readded` (_h1, _h2, _id):
+    * when a batch re-adds a previously-removed content, the cleared
+    * key's NEW keeper is recorded here. [[dedupRemove]] then only
+    * accepts the recorded keeper for such keys — the STALE pre-removal
+    * index row (which is never physically deleted on the hot path)
+    * can no longer satisfy the keeper match, so a crash-replayed old
+    * removal batch is a true no-op instead of re-tombstoning live
+    * content and re-admitting its next copy as a duplicate. Bounded by
+    * re-admissions since the last compaction, which drops the stale
+    * rows physically and clears the ledger. */
+  private def readdedDir(indexDir: String): String =
+    indexDir.stripSuffix("/") + "_readded"
+
+  private val readdedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_h1",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_h2",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readdedKeys(spark: SparkSession,
+      indexDir: String): Option[DataFrame] =
+    readSnap(spark, readdedDir(indexDir), readdedSchema)
+
   private def writeGone(spark: SparkSession, indexDir: String,
       df: DataFrame): Unit =
     writeSnap(spark, goneDir(indexDir), df, Seq("_h1", "_h2"))
@@ -267,18 +306,44 @@ object IncrementalDedup {
     val idx = if (spark.catalog.tableExists(table)) spark.table(table)
       else spark.read.parquet(indexDir)
     val gone0 = goneKeys(spark, indexDir)
-    val matched = removed.select(
+    val ra0 = readdedKeys(spark, indexDir)
+    val keyed = removed.select(
         seeded_hash64(col(textCol), lit(Seed1)).as("_h1"),
         seeded_hash64(col(textCol), lit(Seed2)).as("_h2"),
         col(idCol))
       .join(idx, Seq("_h1", "_h2", idCol), "left_semi")
-      .select(col("_h1"), col("_h2")).distinct()
+    // keeper validity: a key in the RE-ADMISSION ledger accepts only the
+    // recorded (current) keeper — its stale pre-removal index row must
+    // not satisfy the match, or a replayed old removal would
+    // re-tombstone live content; keys without a ledger record keep the
+    // plain index-row match
+    val matched = (ra0 match {
+      case None => keyed
+      case Some(ra) =>
+        val guarded = keyed.join(
+          broadcast(ra.withColumnRenamed("_id", idCol)),
+          Seq("_h1", "_h2", idCol), "left_semi")
+        val unguarded = keyed.join(
+          broadcast(ra.select(col("_h1"), col("_h2"))),
+          Seq("_h1", "_h2"), "left_anti")
+        guarded.unionByName(unguarded)
+    }).select(col("_h1"), col("_h2")).distinct()
     val fresh = gone0.fold(matched)(g =>
       matched.join(g, Seq("_h1", "_h2"), "left_anti")).localCheckpoint()
     val n = fresh.count()
     if (n == 0L) return 0L
     writeGone(spark, indexDir,
       gone0.fold(fresh)(g => g.unionByName(fresh)))
+    // a removed re-added key leaves the ledger (it is dead again; a
+    // future re-admission re-records) — best-effort after the gone
+    // commit, self-healing if skipped by a crash
+    ra0.foreach { r =>
+      val rest = r.join(fresh, Seq("_h1", "_h2"), "left_anti")
+        .localCheckpoint()
+      if (rest.count() < r.count())
+        writeSnap(spark, readdedDir(indexDir), rest,
+          Seq("_h1", "_h2", "_id"))
+    }
     n
   }
 
@@ -1241,14 +1306,32 @@ object IncrementalDedup {
         s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (flatFiles) {
       val gone = goneKeys(spark, indexDir)
-      compactAuto(indexDir, "keys", Seq("_h1", "_h2"),
-        df => gone.fold(df)(g =>
-          df.join(broadcast(g), Seq("_h1", "_h2"), "left_anti")))
+      val ra = readdedKeys(spark, indexDir)
+      compactAuto(indexDir, "keys", Seq("_h1", "_h2"), df => {
+        val d1 = gone.fold(df)(g =>
+          df.join(broadcast(g), Seq("_h1", "_h2"), "left_anti"))
+        // re-admitted keys: keep only the CURRENT keeper's row — the
+        // stale pre-removal rows drop here, after which the ledger can
+        // clear (the plain index-row keeper match is exact again)
+        ra.fold(d1) { r =>
+          val idName = d1.columns.filterNot(Seq("_h1", "_h2").contains).head
+          d1.join(broadcast(r.withColumnRenamed("_id", "_ra_id")),
+              Seq("_h1", "_h2"), "left")
+            .filter(col("_ra_id").isNull || col("_ra_id") === col(idName))
+            .drop("_ra_id")
+        }
+      })
       if (gone.isDefined) dropGone(spark, indexDir)
+      if (ra.isDefined) dropSnap(spark, readdedDir(indexDir))
     }
     compactAuto(s"$indexDir/grams", "grams", Seq("h"))
     // id tombstones (nearDedupRemove / embedDedupRemove) drop PHYSICALLY
-    // here from every id-keyed table, then the snapshot resets
+    // here from every id-keyed table — but the gone_ids snapshot itself
+    // SURVIVES: ids are permanent handles, and a crash-replayed OLD
+    // batch carrying a removed id must stay a no-op after compaction
+    // too (dropping the snapshot would let the replay re-index the
+    // removed doc and undo the takedown). The snapshot is bounded by
+    // total removals ever — tombstoning is rare, rows are 8 bytes.
     val goneI = goneIds(spark, indexDir)
     def dropIds(df: DataFrame): DataFrame =
       goneI.fold(df)(g => df.join(broadcast(g), Seq("id"), "left_anti"))
@@ -1256,7 +1339,6 @@ object IncrementalDedup {
       dropIds)
     compactAuto(s"$indexDir/sigs", "sigs", Seq("id"), dropIds)
     compactAuto(s"$indexDir/vecs", "vecs", Seq("cell"), dropIds)
-    if (goneI.isDefined) dropSnap(spark, goneIdsDir(indexDir))
     // opt-in IVF model re-cluster (see the method doc): rebuild
     // centroids from the index's own vectors, re-assign, recompute radii
     // exactly, and commit the consistent (model, radii, vecs) triple via
@@ -1418,7 +1500,9 @@ object IncrementalDedup {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    dropGone(spark, dir) // the sibling tombstone snapshot goes with it
+    // the sibling tombstone + re-admission snapshots go with it
+    dropGone(spark, dir)
+    dropSnap(spark, readdedDir(dir))
     dir
   }
 }

@@ -361,16 +361,22 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     // rows are already-seen, the rest still suppressed by history
     assert(IncrementalDedup.nearDedupAppend(spark, idx,
       mkDocs(ids, shift = 1000L)).count() == 0)
-    // compaction drops the tombstoned rows physically and resets the
-    // snapshot; the re-admitted copies now suppress
+    // compaction drops the tombstoned rows physically but the snapshot
+    // SURVIVES (ids are permanent — a replayed pre-removal batch must
+    // stay a no-op even after compaction); the re-admitted copies now
+    // suppress
     IncrementalDedup.compactIndex(spark, idx)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/gone_ids")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/gone_ids")),
+      "id tombstones must survive compaction")
     val sigIds = spark.read.parquet(s"$idx/sigs").select("id")
       .collect().map(_.getLong(0)).toSet
     assert(tgt.forall(t => !sigIds.contains(t) && !sigIds.contains(t + 1000L)),
       "tombstoned ids still in sigs after compaction")
+    // a crash-replayed OLD batch carrying the removed ids: still a no-op
+    assert(IncrementalDedup.nearDedupAppend(spark, idx,
+      mkDocs(tgt, shift = 1000L)).count() == 0)
     assert(IncrementalDedup.nearDedupAppend(spark, idx,
       mkDocs(ids, shift = 3000L)).count() == 0)
   }
@@ -401,11 +407,15 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     // replayed old batch carrying tombstoned ids: no-op
     assert(IncrementalDedup.embedDedupAppend(spark, idx,
       mkVecs(ids, shift = 1000L), threshold = 0.4, cells = 4).count() == 0)
-    // compaction drops the rows; the re-admitted copies now suppress
+    // compaction drops the rows; the snapshot survives (permanent ids)
+    // and the re-admitted copies now suppress
     IncrementalDedup.compactIndex(spark, idx)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/gone_ids")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/gone_ids")),
+      "id tombstones must survive compaction")
+    assert(IncrementalDedup.embedDedupAppend(spark, idx,
+      mkVecs(tgt, shift = 1000L), threshold = 0.4, cells = 4).count() == 0)
     assert(IncrementalDedup.embedDedupAppend(spark, idx,
       mkVecs(ids, shift = 3000L), threshold = 0.4, cells = 4).count() == 0)
   }

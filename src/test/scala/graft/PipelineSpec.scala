@@ -1322,6 +1322,12 @@ class PipelineSpec extends AnyFunSuite {
     // … and exactly once: a THIRD send dedups against the new copy
     val third = removed.withColumn("doc_id", col("doc_id") + 2000000L)
     assert(IncrementalDedup.dedupAppend(spark, idx, third).count() == 0)
+    // a crash-REPLAYED original removal batch after the re-admission is
+    // a true no-op: the stale pre-removal index rows no longer satisfy
+    // the keeper match (the re-admission ledger records the live
+    // keeper), so live content is never re-tombstoned
+    assert(IncrementalDedup.dedupRemove(spark, idx, removed) == 0L)
+    assert(IncrementalDedup.indexSize(spark, idx) == total)
 
     // compaction drops tombstoned keys physically and resets the
     // snapshot; decisions are unchanged after
