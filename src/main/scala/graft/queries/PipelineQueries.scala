@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis, TextClean}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, TextClean}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory: dedup family, similarity search,
@@ -644,6 +644,18 @@ object PipelineQueries {
         .groupBy(col("label"), col("dim"))
         .agg(round(Render.dsumd(col("v").cast("double"), 12) /
           count(lit(1)), 6).as("centroid"))),
+    // HYBRID RETRIEVAL: BM25 lexical leg + embedding-cosine semantic leg
+    // fused by reciprocal rank (RRF, c=60). Each leg retrieves its own
+    // top-50 (ranks over ROUNDED scores with id tie-breaks, so rank
+    // order is engine-reproducible); the fusion touches ≤100 rows. The
+    // oracle replays both legs and the exact reciprocal arithmetic.
+    "q_text_hybrid" -> ((s, d) => {
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      Retrieval.hybridTopK(documents(s, d), embeddings(s, d),
+        queryTerms = Seq("spark", "hash", "window"), queryVec = q,
+        k = 10, perLeg = 50)
+    }),
     "q_ann_bruteforce" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
@@ -1879,6 +1891,70 @@ object PipelineQueries {
            FROM per GROUP BY doc_id) g
          ORDER BY bm25 DESC, doc_id
          LIMIT 20""",
+    // hybrid RRF: replay the BM25 leg (top-50), the rounded-cosine leg
+    // (top-50), then the exact reciprocal-rank arithmetic — integer
+    // c+rank reciprocals sum identically in any IEEE engine
+    "q_text_hybrid" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM ne GROUP BY 1),
+         stats AS (SELECT
+           (SELECT count(*) FROM documents) AS n_docs,
+           CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+             / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM ne
+                WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         per AS (
+           SELECT tf.doc_id, tf.token,
+             round(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                           - CAST(df.df_docs AS DOUBLE) + 0.5)
+                        / (CAST(df.df_docs AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / stats.avgdl)))), 6) AS c
+           FROM tf JOIN df ON tf.token = df.token
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         bm AS (
+           SELECT doc_id,
+             round(coalesce(c0, 0.0) + coalesce(c1, 0.0)
+                   + coalesce(c2, 0.0), 4) AS bm25
+           FROM (
+             SELECT doc_id,
+               sum(CASE WHEN token = 'spark' THEN c END) AS c0,
+               sum(CASE WHEN token = 'hash' THEN c END) AS c1,
+               sum(CASE WHEN token = 'window' THEN c END) AS c2
+             FROM per GROUP BY doc_id) g
+           ORDER BY bm25 DESC, doc_id
+           LIMIT 50),
+         lexr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           FROM bm),
+         sem AS (
+           SELECT vec_id AS doc_id,
+             round(CAST(list_cosine_similarity(embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0))
+               AS DOUBLE), 4) AS cosine
+           FROM embeddings
+           ORDER BY cosine DESC, doc_id
+           LIMIT 50),
+         semr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+           FROM sem)
+         SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+           lex_rank, sem_rank,
+           round(coalesce(1.0 / (60 + lex_rank), 0.0)
+                 + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf
+         FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
+         ORDER BY coalesce(1.0 / (60 + lex_rank), 0.0)
+                  + coalesce(1.0 / (60 + sem_rank), 0.0) DESC,
+           COALESCE(lexr.doc_id, semr.doc_id)
+         LIMIT 10""",
     // identical replay — the incremental index must reproduce the one-shot
     // scores bit-for-bit, only the topK differs
     "q_text_bm25_incr" ->
