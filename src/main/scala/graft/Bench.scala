@@ -403,6 +403,84 @@ object Bench {
       Map(s"repair_ab_failed_${tag}pct" -> 1.0)
     }
 
+    // SHARED-DELTA A/B (1% block only): a 3-view dashboard refresh over
+    // the same fact table inside one SharedDelta cycle (one persisted
+    // delta scan feeds every view) vs three private delta scans. Cold
+    // state is built ONCE under strict bounds on a ParquetQueryCache and
+    // CLONED per leg, so both legs replay identical warm transitions.
+    // Two faces per rep: seconds, and FILE-scheme bytes read (Hadoop
+    // GlobalStorageStatistics — in-memory re-reads of the shared delta
+    // don't count, so this is the true storage-I/O ratio). The bytes
+    // face is the scale-invariant one: at any corpus size the unshared
+    // leg reads the append once PER VIEW, the shared leg once PER CYCLE.
+    val sharedAb: Map[String, Double] = if (tag != 1) Map.empty else try {
+      def v1(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      def v2(df: DataFrame) = df
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(avg("value").as("av"), count(lit(1)).as("c2"))
+      def v3(df: DataFrame) = df.filter(col("value") > 2)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(min("value").as("mn"), max("value").as("mx"))
+      val views: Seq[DataFrame => DataFrame] = Seq(v1, v2, v3)
+      val cacheBase = s"${sys.props("java.io.tmpdir")}/graft_bench/shcache"
+      val cbp = new org.apache.hadoop.fs.Path(cacheBase)
+      if (fs.exists(cbp)) fs.delete(cbp, true)
+      val coldDir = s"$cacheBase/cold"
+      def cfgSh(dir: String) =
+        QueryCacheConfig(new graft.cache.ParquetQueryCache(dir),
+          defaultTemporalColumn = "ts", strictUpperBound = true)
+          .withTemporalPartitioning("ts_day")
+      locally { // capture bounded at the split (the append is on disk)
+        val cold = QueryCacheSession(spark,
+          cfgSh(coldDir).withOverrideNowMicros(splitUs))
+        views.foreach(v => cold.run(v(tableWarm)).collect())
+      }
+      def fileBytes(): Long = {
+        val s = org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE
+          .get("file")
+        if (s == null) 0L else s.getLong("bytesRead").longValue()
+      }
+      def copyDir(dst: String): Unit = cloneDir(coldDir, dst)
+      def leg(dir: String, shared: Boolean): (Double, Double) = {
+        val warm = QueryCacheSession(spark, cfgSh(dir))
+        dropOsPageCache()
+        val b0 = fileBytes()
+        val sec = time {
+          if (shared) warm.refreshCycle {
+            views.foreach(v => warm.run(v(tableWarm)).collect()) }
+          else views.foreach(v => warm.run(v(tableWarm)).collect())
+        }
+        (sec, (fileBytes() - b0).toDouble)
+      }
+      val legs = (0 until 3).map { i =>
+        val (sd, ud) = (s"$cacheBase/sh$i", s"$cacheBase/un$i")
+        copyDir(sd); copyDir(ud)
+        if (i % 2 == 0) { val s = leg(sd, shared = true)
+          val u = leg(ud, shared = false); (s, u) }
+        else { val u = leg(ud, shared = false)
+          val s = leg(sd, shared = true); (s, u) }
+      }
+      legs.zipWithIndex.flatMap { case (((ss, sb), (us, ub)), i) => Seq(
+        s"shared_refresh_${tag}pct_rep$i" -> ss,
+        s"unshared_refresh_${tag}pct_rep$i" -> us,
+        s"shared_refresh_${tag}pct_bytes_rep$i" -> sb,
+        s"unshared_refresh_${tag}pct_bytes_rep$i" -> ub) }.toMap ++ Map(
+        s"shared_refresh_${tag}pct_sec" -> median(legs.map(_._1._1)),
+        s"unshared_refresh_${tag}pct_sec" -> median(legs.map(_._2._1)),
+        s"shared_delta_speedup_${tag}pct" ->
+          median(legs.map(l => l._2._1 / l._1._1)),
+        s"shared_delta_bytes_reduction_${tag}pct" -> {
+          val valid = legs.collect {
+            case l if l._1._2 > 0 => l._2._2 / l._1._2 }
+          if (valid.nonEmpty) median(valid) else -1.0
+        })
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shared-delta A/B failed: $e")
+      Map(s"shared_ab_failed_${tag}pct" -> 1.0)
+    }
+
     // per-rep raw seconds ride along (cold_1pct_rep0…) so a reader can
     // audit the run-to-run variance behind every median directly from the
     // artifact — one background stall is then visible, not hidden.
@@ -416,7 +494,7 @@ object Bench {
         colds.zipWithIndex.map { case (c, i) => s"cold_full_${tag}pct_rep$i" -> c._1 } ++
         vanPres.zipWithIndex.map { case (v, i) => s"vanilla_pre_${tag}pct_rep$i" -> v._1 } ++
         vanPosts.zipWithIndex.map { case (v, i) => s"vanilla_${tag}pct_rep$i" -> v._1 }).toMap
-    perRep ++ durable ++ repairAb ++ Map(
+    perRep ++ durable ++ repairAb ++ sharedAb ++ Map(
       s"cold_${tag}pct_sec" -> median(coldPres.map(_._1)),
       s"cold_full_${tag}pct_sec" -> median(colds.map(_._1)),
       s"warm_${tag}pct_sec" -> median(warms.map(_._1)),
@@ -580,6 +658,11 @@ object Bench {
     //              run completes, so a wall-clock kill still leaves a
     //              parsed artifact; a failed incremental block stamps
     //              incremental_failed_<tag>pct instead of vanishing.
+    //   6 (r13):   + repair-vs-invalidate A/B keys (repair_speedup_1pct,
+    //              repair_scan_reduction_1pct).
+    //   7 (r13):   + shared-delta A/B keys (shared_delta_speedup_1pct,
+    //              shared_delta_bytes_reduction_1pct — dashboard batch of
+    //              3 views, one shared append scan vs three private).
     // Key meanings are stable WITHIN a schema version; compare across
     // versions only via this field.
     def renderJson(incr: Map[String, Double], partial: Boolean): String = {
@@ -594,7 +677,7 @@ object Bench {
         if w > 0
       } yield c / w
       val partialKey = if (partial) """"partial":true,""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":6,$partialKey"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"regressions":${fmt(regressions)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":7,$partialKey"queries":${fmt(results)},"queries_rerun":${fmt(reruns)},"regressions":${fmt(regressions)},"incremental":${fmt(incr)},"warm_speedup_1pct":${opt(speedup)},"cold_overhead_1pct":${opt(overhead)},"warm_scan_reduction_1pct":${opt(scanRatio)},"sf":"$sfDir"}"""
     }
     // self-preserving artifact: the driver captures stdout's tail, which
     // has truncated the per-query section before — persist the full line
@@ -657,7 +740,7 @@ object Bench {
     def gate(k: String): String =
       incr.get(k).map(v => String.format(
         java.util.Locale.ROOT, "%.4f", Double.box(v))).getOrElse("null")
-    val gatesJson = s"""{"metric":"gates","bench_schema":6,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"repair_speedup_1pct":${gate("repair_speedup_1pct")},"repair_scan_reduction_1pct":${gate("repair_scan_reduction_1pct")},"warm_scan_reduction_1pct":${
+    val gatesJson = s"""{"metric":"gates","bench_schema":7,"total_sec":${num(total)},"queries_n":${results.size},"regressions_n":${regressions.size},"warm_speedup_1pct":${gate("warm_speedup_1pct_paired")},"cold_overhead_1pct":${gate("cold_overhead_1pct_paired")},"cold_overhead_1pct_high":${gate("cold_overhead_1pct_high")},"warm_speedup_10pct":${gate("warm_speedup_10pct_paired")},"cold_overhead_10pct":${gate("cold_overhead_10pct_paired")},"repair_speedup_1pct":${gate("repair_speedup_1pct")},"repair_scan_reduction_1pct":${gate("repair_scan_reduction_1pct")},"shared_delta_speedup_1pct":${gate("shared_delta_speedup_1pct")},"shared_delta_bytes_reduction_1pct":${gate("shared_delta_bytes_reduction_1pct")},"warm_scan_reduction_1pct":${
       (for { c <- incr.get("vanilla_1pct_rows"); w <- incr.get("warm_1pct_rows"); if w > 0 }
         yield num(c / w)).getOrElse("null")},"partial":$failed,"sf":"$sfDir"}"""
     println(gatesJson)

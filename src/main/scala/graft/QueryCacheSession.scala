@@ -22,6 +22,12 @@ final class QueryCacheSession(val spark: SparkSession, val config: QueryCacheCon
   def sql(sqlText: String): DataFrame = run(spark.sql(sqlText))
 
   def run(df: DataFrame): DataFrame = executor.run(df)
+
+  /** Run `f` as ONE refresh cycle: all warm runs inside it share a single
+    * persisted delta scan per fact table (see [[graft.exec.SharedDelta]]).
+    * Use around a dashboard batch — N views over one fact table read its
+    * append once instead of N times, and all see the same snapshot. */
+  def refreshCycle[A](f: => A): A = graft.exec.SharedDelta.withCycle(f)
 }
 
 object QueryCacheSession {

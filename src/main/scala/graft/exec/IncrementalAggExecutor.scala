@@ -727,7 +727,24 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             }
             Shims.ofRows(spark, pruned)
           } else childDF
-        val newData0 = deltaDF.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
+        // dashboard refresh cycles share ONE persisted delta scan per
+        // fact table across all views refreshing together (SharedDelta);
+        // band/repair re-reads below keep the private `deltaDF` — they
+        // need rows below the watermark the shared scan excludes
+        val deltaForAppend =
+          if (!SharedDelta.cycleActive) deltaDF
+          else SharedDelta.substituteAppendScan(spark, deltaDF,
+            c.temporalAttr, cs.timestampMicros,
+            config.temporalPartitionColumn, config.log, c.fingerprint,
+            // the consumed root columns: only what the grouping and
+            // state expressions read (the analyzed child outputs the
+            // full leaf width — registering at that width would read
+            // every column of a wide fact table)
+            rootNeeded = Some((c.agg.groupingExpressions ++
+              stateSpecs.map(s => Shims.expression(s.partial)) ++
+              stateSpecs.flatMap(s => s.unit.map(Shims.expression)))
+              .flatMap(_.references).toSeq))
+        val newData0 = deltaForAppend.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
         // derived partition predicate: with a declared DATE partition
         // column (= CAST(ts AS DATE), see Layouts.writeTimeSeriesPartitioned)
         // the watermark bound implies part >= date(wm) — date() is monotone
@@ -3423,8 +3440,20 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case Some(cs) =>
         config.log.info(fp, s"cache hit (rows): replaying materialized " +
           s"rows, delta scan from ${cs.timestampMicros}")
-        val delta = Shims.ofRows(spark,
+        val delta0 = Shims.ofRows(spark,
           boundedAtLeaf(Some(cs.timestampMicros), repairRanges))
+        // refresh-cycle shared delta (SharedDelta): the append read comes
+        // from the cycle's persisted scan; repair windows need rows below
+        // the watermark the shared scan excludes, so they keep the
+        // private leaf-injected scan
+        val delta = scanLeaf match {
+          case lrel: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if repairRanges.isEmpty && SharedDelta.cycleActive =>
+            SharedDelta.substituteAtLeaf(spark, delta0, lrel, tAttr,
+              cs.timestampMicros, config.temporalPartitionColumn,
+              config.log, fp)
+          case _ => delta0
+        }
         // a banded hit REPLACES the band's rows, so the stored chain
         // (which still contains them) must be rewritten, never appended —
         // appending the re-read band would duplicate it. A chain-aware

@@ -1,0 +1,264 @@
+package graft.exec
+
+import java.util.concurrent.atomic.AtomicReference
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{lit, timestamp_micros, to_date}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.storage.StorageLevel
+
+import graft.log.CacheLog
+
+/** Shared append-delta scan for dashboard-style refresh batches.
+  *
+  * When N cached views over the same fact table refresh together, each
+  * warm run re-scans the table's appended rows (ts >= its watermark) —
+  * N scans of the same delta. Inside a [[withCycle]] block the FIRST
+  * warm run registers one full-width delta scan of the fact relation
+  * (rows ts >= its watermark, persisted MEMORY_AND_DISK), and every
+  * subsequent warm run whose watermark is >= that bound substitutes the
+  * persisted delta for its own fact-relation leaf — the table's append
+  * is read from storage ONCE per refresh cycle, however many views it
+  * feeds. At 100 TB with 50 dashboard tiles that is 50× fewer delta
+  * reads, and every tile sees the SAME append snapshot (the persisted
+  * rows), making the batch internally consistent where N independent
+  * scans could each list a different file set.
+  *
+  * Soundness: the substitution replaces only the traced fact LEAF with a
+  * row-subset of itself ({rows : ts >= entry.wm}), and each query's own
+  * watermark filter (ts >= wm_q, wm_q >= entry.wm) still applies above —
+  * the leaf rows removed all have ts < entry.wm <= wm_q, so they could
+  * only have produced output rows the watermark filter drops anyway. The
+  * temporal attribute is traced through IDENTITY mappings only (bare
+  * attribute aliases across Project/Filter/Join/SubqueryAlias); any
+  * transforming node (Union, Expand, Aggregate, a Cast in the alias
+  * chain) bails to the query's own scan. Newly null-extended outer-join
+  * rows carry a NULL ts and fail the watermark filter too.
+  *
+  * Scope contract: a cycle is one refresh batch. Entries snapshot the
+  * table's files at first materialization, so a cycle must not span an
+  * append you expect later views to observe — exactly the semantics a
+  * single dashboard refresh wants. Cycle end unpersists everything.
+  * Cold runs, banded re-scans, and repair windows never substitute
+  * (they need rows below the watermark).
+  */
+object SharedDelta {
+
+  private final case class Entry(wmMicros: Long, df: DataFrame,
+      leafTsName: String)
+
+  private final class Cycle {
+    val entries = new TrieMap[String, Entry]
+    val depth = new java.util.concurrent.atomic.AtomicInteger(1)
+  }
+
+  private val active = new AtomicReference[Cycle](null)
+
+  /** Is a refresh cycle active on this JVM? */
+  def cycleActive: Boolean = active.get() != null
+
+  /** Run `f` as one refresh cycle: warm runs inside it share one delta
+    * scan per (fact table, temporal column). Re-entrant and thread-safe
+    * (concurrent callers join the same cycle); the LAST exit unpersists
+    * all shared deltas. */
+  def withCycle[A](f: => A): A = {
+    // join the live cycle or install a fresh one; a concurrently-closing
+    // cycle (depth already 0) is never joined — retry on the fresh one
+    @annotation.tailrec
+    def enter(): Cycle = {
+      val existing = active.get()
+      if (existing != null) {
+        val d = existing.depth.get()
+        if (d > 0 && existing.depth.compareAndSet(d, d + 1)) existing
+        else enter()
+      } else {
+        val fresh = new Cycle
+        if (active.compareAndSet(null, fresh)) fresh else enter()
+      }
+    }
+    val c = enter()
+    try f
+    finally {
+      if (c.depth.decrementAndGet() == 0) {
+        active.compareAndSet(c, null)
+        c.entries.values.foreach { e =>
+          try e.df.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
+      }
+    }
+  }
+
+  /** Drop all shared deltas immediately (test/bench hygiene). */
+  def clear(): Unit = {
+    val c = active.get()
+    if (c != null) {
+      c.entries.values.foreach { e =>
+        try e.df.unpersist(blocking = false) catch { case _: Exception => () }
+      }
+      c.entries.clear()
+    }
+  }
+
+  /** Trace `a` down to its source file-relation leaf through IDENTITY
+    * mappings only. Returns the leaf and the leaf-level attribute. */
+  private def trace(p: LogicalPlan, a: Attribute): Option[(LogicalRelation, Attribute)] =
+    p match {
+      case lr: LogicalRelation =>
+        lr.output.find(_.exprId == a.exprId).map(o => (lr, o))
+      case pj: Project =>
+        pj.projectList.find(_.exprId == a.exprId).flatMap {
+          case al: Alias => al.child match {
+            case ar: Attribute => trace(pj.child, ar)
+            case _ => None
+          }
+          case ar: Attribute => trace(pj.child, ar)
+          case _ => None
+        }
+      case f: Filter => trace(f.child, a)
+      case sa: SubqueryAlias => trace(sa.child, a)
+      case j: Join =>
+        j.children.filter(_.outputSet.contains(a)) match {
+          case collection.Seq(one) => trace(one, a)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def keyOf(lr: LogicalRelation, tsName: String): String =
+    Shims.sourcePaths(lr).sorted.mkString(";") + "#" + tsName
+
+  /** Substitute the fact leaf of `deltaDF` with this cycle's shared
+    * persisted delta when one is usable (entry watermark <= `wmMicros`);
+    * register one from this query's leaf on first sight. Returns
+    * `deltaDF` unchanged when no cycle is active or the shape doesn't
+    * trace. Call ONLY for the append scan of a warm run — never for
+    * band/repair re-reads (they need rows below the watermark). */
+  def substituteAppendScan(spark: SparkSession, deltaDF: DataFrame,
+      temporalAttr: Attribute, wmMicros: Long,
+      temporalPartitionColumn: Option[String],
+      log: CacheLog, fingerprint: String,
+      rootNeeded: Option[Seq[Attribute]] = None): DataFrame = {
+    if (active.get() == null) return deltaDF
+    val plan = Shims.queryExecution(deltaDF).analyzed
+    val traced = trace(plan, temporalAttr).getOrElse(return deltaDF)
+    val (lr, leafTs) = traced
+    substituteAtLeaf(spark, deltaDF, lr, leafTs, wmMicros,
+      temporalPartitionColumn, log, fingerprint, rootNeeded)
+  }
+
+  /** Leaf-level core of the substitution: the caller already knows the
+    * fact relation leaf and its temporal attribute (the row-view path
+    * injects its watermark directly above the leaf). Same contract as
+    * [[substituteAppendScan]]. */
+  def substituteAtLeaf(spark: SparkSession, deltaDF: DataFrame,
+      lr: LogicalRelation, leafTs: Attribute, wmMicros: Long,
+      temporalPartitionColumn: Option[String],
+      log: CacheLog, fingerprint: String,
+      rootNeeded: Option[Seq[Attribute]] = None): DataFrame = {
+    val cycle = active.get()
+    if (cycle == null) return deltaDF
+    val plan = Shims.queryExecution(deltaDF).analyzed
+    if (!leafTs.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+      return deltaDF
+    val key = keyOf(lr, leafTs.name)
+    // the leaf columns THIS query actually consumes: everything any node
+    // above references, plus the root-level consumed set — the caller's
+    // explicit hint when it knows better (the aggregate path's analyzed
+    // child outputs the FULL leaf width; only its grouping/state
+    // expressions actually read columns), else the plan's own output —
+    // plus the temporal column itself. The shared scan is registered at
+    // exactly this width — a wide fact table's unused columns are never
+    // read — and a later view needing a column outside it bypasses (its
+    // private pruned scan is never worse than no sharing).
+    // the declared partition column stays in too: the executor applies
+    // its derived date conjunct ABOVE the spliced leaf, so the splice
+    // must keep producing it
+    val pcAttr = temporalPartitionColumn
+      .flatMap(pc => lr.output.find(_.name.equalsIgnoreCase(pc)))
+    val needed: Seq[Attribute] = {
+      val refs = plan.collect {
+        case n if !(n eq lr) => n.expressions.flatMap(_.references)
+      }.flatten
+      val refSet = AttributeSet(refs ++ rootNeeded.getOrElse(plan.output))
+      lr.output.filter(a => refSet.contains(a) || a.exprId == leafTs.exprId ||
+        pcAttr.exists(_.exprId == a.exprId))
+    }
+    val entry = cycle.entries.get(key) match {
+      case Some(e) if e.wmMicros <= wmMicros => e
+      case Some(_) =>
+        // a lagging view (smaller watermark than the registered scan):
+        // its delta is NOT a subset of the shared one — scan directly
+        log.info(fingerprint, "shared delta: entry watermark above this " +
+          "run's — bypassing shared scan")
+        return deltaDF
+      case None =>
+        // register from THIS leaf: the needed columns of relation rows
+        // ts >= wm, with the derived date-partition conjunct when
+        // declared (the one shared scan is directory-pruned exactly like
+        // a private delta scan would be; part >= date(wm) is implied by
+        // ts >= wm under the same partition-layout contract the executor
+        // uses)
+        val raw = Shims.ofRows(spark, lr)
+        val bound = Shims.column(leafTs) >= timestamp_micros(lit(wmMicros))
+        val pcBound = pcAttr.map(a => Shims.column(a) >=
+          to_date(timestamp_micros(lit(wmMicros))))
+        val delta = raw.filter(pcBound.map(bound && _).getOrElse(bound))
+          .select(needed.map(a => Shims.column(a)): _*)
+        delta.persist(StorageLevel.MEMORY_AND_DISK)
+        val e = Entry(wmMicros, delta, leafTs.name)
+        cycle.entries.putIfAbsent(key, e) match {
+          case Some(winner) =>
+            // a concurrent registration won — drop ours, use the winner
+            // (same wm-compatibility check as the warm-lookup branch)
+            try delta.unpersist(blocking = false)
+            catch { case _: Exception => () }
+            if (winner.wmMicros <= wmMicros) winner
+            else {
+              log.info(fingerprint, "shared delta: entry watermark above " +
+                "this run's — bypassing shared scan")
+              return deltaDF
+            }
+          case None =>
+            log.info(fingerprint,
+              s"shared delta: registered scan for $key at wm=$wmMicros " +
+                s"(${needed.size} columns)")
+            e
+        }
+    }
+    // splice: replace the leaf with the persisted delta's plan, its
+    // outputs renamed/re-id'd to the leaf's attributes (exprIds above
+    // stay valid). A column the registered scan lacks — or a mistyped
+    // one (schema drift inside one cycle) — bails to the private scan.
+    val dplan = Shims.queryExecution(entry.df).analyzed
+    val mapped: Option[Seq[NamedExpression]] = {
+      val outs = needed.map { o =>
+        dplan.output.find(d => d.name == o.name && d.dataType == o.dataType)
+          .map { d =>
+            if (d.exprId == o.exprId) d
+            else Alias(d, o.name)(exprId = o.exprId)
+          }
+      }
+      if (outs.forall(_.isDefined)) Some(outs.map(_.get)) else None
+    }
+    mapped match {
+      case None =>
+        log.info(fingerprint, "shared delta: registered scan lacks a " +
+          "needed column — bypassing shared scan")
+        deltaDF
+      case Some(aliases) =>
+        val spliced = plan.transformUp {
+          case l: LogicalRelation if l eq lr => Project(aliases, dplan)
+        }
+        log.info(fingerprint,
+          s"shared delta scan: append read served from the cycle's " +
+            s"persisted delta (wm=${entry.wmMicros})")
+        Shims.ofRows(spark, spliced)
+    }
+  }
+}

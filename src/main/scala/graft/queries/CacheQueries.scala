@@ -168,6 +168,40 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_value"))
       }
     }),
+    // SHARED-DELTA refresh cycle: two views over the same fact table
+    // refresh inside one SharedDelta cycle — the second view's append
+    // read comes from the cycle's persisted delta instead of a second
+    // table scan (a dashboard batch reads the append once, however many
+    // tiles it feeds). The require() pins that sharing actually engaged
+    // (the oracle alone would pass on a silent bypass); the oracle
+    // checks both views equal vanilla SQL over the full table.
+    "qc_incr_shared" -> ((s, d) => {
+      val (work, splitMicros, appendRest) = splitWrite(s, d, "shared")
+      val cache = new MemoryQueryCache()
+      val rlog = new graft.log.RecordingLog
+      def qa(df: DataFrame) = df.filter(col("value") > 1)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("v"))
+      def qb(df: DataFrame) = df
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), max(col("value")).as("v"))
+      def cfg(now: Option[Long]) = QueryCacheConfig(cache,
+        defaultTemporalColumn = "ts", overrideNowMicros = now, log = rlog)
+      val cold = QueryCacheSession(s, cfg(Some(splitMicros)))
+      cold.run(qa(s.read.parquet(work))).collect()
+      cold.run(qb(s.read.parquet(work))).collect()
+      appendRest()
+      val warm = QueryCacheSession(s, cfg(None))
+      val (ra, rb) = warm.refreshCycle {
+        (warm.run(qa(s.read.parquet(work))),
+          warm.run(qb(s.read.parquet(work))))
+      }
+      require(rlog.messages.count(
+        _.contains("shared delta scan: append read served")) == 2,
+        "shared delta did not engage for both views: " +
+          rlog.messages.filter(_.contains("shared delta")))
+      ra.withColumn("leg", lit("a")).unionByName(rb.withColumn("leg", lit("b")))
+    }),
     // durable aggregate CHAIN: three runs with SMALL appends so the warm
     // commits go through putAppend (O(append) delta-partial segments,
     // below the delta-fraction compaction threshold) and the answers
@@ -1940,6 +1974,16 @@ object CacheQueries {
            min(value) AS min_value
          FROM events WHERE value > 1
          GROUP BY 1""",
+    "qc_incr_shared" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v,
+           'a' AS leg
+         FROM events WHERE value > 1 GROUP BY 1
+         UNION ALL
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt, max(value) AS v, 'b' AS leg
+         FROM events GROUP BY 1""",
     "qc_incr_transparent" ->
       """SELECT date_trunc('hour', ts) AS hour,
            count(*) AS cnt,
