@@ -103,6 +103,128 @@ object Retrieval {
       .withColumnRenamed("rank_1", "sem_rank")
   }
 
+  // ------------------------------------------------------------------
+  // batched retrieval: one query TABLE, per-query top-k — the scale face
+  // (a single query is a driver-side toy; real retrieval workloads score
+  // thousands of queries per pass)
+  // ------------------------------------------------------------------
+
+  /** Batched BM25: score every (query, doc) pair sharing a term, one
+    * row of output per query × candidate, ranked per query.
+    *
+    * `queryTerms`: (qidCol, "token") — one row per query term (distinct
+    * per query). The per-(doc, token) contribution is query-independent,
+    * so it is computed ONCE over the union of all queries' terms (the
+    * token stream prunes with one semi-join before the shuffle) and then
+    * joined to the query table — the corpus is tokenized once no matter
+    * how many queries score. Per-query totals sum the 6-dp-rounded
+    * contributions in DECIMAL (exact, order-independent — a double sum's
+    * value would depend on aggregation order), then round to 4 dp like
+    * the single-query path; ranks order by (rounded score, doc id).
+    *
+    * Scale shape: tokenize+tf is the single-query plan unchanged; the
+    * query join adds one broadcast (queries × terms is tiny) and the
+    * per-query rank windows shuffle candidate rows keyed by query id —
+    * candidates, never the corpus. */
+  def bm25Batch(docs: DataFrame, queryTerms: DataFrame, perLeg: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id", qidCol: String = "qid"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val terms = queryTerms.select(col("token")).distinct()
+    val tf = toks.join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df_docs").cast("double")
+    val nD = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("avgdl")))
+    val contrib = round(idf * ((tfD * lit(k1 + 1.0)) / denom), 6)
+    val perDocToken = tf.join(broadcast(dfT), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col(idCol), contrib.as("_c"))
+    val scored = queryTerms.join(perDocToken, Seq("token"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("_c").cast("decimal(18,6)")).cast("double"), 4)
+        .as("bm25"))
+    scored.withColumn("rank", row_number().over(Window
+        .partitionBy(col(qidCol)).orderBy(col("bm25").desc, col(idCol))))
+      .filter(col("rank") <= perLeg)
+  }
+
+  /** Batched semantic leg: per-query exact cosine top-`perLeg` with a
+    * broadcast of the query table against one corpus scan — the default
+    * for query batches that broadcast. For corpus-scale query sets, feed
+    * [[rrfFuseBatch]] from [[IVF.knnJoin]] instead (cell-pruned, no
+    * cartesian); re-rank its output by the same rounded key first. */
+  def cosineLegBatch(emb: DataFrame, queries: DataFrame, perLeg: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      qidCol: String = "qid", qEmbCol: String = "qvec"): DataFrame =
+    emb.crossJoin(broadcast(queries.select(col(qidCol), col(qEmbCol))))
+      .select(col(qidCol), col(idCol),
+        round(cosine_similarity(col(embCol), col(qEmbCol)), 4).as("cosine"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= perLeg)
+
+  /** Per-query RRF fusion of batched legs: each leg holds
+    * (qidCol, idCol, "rank"). Output: top `k` per query by fused score
+    * with per-leg ranks preserved (`rank_0..`, NULL where missed). */
+  def rrfFuseBatch(legs: Seq[DataFrame], k: Int = 10, c: Int = 60,
+      qidCol: String = "qid", idCol: String = "doc_id"): DataFrame = {
+    require(legs.nonEmpty, "rrfFuseBatch needs at least one leg")
+    require(c >= 1, s"rrf constant must be >= 1, got $c")
+    val renamed = legs.zipWithIndex.map { case (leg, i) =>
+      leg.select(col(qidCol), col(idCol),
+        col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = renamed.reduceLeft(
+      (a, b) => a.join(b, Seq(qidCol, idCol), "full_outer"))
+    val contribs = legs.indices.map(i =>
+      coalesce(lit(1.0) / (lit(c) + col(s"rank_$i")).cast("double"), lit(0.0)))
+    val fused = contribs.reduceLeft(_ + _)
+    joined.withColumn("_rrf", fused)
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col(qidCol)).orderBy(col("_rrf").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select((col(qidCol) +: col(idCol) +:
+        legs.indices.map(i => col(s"rank_$i"))) ++
+        Seq(round(col("_rrf"), 6).as("rrf"), col("rank")): _*)
+  }
+
+  /** Batched hybrid retrieval: per-query BM25 + cosine legs fused by
+    * RRF. `queries`: one row per query — (qidCol, termsCol array of
+    * distinct terms, qEmbCol embedding). Output: top `k` docs per query,
+    * (qid, doc_id, lex_rank, sem_rank, rrf, rank). */
+  def hybridTopKBatch(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, perLeg: Int = 50, c: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text",
+      embIdCol: String = "vec_id", embCol: String = "embedding",
+      qidCol: String = "qid", termsCol: String = "terms",
+      qEmbCol: String = "qvec"): DataFrame = {
+    val queryTerms = queries.select(col(qidCol),
+      explode(array_distinct(col(termsCol))).as("token"))
+    val lex = bm25Batch(docs, queryTerms, perLeg,
+      textCol = textCol, idCol = idCol, qidCol = qidCol)
+    val sem = cosineLegBatch(emb, queries, perLeg,
+        idCol = embIdCol, embCol = embCol, qidCol = qidCol,
+        qEmbCol = qEmbCol)
+      .withColumnRenamed(embIdCol, idCol)
+    rrfFuseBatch(Seq(lex, sem), k, c, qidCol, idCol)
+      .withColumnRenamed("rank_0", "lex_rank")
+      .withColumnRenamed("rank_1", "sem_rank")
+  }
+
   /** Index-backed hybrid retrieval: identical fusion semantics to
     * [[hybridTopK]] but each leg reads a durable index instead of the
     * corpus — BM25 from the incremental inverted index (bit-identical

@@ -656,6 +656,25 @@ object PipelineQueries {
         queryTerms = Seq("spark", "hash", "window"), queryVec = q,
         k = 10, perLeg = 50)
     }),
+    // BATCHED hybrid retrieval: a TABLE of queries (per-query term bag +
+    // query embedding) scored in one pass — per-(doc, token) BM25
+    // contributions computed once over the union of terms, per-query
+    // totals summed in DECIMAL (order-independent), cosine leg as one
+    // broadcast join, RRF per query. The scale face of retrieval: the
+    // corpus is tokenized/scanned once no matter how many queries ride.
+    "q_text_hybrid_batch" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq(
+        (0L, Seq("spark", "hash", "window")),
+        (100L, Seq("data", "query", "table")),
+        (200L, Seq("scan", "filter")),
+        (300L, Seq("merge", "sort", "batch")),
+        (400L, Seq("join", "key"))).toDF("qid", "terms")
+      val qv = embeddings(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Retrieval.hybridTopKBatch(documents(s, d), embeddings(s, d),
+        terms.join(qv, "qid"), k = 10, perLeg = 20)
+    }),
     "q_ann_bruteforce" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
@@ -1955,6 +1974,79 @@ object PipelineQueries {
                   + coalesce(1.0 / (60 + sem_rank), 0.0) DESC,
            COALESCE(lexr.doc_id, semr.doc_id)
          LIMIT 10""",
+    // batched hybrid: replay the per-(doc, token) contributions once,
+    // per-query DECIMAL sums, both rank windows, and the fusion
+    "q_text_hybrid_batch" ->
+      """WITH qdef(qid, token) AS (VALUES
+           (0,'spark'),(0,'hash'),(0,'window'),
+           (100,'data'),(100,'query'),(100,'table'),
+           (200,'scan'),(200,'filter'),
+           (300,'merge'),(300,'sort'),(300,'batch'),
+           (400,'join'),(400,'key')),
+         qv AS (SELECT vec_id AS qid, embedding AS qvec
+                FROM embeddings WHERE vec_id % 100 = 0),
+         qterms AS (SELECT CAST(d.qid AS BIGINT) AS qid, d.token
+                    FROM qdef d JOIN qv ON d.qid = qv.qid),
+         toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         ne AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM ne GROUP BY 1),
+         stats AS (SELECT
+           (SELECT count(*) FROM documents) AS n_docs,
+           CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+             / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM ne
+                WHERE token IN (SELECT DISTINCT token FROM qterms)
+                GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         per AS (
+           SELECT tf.doc_id, tf.token,
+             round(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                           - CAST(df.df_docs AS DOUBLE) + 0.5)
+                        / (CAST(df.df_docs AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / stats.avgdl)))), 6) AS c
+           FROM tf JOIN df ON tf.token = df.token
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         lex AS (SELECT q.qid, p.doc_id,
+             round(CAST(sum(CAST(p.c AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS bm25
+           FROM qterms q JOIN per p ON q.token = p.token GROUP BY 1, 2),
+         lexr AS (SELECT qid, doc_id, lrank FROM (
+             SELECT qid, doc_id, row_number() OVER (
+               PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS lrank
+             FROM lex) t
+           WHERE lrank <= 20),
+         sem AS (SELECT qv.qid, e.vec_id AS doc_id,
+             round(CAST(list_cosine_similarity(e.embedding, qv.qvec)
+               AS DOUBLE), 4) AS cosine
+           FROM embeddings e, qv),
+         semr AS (SELECT qid, doc_id, srank FROM (
+             SELECT qid, doc_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, doc_id) AS srank
+             FROM sem) t
+           WHERE srank <= 20),
+         fused AS (SELECT
+             COALESCE(l.qid, s.qid) AS qid,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lrank AS lex_rank, s.srank AS sem_rank,
+             coalesce(1.0 / (60 + l.lrank), 0.0)
+               + coalesce(1.0 / (60 + s.srank), 0.0) AS f
+           FROM lexr l FULL OUTER JOIN semr s
+             ON l.qid = s.qid AND l.doc_id = s.doc_id)
+         SELECT qid, doc_id, lex_rank, sem_rank,
+           round(f, 6) AS rrf, CAST(rn AS INTEGER) AS rank
+         FROM (
+           SELECT qid, doc_id, lex_rank, sem_rank, f,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY f DESC, doc_id) AS rn
+           FROM fused) t
+         WHERE rn <= 10""",
     // identical replay — the incremental index must reproduce the one-shot
     // scores bit-for-bit, only the topK differs
     "q_text_bm25_incr" ->

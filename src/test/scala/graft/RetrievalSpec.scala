@@ -58,6 +58,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fromCorpus.nonEmpty && fromCorpus.size <= 10)
   }
 
+  test("batched hybrid for one query equals the single-query path") {
+    import spark.implicits._
+    val q = queryVec
+    val queries = Seq((0L, terms)).toDF("qid", "terms")
+      .join(emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    val batch = graft.operators.Retrieval
+      .hybridTopKBatch(docs, emb, queries, k = 10, perLeg = 25)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf")
+      .collect().toSeq
+    val single = graft.operators.Retrieval
+      .hybridTopK(docs, emb, terms, q, k = 10, perLeg = 25)
+      .collect().toSeq
+    assert(batch.map(_.toSeq) == single.map(_.toSeq),
+      s"\nbatch:  $batch\nsingle: $single")
+  }
+
+  test("IVF knnJoin-fed batched fusion equals the brute cosine leg") {
+    import spark.implicits._
+    import graft.operators.{IVF, Retrieval}
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Retrieval.cosineLegBatch(emb, queries, perLeg = 10)
+      .withColumnRenamed("vec_id", "doc_id")
+    val model = IVF.fitCached(emb, k = 8, sampleN = 256, iters = 4)
+    // knnJoin is EXACT top-k (cell pruning is lossless), so after
+    // re-ranking by the same rounded key the two legs fuse identically
+    val knn = IVF.knnJoin(IVF.index(emb, model), model,
+        queries.withColumnRenamed("qvec", "q_embedding"), k = 10)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("doc_id"))))
+    val lex = Seq.empty[(Long, Long, Int)].toDF("qid", "doc_id", "rank")
+    def fuse(sem: org.apache.spark.sql.DataFrame) =
+      Retrieval.rrfFuseBatch(Seq(lex, sem), k = 5)
+        .orderBy("qid", "rank").collect().toSeq.map(_.toSeq)
+    assert(fuse(brute) == fuse(knn))
+  }
+
   test("fusion is bounded by the legs: at most 2*perLeg candidates, ranks <= perLeg") {
     val out = Retrieval.hybridTopK(docs, emb, terms, queryVec,
       k = 1000, perLeg = 7).collect()
