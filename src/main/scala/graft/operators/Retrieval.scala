@@ -225,6 +225,58 @@ object Retrieval {
       .withColumnRenamed("rank_1", "sem_rank")
   }
 
+  /** Retrieval-quality evaluation: recall@k, MRR@k, and nDCG@k per
+    * query, from a rankings table (qidCol, idCol, "rank" 1-based) and a
+    * labels table (qidCol, idCol, "grade" — relevant iff grade > 0).
+    *
+    * Engine-reproducible arithmetic: each DCG term is rounded to 9 dp
+    * and summed in DECIMAL (a double sum would depend on aggregation
+    * order), log2 is spelled ln(x)/ln(2) so any IEEE engine computes the
+    * identical value, and every output rounds to 6 dp. A query with no
+    * relevant labels gets NULL for all three (0/0 — undefined, not
+    * zero); a query whose top-k missed every relevant doc gets recall
+    * and MRR 0 and nDCG 0.
+    *
+    * Scale shape: two equi-joins on (query, doc) plus per-query
+    * aggregations — rankings are top-k-sized per query, labels are the
+    * qrels; nothing touches the corpus. */
+  def evaluate(rankings: DataFrame, labels: DataFrame, k: Int = 10,
+      qidCol: String = "qid", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val ln2 = log(lit(2.0))
+    def dcgTerm(rankC: Column): Column = round(
+      (pow(lit(2.0), col("grade").cast("double")) - lit(1.0)) /
+        (log(rankC.cast("double") + lit(1.0)) / ln2), 9)
+    val rel = labels.filter(col("grade") > 0)
+      .select(col(qidCol), col(idCol), col("grade"))
+    val nRel = rel.groupBy(col(qidCol)).agg(count(lit(1)).as("_nrel"))
+    val topk = rankings.filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"))
+    val hits = topk.join(rel, Seq(qidCol, idCol))
+    val perQ = hits.groupBy(col(qidCol)).agg(
+      count(lit(1)).as("_nhit"),
+      min(col("rank")).as("_first"),
+      sum(dcgTerm(col("rank")).cast("decimal(28,9)")).as("_dcg"))
+    val ideal = rel.withColumn("_irank", row_number().over(Window
+        .partitionBy(col(qidCol))
+        .orderBy(col("grade").desc, col(idCol))))
+      .filter(col("_irank") <= k)
+      .groupBy(col(qidCol))
+      .agg(sum(dcgTerm(col("_irank")).cast("decimal(28,9)")).as("_idcg"))
+    rankings.select(col(qidCol)).distinct()
+      .join(nRel, Seq(qidCol), "left_outer")
+      .join(perQ, Seq(qidCol), "left_outer")
+      .join(ideal, Seq(qidCol), "left_outer")
+      .select(col(qidCol),
+        round(coalesce(col("_nhit"), lit(0L)).cast("double") /
+          col("_nrel").cast("double"), 6).as("recall_at_k"),
+        round(when(col("_first").isNotNull,
+          lit(1.0) / col("_first").cast("double")).otherwise(
+            when(col("_nrel").isNotNull, lit(0.0))), 6).as("mrr_at_k"),
+        round(coalesce(col("_dcg"), lit(0).cast("decimal(28,9)"))
+          .cast("double") / col("_idcg").cast("double"), 6).as("ndcg_at_k"))
+  }
+
   /** Index-backed hybrid retrieval: identical fusion semantics to
     * [[hybridTopK]] but each leg reads a durable index instead of the
     * corpus — BM25 from the incremental inverted index (bit-identical

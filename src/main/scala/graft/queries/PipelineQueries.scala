@@ -675,6 +675,25 @@ object PipelineQueries {
       Retrieval.hybridTopKBatch(documents(s, d), embeddings(s, d),
         terms.join(qv, "qid"), k = 10, perLeg = 20)
     }),
+    // RETRIEVAL EVALUATION: recall@10 / MRR@10 / nDCG@10 of the batched
+    // cosine leg against same-cluster labels (embeddings.label — a doc
+    // is relevant to a query iff they share the label). DCG terms round
+    // to 9 dp and sum in DECIMAL so the metric is aggregation-order-
+    // independent; the oracle replays rankings, qrels, and all three
+    // metric formulas.
+    "q_ann_eval" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val rankings = Retrieval.cosineLegBatch(e, queries, perLeg = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val labels = queries.select("qid", "qlabel")
+        .join(e.select(col("vec_id").as("doc_id"), col("label")),
+          col("qlabel") === col("label"))
+        .select(col("qid"), col("doc_id"), lit(1.0).as("grade"))
+      Retrieval.evaluate(rankings, labels, k = 10)
+    }),
     "q_ann_bruteforce" -> ((s, d) => {
       val q = embeddings(s, d).filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
@@ -1910,6 +1929,51 @@ object PipelineQueries {
            FROM per GROUP BY doc_id) g
          ORDER BY bm25 DESC, doc_id
          LIMIT 20""",
+    // retrieval eval: replay rankings, same-label qrels, and the three
+    // metric formulas (DECIMAL DCG sums, ln-based log2)
+    "q_ann_eval" ->
+      """WITH qv AS (SELECT vec_id AS qid, embedding AS qvec,
+             label AS qlabel
+           FROM embeddings WHERE vec_id % 100 = 0),
+         sem AS (SELECT qv.qid, e.vec_id AS doc_id,
+             round(CAST(list_cosine_similarity(e.embedding, qv.qvec)
+               AS DOUBLE), 4) AS cosine
+           FROM embeddings e, qv),
+         rk AS (SELECT qid, doc_id, rn AS rank FROM (
+             SELECT qid, doc_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rn
+             FROM sem) t
+           WHERE rn <= 10),
+         rel AS (SELECT qv.qid, e.vec_id AS doc_id, 1.0 AS grade
+           FROM qv JOIN embeddings e ON e.label = qv.qlabel),
+         nrel AS (SELECT qid, count(*) AS nrel FROM rel GROUP BY 1),
+         hits AS (SELECT r.qid, r.rank, l.grade
+           FROM rk r JOIN rel l ON r.qid = l.qid AND r.doc_id = l.doc_id),
+         perq AS (SELECT qid, count(*) AS nhit, min(rank) AS first,
+             sum(CAST(round((pow(2.0, CAST(grade AS DOUBLE)) - 1.0)
+               / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)), 9)
+               AS DECIMAL(28,9))) AS dcg
+           FROM hits GROUP BY 1),
+         ideal AS (SELECT qid,
+             sum(CAST(round((pow(2.0, CAST(grade AS DOUBLE)) - 1.0)
+               / (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0)), 9)
+               AS DECIMAL(28,9))) AS idcg
+           FROM (SELECT qid, grade, row_number() OVER (
+               PARTITION BY qid ORDER BY grade DESC, doc_id) AS irank
+             FROM rel) t
+           WHERE irank <= 10 GROUP BY 1)
+         SELECT q.qid,
+           round(CAST(coalesce(p.nhit, 0) AS DOUBLE)
+             / CAST(n.nrel AS DOUBLE), 6) AS recall_at_k,
+           round(CASE WHEN p.first IS NOT NULL
+               THEN 1.0 / CAST(p.first AS DOUBLE)
+             WHEN n.nrel IS NOT NULL THEN 0.0 END, 6) AS mrr_at_k,
+           round(CAST(coalesce(p.dcg, 0) AS DOUBLE)
+             / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k
+         FROM (SELECT DISTINCT qid FROM rk) q
+         LEFT JOIN nrel n USING(qid)
+         LEFT JOIN perq p USING(qid)
+         LEFT JOIN ideal i USING(qid)""",
     // hybrid RRF: replay the BM25 leg (top-50), the rounded-cosine leg
     // (top-50), then the exact reciprocal-rank arithmetic — integer
     // c+rank reciprocals sum identically in any IEEE engine

@@ -99,6 +99,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fuse(brute) == fuse(knn))
   }
 
+  test("evaluate: perfect ranking, missed-all, and no-labels edge cases") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // q1: relevant docs {1,2} ranked 1,2 — perfect. q2: relevant {9}
+    // never retrieved — zeros. q3: no labels at all — NULL metrics.
+    val rankings = Seq(
+      (1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      (2L, 1L, 1), (2L, 2L, 2),
+      (3L, 1L, 1)).toDF("qid", "doc_id", "rank")
+    val labels = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 1.0),
+      (2L, 9L, 1.0)).toDF("qid", "doc_id", "grade")
+    val out = Retrieval.evaluate(rankings, labels, k = 3)
+      .orderBy("qid").collect()
+    val q1 = out(0)
+    assert(q1.getDouble(1) == 1.0 && q1.getDouble(2) == 1.0 &&
+      q1.getDouble(3) == 1.0, q1)
+    val q2 = out(1)
+    assert(q2.getDouble(1) == 0.0 && q2.getDouble(2) == 0.0 &&
+      q2.getDouble(3) == 0.0, q2)
+    val q3 = out(2)
+    assert(q3.isNullAt(1) && q3.isNullAt(2) && q3.isNullAt(3), q3)
+    // partial: relevant {1,5}, retrieved 1 at rank 2 → recall 1/2,
+    // mrr 1/2, ndcg = (1/log2(3)) / (1 + 1/log2(3))
+    val r2 = Seq((9L, 7L, 1), (9L, 1L, 2), (9L, 8L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val l2 = Seq((9L, 1L, 1.0), (9L, 5L, 1.0)).toDF("qid", "doc_id", "grade")
+    val o2 = Retrieval.evaluate(r2, l2, k = 3).collect()(0)
+    assert(o2.getDouble(1) == 0.5 && o2.getDouble(2) == 0.5)
+    val t2 = math.rint(1.0 / (math.log(3.0) / math.log(2.0)) * 1e9) / 1e9
+    val want = math.rint(t2 / (1.0 + t2) * 1e6) / 1e6
+    assert(math.abs(o2.getDouble(3) - want) < 1e-9, s"${o2.getDouble(3)} vs $want")
+  }
+
   test("fusion is bounded by the legs: at most 2*perLeg candidates, ranks <= perLeg") {
     val out = Retrieval.hybridTopK(docs, emb, terms, queryVec,
       k = 1000, perLeg = 7).collect()
