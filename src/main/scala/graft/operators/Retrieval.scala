@@ -225,6 +225,83 @@ object Retrieval {
       .withColumnRenamed("rank_1", "sem_rank")
   }
 
+  /** one (query, candidate) row inside [[mmr]]'s per-query group */
+  private[graft] final case class MmrCand(qid: Long, doc_id: Long,
+    score: Double, emb: Array[Float])
+  private[graft] final case class MmrPick(qid: Long, doc_id: Long,
+    mmr_rank: Int)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98 — public method): greedily pick `k` of each query's
+    * candidates maximizing λ·relevance − (1−λ)·max-cosine-to-already-
+    * picked, so near-duplicate results don't crowd the final list — the
+    * standard diversification pass between retrieval and a RAG context
+    * window.
+    *
+    * `candidates`: (qidCol, idCol, scoreCol) — a TOP-K-SIZED list per
+    * query (e.g. [[hybridTopKBatch]] output); `emb` supplies candidate
+    * embeddings by id. Scores are min-max normalized to [0,1] per query
+    * by default so λ weighs comparable scales (RRF scores live near
+    * 1/c, cosines near 1). Greedy selection is inherently sequential
+    * PER QUERY but embarrassingly parallel ACROSS queries: one
+    * flatMapGroups task per query over its bounded candidate list —
+    * never a driver loop, never corpus-sized state. Ties break by
+    * (score, id) at every step, so output is deterministic. */
+  def mmr(candidates: DataFrame, emb: DataFrame, k: Int = 10,
+      lambda: Double = 0.7, normalizeScores: Boolean = true,
+      qidCol: String = "qid", idCol: String = "doc_id",
+      scoreCol: String = "rrf",
+      embIdCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val joined = candidates
+      .join(emb.select(col(embIdCol).as(idCol), col(embCol).as("_e")),
+        Seq(idCol))
+      .select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("double").as("score"), col("_e").as("emb"))
+      .as[MmrCand]
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    joined.groupByKey(_.qid).flatMapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(c => (-c.score, c.doc_id))
+      val lo = if (cands.isEmpty) 0.0 else cands.map(_.score).min
+      val hi = if (cands.isEmpty) 0.0 else cands.map(_.score).max
+      def rel(c: MmrCand): Double =
+        if (!normalizeScores) c.score
+        else if (hi == lo) 1.0
+        else (c.score - lo) / (hi - lo)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      while (selected.size < k && remaining.nonEmpty) {
+        val best = remaining.minBy { c =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => cos(c.emb, s.emb)).max
+          // minBy on the NEGATED objective with (score, id) tie-breaks
+          (-(lambda * rel(c) - (1.0 - lambda) * maxSim), -c.score, c.doc_id)
+        }
+        selected += best
+        remaining -= best
+      }
+      selected.zipWithIndex.map { case (c, i) => MmrPick(qid, c.doc_id, i + 1) }
+    }.toDF("qid", "doc_id", "mmr_rank")
+      .withColumnRenamed("qid", qidCol)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Retrieval-quality evaluation: recall@k, MRR@k, and nDCG@k per
     * query, from a rankings table (qidCol, idCol, "rank" 1-based) and a
     * labels table (qidCol, idCol, "grade" — relevant iff grade > 0).

@@ -675,6 +675,26 @@ object PipelineQueries {
       Retrieval.hybridTopKBatch(documents(s, d), embeddings(s, d),
         terms.join(qv, "qid"), k = 10, perLeg = 20)
     }),
+    // MMR DIVERSIFICATION over the batched hybrid candidates: greedy
+    // λ·relevance − (1−λ)·max-sim-to-picked per query, one bounded
+    // flatMapGroups task per query. Deterministic (every step ties-break
+    // on (score, id)) but greedy iteration is not SQL-expressible —
+    // rows-only check; the semantics spec lives in RetrievalSpec.
+    "q_text_mmr" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq(
+        (0L, Seq("spark", "hash", "window")),
+        (100L, Seq("data", "query", "table")),
+        (200L, Seq("scan", "filter")),
+        (300L, Seq("merge", "sort", "batch")),
+        (400L, Seq("join", "key"))).toDF("qid", "terms")
+      val qv = embeddings(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = Retrieval.hybridTopKBatch(documents(s, d),
+        embeddings(s, d), terms.join(qv, "qid"), k = 20, perLeg = 20)
+      Retrieval.mmr(cands, embeddings(s, d), k = 5, lambda = 0.7)
+        .orderBy("qid", "mmr_rank")
+    }),
     // RETRIEVAL EVALUATION: recall@10 / MRR@10 / nDCG@10 of the batched
     // cosine leg against same-cluster labels (embeddings.label — a doc
     // is relevant to a query iff they share the label). DCG terms round

@@ -133,6 +133,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(o2.getDouble(3) - want) < 1e-9, s"${o2.getDouble(3)} vs $want")
   }
 
+  test("mmr demotes near-duplicates of already-picked results") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // A and B are near-identical vectors with top scores; C is orthogonal
+    // with a lower score. Pure relevance order is A,B,C; MMR at λ=0.5
+    // must pick A, then C (B's sim-to-A penalty outweighs its score),
+    // then B.
+    val cands = Seq((1L, 10L, 1.0), (1L, 11L, 0.95), (1L, 12L, 0.5))
+      .toDF("qid", "doc_id", "rrf")
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.999f, 0.01f)),
+      (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val picks = Retrieval.mmr(cands, vecs, k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(picks.toSeq == Seq((10L, 1), (12L, 2), (11L, 3)), picks.toSeq)
+    // λ=1 is pure relevance: original order restored
+    val pure = Retrieval.mmr(cands, vecs, k = 3, lambda = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(1))
+    assert(pure.toSeq == Seq(10L, 11L, 12L), pure.toSeq)
+    // k caps the list per query
+    assert(Retrieval.mmr(cands, vecs, k = 2, lambda = 0.5).count() == 2)
+  }
+
   test("fusion is bounded by the legs: at most 2*perLeg candidates, ranks <= perLeg") {
     val out = Retrieval.hybridTopK(docs, emb, terms, queryVec,
       k = 1000, perLeg = 7).collect()
