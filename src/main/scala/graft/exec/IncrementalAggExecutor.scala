@@ -729,10 +729,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
           } else childDF
         // dashboard refresh cycles share ONE persisted delta scan per
         // fact table across all views refreshing together (SharedDelta);
-        // band/repair re-reads below keep the private `deltaDF` — they
-        // need rows below the watermark the shared scan excludes
+        // a repair-pending run keeps the private `deltaDF` ENTIRELY —
+        // the repair re-read below needs rows below the watermark the
+        // shared scan excludes, and it unions against this append scan,
+        // so the two must stay the same (full leaf) width
         val deltaForAppend =
-          if (!SharedDelta.cycleActive) deltaDF
+          if (!SharedDelta.cycleActive || repairActive) deltaDF
           else SharedDelta.substituteAppendScan(spark, deltaDF,
             c.temporalAttr, cs.timestampMicros,
             config.temporalPartitionColumn, config.log, c.fingerprint,

@@ -40,68 +40,65 @@ import graft.log.CacheLog
   * chain) bails to the query's own scan. Newly null-extended outer-join
   * rows carry a NULL ts and fail the watermark filter too.
   *
-  * Scope contract: a cycle is one refresh batch. Entries snapshot the
-  * table's files at first materialization, so a cycle must not span an
-  * append you expect later views to observe — exactly the semantics a
-  * single dashboard refresh wants. Cycle end unpersists everything.
-  * Cold runs, banded re-scans, and repair windows never substitute
-  * (they need rows below the watermark).
+  * Scope contract: a cycle is one refresh batch, scoped to the THREAD
+  * that opened it (bystander sessions must never be pulled onto another
+  * cycle's snapshot — see `active`). Entries snapshot the table's files
+  * at first materialization, so a cycle must not span an append you
+  * expect later views to observe — exactly the semantics a single
+  * dashboard refresh wants. Cycle end unpersists everything. Cold runs,
+  * banded re-scans, and repair-pending runs never substitute (they need
+  * rows below the watermark).
+  *
+  * The registered scan carries NO upper timestamp bound even under
+  * strict mode: each consuming view applies its own `ts < now` above
+  * the splice, and the entry must keep future-dated rows servable to
+  * views whose `now` is later — truncating at the registering run's
+  * `now` would silently lose the band between the runs' clocks. The
+  * cost is that future-dated rows persist in the shared delta even
+  * though early views discard them; bounded by the table's future-dated
+  * volume, which the S1 contract already treats as exceptional.
   */
 object SharedDelta {
 
-  private final case class Entry(wmMicros: Long, df: DataFrame,
-      leafTsName: String)
+  private final case class Entry(wmMicros: Long, df: DataFrame)
 
   private final class Cycle {
     val entries = new TrieMap[String, Entry]
-    val depth = new java.util.concurrent.atomic.AtomicInteger(1)
+    var depth: Int = 1
   }
 
-  private val active = new AtomicReference[Cycle](null)
+  // THREAD-LOCAL by design, not JVM-global: a cycle's entries snapshot
+  // their table's files at first materialization, so only runs that
+  // OPTED IN (they called withCycle, accepting the no-mid-cycle-append
+  // contract) may consume them. A global registry would silently pull a
+  // bystander session's warm run onto another cycle's stale snapshot —
+  // its watermark would still advance past rows appended since that
+  // snapshot, losing them permanently. A multi-threaded tile runner
+  // shares per thread (N_threads scans, still < N_views); cross-thread
+  // sharing would need cross-thread snapshot consent.
+  private val active = new ThreadLocal[Cycle]
 
-  /** Is a refresh cycle active on this JVM? */
+  /** Is a refresh cycle active on this thread? */
   def cycleActive: Boolean = active.get() != null
 
-  /** Run `f` as one refresh cycle: warm runs inside it share one delta
-    * scan per (fact table, temporal column). Re-entrant and thread-safe
-    * (concurrent callers join the same cycle); the LAST exit unpersists
-    * all shared deltas. */
+  /** Run `f` as one refresh cycle: warm runs inside it (same thread)
+    * share one delta scan per (fact table, temporal column). Re-entrant;
+    * the outermost exit unpersists all shared deltas. */
   def withCycle[A](f: => A): A = {
-    // join the live cycle or install a fresh one; a concurrently-closing
-    // cycle (depth already 0) is never joined — retry on the fresh one
-    @annotation.tailrec
-    def enter(): Cycle = {
-      val existing = active.get()
-      if (existing != null) {
-        val d = existing.depth.get()
-        if (d > 0 && existing.depth.compareAndSet(d, d + 1)) existing
-        else enter()
-      } else {
-        val fresh = new Cycle
-        if (active.compareAndSet(null, fresh)) fresh else enter()
-      }
-    }
-    val c = enter()
+    val existing = active.get()
+    if (existing != null) existing.depth += 1
+    else active.set(new Cycle)
     try f
     finally {
-      if (c.depth.decrementAndGet() == 0) {
-        active.compareAndSet(c, null)
+      val c = active.get()
+      c.depth -= 1
+      if (c.depth == 0) {
+        active.remove()
         c.entries.values.foreach { e =>
           try e.df.unpersist(blocking = false)
           catch { case _: Exception => () }
         }
       }
-    }
-  }
-
-  /** Drop all shared deltas immediately (test/bench hygiene). */
-  def clear(): Unit = {
-    val c = active.get()
-    if (c != null) {
-      c.entries.values.foreach { e =>
-        try e.df.unpersist(blocking = false) catch { case _: Exception => () }
-      }
-      c.entries.clear()
     }
   }
 
@@ -211,7 +208,7 @@ object SharedDelta {
         val delta = raw.filter(pcBound.map(bound && _).getOrElse(bound))
           .select(needed.map(a => Shims.column(a)): _*)
         delta.persist(StorageLevel.MEMORY_AND_DISK)
-        val e = Entry(wmMicros, delta, leafTs.name)
+        val e = Entry(wmMicros, delta)
         cycle.entries.putIfAbsent(key, e) match {
           case Some(winner) =>
             // a concurrent registration won — drop ours, use the winner
@@ -252,13 +249,26 @@ object SharedDelta {
           "needed column — bypassing shared scan")
         deltaDF
       case Some(aliases) =>
+        // verify the replacement actually landed before claiming it —
+        // if the leaf instance is not reference-present in `plan` (e.g.
+        // a re-analysis copied it), the splice is a no-op and the run
+        // must fall back to (and report) its private scan
+        var replaced = 0
         val spliced = plan.transformUp {
-          case l: LogicalRelation if l eq lr => Project(aliases, dplan)
+          case l: LogicalRelation if l eq lr =>
+            replaced += 1
+            Project(aliases, dplan)
         }
-        log.info(fingerprint,
-          s"shared delta scan: append read served from the cycle's " +
-            s"persisted delta (wm=${entry.wmMicros})")
-        Shims.ofRows(spark, spliced)
+        if (replaced == 0) {
+          log.info(fingerprint, "shared delta: fact leaf not found in " +
+            "the delta plan — bypassing shared scan")
+          deltaDF
+        } else {
+          log.info(fingerprint,
+            s"shared delta scan: append read served from the cycle's " +
+              s"persisted delta (wm=${entry.wmMicros})")
+          Shims.ofRows(spark, spliced)
+        }
     }
   }
 }

@@ -38,24 +38,14 @@ object Retrieval {
     * worth of double addition is commutative and exact-rounded the same
     * everywhere. */
   def rrfFuse(legs: Seq[DataFrame], k: Int = 10, c: Int = 60,
-      idCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
-    require(legs.nonEmpty, "rrfFuse needs at least one leg")
-    require(c >= 1, s"rrf constant must be >= 1, got $c")
-    val renamed = legs.zipWithIndex.map { case (leg, i) =>
-      leg.select(col(idCol), col(rankCol).cast("long").as(s"rank_$i"))
-    }
-    val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
-    val contribs = legs.indices.map(i =>
-      coalesce(lit(1.0) / (lit(c) + col(s"rank_$i")).cast("double"), lit(0.0)))
-    val fused = contribs.reduceLeft(_ + _)
-    joined
-      .select((col(idCol) +: legs.indices.map(i => col(s"rank_$i"))) :+
-        fused.as("_rrf"): _*)
-      .orderBy(col("_rrf").desc, col(idCol))
-      .limit(k)
-      .select((col(idCol) +: legs.indices.map(i => col(s"rank_$i"))) :+
-        round(col("_rrf"), 6).as("rrf"): _*)
-  }
+      idCol: String = "doc_id", rankCol: String = "rank"): DataFrame =
+    // the single-query form IS the batch form under one constant query
+    // id — one fusion implementation, no drift
+    rrfFuseBatch(
+      legs.map(_.select(lit(0L).as("_q"), col(idCol),
+        col(rankCol).as("rank"))),
+      k, c, qidCol = "_q", idCol = idCol)
+      .drop("_q", "rank")
 
   /** 1-based rank column over (scoreCol DESC, idCol ASC). The input is a
     * leg's top-`perLeg` candidate list — bounded rows by construction —
@@ -129,30 +119,19 @@ object Retrieval {
   def bm25Batch(docs: DataFrame, queryTerms: DataFrame, perLeg: Int = 50,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
       idCol: String = "doc_id", qidCol: String = "qid"): DataFrame = {
-    val toks = docs.select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
-      .select(col("n_docs"),
-        (col("total_dl").cast("double") / col("n_docs").cast("double"))
-          .as("avgdl"))
+    // corpus derivation and the contribution formula are the SHARED
+    // definitions (TextAnalysis.bm25Corpus / bm25ContribExpr) — the
+    // batched scorer can never drift from the single-query one
+    val (toks, dl, stats) = TextAnalysis.bm25Corpus(docs, textCol, idCol)
     val terms = queryTerms.select(col("token")).distinct()
     val tf = toks.join(broadcast(terms), Seq("token"), "left_semi")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
-    val tfD = col("tf").cast("double")
-    val dfD = col("df_docs").cast("double")
-    val nD = col("n_docs").cast("double")
-    val dlD = col("dl").cast("double")
-    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("avgdl")))
-    val contrib = round(idf * ((tfD * lit(k1 + 1.0)) / denom), 6)
     val perDocToken = tf.join(broadcast(dfT), Seq("token"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .select(col("token"), col(idCol), contrib.as("_c"))
+      .select(col("token"), col(idCol),
+        TextAnalysis.bm25ContribExpr(k1, b).as("_c"))
     val scored = queryTerms.join(perDocToken, Seq("token"))
       .groupBy(col(qidCol), col(idCol))
       .agg(round(sum(col("_c").cast("decimal(18,6)")).cast("double"), 4)
@@ -256,9 +235,13 @@ object Retrieval {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
     val spark = candidates.sparkSession
     import spark.implicits._
+    // LEFT join: a candidate without an embedding row (partially-embedded
+    // corpus, lexical-only hit) must not vanish from the output — it
+    // keeps its relevance and carries zero redundancy penalty (cos with
+    // the empty vector is 0)
     val joined = candidates
       .join(emb.select(col(embIdCol).as(idCol), col(embCol).as("_e")),
-        Seq(idCol))
+        Seq(idCol), "left_outer")
       .select(col(qidCol).cast("long").as("qid"),
         col(idCol).cast("long").as("doc_id"),
         col(scoreCol).cast("double").as("score"), col("_e").as("emb"))
@@ -276,27 +259,51 @@ object Retrieval {
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     joined.groupByKey(_.qid).flatMapGroups { (qid, it) =>
+      // greedy with a RUNNING max-similarity per candidate: each pick
+      // updates every remaining candidate against the one new selection,
+      // so the whole loop costs O(k·n) cosine evaluations (identical
+      // output to the re-scan-all-selected form, which is O(k²·n))
       val cands = it.toArray.sortBy(c => (-c.score, c.doc_id))
+      def embOf(c: MmrCand): Array[Float] =
+        if (c.emb == null) Array.empty[Float] else c.emb
       val lo = if (cands.isEmpty) 0.0 else cands.map(_.score).min
       val hi = if (cands.isEmpty) 0.0 else cands.map(_.score).max
       def rel(c: MmrCand): Double =
         if (!normalizeScores) c.score
         else if (hi == lo) 1.0
         else (c.score - lo) / (hi - lo)
-      val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
-      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
-      while (selected.size < k && remaining.nonEmpty) {
-        val best = remaining.minBy { c =>
-          val maxSim =
-            if (selected.isEmpty) 0.0
-            else selected.map(s => cos(c.emb, s.emb)).max
-          // minBy on the NEGATED objective with (score, id) tie-breaks
-          (-(lambda * rel(c) - (1.0 - lambda) * maxSim), -c.score, c.doc_id)
+      val maxSim = Array.fill(cands.length)(0.0)
+      val picked = Array.fill(cands.length)(false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      var nLeft = cands.length
+      while (out.size < k && nLeft > 0) {
+        // argmax of the MMR objective; cands are pre-sorted by
+        // (score desc, id asc), so a strict > keeps exactly the
+        // (objective, score, id) tie-break order
+        var bi = -1
+        var bestObj = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!picked(i)) {
+            val obj = lambda * rel(cands(i)) - (1.0 - lambda) * maxSim(i)
+            if (obj > bestObj) { bestObj = obj; bi = i }
+          }
+          i += 1
         }
-        selected += best
-        remaining -= best
+        picked(bi) = true
+        nLeft -= 1
+        out += MmrPick(qid, cands(bi).doc_id, out.size + 1)
+        val be = embOf(cands(bi))
+        var j = 0
+        while (j < cands.length) {
+          if (!picked(j)) {
+            val s = cos(embOf(cands(j)), be)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
       }
-      selected.zipWithIndex.map { case (c, i) => MmrPick(qid, c.doc_id, i + 1) }
+      out
     }.toDF("qid", "doc_id", "mmr_rank")
       .withColumnRenamed("qid", qidCol)
       .withColumnRenamed("doc_id", idCol)

@@ -304,6 +304,18 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms == queryTerms.distinct, "queryTerms must be distinct")
+    val (toks, dl, stats) = bm25Corpus(docs, textCol, idCol)
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, stats, queryTerms, k1, b, topK, idCol)
+  }
+
+  /** The corpus-derivation core shared by [[bm25]] and
+    * [[Retrieval.bm25Batch]]: (token stream, doc lengths, corpus stats).
+    * One definition so the single-query and batched scorers can never
+    * drift on tokenization or the avgdl derivation. */
+  private[graft] def bm25Corpus(docs: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
@@ -312,9 +324,22 @@ object TextAnalysis {
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    val tf = toks.filter(col("token").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    bm25Score(tf, dl, stats, queryTerms, k1, b, topK, idCol)
+    (toks, dl, stats)
+  }
+
+  /** The per-(doc, token) BM25 contribution expression over columns
+    * (tf, df_docs, dl, n_docs, avgdl) — the ONE definition of the
+    * scoring formula, shared by [[bm25Score]] (single query, pivoted
+    * term sums) and [[Retrieval.bm25Batch]] (query table, DECIMAL
+    * sums). Rounded to 6 dp so downstream sums are reproducible. */
+  private[graft] def bm25ContribExpr(k1: Double, b: Double): org.apache.spark.sql.Column = {
+    val tfD = col("tf").cast("double")
+    val dfD = col("df_docs").cast("double")
+    val nD = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("avgdl")))
+    round(idf * ((tfD * lit(k1 + 1.0)) / denom), 6)
   }
 
   /** The BM25 scoring core over pre-aggregated inputs — shared verbatim
@@ -328,13 +353,7 @@ object TextAnalysis {
       queryTerms: Seq[String], k1: Double, b: Double, topK: Int,
       idCol: String): DataFrame = {
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
-    val tfD = col("tf").cast("double")
-    val dfD = col("df_docs").cast("double")
-    val nD = col("n_docs").cast("double")
-    val dlD = col("dl").cast("double")
-    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("avgdl")))
-    val contrib = round(idf * ((tfD * lit(k1 + 1.0)) / denom), 6)
+    val contrib = bm25ContribExpr(k1, b)
     val perTerm = tf.join(broadcast(dfT), Seq("token"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
