@@ -328,6 +328,38 @@ object IncrementalText {
     TextAnalysis.bm25Score(tf, dl, stats, queryTerms, k1, b, topK, idCol)
   }
 
+  /** Batched BM25 served from the index: per-query top-`perLeg` for a
+    * whole query TABLE, equal to [[Retrieval.bm25Batch]] over the same
+    * LIVE documents (shared batched scoring core) — without touching any
+    * document text. The batch's distinct vocabulary is collected to the
+    * driver (bounded by the query table's own term count, not the
+    * corpus) so the token filter pushes to the token-sorted parquet as
+    * literals, exactly like the single-query path. */
+  def bm25BatchFromIndex(spark: SparkSession, indexDir: String,
+      queryTerms: DataFrame, perLeg: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", qidCol: String = "qid"): DataFrame = {
+    require(hasBatches(spark, indexDir), s"empty index at $indexDir")
+    val termList = queryTerms.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(termList.nonEmpty, "queryTerms must be non-empty")
+    val tf0 = readTf(spark, indexDir, idCol)
+      .filter(col("token").isin(termList: _*))
+    val live = liveDocs(spark, indexDir, idCol,
+      Some(tf0.select(col(idCol)).distinct()))
+    val tf = tf0.join(live.select(col(idCol), col("ver")),
+      Seq(idCol, "ver"), "left_semi")
+      .select(col(idCol), col("token"), col("tf"))
+    val dl = live.select(col(idCol), col("dl"))
+    val stats = readStats(spark, indexDir)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    Retrieval.bm25BatchScore(tf, dl, stats, queryTerms, perLeg,
+      k1, b, idCol, qidCol)
+  }
+
   /** Per-doc TF-IDF top terms served from the index — identical results
     * to [[TextAnalysis.tfidfTopTerms]] over the same LIVE documents
     * (shared scoring core; every scoring input derives from the stored

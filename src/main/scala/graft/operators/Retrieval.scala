@@ -126,6 +126,18 @@ object Retrieval {
     val terms = queryTerms.select(col("token")).distinct()
     val tf = toks.join(broadcast(terms), Seq("token"), "left_semi")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    bm25BatchScore(tf, dl, stats, queryTerms, perLeg, k1, b, idCol, qidCol)
+  }
+
+  /** The batched scoring core over pre-aggregated inputs — shared
+    * verbatim by [[bm25Batch]] (corpus-derived) and
+    * [[IncrementalText.bm25BatchFromIndex]] (durable-index-served), so
+    * the two paths are bit-identical by construction. `tf`: one row per
+    * (idCol, token ∈ some query's terms) for LIVE docs; `dl`: doc
+    * lengths; `stats`: one row (n_docs, avgdl). */
+  private[graft] def bm25BatchScore(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, queryTerms: DataFrame, perLeg: Int,
+      k1: Double, b: Double, idCol: String, qidCol: String): DataFrame = {
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
     val perDocToken = tf.join(broadcast(dfT), Seq("token"))
       .join(dl, Seq(idCol))
@@ -359,6 +371,32 @@ object Retrieval {
             when(col("_nrel").isNotNull, lit(0.0))), 6).as("mrr_at_k"),
         round(coalesce(col("_dcg"), lit(0).cast("decimal(28,9)"))
           .cast("double") / col("_idcg").cast("double"), 6).as("ndcg_at_k"))
+  }
+
+  /** Fully index-served BATCHED hybrid retrieval — the 100 TB serving
+    * path: the lexical leg reads the durable inverted index (tokenize-
+    * once, term filter pushed to token-sorted parquet; bit-identical to
+    * [[bm25Batch]] via the shared scoring core) and the semantic leg
+    * scores stored vectors; no query touches raw document text. Same
+    * output contract as [[hybridTopKBatch]]. */
+  def hybridTopKBatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      bm25IndexDir: String, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, perLeg: Int = 50, c: Int = 60,
+      idCol: String = "doc_id",
+      embIdCol: String = "vec_id", embCol: String = "embedding",
+      qidCol: String = "qid", termsCol: String = "terms",
+      qEmbCol: String = "qvec"): DataFrame = {
+    val queryTerms = queries.select(col(qidCol),
+      explode(array_distinct(col(termsCol))).as("token"))
+    val lex = IncrementalText.bm25BatchFromIndex(spark, bm25IndexDir,
+      queryTerms, perLeg, idCol = idCol, qidCol = qidCol)
+    val sem = cosineLegBatch(emb, queries, perLeg,
+        idCol = embIdCol, embCol = embCol, qidCol = qidCol,
+        qEmbCol = qEmbCol)
+      .withColumnRenamed(embIdCol, idCol)
+    rrfFuseBatch(Seq(lex, sem), k, c, qidCol, idCol)
+      .withColumnRenamed("rank_0", "lex_rank")
+      .withColumnRenamed("rank_1", "sem_rank")
   }
 
   /** Index-backed hybrid retrieval: identical fusion semantics to

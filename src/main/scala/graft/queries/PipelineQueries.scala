@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -673,6 +675,34 @@ object PipelineQueries {
       val qv = embeddings(s, d).filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Retrieval.hybridTopKBatch(documents(s, d), embeddings(s, d),
+        terms.join(qv, "qid"), k = 10, perLeg = 20)
+    }),
+    // INDEX-SERVED batched hybrid — the serving path: the lexical leg
+    // reads the durable inverted index built in two appends (+ one
+    // replayed batch, a no-op), no query touches document text. The
+    // oracle is the SAME SQL as q_text_hybrid_batch: the index path
+    // must be bit-identical to the corpus path (shared scoring cores).
+    "q_text_hybrid_batch_incr" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.IncrementalText
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_qc/" +
+        s"${new java.io.File(d).getName}/hybatchidx"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val dd = documents(s, d)
+      IncrementalText.bm25Append(s, dir, dd.filter(pmod(col("doc_id"), lit(2)) === 1))
+      IncrementalText.bm25Append(s, dir, dd.filter(pmod(col("doc_id"), lit(2)) === 0))
+      IncrementalText.bm25Append(s, dir, dd.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val terms = Seq(
+        (0L, Seq("spark", "hash", "window")),
+        (100L, Seq("data", "query", "table")),
+        (200L, Seq("scan", "filter")),
+        (300L, Seq("merge", "sort", "batch")),
+        (400L, Seq("join", "key"))).toDF("qid", "terms")
+      val qv = embeddings(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Retrieval.hybridTopKBatchFromIndex(s, dir, embeddings(s, d),
         terms.join(qv, "qid"), k = 10, perLeg = 20)
     }),
     // MMR DIVERSIFICATION over the batched hybrid candidates: greedy
@@ -3073,4 +3103,7 @@ object PipelineQueries {
            quantile_cont(l_extendedprice, 0.75) AS p75_price
          FROM lineitem GROUP BY 1"""
   )
+    // the index-served batched hybrid must be BIT-IDENTICAL to the
+    // corpus path (shared scoring cores) — one oracle, two query paths
+    .pipe(m => m + ("q_text_hybrid_batch_incr" -> m("q_text_hybrid_batch")))
 }

@@ -68,6 +68,21 @@ class IncrementalBm25Spec extends AnyFunSuite {
       IncrementalText.tfidfTopTermsFromIndex(spark, dir, topK = 3)
         .collect().toSet ==
       TextAnalysis.tfidfTopTerms(docs, topK = 3).collect().toSet)
+
+    // BATCHED scorer from the index equals the corpus-derived batched
+    // scorer (shared bm25BatchScore core) — per query AND per rank
+    locally {
+      import spark.implicits._
+      val qt = Seq((1L, "spark"), (1L, "hash"), (2L, "window"),
+        (2L, "hash"), (3L, "join")).toDF("qid", "token")
+      val fromIdx = IncrementalText.bm25BatchFromIndex(spark, dir, qt,
+        perLeg = 12).orderBy("qid", "rank").collect().toSeq
+      val fromCorpus = graft.operators.Retrieval.bm25Batch(docs, qt,
+        perLeg = 12).orderBy("qid", "rank").collect().toSeq
+      assert(fromIdx == fromCorpus,
+        s"\nindex:  $fromIdx\ncorpus: $fromCorpus")
+      assert(fromIdx.nonEmpty)
+    }
   }
 
   test("upsert re-indexes exactly the changed docs; scores equal one-shot " +
