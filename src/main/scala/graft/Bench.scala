@@ -745,9 +745,15 @@ object Bench {
         yield num(c / w)).getOrElse("null")},"partial":$failed,"sf":"$sfDir"}"""
     println(gatesJson)
     // sidecar file: the gates object survives even if the driver's tail
-    // capture misses stdout entirely — byte-parseable on its own
+    // capture misses stdout entirely — byte-parseable on its own.
+    // BENCH_GATES.json is DEFINED as the exclusive sf0.1 artifact, like
+    // BENCH_LOCAL.json — dev-loop runs at other scales persist to a
+    // per-sf name instead of clobbering it (it happened twice)
+    val gatesName =
+      if (prevArtifactName == "BENCH_LOCAL.json") "BENCH_GATES.json"
+      else prevArtifactName.replace("BENCH_DEV_", "BENCH_GATES_DEV_")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_GATES.json"), gatesJson + "\n")
+      java.nio.file.Paths.get(gatesName), gatesJson + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
