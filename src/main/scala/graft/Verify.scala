@@ -26,7 +26,10 @@ object Verify {
     "q_dedup_incr_near", "q_dedup_incr_spans", "q_dedup_minhash",
     "q_ann_ivf", "q_ann_pq", "q_knn_join", "q_embed_incr",
     "q_text_bm25_incr", "q_text_bpe_train", "q_freq_topk",
-    "q_sketch_distinct", "q_agg_salted", "q_stream_resume")
+    "q_sketch_distinct", "q_agg_salted", "q_stream_resume",
+    // index-served batched hybrid at 10x corpus and 50 query rows: the
+    // inverted-index scoring joins + liveness resolution at real tf size
+    "q_text_hybrid_batch_incr")
 
   def main(args: Array[String]): Unit = {
     val sample = args.contains("--sample")

@@ -2098,7 +2098,8 @@ object PipelineQueries {
            (300,'merge'),(300,'sort'),(300,'batch'),
            (400,'join'),(400,'key')),
          qv AS (SELECT vec_id AS qid, embedding AS qvec
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings
+                WHERE vec_id IN (SELECT DISTINCT qid FROM qdef)),
          qterms AS (SELECT CAST(d.qid AS BIGINT) AS qid, d.token
                     FROM qdef d JOIN qv ON d.qid = qv.qid),
          toks AS (
