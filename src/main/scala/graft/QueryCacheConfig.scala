@@ -410,6 +410,19 @@ final case class QueryCacheConfig(
       * this grain, the same bucket-granularity semantics the grouped
       * dynamic-bound path defines. date_trunc grains only. */
     dynamicBoundInternalGrain: String = "hour",
+    /** opt-in TEMPORAL TWIN for grouped aggregates WITHOUT a temporal
+      * bucket key (`GROUP BY event_type`): state is kept at
+      * (date_trunc(grain, ts) × keys) grain through the normal grouped
+      * machinery and the answer re-aggregates the buckets away — so
+      * repairRange drops only the covering buckets, the late re-scan
+      * band applies, and dynamic lower bounds qualify buckets by start,
+      * none of which a keys-only state can support (no time slice to
+      * drop — such entries rebuild loudly on repair). Costs state size
+      * ×(active buckets): pick the grain to taste. Measures must
+      * re-aggregate from bucket finalizes (count/sum/min/max/avg,
+      * FILTER clauses fine; DISTINCT and order-statistics fall back to
+      * the plain keys-only path). date_trunc grains only. */
+    temporalTwinGrain: Option[String] = None,
     /** cache SIMPLE FILTER QUERIES (no aggregate) as materialized row
       * state — reference README.md:130's first roadmap item. State = the
       * query's own output rows at the watermark; a warm run unions the
@@ -468,6 +481,9 @@ final case class QueryCacheConfig(
 
   def withDynamicBounds: QueryCacheConfig =
     copy(dynamicBoundBucketGranularity = true)
+
+  def withTemporalTwin(grain: String): QueryCacheConfig =
+    copy(temporalTwinGrain = Some(grain))
 
   def withTemporalColumn(col: String): QueryCacheConfig =
     copy(temporalColumns = temporalColumns + col)

@@ -139,7 +139,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case Right(c) =>
         config.log.info(c.fingerprint,
           s"query valid for caching, temporal column ${c.temporalAttr.name}")
-        try Some(execute(spark, analyzed, c))
+        // opt-in temporal twin: grouped queries WITHOUT a temporal bucket
+        // key route through a (grain-bucket × keys) twin so bucket-grain
+        // repairs / late bands / dynamic bounds apply; a declined twin
+        // falls through to the plain keys-only path
+        try {
+          val twin =
+            if (config.temporalTwinGrain.isDefined)
+              phase("bucket-twin")(bucketTwinRewrite(spark, analyzed, c))
+            else None
+          twin.orElse(Some(execute(spark, analyzed, c)))
+        }
         catch {
           case e: CacheCapacityExceeded =>
             config.log.warn(c.fingerprint, s"state too large, running uncached: ${e.getMessage}")
@@ -650,9 +660,12 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // buckets and re-scan just the covering windows from the source
     // (both ends pushed to parquet as raw ts bounds — exact for every
     // measure, the late-band argument: a dropped bucket's rows come only
-    // from the re-scan). Other shapes (sessions, grouping sets,
-    // no-bucket grouping) REBUILD loudly — the cost invalidateForTable
-    // always paid, now automatic. Ranges at/after the effective
+    // from the re-scan). Grouping sets drop the full-grain set's
+    // covering buckets and re-expand the kept state (expandRepair);
+    // session windows drop whole sessions between state-derived cuts
+    // (sessionRepair). No-bucket grouping REBUILDS loudly — the
+    // cost invalidateForTable always paid, now automatic. Ranges
+    // at/after the effective
     // watermark are free: the delta scan re-reads them anyway. Repaired
     // runs never chain (old segments would resurrect dropped buckets)
     // and always commit a full put.
@@ -685,12 +698,35 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 }.reduce(_ || _)
                 cs.read(s).filter(k.isNull || !dropped)
               }))
-            case None =>
-              config.log.warn(c.fingerprint, "repair ranges pending but " +
-                "the query shape has no droppable bucket key (needs a " +
-                "date_trunc or tumbling-window group) — rebuilding state " +
-                "from scratch")
-              None
+            case None => expandRepair(c, cs, ranges, effWm) match {
+              case Some((spans, st)) =>
+                config.log.info(c.fingerprint, s"repairing ${spans.size} " +
+                  s"declared rewrite range(s) through the grouping-set " +
+                  s"full grain: dropping its covering buckets, " +
+                  s"re-expanding kept state, re-scanning " +
+                  spans.map(sp => s"[${sp._1}, ${sp._2})").mkString(", "))
+                repairScanRanges = spans
+                Some(st)
+              case None => sessionGroupIdx(c).flatMap(
+                  sessionRepair(spark, c, cs, ranges, effWm, _)) match {
+                case Some((windows, st)) =>
+                  config.log.info(c.fingerprint,
+                    s"repairing ${windows.size} declared rewrite " +
+                      s"range(s) at session grain: dropping state " +
+                      s"sessions inside cut window(s) " +
+                      windows.map(w => s"[${w._1}, ${w._2})")
+                        .mkString(", ") + " and re-scanning them")
+                  repairScanRanges = windows
+                  Some(st)
+                case None =>
+                  config.log.warn(c.fingerprint, "repair ranges pending " +
+                    "but the query shape has no droppable bucket key " +
+                    "(needs a date_trunc or tumbling-window group, " +
+                    "grouping sets with a full grain, or a static-gap " +
+                    "session window) — rebuilding state from scratch")
+                  None
+              }
+            }
           }
       }
     val repairActive = repairScanRanges.nonEmpty
@@ -768,23 +804,38 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                 timestamp_micros(lit(cs.timestampMicros))))
           case None => newData0
         }
-        // repair re-scan: the covering bucket windows, re-read from the
-        // SAME (un-pruned when active) delta source — strictly below the
-        // effective watermark by construction, so no row is read twice.
-        // The derived partition conjunct applies PER WINDOW (part BETWEEN
-        // date(lo) AND date(hi−1µs), date() monotone, hi's bound
-        // inclusive because ts < hi rows can share hi's date) so a
-        // partitioned history directory-prunes the repair to its days
-        // instead of footer-reading every partition
+        // repair re-scan: the covering bucket windows JOIN the append
+        // bound in one OR'd filter over ONE delta scan — strictly below
+        // the effective watermark by construction, so no row is read
+        // twice. The OR of raw ts ranges pushes to parquet row-group
+        // stats as one Or predicate; each disjunct pairs its range with
+        // the derived partition conjunct (part BETWEEN date(lo) AND
+        // date(hi−1µs), date() monotone, hi's bound inclusive because
+        // ts < hi rows can share hi's date), and partition pruning
+        // derives the weaker partition-only OR from the mixed condition.
+        // One filtered scan, NOT a unioned second branch: Dataset.union
+        // re-ids the right branch's Expand output attributes, and the
+        // Expand pushdown rule only moves filters whose references are
+        // child passthrough attributes — a unioned grouping-set repair
+        // branch would silently re-scan the whole history.
         val newDataR =
           if (!repairActive) newData
-          else newData.unionByName(deltaDF.filter(
-            repairScanRanges.map { case (lo, hi) =>
+          else {
+            import org.apache.spark.sql.functions.to_date
+            val appendCond = {
+              val raw = tsCol >= timestamp_micros(lit(cs.timestampMicros))
+              pcAttrOpt match {
+                case Some(pcAttr) =>
+                  raw && Shims.column(pcAttr) >=
+                    to_date(timestamp_micros(lit(cs.timestampMicros)))
+                case None => raw
+              }
+            }
+            deltaDF.filter(repairScanRanges.map { case (lo, hi) =>
               val raw = tsCol >= timestamp_micros(lit(lo)) &&
                 tsCol < timestamp_micros(lit(hi))
               pcAttrOpt match {
                 case Some(pcAttr) =>
-                  import org.apache.spark.sql.functions.to_date
                   raw &&
                     Shims.column(pcAttr) >=
                       to_date(timestamp_micros(lit(lo))) &&
@@ -792,7 +843,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
                       to_date(timestamp_micros(lit(hi - 1)))
                 case None => raw
               }
-            }.reduce(_ || _)))
+            }.foldLeft(appendCond)(_ || _))
+          }
         // when every state column has a per-row unit form, appended rows
         // feed the merge aggregation DIRECTLY (projected to state shape),
         // skipping the separate partial-aggregate exchange+stage; merge
@@ -1472,34 +1524,16 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * the delta scan anyway), so the source re-scan is a raw `ts` range
     * pushed to parquet at both ends. None = the shape has no droppable
     * bucket key (sessions, grouping sets, no-bucket grouping, an
-    * unmappable trunc grain) — the caller rebuilds loudly. */
+    * unmappable trunc grain) — the caller then tries [[expandRepair]]
+    * for grouping sets and rebuilds loudly otherwise. */
   private def repairSpans(c: Cacheable, ranges: Seq[(Long, Long)],
       effWm: Long): Option[(String, Seq[(Long, Long)])] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, TimestampAdd}
     val tDt = c.temporalAttr.dataType
     if (c.agg.child.isInstanceOf[Expand]) return None
     if (sessionGroupIdx(c).isDefined) return None
     temporalBucketTrunc(c).flatMap { case (gIdx, trunc) =>
-      IncrementalAggExecutor.truncAddUnit(trunc.format.eval() match {
-        case null => ""
-        case f => f.toString
-      }).flatMap { unit =>
-        val zid = trunc.timeZoneId.orElse(Some(
-          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-        val spans = ranges.map { case (lo, hi) =>
-          for {
-            tLo <- Option(trunc.copy(timestamp = Literal(lo, tDt)).eval())
-              .collect { case v: Long => v }
-            tHi <- Option(trunc.copy(timestamp = Literal(hi - 1, tDt)).eval())
-              .collect { case v: Long => v }
-            next <- Option(TimestampAdd(unit, Literal(1L),
-              Literal(tHi, tDt), zid).eval())
-              .collect { case v: Long => v }
-          } yield (tLo, math.min(next, effWm))
-        }
-        if (spans.forall(_.isDefined)) Some((s"_g$gIdx", spans.map(_.get)))
-        else None
-      }
+      truncRepairSpans(trunc, tDt, ranges, effWm)
+        .map(spans => (s"_g$gIdx", spans))
     }.orElse(tumblingShape(c).map { sh =>
       def floor(t: Long) = {
         val m0 = (t - sh.startUs) % sh.durationUs
@@ -1510,6 +1544,36 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
         (floor(lo), math.min(floor(hi - 1) + sh.durationUs, effWm))
       })
     })
+  }
+
+  /** Bucket-align declared rewrite ranges through a date_trunc: each
+    * [lo, hi) covers [trunc(lo), trunc(hi−1) + 1 unit), clamped to the
+    * effective watermark (rows at/after it re-read via the delta scan
+    * anyway). None = un-evaluable trunc or an unmapped grain format. */
+  private def truncRepairSpans(
+      trunc: org.apache.spark.sql.catalyst.expressions.TruncTimestamp,
+      tDt: org.apache.spark.sql.types.DataType,
+      ranges: Seq[(Long, Long)], effWm: Long): Option[Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, TimestampAdd}
+    IncrementalAggExecutor.truncAddUnit(trunc.format.eval() match {
+      case null => ""
+      case f => f.toString
+    }).flatMap { unit =>
+      val zid = trunc.timeZoneId.orElse(Some(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      val spans = ranges.map { case (lo, hi) =>
+        for {
+          tLo <- Option(trunc.copy(timestamp = Literal(lo, tDt)).eval())
+            .collect { case v: Long => v }
+          tHi <- Option(trunc.copy(timestamp = Literal(hi - 1, tDt)).eval())
+            .collect { case v: Long => v }
+          next <- Option(TimestampAdd(unit, Literal(1L),
+            Literal(tHi, tDt), zid).eval())
+            .collect { case v: Long => v }
+        } yield (tLo, math.min(next, effWm))
+      }
+      if (spans.forall(_.isDefined)) Some(spans.map(_.get)) else None
+    }
   }
 
   /** group index of the session_window key, if the query groups by one —
@@ -1549,34 +1613,45 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   private def sessionLateBand(spark: SparkSession, c: Cacheable,
       cs: graft.cache.CachedState, band: Long, sIdx: Int)
       : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.functions.unix_micros
+    val g = s"_g$sIdx"
+    val q = sessionCutAtMost(spark, cs, sIdx, cs.timestampMicros - band)
+      .getOrElse(return None)
+    if (q >= cs.timestampMicros) return None
+    Some(graft.cache.CachedState(q, cs.schema, s =>
+      cs.read(s).filter(col(g).isNull ||
+        unix_micros(col(s"$g.end")) <= lit(q))))
+  }
+
+  /** Prefix-max session-cut validity over the state's (start, end)
+    * intervals, shared by the descending ([[sessionCutAtMost]]) and
+    * ascending ([[sessionCutAtLeast]]) searches: a candidate instant c
+    * is a valid cut iff max end among sessions with start < c is ≤ c —
+    * then no session (any key) strictly contains c. Computed SCALABLY:
+    * per-day-bucket end maxima, a driver-side running max across the
+    * ordered buckets (one row per day of state span — bounded and
+    * tiny), and a bucket-partitioned window for the strictly-within-
+    * bucket remainder — no global single-partition sort. Ties on s
+    * exclude each other on both paths (strict-inequality frame).
+    * `contrib` feeds the prefix max; `synthetic` adds one candidate
+    * whose own end never suppresses others relevant to the search. */
+  private def sessionCutCandidates(spark: SparkSession,
+      cs: graft.cache.CachedState, sIdx: Int,
+      contribFilter: Column => Column, synthetic: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, max, unix_micros}
     val g = s"_g$sIdx"
-    val floor0 = cs.timestampMicros - band
-    // sessions at/below the arithmetic floor: later sessions can neither
-    // be candidates nor contribute to any candidate's prefix max
     val st = cs.read(spark).filter(col(g).isNotNull)
       .select(unix_micros(col(s"$g.start")).as("s"),
         unix_micros(col(s"$g.end")).as("e"))
-      .filter(col("s") <= lit(floor0))
-    // synthetic candidate = the band floor itself: it qualifies exactly
-    // when no session spans it (its own end never reaches later rows —
-    // anything ordered after it is filtered out by s ≤ floor0)
+      .filter(contribFilter(col("s")))
     // integer DIV, not double division+floor: session starts are
     // positive epoch micros and s/W as doubles could round at exact
     // bucket boundaries near 2^53
     val cand = st.unionByName(spark.range(1)
-      .select(lit(floor0).as("s"), lit(floor0).as("e")))
+      .select(lit(synthetic).as("s"), lit(synthetic).as("e")))
       .withColumn("b", org.apache.spark.sql.functions.expr(
         "s DIV 86400000000"))
-    // pmax(c) = max end among sessions with start < c, computed as a
-    // SCALABLE prefix max instead of a global-ordered window (which
-    // single-partitions all candidates): per-day-bucket end maxima →
-    // driver-side running max across the ordered buckets (one row per
-    // day of state span — bounded and tiny) → broadcast back, and the
-    // strictly-within-bucket remainder via a window PARTITIONED by
-    // bucket. Same strict-inequality frame as the global window (ties on
-    // s exclude each other on both paths).
     val bucketRows = cand.groupBy(col("b"))
       .agg(max(col("e")).as("bmax"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -1590,18 +1665,105 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val prefixDF = broadcast(prefixRows.toDF("b", "pbefore"))
     val wIn = Window.partitionBy(col("b")).orderBy(col("s"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val row = cand.join(prefixDF, Seq("b"), "left_outer")
+    cand.join(prefixDF, Seq("b"), "left_outer")
       .withColumn("pin", max(col("e")).over(wIn))
       .withColumn("pmax", org.apache.spark.sql.functions.greatest(
         col("pin"), col("pbefore")))
       .filter(col("pmax").isNull || col("pmax") <= col("s"))
+  }
+
+  /** Largest valid session cut ≤ atMost. Sessions starting after atMost
+    * can neither be candidates nor contribute to any candidate's prefix
+    * max, so they are filtered from the contribution set; the synthetic
+    * candidate is atMost itself (qualifying exactly when no session
+    * spans it). */
+  private def sessionCutAtMost(spark: SparkSession,
+      cs: graft.cache.CachedState, sIdx: Int, atMost: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.max
+    val row = sessionCutCandidates(spark, cs, sIdx, _ <= lit(atMost), atMost)
       .agg(max(col("s"))).first()
-    if (row.isNullAt(0)) return None
-    val q = row.getLong(0)
-    if (q >= cs.timestampMicros) return None
-    Some(graft.cache.CachedState(q, cs.schema, s =>
-      cs.read(s).filter(col(g).isNull ||
-        unix_micros(col(s"$g.end")) <= lit(q))))
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** Smallest valid session cut ≥ atLeast. ALL sessions contribute to
+    * the prefix max (earlier sessions can straddle a late candidate);
+    * candidates are session starts ≥ atLeast plus atLeast itself (its
+    * synthetic end = itself never suppresses later candidates: their
+    * starts are ≥ it already). None = every candidate is straddled —
+    * the caller falls back to the effective watermark, which is always
+    * a sound upper cut (no state session starts at/after it, so the
+    * window simply extends to the delta boundary). */
+  private def sessionCutAtLeast(spark: SparkSession,
+      cs: graft.cache.CachedState, sIdx: Int, atLeast: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.min
+    val row = sessionCutCandidates(spark, cs, sIdx, _ => lit(true), atLeast)
+      .filter(col("s") >= lit(atLeast))
+      .agg(min(col("s"))).first()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** Session gap duration in micros, recovered by evaluating the session
+    * struct's defining expression at a pinned timestamp: the analyzer's
+    * SessionWindowing rule projects session_window = struct(start = ts,
+    * end = ts + gap), so end − start at any literal ts IS the gap.
+    * None = dynamic gap or an unexpected defining shape — the caller
+    * bails to the loud rebuild. */
+  private def sessionGap(c: Cacheable, sIdx: Int): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val sAttr = c.agg.groupingExpressions(sIdx) match {
+      case a: Attribute => a
+      case _ => return None
+    }
+    val defExpr = c.agg.child.collect { case p: Project => p.projectList }
+      .flatten.collectFirst {
+        case al: Alias if al.exprId == sAttr.exprId => al.child
+      }.getOrElse(return None)
+    val sub = defExpr.transform {
+      case a: Attribute if a.semanticEquals(c.temporalAttr) =>
+        Literal(1700000000000000L, c.temporalAttr.dataType)
+    }
+    if (sub.references.nonEmpty) return None
+    try sub.eval() match {
+      case r: org.apache.spark.sql.catalyst.InternalRow if r.numFields >= 2 =>
+        val gap = r.getLong(1) - r.getLong(0)
+        if (gap > 0) Some(gap) else None
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Repair for SESSION-WINDOW aggregates (cache.repairRange): per
+    * declared range [lo, hi), the re-scan window is [Q, C) where
+    * Q = largest valid cut ≤ lo and C = smallest valid cut ≥ hi + gap
+    * (falling back to the effective watermark when none exists below
+    * it). Q is safe on the left because rows < Q are untouched by the
+    * rewrite (Q ≤ lo) and the cut property leaves no row in (Q−gap, Q)
+    * in either vintage; C needs the extra gap margin: a rewritten row
+    * just below hi could chain across any instant closer than hi + gap.
+    * State sessions strictly inside a window are dropped (no session
+    * straddles a valid cut, so "intersects" = "is contained") and their
+    * rows re-read; kept sessions' rows all fall outside the windows.
+    * Exact for every measure — the session late band's replacement
+    * argument applied to interior windows. */
+  private def sessionRepair(spark: SparkSession, c: Cacheable,
+      cs: graft.cache.CachedState, ranges: Seq[(Long, Long)], effWm: Long,
+      sIdx: Int): Option[(Seq[(Long, Long)], graft.cache.CachedState)] = {
+    import org.apache.spark.sql.functions.unix_micros
+    val gap = sessionGap(c, sIdx).getOrElse(return None)
+    val g = s"_g$sIdx"
+    val windows0 = ranges.map { case (lo, hi) =>
+      val q = sessionCutAtMost(spark, cs, sIdx, lo).getOrElse(return None)
+      val cUp = math.min(effWm,
+        sessionCutAtLeast(spark, cs, sIdx, hi + gap).getOrElse(effWm))
+      (q, cUp)
+    }
+    val windows = IncrementalAggExecutor.mergeRanges(windows0)
+    Some((windows, graft.cache.CachedState(effWm, cs.schema, s => {
+      val sCol = unix_micros(col(s"$g.start"))
+      val eCol = unix_micros(col(s"$g.end"))
+      cs.read(s).filter(col(g).isNull || !windows.map { case (lo, hi) =>
+        eCol > lit(lo) && sCol < lit(hi)
+      }.reduce(_ || _))
+    })))
   }
 
   /** Late re-scan band for GROUPING-SET aggregates (rollup/cube/GROUPING
@@ -1622,6 +1784,61 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   private def expandLateBand(spark: SparkSession, c: Cacheable,
       cs: graft.cache.CachedState, band: Long)
       : Option[graft.cache.CachedState] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val sh = expandShape(c).getOrElse(return None)
+    val tDt = c.temporalAttr.dataType
+    val b = Option(sh.trunc.copy(timestamp =
+      Literal(cs.timestampMicros - band, tDt)).eval())
+      .collect { case v: Long => v }.getOrElse(return None)
+    if (b >= cs.timestampMicros) return None
+    // full-grain rows below the floor (NULL buckets = NULL event time
+    // rows: kept, never re-read), re-expanded into every set
+    Some(graft.cache.CachedState(b, cs.schema, s =>
+      expandStateRead(c, cs, sh, k =>
+        k < Shims.column(Literal(b, tDt)) || k.isNull)(s)))
+  }
+
+  /** Repair for GROUPING-SET aggregates (cache.repairRange): the same
+    * full-grain re-expansion as the late band, but dropping only the
+    * declared ranges' covering buckets instead of a floor suffix. Kept =
+    * full-grain rows whose bucket is NULL (no event time — a ts-range
+    * rewrite cannot touch them) or outside every span; the span windows
+    * union into the delta re-scan, flow through the query's own Expand,
+    * and regenerate every set's partials for the re-read rows. Exact per
+    * set by the band's partition argument: kept vs re-scanned splits raw
+    * rows by full-grain bucket, and every set is a merge-away of the
+    * full grain. Returns (bucket-aligned re-scan spans, state). */
+  private def expandRepair(c: Cacheable, cs: graft.cache.CachedState,
+      ranges: Seq[(Long, Long)], effWm: Long)
+      : Option[(Seq[(Long, Long)], graft.cache.CachedState)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val sh = expandShape(c).getOrElse(return None)
+    val tDt = c.temporalAttr.dataType
+    val spans0 = truncRepairSpans(sh.trunc, tDt, ranges, effWm)
+      .getOrElse(return None)
+    val spans = IncrementalAggExecutor.mergeRanges(spans0)
+    Some((spans, graft.cache.CachedState(effWm, cs.schema, s =>
+      expandStateRead(c, cs, sh, k =>
+        k.isNull || !spans.map { case (lo, hi) =>
+          k >= Shims.column(Literal(lo, tDt)) &&
+            k < Shims.column(Literal(hi, tDt))
+        }.reduce(_ || _))(s))))
+  }
+
+  /** Slot analysis of a grouping-set aggregate (rollup / cube / GROUPING
+    * SETS containing the full grain), shared by the late band and the
+    * repair path: the grouping-id slot's per-projection literals, the
+    * single full-grain projection, each projection's live key set, and
+    * the temporal date_trunc bucket slot. None = any shape surprise
+    * (computed key slots, no/duplicate full-grain set, no trunc bucket
+    * among the keys). */
+  private final case class ExpandShape(
+      ex: Expand, gidIdx: Int,
+      gidLits: Seq[org.apache.spark.sql.catalyst.expressions.Literal],
+      fullProj: Int, liveOf: Seq[Set[Int]], bIdx: Int,
+      trunc: org.apache.spark.sql.catalyst.expressions.TruncTimestamp)
+
+  private def expandShape(c: Cacheable): Option[ExpandShape] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, TruncTimestamp}
     val ex = c.agg.child match {
       case e: Expand => e
@@ -1681,32 +1898,34 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       case Seq(one) => one
       case _ => return None
     }
-    val tDt = c.temporalAttr.dataType
-    val b = Option(trunc.copy(timestamp =
-      Literal(cs.timestampMicros - band, tDt)).eval())
-      .collect { case v: Long => v }.getOrElse(return None)
-    if (b >= cs.timestampMicros) return None
     val gidLits: Seq[Literal] =
       ex.projections.map(_(gidSlot).asInstanceOf[Literal])
-    Some(graft.cache.CachedState(b, cs.schema, { s =>
-      val stateCols = cs.schema.fields.map(_.name)
-        .filterNot(_.startsWith("_g")).toSeq
-      // full-grain rows below the floor (NULL buckets = NULL event time
-      // rows: kept, never re-read), re-expanded into every set
-      val fullRows = cs.read(s)
-        .filter(col(s"_g$gidIdx") === Shims.column(gidLits(fullProj)))
-        .filter(col(s"_g$bIdx") < Shims.column(Literal(b, tDt)) ||
-          col(s"_g$bIdx").isNull)
-      ex.projections.indices.map { p =>
-        fullRows.select((c.agg.groupingExpressions.indices.map { j =>
-          val cc =
-            if (j == gidIdx) Shims.column(gidLits(p))
-            else if (liveOf(p)(j)) col(s"_g$j")
-            else lit(null).cast(cs.schema(s"_g$j").dataType)
-          cc.as(s"_g$j")
-        } ++ stateCols.map(col)): _*)
-      }.reduce(_ unionByName _)
-    }))
+    Some(ExpandShape(ex, gidIdx, gidLits, fullProj, liveOf, bIdx, trunc))
+  }
+
+  /** Re-expanded state read shared by the grouping-set band and repair:
+    * full-grain state rows passing `keep` (a predicate on the bucket
+    * column) re-expand into every projection (absent keys nulled, that
+    * set's grouping-id literal); all other state rows are discarded —
+    * each set's aggregate is a merge of full-grain buckets, and dropped
+    * buckets' rows re-enter via the re-scan. */
+  private def expandStateRead(c: Cacheable, cs: graft.cache.CachedState,
+      sh: ExpandShape, keep: Column => Column)(s: SparkSession): DataFrame = {
+    val stateCols = cs.schema.fields.map(_.name)
+      .filterNot(_.startsWith("_g")).toSeq
+    val fullRows = cs.read(s)
+      .filter(col(s"_g${sh.gidIdx}") ===
+        Shims.column(sh.gidLits(sh.fullProj)))
+      .filter(keep(col(s"_g${sh.bIdx}")))
+    sh.ex.projections.indices.map { p =>
+      fullRows.select((c.agg.groupingExpressions.indices.map { j =>
+        val cc =
+          if (j == sh.gidIdx) Shims.column(sh.gidLits(p))
+          else if (sh.liveOf(p)(j)) col(s"_g$j")
+          else lit(null).cast(cs.schema(s"_g$j").dataType)
+        cc.as(s"_g$j")
+      } ++ stateCols.map(col)): _*)
+    }.reduce(_ unionByName _)
   }
 
   private def rerangeBucketState(c: Cacheable, stateSchema: StructType,
@@ -3077,11 +3296,6 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
   private def dynNoGroupRewrite(spark: SparkSession,
       analyzed: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{
-      Average, Count, Max, Min, Sum}
-    import org.apache.spark.sql.functions.{coalesce, count => fcount,
-      max => fmax, min => fmin, sum => fsum, when}
-    import org.apache.spark.sql.types.DecimalType
 
     val aggs = analyzed.collect { case a: Aggregate => a }
     if (aggs.size != 1) return None
@@ -3131,45 +3345,11 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
 
     val childDF = Shims.ofRows(spark, agg.child)
     val aggExprs = distinctAggExprs(agg.aggregateExpressions)
-    // (twin bucket columns, re-aggregation over them)
-    final case class RM(twinCols: Seq[(String, Column)], combine: Column)
-    val rms: Seq[RM] = aggExprs.zipWithIndex.map { case (ae, i) =>
-      if (ae.isDistinct)
-        return bail(s"DISTINCT aggregate does not re-aggregate: ${ae.sql}")
-      if (ae.filter.exists(p => !p.deterministic || hasSub(Seq(p))))
-        return bail(s"non-deterministic or subquery FILTER: ${ae.sql}")
-      ae.aggregateFunction match {
-        case _: Count =>
-          RM(Seq(s"_m$i" -> Shims.column(ae)),
-            coalesce(fsum(col(s"_m$i")), lit(0L)))
-        case _: Sum =>
-          RM(Seq(s"_m$i" -> Shims.column(ae)), fsum(col(s"_m$i")))
-        case _: Min =>
-          RM(Seq(s"_m$i" -> Shims.column(ae)), fmin(col(s"_m$i")))
-        case _: Max =>
-          RM(Seq(s"_m$i" -> Shims.column(ae)), fmax(col(s"_m$i")))
-        case a: Average =>
-          val (sn, cn) = (s"_s$i", s"_c$i")
-          val childC = ae.filter match {
-            case Some(p) => when(Shims.column(p), Shims.column(a.child))
-            case None => Shims.column(a.child)
-          }
-          val combine = a.child.dataType match {
-            case dt: DecimalType =>
-              // vanilla Average typing (same contract as the factorized
-              // combine): sum at decimal(min(38,p+10),s), count at
-              // LongDecimal — identical result type and rounding
-              fsum(col(sn))
-                .cast(DecimalType(math.min(38, dt.precision + 10), dt.scale)) /
-                fsum(col(cn)).cast(DecimalType(20, 0))
-            case _ => fsum(col(sn)) / fsum(col(cn))
-          }
-          RM(Seq(sn -> fsum(childC), cn -> fcount(childC)), combine)
-        case other =>
-          return bail(s"measure does not re-aggregate from bucket " +
-            s"finalizes: ${other.sql} (count/sum/min/max/avg only)")
+    val rms: Seq[ReAggMeasure] =
+      reaggMeasures(aggExprs, msg => bail(msg)) match {
+        case Some(r) => r
+        case None => return None // reason already logged via bail
       }
-    }
 
     // the internal-grain twin IS the supported grouped dynamic-bound
     // shape — hand it to the normal machinery (cache, watermark, answer-
@@ -3206,6 +3386,147 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       }, finalPlan)
     config.log.info(fp, "no-group dynamic bound: answered via the " +
       s"internal ${config.dynamicBoundInternalGrain}-grain bucketed twin")
+    Some(analyzed.transformUp { case n if n eq agg => aligned })
+  }
+
+  /** (twin measure columns, re-aggregation over them) for a measure that
+    * re-aggregates exactly from its per-bucket finalizes — shared by the
+    * no-group dynamic-bound twin and the grouped temporal twin. */
+  private final case class ReAggMeasure(
+      twinCols: Seq[(String, Column)], combine: Column)
+
+  private def reaggMeasures(aggExprs: Seq[AggregateExpression],
+      bail: String => Unit): Option[Seq[ReAggMeasure]] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Average, Count, Max, Min, Sum}
+    import org.apache.spark.sql.functions.{coalesce, count => fcount,
+      max => fmax, min => fmin, sum => fsum, when}
+    import org.apache.spark.sql.types.DecimalType
+    def hasSub(es: Seq[Expression]): Boolean = es.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    Some(aggExprs.zipWithIndex.map { case (ae, i) =>
+      if (ae.isDistinct) {
+        bail(s"DISTINCT aggregate does not re-aggregate: ${ae.sql}")
+        return None
+      }
+      if (ae.filter.exists(p => !p.deterministic || hasSub(Seq(p)))) {
+        bail(s"non-deterministic or subquery FILTER: ${ae.sql}")
+        return None
+      }
+      ae.aggregateFunction match {
+        case _: Count =>
+          ReAggMeasure(Seq(s"_m$i" -> Shims.column(ae)),
+            coalesce(fsum(col(s"_m$i")), lit(0L)))
+        case _: Sum =>
+          ReAggMeasure(Seq(s"_m$i" -> Shims.column(ae)), fsum(col(s"_m$i")))
+        case _: Min =>
+          ReAggMeasure(Seq(s"_m$i" -> Shims.column(ae)), fmin(col(s"_m$i")))
+        case _: Max =>
+          ReAggMeasure(Seq(s"_m$i" -> Shims.column(ae)), fmax(col(s"_m$i")))
+        case a: Average =>
+          val (sn, cn) = (s"_s$i", s"_c$i")
+          val childC = ae.filter match {
+            case Some(p) => when(Shims.column(p), Shims.column(a.child))
+            case None => Shims.column(a.child)
+          }
+          val combine = a.child.dataType match {
+            case dt: DecimalType =>
+              // vanilla Average typing (same contract as the factorized
+              // combine): sum at decimal(min(38,p+10),s), count at
+              // LongDecimal — identical result type and rounding
+              fsum(col(sn))
+                .cast(DecimalType(math.min(38, dt.precision + 10), dt.scale)) /
+                fsum(col(cn)).cast(DecimalType(20, 0))
+            case _ => fsum(col(sn)) / fsum(col(cn))
+          }
+          ReAggMeasure(Seq(sn -> fsum(childC), cn -> fcount(childC)), combine)
+        case other =>
+          bail(s"measure does not re-aggregate from bucket " +
+            s"finalizes: ${other.sql} (count/sum/min/max/avg only)")
+          return None
+      }
+    })
+  }
+
+  /** Opt-in TEMPORAL TWIN (config.temporalTwinGrain) for grouped
+    * aggregates WITHOUT a temporal bucket key (`GROUP BY event_type`):
+    * keys-only state has no time slice to drop, so a declared repair
+    * range rebuilds it loudly, a late re-scan band cannot apply, and a
+    * dynamic lower bound has no bucket starts to qualify. The twin
+    * inserts `date_trunc(grain, ts)` as an extra grouping column and
+    * hands that plan — the fully SUPPORTED grouped shape — to the
+    * normal machinery (cache, watermark, bucket-grain repairs, late
+    * bands, dynamic bounds, O(append) chains, every subsumption); a
+    * final re-aggregation merges the buckets away per original key.
+    * Exact for measures that re-aggregate from their bucket finalizes
+    * ([[reaggMeasures]]); anything else falls back to the plain
+    * keys-only path (None — the caller then runs execute()).
+    * State costs ×(active buckets at the grain) — the config knob's
+    * documented trade. */
+  private def bucketTwinRewrite(spark: SparkSession,
+      analyzed: LogicalPlan, c: Cacheable): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val grain = config.temporalTwinGrain.getOrElse(return None)
+    if (c.temporalGroupIdx.isDefined) return None // already bucket-keyed
+    if (c.agg.groupingExpressions.isEmpty) return None // dynNoGroup's turf
+    if (sessionGroupIdx(c).isDefined) return None
+    if (c.agg.child.exists(_.isInstanceOf[Expand])) return None
+    val fp = c.fingerprint
+    def bail(msg: String): Option[LogicalPlan] = {
+      config.log.info(fp, s"temporal twin bail (plain keys-only state): $msg")
+      None
+    }
+    val agg = c.agg
+    val rms: Seq[ReAggMeasure] =
+      reaggMeasures(c.aggExprs, msg => bail(msg)) match {
+        case Some(r) => r
+        case None => return None
+      }
+    // build the twin from the ORIGINAL (widened) chain: a dynamic bound
+    // stays IN the twin plan, whose own decide() handles it through the
+    // grouped bucket-granularity machinery
+    val childDF = Shims.ofRows(spark, c.child)
+    val bucket = org.apache.spark.sql.functions.date_trunc(
+      grain, Shims.column(c.temporalAttr))
+    val keyCols = agg.groupingExpressions.zipWithIndex.map {
+      case (e, j) => Shims.column(e).as(s"_k$j")
+    }
+    val twinAggCols = rms.flatMap(_.twinCols).map { case (n, cc) => cc.as(n) }
+    val twinDF = childDF.groupBy(bucket.as("_ttb") +: keyCols: _*)
+      .agg(twinAggCols.head, twinAggCols.tail: _*)
+    val twinPlan = Shims.queryExecution(twinDF).analyzed
+    val twinAns = rewritePlan(spark, twinPlan).map(Shims.ofRows(spark, _))
+      .getOrElse(return bail("twin rewrite declined"))
+
+    val combineCols = rms.zipWithIndex.map { case (r, i) => r.combine.as(s"_r$i") }
+    val resultDF = twinAns
+      .groupBy(agg.groupingExpressions.indices.map(j => col(s"_k$j")): _*)
+      .agg(combineCols.head, combineCols.tail: _*)
+    def rewriteOut(e: Expression): Expression = {
+      val gi = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (gi >= 0) UnresolvedAttribute(Seq(s"_k$gi"))
+      else e match {
+        case ae: AggregateExpression =>
+          val i = c.aggExprs.indexWhere(_.semanticEquals(ae))
+          require(i >= 0, s"unmapped aggregate ${ae.sql}")
+          Cast(UnresolvedAttribute(Seq(s"_r$i")), ae.dataType)
+        case _ => e.withNewChildren(e.children.map(rewriteOut))
+      }
+    }
+    val outCols: Seq[Column] = agg.aggregateExpressions.map { o =>
+      val core = o match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      Shims.column(rewriteOut(core)).as(o.name)
+    }
+    val finalPlan = Shims.queryExecution(resultDF.select(outCols: _*)).analyzed
+    val aligned = Project(
+      finalPlan.output.zip(agg.output).map { case (na, oo) =>
+        Alias(na, oo.name)(exprId = oo.exprId)
+      }, finalPlan)
+    config.log.info(fp, s"temporal twin: answered via the internal " +
+      s"$grain × keys bucketed twin (bucket-grain repairs/bands apply)")
     Some(analyzed.transformUp { case n if n eq agg => aligned })
   }
 

@@ -56,14 +56,17 @@ object CacheQueries {
       },
       dynamicBounds: Boolean = false,
       staticDims: Seq[String] = Nil,
-      warmNowMicros: Option[Long] = None)(q: DataFrame => DataFrame): DataFrame = {
+      warmNowMicros: Option[Long] = None,
+      tweak: QueryCacheConfig => QueryCacheConfig = identity)(
+      q: DataFrame => DataFrame): DataFrame = {
     val (work, splitMicros, appendRest) = splitWrite(spark, sfDir, tag)
     def cfg(cache: graft.cache.QueryCache, now: Option[Long]) = {
       val base = QueryCacheConfig(cache, defaultTemporalColumn = "ts",
         overrideNowMicros = now)
       val base2 = if (dynamicBounds) base.withDynamicBounds else base
-      if (staticDims.nonEmpty) base2.withStaticDimensions(staticDims: _*)
-      else base2
+      tweak(
+        if (staticDims.nonEmpty) base2.withStaticDimensions(staticDims: _*)
+        else base2)
     }
     val cold = QueryCacheSession(spark, cfg(cacheFactory(), Some(splitMicros)))
     cold.run(q(spark.read.parquet(work))).collect()
@@ -91,7 +94,9 @@ object CacheQueries {
   def corruptRepairWarm(spark: SparkSession, sfDir: String, tag: String,
       cacheFactory: () => graft.cache.QueryCache = {
         val shared = new MemoryQueryCache(); () => shared
-      })(q: DataFrame => DataFrame): DataFrame = {
+      },
+      tweak: QueryCacheConfig => QueryCacheConfig = identity)(
+      q: DataFrame => DataFrame): DataFrame = {
     val ev = Tables.events(spark, sfDir).cache()
     val splitMicros = ev
       .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
@@ -117,8 +122,8 @@ object CacheQueries {
     def read(s: SparkSession) =
       s.read.option("recursiveFileLookup", "true").parquet(work)
     def cfg(cache: graft.cache.QueryCache, now: Option[Long]) =
-      QueryCacheConfig(cache, defaultTemporalColumn = "ts",
-        overrideNowMicros = now)
+      tweak(QueryCacheConfig(cache, defaultTemporalColumn = "ts",
+        overrideNowMicros = now))
     QueryCacheSession(spark, cfg(cacheFactory(), Some(splitMicros)))
       .run(q(read(spark))).collect()
     // INSERT OVERWRITE day D with the true rows, then append the tail
@@ -327,6 +332,73 @@ object CacheQueries {
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
             min(col("value")).as("min_value"),
             max(col("value")).as("max_value"))
+      }),
+    // TEMPORAL TWIN (withTemporalTwin): a grouped query with NO temporal
+    // bucket key keeps its state at (day-bucket × keys) grain through
+    // the normal machinery, and the answer re-aggregates the buckets
+    // away — count via sum, sum/min/max directly, avg via sum+count with
+    // vanilla Average typing. Cold → append → warm must equal vanilla
+    // over the full table.
+    "qc_incr_twin" -> ((s, d) =>
+      coldAppendWarm(s, d, "twin",
+        tweak = _.withTemporalTwin("day")) { df =>
+        df.filter(col("value") > 1)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"),
+            round(avg(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+              .cast("double"), 6).as("avg_value"))
+      }),
+    // the declared rewrite against a KEYS-ONLY grouped query (no time
+    // bucket to drop — the shape that otherwise rebuilds loudly): with
+    // the temporal twin, state lives at (day × event_type) grain, so
+    // the repair drops only the corrupted day's twin buckets and
+    // re-scans that window + the append; the final re-aggregation folds
+    // the repaired buckets back per key.
+    "qc_incr_repair_bytype" -> ((s, d) =>
+      corruptRepairWarm(s, d, "repair_bytype",
+        tweak = _.withTemporalTwin("day")) { df =>
+        df.filter(col("value") > 1)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            max(col("value")).as("max_value"))
+      }),
+    // the same declared rewrite through GROUPING SETS: Expand NULLs the
+    // bucket slot for subtotal state rows, so a plain bucket drop would
+    // lose subtotals — the repair instead keeps only FULL-GRAIN state
+    // rows outside the window, re-expands them into every set, and the
+    // window + append re-scan flows through the query's own Expand to
+    // regenerate each set's partials (the grouping-set late band's
+    // machinery pointed at interior spans). An unrepaired cache keeps
+    // the corrupted day in every subtotal level and hash-mismatches.
+    "qc_incr_repair_rollup" -> ((s, d) =>
+      corruptRepairWarm(s, d, "repair_rollup") { df =>
+        df.filter(col("value") > 1)
+          .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            max(col("value")).as("max_value"))
+      }),
+    // the same declared rewrite through a SESSION WINDOW: sessions have
+    // no fixed bucket edges to drop, so the repair derives CUTS from the
+    // state's own intervals — Q = the largest instant ≤ the window start
+    // strictly inside no session, C = the smallest such instant ≥ window
+    // end + gap — drops every state session inside [Q, C), and re-scans
+    // exactly that span alongside the append (no session straddles a
+    // valid cut in either data vintage, so dropped sessions' rows are
+    // precisely the re-read ones). An unrepaired cache keeps the
+    // corrupted day's sessions and hash-mismatches.
+    "qc_incr_repair_session" -> ((s, d) =>
+      corruptRepairWarm(s, d, "repair_session") { df =>
+        df.filter(col("value") > 1)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            max(col("value")).as("max_value"))
+          .select(col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("event_type"), col("cnt"), col("sum_value"),
+            col("max_value"))
       }),
     // the same declared rewrite against a MATERIALIZED ROW VIEW on the
     // DURABLE cache: the repair drops the view's rows inside the window
@@ -2027,6 +2099,46 @@ object CacheQueries {
            max(value) AS max_value
          FROM events WHERE value > 1
          GROUP BY 1""",
+    "qc_incr_twin" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE), 6)
+             AS avg_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_repair_bytype" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_repair_rollup" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events WHERE value > 1
+         GROUP BY ROLLUP (date_trunc('day', ts), event_type)""",
+    "qc_incr_repair_session" ->
+      """WITH m AS (
+           SELECT event_type, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+           FROM events WHERE value > 1
+         ), g AS (
+           SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         )
+         SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM g GROUP BY event_type, sid""",
     "qc_incr_repair_rows" ->
       """SELECT event_id, ts, user_id, value FROM events
          WHERE value > 50 AND event_type <> 'error'""",

@@ -121,6 +121,48 @@ object StreamQueries {
     dir.toString
   }
 
+  /** CDC-style BM25 mutation stream: phase 0 = a stale third of the
+    * corpus (op=upsert), phase 1 = the full truth (op=upsert — corrects
+    * the stale docs, adds the rest), phase 2 = a %7 takedown
+    * (op=delete). One parquet file per phase, mtimes ascending so the
+    * file stream replays them as ordered micro-batches. Rebuilt per
+    * run. */
+  private def bm25MutationStreamDir(spark: SparkSession,
+      sfDir: String): String = {
+    val sfTag = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_stream", sfTag, "bm25_cdc")
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    java.nio.file.Files.createDirectories(dir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val phases: Seq[DataFrame] = Seq(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("text",
+          concat(lit("stale "), substring(col("text"), 1, 24)))
+        .withColumn("op", lit("upsert")),
+      docs.withColumn("op", lit("upsert")),
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", lit(""))
+        .withColumn("op", lit("delete")))
+    phases.zipWithIndex.foreach { case (df, ph) =>
+      val tmp = dir.resolve(s"stage_$ph")
+      df.withColumn("phase", lit(ph.toLong)).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = dir.resolve(s"phase_$ph.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + ph * 60000L))
+    }
+    dir.toString
+  }
+
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -318,6 +360,53 @@ object StreamQueries {
       require(buf.nonEmpty, "no spans surfaced across the stream")
       import iso.implicits._
       buf.toSeq.toDF("doc_id", "span_start", "span_end", "phase")
+    }),
+
+    // STREAMING INGESTION × the BM25 index MUTATION story: a CDC-style
+    // doc stream arrives as three ordered micro-batches — a stale third,
+    // the full-corpus truth (an upsert correcting the stale docs and
+    // adding the rest), and a %7 takedown (delete) — and foreachBatch
+    // drives bm25Upsert / bm25Delete against ONE persistent inverted
+    // index, so each tick re-indexes exactly the novel+changed docs and
+    // never rescans earlier batches. Final scores come from the index
+    // alone (no document text touched) and must equal the one-shot
+    // LIVE-corpus replay — q_text_bm25_upsert's oracle verbatim: the
+    // batch variant's extra replayed delete is a no-op, so the end index
+    // states coincide (additive stats, max-ver liveness).
+    "q_stream_bm25" -> ((s, d) => {
+      val iso = s.newSession()
+      val dir = bm25MutationStreamDir(iso, d)
+      val idx = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream", new java.io.File(d).getName, "bm25idx_stream")
+        .toString
+      val ip = new org.apache.hadoop.fs.Path(idx)
+      val ifs = ip.getFileSystem(iso.sparkContext.hadoopConfiguration)
+      if (ifs.exists(ip)) ifs.delete(ip, true)
+      val raw = iso.read.parquet(dir).schema
+      val q = iso.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val phases = batch.select(col("phase")).distinct()
+            .collect().map(_.getLong(0))
+          require(phases.toSeq == Seq(batchId),
+            s"batch $batchId carried phases ${phases.mkString(",")}")
+          val ops = batch.select(col("op")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          if (ops == Seq("delete"))
+            graft.operators.IncrementalText.bm25Delete(iso, idx,
+              batch.select(col("doc_id")))
+          else {
+            require(ops == Seq("upsert"),
+              s"mixed ops $ops in batch $batchId")
+            graft.operators.IncrementalText.bm25Upsert(iso, idx,
+              batch.select(col("doc_id"), col("text")))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.IncrementalText.bm25FromIndex(iso, idx,
+        queryTerms = Seq("spark", "hash", "window"), topK = 15)
     }),
 
     // custom keyed state (flatMapGroupsWithState): emit only the FIRST
@@ -641,6 +730,9 @@ object StreamQueries {
     // streamed span index == the batched incremental phases: the stream
     // replays the same three batches, so the batch oracle applies verbatim
     "q_stream_spans" -> PipelineQueries.oracle("q_dedup_incr_spans"),
+    // the streamed mutation sequence ends at the same live index as the
+    // batched upsert cycle, so its oracle applies verbatim
+    "q_stream_bm25" -> PipelineQueries.oracle("q_text_bm25_upsert"),
     // the stream-warmed cache must answer exactly the batch aggregate
     // over the FULL table (cold capture + streamed warm band + state
     // replay == one-shot GROUP BY)

@@ -191,6 +191,147 @@ class RepairSpec extends AnyFunSuite {
     assertSameRows(warm, q(eventsFull))
   }
 
+  test("grouping-set repair: full-grain buckets dropped + re-expanded, " +
+      "warm equals vanilla, scan bounded to the window + append") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+    val (work, splitUs, dayStart, dayEnd, rewrite) = corruptScaffold("rgset")
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheSession(spark, cfg(cache, log, Some(splitUs)))
+      .run(q(readWork(work))).collect()
+    rewrite()
+    assert(cache.repairRange(work, dayStart, dayEnd) == 1)
+    val ev = eventsFull
+    val windowRows = ev.filter(
+      col("ts") >= timestamp_micros(lit(dayStart)) &&
+        col("ts") < timestamp_micros(lit(dayEnd))).count()
+    val lateRows =
+      ev.filter(col("ts") >= timestamp_micros(lit(splitUs))).count()
+    val baseRows = ev.filter(col("ts") < timestamp_micros(lit(splitUs)))
+      .count() - windowRows
+    val (warm, recs) = withRecordsRead {
+      val df = QueryCacheSession(spark, cfg(cache, log))
+        .run(q(readWork(work)))
+      df.collect()
+      df
+    }
+    // the grouping-set path engaged (not a silent loud rebuild — the
+    // oracle alone passes on vanilla by design)
+    assert(log.messages.exists(
+      _.contains("through the grouping-set full grain")), log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    // scan bound: window + append + at most straddling row groups of the
+    // range-partitioned base — never the whole history re-expanded.
+    // (Expand triples raw rows ABOVE the scan; recordsRead counts the
+    // scan, so the bound needs no ×3.)
+    assert(recs <= windowRows + lateRows + baseRows / 2,
+      s"grouping-set repair scanned $recs rows (window=$windowRows " +
+        s"late=$lateRows base=$baseRows) — history was rescanned")
+    assertSameRows(warm, q(ev))
+    // consumed: a second warm run hits without repairing
+    val log2 = new RecordingLog
+    QueryCacheSession(spark, cfg(cache, log2)).run(q(readWork(work)))
+      .collect()
+    assert(!log2.messages.exists(_.contains("repairing")), log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 1, log2.messages)
+  }
+
+  test("session-window repair: state-derived cut window dropped + " +
+      "re-scanned, warm equals vanilla, scan bounded") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("event_type"), col("cnt"), col("sum_value"), col("max_value"))
+    val (work, splitUs, dayStart, dayEnd, rewrite) = corruptScaffold("rsess")
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    QueryCacheSession(spark, cfg(cache, log, Some(splitUs)))
+      .run(q(readWork(work))).collect()
+    rewrite()
+    assert(cache.repairRange(work, dayStart, dayEnd) == 1)
+    val ev = eventsFull
+    // the cut window [Q, C) hugs the day: Q is the last session break
+    // before it, C the first break after dayEnd + gap — both inside a
+    // day's slack on this corpus (30-min gaps at ~dozens of events/day/
+    // type break constantly)
+    val windowRows = ev.filter(
+      col("ts") >= timestamp_micros(lit(dayStart - dayUs)) &&
+        col("ts") < timestamp_micros(lit(dayEnd + dayUs))).count()
+    val lateRows =
+      ev.filter(col("ts") >= timestamp_micros(lit(splitUs))).count()
+    val baseRows = ev.filter(col("ts") < timestamp_micros(lit(splitUs)))
+      .count()
+    val (warm, recs) = withRecordsRead {
+      val df = QueryCacheSession(spark, cfg(cache, log))
+        .run(q(readWork(work)))
+      df.collect()
+      df
+    }
+    assert(log.messages.exists(_.contains("at session grain")), log.messages)
+    assert(log.messages.count(_.startsWith("cache hit")) == 1, log.messages)
+    assert(recs <= windowRows + lateRows + baseRows / 2,
+      s"session repair scanned $recs rows (window=$windowRows " +
+        s"late=$lateRows base=$baseRows) — history was rescanned")
+    assertSameRows(warm, q(ev))
+    // consumed: a second warm run hits without repairing
+    val log2 = new RecordingLog
+    QueryCacheSession(spark, cfg(cache, log2)).run(q(readWork(work)))
+      .collect()
+    assert(!log2.messages.exists(_.contains("repairing")), log2.messages)
+    assert(log2.messages.count(_.startsWith("cache hit")) == 1, log2.messages)
+  }
+
+  test("temporal twin: keys-only grouped repair at bucket grain via the " +
+      "(day × keys) twin, scan bounded, warm equals vanilla") {
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+    val (work, splitUs, dayStart, dayEnd, rewrite) = corruptScaffold("rtwin2")
+    val cache = new MemoryQueryCache()
+    val log = new RecordingLog
+    def tcfg(now: Option[Long] = None) =
+      cfg(cache, log, now).withTemporalTwin("day")
+    QueryCacheSession(spark, tcfg(Some(splitUs)))
+      .run(q(readWork(work))).collect()
+    assert(log.messages.exists(_.contains("temporal twin: answered via")),
+      log.messages)
+    rewrite()
+    // the twin's entry carries the work-table source paths, so the
+    // declared rewrite marks it like any directly-cached query
+    assert(cache.repairRange(work, dayStart, dayEnd) == 1)
+    val ev = eventsFull
+    val windowRows = ev.filter(
+      col("ts") >= timestamp_micros(lit(dayStart)) &&
+        col("ts") < timestamp_micros(lit(dayEnd))).count()
+    val lateRows =
+      ev.filter(col("ts") >= timestamp_micros(lit(splitUs))).count()
+    val baseRows = ev.filter(col("ts") < timestamp_micros(lit(splitUs)))
+      .count() - windowRows
+    val (warm, recs) = withRecordsRead {
+      val df = QueryCacheSession(spark, tcfg()).run(q(readWork(work)))
+      df.collect()
+      df
+    }
+    // the twin repaired at bucket grain — the shape that rebuilds loudly
+    // without it
+    assert(log.messages.exists(
+      _.contains("repairing 1 declared rewrite range(s) at bucket grain")),
+      log.messages)
+    assert(!log.messages.exists(_.contains("no droppable bucket key")),
+      log.messages)
+    assert(recs <= windowRows + lateRows + baseRows / 2,
+      s"twin repair scanned $recs rows (window=$windowRows late=$lateRows " +
+        s"base=$baseRows) — history was rescanned")
+    assertSameRows(warm, q(ev))
+  }
+
   test("no droppable bucket key (no-group-by): loud rebuild, correct") {
     def q(df: DataFrame) = df.filter(col("value") > 1)
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
