@@ -3292,7 +3292,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * avg splits into sum+count bucket columns and divides with vanilla
     * Average's exact typing (decimal p+10 / LongDecimal). Row-level
     * FILTER clauses commute into the buckets unchanged. DISTINCT
-    * aggregates bail (their bucket finalizes don't re-aggregate). */
+    * aggregates bail (their bucket finalizes don't re-aggregate).
+    *
+    * GROUPED queries take the same road when the user opted into
+    * grouped twins (config.temporalTwinGrain): a dynamic bound over
+    * `GROUP BY event_type` — which decide() rejects for want of a
+    * temporal bucket — twins as (grain-bucket × keys) and folds back
+    * per key, with the twin grain doubling as the bound's bucket
+    * granularity. */
   private def dynNoGroupRewrite(spark: SparkSession,
       analyzed: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
@@ -3300,7 +3307,14 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     val aggs = analyzed.collect { case a: Aggregate => a }
     if (aggs.size != 1) return None
     val agg = aggs.head
-    if (agg.groupingExpressions.nonEmpty) return None
+    // grouped queries reach here only when decide() bailed (a dynamic
+    // bound with no temporal bucket among the keys) AND the user opted
+    // into grouped twins — the twin grain doubles as the bound's bucket
+    // granularity then. No-group queries use the dedicated grain knob.
+    val grouped = agg.groupingExpressions.nonEmpty
+    val grain =
+      (if (grouped) config.temporalTwinGrain
+       else Some(config.dynamicBoundInternalGrain)).getOrElse(return None)
     val fp = Fingerprint.of(agg) + fpSuffix
     def bail(msg: String): Option[LogicalPlan] = {
       config.log.info(fp, s"no-group dynamic bound bail: $msg")
@@ -3355,22 +3369,33 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // shape — hand it to the normal machinery (cache, watermark, answer-
     // time bound over bucket starts, every subsumption)
     val bucket = org.apache.spark.sql.functions.date_trunc(
-      config.dynamicBoundInternalGrain, Shims.column(tAttr))
+      grain, Shims.column(tAttr))
+    val keyCols = agg.groupingExpressions.zipWithIndex.map {
+      case (e, j) => Shims.column(e).as(s"_k$j")
+    }
     val twinAggCols = rms.flatMap(_.twinCols).map { case (n, c) => c.as(n) }
-    val twinDF = childDF.groupBy(bucket.as("_dynb"))
+    val twinDF = childDF.groupBy(bucket.as("_dynb") +: keyCols: _*)
       .agg(twinAggCols.head, twinAggCols.tail: _*)
     val twinPlan = Shims.queryExecution(twinDF).analyzed
     val twinAns = rewritePlan(spark, twinPlan).map(Shims.ofRows(spark, _))
       .getOrElse(return bail("internal-grain twin rewrite declined"))
 
     val combineCols = rms.zipWithIndex.map { case (r, i) => r.combine.as(s"_r$i") }
-    val resultDF = twinAns.agg(combineCols.head, combineCols.tail: _*)
-    def rewriteOut(e: Expression): Expression = e match {
-      case ae: AggregateExpression =>
-        val i = aggExprs.indexWhere(_.semanticEquals(ae))
-        require(i >= 0, s"unmapped aggregate ${ae.sql}")
-        Cast(UnresolvedAttribute(Seq(s"_r$i")), ae.dataType)
-      case _ => e.withNewChildren(e.children.map(rewriteOut))
+    val resultDF =
+      if (!grouped) twinAns.agg(combineCols.head, combineCols.tail: _*)
+      else twinAns
+        .groupBy(agg.groupingExpressions.indices.map(j => col(s"_k$j")): _*)
+        .agg(combineCols.head, combineCols.tail: _*)
+    def rewriteOut(e: Expression): Expression = {
+      val gi = agg.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (gi >= 0) UnresolvedAttribute(Seq(s"_k$gi"))
+      else e match {
+        case ae: AggregateExpression =>
+          val i = aggExprs.indexWhere(_.semanticEquals(ae))
+          require(i >= 0, s"unmapped aggregate ${ae.sql}")
+          Cast(UnresolvedAttribute(Seq(s"_r$i")), ae.dataType)
+        case _ => e.withNewChildren(e.children.map(rewriteOut))
+      }
     }
     val outCols: Seq[Column] = agg.aggregateExpressions.map { o =>
       val core = o match {
@@ -3384,8 +3409,9 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       finalPlan.output.zip(agg.output).map { case (na, oo) =>
         Alias(na, oo.name)(exprId = oo.exprId)
       }, finalPlan)
-    config.log.info(fp, "no-group dynamic bound: answered via the " +
-      s"internal ${config.dynamicBoundInternalGrain}-grain bucketed twin")
+    config.log.info(fp,
+      (if (grouped) "keys-only dynamic bound" else "no-group dynamic bound") +
+        s": answered via the internal $grain-grain bucketed twin")
     Some(analyzed.transformUp { case n if n eq agg => aligned })
   }
 

@@ -351,6 +351,25 @@ object CacheQueries {
               .cast(org.apache.spark.sql.types.DecimalType(12, 4)))
               .cast("double"), 6).as("avg_value"))
       }),
+    // DYNAMIC LOWER BOUND over a KEYS-ONLY grouping — a shape decide()
+    // rejects outright (no temporal bucket to re-apply the bound over):
+    // with the temporal twin it becomes (day × event_type) state whose
+    // frozen bound qualifies day buckets by start at answer time, then
+    // folds back per key. Both runs' nows pinned so the oracle can
+    // mirror the bucket-granularity semantics exactly.
+    "qc_incr_twin_dyn" -> ((s, d) => {
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      coldAppendWarm(s, d, "twindyn", dynamicBounds = true,
+        warmNowMicros = Some(maxUs + 1000000L),
+        tweak = _.withTemporalTwin("day")) { df =>
+        df.filter(col("value") > 1 &&
+            col("ts") >= expr("now() - INTERVAL 20 DAYS"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+            max(col("value")).as("max_value"))
+      }
+    }),
     // the declared rewrite against a KEYS-ONLY grouped query (no time
     // bucket to drop — the shape that otherwise rebuilds loudly): with
     // the temporal twin, state lives at (day × event_type) grain, so
@@ -2107,6 +2126,15 @@ object CacheQueries {
            round(CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE), 6)
              AS avg_value
          FROM events WHERE value > 1
+         GROUP BY 1""",
+    "qc_incr_twin_dyn" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+         FROM events
+         WHERE value > 1 AND CAST(date_trunc('day', ts) AS TIMESTAMP) >=
+           (SELECT max(ts) + INTERVAL 1 SECOND - INTERVAL 20 DAY
+            FROM events)
          GROUP BY 1""",
     "qc_incr_repair_bytype" ->
       """SELECT event_type, count(*) AS cnt,

@@ -759,6 +759,47 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertSameRows(warm, want)
   }
 
+  test("late re-scan band reaches the temporal twin: keys-only grouping " +
+      "folds held-out late rows back in") {
+    val ev = eventsFull
+    val splitUs = ev
+      .selectExpr("CAST(percentile_approx(unix_micros(ts), 0.6) AS LONG)")
+      .first().getLong(0)
+    val dayUs = 86400L * 1000000L
+    val isLate = col("ts") >= timestamp_micros(lit(splitUs - 2 * dayUs)) &&
+      col("ts") < timestamp_micros(lit(splitUs)) && col("event_id") % 3 === 0
+    val work = tmpDir("lateband-twin")
+    ev.filter(col("ts") < timestamp_micros(lit(splitUs)) && !isLate)
+      .write.mode("overwrite").parquet(work)
+    val cache = new MemoryQueryCache()
+    def cfg(log: RecordingLog, now: Option[Long]) = QueryCacheConfig(cache,
+      defaultTemporalColumn = "ts", overrideNowMicros = now, log = log)
+      .withTemporalTwin("day")
+      .withLateRescanBand(java.time.Duration.ofDays(3))
+    // no temporal key at all: without the twin, the band has no floor
+    def q(df: DataFrame) = df.filter(col("value") > 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    QueryCacheSession(spark, cfg(new RecordingLog, Some(splitUs)))
+      .run(q(spark.read.parquet(work))).collect()
+    ev.filter(col("ts") >= timestamp_micros(lit(splitUs)) || isLate)
+      .write.mode("append").parquet(work)
+    val log2 = new RecordingLog
+    val warm = QueryCacheSession(spark, cfg(log2, None))
+      .run(q(spark.read.parquet(work)))
+    assert(log2.messages.exists(_.contains("temporal twin: answered via")),
+      log2.messages)
+    assert(log2.messages.exists(_.startsWith("late re-scan band")),
+      log2.messages)
+    assert(log2.messages.exists(_.startsWith("cache hit")), log2.messages)
+    val want = ev.filter(col("value") > 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+        max("value").as("mx"))
+    assertSameRows(warm, want)
+  }
+
   test("no-GROUP-BY aggregate with a dynamic lower bound: bucketed twin + re-aggregate") {
     val (early, late, splitUs) = split()
     val work = tmpDir("dyn-nogroup")
