@@ -28,6 +28,12 @@ final class QueryCacheSession(val spark: SparkSession, val config: QueryCacheCon
     * Use around a dashboard batch — N views over one fact table read its
     * append once instead of N times, and all see the same snapshot. */
   def refreshCycle[A](f: => A): A = graft.exec.SharedDelta.withCycle(f)
+
+  /** Operational view of the cache: one row per live entry (fingerprint,
+    * watermark, sources, pending repairs, size, chain length — see
+    * [[graft.cache.QueryCache.describe]]). Pair with `config.cache.stats`
+    * for the hit/miss/bail counters. */
+  def describeCache(): DataFrame = config.cache.describe(spark)
 }
 
 object QueryCacheSession {

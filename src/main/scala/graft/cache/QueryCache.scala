@@ -96,6 +96,29 @@ trait QueryCache {
 
   def invalidate(fingerprint: String): Unit
 
+  /** One row per LIVE entry — the operator's view of a running cache
+    * (what is warm, how big, how stale, what repairs are pending).
+    * Columns: `fingerprint`, `key_hash`, `watermark_micros` +
+    * `watermark` (timestamp), `source_paths`, `pending_repairs`,
+    * `state_rows`, `state_bytes`, `segments` (append-chain length),
+    * `version` (-1 where the implementation doesn't track the field —
+    * the memory cache has no bytes/versions; the durable cache reads
+    * metas and file statuses, never state rows, so rows report -1).
+    * Driver-side listing work only; safe to call on a live cache. */
+  def describe(spark: SparkSession): DataFrame
+
+  /** shared row/schema builder for [[describe]] implementations */
+  protected final def describeRows(spark: SparkSession,
+      rows: Seq[(String, String, Long, Seq[String], Int, Long, Long, Int,
+        Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    rows.toDF("fingerprint", "key_hash", "watermark_micros",
+        "source_paths", "pending_repairs", "state_rows", "state_bytes",
+        "segments", "version")
+      .withColumn("watermark", timestamp_micros(col("watermark_micros")))
+  }
+
   // ------------------------------------------------- source-path remedy
 
   /** fingerprint → source table paths of the entry's plan, recorded by
@@ -407,6 +430,20 @@ final class MemoryQueryCache(maxStateRows: Long = 4000000L,
   }
 
   def size: Int = entries.synchronized(entries.size)
+
+  override def describe(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val snap = entries.synchronized {
+      entries.entrySet().asScala
+        .map(e => (e.getKey, e.getValue.timestampMicros,
+          e.getValue.rows.length.toLong))
+        .toSeq
+    }
+    describeRows(spark, snap.map { case (fp, wm, nRows) =>
+      (fp, QueryCache.keyHash(fp), wm, recordedSourcePaths(fp).toSeq.sorted,
+        pendingRepairs(fp).size, nRows, -1L, 1, -1L)
+    })
+  }
 }
 
 /** Durable cache over a (local/HDFS/object-store) directory — the
@@ -893,6 +930,34 @@ final class ParquetQueryCache(rootDir: String,
       if (overEntries || overBytes) evict(e)
       else { keptCount += 1; keptBytes += e.bytes }
     }
+  }
+
+  /** Driver-side listing only: one latest-meta read per entry plus file
+    * statuses of its data dirs — state rows are never scanned (reported
+    * -1). Fingerprints come from the persisted meta, so entries written
+    * by OTHER processes are fully described too. */
+  override def describe(spark: SparkSession): DataFrame = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows: Seq[(String, String, Long, Seq[String], Int, Long, Long,
+        Int, Long)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { d =>
+        try latestMeta(fs, d.getPath).filterNot(_.tombstone).map { meta =>
+          val bytes = meta.allDataDirs.map { s =>
+            try fs.getContentSummary(new Path(d.getPath, s)).getLength
+            catch { case _: Exception => 0L }
+          }.sum
+          val fp =
+            if (meta.fingerprint.nonEmpty) meta.fingerprint
+            else Option(hashToFp.get(d.getPath.getName)).getOrElse("")
+          (fp, d.getPath.getName, meta.timestampMicros,
+            meta.sourcePaths.sorted,
+            if (fp.nonEmpty) pendingRepairs(fp).size else 0,
+            -1L, bytes, meta.allDataDirs.size, meta.version)
+        } catch { case _: Exception => None }
+      }
+    describeRows(spark, rows)
   }
 
   /** delete superseded/orphaned versions past the retention window */

@@ -448,6 +448,49 @@ class CacheSpec extends AnyFunSuite {
       s"no warm commit ever chained under the race: $json")
   }
 
+  test("describe: one operational row per live entry, both caches, " +
+      "cross-process for the durable one") {
+    // memory: a real cached query so source paths + repairs are indexed
+    val work = tmpDir("descmem")
+    Tables.events(spark, sf0001).limit(500)
+      .write.mode("overwrite").parquet(work)
+    val mem = new MemoryQueryCache()
+    def q(df: org.apache.spark.sql.DataFrame) = df.filter(col("value") > 1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    QueryCacheSession(spark, QueryCacheConfig(mem,
+      defaultTemporalColumn = "ts", overrideNowMicros = Some(7777000000L)))
+      .run(q(spark.read.parquet(work))).collect()
+    val md = mem.describe(spark).collect()
+    assert(md.length == 1, md.toSeq)
+    val mr = md.head
+    assert(mr.getAs[String]("fingerprint").nonEmpty)
+    assert(mr.getAs[Long]("watermark_micros") == 7777000000L)
+    assert(mr.getAs[Long]("state_rows") > 0)
+    assert(mr.getAs[Seq[String]]("source_paths").exists(_.contains("descmem")))
+    assert(mr.getAs[Int]("pending_repairs") == 0)
+    assert(mem.repairRange(work, 0L, 1000L) == 1)
+    assert(mem.describe(spark).collect()
+      .head.getAs[Int]("pending_repairs") == 1)
+    // durable: described from persisted metas by a FRESH handle
+    val dir = tmpDir("descdur")
+    val writer = new ParquetQueryCache(dir)
+    writer.put("fpDesc", 4242L, stateDF)
+    val other = new ParquetQueryCache(dir)
+    val dd = other.describe(spark).collect()
+    assert(dd.length == 1, dd.toSeq)
+    val dr = dd.head
+    assert(dr.getAs[String]("fingerprint") == "fpDesc")
+    assert(dr.getAs[Long]("watermark_micros") == 4242L)
+    assert(dr.getAs[Long]("state_bytes") > 0)
+    assert(dr.getAs[Int]("segments") >= 1)
+    assert(dr.getAs[Long]("version") > 0)
+    assert(dr.getAs[Long]("state_rows") == -1L)
+    // a tombstoned entry disappears from the listing
+    other.invalidate("fpDesc")
+    assert(other.describe(spark).collect().isEmpty)
+  }
+
   test("ParquetQueryCache invalidateForTable works cross-process via meta") {
     val dir = tmpDir("pqinv")
     val writer = new ParquetQueryCache(dir)
