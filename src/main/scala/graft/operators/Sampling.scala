@@ -192,6 +192,53 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** TEMPERATURE-BASED domain resampling — the multilingual/domain
+    * pretraining recipe (exponentiated smoothing; XLM-R §3.1): observed
+    * domain shares flatten to q_d ∝ n_d^alpha (alpha < 1 upweights the
+    * tail, 1 keeps proportions, 0 equalizes) and every domain resamples
+    * toward budget · q_d realized rows — the per-row copy count is
+    * floor(f_d) plus one more when the content-hash draw clears
+    * frac(f_d), so ONE formula downsamples (f < 1) and upsamples
+    * (f ≥ 1) with a pure function of (key, seed): reproducible across
+    * runs, cluster sizes, and partitionings. Output adds `copy_idx`.
+    *
+    * Cross-engine determinism: the only order-sensitive reduction —
+    * Σ n_d^alpha — rounds each power to 6 dp and sums in DECIMAL
+    * (order-free, exact), the [[graft.operators.Retrieval]] DCG trick;
+    * everything after is fixed-op-order IEEE doubles the DuckDB oracle
+    * replays bit-for-bit.
+    *
+    * Plan shape: one map-side-combined count agg over the (few)
+    * domains + a broadcast of the factor table back onto the corpus +
+    * a map-side explode — zero data shuffles; output size is the
+    * mixture's size. A SNAPSHOT op like [[mixture]]: factors depend on
+    * observed counts, so re-mixing a grown corpus is a new draw. */
+  def temperatureResample(df: DataFrame, domain: Column, key: Column,
+      alpha: Double, budget: Long, seed: Long = 0L): DataFrame = {
+    require(alpha >= 0.0 && alpha.isFinite, s"alpha=$alpha")
+    require(budget >= 0, s"budget=$budget")
+    val counts = df.groupBy(domain.as("_tr_domain"))
+      .agg(count(lit(1)).as("_tr_n"))
+      .withColumn("_tr_w",
+        round(pow(col("_tr_n").cast("double"), lit(alpha)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val tot = counts.agg(sum(col("_tr_w")).as("_tr_wsum"))
+    val factors = counts.crossJoin(broadcast(tot))
+      .withColumn("_tr_f",
+        lit(budget.toDouble) *
+          (col("_tr_w").cast("double") / col("_tr_wsum").cast("double")) /
+          col("_tr_n").cast("double"))
+    val f = col("_tr_f")
+    val copies = (floor(f).cast("long") +
+      when(unitHash(key, seed, "tr:") < f - floor(f), 1L).otherwise(0L))
+    df.join(broadcast(factors), domain === col("_tr_domain"))
+      .withColumn("_tr_c", copies)
+      .filter(col("_tr_c") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_tr_c") - lit(1L))))
+      .drop("_tr_domain", "_tr_n", "_tr_w", "_tr_wsum", "_tr_f", "_tr_c")
+  }
+
   def upsample(df: DataFrame, domain: Column, key: Column,
       factors: Map[String, Double], seed: Long = 0L): DataFrame = {
     require(factors.values.forall(f => f >= 0.0 && f.isFinite),

@@ -549,6 +549,15 @@ object PipelineQueries {
       Sampling.upsample(documents(s, d), col("source"), col("doc_id"),
           factors = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.25))
         .select("doc_id", "source", "copy_idx")),
+    // temperature-based domain resampling (exponentiated smoothing,
+    // alpha = 0.5): per-domain factors DERIVED from observed counts —
+    // the order-sensitive Σ n^α rounds each power to 6 dp and sums in
+    // DECIMAL so the oracle replays it order-free; one formula
+    // downsamples and upsamples via the shared content-hash draw
+    "q_mix_temperature" -> ((s, d) =>
+      Sampling.temperatureResample(documents(s, d), col("source"),
+          col("doc_id"), alpha = 0.5, budget = 10000L)
+        .select("doc_id", "source", "copy_idx")),
     // sliding-window token chunking (RAG / embedding prep): 64-token
     // chunks, 16-token overlap — a narrow codegen map stage, no shuffle
     "q_text_chunks" -> ((s, d) =>
@@ -1558,6 +1567,37 @@ object PipelineQueries {
           SELECT doc_id, source,
             unnest(generate_series(0, n - 1)) AS copy_idx
           FROM n_tbl WHERE n > 0""",
+    // temperature resampling: counts → 6-dp-rounded powers summed in
+    // DECIMAL (order-free) → fixed-op-order double factors → the same
+    // unit-hash copy draw as upsample ⇒ bit-equal realized mixture
+    "q_mix_temperature" ->
+      s"""WITH cnts AS (
+            SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+          w AS (
+            SELECT dom, n,
+              CAST(round(pow(CAST(n AS DOUBLE), 0.5), 6) AS DECIMAL(28,6))
+                AS w
+            FROM cnts),
+          tot AS (SELECT sum(w) AS wsum FROM w),
+          fac AS (
+            SELECT dom, n,
+              10000.0 * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))
+                / CAST(n AS DOUBLE) AS f
+            FROM w CROSS JOIN tot),
+          hashed AS (
+            SELECT doc_id, source, ${toSigned("x5")} AS h
+            FROM (${hash64Sql("'tr:' || CAST(doc_id AS VARCHAR)",
+              carry = "doc_id, source")}) t),
+          n_tbl AS (
+            SELECT doc_id, source,
+              CAST(floor(f) AS BIGINT) +
+              CASE WHEN (CAST(h AS DOUBLE) + 9223372036854775808.0)
+                        / 18446744073709551616.0 < f - floor(f)
+                   THEN 1 ELSE 0 END AS nn
+            FROM hashed JOIN fac ON source = dom)
+          SELECT doc_id, source,
+            unnest(generate_series(0, nn - 1)) AS copy_idx
+          FROM n_tbl WHERE nn > 0""",
     // train/val/test assignment: identical unit-hash normalization and
     // the same 0.75 / 0.875 boundary literals (exact binary, and the
     // 0.75 + 0.125 cumulative sum is exact in IEEE) ⇒ bit-equal splits

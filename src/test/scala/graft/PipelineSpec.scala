@@ -469,6 +469,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1 == s2, "mixture set changed under repartitioning")
   }
 
+  test("temperature resample: alpha=1 keeps proportions, alpha=0 " +
+      "equalizes, partition-invariant realized mixture") {
+    import graft.operators.Sampling
+    val n = docs.count()
+    // alpha = 1: q_d = n_d / N, so f_d = budget / N uniformly — every
+    // row draws the same factor; with budget == 2N that is exactly 2
+    // copies each, NO randomness (frac = 0)
+    val twoEpochs = Sampling.temperatureResample(docs, col("source"),
+      col("doc_id"), alpha = 1.0, budget = 2 * n)
+    assert(twoEpochs.count() == 2 * n)
+    assert(twoEpochs.groupBy("doc_id").count().filter(col("count") =!= 2)
+      .count() == 0, "alpha=1 with budget=2N must copy every row twice")
+    // alpha = 0: every domain weighs 1 — per-domain realized counts
+    // concentrate near budget / #domains regardless of raw skew
+    val skew = docs.filter(col("source").isin("src0", "src1") ||
+      col("doc_id") % 5 === 0) // src0/src1 whole, others ~1/5
+    val dn = skew.select("source").distinct().count()
+    val eq = Sampling.temperatureResample(skew, col("source"),
+      col("doc_id"), alpha = 0.0, budget = 40 * dn)
+    val per = eq.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.foreach { case (src, c) =>
+      assert(math.abs(c - 40L) <= 20, s"alpha=0 domain $src drew $c (want ~40): $per")
+    }
+    // realized (doc_id, copy_idx) multiset is layout-invariant
+    val a = Sampling.temperatureResample(docs, col("source"),
+        col("doc_id"), alpha = 0.5, budget = 100)
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.temperatureResample(docs.repartition(13), col("source"),
+        col("doc_id"), alpha = 0.5, budget = 100)
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "realized mixture changed under repartitioning")
+  }
+
   test("composed sampling draws are independent (per-operator tags)") {
     import graft.operators.Sampling
     // bernoulli(0.5) survivors fed to upsample(1.5): with a SHARED draw
