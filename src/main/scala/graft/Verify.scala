@@ -23,6 +23,8 @@ object Verify {
     // OR-range pushdown over a big view; index tombstones under a
     // 10× corpus; versioned doc liveness resolution at real tf size
     "qc_incr_repair_rows", "q_dedup_incr_nearrm", "q_text_bm25_upsert",
+    // session-cut derivation + the (day × keys) twin at real cardinality
+    "qc_incr_repair_session", "qc_incr_twin",
     "q_dedup_incr_near", "q_dedup_incr_spans", "q_dedup_minhash",
     "q_ann_ivf", "q_ann_pq", "q_knn_join", "q_embed_incr",
     "q_text_bm25_incr", "q_text_bpe_train", "q_freq_topk",
