@@ -1615,8 +1615,8 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
       : Option[graft.cache.CachedState] = {
     import org.apache.spark.sql.functions.unix_micros
     val g = s"_g$sIdx"
-    val q = sessionCutAtMost(spark, cs, sIdx, cs.timestampMicros - band)
-      .getOrElse(return None)
+    val q = sessionCutAtMost(spark, sessionIntervals(spark, cs, sIdx),
+      cs.timestampMicros - band).getOrElse(return None)
     if (q >= cs.timestampMicros) return None
     Some(graft.cache.CachedState(q, cs.schema, s =>
       cs.read(s).filter(col(g).isNull ||
@@ -1635,16 +1635,22 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * exclude each other on both paths (strict-inequality frame).
     * `contrib` feeds the prefix max; `synthetic` adds one candidate
     * whose own end never suppresses others relevant to the search. */
-  private def sessionCutCandidates(spark: SparkSession,
-      cs: graft.cache.CachedState, sIdx: Int,
-      contribFilter: Column => Column, synthetic: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{broadcast, max, unix_micros}
+  /** the state's session intervals as (s, e) epoch micros — the input
+    * every cut computation shares (cache it when computing several) */
+  private def sessionIntervals(spark: SparkSession,
+      cs: graft.cache.CachedState, sIdx: Int): DataFrame = {
+    import org.apache.spark.sql.functions.unix_micros
     val g = s"_g$sIdx"
-    val st = cs.read(spark).filter(col(g).isNotNull)
+    cs.read(spark).filter(col(g).isNotNull)
       .select(unix_micros(col(s"$g.start")).as("s"),
         unix_micros(col(s"$g.end")).as("e"))
-      .filter(contribFilter(col("s")))
+  }
+
+  private def sessionCutCandidates(spark: SparkSession, base: DataFrame,
+      contribFilter: Column => Column, synthetic: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, max}
+    val st = base.filter(contribFilter(col("s")))
     // integer DIV, not double division+floor: session starts are
     // positive epoch micros and s/W as doubles could round at exact
     // bucket boundaries near 2^53
@@ -1677,10 +1683,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * max, so they are filtered from the contribution set; the synthetic
     * candidate is atMost itself (qualifying exactly when no session
     * spans it). */
-  private def sessionCutAtMost(spark: SparkSession,
-      cs: graft.cache.CachedState, sIdx: Int, atMost: Long): Option[Long] = {
+  private def sessionCutAtMost(spark: SparkSession, base: DataFrame,
+      atMost: Long): Option[Long] = {
     import org.apache.spark.sql.functions.max
-    val row = sessionCutCandidates(spark, cs, sIdx, _ <= lit(atMost), atMost)
+    val row = sessionCutCandidates(spark, base, _ <= lit(atMost), atMost)
       .agg(max(col("s"))).first()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
@@ -1693,10 +1699,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     * the caller falls back to the effective watermark, which is always
     * a sound upper cut (no state session starts at/after it, so the
     * window simply extends to the delta boundary). */
-  private def sessionCutAtLeast(spark: SparkSession,
-      cs: graft.cache.CachedState, sIdx: Int, atLeast: Long): Option[Long] = {
+  private def sessionCutAtLeast(spark: SparkSession, base: DataFrame,
+      atLeast: Long): Option[Long] = {
     import org.apache.spark.sql.functions.min
-    val row = sessionCutCandidates(spark, cs, sIdx, _ => lit(true), atLeast)
+    val row = sessionCutCandidates(spark, base, _ => lit(true), atLeast)
       .filter(col("s") >= lit(atLeast))
       .agg(min(col("s"))).first()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
@@ -1750,12 +1756,17 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     import org.apache.spark.sql.functions.unix_micros
     val gap = sessionGap(c, sIdx).getOrElse(return None)
     val g = s"_g$sIdx"
-    val windows0 = ranges.map { case (lo, hi) =>
-      val q = sessionCutAtMost(spark, cs, sIdx, lo).getOrElse(return None)
-      val cUp = math.min(effWm,
-        sessionCutAtLeast(spark, cs, sIdx, hi + gap).getOrElse(effWm))
-      (q, cUp)
-    }
+    // one cached interval projection serves every cut computation (two
+    // jobs each): without it, R ranges re-read the session state ~4R
+    // times before the repair scan even starts
+    val base = sessionIntervals(spark, cs, sIdx).cache()
+    val windows0 =
+      try ranges.map { case (lo, hi) =>
+        val q = sessionCutAtMost(spark, base, lo).getOrElse(return None)
+        val cUp = math.min(effWm,
+          sessionCutAtLeast(spark, base, hi + gap).getOrElse(effWm))
+        (q, cUp)
+      } finally base.unpersist()
     val windows = IncrementalAggExecutor.mergeRanges(windows0)
     Some((windows, graft.cache.CachedState(effWm, cs.schema, s => {
       val sCol = unix_micros(col(s"$g.start"))
@@ -3312,6 +3323,13 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     // into grouped twins — the twin grain doubles as the bound's bucket
     // granularity then. No-group queries use the dedicated grain knob.
     val grouped = agg.groupingExpressions.nonEmpty
+    // sessions cannot re-aggregate from bucket finalizes: a session
+    // spanning a bucket edge would split into two twin rows (the same
+    // guard bucketTwinRewrite carries)
+    if (grouped && agg.groupingExpressions.exists {
+      case a: Attribute => a.metadata.contains("spark.sessionWindow")
+      case _ => false
+    }) return None
     val grain =
       (if (grouped) config.temporalTwinGrain
        else Some(config.dynamicBoundInternalGrain)).getOrElse(return None)
@@ -3496,6 +3514,10 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
     if (c.temporalGroupIdx.isDefined) return None // already bucket-keyed
     if (c.agg.groupingExpressions.isEmpty) return None // dynNoGroup's turf
     if (sessionGroupIdx(c).isDefined) return None
+    // tumbling windows carry temporalGroupIdx = None by design but have
+    // their own richer machinery (rehop/retumble subsumption, window
+    // repairSpans) — never reroute them through the twin
+    if (tumblingShape(c).isDefined) return None
     if (c.agg.child.exists(_.isInstanceOf[Expand])) return None
     val fp = c.fingerprint
     def bail(msg: String): Option[LogicalPlan] = {

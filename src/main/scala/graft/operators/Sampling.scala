@@ -217,13 +217,25 @@ object Sampling {
       alpha: Double, budget: Long, seed: Long = 0L): DataFrame = {
     require(alpha >= 0.0 && alpha.isFinite, s"alpha=$alpha")
     require(budget >= 0, s"budget=$budget")
-    val counts = df.groupBy(domain.as("_tr_domain"))
+    // NULL-domain rows are OUTSIDE the mixture (no domain, no quota) —
+    // excluded from the weight normalization too, so they can't dilute
+    // the listed domains' factors, and dropped from the output by the
+    // inner factor join below
+    val counts = df.filter(domain.isNotNull)
+      .groupBy(domain.as("_tr_domain"))
       .agg(count(lit(1)).as("_tr_n"))
       .withColumn("_tr_w",
         round(pow(col("_tr_n").cast("double"), lit(alpha)), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
     val tot = counts.agg(sum(col("_tr_w")).as("_tr_wsum"))
     val factors = counts.crossJoin(broadcast(tot))
+      // a null weight/sum means pow(n, alpha) overflowed even
+      // DECIMAL(38,6) — fail LOUDLY instead of emitting an empty
+      // mixture (null factors would zero every copy count)
+      .filter(when(col("_tr_w").isNull || col("_tr_wsum").isNull,
+        raise_error(lit("temperatureResample: domain weight overflow " +
+          "(pow(n, alpha) beyond DECIMAL(38,6)) — lower alpha")))
+        .otherwise(lit(true)))
       .withColumn("_tr_f",
         lit(budget.toDouble) *
           (col("_tr_w").cast("double") / col("_tr_wsum").cast("double")) /

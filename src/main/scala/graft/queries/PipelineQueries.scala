@@ -1575,7 +1575,7 @@ object PipelineQueries {
             SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
           w AS (
             SELECT dom, n,
-              CAST(round(pow(CAST(n AS DOUBLE), 0.5), 6) AS DECIMAL(28,6))
+              CAST(round(pow(CAST(n AS DOUBLE), 0.5), 6) AS DECIMAL(38,6))
                 AS w
             FROM cnts),
           tot AS (SELECT sum(w) AS wsum FROM w),

@@ -96,29 +96,39 @@ object StreamQueries {
   /** documents split into one parquet file per phase (doc_id mod 3),
     * mtimes pinned ascending so the file stream replays the corpus as
     * three ordered micro-batches. Rebuilt per run. */
+  /** Write each phase DataFrame as ONE parquet file `phase_<i>.parquet`
+    * under `dirPath`, mtimes pinned ascending, so a file stream with
+    * maxFilesPerTrigger=1 replays them as ordered micro-batches.
+    * Rebuilds the directory from scratch. */
+  private def writePhasedFiles(spark: SparkSession,
+      dirPath: java.nio.file.Path, phases: Seq[DataFrame]): String = {
+    val p = new org.apache.hadoop.fs.Path(dirPath.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    java.nio.file.Files.createDirectories(dirPath)
+    phases.zipWithIndex.foreach { case (df, ph) =>
+      val tmp = dirPath.resolve(s"stage_$ph")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = dirPath.resolve(s"phase_$ph.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + ph * 60000L))
+    }
+    dirPath.toString
+  }
+
   private def phasedDocsDir(spark: SparkSession, sfDir: String): String = {
     val sfTag = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths
       .get(sys.props("java.io.tmpdir"), "graft_stream", sfTag, "docs_phased")
-    val p = new org.apache.hadoop.fs.Path(dir.toString)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    java.nio.file.Files.createDirectories(dir)
     val docs = Tables.documents(spark, sfDir)
       .withColumn("phase", pmod(col("doc_id"), lit(3)))
-    (0 to 2).foreach { ph =>
-      val tmp = dir.resolve(s"stage_$ph")
-      docs.filter(col("phase") === ph).coalesce(1)
-        .write.parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val target = dir.resolve(s"phase_$ph.parquet")
-      java.nio.file.Files.move(part.toPath, target)
-      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-      java.nio.file.Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + ph * 60000L))
-    }
-    dir.toString
+    writePhasedFiles(spark, dir,
+      (0 to 2).map(ph => docs.filter(col("phase") === ph)))
   }
 
   /** CDC-style BM25 mutation stream: phase 0 = a stale third of the
@@ -132,10 +142,6 @@ object StreamQueries {
     val sfTag = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths
       .get(sys.props("java.io.tmpdir"), "graft_stream", sfTag, "bm25_cdc")
-    val p = new org.apache.hadoop.fs.Path(dir.toString)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    java.nio.file.Files.createDirectories(dir)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val phases: Seq[DataFrame] = Seq(
@@ -147,20 +153,9 @@ object StreamQueries {
       docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .withColumn("text", lit(""))
         .withColumn("op", lit("delete")))
-    phases.zipWithIndex.foreach { case (df, ph) =>
-      val tmp = dir.resolve(s"stage_$ph")
-      df.withColumn("phase", lit(ph.toLong)).coalesce(1)
-        .write.parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val target = dir.resolve(s"phase_$ph.parquet")
-      java.nio.file.Files.move(part.toPath, target)
-      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
-      java.nio.file.Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime
-          .fromMillis(1000000000000L + ph * 60000L))
-    }
-    dir.toString
+    writePhasedFiles(spark, dir, phases.zipWithIndex.map {
+      case (df, ph) => df.withColumn("phase", lit(ph.toLong))
+    })
   }
 
   private def runToCompletion(df: DataFrame, name: String,
