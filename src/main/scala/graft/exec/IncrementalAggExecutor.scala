@@ -778,10 +778,26 @@ final class IncrementalAggExecutor(val config: QueryCacheConfig) {
             // state expressions read (the analyzed child outputs the
             // full leaf width — registering at that width would read
             // every column of a wide fact table)
-            rootNeeded = Some((c.agg.groupingExpressions ++
-              stateSpecs.map(s => Shims.expression(s.partial)) ++
-              stateSpecs.flatMap(s => s.unit.map(Shims.expression)))
-              .flatMap(_.references).toSeq))
+            // resolved THROUGH THE ANALYZER over the real partial-state
+            // projection: raw `.references` on the spec Columns is empty
+            // for DSL-built expressions (unresolved function nodes — the
+            // avg/when/cast shapes), which silently pruned their input
+            // columns out of the shared scan; the consuming view's
+            // rewrite then failed MISSING_ATTRIBUTES and fell back to a
+            // FULL UNCACHED SCAN — the shared leg measured 7× SLOWER
+            // than private scans (BENCH r13 baseline,
+            // shared_delta_speedup_1pct 0.135). Analyzing the projection
+            // the warm path actually runs yields the true leaf-attribute
+            // set for any spec shape.
+            rootNeeded = Some(Shims.queryExecution(partialState(childDF))
+              .analyzed.collect {
+                // leaf relations excluded: their `expressions` are their
+                // own full output, which would widen the shared scan to
+                // every column of the fact table (payload included)
+                case n if !n.isInstanceOf[
+                    org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
+                  n.expressions.flatMap(_.references)
+              }.flatten.toSeq))
         val newData0 = deltaForAppend.filter(tsCol >= timestamp_micros(lit(cs.timestampMicros)))
         // derived partition predicate: with a declared DATE partition
         // column (= CAST(ts AS DATE), see Layouts.writeTimeSeriesPartitioned)

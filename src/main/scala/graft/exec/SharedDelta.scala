@@ -186,6 +186,9 @@ object SharedDelta {
       lr.output.filter(a => refSet.contains(a) || a.exprId == leafTs.exprId ||
         pcAttr.exists(_.exprId == a.exprId))
     }
+    if (sys.env.contains("SPARK_GRAFT_SHARED_DEBUG"))
+      System.err.println(s"[shdebug] fp=$fingerprint lr.output=${lr.output} " +
+        s"needed=$needed rootNeeded=${rootNeeded.map(_.toList)}")
     val entry = cycle.entries.get(key) match {
       case Some(e) if e.wmMicros <= wmMicros => e
       case Some(_) =>
@@ -205,8 +208,21 @@ object SharedDelta {
         val bound = Shims.column(leafTs) >= timestamp_micros(lit(wmMicros))
         val pcBound = pcAttr.map(a => Shims.column(a) >=
           to_date(timestamp_micros(lit(wmMicros))))
-        val delta = raw.filter(pcBound.map(bound && _).getOrElse(bound))
+        val delta0 = raw.filter(pcBound.map(bound && _).getOrElse(bound))
           .select(needed.map(a => Shims.column(a)): _*)
+        // parallelism floor (scale-adaptive, guide §2): a small append is
+        // one or two file splits, so the persisted delta would be ENCODED
+        // single-task and every consuming view would re-scan it
+        // single-task — serializing the whole refresh batch behind one
+        // core. When the planned scan has fewer partitions than the
+        // session's parallelism, redistribute once before persisting
+        // (delta-sized shuffle, paid once per cycle); a large append
+        // already plans ≥ parallelism splits and is left untouched, so
+        // no shuffle is ever added at scale.
+        val planned = Shims.queryExecution(delta0).toRdd.getNumPartitions
+        val par = spark.sparkContext.defaultParallelism
+        val delta =
+          if (planned < par) delta0.repartition(par) else delta0
         delta.persist(StorageLevel.MEMORY_AND_DISK)
         val e = Entry(wmMicros, delta)
         cycle.entries.putIfAbsent(key, e) match {
