@@ -177,25 +177,24 @@ object Dedup {
   def clusters(pairs: DataFrame, maxIters: Int = 8,
       requireConverged: Boolean = false,
       maxDriverEdges: Long = 1L << 18): DataFrame = {
+    // LAZY checkpoint throughout this function (optimization r13): every
+    // materialization below is fused into the first action that needs it
+    // instead of paying a separate eager-checkpoint job — a multi-batch
+    // incremental caller runs clusters() per append, so each saved job is
+    // a saved scheduler round-trip per batch. Lineage truncation and
+    // exactly-once compute are unchanged (lazy localCheckpoint persists
+    // on first computation).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val idsAreIntegral = edges.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (idsAreIntegral && edges.count() <= 2 * maxDriverEdges) {
+    if (idsAreIntegral) {
       val spark = pairs.sparkSession
       import spark.implicits._
       import scala.collection.mutable
-      val parent = mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
       def getL(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
         case l: java.lang.Long => l
         case n: java.lang.Integer => n.toLong
@@ -203,24 +202,42 @@ object Dedup {
       }
       // <= keeps self-pairs (id_a == id_b): the distributed path labels
       // every id in the edge set, including self-edge-only ids — both
-      // paths must agree on membership
-      val undirected = edges.filter(col("src") <= col("dst")).collect()
-      undirected.foreach { r =>
-        val (a, b) = (getL(r, 0), getL(r, 1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      // paths must agree on membership. One limit-gated collect replaces
+      // the former count-then-collect pair of jobs: all undirected edges
+      // arrive when they fit (limit maxDriverEdges+1 returns everything
+      // below the bound), and an overflow row diverts to the distributed
+      // path. The gate is now on UNDIRECTED edges (≈ half the former
+      // directed-row count) — same order of magnitude, same driver-memory
+      // intent, and both paths return identical labels either way.
+      val undirected = edges.filter(col("src") <= col("dst"))
+        .limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (undirected.length <= maxDriverEdges) {
+        val parent = mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        undirected.foreach { r =>
+          val (a, b) = (getL(r, 0), getL(r, 1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = undirected.iterator.flatMap(r => Iterator(getL(r, 0), getL(r, 1)))
+          .toArray.distinct
+        val idType = edges.schema.fields.head.dataType
+        return ids.sorted.map(i => (i, find(i))).toSeq.toDF("id", "cluster_id")
+          .select(col("id").cast(idType).as("id"),
+            col("cluster_id").cast(idType).as("cluster_id"))
       }
-      val ids = undirected.iterator.flatMap(r => Iterator(getL(r, 0), getL(r, 1)))
-        .toArray.distinct
-      val idType = edges.schema.fields.head.dataType
-      return ids.sorted.map(i => (i, find(i))).toSeq.toDF("id", "cluster_id")
-        .select(col("id").cast(idType).as("id"),
-          col("cluster_id").cast(idType).as("cluster_id"))
     }
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -239,7 +256,9 @@ object Dedup {
         .join(lmap, col("l1") === col("pid"), "left")
         .withColumn("l2", least(col("l1"), coalesce(col("plabel"), col("l1"))))
         .select(col("id"), col("l2").as("label"), (col("l2") < col("l0")).as("_chg"))
-      val updated = joined.localCheckpoint() // eager; truncates lineage every round
+      // lazy; the convergence probe right below is the materializing
+      // action (lineage still truncates every round)
+      val updated = joined.localCheckpoint(eager = false)
       val changed = updated.filter(col("_chg")).limit(1).count() > 0
       labels = updated.drop("_chg")
       converged = !changed

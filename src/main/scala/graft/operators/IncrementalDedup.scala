@@ -992,8 +992,14 @@ object IncrementalDedup {
         promoteToBucketed(spark, fs, gramsDir, table, Seq("h"), indexBuckets)
         true
       }))
-    val g = Dedup.gramHashes(batch, gram, idCol, textCol).localCheckpoint()
-    val distinctH = g.select(col("h")).distinct().localCheckpoint()
+    // lazy: the eager `spans` checkpoint below is the single
+    // materializing job for the whole per-batch tree (g is shared by the
+    // duplicated-span join and, via distinctH, both index lookups — the
+    // lazy persist still computes it once)
+    val g = Dedup.gramHashes(batch, gram, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val distinctH = g.select(col("h")).distinct()
+      .localCheckpoint(eager = false)
     val within = g.groupBy(col("h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2).select(col("h"))
     // append only hashes the index does not already hold: batches sharing
@@ -1005,8 +1011,12 @@ object IncrementalDedup {
       val (dupSemi, novelAnti) =
         spanIndexLookups(spark, indexDir, distinctH, bucketed)
       (within.unionByName(dupSemi).distinct(),
-        // materialize BEFORE appending to what it reads
-        novelAnti.localCheckpoint())
+        // lazy: consumed exactly once, by the index append's own write
+        // job — whose scan of grams/ is planned (file list snapshotted)
+        // before any new file lands, so the read-then-append hazard
+        // cannot bite; the eager `spans` checkpoint has already fixed
+        // the batch's REPORTED spans by then
+        novelAnti.localCheckpoint(eager = false))
     } else (within, distinctH)
     val spans = Dedup.mergeSpanIslands(
         g.join(dupH, Seq("h"), "left_semi"), gram)
@@ -1098,20 +1108,27 @@ object IncrementalDedup {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompactLeftover(fs, labelsDir)
+    // lazy checkpoints throughout (optimization r13): each per-append
+    // materialization fuses into the first downstream action instead of
+    // its own eager job — ordering contracts below are preserved because
+    // every lazy frame that reads an index dir is forced by an action
+    // that runs BEFORE that dir is appended to (remapNew.count before the
+    // remaps write; newLabels.count before the labels write).
     val e = pairs.select(col("id_a").cast("long").as("a"),
-      col("id_b").cast("long").as("b")).localCheckpoint()
+      col("id_b").cast("long").as("b")).localCheckpoint(eager = false)
     val nodes = e.select(col("a").as("id"))
-      .union(e.select(col("b").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("b").as("id"))).distinct()
+      .localCheckpoint(eager = false)
     val haveLabels = indexBytes(fs, labelsDir) > 0
     // current root of every KNOWN endpoint: stored label resolved
     // through the merge-log closure
-    val closure = remapClosure(spark, remapsDir).localCheckpoint()
+    val closure = remapClosure(spark, remapsDir).localCheckpoint(eager = false)
     val known = (if (haveLabels)
         spark.read.parquet(labelsDir).join(nodes, Seq("id"), "left_semi")
           .join(closure, col("label") === closure("src"), "left")
           .select(col("id"), coalesce(col("dst"), col("label")).as("root"))
       else spark.range(0).select(col("id"), col("id").as("root"))
-      ).localCheckpoint()
+      ).localCheckpoint(eager = false)
     // contract the batch graph to root space (unknown endpoints are
     // their own roots) and re-cluster — batch-sized work
     val ka = known.select(col("id").as("a"), col("root").as("ra"))
@@ -1121,21 +1138,26 @@ object IncrementalDedup {
         coalesce(col("rb"), col("b")).as("id_b"))
     val lab = Dedup.clusters(contracted, maxDriverEdges = maxDriverEdges)
       .select(col("id").as("node"), col("cluster_id").as("newRoot"))
-      .localCheckpoint()
-    // merge log first (see crash contract above): roots that moved
+      .localCheckpoint(eager = false)
+    // merge log first (see crash contract above): roots that moved.
+    // The count() gate is ALSO the materializer: it forces remapNew (and
+    // transitively closure/known/lab, which read remaps/ and labels/)
+    // before either dir grows.
     val remapNew = known.select(col("root")).distinct()
       .join(lab, col("root") === col("node"))
       .filter(col("newRoot") =!= col("root"))
       .select(col("root").as("src"), col("newRoot").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     if (remapNew.count() > 0)
       remapNew.write.mode("append").parquet(remapsDir)
-    // then the new ids, stamped with their final component min
+    // then the new ids, stamped with their final component min; the
+    // count() forces the labels/ anti-join before labels/ grows
     val newIds = if (haveLabels)
       nodes.join(spark.read.parquet(labelsDir), Seq("id"), "left_anti")
     else nodes
     val newLabels = newIds.join(lab, newIds("id") === lab("node"))
-      .select(col("id"), col("newRoot").as("label")).localCheckpoint()
+      .select(col("id"), col("newRoot").as("label"))
+      .localCheckpoint(eager = false)
     if (newLabels.count() > 0)
       newLabels.write.mode("append").parquet(labelsDir)
   }
@@ -1185,7 +1207,7 @@ object IncrementalDedup {
       return spark.range(0).select(col("id").as("src"), col("id").as("dst"))
     var m = spark.read.parquet(remapsDir)
       .groupBy(col("src")).agg(org.apache.spark.sql.functions.min(col("dst")).as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // unresolved() probe materializes
     var iters = 0
     def unresolved(d: DataFrame): Boolean =
       d.join(d.select(col("src").as("_s")), col("dst") === col("_s"),
@@ -1196,7 +1218,7 @@ object IncrementalDedup {
       val r = m.select(col("src").as("_rs"), col("dst").as("_rd"))
       m = l.join(r, col("dst") === col("_rs"), "left")
         .select(col("src"), coalesce(col("_rd"), col("dst")).as("dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       pending = unresolved(m)
       iters += 1
     }

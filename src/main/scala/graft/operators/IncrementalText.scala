@@ -179,7 +179,7 @@ object IncrementalText {
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("dl"), lit(0L)).as("dl"),
         lit(ver).as("ver"), col("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // count() below materializes
     val n = dl.count()
     if (n == 0L) return 0L
     val batchId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -213,7 +213,7 @@ object IncrementalText {
     val novelIds = (if (hasBatches(spark, indexDir))
         ids.join(liveDocs(spark, indexDir, idCol, Some(ids))
           .select(col(idCol)), Seq(idCol), "left_anti")
-      else ids).localCheckpoint()
+      else ids).localCheckpoint(eager = false) // count() materializes
     val n = novelIds.count()
     if (n == 0L) return 0L
     val ver = nextVer(spark, indexDir)
@@ -239,7 +239,7 @@ object IncrementalText {
     val docsIn = batch.groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
     if (!hasBatches(spark, indexDir)) {
       // first batch: every doc is novel
-      val docs = docsIn.localCheckpoint()
+      val docs = docsIn.localCheckpoint(eager = false)
       val n0 = docs.count()
       if (n0 == 0L) return (0L, 0L)
       val n = commitBatch(spark, indexDir, docs, textCol, idCol,
@@ -254,7 +254,7 @@ object IncrementalText {
     val joined = docsIn.join(live, Seq(idCol), "left")
       .withColumn("_new_fp", fpCol(textCol))
     val toIndex = joined.filter(col("_old_fp").isNull ||
-      col("_new_fp") =!= col("_old_fp")).localCheckpoint()
+      col("_new_fp") =!= col("_old_fp")).localCheckpoint(eager = false)
     val novel = toIndex.filter(col("_old_dl").isNull).count()
     val changed = toIndex.count() - novel
     if (novel + changed == 0L) return (0L, 0L)
@@ -280,7 +280,8 @@ object IncrementalText {
     if (!hasBatches(spark, indexDir)) return 0L
     val fs = fsOf(spark, indexDir)
     val targets = liveDocs(spark, indexDir, idCol,
-      Some(ids.select(col(idCol)).distinct())).localCheckpoint()
+      Some(ids.select(col(idCol)).distinct()))
+      .localCheckpoint(eager = false) // count() below materializes
     val n = targets.count()
     if (n == 0L) return 0L
     val deletedDl = targets.agg(sum(col("dl"))).first().getLong(0)

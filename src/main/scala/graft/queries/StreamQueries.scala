@@ -31,21 +31,65 @@ object StreamQueries {
   private def sinkName(tag: String, sfDir: String): String =
     s"graft_stream_${tag}_${new java.io.File(sfDir).getName.replace('.', '_')}"
 
+  /** Stateful-stream shuffle partitioning derived from SOURCE SIZE, not
+    * cluster width (optimization guide §2: scale-adaptive partitioning —
+    * a constant tuned for either local mode or the cluster is wrong at
+    * the other end). Each shuffle partition of a stateful operator is a
+    * state-store instance whose per-micro-batch commit (delta file
+    * create + rename into the checkpoint) is pure fixed cost: a
+    * stream-stream join keeps 4 stores per partition, so a 32-partition
+    * session pays 128 commits per batch to process a few-MB fixture —
+    * measured 194 s of summed commit time per batch vs 1.7 s at 4
+    * partitions on identical data (r13 StreamProfile). Sizing:
+    * ceil(bytes / 32 MB), clamped to [2, session shuffle partitions] —
+    * a 100 TB source hits the session cap (the configured production
+    * parallelism, unchanged), a dev fixture gets 2. The state-store
+    * count is pinned into the checkpoint at first run, exactly like a
+    * production job sizes it per expected state volume.
+    * `SPARK_GRAFT_STREAM_SHUF` overrides for ops/experiments. */
+  private def adaptivePartitions(spark: SparkSession, sfDir: String,
+      tables: String*): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUF").map(_.toInt).getOrElse {
+      val bytes = tables.map { t =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        } catch { case _: Throwable => 0L }
+      }.sum
+      val cap = spark.sessionState.conf.numShufflePartitions
+      math.max(2L, math.min(cap.toLong, bytes / (32L << 20) + 1)).toInt
+    }
+
+  /** Isolated child session for a streaming scenario (own SQLConf,
+    * shared context — the caller's session is never mutated) with
+    * [[adaptivePartitions]] applied for its stateful shuffles. */
+  private def isoStream(spark: SparkSession, sfDir: String,
+      tables: String*): SparkSession = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions",
+      adaptivePartitions(spark, sfDir, tables: _*))
+    iso
+  }
+
   /** Run `f` with the legacy nanos conf set, restoring the caller's
     * value (or unset state) after — stream scenarios must not leave a
     * persistent conf mutation on the SHARED session (VERDICT r5 #5).
     * The conf must hold for the whole region from `readStream` through
     * query completion: the parquet→catalyst conversion happens per file
     * at scan time, not just at schema inference. */
-  private def withNanosConf[T](spark: SparkSession)(f: SparkSession => T): T = {
+  private def withNanosConf[T](spark: SparkSession, sfDir: String)(
+      f: SparkSession => T): T = {
     // an ISOLATED child session (own SQLConf, shared context): the
     // caller's session is never mutated, and concurrent batch/stream
     // work can neither observe the flag nor race a set/restore pair
     // (interleaved save/restores on a shared session can corrupt the
     // conf permanently — same reasoning as Shims.withIsolatedConf).
     // The memory sink's temp view registers in the child, so results
-    // are read back through it.
-    val iso = spark.newSession()
+    // are read back through it. All withNanosConf scenarios stream the
+    // events table; state partitioning follows its size (see
+    // adaptivePartitions).
+    val iso = isoStream(spark, sfDir, "events")
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     f(iso)
   }
@@ -174,7 +218,7 @@ object StreamQueries {
     // per-type counts/sums with a watermark, complete-mode sink. Complete
     // mode emits every window at termination — over a static table that
     // is exactly the batch GROUP BY date_trunc('hour') answer.
-    "q_stream_hourly" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_hourly" -> ((s, d) => withNanosConf(s, d) { iso =>
       val name = sinkName("hourly", d)
       val agg = StreamingAgg.windowedAgg(
         eventsStream(iso, d), "ts", "1 hour", watermarkDelay = "10 minutes",
@@ -196,7 +240,7 @@ object StreamQueries {
     // same sessions with a lag()-gap window function (a new session starts
     // when the gap to the previous event is ≥ the gap parameter, matching
     // Spark's [ts, ts+gap) overlap-merge semantics).
-    "q_stream_session" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_session" -> ((s, d) => withNanosConf(s, d) { iso =>
       val name = sinkName("session", d)
       val agg = StreamingAgg.sessionAgg(
         eventsStream(iso, d), "ts", gap = "30 minutes",
@@ -216,7 +260,7 @@ object StreamQueries {
     // shape of a streaming ingest pipeline; the dim is re-read per batch,
     // broadcast by Catalyst), aggregated in complete mode. Over a static
     // table the final sink equals the batch join+aggregate.
-    "q_stream_join" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_join" -> ((s, d) => withNanosConf(s, d) { iso =>
       val name = sinkName("join", d)
       val joined = eventsStream(iso, d)
         .join(Tables.customer(iso, d), col("user_id") === col("c_custkey"))
@@ -232,7 +276,7 @@ object StreamQueries {
     // attribution shape. Raw pairs land in the append-mode sink; the
     // deterministic per-user rollup of that sink equals the batch
     // interval self-join.
-    "q_stream_join2" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_join2" -> ((s, d) => withNanosConf(s, d) { iso =>
       val name = sinkName("join2", d)
       val errors = eventsStream(iso, d)
         .filter(col("event_type") === "error")
@@ -259,7 +303,7 @@ object StreamQueries {
     // from state and emits the complete outer set. Rollup over the
     // append sink (sentinels filtered) equals the batch LEFT JOIN.
     "q_stream_join3" -> ((s, d) => {
-      val iso = s.newSession()
+      val iso = isoStream(s, d, "events")
       val name = sinkName("join3", d)
       val dir = sentinelEventsDir(iso, d)
       val schema = iso.read.parquet(dir).schema
@@ -292,7 +336,7 @@ object StreamQueries {
     // rollup keys on coalesce(e_user, c_user) so the batch FULL JOIN
     // reproduces it exactly.
     "q_stream_join4" -> ((s, d) => {
-      val iso = s.newSession()
+      val iso = isoStream(s, d, "events")
       val name = sinkName("join4", d)
       val dir = sentinelEventsDir(iso, d)
       val schema = iso.read.parquet(dir).schema
@@ -329,7 +373,7 @@ object StreamQueries {
     // oracle. require()s pin the file→batch mapping the determinism
     // rests on (one phase per micro-batch, in mtime order).
     "q_stream_spans" -> ((s, d) => {
-      val iso = s.newSession()
+      val iso = isoStream(s, d, "documents")
       val dir = phasedDocsDir(iso, d)
       val idx = graft.operators.IncrementalDedup.scratchIndexDir(iso,
         "stream_spans_" + new java.io.File(d).getName)
@@ -369,7 +413,7 @@ object StreamQueries {
     // batch variant's extra replayed delete is a no-op, so the end index
     // states coincide (additive stats, max-ver liveness).
     "q_stream_bm25" -> ((s, d) => {
-      val iso = s.newSession()
+      val iso = isoStream(s, d, "documents")
       val dir = bm25MutationStreamDir(iso, d)
       val idx = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream", new java.io.File(d).getName, "bm25idx_stream")
@@ -410,11 +454,12 @@ object StreamQueries {
     // so the emitted set is deterministic: exactly the batch
     // min-id-per-distinct-text survivors.
     "q_stream_first" -> ((s, d) => {
+      val iso = isoStream(s, d, "documents")
       val name = sinkName("first", d)
-      val first = StreamingDedup.firstSeen(Tables.documentsStream(s, d))
+      val first = StreamingDedup.firstSeen(Tables.documentsStream(iso, d))
       runToCompletion(first.toDF().select("doc_id", "text"), name,
         mode = "append")
-      s.table(name).select(col("doc_id"), col("text"))
+      iso.table(name).select(col("doc_id"), col("text"))
     }),
 
     // watermark-bounded built-in dedup (StreamingDedup
@@ -426,7 +471,7 @@ object StreamQueries {
     // emitted. WHICH copy wins depends on arrival order, so the sink
     // aggregation touches only KEY-derived columns — per-type distinct
     // user counts — which the batch oracle reproduces exactly.
-    "q_stream_dedup_wm" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_dedup_wm" -> ((s, d) => withNanosConf(s, d) { iso =>
       val name = sinkName("dedupwm", d)
       val keyed = eventsStream(iso, d).withColumn("text",
         concat_ws("|", col("event_type"), col("user_id")))
@@ -449,7 +494,7 @@ object StreamQueries {
     // recovery is legal exactly in complete mode; at scale the same
     // pipeline writes to a real sink in update mode with the identical
     // checkpoint contract.
-    "q_stream_resume" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_resume" -> ((s, d) => withNanosConf(s, d) { iso =>
       val name = sinkName("resume", d)
       // deterministic per-sf staging root, WIPED at the start of each
       // run: the scenario needs a fresh checkpoint every time, and a
@@ -614,11 +659,12 @@ object StreamQueries {
     // deterministic regardless of which copy the stream saw first —
     // and equals batch SELECT DISTINCT text.
     "q_stream_dedup" -> ((s, d) => {
+      val iso = isoStream(s, d, "documents")
       val name = sinkName("dedup", d)
-      val deduped = StreamingDedup.byFingerprint(Tables.documentsStream(s, d))
+      val deduped = StreamingDedup.byFingerprint(Tables.documentsStream(iso, d))
       runToCompletion(deduped.select("doc_id", "text"), name, mode = "append")
       val len = length(col("text")).cast("long")
-      s.table(name).agg(
+      iso.table(name).agg(
         count(lit(1)).as("n_unique"),
         sum(len).as("total_chars"),
         min(len).as("min_chars"),
@@ -633,7 +679,7 @@ object StreamQueries {
     // k=8): the summary never shrinks, cnt == true count == ub, and the
     // exploded rows are the plain per-(hour, type) counts the batch
     // oracle reproduces.
-    "q_stream_freq" -> ((s, d) => withNanosConf(s) { iso =>
+    "q_stream_freq" -> ((s, d) => withNanosConf(s, d) { iso =>
       import graft.functions.functions.heavy_hitters
       val name = sinkName("freq", d)
       val agg = StreamingAgg.windowedAgg(

@@ -36,9 +36,21 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     val jobs = new AtomicLong
+    val verbose = sys.env.contains("SPARK_GRAFT_PLANDUMP_JOBS")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose) starts.put(j.jobId,
+          (j.time, Option(j.properties)
+            .map(_.getProperty("callSite.short", "?")).getOrElse("?")))
+        ()
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) Option(starts.remove(j.jobId)).foreach { case (t0, cs) =>
+          println(f"[plandump]   job ${j.jobId}%4d ${j.time - t0}%6d ms  $cs")
+        }
     })
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
